@@ -1,0 +1,243 @@
+package graft.analysis
+
+import java.text.Normalizer
+import java.util.Locale
+import scala.util.hashing.MurmurHash3
+
+/** Token-stream analyzer — the Spark-side counterpart of the reference's
+  * analyzer registry (/root/reference/server/pg/tokenizer_options.h:419-444,
+  * impls under /root/reference/libs/iresearch/include/iresearch/analysis/).
+  *
+  * Analyzers are pure, serializable `String => Seq[String]` functions so they
+  * can run inside codegen'd Spark UDFs at both index-build and query time.
+  * Positions are implicit: token i of the output sits at position i (matching
+  * the `position` field feature of the reference's inverted index).
+  */
+trait Analyzer extends Serializable {
+  def apply(text: String): Seq[String]
+  final def tokens(text: String): Seq[String] =
+    if (text == null) Seq.empty else apply(text)
+}
+
+/** Whole input as a single term (`keyword`, irs::StringTokenizer). */
+case object KeywordAnalyzer extends Analyzer {
+  def apply(t: String): Seq[String] = Seq(t)
+}
+
+/** Split on whitespace runs. */
+final case class WhitespaceAnalyzer(lowercase: Boolean = false) extends Analyzer {
+  def apply(t: String): Seq[String] = {
+    val s = if (lowercase) t.toLowerCase(Locale.ROOT) else t
+    s.split("\\s+").toSeq.filter(_.nonEmpty)
+  }
+}
+
+/** UAX#29-style word segmentation, approximated as letter/digit runs
+  * (`segmentation` analyzer). */
+final case class SegmentationAnalyzer(lowercase: Boolean = true) extends Analyzer {
+  def apply(t: String): Seq[String] = {
+    val s = if (lowercase) t.toLowerCase(Locale.ROOT) else t
+    s.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+  }
+}
+
+/** Case/accent normalization to a single token (`norm` analyzer). */
+final case class NormAnalyzer(lowercase: Boolean = true, accentFold: Boolean = true)
+    extends Analyzer {
+  def apply(t: String): Seq[String] = Seq(Analyzers.normalize(t, lowercase, accentFold))
+}
+
+/** Character n-grams (`ngram` analyzer: min/max gram, preserve original). */
+final case class NGramAnalyzer(minGram: Int = 3, maxGram: Int = 3,
+    preserveOriginal: Boolean = false) extends Analyzer {
+  def apply(t: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (preserveOriginal) out += t
+    var n = minGram
+    while (n <= maxGram) {
+      var i = 0
+      while (i + n <= t.length) { out += t.substring(i, i + n); i += 1 }
+      n += 1
+    }
+    out.toSeq
+  }
+}
+
+/** Edge n-grams (the reference's `text` sub-template `edgengram`). */
+final case class EdgeNGramAnalyzer(minGram: Int = 1, maxGram: Int = 10) extends Analyzer {
+  def apply(t: String): Seq[String] =
+    (minGram to math.min(maxGram, t.length)).map(t.substring(0, _))
+}
+
+/** Single-character delimiter split (`delimiter` analyzer). */
+final case class DelimiterAnalyzer(delimiter: String) extends Analyzer {
+  def apply(t: String): Seq[String] =
+    t.split(java.util.regex.Pattern.quote(delimiter)).toSeq.filter(_.nonEmpty)
+}
+
+/** Multiple delimiters (`multi_delimiter` analyzer). */
+final case class MultiDelimiterAnalyzer(delimiters: Seq[String]) extends Analyzer {
+  private val pattern = delimiters.map(java.util.regex.Pattern.quote).mkString("|")
+  def apply(t: String): Seq[String] = t.split(pattern).toSeq.filter(_.nonEmpty)
+}
+
+/** RE2-style split/extract (`pattern` analyzer). mode="split" uses the regex
+  * as a separator; mode="match" emits every match of it. */
+final case class PatternAnalyzer(regex: String, mode: String = "split") extends Analyzer {
+  @transient private lazy val p = java.util.regex.Pattern.compile(regex)
+  def apply(t: String): Seq[String] = mode match {
+    case "split" => p.split(t).toSeq.filter(_.nonEmpty)
+    case _ =>
+      val m = p.matcher(t)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toSeq
+  }
+}
+
+/** Stopword removal wrapper (`stopwords` analyzer). */
+final case class StopwordsAnalyzer(inner: Analyzer, stopwords: Set[String]) extends Analyzer {
+  def apply(t: String): Seq[String] = inner(t).filterNot(stopwords)
+}
+
+/** Stemming wrapper (`stemming` analyzer; Porter for English). */
+final case class StemmingAnalyzer(inner: Analyzer, locale: String = "en") extends Analyzer {
+  def apply(t: String): Seq[String] =
+    if (locale.startsWith("en")) inner(t).map(Porter.stem) else inner(t)
+}
+
+/** The main `text` analyzer: segmentation + case fold + accent fold +
+  * stopwords + stemming (tokenizer_options.h `text` template). */
+final case class TextAnalyzer(
+    locale: String = "en",
+    lowercase: Boolean = true,
+    accentFold: Boolean = true,
+    stopwords: Set[String] = Set.empty,
+    stemming: Boolean = true) extends Analyzer {
+  def apply(t: String): Seq[String] = {
+    val segs = SegmentationAnalyzer(lowercase = false)(t)
+    val normed = segs.map(Analyzers.normalize(_, lowercase, accentFold))
+    val kept = if (stopwords.isEmpty) normed else normed.filterNot(stopwords)
+    if (stemming && locale.startsWith("en")) kept.map(Porter.stem) else kept
+  }
+}
+
+/** Chain analyzers: each stage re-tokenizes the previous stage's tokens
+  * (`pipeline` analyzer). */
+final case class PipelineAnalyzer(stages: Seq[Analyzer]) extends Analyzer {
+  def apply(t: String): Seq[String] =
+    stages.foldLeft(Seq(t))((toks, a) => toks.flatMap(a.apply))
+}
+
+/** Path hierarchy: /a/b/c → /a, /a/b, /a/b/c (`path_hierarchy`). */
+final case class PathHierarchyAnalyzer(delimiter: String = "/") extends Analyzer {
+  def apply(t: String): Seq[String] = {
+    val parts = t.split(java.util.regex.Pattern.quote(delimiter)).filter(_.nonEmpty)
+    (1 to parts.length).map(i => parts.take(i).mkString(delimiter, delimiter, ""))
+  }
+}
+
+/** Synonym expansion over an inner analyzer (`solr_synonyms`/`wordnet_synonyms`
+  * simplified to an explicit mapping). */
+final case class SynonymAnalyzer(inner: Analyzer, synonyms: Map[String, Seq[String]])
+    extends Analyzer {
+  def apply(t: String): Seq[String] =
+    inner(t).flatMap(tok => tok +: synonyms.getOrElse(tok, Seq.empty))
+}
+
+/** MinHash signature tokens — the reference's `minhash` analyzer
+  * (the LSH dedup primitive, SURVEY.md §2.11). Emits `i:h` where h is the
+  * minimum of the i-th universal hash over the inner token stream; equal
+  * tokens across two documents witness per-permutation signature equality.
+  */
+final case class MinHashAnalyzer(inner: Analyzer, numHashes: Int = 64) extends Analyzer {
+  def apply(t: String): Seq[String] = {
+    val toks = inner(t)
+    if (toks.isEmpty) return Seq.empty
+    val base = toks.map(tok => MurmurHash3.stringHash(tok).toLong & 0xffffffffL)
+    (0 until numHashes).map { i =>
+      // deterministic universal hash family: (a_i * x + b_i) mod p
+      val a = Analyzers.hashA(i); val b = Analyzers.hashB(i)
+      val m = base.map(x => (a * x + b) % Analyzers.MersennePrime).min
+      s"$i:$m"
+    }
+  }
+}
+
+object Analyzers {
+  val MersennePrime: Long = (1L << 61) - 1
+  def hashA(i: Int): Long = 2654435761L + 40503L * i * 2 + 1 // odd
+  def hashB(i: Int): Long = 2246822519L + 604171L * i
+
+  def normalize(t: String, lowercase: Boolean, accentFold: Boolean): String = {
+    var s = t
+    if (accentFold)
+      s = Normalizer.normalize(s, Normalizer.Form.NFD)
+        .replaceAll("\\p{M}+", "")
+    if (lowercase) s = s.toLowerCase(Locale.ROOT)
+    s
+  }
+
+  val EnglishStopwords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to", "was",
+    "will", "with")
+}
+
+/** Named analyzer registry — the `CREATE TEXT SEARCH DICTIONARY` equivalent
+  * (/root/reference/server/pg/commands/create_tsdictionary.cpp; catalog
+  * object /root/reference/server/catalog/tokenizer.h). Template + options →
+  * analyzer instance, looked up by name at index-build and query time.
+  */
+object AnalyzerRegistry {
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Analyzer]()
+
+  def register(name: String, analyzer: Analyzer): Unit = registry.put(name, analyzer)
+  def get(name: String): Analyzer = {
+    val a = registry.get(name)
+    require(a != null, s"unknown text search dictionary: $name")
+    a
+  }
+  def names: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keySet().asScala.toSeq.sorted
+  }
+
+  /** Build from a template name + options, mirroring tokenizer templates. */
+  def create(name: String, template: String, options: Map[String, String] = Map.empty): Analyzer = {
+    def opt(k: String, d: String) = options.getOrElse(k, d)
+    val a: Analyzer = template match {
+      case "keyword" => KeywordAnalyzer
+      case "whitespace" => WhitespaceAnalyzer(opt("case", "none") == "lower")
+      case "segmentation" => SegmentationAnalyzer(opt("case", "lower") == "lower")
+      case "norm" => NormAnalyzer(opt("case", "lower") == "lower", opt("accent", "false") != "true")
+      case "ngram" => NGramAnalyzer(opt("min", "3").toInt, opt("max", "3").toInt,
+        opt("preserve_original", "false") == "true")
+      case "edgengram" => EdgeNGramAnalyzer(opt("min", "1").toInt, opt("max", "10").toInt)
+      case "delimiter" => DelimiterAnalyzer(opt("delimiter", " "))
+      case "pattern" => PatternAnalyzer(opt("pattern", "\\W+"), opt("mode", "split"))
+      case "path_hierarchy" => PathHierarchyAnalyzer(opt("delimiter", "/"))
+      case "minhash" => MinHashAnalyzer(
+        WhitespaceAnalyzer(lowercase = true), opt("num_hashes", "64").toInt)
+      case "text" => TextAnalyzer(
+        locale = opt("locale", "en").takeWhile(_ != '_'),
+        lowercase = opt("case", "lower") == "lower",
+        accentFold = opt("accent", "false") != "true",
+        stopwords = if (opt("stopwords", "none") == "english") Analyzers.EnglishStopwords else Set.empty,
+        stemming = opt("stemming", "true") == "true")
+      case other => throw new IllegalArgumentException(s"unknown analyzer template: $other")
+    }
+    register(name, a)
+    a
+  }
+
+  // Default dictionaries available out of the box.
+  register("keyword", KeywordAnalyzer)
+  register("whitespace", WhitespaceAnalyzer(lowercase = true))
+  register("simple", SegmentationAnalyzer())
+  register("english", TextAnalyzer(stopwords = Analyzers.EnglishStopwords))
+  register("text_en", TextAnalyzer())
+  register("ngram3", NGramAnalyzer(3, 3))
+  register("minhash64", MinHashAnalyzer(WhitespaceAnalyzer(lowercase = true), 64))
+}

@@ -1,0 +1,175 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analysis.{Analyzer, AnalyzerRegistry}
+
+/** Distributed inverted index over a document DataFrame.
+  *
+  * Spark-native re-expression of the reference's IResearch index
+  * (/root/reference/server/catalog/inverted_index.h;
+  * /root/reference/libs/iresearch/include/iresearch/formats/): instead of
+  * per-segment posting files, the index is three DataFrames that can be kept
+  * cached or persisted as parquet "segments":
+  *
+  *   - postings:  (term, doc_id, tf, positions)  — one row per (doc, term),
+  *     hash-partitioned by term so a term lookup touches one shuffle
+  *     partition and term-term joins (phrases) co-locate;
+  *   - termDict:  (term, df, ctf) — the term dictionary with document
+  *     frequency and collection term frequency; powers ts_dict_* facets
+  *     directly (SURVEY.md §2.4) and fuzzy/prefix/regex term expansion;
+  *   - docStats:  (doc_id, dlen) + collection stats (numDocs, avgDl) —
+  *     the BM25 length normalization inputs
+  *     (/root/reference/libs/iresearch/include/iresearch/search/bm25.hpp).
+  *
+  * Scale notes: postings are built with one explode + one groupBy shuffle —
+  * both keyed on (doc, term) so map-side partial aggregation applies; at
+  * 100 TB each executor builds its partition's postings independently and
+  * the only global state is the (tiny) term dictionary and two scalars.
+  * Term lookups below avoid `collect()` entirely: every search primitive is
+  * a join/semi-join so plans compose and stay distributed.
+  */
+final case class InvertedIndex(
+    postings: DataFrame,
+    termDict: DataFrame,
+    docStats: DataFrame,
+    numDocs: Long,
+    avgDl: Double) {
+
+  /** Doc ids containing `term`. */
+  def term(t: String): DataFrame =
+    postings.filter(col("term") === t).select(col("doc_id"))
+
+  /** Docs matching at least `minMatch` of `terms` (ts_any, search.h:94-98). */
+  def anyOf(terms: Seq[String], minMatch: Int = 1): DataFrame =
+    postings.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_matched"))
+      .filter(col("n_matched") >= minMatch)
+      .select(col("doc_id"))
+
+  /** Docs containing every term (ts_all). */
+  def allOf(terms: Seq[String]): DataFrame = anyOf(terms.distinct, terms.distinct.size)
+
+  /** Term-dictionary expansion primitives: prefix / wildcard / regex / fuzzy /
+    * range run over the (small) term dictionary, then semi-join postings —
+    * mirroring the reference's automaton-over-term-dict filters
+    * (prefix_filter.hpp, wildcard_filter.hpp, automaton_filter.hpp,
+    * levenshtein_filter.hpp, granular_range_filter.hpp). */
+  def expandTerms(pred: Column): DataFrame = termDict.filter(pred).select(col("term"))
+
+  private def docsForTerms(terms: DataFrame): DataFrame =
+    postings.join(terms, "term").select(col("doc_id")).distinct()
+
+  def prefix(p: String): DataFrame = docsForTerms(expandTerms(col("term").startsWith(p)))
+
+  /** SQL LIKE-style wildcard over terms (%, _) — ts_like. */
+  def wildcard(pattern: String): DataFrame = docsForTerms(expandTerms(col("term").like(pattern)))
+
+  /** Regex over terms — ts_regexp. */
+  def regexp(pattern: String): DataFrame = docsForTerms(expandTerms(col("term").rlike(pattern)))
+
+  /** Levenshtein fuzzy match — ts_levenshtein (max expansions guarded by the
+    * term dictionary size, cf. levenshtein_max_terms.test). */
+  def fuzzy(t: String, maxDist: Int): DataFrame =
+    docsForTerms(expandTerms(levenshtein(col("term"), lit(t)) <= maxDist))
+
+  /** Term range — ts_between / ts_lt / ts_gt family. */
+  def range(lo: Option[String], hi: Option[String],
+      loInc: Boolean = true, hiInc: Boolean = true): DataFrame = {
+    val lower = lo.map(v => if (loInc) col("term") >= v else col("term") > v)
+    val upper = hi.map(v => if (hiInc) col("term") <= v else col("term") < v)
+    docsForTerms(expandTerms((lower ++ upper).reduceOption(_ && _).getOrElse(lit(true))))
+  }
+
+  /** Exact positional phrase via postings positions — ts_phrase with slop 0
+    * (/root/reference/libs/iresearch/include/iresearch/search/phrase_filter.hpp).
+    * Chains per-term postings joins on doc_id, intersecting shifted position
+    * arrays; the i-th intersection holds positions where a length-i prefix of
+    * the phrase ends. All joins are co-partitioned on doc_id after the first
+    * shuffle; no driver-side state. */
+  def phrase(terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty phrase")
+    val first = postings.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("positions").as("chain"))
+    val chained = terms.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, _)) =>
+      val next = postings.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as("next_pos"))
+      acc.join(next, "doc_id")
+        .withColumn("chain",
+          array_intersect(transform(col("chain"), p => p + 1), col("next_pos")))
+        .filter(size(col("chain")) > 0)
+        .select(col("doc_id"), col("chain"))
+    }
+    chained.select(col("doc_id"))
+  }
+
+  /** BM25 top-k with a deterministic fixed-order score sum.
+    *
+    * Standard BM25 (k1=1.2, b=0.75, Lucene-style idf) — the per-term partial
+    * scores are joined as separate columns and added in query-term order, so
+    * the double addition order is fixed and the score is reproducible
+    * bit-for-bit (a groupBy sum would add in shuffle arrival order).
+    * One broadcast-ready join per query term; each join is postings-filtered
+    * to a single term so the build side is tiny.
+    */
+  def bm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withLen = docStats.select(col("doc_id"), col("dlen"))
+    val scored = terms.zipWithIndex.foldLeft(withLen) { case (acc, (t, i)) =>
+      val partial = postings.filter(col("term") === t)
+        .crossJoin(broadcast(termDict.filter(col("term") === t).select(col("df"))))
+        .select(col("doc_id"), col("tf").as(s"tf_$i"), col("df").as(s"df_$i"))
+      acc.join(partial, Seq("doc_id"), "left")
+    }
+    val scoreCols = terms.indices.map { i =>
+      val tf = coalesce(col(s"tf_$i").cast("double"), lit(0.0))
+      val dfT = coalesce(col(s"df_$i").cast("double"), lit(1.0))
+      val idf = log(lit(1.0) + (lit(numDocs.toDouble) - dfT + 0.5) / (dfT + 0.5))
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen").cast("double") / avgDl))
+    }
+    scored
+      .withColumn("_score", scoreCols.reduce(_ + _))
+      .filter(col("_score") > 0.0)
+      .select(col("doc_id"), col("_score"))
+  }
+}
+
+object InvertedIndex {
+  /** Build the index in one pass: analyze → posexplode → groupBy(doc, term).
+    * `positions` are kept only when `withPositions` (phrase support) — the
+    * reference's per-field `position` feature toggle
+    * (/root/reference/server/pg/tokenizer_options.h:243-245). */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      analyzerName: String = "whitespace",
+      withPositions: Boolean = true): InvertedIndex = {
+    val spark = docs.sparkSession
+    val analyzer = AnalyzerRegistry.get(analyzerName)
+    val tokenize = udf((s: String) => analyzer.tokens(s))
+
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), posexplode(tokenize(col(textCol))).as(Seq("pos", "term")))
+
+    val postings = {
+      val base = exploded.groupBy(col("term"), col("doc_id"))
+      val agg = if (withPositions)
+        base.agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
+      else
+        base.agg(count(lit(1)).as("tf")).withColumn("positions", lit(null).cast("array<int>"))
+      agg.repartition(col("term")).cache()
+    }
+
+    val termDict = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+      .cache()
+
+    val docStats = docs
+      .select(col(idCol).as("doc_id"), size(tokenize(col(textCol))).as("dlen"))
+      .cache()
+
+    val stats = docStats.agg(count(lit(1)), avg(col("dlen"))).head()
+    val numDocs = stats.getLong(0)
+    val avgDl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    InvertedIndex(postings, termDict, docStats, numDocs, avgDl)
+  }
+}
