@@ -126,17 +126,21 @@ object Relational {
       .select(col("event_id"), unix_timestamp(col("o_orderdate")).as("asof_epoch"))
   }
 
-  /** Range (band) join: events within 1 hour after each event, same user.
-    * Equality key first so Catalyst plans a hash join + residual range filter
-    * (never a cross product). */
+  /** Range (band) semantics — events within 1 hour after each event, same
+    * user — expressed as a range-frame window instead of a self-join. A
+    * same-user self-join is quadratic per key (a 10k-event user costs 10^8
+    * pairs); the window is one shuffle of |events| with linear per-key work,
+    * and returns the identical answer. Range frame is over exact microsecond
+    * epochs (unix_micros), not seconds, so the 1-hour boundary matches the
+    * join/oracle semantics bit-for-bit. */
   def q11RangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
-    val w = Tables.events(s, dir).select(
-      col("user_id").as("w_user"), col("ts").as("w_ts"))
-    e.join(w, col("user_id") === col("w_user") &&
-        col("w_ts") >= col("ts") && col("w_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
-      .groupBy(col("event_id"))
-      .agg(count(lit(1)).as("n_within_hour"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(0L, 3600L * 1000 * 1000)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_within_hour", count(lit(1)).over(w))
+      .select(col("event_id"), col("n_within_hour"))
   }
 
   /** JSON extraction from the events.props payload. */
@@ -190,15 +194,15 @@ object Relational {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |  SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-        |  SUM(CAST(round(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS sum_disc_bp,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_shipping_priority" ->
       """SELECT o_orderkey,
         |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch, o_orderpriority,
-        |  SUM(CAST(round(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS revenue_bp
+        |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_bp
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -208,7 +212,7 @@ object Relational {
         |ORDER BY revenue_bp DESC, o_orderkey LIMIT 10""".stripMargin,
     "q03_region_rollup" ->
       """SELECT r_name, count(*) AS n_cust,
-        |  SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS acctbal_cents
+        |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
@@ -257,13 +261,13 @@ object Relational {
         |GROUP BY e.event_id""".stripMargin,
     "q12_json" ->
       """SELECT event_type, count(*) AS n,
-        |  SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q13_time_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |  event_type, count(*) AS n,
-        |  SUM(CAST(round(value*100) AS BIGINT)) AS value_cents
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q14_sessionize" ->
       """WITH flagged AS (

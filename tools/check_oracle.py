@@ -52,8 +52,22 @@ def main():
         if got_cols != want_cols:
             failures.append((name, f"columns differ: spark={got_cols} duckdb={want_cols}"))
             continue
-        g = sorted(tuple(norm(row[c]) for c in got_cols) for row in table.to_pylist())
-        w = sorted(tuple(norm(row[c]) for c in want_cols) for row in want.to_pylist())
+        # The driver's hash gate is representation-sensitive: compare Arrow
+        # types too (DuckDB SUM(BIGINT) widens to HUGEINT int128 — values
+        # equal, hash not).
+        got_types = {c: str(table.schema.field(c).type) for c in got_cols}
+        want_types = {c: str(want.schema.field(c).type) for c in want_cols}
+        skew = {c: (got_types[c], want_types[c]) for c in got_cols
+                if got_types[c] != want_types[c]}
+        if skew:
+            failures.append((name, f"arrow type skew (driver hash will differ): {skew}"))
+            continue
+
+        def key(row):  # None-safe total order (NULL group keys etc.)
+            return tuple((v is None, str(type(v)), v if v is not None else 0)
+                         for v in row)
+        g = sorted((tuple(norm(row[c]) for c in got_cols) for row in table.to_pylist()), key=key)
+        w = sorted((tuple(norm(row[c]) for c in want_cols) for row in want.to_pylist()), key=key)
         if len(g) != len(w):
             failures.append((name, f"row count: spark={len(g)} duckdb={len(w)}"))
             continue
