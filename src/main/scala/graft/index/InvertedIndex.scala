@@ -1,48 +1,68 @@
 package graft.index
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.analysis.{Analyzer, AnalyzerRegistry}
+import graft.analysis.AnalyzerRegistry
 
 /** Distributed inverted index over a document DataFrame.
   *
   * Spark-native re-expression of the reference's IResearch index
   * (/root/reference/server/catalog/inverted_index.h;
   * /root/reference/libs/iresearch/include/iresearch/formats/): instead of
-  * per-segment posting files, the index is three DataFrames that can be kept
-  * cached or persisted as parquet "segments":
+  * per-segment posting files, the index is three DataFrames, persisted as
+  * parquet segments by [[IndexStore]] (never `.cache()` — at 100 TB the index
+  * is durable data, not session state):
   *
-  *   - postings:  (term, doc_id, tf, positions)  — one row per (doc, term),
-  *     hash-partitioned by term so a term lookup touches one shuffle
-  *     partition and term-term joins (phrases) co-locate;
-  *   - termDict:  (term, df, ctf) — the term dictionary with document
-  *     frequency and collection term frequency; powers ts_dict_* facets
-  *     directly (SURVEY.md §2.4) and fuzzy/prefix/regex term expansion;
-  *   - docStats:  (doc_id, dlen) + collection stats (numDocs, avgDl) —
-  *     the BM25 length normalization inputs
+  *   - postings:  (term, doc_id, tf, positions[, bucket])  — one row per
+  *     (doc, term); on disk, directory-partitioned by `bucket = hash(term)`
+  *     so single-term lookups prune to 1/64 of the files;
+  *   - termDict:  (term, df, ctf) — document frequency + collection term
+  *     frequency; powers ts_dict_* facets directly (SURVEY.md §2.4) and
+  *     fuzzy/prefix/regex/range term expansion;
+  *   - docStats:  (doc_id, dlen) + collection stats (numDocs, sumDl) —
+  *     the BM25 length-normalization inputs
   *     (/root/reference/libs/iresearch/include/iresearch/search/bm25.hpp).
   *
-  * Scale notes: postings are built with one explode + one groupBy shuffle —
-  * both keyed on (doc, term) so map-side partial aggregation applies; at
-  * 100 TB each executor builds its partition's postings independently and
-  * the only global state is the (tiny) term dictionary and two scalars.
-  * Term lookups below avoid `collect()` entirely: every search primitive is
-  * a join/semi-join so plans compose and stay distributed.
+  * Scale notes: postings are built with one explode + one groupBy shuffle,
+  * both keyed on (doc, term) so map-side partial aggregation applies; the
+  * only global state is the (tiny) term dictionary and two scalars. Every
+  * search primitive below is a join/semi-join — no `collect()` — so plans
+  * compose and stay distributed.
   */
 final case class InvertedIndex(
     postings: DataFrame,
     termDict: DataFrame,
     docStats: DataFrame,
     numDocs: Long,
-    avgDl: Double) {
+    sumDl: Long) {
+
+  /** Exact collection average doc length; derived so segment merges stay
+    * lossless (sumDl adds, avgDl wouldn't). */
+  def avgDl: Double = if (numDocs == 0) 0.0 else sumDl.toDouble / numDocs
+
+  private val hasBucket = postings.columns.contains("bucket")
+
+  /** Postings rows for one exact term, pruned to its hash bucket when the
+    * index was loaded from bucket-partitioned parquet (1/64 of the files). */
+  def postingsFor(t: String): DataFrame = {
+    val base = if (hasBucket) postings.filter(col("bucket") === IndexStore.bucketOf(t))
+               else postings
+    base.filter(col("term") === t)
+  }
+
+  private def postingsForAny(terms: Seq[String]): DataFrame = {
+    val base = if (hasBucket)
+      postings.filter(col("bucket").isin(terms.map(IndexStore.bucketOf).distinct: _*))
+    else postings
+    base.filter(col("term").isin(terms: _*))
+  }
 
   /** Doc ids containing `term`. */
-  def term(t: String): DataFrame =
-    postings.filter(col("term") === t).select(col("doc_id"))
+  def term(t: String): DataFrame = postingsFor(t).select(col("doc_id"))
 
   /** Docs matching at least `minMatch` of `terms` (ts_any, search.h:94-98). */
   def anyOf(terms: Seq[String], minMatch: Int = 1): DataFrame =
-    postings.filter(col("term").isin(terms: _*))
+    postingsForAny(terms)
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("term")).as("n_matched"))
       .filter(col("n_matched") >= minMatch)
@@ -52,14 +72,14 @@ final case class InvertedIndex(
   def allOf(terms: Seq[String]): DataFrame = anyOf(terms.distinct, terms.distinct.size)
 
   /** Term-dictionary expansion primitives: prefix / wildcard / regex / fuzzy /
-    * range run over the (small) term dictionary, then semi-join postings —
+    * range run over the (small) term dictionary, then join postings —
     * mirroring the reference's automaton-over-term-dict filters
     * (prefix_filter.hpp, wildcard_filter.hpp, automaton_filter.hpp,
     * levenshtein_filter.hpp, granular_range_filter.hpp). */
   def expandTerms(pred: Column): DataFrame = termDict.filter(pred).select(col("term"))
 
   private def docsForTerms(terms: DataFrame): DataFrame =
-    postings.join(terms, "term").select(col("doc_id")).distinct()
+    postings.join(broadcast(terms), "term").select(col("doc_id")).distinct()
 
   def prefix(p: String): DataFrame = docsForTerms(expandTerms(col("term").startsWith(p)))
 
@@ -90,10 +110,10 @@ final case class InvertedIndex(
     * shuffle; no driver-side state. */
   def phrase(terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "empty phrase")
-    val first = postings.filter(col("term") === terms.head)
+    val first = postingsFor(terms.head)
       .select(col("doc_id"), col("positions").as("chain"))
     val chained = terms.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, _)) =>
-      val next = postings.filter(col("term") === t)
+      val next = postingsFor(t)
         .select(col("doc_id"), col("positions").as("next_pos"))
       acc.join(next, "doc_id")
         .withColumn("chain",
@@ -104,19 +124,41 @@ final case class InvertedIndex(
     chained.select(col("doc_id"))
   }
 
-  /** BM25 top-k with a deterministic fixed-order score sum.
+  /** Sloppy phrase — ts_phrase with per-gap [min,max] position ranges
+    * (/root/reference/libs/iresearch/include/iresearch/search/slop_phrase.hpp).
+    * `gaps(i)` bounds the position delta between term i and term i+1
+    * (exact phrase = (1,1) everywhere). The chain carries candidate
+    * end-positions; each step keeps positions of the next term within
+    * [prev+min, prev+max]. */
+  def sloppyPhrase(terms: Seq[String], gaps: Seq[(Int, Int)]): DataFrame = {
+    require(terms.size >= 2 && gaps.size == terms.size - 1, "gaps must be terms-1")
+    val first = postingsFor(terms.head)
+      .select(col("doc_id"), col("positions").as("chain"))
+    val chained = terms.drop(1).zip(gaps).foldLeft(first) { case (acc, (t, (lo, hi))) =>
+      val next = postingsFor(t)
+        .select(col("doc_id"), col("positions").as("next_pos"))
+      acc.join(next, "doc_id")
+        .withColumn("chain",
+          filter(col("next_pos"), p =>
+            exists(col("chain"), c => p >= c + lo && p <= c + hi)))
+        .filter(size(col("chain")) > 0)
+        .select(col("doc_id"), col("chain"))
+    }
+    chained.select(col("doc_id"))
+  }
+
+  /** BM25 scores for a bag of query terms, one row per matching doc.
     *
     * Standard BM25 (k1=1.2, b=0.75, Lucene-style idf) — the per-term partial
     * scores are joined as separate columns and added in query-term order, so
     * the double addition order is fixed and the score is reproducible
     * bit-for-bit (a groupBy sum would add in shuffle arrival order).
-    * One broadcast-ready join per query term; each join is postings-filtered
-    * to a single term so the build side is tiny.
+    * Each per-term join is bucket-pruned postings (tiny build side).
     */
   def bm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val withLen = docStats.select(col("doc_id"), col("dlen"))
     val scored = terms.zipWithIndex.foldLeft(withLen) { case (acc, (t, i)) =>
-      val partial = postings.filter(col("term") === t)
+      val partial = postingsFor(t)
         .crossJoin(broadcast(termDict.filter(col("term") === t).select(col("df"))))
         .select(col("doc_id"), col("tf").as(s"tf_$i"), col("df").as(s"df_$i"))
       acc.join(partial, Seq("doc_id"), "left")
@@ -133,6 +175,16 @@ final case class InvertedIndex(
       .filter(col("_score") > 0.0)
       .select(col("doc_id"), col("_score"))
   }
+
+  /** BM25 top-k with score pushdown: per-partition top-k heaps before the
+    * global merge, the Spark shape of the reference's WAND collector
+    * (/root/reference/server/connector/duckdb_table_function.h:176-194,
+    * top_k_heap.hpp). `orderBy.limit` alone already plans TakeOrderedAndProject
+    * (partial top-k per partition, O(k) driver merge — no global sort). */
+  def bm25TopK(terms: Seq[String], k: Int): DataFrame =
+    bm25(terms)
+      .orderBy(col("_score").desc, col("doc_id"))
+      .limit(k)
 }
 
 object InvertedIndex {
@@ -143,7 +195,6 @@ object InvertedIndex {
   def build(docs: DataFrame, idCol: String, textCol: String,
       analyzerName: String = "whitespace",
       withPositions: Boolean = true): InvertedIndex = {
-    val spark = docs.sparkSession
     val analyzer = AnalyzerRegistry.get(analyzerName)
     val tokenize = udf((s: String) => analyzer.tokens(s))
 
@@ -152,24 +203,21 @@ object InvertedIndex {
 
     val postings = {
       val base = exploded.groupBy(col("term"), col("doc_id"))
-      val agg = if (withPositions)
+      if (withPositions)
         base.agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
       else
         base.agg(count(lit(1)).as("tf")).withColumn("positions", lit(null).cast("array<int>"))
-      agg.repartition(col("term")).cache()
     }
 
     val termDict = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
-      .cache()
 
     val docStats = docs
       .select(col(idCol).as("doc_id"), size(tokenize(col(textCol))).as("dlen"))
-      .cache()
 
-    val stats = docStats.agg(count(lit(1)), avg(col("dlen"))).head()
+    val stats = docStats.agg(count(lit(1)), sum(col("dlen").cast("long"))).head()
     val numDocs = stats.getLong(0)
-    val avgDl = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
-    InvertedIndex(postings, termDict, docStats, numDocs, avgDl)
+    val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    InvertedIndex(postings, termDict, docStats, numDocs, sumDl)
   }
 }

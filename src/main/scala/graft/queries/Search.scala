@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analysis.AnalyzerRegistry
+import graft.index.{IndexStore, InvertedIndex}
+
+/** Full-text search surface (SURVEY.md §2.9) wired end-to-end: every entry
+  * runs against the persisted inverted index over `documents.parquet`
+  * (IndexStore segments, whitespace/lower analyzer) and is cross-checked by a
+  * DuckDB oracle that recomputes the same predicate from the raw text with
+  * `string_split_regex` — the reference's own index-vs-no-postings check
+  * (/root/reference/examples/demo6/demo.sql, last query). The analyzer is
+  * deterministic (split on \s+, lowercase) so tokenization is
+  * oracle-reproducible.
+  *
+  * Function names map to /root/reference/server/connector/functions/search.h:42-98.
+  */
+object Search {
+
+  private def idx(s: SparkSession, dir: String): InvertedIndex =
+    IndexStore.documents(s, dir, "whitespace")
+
+  // ---- query entries -------------------------------------------------------
+
+  /** Single-term match — `col @@ 'term'` (ByTerm, search_filter_builder.cpp:585). */
+  def tsTerm(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).term("vector")
+
+  /** Disjunction with minimum-should-match — ts_any(ARRAY[...], 2). */
+  def tsAny(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).anyOf(Seq("join", "hash", "merge"), minMatch = 2)
+
+  /** Conjunction — ts_all(ARRAY[...]). */
+  def tsAll(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).allOf(Seq("window", "filter", "stream"))
+
+  /** Prefix — ts_starts_with (prefix_filter.hpp). */
+  def tsPrefix(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).prefix("sc")
+
+  /** Wildcard — ts_like (wildcard_filter.hpp). */
+  def tsLike(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).wildcard("s%t")
+
+  /** Regex — ts_regexp (automaton_filter.hpp). */
+  def tsRegexp(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).regexp("^va..e$")
+
+  /** Fuzzy — ts_levenshtein (levenshtein_filter.hpp). */
+  def tsLevenshtein(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).fuzzy("qery", maxDist = 1)
+
+  /** Term range — ts_between (granular_range_filter.hpp). */
+  def tsBetween(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).range(Some("batch"), Some("customer"))
+
+  /** Exact positional phrase — ts_phrase slop 0 (phrase_filter.hpp). */
+  def tsPhrase(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).phrase(Seq("hash", "join"))
+
+  /** Sloppy phrase — ts_phrase with a [1,3] gap: 'hash' then 'join' within
+    * 0–2 intervening tokens (slop_phrase.hpp). */
+  def tsPhraseSlop(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).sloppyPhrase(Seq("hash", "join"), Seq((1, 3)))
+
+  /** Facet over the term dictionary — ts_dict_agg/_count/_freq semantics
+    * (ts_dict.test:42-55): every analyzed token with document count and total
+    * frequency, merged across index segments. */
+  def tsDictFacet(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).termDict
+      .select(col("term"), col("df").cast("bigint").as("docs"),
+        col("ctf").cast("bigint").as("freq"))
+
+  /** Top-k facet — ts_dict with ORDER BY docs DESC LIMIT k. */
+  def tsDictTopK(s: SparkSession, dir: String): DataFrame =
+    tsDictFacet(s, dir)
+      .orderBy(col("docs").desc, col("term"))
+      .limit(10)
+
+  /** Search-bench COUNT class: how many docs match the disjunction. */
+  def tsCount(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).anyOf(Seq("dup", "vector"))
+      .agg(count(lit(1)).as("n"))
+
+  /** BM25 top-k with per-partition partial top-k (TakeOrderedAndProject) —
+    * the WAND-pushdown analogue (§2.6). Oracle recomputes BM25 in DuckDB
+    * with the identical FP expression tree. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).bm25TopK(Seq("vector", "dup", "query"), 10)
+      .select(col("doc_id"))
+
+  /** ts_tokenize — run a named analyzer at query time, emit (pos, term). */
+  def tsTokenize(s: SparkSession, dir: String): DataFrame = {
+    val analyzer = AnalyzerRegistry.get("whitespace")
+    val tokenize = udf((t: String) => analyzer.tokens(t))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), posexplode(tokenize(col("text"))).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("term"))
+  }
+
+  // ---- oracles -------------------------------------------------------------
+
+  /** Shared tokenization CTE: identical to WhitespaceAnalyzer(lowercase). */
+  private val toks =
+    """WITH toks AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents)""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_term" -> tsTerm,
+    "ts_any_minmatch" -> tsAny,
+    "ts_all" -> tsAll,
+    "ts_prefix" -> tsPrefix,
+    "ts_like" -> tsLike,
+    "ts_regexp" -> tsRegexp,
+    "ts_levenshtein" -> tsLevenshtein,
+    "ts_between" -> tsBetween,
+    "ts_phrase" -> tsPhrase,
+    "ts_phrase_slop" -> tsPhraseSlop,
+    "ts_dict_facet" -> tsDictFacet,
+    "ts_dict_topk" -> tsDictTopK,
+    "ts_count" -> tsCount,
+    "ts_bm25_topk" -> bm25TopK,
+    "ts_tokenize" -> tsTokenize)
+
+  val oracles: Map[String, String] = Map(
+    "ts_term" ->
+      s"""$toks
+         |SELECT doc_id FROM toks WHERE list_contains(ts, 'vector')""".stripMargin,
+    "ts_any_minmatch" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE len(list_intersect(list_distinct(ts), ['join','hash','merge'])) >= 2""".stripMargin,
+    "ts_all" ->
+      s"""$toks
+         |SELECT doc_id FROM toks WHERE list_has_all(ts, ['window','filter','stream'])""".stripMargin,
+    "ts_prefix" ->
+      s"""$toks
+         |SELECT doc_id FROM toks WHERE len(list_filter(ts, t -> t LIKE 'sc%')) > 0""".stripMargin,
+    "ts_like" ->
+      s"""$toks
+         |SELECT doc_id FROM toks WHERE len(list_filter(ts, t -> t LIKE 's%t')) > 0""".stripMargin,
+    "ts_regexp" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE len(list_filter(ts, t -> regexp_matches(t, '^va..e$$'))) > 0""".stripMargin,
+    "ts_levenshtein" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE len(list_filter(ts, t -> levenshtein(t, 'qery') <= 1)) > 0""".stripMargin,
+    "ts_between" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE len(list_filter(ts, t -> t >= 'batch' AND t <= 'customer')) > 0""".stripMargin,
+    "ts_phrase" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE ' ' || array_to_string(ts, ' ') || ' ' LIKE '% hash join %'""".stripMargin,
+    "ts_phrase_slop" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE regexp_matches(' ' || array_to_string(ts, ' ') || ' ',
+         |  ' hash ([a-z0-9]+ ){0,2}join ')""".stripMargin,
+    "ts_dict_facet" ->
+      s"""$toks
+         |SELECT term, count(DISTINCT doc_id) AS docs, count(*) AS freq
+         |FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY term""".stripMargin,
+    "ts_dict_topk" ->
+      s"""$toks
+         |SELECT term, count(DISTINCT doc_id) AS docs, count(*) AS freq
+         |FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY term
+         |ORDER BY docs DESC, term LIMIT 10""".stripMargin,
+    "ts_count" ->
+      s"""$toks
+         |SELECT count(*) AS n FROM toks
+         |WHERE list_contains(ts, 'dup') OR list_contains(ts, 'vector')""".stripMargin,
+    "ts_bm25_topk" ->
+      s"""$toks,
+         |dl AS (SELECT doc_id, len(ts) AS dlen FROM toks),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+         |              CAST(SUM(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tfs AS (SELECT doc_id,
+         |  CAST(len(list_filter(ts, t -> t = 'vector')) AS DOUBLE) AS tf0,
+         |  CAST(len(list_filter(ts, t -> t = 'dup')) AS DOUBLE) AS tf1,
+         |  CAST(len(list_filter(ts, t -> t = 'query')) AS DOUBLE) AS tf2 FROM toks),
+         |dfs AS (SELECT
+         |  greatest(CAST(count(*) FILTER (WHERE tf0 > 0) AS DOUBLE), 1.0) AS df0,
+         |  greatest(CAST(count(*) FILTER (WHERE tf1 > 0) AS DOUBLE), 1.0) AS df1,
+         |  greatest(CAST(count(*) FILTER (WHERE tf2 > 0) AS DOUBLE), 1.0) AS df2 FROM tfs),
+         |scored AS (SELECT t.doc_id,
+         |    ln(1.0 + (nd - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
+         |      / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dlen AS DOUBLE) / avgdl))
+         |  + ln(1.0 + (nd - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
+         |      / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dlen AS DOUBLE) / avgdl))
+         |  + ln(1.0 + (nd - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0)
+         |      / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dlen AS DOUBLE) / avgdl))
+         |  AS score
+         |  FROM tfs t JOIN dl USING (doc_id), st, dfs)
+         |SELECT doc_id FROM scored WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_tokenize" ->
+      s"""$toks
+         |SELECT doc_id, unnest(range(len(ts))) AS pos, unnest(ts) AS term
+         |FROM toks WHERE doc_id < 10""".stripMargin)
+}
