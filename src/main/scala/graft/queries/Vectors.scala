@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.index.IvfIndex
+
+/** Vector search surface (SURVEY.md §2.10, §2.6-ANN) over
+  * `embeddings.parquet` (vec_id, embedding FLOAT[64], label).
+  *
+  * The query vector is always row vec_id=0's embedding, taken from the data
+  * itself so the DuckDB oracle can reproduce it with a scalar subquery.
+  * Distance outputs are quantized to 1e-4 integers for hash stability; both
+  * engines accumulate doubles sequentially in element order.
+  */
+object Vectors {
+
+  private def withQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.crossJoin(broadcast(q))
+  }
+
+  private def q4(c: Column): Column = round(c * 10000).cast("bigint")
+
+  /** The 11-function pgvector surface, quantized, on a deterministic slice. */
+  def fnSurface(s: SparkSession, dir: String): DataFrame =
+    withQuery(s, dir)
+      .filter(col("vec_id") < 20)
+      .select(
+        col("vec_id"),
+        q4(l2Distance(col("embedding"), col("qe"))).as("l2_q"),
+        q4(innerProduct(col("embedding"), col("qe"))).as("ip_q"),
+        q4(cosineSimilarity(col("embedding"), col("qe"))).as("cos_q"),
+        q4(l1Distance(col("embedding"), col("qe"))).as("l1_q"),
+        q4(l2Norm(col("embedding"))).as("l2n"),
+        q4(l1Norm(col("embedding"))).as("l1n"))
+
+  /** Exact k-NN by L2 — brute force + TakeOrderedAndProject (partial top-k
+    * per partition, O(k) global merge; no full sort). */
+  def knnExact(s: SparkSession, dir: String): DataFrame =
+    withQuery(s, dir)
+      .withColumn("dist", l2SqrDistance(col("embedding"), col("qe")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"))
+
+  /** Exact k-NN by cosine distance. */
+  def knnCosine(s: SparkSession, dir: String): DataFrame =
+    withQuery(s, dir)
+      .withColumn("dist", cosineDistance(col("embedding"), col("qe")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"))
+
+  /** Per-label aggregation over vector norms (integer-sum = order-proof). */
+  def aggByLabel(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(q4(l2Norm(col("embedding")))).as("sum_l2n_q"))
+
+  /** ANN top-k through the IVF index: probe the 4 nearest of 16 inverted
+    * lists (partition-pruned), exact distance inside, global top-k merge.
+    * Approximate ⇒ no SQL oracle; recall vs exact is asserted ≥0.9 in
+    * IvfIndexSpec. */
+  def ivfKnn(s: SparkSession, dir: String): DataFrame = {
+    val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    IvfIndex.ensure(s, Tables.embeddings(s, dir), s"$dir-embeddings")
+      .knn(query, k = 10, nprobe = 4)
+      .select(col("vec_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_fn_surface" -> fnSurface,
+    "vec_knn_exact" -> knnExact,
+    "vec_knn_cosine" -> knnCosine,
+    "vec_agg_by_label" -> aggByLabel,
+    "vec_ivf_knn" -> ivfKnn)
+
+  private val q = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+
+  val oracles: Map[String, String] = Map(
+    "vec_fn_surface" ->
+      s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  CAST(round(list_distance(embedding::DOUBLE[], qe::DOUBLE[]) * 10000) AS BIGINT) AS l2_q,
+         |  CAST(round(list_inner_product(embedding::DOUBLE[], qe::DOUBLE[]) * 10000) AS BIGINT) AS ip_q,
+         |  CAST(round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) * 10000) AS BIGINT) AS cos_q,
+         |  CAST(round(list_aggregate(list_transform(list_zip(embedding, qe),
+         |      p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum') * 10000) AS BIGINT) AS l1_q,
+         |  CAST(round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000) AS BIGINT) AS l2n,
+         |  CAST(round(list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'sum') * 10000) AS BIGINT) AS l1n
+         |FROM embeddings, qv WHERE vec_id < 20""".stripMargin,
+    "vec_knn_exact" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY list_distance(embedding::DOUBLE[], $q::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
+    "vec_knn_cosine" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY 1.0 - list_cosine_similarity(embedding::DOUBLE[], $q::DOUBLE[]), vec_id
+         |LIMIT 10""".stripMargin,
+    "vec_agg_by_label" ->
+      s"""SELECT label, count(*) AS n,
+         |  CAST(SUM(CAST(round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000) AS BIGINT)) AS BIGINT) AS sum_l2n_q
+         |FROM embeddings GROUP BY label""".stripMargin)
+}
