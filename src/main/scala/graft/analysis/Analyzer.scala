@@ -145,6 +145,16 @@ final case class SynonymAnalyzer(inner: Analyzer, synonyms: Map[String, Seq[Stri
     inner(t).flatMap(tok => tok +: synonyms.getOrElse(tok, Seq.empty))
 }
 
+/** Word shingles: n consecutive tokens joined by a space — the unit set for
+  * document-level Jaccard/MinHash dedup (inputs shorter than n emit nothing). */
+final case class ShingleAnalyzer(inner: Analyzer, n: Int = 3) extends Analyzer {
+  def apply(t: String): Seq[String] = {
+    val toks = inner(t)
+    if (toks.size < n) Seq.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSeq
+  }
+}
+
 /** MinHash signature tokens — the reference's `minhash` analyzer
   * (the LSH dedup primitive, SURVEY.md §2.11). Emits `i:h` where h is the
   * minimum of the i-th universal hash over the inner token stream; equal
@@ -152,22 +162,34 @@ final case class SynonymAnalyzer(inner: Analyzer, synonyms: Map[String, Seq[Stri
   */
 final case class MinHashAnalyzer(inner: Analyzer, numHashes: Int = 64) extends Analyzer {
   def apply(t: String): Seq[String] = {
-    val toks = inner(t)
-    if (toks.isEmpty) return Seq.empty
-    val base = toks.map(tok => MurmurHash3.stringHash(tok).toLong & 0xffffffffL)
-    (0 until numHashes).map { i =>
-      // deterministic universal hash family: (a_i * x + b_i) mod p
-      val a = Analyzers.hashA(i); val b = Analyzers.hashB(i)
-      val m = base.map(x => (a * x + b) % Analyzers.MersennePrime).min
-      s"$i:$m"
-    }
+    val sig = Analyzers.minHashSignature(inner(t), numHashes)
+    sig.indices.map(i => s"$i:${sig(i)}")
   }
 }
 
 object Analyzers {
   val MersennePrime: Long = (1L << 61) - 1
-  def hashA(i: Int): Long = 2654435761L + 40503L * i * 2 + 1 // odd
-  def hashB(i: Int): Long = 2246822519L + 604171L * i
+  // a is constrained to 30 bits (and odd) so a * x with x < 2^32 stays under
+  // 2^62 — the earlier full-width multiplier overflowed Long for most
+  // permutations, silently degrading the universal-hash family.
+  def hashA(i: Int): Long = ((2654435761L + 40503L * i * 2) & 0x3fffffffL) | 1L
+  def hashB(i: Int): Long = (2246822519L + 604171L * i) & 0x7fffffffL
+
+  /** MinHash signature of a token bag (min over the set per permutation;
+    * duplicates can't change a minimum). Empty input → empty signature. */
+  def minHashSignature(toks: Seq[String], numHashes: Int): Array[Long] = {
+    if (toks.isEmpty) return Array.empty
+    val base = toks.map(tok => MurmurHash3.stringHash(tok).toLong & 0xffffffffL).distinct
+    Array.tabulate(numHashes) { i =>
+      val a = hashA(i); val b = hashB(i)
+      var min = Long.MaxValue
+      base.foreach { x =>
+        val h = (a * x + b) % MersennePrime // a*x < 2^62: no overflow
+        if (h < min) min = h
+      }
+      min
+    }
+  }
 
   def normalize(t: String, lowercase: Boolean, accentFold: Boolean): String = {
     var s = t
@@ -220,6 +242,8 @@ object AnalyzerRegistry {
       case "path_hierarchy" => PathHierarchyAnalyzer(opt("delimiter", "/"))
       case "minhash" => MinHashAnalyzer(
         WhitespaceAnalyzer(lowercase = true), opt("num_hashes", "64").toInt)
+      case "shingle" => ShingleAnalyzer(
+        WhitespaceAnalyzer(lowercase = true), opt("n", "3").toInt)
       case "text" => TextAnalyzer(
         locale = opt("locale", "en").takeWhile(_ != '_'),
         lowercase = opt("case", "lower") == "lower",
@@ -240,4 +264,5 @@ object AnalyzerRegistry {
   register("text_en", TextAnalyzer())
   register("ngram3", NGramAnalyzer(3, 3))
   register("minhash64", MinHashAnalyzer(WhitespaceAnalyzer(lowercase = true), 64))
+  register("shingle3", ShingleAnalyzer(WhitespaceAnalyzer(lowercase = true), 3))
 }

@@ -57,7 +57,7 @@ object Porter {
 
   private val step4Suffixes = Seq(
     "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement", "ment",
-    "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+    "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
 
   def stem(word: String): String = {
     if (word.length <= 2) return word
@@ -103,18 +103,16 @@ object Porter {
       if (measure(stem) > 0) w = stem + rep
     }
 
-    // Step 4
-    val s4 = step4Suffixes.collectFirst {
+    // Step 4 — one rule max; "ion" additionally requires the stem to end in
+    // s or t (Porter's (*S or *T) ION condition).
+    step4Suffixes.collectFirst {
       case suf if w.endsWith(suf) &&
-        (suf != "ion" || { val st = w.dropRight(3); st.nonEmpty && "st".contains(st.last) }) => suf
-    }
-    s4.foreach { suf =>
+        (suf != "ion" ||
+          { val st = w.dropRight(3); st.nonEmpty && "st".contains(st.last) }) => suf
+    }.foreach { suf =>
       val stem = w.substring(0, w.length - suf.length)
       if (measure(stem) > 1) w = stem
     }
-    if (w.endsWith("ion") && measure(w.dropRight(3)) > 1 &&
-        w.length > 3 && "st".contains(w.charAt(w.length - 4)))
-      w = w.dropRight(3)
 
     // Step 5a: -e
     if (w.endsWith("e")) {

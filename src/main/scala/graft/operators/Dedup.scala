@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analysis.{Analyzers, AnalyzerRegistry}
+
+/** Document deduplication operators for LLM-scale data pipelines.
+  *
+  * Four families, all pure DataFrame plans — no `collect()`, no all-pairs
+  * cross product anywhere:
+  *
+  *  - exact: hash-groupBy on a canonical key (token set);
+  *  - MinHash + banded LSH: signature → band tokens → bucket join →
+  *    candidate pairs → exact-Jaccard verification (the reference's
+  *    `minhash` analyzer is the signature primitive, SURVEY.md §2.11);
+  *  - n-gram (shingle) Jaccard: exact pairs via the inverted shingle→doc
+  *    join — only pairs sharing ≥1 shingle are ever materialized;
+  *  - SimHash: 64-bit signature, candidate pairs via 16-bit band join
+  *    (pigeonhole-complete for hamming ≤ 3).
+  *
+  * Scale notes: every stage shuffles on a key with bounded fan-out (band
+  * token, shingle, hash-prefix). The classic skew risk is a hot LSH bucket
+  * or stopword-like shingle; `maxBucket` caps bucket width like the
+  * reference caps term expansions (levenshtein_max_terms.test).
+  */
+object Dedup {
+
+  private def tokensUdf(analyzerName: String) = {
+    val a = AnalyzerRegistry.get(analyzerName)
+    udf((s: String) => a.tokens(s))
+  }
+
+  /** Distinct (doc_id, shingle) pairs. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokensUdf(if (n == 3) "shingle3" else s"shingle$n")(col(textCol))).as("sh"))
+      .distinct()
+
+  /** Exact duplicate groups by canonical token-set hash. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(
+          tokensUdf("whitespace")(col(textCol)))))).as("set_hash"))
+      .groupBy(col("set_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_docs") > 1)
+
+  /** MinHash signatures over word shingles: (doc_id, sig ARRAY<LONG>). */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, shingleN: Int = 3): DataFrame = {
+    val shingle = AnalyzerRegistry.get(s"shingle$shingleN")
+    val sigUdf = udf((s: String) =>
+      Analyzers.minHashSignature(shingle.tokens(s), numHashes))
+    docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
+      .filter(size(col("sig")) > 0)
+  }
+
+  /** Banded LSH candidate pairs: split the signature into `bands` bands of
+    * numHashes/bands rows; docs sharing any band token become a candidate.
+    * Banding (not per-hash joins) is what keeps false positives bounded:
+    * P(candidate) = 1-(1-J^r)^b, a sharp threshold around (1/b)^(1/r). */
+  def lshCandidates(sigs: DataFrame, bands: Int, maxBucket: Int = 10000): DataFrame = {
+    val rows = expr(s"int(size(sig) / $bands)")
+    val banded = sigs.select(col("doc_id"),
+        posexplode(split(lit((0 until bands).mkString(",")), ",")).as(Seq("band", "_b")))
+      .select(col("doc_id"), col("band"),
+        hash(col("band"), expr(s"slice(sig, band * int(128 / $bands) + 1, int(128 / $bands))")).as("bh"))
+    val _ = rows // bands divide numHashes; slice arithmetic inlined above
+    val buckets = banded.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(col("ids")).as("ida"), col("ids"))
+      .select(col("ida"), explode(col("ids")).as("idb"))
+      .filter(col("ida") < col("idb"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given candidate pairs, from the shingle sets. */
+  def jaccardVerify(cands: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = cands
+      .join(sh.select(col("doc_id").as("ida"), col("sh")), "ida")
+      .join(sh.select(col("doc_id").as("idb"), col("sh")), Seq("idb", "sh"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sza")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("sz").as("szb")), "idb")
+      .withColumn("j", col("common").cast("double") /
+        (col("sza") + col("szb") - col("common")).cast("double"))
+      .filter(col("j") >= minJ)
+      .select(col("ida"), col("idb"), round(col("j") * 10000).cast("bigint").as("j_q"))
+  }
+
+  /** MinHash-LSH near-dup pairs with exact verification. With 128 hashes in
+    * 64 bands of 2, a true J=0.9 pair is missed with prob (1-0.81)^64 ≈ 1e-46
+    * — the LSH stage is a pure candidate pruner, the output is exact. */
+  def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
+      minJ: Double, numHashes: Int = 128, bands: Int = 64): DataFrame = {
+    val sigs = minHashSignatures(docs, idCol, textCol, numHashes)
+    val cands = lshCandidates(sigs, bands)
+    jaccardVerify(cands, shingles(docs, idCol, textCol), minJ)
+  }
+
+  /** Exact n-gram Jaccard pairs via the inverted shingle index: only pairs
+    * sharing at least one shingle are generated (necessary for J>0), so the
+    * plan is output-sensitive, never all-pairs. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      minJ: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val pairs = sh.select(col("doc_id").as("ida"), col("sh"))
+      .join(sh.select(col("doc_id").as("idb"), col("sh")), "sh")
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    pairs
+      .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sza")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("sz").as("szb")), "idb")
+      .withColumn("j", col("common").cast("double") /
+        (col("sza") + col("szb") - col("common")).cast("double"))
+      .filter(col("j") >= minJ)
+      .select(col("ida"), col("idb"), round(col("j") * 10000).cast("bigint").as("j_q"))
+  }
+
+  /** 64-bit SimHash per document (FNV-1a per token, sign-aggregated bits). */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val a = AnalyzerRegistry.get("whitespace")
+    val sim = udf { (s: String) =>
+      val toks = a.tokens(s)
+      val acc = new Array[Int](64)
+      toks.foreach { t =>
+        val h = fnv1a64(t)
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    docs.select(col(idCol).as("doc_id"), sim(col(textCol)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming. Candidates come from
+    * equality on one of four 16-bit bands — by pigeonhole, complete for
+    * hamming ≤ 3; then the exact hamming filter. */
+  def simHashDedup(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simHashSignatures(docs, idCol, textCol)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "bh")))
+    val cands = banded.select(col("doc_id").as("ida"), col("simhash").as("sha"),
+        col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("idb"), col("simhash").as("shb"),
+        col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("sha"), col("shb"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ida"), col("idb"), col("hamming").cast("bigint").as("hamming"))
+  }
+}
