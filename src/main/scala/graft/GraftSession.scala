@@ -10,6 +10,31 @@ import org.apache.spark.sql.SparkSession
   * timestamp arithmetic is stable against the DuckDB oracle.
   */
 object GraftSession {
+  private val metricsHooked =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+
+  /** Log graft-observed metrics (e.g. LSH dropped-bucket mass) when a query
+    * materializes — the no-silent-caps rule: any operator that bounds its
+    * coverage reports what it dropped. Zero extra jobs: metrics ride the
+    * query's own execution via Dataset.observe. */
+  def hookObservedMetrics(spark: SparkSession): Unit =
+    if (metricsHooked.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_")) {
+              val nonZero = row.schema.fieldNames.zipWithIndex.exists { case (_, i) =>
+                !row.isNullAt(i) && row.get(i).toString != "0"
+              }
+              if (nonZero) System.err.println(s"[graft] observed $name: $row")
+            }
+          }
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+    }
+
   /** Apply graft's standard configuration to an arbitrary builder. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
@@ -39,6 +64,7 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    hookObservedMetrics(spark)
     spark
   }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.{Analyzers, AnalyzerRegistry}
+import graft.analysis.{Analyzers, ShingleAnalyzer, WhitespaceAnalyzer}
 
 /** Document deduplication operators for LLM-scale data pipelines.
   *
@@ -15,40 +15,45 @@ import graft.analysis.{Analyzers, AnalyzerRegistry}
   *    `minhash` analyzer is the signature primitive, SURVEY.md §2.11);
   *  - n-gram (shingle) Jaccard: exact pairs via the inverted shingle→doc
   *    join — only pairs sharing ≥1 shingle are ever materialized;
-  *  - SimHash: 64-bit signature, candidate pairs via 16-bit band join
-  *    (pigeonhole-complete for hamming ≤ 3).
+  *  - SimHash: 64-bit signature from per-token md5 bits, candidate pairs
+  *    via 16-bit band join (pigeonhole-complete for hamming ≤ 3), then the
+  *    exact hamming filter. md5 (not FNV) so the signature is recomputable
+  *    by any SQL engine for cross-checking.
   *
   * Scale notes: every stage shuffles on a key with bounded fan-out (band
   * token, shingle, hash-prefix). The classic skew risk is a hot LSH bucket
   * or stopword-like shingle; `maxBucket` caps bucket width like the
-  * reference caps term expansions (levenshtein_max_terms.test).
+  * reference caps term expansions (levenshtein_max_terms.test) — and the
+  * dropped candidate mass is surfaced through an observed metric
+  * (`graft_lsh_dropped`) logged by GraftSession's listener, never silently.
   */
 object Dedup {
 
-  private def tokensUdf(analyzerName: String) = {
-    val a = AnalyzerRegistry.get(analyzerName)
-    udf((s: String) => a.tokens(s))
+  private def ws = WhitespaceAnalyzer(lowercase = true)
+
+  /** Distinct (doc_id, shingle) pairs; shingle analyzer constructed directly
+    * so any n works (not just the registry's shingle3). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val a = ShingleAnalyzer(ws, n)
+    val tok = udf((s: String) => a.tokens(s))
+    docs.select(col(idCol).as("doc_id"), explode(tok(col(textCol))).as("sh"))
+      .distinct()
   }
 
-  /** Distinct (doc_id, shingle) pairs. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(tokensUdf(if (n == 3) "shingle3" else s"shingle$n")(col(textCol))).as("sh"))
-      .distinct()
-
   /** Exact duplicate groups by canonical token-set hash. */
-  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = udf((s: String) => ws.tokens(s))
     docs.select(col(idCol).as("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(
-          tokensUdf("whitespace")(col(textCol)))))).as("set_hash"))
+        md5(concat_ws(" ", array_sort(array_distinct(tok(col(textCol)))))).as("set_hash"))
       .groupBy(col("set_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_docs") > 1)
+  }
 
   /** MinHash signatures over word shingles: (doc_id, sig ARRAY<LONG>). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, shingleN: Int = 3): DataFrame = {
-    val shingle = AnalyzerRegistry.get(s"shingle$shingleN")
+    val shingle = ShingleAnalyzer(ws, shingleN)
     val sigUdf = udf((s: String) =>
       Analyzers.minHashSignature(shingle.tokens(s), numHashes))
     docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
@@ -56,18 +61,25 @@ object Dedup {
   }
 
   /** Banded LSH candidate pairs: split the signature into `bands` bands of
-    * numHashes/bands rows; docs sharing any band token become a candidate.
+    * size(sig)/bands rows; docs sharing any band token become a candidate.
     * Banding (not per-hash joins) is what keeps false positives bounded:
-    * P(candidate) = 1-(1-J^r)^b, a sharp threshold around (1/b)^(1/r). */
+    * P(candidate) = 1-(1-J^r)^b, a sharp threshold around (1/b)^(1/r).
+    * Band width derives from the actual signature length, so any
+    * numHashes/bands combination with bands | numHashes is correct. */
   def lshCandidates(sigs: DataFrame, bands: Int, maxBucket: Int = 10000): DataFrame = {
-    val rows = expr(s"int(size(sig) / $bands)")
-    val banded = sigs.select(col("doc_id"),
+    val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(split(lit((0 until bands).mkString(",")), ",")).as(Seq("band", "_b")))
       .select(col("doc_id"), col("band"),
-        hash(col("band"), expr(s"slice(sig, band * int(128 / $bands) + 1, int(128 / $bands))")).as("bh"))
-    val _ = rows // bands divide numHashes; slice arithmetic inlined above
+        hash(col("band"),
+          expr(s"slice(sig, band * int(size(sig) / $bands) + 1, int(size(sig) / $bands))")).as("bh"))
     val buckets = banded.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ids"))
+      // no-silent-caps: the dropped candidate mass is observed and logged by
+      // GraftSession's QueryExecutionListener when the query materializes.
+      .observe("graft_lsh_dropped",
+        sum(when(size(col("ids")) > maxBucket, size(col("ids"))).otherwise(0))
+          .as("dropped_ids"),
+        count(when(size(col("ids")) > maxBucket, lit(1))).as("dropped_buckets"))
       .filter(size(col("ids")).between(2, maxBucket))
     buckets
       .select(explode(col("ids")).as("ida"), col("ids"))
@@ -98,6 +110,7 @@ object Dedup {
     * — the LSH stage is a pure candidate pruner, the output is exact. */
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
       minJ: Double, numHashes: Int = 128, bands: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val sigs = minHashSignatures(docs, idCol, textCol, numHashes)
     val cands = lshCandidates(sigs, bands)
     jaccardVerify(cands, shingles(docs, idCol, textCol), minJ)
@@ -124,42 +137,47 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("j") * 10000).cast("bigint").as("j_q"))
   }
 
-  /** 64-bit SimHash per document (FNV-1a per token, sign-aggregated bits). */
-  private def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
-
+  /** 64-bit SimHash per document as a 64-char '0'/'1' bitstring.
+    *
+    * The per-token hash is the first 64 bits of md5(token) (big-endian nibble
+    * order), sign-aggregated over the token bag. md5 makes the signature
+    * engine-portable: the DuckDB oracle recomputes it bit-for-bit from the
+    * raw text, the property the reference's own index-vs-no-postings
+    * cross-check relies on (examples/demo6/demo.sql).
+    */
   def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val a = AnalyzerRegistry.get("whitespace")
     val sim = udf { (s: String) =>
-      val toks = a.tokens(s)
+      val toks = ws.tokens(s)
+      val md = java.security.MessageDigest.getInstance("MD5")
       val acc = new Array[Int](64)
       toks.foreach { t =>
-        val h = fnv1a64(t)
+        val d = md.digest(t.getBytes("UTF-8")) // first 8 bytes = 64 bits
         var b = 0
-        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+        while (b < 64) {
+          val bit = (d(b / 8) >> (7 - b % 8)) & 1
+          if (bit == 1) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+        md.reset()
       }
-      var out = 0L
+      val sb = new java.lang.StringBuilder(64)
       var b = 0
-      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-      out
+      while (b < 64) { sb.append(if (acc(b) > 0) '1' else '0'); b += 1 }
+      sb.toString
     }
     docs.select(col(idCol).as("doc_id"), sim(col(textCol)).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming. Candidates come from
     * equality on one of four 16-bit bands — by pigeonhole, complete for
-    * hamming ≤ 3; then the exact hamming filter. */
+    * hamming ≤ 3; then the exact hamming filter (a codegen'd filter over
+    * the bitstrings, no UDF in the pair path). */
   def simHashDedup(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sigs = simHashSignatures(docs, idCol, textCol)
     val banded = sigs.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("band", "bh")))
+          substring(col("simhash"), b * 16 + 1, 16)): _*)).as(Seq("band", "bh")))
     val cands = banded.select(col("doc_id").as("ida"), col("simhash").as("sha"),
         col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("idb"), col("simhash").as("shb"),
@@ -168,7 +186,8 @@ object Dedup {
       .select(col("ida"), col("idb"), col("sha"), col("shb"))
       .distinct()
     cands
-      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .withColumn("hamming",
+        expr("size(filter(sequence(1, 64), i -> substr(sha, i, 1) != substr(shb, i, 1)))"))
       .filter(col("hamming") <= maxHamming)
       .select(col("ida"), col("idb"), col("hamming").cast("bigint").as("hamming"))
   }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.operators.Dedup
+
+/** Correctness entries for the dedup operator family (the builder brief's #1
+  * LLM-pipeline operator; signature primitive = the reference's `minhash`
+  * analyzer, SURVEY.md §2.11).
+  *
+  * Every entry is oracle-checked against DuckDB recomputing the SAME result
+  * exactly from the raw text — for the LSH entry that works because banded
+  * MinHash at (128 hashes, 64 bands) has miss probability (1-0.81)^64 ≈ 1e-46
+  * at J ≥ 0.9: the LSH stage is a pure candidate pruner and the verified
+  * output is exact. The SimHash signature is built from md5 bits so the
+  * oracle can recompute it bit-for-bit in SQL.
+  */
+object DedupQueries {
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+
+  def dedupMinHashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashDedup(Tables.documents(s, dir), "doc_id", "text",
+      minJ = 0.9, numHashes = 128, bands = 64)
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJ = 0.5)
+
+  def dedupSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashDedup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_lsh" -> dedupMinHashLsh,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_simhash" -> dedupSimHash)
+
+  // ---- oracles -------------------------------------------------------------
+
+  /** Identical tokenization to WhitespaceAnalyzer(lowercase). */
+  private val toks =
+    """WITH toks AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents)""".stripMargin
+
+  /** Exact 3-shingle Jaccard pairs at a threshold — the ground truth for both
+    * the LSH and the inverted-ngram plans. */
+  private def jaccardOracle(minJ: Double): String =
+    s"""$toks,
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS sh
+       |       FROM toks, unnest(range(1, greatest(len(ts) - 1, 1))) AS u(i)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+       |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |jj AS (SELECT ida, idb,
+       |         CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS j
+       |       FROM pr JOIN sz x ON x.doc_id = ida JOIN sz y ON y.doc_id = idb)
+       |SELECT ida, idb, CAST(round(j * 10000) AS BIGINT) AS j_q
+       |FROM jj WHERE j >= $minJ""".stripMargin
+
+  /** SimHash recomputed in SQL: per-token md5 → 64 bit-sign sums → 64-char
+    * bitstring → all-pairs exact hamming (all-pairs is fine for the oracle at
+    * sf0.01; the Spark plan under test is the banded join). */
+  private val simhashOracle: String = {
+    val accs = (0 until 64).map { b =>
+      val pos = b / 4 + 1
+      val div = 1 << (3 - b % 4)
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) // $div) % 2 = 1 THEN 1 ELSE -1 END) AS a$b"
+    }.mkString(", ")
+    val sig = (0 until 64).map(b => s"CASE WHEN a$b > 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    s"""$toks,
+       |tok AS (SELECT doc_id, md5(unnest(ts)) AS h FROM toks),
+       |acc AS (SELECT doc_id, $accs FROM tok GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS s FROM acc),
+       |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |  CAST(len(list_filter(range(1, 65),
+       |    i -> substr(a.s, CAST(i AS INT), 1) <> substr(b.s, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       |SELECT ida, idb, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""$toks
+         |SELECT md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS set_hash,
+         |  count(*) AS n_docs, min(doc_id) AS canonical_id
+         |FROM toks GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "dedup_minhash_lsh" -> jaccardOracle(0.9),
+    "dedup_ngram_jaccard" -> jaccardOracle(0.5),
+    "dedup_simhash" -> simhashOracle)
+}
