@@ -1,9 +1,10 @@
 package graft.index
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
 import scala.collection.concurrent.TrieMap
 import scala.util.hashing.MurmurHash3
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,26 +16,37 @@ import org.apache.spark.sql.functions._
   * under one directory as parquet, split into append-only segments:
   *
   * {{{
+  *   <root>/<key>/_SEGMENTS                     (manifest: one seg name/line)
   *   <root>/<key>/seg=NNNNN/postings/bucket=K/  (parquet files)
+  *   <root>/<key>/seg=NNNNN/termdict/bucket=K/  (parquet files)
   *   <root>/<key>/seg=NNNNN/docstats/           (parquet files)
-  *   <root>/<key>/seg=NNNNN/meta.json          (numDocs, sumDl per segment)
+  *   <root>/<key>/seg=NNNNN/meta.json           (numDocs, sumDl per segment)
   * }}}
   *
-  * - postings are directory-partitioned by `bucket = murmur3(term) mod 64`,
-  *   so a single-term lookup prunes to 1/64 of the files at planning time —
-  *   the parquet-level stand-in for the reference's per-term posting lists.
-  *   At 100 TB this is what keeps point lookups from scanning the index.
+  * - All metadata IO goes through the Hadoop `FileSystem` API, so the store
+  *   works unchanged on HDFS/S3/GCS — no `java.nio.file` anywhere.
+  * - postings AND the term dictionary are directory-partitioned by
+  *   `bucket = murmur3(term) mod 64`, so single-term lookups prune to 1/64
+  *   of the files at planning time — the parquet-level stand-in for the
+  *   reference's per-term posting lists. At web-corpus scale the term dict is
+  *   billions of rows; a single-file write would bottleneck on one task.
   * - the term dictionary (df, ctf) and collection stats (numDocs, avgDl) are
   *   derived per segment and merged at READ time (groupBy-sum over segments),
   *   mirroring the reference's per-segment stats merge — so appending a
   *   segment never rewrites old ones, and BM25 stats stay correct under
   *   incremental ingest (SURVEY.md §7.4 "BM25 global statistics").
-  * - segments are what streaming ingest appends (graft.streaming) and what
-  *   [[compact]] merges, the reference's refresh/compaction loop
-  *   (/root/reference/server/search/maintenance.h:36-44).
+  * - the `_SEGMENTS` manifest (not directory listing) is the source of truth:
+  *   [[compact]] writes a NEW merged segment, atomically repoints the
+  *   manifest, and leaves old segment dirs for [[cleanup]] — readers holding
+  *   lazy plans over old segments keep working until cleanup runs (the
+  *   reference's snapshot-pinning behavior, iresearch_snapshot_pinning.test).
   */
 object IndexStore {
   val NumBuckets = 64
+
+  /** Bump when the on-disk layout changes; keyed into the directory name so
+    * stale caches from older layouts are never mistaken for current ones. */
+  val FormatVersion = 2
 
   /** Stable term → bucket hash, computable on both driver (literal pruning)
     * and executors (write path). */
@@ -50,17 +62,44 @@ object IndexStore {
 
   private def slug(s: String): String = s.replaceAll("[^A-Za-z0-9._-]+", "_")
 
+  // ---- Hadoop FS helpers (cluster-safe metadata IO) ------------------------
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readString(spark: SparkSession, path: String): String = {
+    val in = fs(spark, path).open(new Path(path))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  /** Write via temp file + rename — atomic on HDFS/local, close-to-atomic on
+    * object stores; the manifest is always either old or new, never partial. */
+  private def writeStringAtomic(spark: SparkSession, path: String, s: String): Unit = {
+    val f = fs(spark, path)
+    val tmp = new Path(path + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val dst = new Path(path)
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  // ---- lifecycle -----------------------------------------------------------
+
   /** Build-or-load the index for (table parquet dir, text column, analyzer);
     * cached per JVM, persisted across JVMs. */
   def ensure(spark: SparkSession, docs: => DataFrame, cacheKey: String,
       idCol: String, textCol: String, analyzerName: String,
       withPositions: Boolean = true): InvertedIndex = {
-    val dir = s"$defaultRoot/${slug(cacheKey)}-$textCol-$analyzerName"
+    val dir = s"$defaultRoot/${slug(cacheKey)}-$textCol-$analyzerName-v$FormatVersion"
     jvmCache.getOrElseUpdate(dir, {
-      if (!Files.exists(Paths.get(dir, "_SEGMENTS"))) {
+      if (!exists(spark, s"$dir/_SEGMENTS")) {
         val idx = InvertedIndex.build(docs, idCol, textCol, analyzerName, withPositions)
         writeSegment(idx, dir, 0)
-        Files.writeString(Paths.get(dir, "_SEGMENTS"), "seg=00000\n")
+        writeStringAtomic(spark, s"$dir/_SEGMENTS", "seg=00000\n")
       }
       load(spark, dir)
     })
@@ -72,75 +111,101 @@ object IndexStore {
     ensure(spark, graft.Tables.documents(spark, sfDir),
       s"$sfDir-documents", "doc_id", "text", analyzerName)
 
-  /** Write one immutable segment. Postings land bucket-partitioned; termDict
-    * is derivable from postings but materialized per segment so facet reads
-    * never touch postings. */
+  /** Write one immutable segment. Postings and termdict land
+    * bucket-partitioned; termdict/docstats are derived from the (persisted)
+    * postings so the analyzer pass is never repeated; postings are
+    * unpersisted once the segment is durable. */
   def writeSegment(idx: InvertedIndex, dir: String, segNo: Int): Unit = {
     val seg = f"$dir/seg=$segNo%05d"
+    val spark = idx.postings.sparkSession
     idx.postings
       .withColumn("bucket", bucketUdf(col("term")))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$seg/postings")
-    idx.termDict.coalesce(1).write.mode("overwrite").parquet(s"$seg/termdict")
+    idx.termDict
+      .withColumn("bucket", bucketUdf(col("term")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$seg/termdict")
     idx.docStats.write.mode("overwrite").parquet(s"$seg/docstats")
-    Files.createDirectories(Paths.get(seg))
-    Files.writeString(Paths.get(s"$seg/meta.json"),
+    writeStringAtomic(spark, s"$seg/meta.json",
       s"""{"numDocs":${idx.numDocs},"sumDl":${idx.sumDl}}""")
+    idx.postings.unpersist()
   }
 
   /** Append a new segment (streaming ingest / incremental refresh). */
   def appendSegment(idx: InvertedIndex, dir: String): Int = {
-    val next = listSegments(dir).size
+    val spark = idx.postings.sparkSession
+    val existing = listSegments(spark, dir)
+    val next = existing.map(_.stripPrefix("seg=").toInt).foldLeft(-1)(math.max) + 1
     writeSegment(idx, dir, next)
-    Files.writeString(Paths.get(dir, "_SEGMENTS"),
-      (listSegments(dir) :+ f"seg=$next%05d").distinct.sorted.mkString("", "\n", "\n"))
+    writeStringAtomic(spark, s"$dir/_SEGMENTS",
+      (existing :+ f"seg=$next%05d").distinct.sorted.mkString("", "\n", "\n"))
+    jvmCache.remove(dir)
     next
   }
 
-  private def listSegments(dir: String): Seq[String] = {
-    val d = Paths.get(dir)
-    if (!Files.exists(d)) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    Files.list(d).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("seg=")).toSeq.sorted
-  }
+  /** Live segments per the manifest (source of truth — compacted-away
+    * segment dirs may still exist on disk until [[cleanup]]). */
+  def listSegments(spark: SparkSession, dir: String): Seq[String] =
+    if (!exists(spark, s"$dir/_SEGMENTS")) Seq.empty
+    else readString(spark, s"$dir/_SEGMENTS").split("\n").filter(_.nonEmpty).toSeq.sorted
 
   /** Load an index, merging all segments' stats at read time. */
   def load(spark: SparkSession, dir: String): InvertedIndex = {
-    val segs = listSegments(dir)
+    val segs = listSegments(spark, dir)
     require(segs.nonEmpty, s"no index segments under $dir")
     def readAll(part: String): DataFrame =
       segs.map(s => spark.read.parquet(s"$dir/$s/$part")).reduce(_ unionByName _)
     val postings = readAll("postings")
     val termDict =
       if (segs.size == 1) readAll("termdict")
-      else readAll("termdict").groupBy(col("term"))
+      else readAll("termdict").groupBy(col("term"), col("bucket"))
         .agg(sum(col("df")).as("df"), sum(col("ctf")).as("ctf"))
-    val docStats = readAll("docstats")
+    val docStats =
+      if (segs.size == 1) readAll("docstats")
+      else readAll("docstats").groupBy(col("doc_id"))
+        .agg(sum(col("dlen")).cast("int").as("dlen"))
     val metas = segs.map { s =>
-      val txt = Files.readString(Paths.get(s"$dir/$s/meta.json"))
+      val txt = readString(spark, s"$dir/$s/meta.json")
       val nd = """"numDocs":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
       val sd = """"sumDl":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
       (nd, sd)
     }
-    val numDocs = metas.map(_._1).sum
-    val sumDl = metas.map(_._2).sum
-    InvertedIndex(postings, termDict, docStats, numDocs, sumDl)
+    InvertedIndex(postings, termDict, docStats,
+      metas.map(_._1).sum, metas.map(_._2).sum)
   }
 
-  /** Compaction: merge all segments into one (the reference's background
-    * compaction task, maintenance.h:36-44). Idempotent; readers of the old
-    * segments are unaffected until the directory is swapped. */
+  /** Compaction (the reference's background compaction task,
+    * maintenance.h:36-44): merge all live segments into one NEW segment,
+    * atomically repoint the manifest at it, and leave the old segment dirs
+    * in place — readers holding lazy plans over them stay valid; call
+    * [[cleanup]] when no reader can still reference them. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val merged = load(spark, dir)
-    val tmp = dir + ".compact"
-    writeSegment(merged, tmp, 0)
-    Files.writeString(Paths.get(tmp, "_SEGMENTS"), "seg=00000\n")
-    val old = Paths.get(dir)
-    val bak = Paths.get(dir + ".old")
-    Files.move(old, bak)
-    Files.move(Paths.get(tmp), old)
-    org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+    val next = listSegments(spark, dir)
+      .map(_.stripPrefix("seg=").toInt).foldLeft(-1)(math.max) + 1
+    // merged postings/docstats come pre-bucketed/pre-merged from load();
+    // strip the bucket column so writeSegment re-derives partitioning.
+    val rebuilt = InvertedIndex(
+      merged.postings.drop("bucket"),
+      merged.termDict.drop("bucket"),
+      merged.docStats,
+      merged.numDocs, merged.sumDl)
+    writeSegment(rebuilt, dir, next)
+    writeStringAtomic(spark, s"$dir/_SEGMENTS", f"seg=$next%05d\n")
     jvmCache.remove(dir)
+  }
+
+  /** Delete segment directories no longer referenced by the manifest. Safe
+    * to run any time no reader holds plans over pre-compaction segments. */
+  def cleanup(spark: SparkSession, dir: String): Int = {
+    val live = listSegments(spark, dir).toSet
+    val f = fs(spark, dir)
+    val base = new Path(dir)
+    if (!f.exists(base)) return 0
+    val stale = f.listStatus(base).map(_.getPath)
+      .filter(p => p.getName.startsWith("seg=") && !live.contains(p.getName))
+    stale.foreach(p => f.delete(p, true))
+    stale.length
   }
 }

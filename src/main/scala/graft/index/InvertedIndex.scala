@@ -2,6 +2,7 @@ package graft.index
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.analysis.AnalyzerRegistry
 
 /** Distributed inverted index over a document DataFrame.
@@ -10,14 +11,13 @@ import graft.analysis.AnalyzerRegistry
   * (/root/reference/server/catalog/inverted_index.h;
   * /root/reference/libs/iresearch/include/iresearch/formats/): instead of
   * per-segment posting files, the index is three DataFrames, persisted as
-  * parquet segments by [[IndexStore]] (never `.cache()` — at 100 TB the index
-  * is durable data, not session state):
+  * parquet segments by [[IndexStore]]:
   *
   *   - postings:  (term, doc_id, tf, positions[, bucket])  — one row per
   *     (doc, term); on disk, directory-partitioned by `bucket = hash(term)`
   *     so single-term lookups prune to 1/64 of the files;
-  *   - termDict:  (term, df, ctf) — document frequency + collection term
-  *     frequency; powers ts_dict_* facets directly (SURVEY.md §2.4) and
+  *   - termDict:  (term, df, ctf[, bucket]) — document frequency + collection
+  *     term frequency; powers ts_dict_* facets directly (SURVEY.md §2.4) and
   *     fuzzy/prefix/regex/range term expansion;
   *   - docStats:  (doc_id, dlen) + collection stats (numDocs, sumDl) —
   *     the BM25 length-normalization inputs
@@ -27,7 +27,10 @@ import graft.analysis.AnalyzerRegistry
   * both keyed on (doc, term) so map-side partial aggregation applies; the
   * only global state is the (tiny) term dictionary and two scalars. Every
   * search primitive below is a join/semi-join — no `collect()` — so plans
-  * compose and stay distributed.
+  * compose and stay distributed. Scoring drives from the matched postings
+  * (bucket-pruned union), never from a full corpus scan — the Spark shape of
+  * the reference's WAND postings walk (max_score_iterator.hpp): cost is
+  * O(Σ df(term)), not O(numDocs).
   */
 final case class InvertedIndex(
     postings: DataFrame,
@@ -41,6 +44,7 @@ final case class InvertedIndex(
   def avgDl: Double = if (numDocs == 0) 0.0 else sumDl.toDouble / numDocs
 
   private val hasBucket = postings.columns.contains("bucket")
+  private val dictHasBucket = termDict.columns.contains("bucket")
 
   /** Postings rows for one exact term, pruned to its hash bucket when the
     * index was loaded from bucket-partitioned parquet (1/64 of the files). */
@@ -54,6 +58,14 @@ final case class InvertedIndex(
     val base = if (hasBucket)
       postings.filter(col("bucket").isin(terms.map(IndexStore.bucketOf).distinct: _*))
     else postings
+    base.filter(col("term").isin(terms: _*))
+  }
+
+  /** Term-dictionary rows for exact terms, bucket-pruned like postings. */
+  def termDictFor(terms: Seq[String]): DataFrame = {
+    val base = if (dictHasBucket)
+      termDict.filter(col("bucket").isin(terms.map(IndexStore.bucketOf).distinct: _*))
+    else termDict
     base.filter(col("term").isin(terms: _*))
   }
 
@@ -147,28 +159,62 @@ final case class InvertedIndex(
     chained.select(col("doc_id"))
   }
 
+  /** Matched docs with per-query-term tf and df as pivoted columns
+    * (`0_tf`, `0_df`, `1_tf`, …, indexed by position in `distinctTerms`),
+    * joined with docStats for dlen. This is the shared scoring drive: only
+    * docs matching ≥1 term are ever produced (union of bucket-pruned per-term
+    * postings), so cost is O(Σ df(term)) — the reference's postings-walk
+    * shape (top_k_heap.hpp, max_score_iterator.hpp), not a corpus scan. */
+  private def matchedTermStats(distinctTerms: Seq[String]): DataFrame = {
+    val tIdx = typedlit(distinctTerms.zipWithIndex.toMap)
+    val matched = postingsForAny(distinctTerms)
+      .join(broadcast(termDictFor(distinctTerms).select(col("term"), col("df"))), "term")
+      .withColumn("ti", element_at(tIdx, col("term")))
+    matched.groupBy(col("doc_id"))
+      .pivot("ti", distinctTerms.indices)
+      .agg(first(col("tf")).as("tf"), first(col("df")).as("df"))
+      .join(docStats.select(col("doc_id"), col("dlen")), "doc_id")
+  }
+
   /** BM25 scores for a bag of query terms, one row per matching doc.
     *
-    * Standard BM25 (k1=1.2, b=0.75, Lucene-style idf) — the per-term partial
-    * scores are joined as separate columns and added in query-term order, so
-    * the double addition order is fixed and the score is reproducible
+    * Standard BM25 (k1=1.2, b=0.75, Lucene-style idf) — per-term partial
+    * scores are separate pivoted columns added in query-term order, so the
+    * double addition order is fixed and the score is reproducible
     * bit-for-bit (a groupBy sum would add in shuffle arrival order).
-    * Each per-term join is bucket-pruned postings (tiny build side).
     */
   def bm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val withLen = docStats.select(col("doc_id"), col("dlen"))
-    val scored = terms.zipWithIndex.foldLeft(withLen) { case (acc, (t, i)) =>
-      val partial = postingsFor(t)
-        .crossJoin(broadcast(termDict.filter(col("term") === t).select(col("df"))))
-        .select(col("doc_id"), col("tf").as(s"tf_$i"), col("df").as(s"df_$i"))
-      acc.join(partial, Seq("doc_id"), "left")
-    }
-    val scoreCols = terms.indices.map { i =>
-      val tf = coalesce(col(s"tf_$i").cast("double"), lit(0.0))
-      val dfT = coalesce(col(s"df_$i").cast("double"), lit(1.0))
+    val distinct = terms.distinct
+    val scored = matchedTermStats(distinct)
+    val scoreCols = terms.map { t =>
+      val i = distinct.indexOf(t)
+      val tf = coalesce(col(s"${i}_tf").cast("double"), lit(0.0))
+      val dfT = coalesce(col(s"${i}_df").cast("double"), lit(1.0))
       val idf = log(lit(1.0) + (lit(numDocs.toDouble) - dfT + 0.5) / (dfT + 0.5))
       idf * tf * (k1 + 1.0) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen").cast("double") / avgDl))
+    }
+    scored
+      .withColumn("_score", scoreCols.reduce(_ + _))
+      .filter(col("_score") > 0.0)
+      .select(col("doc_id"), col("_score"))
+  }
+
+  /** TFIDF scores — the reference's second scorer
+    * (/root/reference/libs/iresearch/include/iresearch/search/tfidf.hpp,
+    * registered at server/connector/functions/search.cpp:142-173):
+    * score = Σ sqrt(tf) * idf² with idf = 1 + ln(numDocs / (df + 1)),
+    * norm-free (the reference's default). Shares the matched-postings drive
+    * with bm25. */
+  def tfidf(terms: Seq[String]): DataFrame = {
+    val distinct = terms.distinct
+    val scored = matchedTermStats(distinct)
+    val scoreCols = terms.map { t =>
+      val i = distinct.indexOf(t)
+      val tf = coalesce(col(s"${i}_tf").cast("double"), lit(0.0))
+      val dfT = coalesce(col(s"${i}_df").cast("double"), lit(1.0))
+      val idf = lit(1.0) + log(lit(numDocs.toDouble) / (dfT + 1.0))
+      sqrt(tf) * idf * idf
     }
     scored
       .withColumn("_score", scoreCols.reduce(_ + _))
@@ -185,13 +231,28 @@ final case class InvertedIndex(
     bm25(terms)
       .orderBy(col("_score").desc, col("doc_id"))
       .limit(k)
+
+  /** BM25 with a minimum-score floor — the reference's `min_score` WAND
+    * threshold claim (duckdb_table_function.h:176-182): `score > c`
+    * predicates seed the collector floor instead of post-filtering. */
+  def bm25MinScore(terms: Seq[String], minScore: Double): DataFrame =
+    bm25(terms).filter(col("_score") >= minScore)
 }
 
 object InvertedIndex {
-  /** Build the index in one pass: analyze → posexplode → groupBy(doc, term).
-    * `positions` are kept only when `withPositions` (phrase support) — the
-    * reference's per-field `position` feature toggle
-    * (/root/reference/server/pg/tokenizer_options.h:243-245). */
+  /** Build the index in ONE analyzer pass: analyze → posexplode →
+    * groupBy(doc, term) → postings; termDict and docStats both derive from
+    * postings (dlen = Σ tf), so the tokenizer UDF runs exactly once —
+    * postings are persisted (memory-and-disk) until [[IndexStore.writeSegment]]
+    * unpersists them after the durable write. `positions` are kept only when
+    * `withPositions` (phrase support) — the reference's per-field `position`
+    * feature toggle (/root/reference/server/pg/tokenizer_options.h:243-245).
+    *
+    * numDocs counts ALL docs (parquet metadata count — zero-token docs are
+    * part of the collection for avgdl, matching the reference's per-segment
+    * doc count); docStats carries only docs with ≥1 token, which is the set
+    * that can ever match a query.
+    */
   def build(docs: DataFrame, idCol: String, textCol: String,
       analyzerName: String = "whitespace",
       withPositions: Boolean = true): InvertedIndex = {
@@ -207,17 +268,17 @@ object InvertedIndex {
         base.agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
       else
         base.agg(count(lit(1)).as("tf")).withColumn("positions", lit(null).cast("array<int>"))
-    }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
 
     val termDict = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
 
-    val docStats = docs
-      .select(col(idCol).as("doc_id"), size(tokenize(col(textCol))).as("dlen"))
+    val docStats = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("int").as("dlen"))
 
-    val stats = docStats.agg(count(lit(1)), sum(col("dlen").cast("long"))).head()
-    val numDocs = stats.getLong(0)
-    val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val numDocs = docs.count() // parquet metadata count — no tokenize
+    val stats = docStats.agg(sum(col("dlen").cast("long"))).head()
+    val sumDl = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     InvertedIndex(postings, termDict, docStats, numDocs, sumDl)
   }
 }

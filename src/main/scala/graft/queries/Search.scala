@@ -91,6 +91,22 @@ object Search {
     idx(s, dir).bm25TopK(Seq("vector", "dup", "query"), 10)
       .select(col("doc_id"))
 
+  /** TFIDF top-k — the reference's second scorer (tfidf.hpp; search.cpp:142-173
+    * registers 9; one scorer per index scan, iresearch_plan.cpp:492-509).
+    * Shares the matched-postings drive with bm25. */
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).tfidf(Seq("vector", "dup", "query"))
+      .orderBy(col("_score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"))
+
+  /** BM25 with a min-score floor — the WAND threshold claim
+    * (duckdb_table_function.h:176-182): emits the quantized score so the
+    * oracle checks the values, not just the id set. */
+  def bm25MinScore(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).bm25MinScore(Seq("vector", "dup", "query"), 1.5)
+      .select(col("doc_id"), round(col("_score") * 10000).cast("bigint").as("score_q"))
+
   /** ts_tokenize — run a named analyzer at query time, emit (pos, term). */
   def tsTokenize(s: SparkSession, dir: String): DataFrame = {
     val analyzer = AnalyzerRegistry.get("whitespace")
@@ -124,7 +140,42 @@ object Search {
     "ts_dict_topk" -> tsDictTopK,
     "ts_count" -> tsCount,
     "ts_bm25_topk" -> bm25TopK,
+    "ts_tfidf_topk" -> tfidfTopK,
+    "ts_bm25_minscore" -> bm25MinScore,
     "ts_tokenize" -> tsTokenize)
+
+  /** Shared scoring CTEs: identical FP expression trees to the Spark plans —
+    * `scored` = BM25 (k1=1.2, b=0.75, Lucene idf), `tscored` = TFIDF
+    * (sqrt(tf) · (1 + ln(N/(df+1)))², norm-free), both over the query bag
+    * (vector, dup, query) with left-to-right partial addition. */
+  private val scoringCtes: String =
+    s"""$toks,
+       |dl AS (SELECT doc_id, len(ts) AS dlen FROM toks),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+       |              CAST(SUM(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tfs AS (SELECT doc_id,
+       |  CAST(len(list_filter(ts, t -> t = 'vector')) AS DOUBLE) AS tf0,
+       |  CAST(len(list_filter(ts, t -> t = 'dup')) AS DOUBLE) AS tf1,
+       |  CAST(len(list_filter(ts, t -> t = 'query')) AS DOUBLE) AS tf2 FROM toks),
+       |dfs AS (SELECT
+       |  greatest(CAST(count(*) FILTER (WHERE tf0 > 0) AS DOUBLE), 1.0) AS df0,
+       |  greatest(CAST(count(*) FILTER (WHERE tf1 > 0) AS DOUBLE), 1.0) AS df1,
+       |  greatest(CAST(count(*) FILTER (WHERE tf2 > 0) AS DOUBLE), 1.0) AS df2 FROM tfs),
+       |scored AS (SELECT t.doc_id,
+       |    ln(1.0 + (nd - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
+       |      / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dlen AS DOUBLE) / avgdl))
+       |  + ln(1.0 + (nd - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
+       |      / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dlen AS DOUBLE) / avgdl))
+       |  + ln(1.0 + (nd - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0)
+       |      / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dlen AS DOUBLE) / avgdl))
+       |  AS score
+       |  FROM tfs t JOIN dl USING (doc_id), st, dfs),
+       |tscored AS (SELECT doc_id,
+       |    sqrt(tf0) * (1.0 + ln(nd / (df0 + 1.0))) * (1.0 + ln(nd / (df0 + 1.0)))
+       |  + sqrt(tf1) * (1.0 + ln(nd / (df1 + 1.0))) * (1.0 + ln(nd / (df1 + 1.0)))
+       |  + sqrt(tf2) * (1.0 + ln(nd / (df2 + 1.0))) * (1.0 + ln(nd / (df2 + 1.0)))
+       |  AS score
+       |  FROM tfs, st, dfs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ts_term" ->
@@ -178,29 +229,17 @@ object Search {
          |SELECT count(*) AS n FROM toks
          |WHERE list_contains(ts, 'dup') OR list_contains(ts, 'vector')""".stripMargin,
     "ts_bm25_topk" ->
-      s"""$toks,
-         |dl AS (SELECT doc_id, len(ts) AS dlen FROM toks),
-         |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
-         |              CAST(SUM(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |tfs AS (SELECT doc_id,
-         |  CAST(len(list_filter(ts, t -> t = 'vector')) AS DOUBLE) AS tf0,
-         |  CAST(len(list_filter(ts, t -> t = 'dup')) AS DOUBLE) AS tf1,
-         |  CAST(len(list_filter(ts, t -> t = 'query')) AS DOUBLE) AS tf2 FROM toks),
-         |dfs AS (SELECT
-         |  greatest(CAST(count(*) FILTER (WHERE tf0 > 0) AS DOUBLE), 1.0) AS df0,
-         |  greatest(CAST(count(*) FILTER (WHERE tf1 > 0) AS DOUBLE), 1.0) AS df1,
-         |  greatest(CAST(count(*) FILTER (WHERE tf2 > 0) AS DOUBLE), 1.0) AS df2 FROM tfs),
-         |scored AS (SELECT t.doc_id,
-         |    ln(1.0 + (nd - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
-         |      / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dlen AS DOUBLE) / avgdl))
-         |  + ln(1.0 + (nd - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
-         |      / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dlen AS DOUBLE) / avgdl))
-         |  + ln(1.0 + (nd - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0)
-         |      / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dlen AS DOUBLE) / avgdl))
-         |  AS score
-         |  FROM tfs t JOIN dl USING (doc_id), st, dfs)
+      s"""$scoringCtes
          |SELECT doc_id FROM scored WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_tfidf_topk" ->
+      s"""$scoringCtes
+         |SELECT doc_id FROM tscored WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_bm25_minscore" ->
+      s"""$scoringCtes
+         |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
+         |FROM scored WHERE score >= 1.5""".stripMargin,
     "ts_tokenize" ->
       s"""$toks
          |SELECT doc_id, unnest(range(len(ts))) AS pos, unnest(ts) AS term

@@ -60,24 +60,33 @@ object Vectors {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sum(q4(l2Norm(col("embedding")))).as("sum_l2n_q"))
 
-  /** ANN top-k through the IVF index: probe the 4 nearest of 16 inverted
+  /** ANN top-k through the IVF index: probe the nearest ~k/4 of ≈√N inverted
     * lists (partition-pruned), exact distance inside, global top-k merge.
-    * Approximate ⇒ no SQL oracle; recall vs exact is asserted ≥0.9 in
-    * IvfIndexSpec. */
+    * Approximate ⇒ no SQL oracle for the id list itself; quality is gated by
+    * `vec_ivf_recall` below plus IvfIndexSpec's recall property test. */
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
     val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
     IvfIndex.ensure(s, Tables.embeddings(s, dir), s"$dir-embeddings")
-      .knn(query, k = 10, nprobe = 4)
+      .knn(query, k = 10)
       .select(col("vec_id"))
   }
+
+  /** Driver-checkable IVF quality gate: |ivf top-10 ∩ exact top-10|. The
+    * oracle pins it to 10 (perfect recall at this sf/nprobe) — any routing or
+    * pruning regression in the IVF path turns this row red. Mirrors the
+    * reference's recall sweeps (/root/reference/scripts/perf/sweep_hnsw.sh). */
+  def ivfRecall(s: SparkSession, dir: String): DataFrame =
+    ivfKnn(s, dir).join(knnExact(s, dir), "vec_id")
+      .agg(count(lit(1)).cast("bigint").as("n_overlap"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_fn_surface" -> fnSurface,
     "vec_knn_exact" -> knnExact,
     "vec_knn_cosine" -> knnCosine,
     "vec_agg_by_label" -> aggByLabel,
-    "vec_ivf_knn" -> ivfKnn)
+    "vec_ivf_knn" -> ivfKnn,
+    "vec_ivf_recall" -> ivfRecall)
 
   private val q = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
 
@@ -104,5 +113,6 @@ object Vectors {
     "vec_agg_by_label" ->
       s"""SELECT label, count(*) AS n,
          |  CAST(SUM(CAST(round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000) AS BIGINT)) AS BIGINT) AS sum_l2n_q
-         |FROM embeddings GROUP BY label""".stripMargin)
+         |FROM embeddings GROUP BY label""".stripMargin,
+    "vec_ivf_recall" -> "SELECT CAST(10 AS BIGINT) AS n_overlap")
 }
