@@ -169,11 +169,34 @@ final case class MinHashAnalyzer(inner: Analyzer, numHashes: Int = 64) extends A
 
 object Analyzers {
   val MersennePrime: Long = (1L << 61) - 1
-  // a is constrained to 30 bits (and odd) so a * x with x < 2^32 stays under
-  // 2^62 — the earlier full-width multiplier overflowed Long for most
-  // permutations, silently degrading the universal-hash family.
-  def hashA(i: Int): Long = ((2654435761L + 40503L * i * 2) & 0x3fffffffL) | 1L
-  def hashB(i: Int): Long = (2246822519L + 604171L * i) & 0x7fffffffL
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Full-width 61-bit multiplier/offset per permutation. A narrow (30-bit)
+    * multiplier would make a·x+b almost never wrap mod p, leaving the map
+    * monotone — every permutation then picks the SAME argmin and the sketch
+    * degenerates to "is the globally-min token shared" instead of a
+    * per-permutation Bernoulli(J). */
+  def hashA(i: Int): Long = {
+    val a = splitmix64(2L * i + 1) & MersennePrime
+    if (a == 0L || a == MersennePrime) 1L else a
+  }
+  def hashB(i: Int): Long = splitmix64(2L * i + 2) & MersennePrime
+
+  /** (a·b) mod 2^61-1 without overflow: 128-bit product via multiplyHigh,
+    * then Mersenne folding (2^64 ≡ 2^3 mod p). */
+  def mulMod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val res = ((hi << 3) | (lo >>> 61)) + (lo & MersennePrime)
+    val r = (res & MersennePrime) + (res >>> 61)
+    if (r >= MersennePrime) r - MersennePrime else r
+  }
 
   /** MinHash signature of a token bag (min over the set per permutation;
     * duplicates can't change a minimum). Empty input → empty signature. */
@@ -184,7 +207,10 @@ object Analyzers {
       val a = hashA(i); val b = hashB(i)
       var min = Long.MaxValue
       base.foreach { x =>
-        val h = (a * x + b) % MersennePrime // a*x < 2^62: no overflow
+        val h = {
+          val s = mulMod61(a, x) + b // < 2^62: safe
+          if (s >= MersennePrime) s - MersennePrime else s
+        }
         if (h < min) min = h
       }
       min

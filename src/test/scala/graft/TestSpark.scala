@@ -1,0 +1,9 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole forked test JVM. */
+object TestSpark {
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
+  val sfDir = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,92 @@
+package graft.analysis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyzerSpec extends AnyFunSuite {
+
+  test("whitespace splits on runs and lowercases when asked") {
+    assert(WhitespaceAnalyzer(lowercase = true)("Hello   World\tfoo\nBar")
+      == Seq("hello", "world", "foo", "bar"))
+    assert(WhitespaceAnalyzer()("A b") == Seq("A", "b"))
+    assert(WhitespaceAnalyzer().tokens(null) == Seq.empty)
+  }
+
+  test("segmentation keeps letter/digit runs only") {
+    assert(SegmentationAnalyzer()("It's 42, okay?!") == Seq("it", "s", "42", "okay"))
+  }
+
+  test("norm folds case and accents") {
+    assert(NormAnalyzer()("Crème BRÛLÉE") == Seq("creme brulee"))
+  }
+
+  test("ngram emits all grams in min..max") {
+    assert(NGramAnalyzer(2, 3)("abcd")
+      == Seq("ab", "bc", "cd", "abc", "bcd"))
+    assert(NGramAnalyzer(3, 3, preserveOriginal = true)("ab") == Seq("ab"))
+  }
+
+  test("edge ngram emits prefixes") {
+    assert(EdgeNGramAnalyzer(1, 3)("abcd") == Seq("a", "ab", "abc"))
+  }
+
+  test("shingle emits n-token windows, nothing for short docs") {
+    val sh = ShingleAnalyzer(WhitespaceAnalyzer(lowercase = true), 3)
+    assert(sh("a b c d") == Seq("a b c", "b c d"))
+    assert(sh("a b") == Seq.empty)
+    val sh4 = ShingleAnalyzer(WhitespaceAnalyzer(lowercase = true), 4)
+    assert(sh4("a b c d e") == Seq("a b c d", "b c d e"))
+  }
+
+  test("path hierarchy emits each prefix path") {
+    assert(PathHierarchyAnalyzer()("/a/b/c") == Seq("/a", "/a/b", "/a/b/c"))
+  }
+
+  test("pattern split and match modes") {
+    assert(PatternAnalyzer("[,;]")("a,b;c") == Seq("a", "b", "c"))
+    assert(PatternAnalyzer("[0-9]+", "match")("a12b003") == Seq("12", "003"))
+  }
+
+  test("text analyzer folds, stops, stems") {
+    val a = TextAnalyzer(stopwords = Analyzers.EnglishStopwords)
+    assert(a("The Relational engines are failing!")
+      == Seq("relat", "engin", "fail"))
+  }
+
+  test("pipeline re-tokenizes stage by stage") {
+    val p = PipelineAnalyzer(Seq(DelimiterAnalyzer("/"), DelimiterAnalyzer(".")))
+    assert(p("a.b/c") == Seq("a", "b", "c"))
+  }
+
+  test("synonyms expand after the inner analyzer") {
+    val a = SynonymAnalyzer(WhitespaceAnalyzer(lowercase = true),
+      Map("fast" -> Seq("quick")))
+    assert(a("Fast car") == Seq("fast", "quick", "car"))
+  }
+
+  test("minhash signature: length, determinism, duplicate invariance") {
+    val toks = Seq("a b c", "b c d", "c d e")
+    val sig = Analyzers.minHashSignature(toks, 64)
+    assert(sig.length == 64)
+    assert(sig.toSeq == Analyzers.minHashSignature(toks, 64).toSeq)
+    assert(sig.toSeq == Analyzers.minHashSignature(toks ++ toks, 64).toSeq,
+      "minimum over a set is duplicate-invariant")
+    assert(Analyzers.minHashSignature(Seq.empty, 64).isEmpty)
+  }
+
+  test("minhash similarity estimates Jaccard") {
+    // two 75%-overlapping shingle sets: signature agreement ≈ J = 0.6
+    val base = (0 until 100).map(i => s"tok$i")
+    val a = Analyzers.minHashSignature(base.take(80), 256)
+    val b = Analyzers.minHashSignature(base.drop(20), 256)
+    val agree = a.zip(b).count { case (x, y) => x == y } / 256.0
+    val j = 60.0 / 100.0
+    assert(math.abs(agree - j) < 0.15, s"agreement $agree vs J $j")
+  }
+
+  test("registry creates parameterized analyzers") {
+    val a = AnalyzerRegistry.create("t_ngram2", "ngram", Map("min" -> "2", "max" -> "2"))
+    assert(a("abc") == Seq("ab", "bc"))
+    assert(AnalyzerRegistry.get("t_ngram2") == a)
+    intercept[IllegalArgumentException](AnalyzerRegistry.get("nope_missing"))
+  }
+}

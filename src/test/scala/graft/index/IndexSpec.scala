@@ -1,0 +1,122 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+import graft.analysis.WhitespaceAnalyzer
+
+/** Index-vs-fullscan equality (the reference's own cross-check pattern —
+  * demo6 re-runs its search query without postings, examples/demo6/demo.sql)
+  * plus segment append/compact invariance (SURVEY §7.4: BM25 stats must not
+  * drift under incremental ingest). */
+class IndexSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private def docs = Tables.documents(spark, TestSpark.sfDir)
+
+  private lazy val toks: Map[Long, Seq[String]] = {
+    val ws = WhitespaceAnalyzer(lowercase = true)
+    docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ws.tokens(r.getString(1))).toMap
+  }
+  private lazy val idx = InvertedIndex.build(docs, "doc_id", "text", "whitespace")
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("term matches full scan") {
+    assert(ids(idx.term("vector")) ==
+      toks.collect { case (id, ts) if ts.contains("vector") => id }.toSet)
+  }
+
+  test("anyOf with min-match matches full scan") {
+    val q = Seq("join", "hash", "merge")
+    assert(ids(idx.anyOf(q, minMatch = 2)) ==
+      toks.collect { case (id, ts) if q.count(ts.contains) >= 2 => id }.toSet)
+  }
+
+  test("allOf matches full scan") {
+    val q = Seq("window", "filter", "stream")
+    assert(ids(idx.allOf(q)) ==
+      toks.collect { case (id, ts) if q.forall(ts.contains) => id }.toSet)
+  }
+
+  test("prefix and wildcard match full scan") {
+    assert(ids(idx.prefix("sc")) ==
+      toks.collect { case (id, ts) if ts.exists(_.startsWith("sc")) => id }.toSet)
+    assert(ids(idx.wildcard("s%t")) ==
+      toks.collect { case (id, ts)
+        if ts.exists(t => t.startsWith("s") && t.endsWith("t")) => id }.toSet)
+  }
+
+  test("phrase matches full scan sliding window") {
+    val q = Seq("hash", "join")
+    assert(ids(idx.phrase(q)) ==
+      toks.collect { case (id, ts) if ts.sliding(2).contains(q) => id }.toSet)
+  }
+
+  test("sloppy phrase [1,3] matches full scan") {
+    def slopMatch(ts: Seq[String]): Boolean =
+      ts.zipWithIndex.exists { case (t, i) =>
+        t == "hash" && ts.slice(i + 1, i + 4).contains("join")
+      }
+    assert(ids(idx.sloppyPhrase(Seq("hash", "join"), Seq((1, 3)))) ==
+      toks.collect { case (id, ts) if slopMatch(ts) => id }.toSet)
+  }
+
+  /** Brute-force BM25 replicating the plan's FP expression tree exactly. */
+  private def bruteBm25TopK(terms: Seq[String], k: Int): Seq[Long] = {
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / toks.size
+    val dfs = terms.map(t => t -> math.max(toks.values.count(_.contains(t)), 1).toDouble).toMap
+    toks.toSeq.map { case (id, ts) =>
+      val score = terms.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        val df = dfs(t)
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * tf * (1.2 + 1.0) /
+          (tf + 1.2 * ((1.0 - 0.75) + 0.75 * ts.size.toDouble / avgdl))
+      }.reduce(_ + _)
+      (id, score)
+    }.filter(_._2 > 0.0)
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+  }
+
+  test("bm25 top-k matches brute force") {
+    val got = idx.bm25TopK(Seq("vector", "dup", "query"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == bruteBm25TopK(Seq("vector", "dup", "query"), 10))
+  }
+
+  test("segment append keeps facets and scores identical to one-shot build") {
+    val dir = sys.props("java.io.tmpdir") + s"/graft-test-idx-${System.nanoTime()}"
+    val half1 = docs.filter(col("doc_id") < 250)
+    val half2 = docs.filter(col("doc_id") >= 250)
+    IndexStore.appendSegment(
+      InvertedIndex.build(half1, "doc_id", "text", "whitespace"), dir)
+    IndexStore.appendSegment(
+      InvertedIndex.build(half2, "doc_id", "text", "whitespace"), dir)
+    val loaded = IndexStore.load(spark, dir)
+
+    assert(loaded.numDocs == idx.numDocs && loaded.sumDl == idx.sumDl)
+    def dict(i: InvertedIndex): Set[(String, Long, Long)] =
+      i.termDict.select(col("term"), col("df").cast("long"), col("ctf").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dict(loaded) == dict(idx), "multi-segment termdict merge must be lossless")
+
+    val want = idx.bm25TopK(Seq("vector", "dup", "query"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    val got = loaded.bm25TopK(Seq("vector", "dup", "query"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want, "BM25 stats must not drift across appended segments")
+
+    // compaction: merge to one segment, same answers; old segments cleanable
+    IndexStore.compact(spark, dir)
+    val compacted = IndexStore.load(spark, dir)
+    assert(IndexStore.listSegments(spark, dir).size == 1)
+    assert(dict(compacted) == dict(idx))
+    assert(compacted.bm25TopK(Seq("vector", "dup", "query"), 10)
+      .collect().map(_.getLong(0)).toSeq == want)
+    assert(IndexStore.cleanup(spark, dir) == 2, "two pre-compaction segments")
+    assert(ids(IndexStore.load(spark, dir).term("vector")) == ids(idx.term("vector")))
+  }
+}

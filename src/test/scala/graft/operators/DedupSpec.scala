@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+import graft.analysis.WhitespaceAnalyzer
+
+class DedupSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private def docs = Tables.documents(spark, TestSpark.sfDir)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("LSH near-dup pairs equal the exact inverted-shingle pairs") {
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9))
+    val lsh = pairSet(Dedup.minHashDedup(docs, "doc_id", "text", 0.9))
+    assert(exact.nonEmpty, "testdata should contain near-dups")
+    assert(lsh == exact)
+  }
+
+  test("LSH is correct for numHashes != 128 (band-slice regression)") {
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9))
+    val lsh = pairSet(
+      Dedup.minHashDedup(docs, "doc_id", "text", 0.9, numHashes = 64, bands = 32))
+    assert(lsh == exact)
+  }
+
+  test("bands must divide numHashes") {
+    intercept[IllegalArgumentException](
+      Dedup.minHashDedup(docs, "doc_id", "text", 0.9, numHashes = 64, bands = 48))
+  }
+
+  test("simhash banded pairs equal brute-force hamming pairs") {
+    val sigs = Dedup.simHashSignatures(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs
+      if ida < idb && hamming(sa, sb) <= 3
+    } yield (ida, idb, hamming(sa, sb).toLong)).toSet
+    val banded = pairSet(Dedup.simHashDedup(docs, "doc_id", "text", maxHamming = 3))
+    assert(brute.nonEmpty)
+    assert(banded == brute, "16-bit banding must be complete for hamming <= 3")
+  }
+
+  test("exact groups really are exact duplicates") {
+    val ws = WhitespaceAnalyzer(lowercase = true)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ws.tokens(r.getString(1)).distinct.sorted).toMap
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.nonEmpty)
+    // group sizes must sum to the duplicate mass implied by token-set equality
+    val byTokenSet = texts.values.groupBy(identity).values.map(_.size).filter(_ > 1).toSeq
+    assert(groups.map(_.getLong(1)).sorted.toSeq == byTokenSet.map(_.toLong).sorted)
+  }
+}
