@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analysis.AnalyzerRegistry
+import graft.functions.VectorFunctions
+import graft.index.{IndexStore, InvertedIndex}
+import graft.search.{EsDsl, TsQuery, TsQueryExec, TsQueryParser}
+
+/** Query-language surface: TSQUERY parsers + combinators, the compound bool
+  * query, the ES DSL translator, covered columns (late materialization) and
+  * hybrid text+vector search. Every entry is oracle-checked against DuckDB
+  * recomputing the same predicate from raw text (demo6's no-postings
+  * cross-check pattern).
+  */
+object QueryLang {
+
+  private def idx(s: SparkSession, dir: String): InvertedIndex =
+    IndexStore.documents(s, dir, "whitespace")
+
+  private def ws = AnalyzerRegistry.get("whitespace")
+
+  /** websearch_to_tsquery surface (ts_query.cpp; demo3 §2b):
+    * `"hash join" OR merge -vector` → (phrase || merge) && !vector. */
+  def tsWebsearch(s: SparkSession, dir: String): DataFrame =
+    TsQueryExec.matching(idx(s, dir),
+      TsQueryParser.websearch("\"hash join\" OR merge -vector", ws))
+
+  /** plainto_tsquery: analyzed conjunction. */
+  def tsPlainto(s: SparkSession, dir: String): DataFrame =
+    TsQueryExec.matching(idx(s, dir), TsQueryParser.plainto("Hash JOIN", ws))
+
+  /** ts_compound bool query (ts_compound.cpp; search.h:52-55) with
+    * min-should-match counting: stream && !batch && (≥2 of vector, dup,
+    * "hash join"). */
+  def tsCompound(s: SparkSession, dir: String): DataFrame =
+    TsQueryExec.compound(idx(s, dir),
+      must = Seq(TsQuery.Term("stream")),
+      mustNot = Seq(TsQuery.Term("batch")),
+      should = Seq(TsQuery.Term("vector"), TsQuery.Term("dup"),
+        TsQuery.Phrase(Seq("hash", "join"))),
+      minShouldMatch = 2)
+
+  /** ES query DSL in, doc ids out (dsl.cpp:147-394). */
+  def esDslSearch(s: SparkSession, dir: String): DataFrame = {
+    val json =
+      """{"query": {"bool": {
+        |  "must": [{"match": {"text": {"query": "hash join", "operator": "and"}}}],
+        |  "must_not": [{"term": {"text": "merge"}}],
+        |  "should": [{"match": {"text": "dup vector"}}],
+        |  "minimum_should_match": 1
+        |}}}""".stripMargin
+    EsDsl.parse(json, ws) match {
+      case Left(b) => TsQueryExec.compound(idx(s, dir), b.must, b.mustNot, b.should, b.minShouldMatch)
+      case Right(q) => TsQueryExec.matching(idx(s, dir), q)
+    }
+  }
+
+  /** Covered columns via late materialization: the index resolves matching
+    * doc ids, then ONE join back to the table fetches the covered columns —
+    * the reference's INCLUDE-column / PK-lookup path
+    * (search_pk_lookup.h; EXPLAIN in vector_search.test:19-37 shows
+    * `Projections: id, score` + PK resolution). */
+  def tsCoveredSearch(s: SparkSession, dir: String): DataFrame =
+    TsQueryExec.matching(idx(s, dir), TsQuery.Term("vector"))
+      .join(Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  /** Hybrid search (demo4/demo5 pattern): full-text filter, then vector
+    * re-rank of the surviving candidates — the text match prunes before any
+    * distance is computed, so the ANN side only scores the candidate set. */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val matched = TsQueryExec.matching(idx(s, dir), TsQuery.Term("vector"))
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.join(matched.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("dist", VectorFunctions.cosineDistance(col("embedding"), col("qe")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"))
+  }
+
+  /** Label-filtered ANN (vector_search.test's filtered probe): the filter is
+    * pushed to the parquet scan, distances computed on the survivors only. */
+  def vecLabelKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("label") === 3)
+      .crossJoin(broadcast(q))
+      .withColumn("dist", VectorFunctions.l2SqrDistance(col("embedding"), col("qe")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_websearch" -> tsWebsearch,
+    "ts_plainto" -> tsPlainto,
+    "ts_compound" -> tsCompound,
+    "es_dsl_search" -> esDslSearch,
+    "ts_covered_search" -> tsCoveredSearch,
+    "hybrid_search" -> hybridSearch,
+    "vec_label_knn" -> vecLabelKnn)
+
+  // ---- oracles -------------------------------------------------------------
+
+  private val toks =
+    """WITH toks AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents)""".stripMargin
+
+  private val phraseHashJoin =
+    "' ' || array_to_string(ts, ' ') || ' ' LIKE '% hash join %'"
+
+  val oracles: Map[String, String] = Map(
+    "ts_websearch" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE (($phraseHashJoin) OR list_contains(ts, 'merge'))
+         |  AND NOT list_contains(ts, 'vector')""".stripMargin,
+    "ts_plainto" ->
+      s"""$toks
+         |SELECT doc_id FROM toks WHERE list_has_all(ts, ['hash', 'join'])""".stripMargin,
+    "ts_compound" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE list_contains(ts, 'stream') AND NOT list_contains(ts, 'batch')
+         |  AND (CASE WHEN list_contains(ts, 'vector') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END
+         |     + CASE WHEN $phraseHashJoin THEN 1 ELSE 0 END) >= 2""".stripMargin,
+    "es_dsl_search" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE list_has_all(ts, ['hash', 'join'])
+         |  AND NOT list_contains(ts, 'merge')
+         |  AND (list_contains(ts, 'dup') OR list_contains(ts, 'vector'))""".stripMargin,
+    "ts_covered_search" ->
+      s"""$toks
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN toks USING (doc_id)
+         |WHERE list_contains(ts, 'vector')""".stripMargin,
+    "hybrid_search" ->
+      s"""$toks
+         |SELECT e.vec_id
+         |FROM embeddings e
+         |JOIN toks t ON t.doc_id = e.vec_id
+         |WHERE list_contains(t.ts, 'vector')
+         |ORDER BY 1.0 - list_cosine_similarity(e.embedding::DOUBLE[],
+         |  (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), e.vec_id
+         |LIMIT 10""".stripMargin,
+    "vec_label_knn" ->
+      """SELECT vec_id FROM embeddings
+        |WHERE label = 3
+        |ORDER BY list_distance(embedding::DOUBLE[],
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), vec_id
+        |LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,95 @@
+package graft.search
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.analysis.Analyzer
+
+/** Elasticsearch query-DSL → [[TsQuery]] translator — the Spark analogue of
+  * the reference's ES HTTP layer (/root/reference/server/network/http/es/
+  * dsl.cpp:147-394): `match` (analyzed disjunction by default, conjunction
+  * with `"operator":"and"`), `match_phrase`, `term`, `bool` with
+  * must/should/must_not/filter + `minimum_should_match`, `match_all`.
+  * json4s ships with Spark — no extra dependency.
+  */
+object EsDsl {
+
+  final case class Bool(
+      must: Seq[TsQuery], mustNot: Seq[TsQuery],
+      should: Seq[TsQuery], minShouldMatch: Int)
+
+  /** Parse `{"query": {...}}` (or a bare query object). Returns either a
+    * plain query or a bool compound. */
+  def parse(json: String, analyzer: Analyzer): Either[Bool, TsQuery] = {
+    val root = JsonMethods.parse(json) match {
+      case o: JObject => (o \ "query") match {
+        case q: JObject => q
+        case _ => o
+      }
+      case other => throw new IllegalArgumentException(s"ES DSL: expected object, got $other")
+    }
+    translate(root, analyzer)
+  }
+
+  private def translate(q: JValue, analyzer: Analyzer): Either[Bool, TsQuery] =
+    q match {
+      case JObject(List((kind, body))) => kind match {
+        case "match_all" => Right(TsQuery.All)
+        case "match" =>
+          val (_, text, operator) = fieldTextOp(body)
+          val toks = analyzer.tokens(text).map(TsQuery.Term.apply)
+          Right(if (operator == "and") TsQuery.And(toks) else TsQuery.Or(toks))
+        case "match_phrase" =>
+          val (_, text, _) = fieldTextOp(body)
+          Right(TsQuery.Phrase(analyzer.tokens(text)))
+        case "term" =>
+          val (_, value, _) = fieldTextOp(body)
+          Right(TsQuery.Term(value))
+        case "bool" =>
+          def clause(name: String): Seq[TsQuery] = (body \ name) match {
+            case JArray(items) => items.map(i => flat(translate(i, analyzer)))
+            case o: JObject => Seq(flat(translate(o, analyzer)))
+            case _ => Seq.empty
+          }
+          val must = clause("must") ++ clause("filter") // filter = non-scoring must
+          val should = clause("should")
+          val msm = (body \ "minimum_should_match") match {
+            case JInt(n) => n.toInt
+            case JString(s) => s.toInt
+            // ES default: 1 when should is the only clause group, else 0
+            case _ => if (must.isEmpty && clause("must_not").isEmpty && should.nonEmpty) 1 else 0
+          }
+          Left(Bool(must, clause("must_not"), should, msm))
+        case other =>
+          throw new IllegalArgumentException(s"ES DSL: unsupported query kind '$other'")
+      }
+      case other => throw new IllegalArgumentException(s"ES DSL: expected single-key object, got $other")
+    }
+
+  /** `{"field": "text"}` or `{"field": {"query"/"value": ..., "operator": ...}}`. */
+  private def fieldTextOp(body: JValue): (String, String, String) = body match {
+    case JObject(List((field, JString(text)))) => (field, text, "or")
+    case JObject(List((field, o: JObject))) =>
+      val text = (o \ "query") match {
+        case JString(s) => s
+        case _ => (o \ "value") match {
+          case JString(s) => s
+          case _ => throw new IllegalArgumentException("ES DSL: missing query/value")
+        }
+      }
+      val op = (o \ "operator") match { case JString(s) => s.toLowerCase; case _ => "or" }
+      (field, text, op)
+    case other => throw new IllegalArgumentException(s"ES DSL: bad field clause $other")
+  }
+
+  private def flat(e: Either[Bool, TsQuery]): TsQuery = e match {
+    case Right(q) => q
+    case Left(Bool(must, mustNot, should, msm)) =>
+      // nested bool without counting semantics when msm <= 1: OR the shoulds
+      val shouldQ =
+        if (should.isEmpty) Seq.empty
+        else if (msm <= 1) Seq(TsQuery.Or(should))
+        else throw new IllegalArgumentException(
+          "ES DSL: nested bool with minimum_should_match > 1 unsupported")
+      TsQuery.And(must ++ mustNot.map(TsQuery.Not.apply) ++ shouldQ)
+  }
+}

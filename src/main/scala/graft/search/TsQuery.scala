@@ -1,0 +1,179 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.analysis.Analyzer
+import graft.index.InvertedIndex
+
+/** TSQUERY — the composable search-query value of the reference
+  * (/root/reference/server/connector/functions/search.h:31,82-91: operators
+  * `&&` AND, `||` OR, `!!` NOT, `^` boost, `##` phrase; value codec
+  * ts_query_codec.cpp). Mirroring the reference, a TSQUERY never materializes
+  * in rows — it is a plan-time value compiled into index operations
+  * (FoldTSQueryConstants, ts_query.cpp:341).
+  */
+sealed trait TsQuery {
+  def &&(o: TsQuery): TsQuery = TsQuery.And(Seq(this, o))
+  def ||(o: TsQuery): TsQuery = TsQuery.Or(Seq(this, o))
+  def unary_! : TsQuery = TsQuery.Not(this)
+  def ^(w: Double): TsQuery = TsQuery.Boost(this, w)
+}
+
+object TsQuery {
+  /** Matches every indexed doc (ES match_all). */
+  case object All extends TsQuery
+  final case class Term(t: String) extends TsQuery
+  final case class Prefix(p: String) extends TsQuery
+  final case class Phrase(terms: Seq[String]) extends TsQuery
+  final case class And(qs: Seq[TsQuery]) extends TsQuery
+  final case class Or(qs: Seq[TsQuery]) extends TsQuery
+  final case class Not(q: TsQuery) extends TsQuery
+  /** Scoring-only annotation; match semantics are the child's. */
+  final case class Boost(q: TsQuery, weight: Double) extends TsQuery
+}
+
+/** Compiles a [[TsQuery]] to doc_id sets over an [[InvertedIndex]] — the
+  * Spark analogue of the reference's filter-tree build
+  * (search_filter_builder.cpp: irs::Or/And/Not at :505-531,:1135-1151).
+  *
+  * Negation scoping matches the reference: NOT inside a conjunction becomes
+  * an anti-join against the positive base (never materializing a complement);
+  * a top-level NOT runs against the doc universe.
+  */
+object TsQueryExec {
+
+  def matching(idx: InvertedIndex, q: TsQuery): DataFrame = q match {
+    case TsQuery.All => universe(idx)
+    case TsQuery.Or(qs) if qs.isEmpty => universe(idx).filter(lit(false))
+    case TsQuery.And(qs) if qs.isEmpty => universe(idx)
+    case TsQuery.Term(t) => idx.term(t)
+    case TsQuery.Prefix(p) => idx.prefix(p)
+    case TsQuery.Phrase(ts) if ts.size == 1 => idx.term(ts.head)
+    case TsQuery.Phrase(ts) => idx.phrase(ts)
+    case TsQuery.Boost(inner, _) => matching(idx, inner)
+    case TsQuery.Or(qs) =>
+      qs.map(matching(idx, _)).reduce(_ unionByName _).distinct()
+    case TsQuery.And(qs) =>
+      val (negs, poss) = qs.partition(_.isInstanceOf[TsQuery.Not])
+      val base =
+        if (poss.nonEmpty)
+          poss.map(matching(idx, _))
+            .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+        else universe(idx)
+      negs.foldLeft(base) { (acc, n) =>
+        acc.join(matching(idx, n.asInstanceOf[TsQuery.Not].q),
+          Seq("doc_id"), "left_anti")
+      }
+    case TsQuery.Not(inner) =>
+      universe(idx).join(matching(idx, inner), Seq("doc_id"), "left_anti")
+  }
+
+  /** All indexed docs (docs with ≥1 token; zero-token docs cannot be
+    * represented in postings and are excluded from NOT results — deviation
+    * documented in InvertedIndex.build). */
+  private def universe(idx: InvertedIndex): DataFrame =
+    idx.docStats.select(col("doc_id"))
+
+  /** ts_compound — the reference's bool query
+    * (/root/reference/server/connector/functions/ts_compound.cpp;
+    * search.h:52-55): every `must` matches, no `mustNot` matches, and at
+    * least `minShouldMatch` of `should` match (counted per distinct branch,
+    * the ES bool/minimum_should_match semantics, dsl.cpp:326-349). */
+  def compound(idx: InvertedIndex,
+      must: Seq[TsQuery], mustNot: Seq[TsQuery],
+      should: Seq[TsQuery], minShouldMatch: Int): DataFrame = {
+    val posNeg = must ++ mustNot.map(TsQuery.Not.apply)
+    val base =
+      if (posNeg.isEmpty) universe(idx)
+      else matching(idx, TsQuery.And(posNeg))
+    val withShould =
+      if (should.isEmpty || minShouldMatch <= 0) base
+      else {
+        val counted = should.zipWithIndex
+          .map { case (q, i) =>
+            matching(idx, q).select(col("doc_id")).distinct()
+              .withColumn("branch", lit(i))
+          }
+          .reduce(_ unionByName _)
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("branch")).as("n_should"))
+          .filter(col("n_should") >= minShouldMatch)
+          .select(col("doc_id"))
+        base.join(counted, Seq("doc_id"), "left_semi")
+      }
+    withShould
+  }
+}
+
+/** Query-syntax parsers producing [[TsQuery]] — the reference's
+  * to_tsquery family (/root/reference/server/connector/functions/ts_query.cpp
+  * 993 LoC; ts_to_tsquery.cpp). Words and quoted phrases are run through the
+  * index analyzer so query terms normalize exactly like indexed terms. */
+object TsQueryParser {
+
+  /** plainto_tsquery: analyze everything, AND the tokens. */
+  def plainto(text: String, analyzer: Analyzer): TsQuery =
+    TsQuery.And(analyzer.tokens(text).map(TsQuery.Term.apply))
+
+  /** phraseto_tsquery: analyze everything, one positional phrase. */
+  def phraseto(text: String, analyzer: Analyzer): TsQuery =
+    TsQuery.Phrase(analyzer.tokens(text))
+
+  private sealed trait Item
+  private case object OrOp extends Item
+  private final case class Leaf(text: String, phrase: Boolean, neg: Boolean) extends Item
+
+  /** websearch_to_tsquery: space = AND, `"..."` = phrase, `OR`, `-item` = NOT.
+    * OR binds tighter than the implicit AND, pg-style:
+    * `a b OR c` → a && (b || c). */
+  def websearch(query: String, analyzer: Analyzer): TsQuery = {
+    val items = lex(query)
+    val conjuncts = scala.collection.mutable.ListBuffer.empty[TsQuery]
+    var orPending = false
+    items.foreach {
+      case OrOp => orPending = conjuncts.nonEmpty
+      case Leaf(text, phrase, neg) =>
+        val toks = analyzer.tokens(text)
+        if (toks.nonEmpty) {
+          val pos: TsQuery =
+            if (phrase && toks.size > 1) TsQuery.Phrase(toks)
+            else if (toks.size > 1) TsQuery.And(toks.map(TsQuery.Term.apply))
+            else TsQuery.Term(toks.head)
+          val q = if (neg) TsQuery.Not(pos) else pos
+          if (orPending) conjuncts.update(conjuncts.size - 1,
+            TsQuery.Or(Seq(conjuncts.last, q)))
+          else conjuncts += q
+        }
+        orPending = false
+    }
+    if (conjuncts.isEmpty) TsQuery.Or(Seq.empty) else TsQuery.And(conjuncts.toSeq)
+  }
+
+  private def lex(s: String): Seq[Item] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Item]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else {
+        var neg = false
+        var j = i
+        if (s.charAt(j) == '-') { neg = true; j += 1 }
+        if (j < s.length && s.charAt(j) == '"') {
+          val end = s.indexOf('"', j + 1)
+          val stop = if (end < 0) s.length else end
+          out += Leaf(s.substring(j + 1, stop), phrase = true, neg = neg)
+          i = stop + 1
+        } else {
+          var k = j
+          while (k < s.length && !s.charAt(k).isWhitespace) k += 1
+          val word = s.substring(j, k)
+          if (!neg && word.equalsIgnoreCase("or")) out += OrOp
+          else if (word.nonEmpty) out += Leaf(word, phrase = false, neg = neg)
+          i = k
+        }
+      }
+    }
+    out.toSeq
+  }
+}
