@@ -217,6 +217,27 @@ object Analyzers {
     }
   }
 
+  /** Whitespace tokens with character offsets into the ORIGINAL text —
+    * the `offset` field feature of the reference's index
+    * (/root/reference/server/pg/tokenizer_options.h:243-245), feeding
+    * ts_offsets/ts_highlight (ts_offsets.cpp, ts_highlight.cpp). Returns
+    * (lowercased token, 1-based start, 1-based one-past-end). */
+  def tokenOffsets(text: String): Seq[(String, Int, Int)] = {
+    if (text == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && text.charAt(i).isWhitespace) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !text.charAt(i).isWhitespace) i += 1
+        out += ((text.substring(start, i).toLowerCase(Locale.ROOT), start + 1, i + 1))
+      }
+    }
+    out.toSeq
+  }
+
   def normalize(t: String, lowercase: Boolean, accentFold: Boolean): String = {
     var s = t
     if (accentFold)

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analysis.{Analyzers, AnalyzerRegistry, ShingleAnalyzer, WhitespaceAnalyzer}
+import graft.index.IndexStore
+import graft.search.{TsQuery, TsQueryExec}
+
+/** Result presentation (ts_offsets / ts_highlight — reference
+  * ts_offsets.cpp 403 LoC, ts_highlight.cpp 734 LoC, demo3 §6) and the
+  * text-analysis operators a training-data pipeline needs: token stats,
+  * quality scoring, language ID, document fingerprinting. All entries are
+  * DuckDB-oracle-checked; the heuristics are defined so the oracle can
+  * recompute them exactly (md5 hashes, explicit stopword profiles).
+  */
+object TextPipeline {
+
+  private def ws = WhitespaceAnalyzer(lowercase = true)
+  private val tokUdf = udf((s: String) => WhitespaceAnalyzer(lowercase = true).tokens(s))
+
+  /** ts_offsets: char ranges of matches. The index prunes to matching docs
+    * (semi-join on doc ids); a re-analysis UDF recovers offsets for those
+    * docs only — the reference's in-memory re-analysis fallback
+    * (highlight/memory_index.h:35-44). 1-based [start, end) offsets. */
+  def tsOffsets(s: SparkSession, dir: String): DataFrame = {
+    val matched = TsQueryExec.matching(
+      IndexStore.documents(s, dir, "whitespace"), TsQuery.Term("vector"))
+    val offs = udf((t: String) =>
+      Analyzers.tokenOffsets(t).filter(_._1 == "vector").map(o => (o._2, o._3)))
+    Tables.documents(s, dir)
+      .join(matched, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(offs(col("text"))).as("o"))
+      .select(col("doc_id"),
+        col("o._1").cast("bigint").as("off_start"),
+        col("o._2").cast("bigint").as("off_end"))
+  }
+
+  /** ts_highlight: normalized-whitespace snippet with matched terms wrapped —
+    * token-stream reconstruction so the snippet is engine-reproducible. */
+  def tsHighlight(s: SparkSession, dir: String): DataFrame = {
+    val matched = TsQueryExec.matching(
+      IndexStore.documents(s, dir, "whitespace"), TsQuery.Term("vector"))
+    Tables.documents(s, dir)
+      .join(matched, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokUdf(col("text")).as("ts"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr(
+          "transform(ts, t -> CASE WHEN t = 'vector' THEN concat('<b>', t, '</b>') ELSE t END)"))
+          .as("snippet"))
+  }
+
+  /** Token counting: total + distinct per doc. */
+  def taTokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokUdf(col("text")).as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("bigint").as("n_tokens"),
+        size(array_distinct(col("ts"))).cast("bigint").as("n_uniq"))
+
+  private val stopwordsSql =
+    Analyzers.EnglishStopwords.toSeq.sorted.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  /** Quality signals (length, uniqueness, stopword density, mean token
+    * length) quantized to 1e-4 — the classic pretraining-corpus filters. */
+  def taQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokUdf(col("text")).as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("bigint").as("n_tokens"),
+        round(size(array_distinct(col("ts"))).cast("double") /
+          size(col("ts")).cast("double") * 10000).cast("bigint").as("uniq_ratio_q"),
+        round(expr(s"size(filter(ts, t -> array_contains($stopwordsSql, t)))").cast("double") /
+          size(col("ts")).cast("double") * 10000).cast("bigint").as("stop_ratio_q"),
+        round(expr("aggregate(ts, 0L, (a, t) -> a + length(t))").cast("double") /
+          size(col("ts")).cast("double") * 10000).cast("bigint").as("mean_len_q"))
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich"),
+    "fr" -> Seq("le", "et", "les", "des", "un", "une", "est", "que", "dans"),
+    "es" -> Seq("el", "de", "que", "los", "en", "un", "una", "es", "por"))
+
+  /** Language ID by stopword-profile hit counting (argmax, first-wins ties,
+    * 'und' when nothing hits) — the n-gram-heuristic class of langid, defined
+    * exactly so the oracle reproduces it. */
+  def taLangId(s: SparkSession, dir: String): DataFrame = {
+    val hits = langProfiles.map { case (lang, prof) =>
+      val lst = prof.map(w => s"'$w'").mkString("array(", ", ", ")")
+      expr(s"size(filter(ts, t -> array_contains($lst, t)))").as(s"h_$lang")
+    }
+    val Seq(en, de, fr, es) = langProfiles.map(p => col(s"h_${p._1}"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokUdf(col("text")).as("ts"))
+      .select(col("doc_id") +: hits: _*)
+      .select(col("doc_id"),
+        when(en + de + fr + es === 0, "und")
+          .when(en >= de && en >= fr && en >= es, "en")
+          .when(de >= fr && de >= es, "de")
+          .when(fr >= es, "fr")
+          .otherwise("es").as("lang_pred"))
+  }
+
+  /** Document fingerprint: minimum md5 over 5-token shingles — the
+    * winnowing/MinHash-of-shingles primitive (one stable representative
+    * k-gram per doc), md5 so any engine recomputes it. */
+  def taFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val sh = ShingleAnalyzer(WhitespaceAnalyzer(lowercase = true), 5)
+    val shUdf = udf((t: String) => sh.tokens(t))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shUdf(col("text"))).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("sh"))).as("fp"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_offsets" -> tsOffsets,
+    "ts_highlight" -> tsHighlight,
+    "ta_token_stats" -> taTokenStats,
+    "ta_quality" -> taQuality,
+    "ta_langid" -> taLangId,
+    "ta_fingerprint" -> taFingerprint)
+
+  // ---- oracles -------------------------------------------------------------
+
+  private val toks =
+    """WITH toks AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents)""".stripMargin
+
+  private val stopwordsDuck =
+    Analyzers.EnglishStopwords.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "ts_offsets" ->
+      """WITH RECURSIVE occ(doc_id, t, s) AS (
+        |  SELECT doc_id, lower(text), CAST(instr(lower(text), 'vector') AS BIGINT)
+        |  FROM documents WHERE instr(lower(text), 'vector') > 0
+        |  UNION ALL
+        |  SELECT doc_id, t,
+        |    s + CAST(instr(substr(t, CAST(s + 1 AS INT)), 'vector') AS BIGINT)
+        |  FROM occ
+        |  WHERE instr(substr(t, CAST(s + 1 AS INT)), 'vector') > 0
+        |)
+        |SELECT doc_id, s AS off_start, s + 6 AS off_end FROM occ
+        |WHERE (s = 1 OR regexp_matches(substr(t, CAST(s - 1 AS INT), 1), '\s'))
+        |  AND (s + 6 > len(t) OR regexp_matches(substr(t, CAST(s + 6 AS INT), 1), '\s'))""".stripMargin,
+    "ts_highlight" ->
+      s"""$toks
+         |SELECT doc_id,
+         |  array_to_string(list_transform(ts,
+         |    t -> CASE WHEN t = 'vector' THEN concat('<b>', t, '</b>') ELSE t END), ' ')
+         |  AS snippet
+         |FROM toks WHERE list_contains(ts, 'vector')""".stripMargin,
+    "ta_token_stats" ->
+      s"""$toks
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_uniq FROM toks""".stripMargin,
+    "ta_quality" ->
+      s"""$toks
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(round(CAST(len(list_distinct(ts)) AS DOUBLE)
+         |    / CAST(len(ts) AS DOUBLE) * 10000) AS BIGINT) AS uniq_ratio_q,
+         |  CAST(round(CAST(len(list_filter(ts, t -> list_contains($stopwordsDuck, t))) AS DOUBLE)
+         |    / CAST(len(ts) AS DOUBLE) * 10000) AS BIGINT) AS stop_ratio_q,
+         |  CAST(round(CAST(list_aggregate(list_transform(ts, t -> len(t)), 'sum') AS DOUBLE)
+         |    / CAST(len(ts) AS DOUBLE) * 10000) AS BIGINT) AS mean_len_q
+         |FROM toks""".stripMargin,
+    "ta_langid" -> {
+      val counts = langProfiles.map { case (lang, prof) =>
+        val lst = prof.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(ts, t -> list_contains($lst, t))) AS h_$lang"
+      }.mkString(", ")
+      s"""$toks,
+         |hits AS (SELECT doc_id, $counts FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN h_en + h_de + h_fr + h_es = 0 THEN 'und'
+         |       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+         |       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+         |       WHEN h_fr >= h_es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM hits""".stripMargin
+    },
+    "ta_fingerprint" ->
+      s"""$toks,
+         |sh AS (SELECT doc_id, md5(array_to_string(ts[i:i+4], ' ')) AS h
+         |       FROM toks, unnest(range(1, greatest(len(ts) - 3, 1))) AS u(i))
+         |SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id""".stripMargin)
+}
