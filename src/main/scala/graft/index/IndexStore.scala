@@ -144,6 +144,18 @@ object IndexStore {
     next
   }
 
+  /** Streaming-ingest batch markers (see graft.streaming.StreamingIngest):
+    * which foreachBatch ids have fully committed their segment. */
+  def batchCommitted(spark: SparkSession, dir: String, batchId: Long): Boolean =
+    exists(spark, s"$dir/_BATCHES") &&
+      readString(spark, s"$dir/_BATCHES").split("\n").contains(batchId.toString)
+
+  def markBatchCommitted(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val prior =
+      if (exists(spark, s"$dir/_BATCHES")) readString(spark, s"$dir/_BATCHES") else ""
+    writeStringAtomic(spark, s"$dir/_BATCHES", prior + batchId + "\n")
+  }
+
   /** Live segments per the manifest (source of truth — compacted-away
     * segment dirs may still exist on disk until [[cleanup]]). */
   def listSegments(spark: SparkSession, dir: String): Seq[String] =
