@@ -114,6 +114,23 @@ final case class InvertedIndex(
     docsForTerms(expandTerms((lower ++ upper).reduceOption(_ && _).getOrElse(lit(true))))
   }
 
+  /** ts_ngram — n-gram similarity match (ts_ngram.cpp;
+    * ngram_similarity_filter.hpp; demo3 §4): docs containing any term whose
+    * character-n-gram Jaccard with `query` ≥ minJaccard. The Jaccard runs
+    * over the (small) term dictionary as a codegen'd expression — the
+    * typo-tolerant match class distinct from levenshtein. */
+  def ngramSimilarity(query: String, minJaccard: Double, n: Int = 3): DataFrame = {
+    val qGrams = (0 to query.length - n).map(i => query.substring(i, i + n)).distinct
+    require(qGrams.nonEmpty, s"query shorter than $n")
+    val qLit = qGrams.map(g => s"'${g.replace("'", "\\'")}'").mkString("array(", ", ", ")")
+    val grams = s"""CASE WHEN length(term) < $n THEN CAST(array() AS ARRAY<STRING>)
+      ELSE array_distinct(transform(sequence(1, length(term) - ${n - 1}),
+        i -> substring(term, i, $n))) END"""
+    val j = s"""CAST(size(array_intersect($grams, $qLit)) AS DOUBLE) /
+      CAST(size(array_union($grams, $qLit)) AS DOUBLE)"""
+    docsForTerms(expandTerms(expr(s"$j >= $minJaccard")))
+  }
+
   /** Exact positional phrase via postings positions — ts_phrase with slop 0
     * (/root/reference/libs/iresearch/include/iresearch/search/phrase_filter.hpp).
     * Chains per-term postings joins on doc_id, intersecting shifted position
@@ -168,11 +185,13 @@ final case class InvertedIndex(
   private def matchedTermStats(distinctTerms: Seq[String]): DataFrame = {
     val tIdx = typedlit(distinctTerms.zipWithIndex.toMap)
     val matched = postingsForAny(distinctTerms)
-      .join(broadcast(termDictFor(distinctTerms).select(col("term"), col("df"))), "term")
+      .join(broadcast(termDictFor(distinctTerms)
+        .select(col("term"), col("df"), col("ctf"))), "term")
       .withColumn("ti", element_at(tIdx, col("term")))
     matched.groupBy(col("doc_id"))
       .pivot("ti", distinctTerms.indices)
-      .agg(first(col("tf")).as("tf"), first(col("df")).as("df"))
+      .agg(first(col("tf")).as("tf"), first(col("df")).as("df"),
+        first(col("ctf")).as("ctf"))
       .join(docStats.select(col("doc_id"), col("dlen")), "doc_id")
   }
 
@@ -221,6 +240,64 @@ final case class InvertedIndex(
       .filter(col("_score") > 0.0)
       .select(col("doc_id"), col("_score"))
   }
+
+  /** LM-Dirichlet query likelihood — the reference's lm_dirichlet scorer
+    * (libs/iresearch/.../search/lm_dirichlet.hpp; search.cpp:142-173):
+    * score = Σ_t log(1 + tf / (μ · p_c(t))) + |q| · log(μ / (dlen + μ)),
+    * with p_c(t) = ctf / sumDl the collection language model. Matched docs
+    * only; a doc matching none of the terms scores nothing (the reference
+    * also scores only index matches). */
+  def lmDirichlet(terms: Seq[String], mu: Double = 2000.0): DataFrame = {
+    val distinct = terms.distinct
+    val scored = matchedTermStats(distinct)
+    val sumDlD = sumDl.toDouble
+    val termScores = terms.map { t =>
+      val i = distinct.indexOf(t)
+      val tf = coalesce(col(s"${i}_tf").cast("double"), lit(0.0))
+      val ctfT = coalesce(col(s"${i}_ctf").cast("double"), lit(1.0))
+      log(lit(1.0) + tf / (lit(mu) * (ctfT / sumDlD)))
+    }
+    scored
+      .withColumn("_score",
+        termScores.reduce(_ + _) +
+          lit(terms.size.toDouble) * log(lit(mu) / (col("dlen").cast("double") + mu)))
+      .select(col("doc_id"), col("_score"))
+  }
+
+  /** LM-Jelinek-Mercer smoothing (lm_jelinek_mercer.hpp):
+    * score = Σ_t log(1 + ((1-λ)·tf/dlen) / (λ·p_c(t))). */
+  def lmJelinekMercer(terms: Seq[String], lambda: Double = 0.7): DataFrame = {
+    val distinct = terms.distinct
+    val scored = matchedTermStats(distinct)
+    val sumDlD = sumDl.toDouble
+    val termScores = terms.map { t =>
+      val i = distinct.indexOf(t)
+      val tf = coalesce(col(s"${i}_tf").cast("double"), lit(0.0))
+      val ctfT = coalesce(col(s"${i}_ctf").cast("double"), lit(1.0))
+      log(lit(1.0) +
+        (lit(1.0 - lambda) * tf / col("dlen").cast("double")) /
+          (lit(lambda) * (ctfT / sumDlD)))
+    }
+    scored
+      .withColumn("_score", termScores.reduce(_ + _))
+      .filter(col("_score") > 0.0)
+      .select(col("doc_id"), col("_score"))
+  }
+
+  /** raw_tf / raw_dl — the reference's diagnostic scorers (search.cpp:142-173). */
+  def rawTf(terms: Seq[String]): DataFrame = {
+    val distinct = terms.distinct
+    val scored = matchedTermStats(distinct)
+    val tfs = terms.map { t =>
+      coalesce(col(s"${distinct.indexOf(t)}_tf").cast("double"), lit(0.0))
+    }
+    scored.withColumn("_score", tfs.reduce(_ + _))
+      .select(col("doc_id"), col("_score"))
+  }
+
+  def rawDl(terms: Seq[String]): DataFrame =
+    matchedTermStats(terms.distinct)
+      .select(col("doc_id"), col("dlen").cast("double").as("_score"))
 
   /** BM25 top-k with score pushdown: per-partition top-k heaps before the
     * global merge, the Spark shape of the reference's WAND collector

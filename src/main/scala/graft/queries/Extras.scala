@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Geo, Sequences}
+
+/** Coverage for the remaining SURVEY §2 rows that are cheap in Spark but
+  * must be proven, not assumed: approximate sketches (with quality gates),
+  * CSV/JSON read+write round-trip, blockwise-NL/cross joins, sequences,
+  * geo scalars, and a deterministic ai_embed stand-in.
+  */
+object Extras {
+
+  /** approx_count_distinct (HLL++) and percentile_approx are sketches —
+    * their exact outputs are engine-specific, so the entry emits QUALITY
+    * GATES (the vec_ivf_recall pattern): each boolean turns red if the
+    * sketch drifts outside tolerance vs the exact answer. */
+  def approxSketches(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_cd"),
+        approx_count_distinct(col("l_partkey")).as("approx_cd"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50a"),
+        expr("percentile(l_extendedprice, 0.45)").as("p45"),
+        expr("percentile(l_extendedprice, 0.55)").as("p55"))
+      .select(
+        (abs(col("approx_cd") - col("exact_cd")).cast("double") /
+          col("exact_cd").cast("double") <= 0.05).as("acd_ok"),
+        col("p50a").between(col("p45"), col("p55")).as("pq_ok"))
+
+  /** COPY-path round-trip: write nation as CSV and JSON, read both back,
+    * join on the key and aggregate — proves both readers and writers
+    * (SURVEY §2.1 file formats beyond parquet). */
+  def fmtRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir") +
+      "/graft-fmt-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    val n = Tables.nation(s, dir)
+    n.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    n.write.mode("overwrite").json(s"$tmp/nation_json")
+    val c = s.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$tmp/nation_csv")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+    val j = s.read.json(s"$tmp/nation_json")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"))
+    c.join(j, "n_nationkey")
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+  }
+
+  /** Blockwise nested-loop join (non-equi): supplier balance dominance pairs.
+    * Catalyst plans BroadcastNestedLoopJoin — the reference's
+    * BLOCKWISE_NL_JOIN (EXPLAIN in file_tables.test:36-40). */
+  def q15CrossNl(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.supplier(s, dir).select(col("s_acctbal").as("bal_a"))
+    val b = Tables.supplier(s, dir).select(col("s_acctbal").as("bal_b"))
+    a.join(b, col("bal_a") > col("bal_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Sequence assignment: block-allocated dense ids over an ordering —
+    * nextval semantics for batch engines (sequence.cpp:84-132). The sequence
+    * is reset first so the entry is deterministic under re-runs. */
+  def seqAssign(s: SparkSession, dir: String): DataFrame = {
+    val seqPath = sys.props("java.io.tmpdir") +
+      "/graft-seq-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    Sequences.setval(s, seqPath, 0L)
+    Sequences.assignIds(Tables.nation(s, dir), seqPath, "seq_id", Seq("n_nationkey"))
+      .select(col("n_nationkey"), col("seq_id"))
+  }
+
+  /** Geo scalar surface: WKT make/parse + haversine distance, nearest-10
+    * customers to the origin on synthetic lon/lat derived from keys. */
+  def geoKnn(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
+      .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
+      .withColumn("wkt", Geo.stPoint(col("lon"), col("lat")))
+    c.withColumn("dist_km",
+        Geo.stDistanceSphereKm(Geo.stX(col("wkt")), Geo.stY(col("wkt")),
+          lit(0.0), lit(0.0)))
+      .orderBy(col("dist_km"), col("c_custkey"))
+      .limit(10)
+      .select(col("c_custkey"), round(col("dist_km")).cast("bigint").as("km_q"))
+  }
+
+  /** ST_Contains(bbox, point) count. */
+  def geoBbox(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
+      .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
+    c.filter(Geo.stContainsBox(lit(-60.0), lit(-30.0), lit(60.0), lit(30.0),
+        col("lon"), col("lat")))
+      .agg(count(lit(1)).as("n_inside"))
+  }
+
+  /** ai_embed (reference embedding.cpp:160-201 calls an external provider):
+    * STUBBED with a deterministic md5-based pseudo-embedding — the provider
+    * call is the only fake part; schema, quantization and the knn plumbing
+    * over the result are real. Component k of dim 8 = bytes 2k..2k+1 of
+    * md5(text) scaled to [0,1). */
+  def aiEmbed(s: SparkSession, dir: String): DataFrame = {
+    val embed = udf { (t: String) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      (0 until 8).map(k =>
+        (((d(2 * k) & 0xff) << 8) | (d(2 * k + 1) & 0xff)).toDouble / 65536.0).toArray
+    }
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id") +: (0 until 8).map(k =>
+        round(embed(col("text"))(k) * 10000).cast("bigint").as(s"e${k}_q")): _*)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_sketches" -> approxSketches,
+    "fmt_roundtrip" -> fmtRoundtrip,
+    "q15_cross_nl" -> q15CrossNl,
+    "seq_assign" -> seqAssign,
+    "geo_knn" -> geoKnn,
+    "geo_bbox" -> geoBbox,
+    "ai_embed" -> aiEmbed)
+
+  // ---- oracles -------------------------------------------------------------
+
+  private val lonLat =
+    """pts AS (SELECT c_custkey,
+      |  CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+      |  CAST(c_custkey * 7 % 170 - 85 AS DOUBLE) + 0.5 AS lat
+      |FROM customer)""".stripMargin
+
+  private val haversine =
+    """2.0 * 6371.0088 * asin(sqrt(
+      |  sin(radians(0.0 - lat) / 2.0) * sin(radians(0.0 - lat) / 2.0)
+      |  + cos(radians(lat)) * cos(radians(0.0))
+      |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "approx_sketches" -> "SELECT true AS acd_ok, true AS pq_ok",
+    "fmt_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  count(*) AS n_nations, min(n_name) AS first_name
+        |FROM nation GROUP BY 1""".stripMargin,
+    "q15_cross_nl" ->
+      """SELECT count(*) AS n_pairs
+        |FROM supplier a JOIN supplier b ON a.s_acctbal > b.s_acctbal""".stripMargin,
+    "seq_assign" ->
+      """SELECT n_nationkey,
+        |  CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS seq_id
+        |FROM nation""".stripMargin,
+    "geo_knn" ->
+      s"""WITH $lonLat
+         |SELECT c_custkey, CAST(round($haversine) AS BIGINT) AS km_q
+         |FROM pts ORDER BY $haversine, c_custkey LIMIT 10""".stripMargin,
+    "geo_bbox" ->
+      s"""WITH $lonLat
+         |SELECT count(*) AS n_inside FROM pts
+         |WHERE lon >= -60.0 AND lon <= 60.0 AND lat >= -30.0 AND lat <= 30.0""".stripMargin,
+    "ai_embed" -> {
+      val comps = (0 until 8).map { k =>
+        val nibs = (0 until 4).map { j =>
+          val pos = 4 * k + j + 1
+          val mult = 1 << (4 * (3 - j))
+          s"(strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) * $mult"
+        }.mkString(" + ")
+        s"CAST(round(CAST($nibs AS DOUBLE) / 65536.0 * 10000) AS BIGINT) AS e${k}_q"
+      }.mkString(",\n  ")
+      s"""WITH h AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 20)
+         |SELECT doc_id, $comps FROM h""".stripMargin
+    })
+}

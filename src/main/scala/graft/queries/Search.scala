@@ -107,6 +107,25 @@ object Search {
     idx(s, dir).bm25MinScore(Seq("vector", "dup", "query"), 1.5)
       .select(col("doc_id"), round(col("_score") * 10000).cast("bigint").as("score_q"))
 
+  /** LM-Dirichlet top-k (lm_dirichlet.hpp) — third scorer. */
+  def lmdTopK(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).lmDirichlet(Seq("vector", "dup", "query"))
+      .orderBy(col("_score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"))
+
+  /** LM-Jelinek-Mercer top-k (lm_jelinek_mercer.hpp) — fourth scorer. */
+  def lmjTopK(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).lmJelinekMercer(Seq("vector", "dup", "query"))
+      .orderBy(col("_score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"))
+
+  /** ts_ngram — n-gram similarity, the typo-tolerant match distinct from
+    * levenshtein ('vectr' → 'vector' via trigram Jaccard 0.4). */
+  def tsNgram(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).ngramSimilarity("vectr", minJaccard = 0.35)
+
   /** ts_tokenize — run a named analyzer at query time, emit (pos, term). */
   def tsTokenize(s: SparkSession, dir: String): DataFrame = {
     val analyzer = AnalyzerRegistry.get("whitespace")
@@ -142,6 +161,9 @@ object Search {
     "ts_bm25_topk" -> bm25TopK,
     "ts_tfidf_topk" -> tfidfTopK,
     "ts_bm25_minscore" -> bm25MinScore,
+    "ts_lmd_topk" -> lmdTopK,
+    "ts_lmj_topk" -> lmjTopK,
+    "ts_ngram" -> tsNgram,
     "ts_tokenize" -> tsTokenize)
 
   /** Shared scoring CTEs: identical FP expression trees to the Spark plans —
@@ -175,7 +197,25 @@ object Search {
        |  + sqrt(tf1) * (1.0 + ln(nd / (df1 + 1.0))) * (1.0 + ln(nd / (df1 + 1.0)))
        |  + sqrt(tf2) * (1.0 + ln(nd / (df2 + 1.0))) * (1.0 + ln(nd / (df2 + 1.0)))
        |  AS score
-       |  FROM tfs, st, dfs)""".stripMargin
+       |  FROM tfs, st, dfs),
+       |cfs AS (SELECT
+       |  greatest(CAST(SUM(tf0) AS DOUBLE), 1.0) AS ctf0,
+       |  greatest(CAST(SUM(tf1) AS DOUBLE), 1.0) AS ctf1,
+       |  greatest(CAST(SUM(tf2) AS DOUBLE), 1.0) AS ctf2 FROM tfs),
+       |sums AS (SELECT CAST(SUM(dlen) AS DOUBLE) AS sumdl FROM dl),
+       |ldscored AS (SELECT t.doc_id,
+       |    ln(1.0 + tf0 / (2000.0 * (ctf0 / sumdl)))
+       |  + ln(1.0 + tf1 / (2000.0 * (ctf1 / sumdl)))
+       |  + ln(1.0 + tf2 / (2000.0 * (ctf2 / sumdl)))
+       |  + 3.0 * ln(2000.0 / (CAST(dlen AS DOUBLE) + 2000.0)) AS score,
+       |  tf0 + tf1 + tf2 AS tfsum
+       |  FROM tfs t JOIN dl USING (doc_id), cfs, sums),
+       |jmscored AS (SELECT t.doc_id,
+       |    ln(1.0 + ((1.0 - 0.7) * tf0 / CAST(dlen AS DOUBLE)) / (0.7 * (ctf0 / sumdl)))
+       |  + ln(1.0 + ((1.0 - 0.7) * tf1 / CAST(dlen AS DOUBLE)) / (0.7 * (ctf1 / sumdl)))
+       |  + ln(1.0 + ((1.0 - 0.7) * tf2 / CAST(dlen AS DOUBLE)) / (0.7 * (ctf2 / sumdl)))
+       |  AS score
+       |  FROM tfs t JOIN dl USING (doc_id), cfs, sums)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ts_term" ->
@@ -240,6 +280,23 @@ object Search {
       s"""$scoringCtes
          |SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_q
          |FROM scored WHERE score >= 1.5""".stripMargin,
+    "ts_lmd_topk" ->
+      s"""$scoringCtes
+         |SELECT doc_id FROM ldscored WHERE tfsum > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_lmj_topk" ->
+      s"""$scoringCtes
+         |SELECT doc_id FROM jmscored WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_ngram" -> {
+      val qg = "['vec', 'ect', 'ctr']"
+      val g = "CASE WHEN len(t) < 3 THEN [] ELSE list_distinct(list_transform(range(1, len(t) - 1), i -> substr(t, CAST(i AS INT), 3))) END"
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE len(list_filter(list_distinct(ts), t ->
+         |  CAST(len(list_intersect($g, $qg)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat($g, $qg))) AS DOUBLE) >= 0.35)) > 0""".stripMargin
+    },
     "ts_tokenize" ->
       s"""$toks
          |SELECT doc_id, unnest(range(len(ts))) AS pos, unnest(ts) AS term
