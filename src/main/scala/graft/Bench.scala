@@ -29,7 +29,8 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup: JIT + codegen cache + parquet footers
-    val results = names.map(n => n -> runOnce(n))
+    // median of 3 timed runs — n=1 deltas were noise-level (VERDICT r2)
+    val results = names.map(n => n -> Seq.fill(3)(runOnce(n)).sorted.apply(1))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

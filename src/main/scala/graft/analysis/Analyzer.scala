@@ -145,6 +145,59 @@ final case class SynonymAnalyzer(inner: Analyzer, synonyms: Map[String, Seq[Stri
     inner(t).flatMap(tok => tok +: synonyms.getOrElse(tok, Seq.empty))
 }
 
+/** Merge several analyzers' token streams (`union` analyzer — the
+  * reference's multi-analyzer merge). Order: first analyzer's tokens first;
+  * duplicates across analyzers dropped. */
+final case class UnionAnalyzer(inners: Seq[Analyzer]) extends Analyzer {
+  def apply(t: String): Seq[String] = inners.flatMap(_.apply(t)).distinct
+}
+
+/** Collation sort key as a single hex token (`collation` analyzer — the
+  * reference uses ICU sort keys; java.text.Collator is the JDK equivalent).
+  * At PRIMARY strength, case and accent variants collate to the same key,
+  * which is exactly what makes the term-dict range/equality semantics
+  * locale-correct. */
+final case class CollationAnalyzer(locale: String = "en",
+    strength: Int = java.text.Collator.PRIMARY) extends Analyzer {
+  @transient private lazy val collator = {
+    val c = java.text.Collator.getInstance(
+      java.util.Locale.forLanguageTag(locale))
+    c.setStrength(strength)
+    c
+  }
+  def apply(t: String): Seq[String] =
+    Seq(collator.getCollationKey(t).toByteArray.map("%02x".format(_)).mkString)
+}
+
+/** Sparse code-search grams via winnowing (Schleimer, Wilkerson, Aiken,
+  * SIGMOD 2003 — public algorithm; the reference's `sparse_ngram`): of all
+  * character k-grams, keep per sliding window of `window` grams the one with
+  * the minimal hash (rightmost wins ties). Guarantees any shared substring
+  * of length ≥ window + k - 1 contributes at least one shared gram, at a
+  * fraction ≈ 2/(window+1) of the full gram set — the sparse index that
+  * makes code search affordable. */
+final case class SparseNGramAnalyzer(k: Int = 4, window: Int = 4) extends Analyzer {
+  def apply(t: String): Seq[String] = {
+    if (t.length < k) return Seq.empty
+    val grams = (0 to t.length - k).map(i => t.substring(i, i + k))
+    val hashes = grams.map(g => MurmurHash3.stringHash(g) & 0x7fffffff)
+    if (grams.size <= window) return Seq(grams(rightmostMin(hashes, 0, hashes.size)))
+    val picks = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var w = 0
+    while (w + window <= hashes.size) {
+      picks += rightmostMin(hashes, w, w + window)
+      w += 1
+    }
+    picks.toSeq.map(grams)
+  }
+  private def rightmostMin(hs: Seq[Int], from: Int, until: Int): Int = {
+    var best = from
+    var i = from + 1
+    while (i < until) { if (hs(i) <= hs(best)) best = i; i += 1 }
+    best
+  }
+}
+
 /** Word shingles: n consecutive tokens joined by a space — the unit set for
   * document-level Jaccard/MinHash dedup (inputs shorter than n emit nothing). */
 final case class ShingleAnalyzer(inner: Analyzer, n: Int = 3) extends Analyzer {
@@ -289,6 +342,15 @@ object AnalyzerRegistry {
       case "path_hierarchy" => PathHierarchyAnalyzer(opt("delimiter", "/"))
       case "minhash" => MinHashAnalyzer(
         WhitespaceAnalyzer(lowercase = true), opt("num_hashes", "64").toInt)
+      case "collation" => CollationAnalyzer(opt("locale", "en"),
+        opt("strength", "primary") match {
+          case "primary" => java.text.Collator.PRIMARY
+          case "secondary" => java.text.Collator.SECONDARY
+          case _ => java.text.Collator.TERTIARY
+        })
+      case "sparse_ngram" => SparseNGramAnalyzer(
+        opt("k", "4").toInt, opt("window", "4").toInt)
+      case "copy_from" => get(options("from"))
       case "shingle" => ShingleAnalyzer(
         WhitespaceAnalyzer(lowercase = true), opt("n", "3").toInt)
       case "text" => TextAnalyzer(

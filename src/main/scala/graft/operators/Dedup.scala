@@ -174,20 +174,23 @@ object Dedup {
     * the bitstrings, no UDF in the pair path). */
   def simHashDedup(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // bitstring → four 16-bit words once per doc; pair hamming is then
+    // 4 × bit_count(xor), not 64 string compares per pair.
     val sigs = simHashSignatures(docs, idCol, textCol)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          substring(col("simhash"), b * 16 + 1, 16)): _*)).as(Seq("band", "bh")))
-    val cands = banded.select(col("doc_id").as("ida"), col("simhash").as("sha"),
+      .withColumn("words", expr(
+        "transform(sequence(0, 3), b -> CAST(conv(substr(simhash, b * 16 + 1, 16), 2, 10) AS BIGINT))"))
+    val banded = sigs.select(col("doc_id"), col("words"),
+        posexplode(col("words")).as(Seq("band", "bh")))
+    val cands = banded.select(col("doc_id").as("ida"), col("words").as("wa"),
         col("band"), col("bh"))
-      .join(banded.select(col("doc_id").as("idb"), col("simhash").as("shb"),
+      .join(banded.select(col("doc_id").as("idb"), col("words").as("wb"),
         col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), col("sha"), col("shb"))
+      .select(col("ida"), col("idb"), col("wa"), col("wb"))
       .distinct()
     cands
       .withColumn("hamming",
-        expr("size(filter(sequence(1, 64), i -> substr(sha, i, 1) != substr(shb, i, 1)))"))
+        expr("aggregate(zip_with(wa, wb, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("ida"), col("idb"), col("hamming").cast("bigint").as("hamming"))
   }

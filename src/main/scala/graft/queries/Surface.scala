@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.MultiModal
+import graft.search.SqlSurface
+import graft.sources.EsTables
+
+/** SQL-visible API surface + ES write path + multimodal features — every
+  * entry drives the surface end-to-end through `spark.sql` text or the ES
+  * ndjson protocol, not through Scala method calls. */
+object Surface {
+
+  /** `text @@ websearch_to_tsquery(...)` from SQL text, via the registered
+    * row-eval ts_match (the un-claimed fallback path; search.h:91). */
+  def tsSqlMatch(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+    s.sql("""SELECT doc_id FROM graft_documents
+            |WHERE ts_match(text, '"hash join" OR merge -vector', 'whitespace')""".stripMargin)
+  }
+
+  /** The pgvector function names callable from SQL (vector.h:57-71),
+    * registered as SQL scalar functions → still codegen'd. */
+  def vecSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+    s.sql("""SELECT e.vec_id,
+            |  CAST(round(l2_distance(e.embedding, q.qe) * 10000) AS BIGINT) AS l2_q,
+            |  CAST(round(cosine_similarity(e.embedding, q.qe) * 10000) AS BIGINT) AS cos_q,
+            |  CAST(round(l1_norm(e.embedding) * 10000) AS BIGINT) AS l1n
+            |FROM graft_embeddings e,
+            |  (SELECT embedding AS qe FROM graft_embeddings WHERE vec_id = 0) q
+            |WHERE e.vec_id < 20""".stripMargin)
+  }
+
+  private val esDocs = Seq(
+    """{"index": {"_id": "1"}}""", """{"text": "good fast engine", "stars": 5}""",
+    """{"index": {"_id": "2"}}""", """{"text": "bad slow engine", "stars": 1}""",
+    """{"index": {"_id": "3"}}""", """{"text": "good enough", "stars": 4}""",
+    """{"index": {"_id": "4"}}""", """{"text": "terrible", "stars": 1}""")
+
+  /** ES write path end-to-end: _bulk ndjson in, _search DSL out, _source
+    * fetched per hit (es.cpp:64-70,1120-1157; handlers.cpp). */
+  def esWriteRead(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews", esDocs, overwrite = true)
+    EsTables.search(s, root, "reviews", """{"query": {"match": {"text": "good"}}}""")
+      .join(EsTables.table(s, root, "reviews"), "_id")
+      .select(col("_id"), col("_source"))
+  }
+
+  /** Multimodal: binary media column → one-pass feature extraction with the
+    * deterministic stub decoder (see MultiModal.decodeImageStub — the only
+    * fake part; the binary plumbing is real). */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    MultiModal.imageFeatures(
+        Tables.documents(s, dir).filter(col("doc_id") < 20)
+          .withColumn("media", encode(col("text"), "UTF-8")),
+        col("media"))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("channels"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_sql_match" -> tsSqlMatch,
+    "vec_sql_surface" -> vecSqlSurface,
+    "es_write_read" -> esWriteRead,
+    "mm_features" -> mmFeatures)
+
+  // ---- oracles -------------------------------------------------------------
+
+  private val toks =
+    """WITH toks AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ts_sql_match" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE ((' ' || array_to_string(ts, ' ') || ' ' LIKE '% hash join %')
+         |        OR list_contains(ts, 'merge'))
+         |  AND NOT list_contains(ts, 'vector')""".stripMargin,
+    "vec_sql_surface" ->
+      """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(round(list_distance(embedding::DOUBLE[], qe::DOUBLE[]) * 10000) AS BIGINT) AS l2_q,
+        |  CAST(round(list_cosine_similarity(embedding::DOUBLE[], qe::DOUBLE[]) * 10000) AS BIGINT) AS cos_q,
+        |  CAST(round(list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'sum') * 10000) AS BIGINT) AS l1n
+        |FROM embeddings, qv WHERE vec_id < 20""".stripMargin,
+    "es_write_read" ->
+      """SELECT * FROM (VALUES
+        |  ('1', '{"text":"good fast engine","stars":5}'),
+        |  ('3', '{"text":"good enough","stars":4}')) AS t("_id", "_source")""".stripMargin,
+    "mm_features" -> {
+      def nib(pos: Int) = s"(strpos('0123456789abcdef', substr(md5(text), $pos, 1)) - 1)"
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CAST(16 * (1 + ${nib(1)}) AS BIGINT) AS width,
+         |  CAST(16 * (1 + ${nib(2)}) AS BIGINT) AS height,
+         |  CAST(1 + ${nib(3)} % 3 AS BIGINT) AS channels
+         |FROM documents WHERE doc_id < 20""".stripMargin
+    })
+}

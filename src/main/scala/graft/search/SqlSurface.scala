@@ -1,0 +1,32 @@
+package graft.search
+
+import org.apache.spark.sql.SparkSession
+import graft.analysis.AnalyzerRegistry
+import graft.functions.VectorFunctions
+
+/** SQL-visible registration of the search + vector surface, so
+  * `spark.sql(...)` text can use the reference's function names directly —
+  * the analogue of the reference registering its scalar stubs with DuckDB
+  * (server/connector/functions/search.cpp:86-173, vector.h:57-71).
+  *
+  * `ts_match(text, query, dict)` is the row-evaluated `text @@
+  * websearch_to_tsquery(query)` fallback; the index-claimed path is the
+  * Scala API (TsQueryExec over IndexStore), mirroring how the reference
+  * executes claimed predicates inside iresearch_scan and everything else
+  * row-at-a-time. Registration is idempotent per session.
+  */
+object SqlSurface {
+  private val registered =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+
+  def registerAll(spark: SparkSession): Unit = if (registered.add(spark)) {
+    VectorFunctions.registerSql(spark)
+    spark.udf.register("ts_match",
+      (text: String, query: String, dict: String) => {
+        val a = AnalyzerRegistry.get(dict)
+        TsQueryExec.evalTokens(TsQueryParser.websearch(query, a), a.tokens(text))
+      })
+    spark.udf.register("ts_tokenize_sql",
+      (text: String, dict: String) => AnalyzerRegistry.get(dict).tokens(text))
+  }
+}

@@ -74,6 +74,21 @@ object TsQueryExec {
   private def universe(idx: InvertedIndex): DataFrame =
     idx.docStats.select(col("doc_id"))
 
+  /** Row-level TSQUERY evaluation over an analyzed token stream — the
+    * un-indexed fallback matcher (the reference's row-eval path for
+    * residual/un-claimed predicates). Used by the SQL-visible `ts_match`
+    * UDF and as the test oracle for the index path. */
+  def evalTokens(q: TsQuery, toks: Seq[String]): Boolean = q match {
+    case TsQuery.All => true
+    case TsQuery.Term(t) => toks.contains(t)
+    case TsQuery.Prefix(p) => toks.exists(_.startsWith(p))
+    case TsQuery.Phrase(ps) => ps.size <= toks.size && toks.sliding(ps.size).contains(ps)
+    case TsQuery.And(qs) => qs.forall(evalTokens(_, toks))
+    case TsQuery.Or(qs) => qs.exists(evalTokens(_, toks))
+    case TsQuery.Not(inner) => !evalTokens(inner, toks)
+    case TsQuery.Boost(inner, _) => evalTokens(inner, toks)
+  }
+
   /** ts_compound — the reference's bool query
     * (/root/reference/server/connector/functions/ts_compound.cpp;
     * search.h:52-55): every `must` matches, no `mustNot` matches, and at

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.analysis.AnalyzerRegistry
+import graft.search.{EsDsl, TsQueryExec}
+
+/** Elasticsearch-compatible write/read path — the Spark analogue of the
+  * reference's `es` schema (/root/reference/server/connector/functions/
+  * es.cpp:64-70: tables with `_id` VARCHAR PK + `_source` JSON; `es_bulk`
+  * :124, `_doc` GET :211-247, `_search` via dsl.cpp). An "index" is a
+  * parquet directory of (_id, _source) rows; `_bulk` parses the ndjson
+  * action/document pairs; `search` translates the query DSL and row-evaluates
+  * it over an analyzed `_source` field (the un-indexed path — building an
+  * inverted index over `_source` composes via IndexStore like any table).
+  */
+object EsTables {
+
+  private def dir(root: String, name: String) = s"$root/es_$name"
+
+  /** es_bulk: ndjson `{"index":{"_id":...}}` action lines each followed by a
+    * document line. Returns the indexed doc count. `overwrite` recreates the
+    * index (es_create_index + bulk in one call). */
+  def bulk(spark: SparkSession, root: String, name: String,
+      ndjson: Seq[String], overwrite: Boolean = false): Long = {
+    val rows = ndjson.map(_.trim).filter(_.nonEmpty).grouped(2).map { pair =>
+      val action = JsonMethods.parse(pair.head)
+      val id = (action \ "index" \ "_id") match {
+        case JString(s) => s
+        case JInt(n) => n.toString
+        case _ => throw new IllegalArgumentException(s"es_bulk: bad action ${pair.head}")
+      }
+      (id, JsonMethods.compact(JsonMethods.render(JsonMethods.parse(pair(1)))))
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("_id", "_source").write
+      .mode(if (overwrite) "overwrite" else "append")
+      .parquet(dir(root, name))
+    rows.size.toLong
+  }
+
+  /** The es.<name> relation: (_id, _source). */
+  def table(spark: SparkSession, root: String, name: String): DataFrame =
+    spark.read.parquet(dir(root, name))
+
+  /** _doc GET: `SELECT "_source" FROM es.x WHERE "_id" = ...` (es handlers
+    * :211-247). */
+  def docSource(spark: SparkSession, root: String, name: String, id: String): DataFrame =
+    table(spark, root, name).filter(col("_id") === id).select(col("_source"))
+
+  /** _search: query DSL over a JSON field of `_source`, row-evaluated —
+    * returns matching `_id`s (handlers.cpp:636; dsl.cpp translation). */
+  def search(spark: SparkSession, root: String, name: String,
+      dslJson: String, field: String = "text",
+      dict: String = "whitespace"): DataFrame = {
+    val analyzer = AnalyzerRegistry.get(dict)
+    val q = EsDsl.parse(dslJson, analyzer) match {
+      case Right(qq) => qq
+      case Left(b) =>
+        graft.search.TsQuery.And(
+          b.must ++ b.mustNot.map(graft.search.TsQuery.Not.apply) ++
+            (if (b.should.nonEmpty && b.minShouldMatch <= 1)
+              Seq(graft.search.TsQuery.Or(b.should)) else Seq.empty))
+    }
+    val matches = udf((src: String) =>
+      TsQueryExec.evalTokens(q, analyzer.tokens(src)))
+    table(spark, root, name)
+      .filter(matches(get_json_object(col("_source"), s"$$.$field")))
+      .select(col("_id"))
+  }
+}

@@ -83,10 +83,36 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(math.abs(agree - j) < 0.15, s"agreement $agree vs J $j")
   }
 
+  test("union merges analyzer outputs in order, deduped") {
+    val u = UnionAnalyzer(Seq(
+      WhitespaceAnalyzer(lowercase = true), EdgeNGramAnalyzer(2, 3)))
+    assert(u("Ab cd") == Seq("ab", "cd", "Ab", "Ab "))
+  }
+
+  test("collation keys fold case and accents at primary strength") {
+    val c = CollationAnalyzer("en")
+    assert(c("Cafe") == c("cafe"))
+    assert(c("café") == c("cafe"))
+    assert(c("cafe") != c("cafd"))
+  }
+
+  test("sparse ngram winnowing: sparse but shares a gram for long matches") {
+    val a = SparseNGramAnalyzer(k = 4, window = 4)
+    val shared = "return fibonacci(n-1)"
+    val s1 = s"def f(n): $shared + fibonacci(n-2)"
+    val s2 = s"int g(int n) {{ $shared + fib(n-2); }}"
+    val (g1, g2) = (a(s1).toSet, a(s2).toSet)
+    assert((g1 & g2).nonEmpty, "winnowing must keep a shared gram for a long shared substring")
+    assert(g1.size < (s1.length - 3), "must be sparser than the full gram set")
+    assert(a("abc").isEmpty)
+  }
+
   test("registry creates parameterized analyzers") {
     val a = AnalyzerRegistry.create("t_ngram2", "ngram", Map("min" -> "2", "max" -> "2"))
     assert(a("abc") == Seq("ab", "bc"))
     assert(AnalyzerRegistry.get("t_ngram2") == a)
+    val cp = AnalyzerRegistry.create("t_copy", "copy_from", Map("from" -> "t_ngram2"))
+    assert(cp == a)
     intercept[IllegalArgumentException](AnalyzerRegistry.get("nope_missing"))
   }
 }
