@@ -37,6 +37,8 @@ object GraftSession {
 
   /** Apply graft's standard configuration to an arbitrary builder. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    // search-claim optimizer rule (graft.plans.ClaimTsMatch)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

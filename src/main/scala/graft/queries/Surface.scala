@@ -62,7 +62,21 @@ object Surface {
         col("media"))
       .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("channels"))
 
+  /** The CLAIMED path: same SQL text as ts_sql_match-style queries, but the
+    * ClaimTsMatch optimizer rule rewrites the UDF filter into an index
+    * semi-join (+ residual n_chars filter) — `EXPLAIN` shows a LeftSemi join
+    * against the index segments instead of a row-eval UDF. Correctness is
+    * this oracle; the plan shape is asserted in ClaimRuleSpec. */
+  def tsClaimedMatch(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+    s.sql("""SELECT doc_id FROM graft_documents
+            |WHERE ts_match(text, 'stream -batch', 'whitespace') AND n_chars > 100
+            |""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_claimed_match" -> tsClaimedMatch,
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
     "es_write_read" -> esWriteRead,
@@ -76,6 +90,11 @@ object Surface {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_claimed_match" ->
+      s"""$toks
+         |SELECT t.doc_id FROM toks t JOIN documents d USING (doc_id)
+         |WHERE list_contains(ts, 'stream') AND NOT list_contains(ts, 'batch')
+         |  AND d.n_chars > 100""".stripMargin,
     "ts_sql_match" ->
       s"""$toks
          |SELECT doc_id FROM toks
