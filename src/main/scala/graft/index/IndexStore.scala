@@ -156,6 +156,36 @@ object IndexStore {
     writeStringAtomic(spark, s"$dir/_BATCHES", prior + batchId + "\n")
   }
 
+  // ---- DML delete leg ------------------------------------------------------
+
+  /** Tombstone a set of doc ids — the reference's delete path into the
+    * search index (duckdb_physical_search_delete.cpp; deletes-aware facets
+    * in ts_dict deletes tests). Deletes are recorded as `id,dlen` lines in
+    * `_DELETES`; readers apply them at load (anti-join + stats adjustment)
+    * and [[compact]] folds them away permanently. */
+  def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    val current = load(spark, dir)
+    val rows = current.docStats
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("dlen").cast("long"))
+      .collect().map(r => s"${r.getLong(0)},${r.getLong(1)}")
+    val prior =
+      if (exists(spark, s"$dir/_DELETES")) readString(spark, s"$dir/_DELETES") else ""
+    val priorIds = prior.split("\n").filter(_.nonEmpty).map(_.split(",")(0).toLong).toSet
+    val fresh = rows.filter(l => !priorIds.contains(l.split(",")(0).toLong))
+    writeStringAtomic(spark, s"$dir/_DELETES",
+      prior + fresh.mkString("", "\n", if (fresh.nonEmpty) "\n" else ""))
+    jvmCache.remove(dir)
+  }
+
+  /** (ids, count, dlen mass) of live tombstones. */
+  private def readDeletes(spark: SparkSession, dir: String): (Seq[Long], Long, Long) = {
+    if (!exists(spark, s"$dir/_DELETES")) return (Seq.empty, 0L, 0L)
+    val lines = readString(spark, s"$dir/_DELETES").split("\n").filter(_.nonEmpty)
+    val parsed = lines.map { l => val p = l.split(","); (p(0).toLong, p(1).toLong) }
+    (parsed.map(_._1).toSeq, parsed.length.toLong, parsed.map(_._2).sum)
+  }
+
   /** Live segments per the manifest (source of truth — compacted-away
     * segment dirs may still exist on disk until [[cleanup]]). */
   def listSegments(spark: SparkSession, dir: String): Seq[String] =
@@ -183,8 +213,23 @@ object IndexStore {
       val sd = """"sumDl":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
       (nd, sd)
     }
-    InvertedIndex(postings, termDict, docStats,
-      metas.map(_._1).sum, metas.map(_._2).sum)
+    val (delIds, delCount, delSumDl) = readDeletes(spark, dir)
+    if (delCount == 0)
+      InvertedIndex(postings, termDict, docStats,
+        metas.map(_._1).sum, metas.map(_._2).sum)
+    else {
+      // deletes-aware read: tombstoned docs leave postings/stats via an
+      // anti-join, and the term dictionary is re-derived from the live
+      // postings so df/ctf (facets, idf) exclude deleted docs
+      import spark.implicits._
+      val del = broadcast(delIds.toDF("doc_id"))
+      val livePostings = postings.join(del, Seq("doc_id"), "left_anti")
+      val liveDocStats = docStats.join(del, Seq("doc_id"), "left_anti")
+      val liveTermDict = livePostings.groupBy(col("term"), col("bucket"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+      InvertedIndex(livePostings, liveTermDict, liveDocStats,
+        metas.map(_._1).sum - delCount, metas.map(_._2).sum - delSumDl)
+    }
   }
 
   /** Compaction (the reference's background compaction task,
@@ -205,6 +250,10 @@ object IndexStore {
       merged.numDocs, merged.sumDl)
     writeSegment(rebuilt, dir, next)
     writeStringAtomic(spark, s"$dir/_SEGMENTS", f"seg=$next%05d\n")
+    // the merged segment was written deletes-applied; clear tombstones
+    // AFTER the swap (a crash in between leaves deletes that now anti-join
+    // nothing — harmless, never resurrecting rows)
+    writeStringAtomic(spark, s"$dir/_DELETES", "")
     jvmCache.remove(dir)
   }
 

@@ -284,6 +284,56 @@ final case class InvertedIndex(
       .select(col("doc_id"), col("_score"))
   }
 
+  /** Indri-style Dirichlet query likelihood (indri_dirichlet.hpp):
+    * score = Σ_t log((tf + μ·p_c(t)) / (dlen + μ)) over matched docs —
+    * unlike lmDirichlet's rank-equivalent form, every query term contributes
+    * its smoothed probability even at tf=0. */
+  def indriDirichlet(terms: Seq[String], mu: Double = 2000.0): DataFrame = {
+    val distinct = terms.distinct
+    // Indri smoothing needs each term's GLOBAL ctf even for docs where the
+    // term is absent (tf=0 still contributes log(μ·p_c/(dlen+μ))) — the
+    // pivoted per-doc ctf is null there, so carry a broadcast one-row
+    // global-stats plan instead.
+    val globals = termDictFor(distinct).agg(
+      max(when(col("term") === distinct.head, col("ctf"))).as("g0_ctf"),
+      distinct.indices.drop(1).map(i =>
+        max(when(col("term") === distinct(i), col("ctf"))).as(s"g${i}_ctf")): _*)
+    val scored = matchedTermStats(distinct).crossJoin(broadcast(globals))
+    val sumDlD = sumDl.toDouble
+    val termScores = terms.map { t =>
+      val i = distinct.indexOf(t)
+      val tf = coalesce(col(s"${i}_tf").cast("double"), lit(0.0))
+      val ctfT = coalesce(col(s"g${i}_ctf").cast("double"), lit(1.0))
+      log((tf + lit(mu) * (ctfT / sumDlD)) / (col("dlen").cast("double") + mu))
+    }
+    scored.withColumn("_score", termScores.reduce(_ + _))
+      .select(col("doc_id"), col("_score"))
+  }
+
+  /** DFI — divergence from independence (dfi.hpp): per term, expected tf
+    * under independence e = dlen · ctf / sumDl; contribution
+    * max(log2((tf+1)/(e+1)), 0) — only above-expectation terms score. */
+  def dfi(terms: Seq[String]): DataFrame = {
+    val distinct = terms.distinct
+    val scored = matchedTermStats(distinct)
+    val sumDlD = sumDl.toDouble
+    val termScores = terms.map { t =>
+      val i = distinct.indexOf(t)
+      val tf = coalesce(col(s"${i}_tf").cast("double"), lit(0.0))
+      val ctfT = coalesce(col(s"${i}_ctf").cast("double"), lit(1.0))
+      val e = col("dlen").cast("double") * (ctfT / sumDlD)
+      greatest(log2((tf + 1.0) / (e + 1.0)), lit(0.0))
+    }
+    scored.withColumn("_score", termScores.reduce(_ + _))
+      .filter(col("_score") > 0.0)
+      .select(col("doc_id"), col("_score"))
+  }
+
+  /** raw_boost — constant score per matched doc (raw_boost.hpp). */
+  def rawBoost(terms: Seq[String], boost: Double = 1.0): DataFrame =
+    matchedTermStats(terms.distinct)
+      .select(col("doc_id"), lit(boost).as("_score"))
+
   /** raw_tf / raw_dl — the reference's diagnostic scorers (search.cpp:142-173). */
   def rawTf(terms: Seq[String]): DataFrame = {
     val distinct = terms.distinct

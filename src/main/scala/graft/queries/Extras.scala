@@ -115,7 +115,38 @@ object Extras {
         round(embed(col("text"))(k) * 10000).cast("bigint").as(s"e${k}_q")): _*)
   }
 
+  /** pg-compat scalar pack (string.cpp/math.cpp gap-fillers, SURVEY §2.8):
+    * gcd/lcm as registered scalar UDFs, octet_length / hex / translate /
+    * width_bucket native. */
+  def strMathPack(s: SparkSession, dir: String): DataFrame = {
+    s.udf.register("gcd_u", (a: Long, b: Long) => BigInt(a).gcd(BigInt(b)).toLong)
+    s.udf.register("lcm_u", (a: Long, b: Long) =>
+      if (a == 0 || b == 0) 0L else a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      expr("gcd_u(p_partkey, 24)").as("gcd24"),
+      expr("lcm_u(p_partkey % 7 + 1, 6)").as("lcm6"),
+      octet_length(col("p_name")).cast("bigint").as("name_bytes"),
+      lower(hex(col("p_partkey"))).as("key_hex"),
+      translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
+      width_bucket(col("p_size").cast("double"), lit(0.0), lit(50.0), lit(5))
+        .cast("bigint").as("size_bucket"))
+  }
+
+  /** SQL macros (macro_json_arrow.test analogue): a SQL-bodied temporary
+    * function substitutes at analysis time — stays codegen'd. */
+  def sqlMacro(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_events")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION j_get(j STRING, k STRING)
+            |RETURNS STRING RETURN get_json_object(j, concat('$.', k))""".stripMargin)
+    s.sql("""SELECT event_type, count(*) AS n,
+            |  sum(CAST(j_get(props, 'k') AS BIGINT)) AS sum_k
+            |FROM graft_events GROUP BY event_type""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_math_pack" -> strMathPack,
+    "sql_macro" -> sqlMacro,
     "approx_sketches" -> approxSketches,
     "fmt_roundtrip" -> fmtRoundtrip,
     "q15_cross_nl" -> q15CrossNl,
@@ -139,6 +170,22 @@ object Extras {
       |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "str_math_pack" ->
+      """SELECT p_partkey,
+        |  gcd(p_partkey, 24) AS gcd24,
+        |  lcm(p_partkey % 7 + 1, 6) AS lcm6,
+        |  CAST(octet_length(CAST(p_name AS BLOB)) AS BIGINT) AS name_bytes,
+        |  lower(to_hex(p_partkey)) AS key_hex,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+        |  CAST(CASE WHEN p_size < 0 THEN 0
+        |            WHEN CAST(p_size AS DOUBLE) >= 50.0 THEN 6
+        |            ELSE floor(CAST(p_size AS DOUBLE) * 5 / 50.0) + 1 END AS BIGINT)
+        |    AS size_bucket
+        |FROM part""".stripMargin,
+    "sql_macro" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "approx_sketches" -> "SELECT true AS acd_ok, true AS pq_ok",
     "fmt_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

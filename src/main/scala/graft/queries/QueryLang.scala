@@ -31,6 +31,12 @@ object QueryLang {
   def tsPlainto(s: SparkSession, dir: String): DataFrame =
     TsQueryExec.matching(idx(s, dir), TsQueryParser.plainto("Hash JOIN", ws))
 
+  /** to_tsquery: full boolean syntax incl. `<->` adjacency and `<N>` exact
+    * distance and `:*` prefix (ts_query.cpp). */
+  def tsToTsquery(s: SparkSession, dir: String): DataFrame =
+    TsQueryExec.matching(idx(s, dir),
+      TsQueryParser.toTsquery("(hash <-> join) & vect:* | scan <2> filter", ws))
+
   /** ts_compound bool query (ts_compound.cpp; search.h:52-55) with
     * min-should-match counting: stream && !batch && (≥2 of vector, dup,
     * "hash join"). */
@@ -95,9 +101,26 @@ object QueryLang {
       .select(col("vec_id"))
   }
 
+  /** Deletes-aware search: a dedicated index copy tombstones docs 0..9; the
+    * query must not see them, and facet/idf stats shift accordingly
+    * (the reference's delete path + deletes-aware ts_dict tests). */
+  def tsDeletes(s: SparkSession, dir: String): DataFrame = {
+    val delDir = IndexStore.defaultRoot + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]+", "_") + s"-deltest-v${IndexStore.FormatVersion}"
+    if (IndexStore.listSegments(s, delDir).isEmpty) {
+      IndexStore.appendSegment(
+        graft.index.InvertedIndex.build(
+          Tables.documents(s, dir), "doc_id", "text", "whitespace"), delDir)
+      IndexStore.delete(s, delDir, (0L until 10L).toSeq)
+    }
+    IndexStore.load(s, delDir).term("vector")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_deletes" -> tsDeletes,
     "ts_websearch" -> tsWebsearch,
     "ts_plainto" -> tsPlainto,
+    "ts_to_tsquery" -> tsToTsquery,
     "ts_compound" -> tsCompound,
     "es_dsl_search" -> esDslSearch,
     "ts_covered_search" -> tsCoveredSearch,
@@ -115,6 +138,10 @@ object QueryLang {
     "' ' || array_to_string(ts, ' ') || ' ' LIKE '% hash join %'"
 
   val oracles: Map[String, String] = Map(
+    "ts_deletes" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE doc_id >= 10 AND list_contains(ts, 'vector')""".stripMargin,
     "ts_websearch" ->
       s"""$toks
          |SELECT doc_id FROM toks
@@ -123,6 +150,13 @@ object QueryLang {
     "ts_plainto" ->
       s"""$toks
          |SELECT doc_id FROM toks WHERE list_has_all(ts, ['hash', 'join'])""".stripMargin,
+    "ts_to_tsquery" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE (($phraseHashJoin)
+         |       AND len(list_filter(ts, t -> t LIKE 'vect%')) > 0)
+         |   OR regexp_matches(' ' || array_to_string(ts, ' ') || ' ',
+         |        ' scan [a-z0-9]+ filter ')""".stripMargin,
     "ts_compound" ->
       s"""$toks
          |SELECT doc_id FROM toks

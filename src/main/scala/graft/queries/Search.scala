@@ -121,6 +121,21 @@ object Search {
       .limit(10)
       .select(col("doc_id"))
 
+  /** Indri-Dirichlet top-k (indri_dirichlet.hpp) — fifth scorer. */
+  def indriTopK(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).indriDirichlet(Seq("vector", "dup", "query"))
+      .orderBy(col("_score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"))
+
+  /** DFI top-k (dfi.hpp) — sixth scorer; with raw_tf/raw_dl/raw_boost the
+    * surface covers all 9 of the reference's scorers (search.cpp:142-173). */
+  def dfiTopK(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).dfi(Seq("vector", "dup", "query"))
+      .orderBy(col("_score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"))
+
   /** ts_ngram — n-gram similarity, the typo-tolerant match distinct from
     * levenshtein ('vectr' → 'vector' via trigram Jaccard 0.4). */
   def tsNgram(s: SparkSession, dir: String): DataFrame =
@@ -163,6 +178,8 @@ object Search {
     "ts_bm25_minscore" -> bm25MinScore,
     "ts_lmd_topk" -> lmdTopK,
     "ts_lmj_topk" -> lmjTopK,
+    "ts_indri_topk" -> indriTopK,
+    "ts_dfi_topk" -> dfiTopK,
     "ts_ngram" -> tsNgram,
     "ts_tokenize" -> tsTokenize)
 
@@ -214,6 +231,18 @@ object Search {
        |    ln(1.0 + ((1.0 - 0.7) * tf0 / CAST(dlen AS DOUBLE)) / (0.7 * (ctf0 / sumdl)))
        |  + ln(1.0 + ((1.0 - 0.7) * tf1 / CAST(dlen AS DOUBLE)) / (0.7 * (ctf1 / sumdl)))
        |  + ln(1.0 + ((1.0 - 0.7) * tf2 / CAST(dlen AS DOUBLE)) / (0.7 * (ctf2 / sumdl)))
+       |  AS score
+       |  FROM tfs t JOIN dl USING (doc_id), cfs, sums),
+       |inscored AS (SELECT t.doc_id,
+       |    ln((tf0 + 2000.0 * (ctf0 / sumdl)) / (CAST(dlen AS DOUBLE) + 2000.0))
+       |  + ln((tf1 + 2000.0 * (ctf1 / sumdl)) / (CAST(dlen AS DOUBLE) + 2000.0))
+       |  + ln((tf2 + 2000.0 * (ctf2 / sumdl)) / (CAST(dlen AS DOUBLE) + 2000.0))
+       |  AS score, tf0 + tf1 + tf2 AS tfsum
+       |  FROM tfs t JOIN dl USING (doc_id), cfs, sums),
+       |dfscored AS (SELECT t.doc_id,
+       |    greatest(log2((tf0 + 1.0) / (CAST(dlen AS DOUBLE) * (ctf0 / sumdl) + 1.0)), 0.0)
+       |  + greatest(log2((tf1 + 1.0) / (CAST(dlen AS DOUBLE) * (ctf1 / sumdl) + 1.0)), 0.0)
+       |  + greatest(log2((tf2 + 1.0) / (CAST(dlen AS DOUBLE) * (ctf2 / sumdl) + 1.0)), 0.0)
        |  AS score
        |  FROM tfs t JOIN dl USING (doc_id), cfs, sums)""".stripMargin
 
@@ -287,6 +316,14 @@ object Search {
     "ts_lmj_topk" ->
       s"""$scoringCtes
          |SELECT doc_id FROM jmscored WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_indri_topk" ->
+      s"""$scoringCtes
+         |SELECT doc_id FROM inscored WHERE tfsum > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_dfi_topk" ->
+      s"""$scoringCtes
+         |SELECT doc_id FROM dfscored WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "ts_ngram" -> {
       val qg = "['vec', 'ect', 'ctr']"

@@ -25,6 +25,9 @@ object TsQuery {
   final case class Term(t: String) extends TsQuery
   final case class Prefix(p: String) extends TsQuery
   final case class Phrase(terms: Seq[String]) extends TsQuery
+  /** Positional phrase with per-gap [min,max] distance bounds — `<N>` in
+    * tsquery syntax, `##` in the reference's operator surface. */
+  final case class PhraseGap(terms: Seq[String], gaps: Seq[(Int, Int)]) extends TsQuery
   final case class And(qs: Seq[TsQuery]) extends TsQuery
   final case class Or(qs: Seq[TsQuery]) extends TsQuery
   final case class Not(q: TsQuery) extends TsQuery
@@ -50,6 +53,7 @@ object TsQueryExec {
     case TsQuery.Prefix(p) => idx.prefix(p)
     case TsQuery.Phrase(ts) if ts.size == 1 => idx.term(ts.head)
     case TsQuery.Phrase(ts) => idx.phrase(ts)
+    case TsQuery.PhraseGap(ts, gaps) => idx.sloppyPhrase(ts, gaps)
     case TsQuery.Boost(inner, _) => matching(idx, inner)
     case TsQuery.Or(qs) =>
       qs.map(matching(idx, _)).reduce(_ unionByName _).distinct()
@@ -83,6 +87,11 @@ object TsQueryExec {
     case TsQuery.Term(t) => toks.contains(t)
     case TsQuery.Prefix(p) => toks.exists(_.startsWith(p))
     case TsQuery.Phrase(ps) => ps.size <= toks.size && toks.sliding(ps.size).contains(ps)
+    case TsQuery.PhraseGap(ts, gaps) =>
+      val positions = ts.map(t => toks.zipWithIndex.collect { case (x, i) if x == t => i })
+      gaps.zip(positions.drop(1)).foldLeft(positions.head) { case (chain, ((lo, hi), next)) =>
+        next.filter(p => chain.exists(c => p >= c + lo && p <= c + hi))
+      }.nonEmpty
     case TsQuery.And(qs) => qs.forall(evalTokens(_, toks))
     case TsQuery.Or(qs) => qs.exists(evalTokens(_, toks))
     case TsQuery.Not(inner) => !evalTokens(inner, toks)
@@ -162,6 +171,100 @@ object TsQueryParser {
         orPending = false
     }
     if (conjuncts.isEmpty) TsQuery.Or(Seq.empty) else TsQuery.And(conjuncts.toSeq)
+  }
+
+  /** to_tsquery: the full boolean syntax — `&` AND, `|` OR, `!` NOT,
+    * parentheses, `<->` adjacency, `<N>` exact distance, `term:*` prefix
+    * (ts_query.cpp:1-993). Precedence: ! > <-> > & > |. */
+  def toTsquery(query: String, analyzer: Analyzer): TsQuery = {
+    val toks = lexTsquery(query)
+    var pos = 0
+    def peek: Option[String] = if (pos < toks.size) Some(toks(pos)) else None
+    def take(): String = { val t = toks(pos); pos += 1; t }
+
+    def parseOr(): TsQuery = {
+      var l = parseAnd()
+      while (peek.contains("|")) { take(); l = TsQuery.Or(Seq(l, parseAnd())) }
+      l
+    }
+    def parseAnd(): TsQuery = {
+      var l = parsePhrase()
+      while (peek.contains("&")) { take(); l = TsQuery.And(Seq(l, parsePhrase())) }
+      l
+    }
+    def parsePhrase(): TsQuery = {
+      var l = parseNot()
+      val dist = "<(\\d+|-)>".r
+      while (peek.exists(dist.matches)) {
+        val d = take() match { case s if s == "<->" => 1; case s => s.drop(1).dropRight(1).toInt }
+        val r = parseNot()
+        (l, r) match {
+          case (TsQuery.Term(a), TsQuery.Term(b)) if d == 1 =>
+            l = TsQuery.Phrase(Seq(a, b))
+          case (TsQuery.Phrase(as), TsQuery.Term(b)) if d == 1 =>
+            l = TsQuery.Phrase(as :+ b)
+          case (TsQuery.Phrase(as), TsQuery.Term(b)) =>
+            l = TsQuery.PhraseGap(as :+ b, as.drop(1).map(_ => (1, 1)) ++ Seq((d, d)))
+          case (TsQuery.PhraseGap(as, gs), TsQuery.Term(b)) =>
+            l = TsQuery.PhraseGap(as :+ b, gs :+ ((d, d)))
+          case (TsQuery.Term(a), TsQuery.Term(b)) =>
+            l = TsQuery.PhraseGap(Seq(a, b), Seq((d, d)))
+          case _ =>
+            throw new IllegalArgumentException("tsquery: <N> needs plain terms")
+        }
+      }
+      l
+    }
+    def parseNot(): TsQuery = peek match {
+      case Some("!") => take(); TsQuery.Not(parseNot())
+      case Some("(") =>
+        take()
+        val inner = parseOr()
+        require(peek.contains(")"), "tsquery: missing )")
+        take()
+        inner
+      case Some(_) =>
+        val w = take()
+        if (w.endsWith(":*")) TsQuery.Prefix(analyzer.tokens(w.dropRight(2))
+          .headOption.getOrElse(w.dropRight(2)))
+        else {
+          val ts = analyzer.tokens(w)
+          if (ts.isEmpty) TsQuery.Or(Seq.empty)
+          else if (ts.size == 1) TsQuery.Term(ts.head)
+          else TsQuery.Phrase(ts)
+        }
+      case None => throw new IllegalArgumentException("tsquery: unexpected end")
+    }
+    val out = parseOr()
+    require(pos == toks.size, s"tsquery: trailing input at $pos: ${toks.drop(pos)}")
+    out
+  }
+
+  private def lexTsquery(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if ("&|!()".contains(c)) { out += c.toString; i += 1 }
+      else if (c == '<') {
+        val end = s.indexOf('>', i)
+        require(end > i, s"tsquery: bad distance operator at $i")
+        out += s.substring(i, end + 1)
+        i = end + 1
+      } else if (c == '\'') {
+        val end = s.indexOf('\'', i + 1)
+        val stop = if (end < 0) s.length else end
+        out += s.substring(i + 1, stop)
+        i = stop + 1
+      } else {
+        var k = i
+        while (k < s.length && !s.charAt(k).isWhitespace && !"&|!()<".contains(s.charAt(k))) k += 1
+        out += s.substring(i, k)
+        i = k
+      }
+    }
+    out.toSeq
   }
 
   private def lex(s: String): Seq[Item] = {

@@ -119,4 +119,31 @@ class IndexSpec extends AnyFunSuite {
     assert(IndexStore.cleanup(spark, dir) == 2, "two pre-compaction segments")
     assert(ids(IndexStore.load(spark, dir).term("vector")) == ids(idx.term("vector")))
   }
+
+  test("deletes: tombstones leave every result; compaction folds them away") {
+    val dir = sys.props("java.io.tmpdir") + s"/graft-test-del-${System.nanoTime()}"
+    IndexStore.appendSegment(
+      InvertedIndex.build(docs, "doc_id", "text", "whitespace"), dir)
+    IndexStore.delete(spark, dir, (0L until 50L).toSeq)
+
+    val del = IndexStore.load(spark, dir)
+    val expect = InvertedIndex.build(
+      docs.filter(col("doc_id") >= 50), "doc_id", "text", "whitespace")
+    assert(del.numDocs == expect.numDocs && del.sumDl == expect.sumDl)
+    def dict(i: InvertedIndex): Set[(String, Long, Long)] =
+      i.termDict.select(col("term"), col("df").cast("long"), col("ctf").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dict(del) == dict(expect), "facets must be deletes-aware")
+    assert(ids(del.term("vector")) == ids(expect.term("vector")))
+    val terms = Seq("vector", "dup", "query")
+    assert(del.bm25TopK(terms, 10).collect().map(_.getLong(0)).toSeq ==
+      expect.bm25TopK(terms, 10).collect().map(_.getLong(0)).toSeq,
+      "idf/avgdl must exclude deleted docs")
+
+    IndexStore.compact(spark, dir)
+    val compacted = IndexStore.load(spark, dir)
+    assert(dict(compacted) == dict(expect))
+    assert(compacted.numDocs == expect.numDocs && compacted.sumDl == expect.sumDl)
+    assert(ids(compacted.term("vector")) == ids(expect.term("vector")))
+  }
 }
