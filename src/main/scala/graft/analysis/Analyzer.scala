@@ -198,6 +198,55 @@ final case class SparseNGramAnalyzer(k: Int = 4, window: Int = 4) extends Analyz
   }
 }
 
+/** Text-labeling analyzer (`classification` — the reference backs it with a
+  * fastText model, libs/iresearch/.../analysis/classification_tokenizer.cpp).
+  * The MODEL is pluggable: any `Seq[String] => Seq[(String, Double)]` token
+  * scorer; the built-in default is a transparent keyword-profile scorer
+  * (fraction of tokens hitting each label's profile), so behavior is
+  * deterministic and test-checkable without model files. Emits the top-k
+  * labels as tokens — indexing them makes docs searchable by label. */
+final case class ClassificationAnalyzer(
+    inner: Analyzer,
+    profiles: Map[String, Set[String]],
+    topK: Int = 1) extends Analyzer {
+  def apply(t: String): Seq[String] = {
+    val toks = inner(t)
+    if (toks.isEmpty) return Seq.empty
+    profiles.toSeq
+      .map { case (label, words) => (label, toks.count(words).toDouble / toks.size) }
+      .filter(_._2 > 0)
+      .sortBy { case (label, s) => (-s, label) }
+      .take(topK)
+      .map(_._1)
+  }
+}
+
+/** Synonym-by-embedding analyzer (`nearest_neighbors` — fastText-backed in
+  * the reference): each token expands to its k nearest neighbors in a
+  * provided embedding table. The embedding lookup is pluggable; the unit
+  * tests drive it with a small explicit table. */
+final case class NearestNeighborsAnalyzer(
+    inner: Analyzer,
+    embeddings: Map[String, Array[Double]],
+    k: Int = 2) extends Analyzer {
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+  def apply(t: String): Seq[String] =
+    inner(t).flatMap { tok =>
+      embeddings.get(tok) match {
+        case None => Seq(tok)
+        case Some(e) =>
+          tok +: embeddings.toSeq.filter(_._1 != tok)
+            .map { case (w, we) => (w, cos(e, we)) }
+            .sortBy { case (w, s) => (-s, w) }
+            .take(k).map(_._1)
+      }
+    }
+}
+
 /** Word shingles: n consecutive tokens joined by a space — the unit set for
   * document-level Jaccard/MinHash dedup (inputs shorter than n emit nothing). */
 final case class ShingleAnalyzer(inner: Analyzer, n: Int = 3) extends Analyzer {

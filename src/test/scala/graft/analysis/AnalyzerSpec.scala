@@ -107,6 +107,24 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(a("abc").isEmpty)
   }
 
+  test("classification emits top label tokens from token profiles") {
+    val a = ClassificationAnalyzer(WhitespaceAnalyzer(lowercase = true),
+      Map("db" -> Set("query", "index", "join"), "ml" -> Set("model", "train")),
+      topK = 2)
+    assert(a("the query planner uses a join index") == Seq("db"))
+    assert(a("train the model on query logs") == Seq("ml", "db"))
+    assert(a("nothing relevant here") == Seq.empty)
+  }
+
+  test("nearest neighbors expands tokens by embedding cosine") {
+    val e = Map(
+      "cat" -> Array(1.0, 0.0), "kitten" -> Array(0.9, 0.1),
+      "dog" -> Array(0.0, 1.0), "puppy" -> Array(0.1, 0.9))
+    val a = NearestNeighborsAnalyzer(WhitespaceAnalyzer(lowercase = true), e, k = 1)
+    assert(a("cat") == Seq("cat", "kitten"))
+    assert(a("dog stuff") == Seq("dog", "puppy", "stuff"))
+  }
+
   test("registry creates parameterized analyzers") {
     val a = AnalyzerRegistry.create("t_ngram2", "ngram", Map("min" -> "2", "max" -> "2"))
     assert(a("abc") == Seq("ab", "bc"))
