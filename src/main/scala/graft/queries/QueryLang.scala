@@ -116,7 +116,18 @@ object QueryLang {
     IndexStore.load(s, delDir).term("vector")
   }
 
+  /** Raw-term (keyword) column index over a SECOND table — the reference's
+    * non-tokenized opclass (`label` bare column, inverted_index.h:59-69):
+    * events.event_type indexed whole-value, facet read from the term dict. */
+  def kwIndexFacet(s: SparkSession, dir: String): DataFrame =
+    IndexStore.ensure(s, Tables.events(s, dir), s"$dir-events",
+        "event_id", "event_type", "keyword", withPositions = false)
+      .termDict
+      .select(col("term"), col("df").cast("bigint").as("docs"),
+        col("ctf").cast("bigint").as("freq"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kw_index_facet" -> kwIndexFacet,
     "ts_deletes" -> tsDeletes,
     "ts_websearch" -> tsWebsearch,
     "ts_plainto" -> tsPlainto,
@@ -138,6 +149,9 @@ object QueryLang {
     "' ' || array_to_string(ts, ' ') || ' ' LIKE '% hash join %'"
 
   val oracles: Map[String, String] = Map(
+    "kw_index_facet" ->
+      """SELECT event_type AS term, count(*) AS docs, count(*) AS freq
+        |FROM events GROUP BY event_type""".stripMargin,
     "ts_deletes" ->
       s"""$toks
          |SELECT doc_id FROM toks

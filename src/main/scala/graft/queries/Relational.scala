@@ -174,7 +174,35 @@ object Relational {
       .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems below 40% of
+    * their part's average quantity — Catalyst decorrelates into a join on
+    * the group key; written in SQL to exercise the subquery surface. */
+  def q16Correlated(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql("""SELECT l_partkey, count(*) AS n_small,
+            |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+            |FROM graft_lineitem l1
+            |WHERE l_quantity < (SELECT 0.4 * avg(l_quantity) FROM graft_lineitem l2
+            |                    WHERE l2.l_partkey = l1.l_partkey)
+            |GROUP BY l_partkey""".stripMargin)
+  }
+
+  /** EXISTS / NOT EXISTS subqueries (decorrelated to semi/anti joins). */
+  def q17Exists(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql("""SELECT o_orderpriority, count(*) AS n
+            |FROM graft_orders o
+            |WHERE EXISTS (SELECT 1 FROM graft_lineitem l
+            |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+            |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem l
+            |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+            |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_correlated" -> q16Correlated,
+    "q17_exists" -> q17Exists,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_shipping_priority" -> q02ShippingPriority,
     "q03_region_rollup" -> q03RegionRollup,
@@ -191,6 +219,21 @@ object Relational {
     "q14_sessionize" -> q14Sessionize)
 
   val oracles: Map[String, String] = Map(
+    "q16_correlated" ->
+      """SELECT l_partkey, count(*) AS n_small,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.4 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey""".stripMargin,
+    "q17_exists" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

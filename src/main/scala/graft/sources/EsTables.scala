@@ -51,6 +51,21 @@ object EsTables {
   def docSource(spark: SparkSession, root: String, name: String, id: String): DataFrame =
     table(spark, root, name).filter(col("_id") === id).select(col("_source"))
 
+  /** _count endpoint (handlers.cpp:972). */
+  def count(spark: SparkSession, root: String, name: String,
+      dslJson: String, field: String = "text"): Long =
+    search(spark, root, name, dslJson, field).count()
+
+  /** Scroll-style keyset pagination — `WHERE "_id" > cursor ORDER BY "_id"
+    * LIMIT size` (handlers.cpp:323-459; the cursor is the last _id of the
+    * previous page, the base64url wrapping being wire-protocol dressing). */
+  def scroll(spark: SparkSession, root: String, name: String,
+      after: Option[String], size: Int): DataFrame = {
+    val base = table(spark, root, name)
+    after.fold(base)(c => base.filter(col("_id") > c))
+      .orderBy(col("_id")).limit(size)
+  }
+
   /** _search: query DSL over a JSON field of `_source`, row-evaluated —
     * returns matching `_id`s (handlers.cpp:636; dsl.cpp translation). */
   def search(spark: SparkSession, root: String, name: String,

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class EsTablesSpec extends AnyFunSuite {
+
+  private val docs = Seq(
+    """{"index": {"_id": "a1"}}""", """{"text": "quick brown fox"}""",
+    """{"index": {"_id": "a2"}}""", """{"text": "lazy brown dog"}""",
+    """{"index": {"_id": "a3"}}""", """{"text": "quick red fox"}""",
+    """{"index": {"_id": "a4"}}""", """{"text": "something else"}""")
+
+  test("bulk + search + count + doc-get + scroll behave like the ES surface") {
+    val spark = TestSpark.spark
+    val root = sys.props("java.io.tmpdir") + s"/graft-es-spec-${System.nanoTime()}"
+    assert(EsTables.bulk(spark, root, "t", docs, overwrite = true) == 4)
+
+    val hits = EsTables.search(spark, root, "t",
+      """{"query": {"bool": {"must": [{"term": {"text": "brown"}}],
+        |"must_not": [{"term": {"text": "lazy"}}]}}}""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(hits == Set("a1"))
+
+    assert(EsTables.count(spark, root, "t",
+      """{"query": {"match": {"text": "quick fox"}}}""") == 2) // OR semantics: a1, a3
+
+    assert(EsTables.docSource(spark, root, "t", "a4").head().getString(0)
+      == """{"text":"something else"}""")
+
+    // scroll: two pages of 3 cover all ids in order without overlap
+    val p1 = EsTables.scroll(spark, root, "t", None, 3).collect().map(_.getString(0))
+    val p2 = EsTables.scroll(spark, root, "t", Some(p1.last), 3).collect().map(_.getString(0))
+    assert(p1.toSeq == Seq("a1", "a2", "a3") && p2.toSeq == Seq("a4"))
+  }
+}
