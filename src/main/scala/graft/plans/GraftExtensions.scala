@@ -14,8 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * 126-134). Enabled via `spark.sql.extensions=graft.plans.GraftExtensions`
   * (GraftSession sets it on every session it configures). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(s => ClaimTsMatch(s))
+    e.injectOptimizerRule(s => PushdownTsDictAggregate(s))
+  }
 }
 
 /** Claims `ts_match(text, 'websearch query', 'dict')` predicates over the
@@ -34,6 +36,95 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * claim failure leaves the row-eval UDF in place, so the rewrite can only
   * change HOW the query runs, never its result.
   */
+/** Rewrites token-facet aggregates onto the index term dictionary — the
+  * analogue of the reference's `PushdownTsDictAggregates`
+  * (/root/reference/server/connector/optimizer/ts_dict_plan.hpp:17-28,
+  * 2,094 LoC impl; semantics ts_dict.test:42-55): a GROUP BY over
+  * `explode(ts_tokenize_sql(text, 'dict'))` computing `count(*)` (= total
+  * term frequency, ctf) and/or `count(DISTINCT doc_id)` (= document
+  * frequency, df) never needs to tokenize anything — both aggregates are
+  * precomputed per term in the index's term dictionary. Turns an
+  * O(total tokens) explode+shuffle into a read of the (tiny) dictionary.
+  *
+  * Claimed shape: Aggregate(group=[token], aggs ⊆ {token, count(1),
+  * count(distinct doc_id)}) over Generate(explode(ts_tokenize_sql(text,
+  * literal dict))) over the documents scan. Anything else is left alone.
+  */
+case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Project}
+  import org.apache.spark.sql.catalyst.expressions.Explode
+
+  private def tokenizeGen(plan: LogicalPlan): Option[(Attribute, String, String)] = {
+    // Generate(explode(ts_tokenize_sql(text, 'dict'))) over the documents
+    // scan, possibly under Projects; returns (token attr, dict, sf dir)
+    val gen = plan.collectFirst {
+      case g @ Generate(Explode(u: ScalaUDF), _, _, _, _, _)
+          if u.udfName.contains("ts_tokenize_sql") => (g, u)
+    }
+    gen.flatMap { case (g, u) =>
+      (u.children, g.generatorOutput) match {
+        case (Seq(a: AttributeReference, Literal(d: UTF8String, _)), Seq(tokenAttr))
+            if a.name == "text" =>
+          documentsDirOf(g.child).map(dir => (tokenAttr, d.toString, dir))
+        case _ => None
+      }
+    }
+  }
+
+  private def documentsDirOf(plan: LogicalPlan): Option[String] =
+    plan.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.headOption.map(_.toString)
+            .filter(_.endsWith("/documents.parquet"))
+            .map(_.stripSuffix("/documents.parquet").stripPrefix("file:"))
+        case _ => None
+      }
+    }.flatten
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(Seq(groupAttr: Attribute), aggExprs, child, _) =>
+      try {
+        tokenizeGen(child) match {
+          case Some((tokenAttr, dict, dir)) if groupAttr.semanticEquals(tokenAttr) =>
+            rewrite(agg, aggExprs, tokenAttr, dict, dir).getOrElse(agg)
+          case _ => agg
+        }
+      } catch {
+        case e: Exception =>
+          logWarning(s"ts_dict pushdown failed, keeping explode plan: $e")
+          agg
+      }
+  }
+
+  private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
+      tokenAttr: Attribute, dict: String, dir: String): Option[LogicalPlan] = {
+    val idx = graft.index.IndexStore.documents(spark, dir, dict)
+    val td = idx.termDict.select(
+      org.apache.spark.sql.functions.col("term"),
+      org.apache.spark.sql.functions.col("df").cast("long").as("df"),
+      org.apache.spark.sql.functions.col("ctf").cast("long").as("ctf"))
+    val tdPlan = td.queryExecution.optimizedPlan
+    val Seq(termA, dfA, ctfA) = tdPlan.output
+
+    // every output column must map onto a dictionary column, else bail
+    val mapped = aggExprs.map {
+      case a: Attribute if a.semanticEquals(tokenAttr) =>
+        Some(Alias(termA, a.name)(exprId = a.exprId))
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), name) =>
+        Some(Alias(ctfA, name)(exprId = al.exprId))
+      case al @ Alias(AggregateExpression(Count(Seq(c: Attribute)), _, true, _, _), name)
+          if c.name == "doc_id" =>
+        Some(Alias(dfA, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) None
+    else Some(Project(mapped.flatten, tdPlan))
+  }
+}
+
 case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def asTsMatch(e: Expression): Option[(AttributeReference, String, String)] =

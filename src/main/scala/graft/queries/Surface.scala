@@ -75,7 +75,20 @@ object Surface {
             |""".stripMargin)
   }
 
+  /** Facet SQL written the naive way — explode every token, GROUP BY — that
+    * the PushdownTsDictAggregate rule rewrites into a term-dictionary read
+    * (ts_dict_plan.hpp analogue): the executed plan tokenizes nothing. */
+  def tsDictPushdown(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+    s.sql("""SELECT token, count(DISTINCT doc_id) AS docs, count(*) AS freq
+            |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
+            |      FROM graft_documents)
+            |GROUP BY token""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_dict_pushdown" -> tsDictPushdown,
     "ts_claimed_match" -> tsClaimedMatch,
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
@@ -90,6 +103,10 @@ object Surface {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_dict_pushdown" ->
+      s"""$toks
+         |SELECT term AS token, count(DISTINCT doc_id) AS docs, count(*) AS freq
+         |FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY term""".stripMargin,
     "ts_claimed_match" ->
       s"""$toks
          |SELECT t.doc_id FROM toks t JOIN documents d USING (doc_id)

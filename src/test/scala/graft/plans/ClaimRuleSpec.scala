@@ -32,6 +32,34 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(leftoverUdfs.isEmpty, "ts_match must not survive as a row-eval filter")
   }
 
+  test("ts_dict aggregate pushdown replaces explode with a dictionary read") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("graft_documents")
+    val df = spark.sql(
+      """SELECT token, count(DISTINCT doc_id) AS docs, count(*) AS freq
+        |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
+        |      FROM graft_documents)
+        |GROUP BY token""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    val generates = optimized.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.isEmpty, s"facet must read the term dict, not explode:\n$optimized")
+
+    // and the dictionary read must equal the brute-force facet
+    val ws = WhitespaceAnalyzer(lowercase = true)
+    val toks = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ws.tokens(r.getString(1)))
+    val want = toks.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1)
+      .map { case (t, rows) => (t, rows.map(_._2).distinct.size.toLong, rows.size.toLong) }
+      .toSet
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("claimed plan returns exactly the row-eval result") {
     val spark = TestSpark.spark
     val ws = WhitespaceAnalyzer(lowercase = true)
