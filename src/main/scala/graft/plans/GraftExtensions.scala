@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(s => ClaimTsMatch(s))
     e.injectOptimizerRule(s => PushdownTsDictAggregate(s))
+    e.injectOptimizerRule(s => ClaimAnnTopK(s))
   }
 }
 
@@ -122,6 +123,82 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
     }
     if (mapped.exists(_.isEmpty)) None
     else Some(Project(mapped.flatten, tdPlan))
+  }
+}
+
+/** Claims `ORDER BY ann_l2(embedding, <const vector>) LIMIT k` over the
+  * embeddings table into an IVF index probe — the analogue of the
+  * reference's `PushdownDistanceCall` / ANN top-k claim
+  * (/root/reference/server/connector/optimizer/iresearch_plan.cpp:546-621):
+  * distance order + limit over an ANN-indexed column becomes a
+  * partition-pruned probe of the nprobe nearest inverted lists with exact
+  * distance inside and a global O(k) merge. The claimed result is
+  * approximate (like the reference's); recall is gated by vec_ivf_recall
+  * and IvfIndexSpec. */
+case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, SortOrder, Ascending}
+  import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Project, Sort}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  private def annUdf(e: Expression): Option[(AttributeReference, Seq[Float])] = e match {
+    case u: ScalaUDF if u.udfName.contains("ann_l2") =>
+      u.children match {
+        case Seq(a: AttributeReference, Literal(arr: ArrayData, t)) if a.name == "embedding" =>
+          val q = t match {
+            case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType, _) => arr.toFloatArray().toSeq
+            case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, _) =>
+              arr.toDoubleArray().toSeq.map(_.toFloat)
+            case _ => return None
+          }
+          Some((a, q))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def embeddingsDir(plan: LogicalPlan): Option[String] =
+    plan.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.headOption.map(_.toString)
+            .filter(_.endsWith("/embeddings.parquet"))
+            .map(_.stripSuffix("/embeddings.parquet").stripPrefix("file:"))
+        case _ => None
+      }
+    }.flatten
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case gl @ GlobalLimit(Literal(k: Int, _), LocalLimit(_, inner)) =>
+      try {
+        val claimed = inner match {
+          case Project(projList, Sort(Seq(SortOrder(so, Ascending, _, _)), true, grand, _)) =>
+            for {
+              (_, q) <- annUdf(so)
+              dir <- embeddingsDir(grand)
+              // claim only a bare vec_id projection — anything else would
+              // need a join-back we don't rewrite here
+              out <- projList match {
+                case Seq(a: AttributeReference) if a.name == "vec_id" => Some(a)
+                case _ => None
+              }
+            } yield {
+              val idx = graft.index.IvfIndex.ensure(spark,
+                graft.Tables.embeddings(spark, dir), s"$dir-embeddings")
+              val knnPlan = idx.knn(q, k).select(
+                org.apache.spark.sql.functions.col("vec_id"))
+                .queryExecution.optimizedPlan
+              Project(Seq(Alias(knnPlan.output.head, out.name)(exprId = out.exprId)), knnPlan)
+            }
+          case _ => None
+        }
+        claimed.getOrElse(gl)
+      } catch {
+        case e: Exception =>
+          logWarning(s"ANN claim failed, keeping exact sort: $e")
+          gl
+      }
   }
 }
 

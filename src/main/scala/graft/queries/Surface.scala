@@ -87,7 +87,24 @@ object Surface {
             |GROUP BY token""".stripMargin)
   }
 
+  /** ANN claimed from plain ORDER BY...LIMIT SQL: the ClaimAnnTopK rule
+    * swaps the full-scan sort for an IVF probe. Approximate ⇒ the entry
+    * emits the overlap with exact top-k (pinned at 10 by the oracle), the
+    * vec_ivf_recall pattern. */
+  def vecClaimedAnn(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val claimed = Tables.embeddings(s, dir)
+      .orderBy(call_udf("ann_l2", col("embedding"), typedlit(q)))
+      .limit(10)
+      .select(col("vec_id"))
+    claimed.join(Vectors.knnExact(s, dir), "vec_id")
+      .agg(count(lit(1)).cast("bigint").as("n_overlap"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_claimed_ann" -> vecClaimedAnn,
     "ts_dict_pushdown" -> tsDictPushdown,
     "ts_claimed_match" -> tsClaimedMatch,
     "ts_sql_match" -> tsSqlMatch,
@@ -103,6 +120,7 @@ object Surface {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "vec_claimed_ann" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
     "ts_dict_pushdown" ->
       s"""$toks
          |SELECT term AS token, count(DISTINCT doc_id) AS docs, count(*) AS freq

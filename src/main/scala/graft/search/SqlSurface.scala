@@ -28,5 +28,15 @@ object SqlSurface {
       })
     spark.udf.register("ts_tokenize_sql",
       (text: String, dict: String) => AnalyzerRegistry.get(dict).tokens(text))
+    // ANN-claimable distance: row-eval fallback is EXACT squared L2; under
+    // `ORDER BY ann_l2(...) LIMIT k` the ClaimAnnTopK rule swaps in the IVF
+    // probe (approximate, like the reference's ANN claim of `<->` top-k,
+    // iresearch_plan.cpp:546-621) — callers wanting guaranteed-exact order
+    // use l2_distance instead, which is never claimed.
+    spark.udf.register("ann_l2", (a: Seq[Float], b: Seq[Float]) => {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    })
   }
 }

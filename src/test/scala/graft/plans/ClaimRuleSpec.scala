@@ -60,6 +60,28 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ANN order-by-limit is claimed into an IVF probe") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    import org.apache.spark.sql.functions._
+    val q = Tables.embeddings(spark, TestSpark.sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val df = Tables.embeddings(spark, TestSpark.sfDir)
+      .orderBy(call_udf("ann_l2", col("embedding"), typedlit(q)))
+      .limit(10)
+      .select(col("vec_id"))
+    val optimized = df.queryExecution.optimizedPlan
+    val leftoverUdfs = optimized.expressions.flatMap(_.collect {
+      case u: ScalaUDF if u.udfName.contains("ann_l2") => u
+    })
+    assert(leftoverUdfs.isEmpty, s"ann_l2 sort must be claimed into the IVF probe:\n$optimized")
+    // quality: claimed result overlaps exact top-10 at >= 9
+    val exact = graft.queries.Vectors.knnExact(spark, TestSpark.sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val got = df.collect().map(_.getLong(0)).toSet
+    assert((got & exact).size >= 9)
+  }
+
   test("claimed plan returns exactly the row-eval result") {
     val spark = TestSpark.spark
     val ws = WhitespaceAnalyzer(lowercase = true)
