@@ -37,6 +37,57 @@ object Geo {
     lit(2.0 * EarthRadiusKm) * asin(sqrt(a))
   }
 
+  private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Classic geohash (public-domain algorithm): interleaved lon/lat bisection
+    * to `precision` base-32 chars — the cell-token stand-in for the
+    * reference's S2 covering cells (geo_filter_builder.cpp:599-661). */
+  def geohash(lat: Double, lon: Double, precision: Int): String = {
+    var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
+    val sb = new java.lang.StringBuilder(precision)
+    var bit = 0; var ch = 0; var even = true
+    while (sb.length < precision) {
+      if (even) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid } else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid } else { ch = ch << 1; latHi = mid }
+      }
+      even = !even
+      bit += 1
+      if (bit == 5) { sb.append(Base32.charAt(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  /** Cell width/height in degrees at a precision. */
+  def cellSize(precision: Int): (Double, Double) = {
+    val bits = 5 * precision
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    (360.0 / (1L << lonBits), 180.0 / (1L << latBits))
+  }
+
+  /** All geohash cells intersecting a bbox — the covering set driving the
+    * in-index candidate lookup (exact refine happens after). */
+  def coverBox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+      precision: Int): Seq[String] = {
+    val (w, h) = cellSize(precision)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    var lat = math.floor((minLat + 90.0) / h) * h - 90.0 + h / 2
+    while (lat <= maxLat + h / 2) {
+      var lon = math.floor((minLon + 180.0) / w) * w - 180.0 + w / 2
+      while (lon <= maxLon + w / 2) {
+        out += geohash(math.max(-90, math.min(90, lat)),
+          math.max(-180, math.min(180, lon)), precision)
+        lon += w
+      }
+      lat += h
+    }
+    out.toSeq
+  }
+
   /** Axis-aligned bbox containment — the ST_Contains(box, point) case. */
   def stContainsBox(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column,
       lon: Column, lat: Column): Column =

@@ -87,6 +87,29 @@ object Extras {
       .select(col("c_custkey"), round(col("dist_km")).cast("bigint").as("km_q"))
   }
 
+  /** In-index geo search: customer points are indexed as geohash cell
+    * tokens (keyword terms — the S2-covering-cell pattern,
+    * geo_filter_builder.cpp:599-661); a bbox query looks up the covering
+    * cells in the index (bucket-pruned term reads), then refines the
+    * candidates with the exact containment predicate. Result equals the
+    * direct filter for ANY covering superset. */
+  def geoCellSearch(s: SparkSession, dir: String): DataFrame = {
+    val ghUdf = udf((lat: Double, lon: Double) => Geo.geohash(lat, lon, 2))
+    def pts = Tables.customer(s, dir)
+      .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
+      .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
+    val idx = graft.index.IndexStore.ensure(s,
+      pts.withColumn("gh", ghUdf(col("lat"), col("lon"))),
+      s"$dir-customer-geo", "c_custkey", "gh", "keyword", withPositions = false)
+    val (minLon, minLat, maxLon, maxLat) = (-60.0, -30.0, 60.0, 30.0)
+    val candidates = idx.anyOf(Geo.coverBox(minLon, minLat, maxLon, maxLat, 2))
+      .withColumnRenamed("doc_id", "c_custkey")
+    pts.join(candidates, "c_custkey")
+      .filter(Geo.stContainsBox(lit(minLon), lit(minLat), lit(maxLon), lit(maxLat),
+        col("lon"), col("lat")))
+      .select(col("c_custkey"))
+  }
+
   /** ST_Contains(bbox, point) count. */
   def geoBbox(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -153,6 +176,7 @@ object Extras {
     "seq_assign" -> seqAssign,
     "geo_knn" -> geoKnn,
     "geo_bbox" -> geoBbox,
+    "geo_cell_search" -> geoCellSearch,
     "ai_embed" -> aiEmbed)
 
   // ---- oracles -------------------------------------------------------------
@@ -205,6 +229,10 @@ object Extras {
     "geo_bbox" ->
       s"""WITH $lonLat
          |SELECT count(*) AS n_inside FROM pts
+         |WHERE lon >= -60.0 AND lon <= 60.0 AND lat >= -30.0 AND lat <= 30.0""".stripMargin,
+    "geo_cell_search" ->
+      s"""WITH $lonLat
+         |SELECT c_custkey FROM pts
          |WHERE lon >= -60.0 AND lon <= 60.0 AND lat >= -30.0 AND lat <= 30.0""".stripMargin,
     "ai_embed" -> {
       val comps = (0 until 8).map { k =>

@@ -54,6 +54,43 @@ class StreamingIngestSpec extends AnyFunSuite {
       oneShot.bm25TopK(terms, 10).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("restart from checkpoint resumes without duplicating batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text").as[Doc].collect().toSeq
+    val base = sys.props("java.io.tmpdir") + s"/graft-stream-${System.nanoTime()}"
+    def run(stream: MemoryStream[Doc]) = StreamingIngest.start(stream.toDF(),
+      s"$base/table", s"$base/index", "doc_id", "text", "whitespace",
+      checkpointDir = s"$base/ckpt", compactionMaxSegments = 50)
+
+    // first incarnation: two batches, then 'crash' (stop)
+    val s1 = MemoryStream[Doc]
+    val q1 = run(s1)
+    try {
+      s1.addData(docs.take(150)); q1.processAllAvailable()
+      s1.addData(docs.slice(150, 300)); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // second incarnation: same checkpoint (the WAL-replay analogue). The
+    // fresh MemoryStream restarts offsets at 0, so the already-committed
+    // batches are re-offered as offsets 1-2 — recovery must skip them and
+    // process only offset 3.
+    val s2 = MemoryStream[Doc]
+    s2.addData(docs.take(150))
+    s2.addData(docs.slice(150, 300))
+    s2.addData(docs.drop(300))
+    val q2 = run(s2)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val landed = spark.read.parquet(s"$base/table/data")
+    assert(landed.select(countDistinct(col("doc_id"))).head().getLong(0) == docs.size)
+    assert(landed.count() == docs.size, "no batch may apply twice across restarts")
+    assert(IndexStore.load(spark, s"$base/index").numDocs == docs.size)
+  }
+
   test("compaction kicks in past max segments and preserves answers") {
     val spark = TestSpark.spark
     import spark.implicits._
