@@ -113,7 +113,11 @@ object Dedup {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val sigs = minHashSignatures(docs, idCol, textCol, numHashes)
     val cands = lshCandidates(sigs, bands)
-    jaccardVerify(cands, shingles(docs, idCol, textCol), minJ)
+    // the shingle set feeds three joins in the verify stage; a transient
+    // spill-safe persist beats re-running the shingling UDF three times
+    val sh = shingles(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardVerify(cands, sh, minJ)
   }
 
   /** Exact n-gram Jaccard pairs via the inverted shingle index: only pairs

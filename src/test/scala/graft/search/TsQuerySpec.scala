@@ -19,6 +19,30 @@ class TsQuerySpec extends AnyFunSuite {
       And(Seq(Term("a"), Term("b"), Term("c"))))
   }
 
+  test("to_tsquery parse shapes") {
+    assert(TsQueryParser.toTsquery("a & b | c", ws) ==
+      Or(Seq(And(Seq(Term("a"), Term("b"))), Term("c"))))
+    assert(TsQueryParser.toTsquery("a & (b | !c)", ws) ==
+      And(Seq(Term("a"), Or(Seq(Term("b"), Not(Term("c")))))))
+    assert(TsQueryParser.toTsquery("a <-> b <-> c", ws) ==
+      Phrase(Seq("a", "b", "c")))
+    assert(TsQueryParser.toTsquery("a <2> b", ws) ==
+      PhraseGap(Seq("a", "b"), Seq((2, 2))))
+    assert(TsQueryParser.toTsquery("a <-> b <3> c", ws) ==
+      PhraseGap(Seq("a", "b", "c"), Seq((1, 1), (3, 3))))
+    assert(TsQueryParser.toTsquery("pre:* & x", ws) ==
+      And(Seq(Prefix("pre"), Term("x"))))
+    intercept[IllegalArgumentException](TsQueryParser.toTsquery("a & (b", ws))
+  }
+
+  test("token offsets recover exact character ranges") {
+    import graft.analysis.Analyzers
+    assert(Analyzers.tokenOffsets("Hello  world") ==
+      Seq(("hello", 1, 6), ("world", 8, 13)))
+    assert(Analyzers.tokenOffsets("  x ") == Seq(("x", 3, 4)))
+    assert(Analyzers.tokenOffsets(null) == Seq.empty)
+  }
+
   test("ES DSL parse shapes") {
     assert(EsDsl.parse("""{"query":{"match":{"text":"a b"}}}""", ws) ==
       Right(Or(Seq(Term("a"), Term("b")))))
