@@ -51,6 +51,29 @@ object EsTables {
   def docSource(spark: SparkSession, root: String, name: String, id: String): DataFrame =
     table(spark, root, name).filter(col("_id") === id).select(col("_source"))
 
+  /** _mapping: field → type inferred from the stored _source docs
+    * (handlers.cpp:1087). */
+  def mapping(spark: SparkSession, root: String, name: String): DataFrame = {
+    val parsed = spark.read.json(
+      table(spark, root, name).select(col("_source").as("value"))
+        .as(org.apache.spark.sql.Encoders.STRING))
+    import spark.implicits._
+    parsed.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+      .toDF("field", "es_type")
+  }
+
+  /** _cat/indices: name + doc count (handlers.cpp:1107). */
+  def catIndices(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root))) Seq.empty[String]
+      else fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).filter(_.startsWith("es_")).map(_.stripPrefix("es_")).toSeq
+    names.map(n => (n, table(spark, root, n).count())).toDF("index", "docs_count")
+  }
+
   /** _count endpoint (handlers.cpp:972). */
   def count(spark: SparkSession, root: String, name: String,
       dslJson: String, field: String = "text"): Long =

@@ -32,5 +32,13 @@ class EsTablesSpec extends AnyFunSuite {
     val p1 = EsTables.scroll(spark, root, "t", None, 3).collect().map(_.getString(0))
     val p2 = EsTables.scroll(spark, root, "t", Some(p1.last), 3).collect().map(_.getString(0))
     assert(p1.toSeq == Seq("a1", "a2", "a3") && p2.toSeq == Seq("a4"))
+
+    // _mapping infers source fields; _cat lists the index with its count
+    val m = EsTables.mapping(spark, root, "t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.get("text").contains("string"))
+    val cat = EsTables.catIndices(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(cat.get("t").contains(4L))
   }
 }
