@@ -91,10 +91,14 @@ object IndexStore {
 
   /** Build-or-load the index for (table parquet dir, text column, analyzer);
     * cached per JVM, persisted across JVMs. */
+  /** Canonical on-disk location for an ensured index. */
+  def dirFor(cacheKey: String, textCol: String, analyzerName: String): String =
+    s"$defaultRoot/${slug(cacheKey)}-$textCol-$analyzerName-v$FormatVersion"
+
   def ensure(spark: SparkSession, docs: => DataFrame, cacheKey: String,
       idCol: String, textCol: String, analyzerName: String,
       withPositions: Boolean = true): InvertedIndex = {
-    val dir = s"$defaultRoot/${slug(cacheKey)}-$textCol-$analyzerName-v$FormatVersion"
+    val dir = dirFor(cacheKey, textCol, analyzerName)
     jvmCache.getOrElseUpdate(dir, {
       if (!exists(spark, s"$dir/_SEGMENTS")) {
         val idx = InvertedIndex.build(docs, idCol, textCol, analyzerName, withPositions)
@@ -156,19 +160,37 @@ object IndexStore {
     writeStringAtomic(spark, s"$dir/_BATCHES", prior + batchId + "\n")
   }
 
+  /** Register the index parts as SQL relations — the reference's
+    * "indexes are relations" surface (`SELECT ... FROM <index_name>`,
+    * demo3 demo.sql:66-68; EXPLAIN `IRESEARCH_SCAN` in
+    * vector_search.test:19-37): `<prefix>_postings`, `<prefix>_termdict`,
+    * `<prefix>_docstats` become queryable views whose parquet scans keep
+    * full predicate pushdown + bucket partition pruning. */
+  def registerViews(spark: SparkSession, dir: String, prefix: String): Unit = {
+    val idx = load(spark, dir)
+    idx.postings.createOrReplaceTempView(s"${prefix}_postings")
+    idx.termDict.createOrReplaceTempView(s"${prefix}_termdict")
+    idx.docStats.createOrReplaceTempView(s"${prefix}_docstats")
+  }
+
   // ---- DML delete leg ------------------------------------------------------
 
   /** Tombstone a set of doc ids — the reference's delete path into the
     * search index (duckdb_physical_search_delete.cpp; deletes-aware facets
-    * in ts_dict deletes tests). Deletes are recorded as `id,dlen` lines in
-    * `_DELETES`; readers apply them at load (anti-join + stats adjustment)
-    * and [[compact]] folds them away permanently. */
+    * in ts_dict deletes tests). Deletes are recorded as `id,dlen,maxSeg`
+    * lines in `_DELETES` and apply only to segments that existed at delete
+    * time (`maxSeg`) — so UPDATE = delete + append re-inserts the same id
+    * in a NEWER segment without the tombstone suppressing it (the
+    * reference's generation-scoped deletes). Readers apply tombstones at
+    * load; [[compact]] folds them away permanently. */
   def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
     val current = load(spark, dir)
+    val maxSeg = listSegments(spark, dir)
+      .map(_.stripPrefix("seg=").toInt).foldLeft(-1)(math.max)
     val rows = current.docStats
       .filter(col("doc_id").isin(ids: _*))
       .select(col("doc_id"), col("dlen").cast("long"))
-      .collect().map(r => s"${r.getLong(0)},${r.getLong(1)}")
+      .collect().map(r => s"${r.getLong(0)},${r.getLong(1)},$maxSeg")
     val prior =
       if (exists(spark, s"$dir/_DELETES")) readString(spark, s"$dir/_DELETES") else ""
     val priorIds = prior.split("\n").filter(_.nonEmpty).map(_.split(",")(0).toLong).toSet
@@ -178,12 +200,11 @@ object IndexStore {
     jvmCache.remove(dir)
   }
 
-  /** (ids, count, dlen mass) of live tombstones. */
-  private def readDeletes(spark: SparkSession, dir: String): (Seq[Long], Long, Long) = {
-    if (!exists(spark, s"$dir/_DELETES")) return (Seq.empty, 0L, 0L)
-    val lines = readString(spark, s"$dir/_DELETES").split("\n").filter(_.nonEmpty)
-    val parsed = lines.map { l => val p = l.split(","); (p(0).toLong, p(1).toLong) }
-    (parsed.map(_._1).toSeq, parsed.length.toLong, parsed.map(_._2).sum)
+  /** (id, dlen, maxSeg) tombstones. */
+  private def readDeletes(spark: SparkSession, dir: String): Seq[(Long, Long, Int)] = {
+    if (!exists(spark, s"$dir/_DELETES")) return Seq.empty
+    readString(spark, s"$dir/_DELETES").split("\n").filter(_.nonEmpty).toSeq
+      .map { l => val p = l.split(","); (p(0).toLong, p(1).toLong, p(2).toInt) }
   }
 
   /** Live segments per the manifest (source of truth — compacted-away
@@ -196,40 +217,51 @@ object IndexStore {
   def load(spark: SparkSession, dir: String): InvertedIndex = {
     val segs = listSegments(spark, dir)
     require(segs.nonEmpty, s"no index segments under $dir")
+    val deletes = readDeletes(spark, dir)
     def readAll(part: String): DataFrame =
-      segs.map(s => spark.read.parquet(s"$dir/$s/$part")).reduce(_ unionByName _)
-    val postings = readAll("postings")
+      segs.map { s =>
+        val df = spark.read.parquet(s"$dir/$s/$part")
+        if (deletes.isEmpty) df
+        else df.withColumn("__seg", lit(s.stripPrefix("seg=").toInt))
+      }.reduce(_ unionByName _)
+    // generation-scoped tombstones: a delete suppresses a doc only in
+    // segments that existed when the delete happened, so a later re-insert
+    // (UPDATE) of the same id is visible
+    def applyDeletes(df: DataFrame): DataFrame =
+      if (deletes.isEmpty) df
+      else {
+        import spark.implicits._
+        val del = broadcast(deletes.map(d => (d._1, d._3)).toDF("doc_id", "max_seg"))
+        df.join(del, df("doc_id") === del("doc_id") && df("__seg") <= del("max_seg"),
+            "left_anti")
+          .drop("__seg")
+      }
+    val postings = applyDeletes(readAll("postings"))
+    val docStats = {
+      val base = applyDeletes(readAll("docstats"))
+      if (segs.size == 1) base
+      else base.groupBy(col("doc_id")).agg(sum(col("dlen")).cast("int").as("dlen"))
+    }
     val termDict =
-      if (segs.size == 1) readAll("termdict")
-      else readAll("termdict").groupBy(col("term"), col("bucket"))
-        .agg(sum(col("df")).as("df"), sum(col("ctf")).as("ctf"))
-    val docStats =
-      if (segs.size == 1) readAll("docstats")
-      else readAll("docstats").groupBy(col("doc_id"))
-        .agg(sum(col("dlen")).cast("int").as("dlen"))
+      if (deletes.isEmpty) {
+        val td = readAll("termdict")
+        if (segs.size == 1) td
+        else td.groupBy(col("term"), col("bucket"))
+          .agg(sum(col("df")).as("df"), sum(col("ctf")).as("ctf"))
+      } else
+        // re-derive from live postings so df/ctf (facets, idf) exclude
+        // tombstoned docs
+        postings.groupBy(col("term"), col("bucket"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
     val metas = segs.map { s =>
       val txt = readString(spark, s"$dir/$s/meta.json")
       val nd = """"numDocs":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
       val sd = """"sumDl":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
       (nd, sd)
     }
-    val (delIds, delCount, delSumDl) = readDeletes(spark, dir)
-    if (delCount == 0)
-      InvertedIndex(postings, termDict, docStats,
-        metas.map(_._1).sum, metas.map(_._2).sum)
-    else {
-      // deletes-aware read: tombstoned docs leave postings/stats via an
-      // anti-join, and the term dictionary is re-derived from the live
-      // postings so df/ctf (facets, idf) exclude deleted docs
-      import spark.implicits._
-      val del = broadcast(delIds.toDF("doc_id"))
-      val livePostings = postings.join(del, Seq("doc_id"), "left_anti")
-      val liveDocStats = docStats.join(del, Seq("doc_id"), "left_anti")
-      val liveTermDict = livePostings.groupBy(col("term"), col("bucket"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
-      InvertedIndex(livePostings, liveTermDict, liveDocStats,
-        metas.map(_._1).sum - delCount, metas.map(_._2).sum - delSumDl)
-    }
+    InvertedIndex(postings, termDict, docStats,
+      metas.map(_._1).sum - deletes.length,
+      metas.map(_._2).sum - deletes.map(_._2).sum)
   }
 
   /** Compaction (the reference's background compaction task,

@@ -103,7 +103,21 @@ object Surface {
       .agg(count(lit(1)).cast("bigint").as("n_overlap"))
   }
 
+  /** The index as a SQL relation: query its parts directly (demo3's
+    * `SELECT ... FROM imdb_fts_idx` pattern) — here a term-dict range scan
+    * joined to postings for per-term document lists. */
+  def idxRelationSql(s: SparkSession, dir: String): DataFrame = {
+    graft.index.IndexStore.documents(s, dir, "whitespace") // ensure built
+    graft.index.IndexStore.registerViews(s,
+      graft.index.IndexStore.dirFor(s"$dir-documents", "text", "whitespace"), "graft_idx")
+    s.sql("""SELECT t.term, t.df, p.doc_id
+            |FROM graft_idx_termdict t JOIN graft_idx_postings p ON t.term = p.term
+            |WHERE t.term LIKE 'sc%'""".stripMargin)
+      .select(col("term"), col("df").cast("bigint").as("df"), col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "idx_relation_sql" -> idxRelationSql,
     "vec_claimed_ann" -> vecClaimedAnn,
     "ts_dict_pushdown" -> tsDictPushdown,
     "ts_claimed_match" -> tsClaimedMatch,
@@ -120,6 +134,13 @@ object Surface {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "idx_relation_sql" ->
+      s"""$toks,
+         |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+         |dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |         WHERE term LIKE 'sc%' GROUP BY term)
+         |SELECT d.term, d.df, p.doc_id
+         |FROM dict d JOIN (SELECT DISTINCT doc_id, term FROM tok) p USING (term)""".stripMargin,
     "vec_claimed_ann" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
     "ts_dict_pushdown" ->
       s"""$toks

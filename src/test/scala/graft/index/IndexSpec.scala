@@ -120,6 +120,27 @@ class IndexSpec extends AnyFunSuite {
     assert(ids(IndexStore.load(spark, dir).term("vector")) == ids(idx.term("vector")))
   }
 
+  test("update path: delete + append replaces a doc's terms everywhere") {
+    val dir = sys.props("java.io.tmpdir") + s"/graft-test-upd-${System.nanoTime()}"
+    val spark2 = spark
+    import spark2.implicits._
+    IndexStore.appendSegment(
+      InvertedIndex.build(docs, "doc_id", "text", "whitespace"), dir)
+    // update doc 0: delete old version, append new content
+    IndexStore.delete(spark, dir, Seq(0L))
+    IndexStore.appendSegment(
+      InvertedIndex.build(
+        Seq((0L, "totally replacement zebra content")).toDF("doc_id", "text"),
+        "doc_id", "text", "whitespace"), dir)
+    val updated = IndexStore.load(spark, dir)
+    assert(ids(updated.term("zebra")) == Set(0L))
+    val oldToks = toks(0L).toSet -- Seq("totally", "replacement", "zebra", "content")
+    oldToks.take(3).foreach { t =>
+      assert(!ids(updated.term(t)).contains(0L), s"old term '$t' must not match doc 0")
+    }
+    assert(updated.numDocs == idx.numDocs, "update must not change doc count")
+  }
+
   test("deletes: tombstones leave every result; compaction folds them away") {
     val dir = sys.props("java.io.tmpdir") + s"/graft-test-del-${System.nanoTime()}"
     IndexStore.appendSegment(
