@@ -17,14 +17,25 @@ object VectorFunctions {
 
   private def d(c: Column): Column = c.cast("double")
 
-  /** inner_product — `<#>` is its negation. */
+  /** inner_product — `<#>` is its negation. Uses the fused native kernel
+    * (NativeVectorExpressions, registered by GraftExtensions): one loop, no
+    * intermediate array, bit-identical to the HOF fold below. */
   def innerProduct(a: Column, b: Column): Column =
+    call_function("inner_product_native", a, b)
+
+  /** Portable higher-order-function form (sessions without GraftExtensions). */
+  def innerProductHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), _ + _)
 
   def negativeInnerProduct(a: Column, b: Column): Column = -innerProduct(a, b)
 
-  /** l2_sqr_distance — squared Euclidean (monotone with l2, no sqrt). */
+  /** l2_sqr_distance — squared Euclidean (monotone with l2, no sqrt);
+    * fused native kernel. */
   def l2SqrDistance(a: Column, b: Column): Column =
+    call_function("l2sqr_native", a, b)
+
+  /** Portable higher-order-function form. */
+  def l2SqrDistanceHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))), lit(0.0), _ + _)
 
   /** l2_distance — `<->`. */

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => ClaimTsMatch(s))
     e.injectOptimizerRule(s => PushdownTsDictAggregate(s))
     e.injectOptimizerRule(s => ClaimAnnTopK(s))
+    graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
   }
 }
 
