@@ -141,6 +141,23 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("j") * 10000).cast("bigint").as("j_q"))
   }
 
+  /** Embedding-cosine near-dup pairs (exact). The quadratic self-join is the
+    * VERIFY stage — at corpus scale candidates come from an ANN structure
+    * first (e.g. IvfIndex cluster-bucket join: only same/neighbor-cluster
+    * pairs are checked), exactly like LSH prunes for MinHash; the fused
+    * native cosine kernel keeps the verify loop one pass per pair. */
+  def embeddingNearDups(embs: DataFrame, idCol: String, embCol: String,
+      minCos: Double): DataFrame = {
+    val a = embs.select(col(idCol).as("ida"), col(embCol).as("ea"))
+    val b = embs.select(col(idCol).as("idb"), col(embCol).as("eb"))
+    a.join(b, col("ida") < col("idb"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosineSimilarity(col("ea"), col("eb")))
+      .filter(col("cos") >= minCos)
+      .select(col("ida"), col("idb"),
+        round(col("cos") * 10000).cast("bigint").as("cos_q"))
+  }
+
   /** 64-bit SimHash per document as a 64-char '0'/'1' bitstring.
     *
     * The per-token hash is the first 64 bits of md5(token) (big-endian nibble

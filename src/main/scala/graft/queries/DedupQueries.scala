@@ -30,11 +30,15 @@ object DedupQueries {
   def dedupSimHash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashDedup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinHashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
-    "dedup_simhash" -> dedupSimHash)
+    "dedup_simhash" -> dedupSimHash,
+    "dedup_embedding" -> dedupEmbedding)
 
   // ---- oracles -------------------------------------------------------------
 
@@ -90,5 +94,10 @@ object DedupQueries {
          |FROM toks GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle(0.9),
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
-    "dedup_simhash" -> simhashOracle)
+    "dedup_simhash" -> simhashOracle,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000) AS BIGINT) AS cos_q
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin)
 }
