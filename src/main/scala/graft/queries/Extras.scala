@@ -167,7 +167,22 @@ object Extras {
             |FROM graft_events GROUP BY event_type""".stripMargin)
   }
 
+  /** VARIANT type (SURVEY §1.2 — the reference's `::json::variant`,
+    * variant.test:1-30): parse once to the binary variant encoding, extract
+    * typed fields with variant_get — Spark 4's native semi-structured path,
+    * faster than repeated string JSON parsing. */
+  def jsonVariant(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.tag', 'string')").as("tag"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+        count_distinct(col("tag")).as("n_tags"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_variant" -> jsonVariant,
     "str_math_pack" -> strMathPack,
     "sql_macro" -> sqlMacro,
     "approx_sketches" -> approxSketches,
@@ -194,6 +209,12 @@ object Extras {
       |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "json_variant" ->
+      """SELECT event_type,
+        |  count(json_extract_string(props, '$.k')) AS n_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(DISTINCT json_extract_string(props, '$.tag')) AS n_tags
+        |FROM events GROUP BY event_type""".stripMargin,
     "str_math_pack" ->
       """SELECT p_partkey,
         |  gcd(p_partkey, 24) AS gcd24,
