@@ -141,6 +141,26 @@ object Search {
   def tsNgram(s: SparkSession, dir: String): DataFrame =
     idx(s, dir).ngramSimilarity("vectr", minJaccard = 0.35)
 
+  /** The full search-page shape in one query — what the reference's
+    * iresearch_scan hands back to a client (score + INCLUDE columns +
+    * PK-resolved rows + presentation): BM25 top-10, covered columns via one
+    * join-back, highlighted snippet per hit. */
+  def searchPage(s: SparkSession, dir: String): DataFrame = {
+    val tokUdf = udf((t: String) =>
+      graft.analysis.WhitespaceAnalyzer(lowercase = true).tokens(t))
+    idx(s, dir).bm25TopK(Seq("vector", "dup", "query"), 10)
+      .join(Tables.documents(s, dir), "doc_id")
+      .withColumn("toks", tokUdf(col("text")))
+      .select(col("doc_id"),
+        round(col("_score") * 10000).cast("bigint").as("score_q"),
+        col("lang"),
+        concat_ws(" ", expr(
+          """transform(toks, t ->
+            |  CASE WHEN t IN ('vector', 'dup', 'query')
+            |       THEN concat('<b>', t, '</b>') ELSE t END)""".stripMargin))
+          .as("snippet"))
+  }
+
   /** ts_tokenize — run a named analyzer at query time, emit (pos, term). */
   def tsTokenize(s: SparkSession, dir: String): DataFrame = {
     val analyzer = AnalyzerRegistry.get("whitespace")
@@ -180,6 +200,7 @@ object Search {
     "ts_lmj_topk" -> lmjTopK,
     "ts_indri_topk" -> indriTopK,
     "ts_dfi_topk" -> dfiTopK,
+    "ts_search_page" -> searchPage,
     "ts_ngram" -> tsNgram,
     "ts_tokenize" -> tsTokenize)
 
@@ -325,6 +346,15 @@ object Search {
       s"""$scoringCtes
          |SELECT doc_id FROM dfscored WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_search_page" ->
+      s"""$scoringCtes
+         |SELECT s.doc_id, CAST(round(s.score * 10000) AS BIGINT) AS score_q, d.lang,
+         |  array_to_string(list_transform(t.ts,
+         |    tk -> CASE WHEN tk IN ('vector', 'dup', 'query')
+         |               THEN concat('<b>', tk, '</b>') ELSE tk END), ' ') AS snippet
+         |FROM (SELECT doc_id, score FROM scored WHERE score > 0
+         |      ORDER BY score DESC, doc_id LIMIT 10) s
+         |JOIN documents d USING (doc_id) JOIN toks t ON t.doc_id = s.doc_id""".stripMargin,
     "ts_ngram" -> {
       val qg = "['vec', 'ect', 'ctr']"
       val g = "CASE WHEN len(t) < 3 THEN [] ELSE list_distinct(list_transform(range(1, len(t) - 1), i -> substr(t, CAST(i AS INT), 3))) END"
