@@ -141,6 +141,27 @@ object Search {
   def tsNgram(s: SparkSession, dir: String): DataFrame =
     idx(s, dir).ngramSimilarity("vectr", minJaccard = 0.35)
 
+  /** Diagnostic scorers raw_tf / raw_dl / raw_boost (search.cpp:142-173) —
+    * with these, every one of the reference's 9 scorers has a verified
+    * entry. Integer-valued scores tie heavily, so ordering is (score,
+    * doc_id) on both sides. */
+  def rawTfTopK(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).rawTf(Seq("vector", "dup", "query"))
+      .orderBy(col("_score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("_score").cast("bigint").as("score"))
+
+  def rawDlTopK(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).rawDl(Seq("vector", "dup", "query"))
+      .orderBy(col("_score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("_score").cast("bigint").as("score"))
+
+  def rawBoostCount(s: SparkSession, dir: String): DataFrame =
+    idx(s, dir).rawBoost(Seq("vector", "dup", "query"), boost = 2.5)
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(col("_score")) * 10).cast("bigint").as("sum_boost_q"))
+
   /** The full search-page shape in one query — what the reference's
     * iresearch_scan hands back to a client (score + INCLUDE columns +
     * PK-resolved rows + presentation): BM25 top-10, covered columns via one
@@ -201,6 +222,9 @@ object Search {
     "ts_indri_topk" -> indriTopK,
     "ts_dfi_topk" -> dfiTopK,
     "ts_search_page" -> searchPage,
+    "ts_rawtf_topk" -> rawTfTopK,
+    "ts_rawdl_topk" -> rawDlTopK,
+    "ts_rawboost_count" -> rawBoostCount,
     "ts_ngram" -> tsNgram,
     "ts_tokenize" -> tsTokenize)
 
@@ -355,6 +379,22 @@ object Search {
          |FROM (SELECT doc_id, score FROM scored WHERE score > 0
          |      ORDER BY score DESC, doc_id LIMIT 10) s
          |JOIN documents d USING (doc_id) JOIN toks t ON t.doc_id = s.doc_id""".stripMargin,
+    "ts_rawtf_topk" ->
+      s"""$scoringCtes
+         |SELECT doc_id, CAST(tf0 + tf1 + tf2 AS BIGINT) AS score FROM tfs
+         |WHERE tf0 + tf1 + tf2 > 0
+         |ORDER BY tf0 + tf1 + tf2 DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_rawdl_topk" ->
+      s"""$scoringCtes
+         |SELECT t.doc_id, CAST(dlen AS BIGINT) AS score
+         |FROM tfs t JOIN dl USING (doc_id)
+         |WHERE tf0 + tf1 + tf2 > 0
+         |ORDER BY dlen DESC, t.doc_id LIMIT 10""".stripMargin,
+    "ts_rawboost_count" ->
+      s"""$scoringCtes
+         |SELECT count(*) AS n_matched,
+         |  CAST(round(count(*) * 2.5 * 10) AS BIGINT) AS sum_boost_q
+         |FROM tfs WHERE tf0 + tf1 + tf2 > 0""".stripMargin,
     "ts_ngram" -> {
       val qg = "['vec', 'ect', 'ctr']"
       val g = "CASE WHEN len(t) < 3 THEN [] ELSE list_distinct(list_transform(range(1, len(t) - 1), i -> substr(t, CAST(i AS INT), 3))) END"
