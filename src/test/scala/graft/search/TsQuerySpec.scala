@@ -58,6 +58,20 @@ class TsQuerySpec extends AnyFunSuite {
     assert(b == Left(EsDsl.Bool(Seq(Term("a")), Seq(Term("b")), Seq(Term("c")), 1)))
   }
 
+  test("ES DSL nested bool flattens into the parent query") {
+    val nested =
+      """{"query": {"bool": {
+        |  "must": [{"bool": {"should": [{"term": {"text": "a"}},
+        |                                 {"term": {"text": "b"}}]}}],
+        |  "must_not": [{"term": {"text": "c"}}]}}}""".stripMargin
+    val got = EsDsl.parse(nested, ws)
+    assert(got == Left(EsDsl.Bool(
+      Seq(And(Seq(Or(Seq(Term("a"), Term("b")))))), Seq(Term("c")), Seq.empty, 0)))
+    assert(TsQueryExec.evalTokens(
+      And(got.swap.toOption.get.must ++ got.swap.toOption.get.mustNot.map(Not.apply)),
+      Seq("b", "x")))
+  }
+
   test("matching equals full-scan evaluation on testdata") {
     val spark = TestSpark.spark
     val docs = Tables.documents(spark, TestSpark.sfDir)
