@@ -16,19 +16,22 @@ object Extras {
     * their exact outputs are engine-specific, so the entry emits QUALITY
     * GATES (the vec_ivf_recall pattern): each boolean turns red if the
     * sketch drifts outside tolerance vs the exact answer. */
-  def approxSketches(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_cd"),
-        approx_count_distinct(col("l_partkey")).as("approx_cd"),
-        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50a"),
-        // exact percentiles exist only to GATE the sketch; one array call =
-        // one pass (and this gate is a test-scale check, not a 100-TB op)
-        expr("percentile(l_extendedprice, array(0.45, 0.55))").as("pb"))
-      .select(
-        (abs(col("approx_cd") - col("exact_cd")).cast("double") /
-          col("exact_cd").cast("double") <= 0.05).as("acd_ok"),
-        col("p50a").between(col("pb")(0), col("pb")(1)).as("pq_ok"))
+  def approxSketches(s: SparkSession, dir: String): DataFrame = {
+    // two independent single-aggregate scans (each pruned to one column)
+    // beat one combined Aggregate, whose count-distinct Expand would
+    // multiply the rows flowing through the percentile buffers; the exact
+    // percentile exists only to GATE the sketch (test-scale check)
+    val cd = Tables.lineitem(s, dir).agg(
+      countDistinct(col("l_partkey")).as("exact_cd"),
+      approx_count_distinct(col("l_partkey")).as("approx_cd"))
+    val pq = Tables.lineitem(s, dir).agg(
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50a"),
+      expr("percentile(l_extendedprice, array(0.45, 0.55))").as("pb"))
+    cd.crossJoin(pq).select(
+      (abs(col("approx_cd") - col("exact_cd")).cast("double") /
+        col("exact_cd").cast("double") <= 0.05).as("acd_ok"),
+      col("p50a").between(col("pb")(0), col("pb")(1)).as("pq_ok"))
+  }
 
   /** COPY-path round-trip: write nation as CSV and JSON, read both back,
     * join on the key and aggregate — proves both readers and writers
