@@ -56,6 +56,15 @@ object Search {
   def tsBetween(s: SparkSession, dir: String): DataFrame =
     idx(s, dir).range(Some("batch"), Some("customer"))
 
+  /** Open-ended range variants — ts_ge/ts_lt (search.h:50,68-71): docs with
+    * a term ≥ 'window' minus docs with a term < 'agg' (both bounds
+    * exclusive/inclusive semantics exercised). */
+  def tsOpenRanges(s: SparkSession, dir: String): DataFrame = {
+    val i = idx(s, dir)
+    i.range(Some("window"), None)
+      .join(i.range(None, Some("agg"), hiInc = false), Seq("doc_id"), "left_anti")
+  }
+
   /** Exact positional phrase — ts_phrase slop 0 (phrase_filter.hpp). */
   def tsPhrase(s: SparkSession, dir: String): DataFrame =
     idx(s, dir).phrase(Seq("hash", "join"))
@@ -209,6 +218,7 @@ object Search {
     "ts_regexp" -> tsRegexp,
     "ts_levenshtein" -> tsLevenshtein,
     "ts_between" -> tsBetween,
+    "ts_open_ranges" -> tsOpenRanges,
     "ts_phrase" -> tsPhrase,
     "ts_phrase_slop" -> tsPhraseSlop,
     "ts_dict_facet" -> tsDictFacet,
@@ -320,6 +330,11 @@ object Search {
       s"""$toks
          |SELECT doc_id FROM toks
          |WHERE len(list_filter(ts, t -> t >= 'batch' AND t <= 'customer')) > 0""".stripMargin,
+    "ts_open_ranges" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE len(list_filter(ts, t -> t >= 'window')) > 0
+         |  AND NOT len(list_filter(ts, t -> t < 'agg')) > 0""".stripMargin,
     "ts_phrase" ->
       s"""$toks
          |SELECT doc_id FROM toks
