@@ -193,8 +193,18 @@ object IndexStore {
       .collect().map(r => s"${r.getLong(0)},${r.getLong(1)},$maxSeg")
     val prior =
       if (exists(spark, s"$dir/_DELETES")) readString(spark, s"$dir/_DELETES") else ""
-    val priorIds = prior.split("\n").filter(_.nonEmpty).map(_.split(",")(0).toLong).toSet
-    val fresh = rows.filter(l => !priorIds.contains(l.split(",")(0).toLong))
+    // dedup on (doc_id, maxSeg), NOT doc_id alone: after delete → re-insert
+    // (UPDATE), the re-inserted doc lives in a NEWER segment, so a second
+    // delete of the same id must land as a new higher-generation tombstone
+    // (the id-only dedup silently dropped it, leaving the doc visible).
+    // Same-generation repeats stay deduped so numDocs/sumDl accounting in
+    // load() never double-subtracts.
+    val priorKeys = prior.split("\n").filter(_.nonEmpty).map { l =>
+      val p = l.split(","); (p(0).toLong, p(2).toInt)
+    }.toSet
+    val fresh = rows.filter { l =>
+      val p = l.split(","); !priorKeys.contains((p(0).toLong, p(2).toInt))
+    }
     writeStringAtomic(spark, s"$dir/_DELETES",
       prior + fresh.mkString("", "\n", if (fresh.nonEmpty) "\n" else ""))
     jvmCache.remove(dir)

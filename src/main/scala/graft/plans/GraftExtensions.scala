@@ -22,6 +22,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
+/** Shared plan-shape guards for the claim rules. A claim replaces a subtree
+  * with an index read, so it is only sound when the replaced subtree is
+  * EXACTLY the shape the index precomputes: a bare scan (modulo column
+  * pruning). Any Filter/Join/Limit in between would be silently discarded by
+  * the rewrite — the reference bails the same way when its pushdown walk
+  * meets a node it cannot claim (iresearch_plan.cpp:1068 claim loop stops at
+  * non-matching operators; ts_dict_plan.hpp only fires on the exact
+  * aggregate-over-scan pattern). */
+private[plans] object PlanShapes {
+  import org.apache.spark.sql.catalyst.expressions.Attribute
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  /** Walks through column-pruning Projects only; returns the first
+    * non-Project node. Anything row-reducing (Filter, Limit, Join, …) is
+    * returned as-is and will fail the caller's pattern match — the
+    * conservative bail. */
+  @annotation.tailrec
+  def stripProjects(plan: LogicalPlan): LogicalPlan = plan match {
+    case Project(_, child) => stripProjects(child)
+    case other => other
+  }
+
+  /** The scan directory iff `plan` is a Project-only chain over the standard
+    * `<dir>/<tableFile>` parquet relation. */
+  def bareRelation(plan: LogicalPlan, tableFile: String): Option[(LogicalRelation, String)] =
+    stripProjects(plan) match {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.headOption.map(_.toString)
+            .filter(_.endsWith(s"/$tableFile"))
+            .map(p => (lr, p.stripSuffix(s"/$tableFile").stripPrefix("file:")))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Provenance: `attr` must BE the relation's column named `name` — same
+    * exprId, not merely the same name. A same-named attribute produced by an
+    * alias or another relation in a join must never be claimed against this
+    * relation's index. */
+  def isColumnOf(lr: LogicalRelation, attr: Attribute, name: String): Boolean =
+    attr.name == name && lr.output.exists(o => o.name == name && o.exprId == attr.exprId)
+}
+
 /** Claims `ts_match(text, 'websearch query', 'dict')` predicates over the
   * documents table OUT of row-evaluated filters and INTO an index-backed
   * left-semi join — the direct analogue of the reference's
@@ -58,40 +102,34 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Project}
   import org.apache.spark.sql.catalyst.expressions.Explode
 
-  private def tokenizeGen(plan: LogicalPlan): Option[(Attribute, String, String)] = {
-    // Generate(explode(ts_tokenize_sql(text, 'dict'))) over the documents
-    // scan, possibly under Projects; returns (token attr, dict, sf dir)
-    val gen = plan.collectFirst {
+  /** The claimable shape, checked strictly: Aggregate.child is a
+    * Project-only chain down to Generate(explode(ts_tokenize_sql(text,
+    * 'dict'))), whose child is a Project-only chain down to the documents
+    * scan, with `text` provenance-checked against that scan. Any Filter /
+    * Join / Limit on either leg means the dictionary totals would not match
+    * the query's input rows — bail, keep the explode plan (the filtered
+    * facet then tokenizes only what it must; still correct). */
+  private def tokenizeGen(plan: LogicalPlan): Option[(Attribute, String, String, LogicalRelation)] =
+    PlanShapes.stripProjects(plan) match {
       case g @ Generate(Explode(u: ScalaUDF), _, _, _, _, _)
-          if u.udfName.contains("ts_tokenize_sql") => (g, u)
+          if u.udfName.contains("ts_tokenize_sql") =>
+        (u.children, g.generatorOutput) match {
+          case (Seq(a: AttributeReference, Literal(d: UTF8String, _)), Seq(tokenAttr)) =>
+            PlanShapes.bareRelation(g.child, "documents.parquet").collect {
+              case (lr, dir) if PlanShapes.isColumnOf(lr, a, "text") =>
+                (tokenAttr, d.toString, dir, lr)
+            }
+          case _ => None
+        }
+      case _ => None
     }
-    gen.flatMap { case (g, u) =>
-      (u.children, g.generatorOutput) match {
-        case (Seq(a: AttributeReference, Literal(d: UTF8String, _)), Seq(tokenAttr))
-            if a.name == "text" =>
-          documentsDirOf(g.child).map(dir => (tokenAttr, d.toString, dir))
-        case _ => None
-      }
-    }
-  }
-
-  private def documentsDirOf(plan: LogicalPlan): Option[String] =
-    plan.collectFirst {
-      case lr: LogicalRelation => lr.relation match {
-        case h: HadoopFsRelation =>
-          h.location.rootPaths.headOption.map(_.toString)
-            .filter(_.endsWith("/documents.parquet"))
-            .map(_.stripSuffix("/documents.parquet").stripPrefix("file:"))
-        case _ => None
-      }
-    }.flatten
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Seq(groupAttr: Attribute), aggExprs, child, _) =>
       try {
         tokenizeGen(child) match {
-          case Some((tokenAttr, dict, dir)) if groupAttr.semanticEquals(tokenAttr) =>
-            rewrite(agg, aggExprs, tokenAttr, dict, dir).getOrElse(agg)
+          case Some((tokenAttr, dict, dir, lr)) if groupAttr.semanticEquals(tokenAttr) =>
+            rewrite(agg, aggExprs, tokenAttr, dict, dir, lr).getOrElse(agg)
           case _ => agg
         }
       } catch {
@@ -102,7 +140,8 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
   }
 
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
-      tokenAttr: Attribute, dict: String, dir: String): Option[LogicalPlan] = {
+      tokenAttr: Attribute, dict: String, dir: String,
+      lr: LogicalRelation): Option[LogicalPlan] = {
     val idx = graft.index.IndexStore.documents(spark, dir, dict)
     val td = idx.termDict.select(
       org.apache.spark.sql.functions.col("term"),
@@ -118,7 +157,7 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
       case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), name) =>
         Some(Alias(ctfA, name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(Count(Seq(c: Attribute)), _, true, _, _), name)
-          if c.name == "doc_id" =>
+          if PlanShapes.isColumnOf(lr, c, "doc_id") =>
         Some(Alias(dfA, name)(exprId = al.exprId))
       case _ => None
     }
@@ -144,7 +183,7 @@ case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
   private def annUdf(e: Expression): Option[(AttributeReference, Seq[Float])] = e match {
     case u: ScalaUDF if u.udfName.contains("ann_l2") =>
       u.children match {
-        case Seq(a: AttributeReference, Literal(arr: ArrayData, t)) if a.name == "embedding" =>
+        case Seq(a: AttributeReference, Literal(arr: ArrayData, t)) =>
           val q = t match {
             case org.apache.spark.sql.types.ArrayType(
                 org.apache.spark.sql.types.FloatType, _) => arr.toFloatArray().toSeq
@@ -159,29 +198,23 @@ case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def embeddingsDir(plan: LogicalPlan): Option[String] =
-    plan.collectFirst {
-      case lr: LogicalRelation => lr.relation match {
-        case h: HadoopFsRelation =>
-          h.location.rootPaths.headOption.map(_.toString)
-            .filter(_.endsWith("/embeddings.parquet"))
-            .map(_.stripSuffix("/embeddings.parquet").stripPrefix("file:"))
-        case _ => None
-      }
-    }.flatten
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case gl @ GlobalLimit(Literal(k: Int, _), LocalLimit(_, inner)) =>
       try {
         val claimed = inner match {
           case Project(projList, Sort(Seq(SortOrder(so, Ascending, _, _)), true, grand, _)) =>
             for {
-              (_, q) <- annUdf(so)
-              dir <- embeddingsDir(grand)
+              (embAttr, q) <- annUdf(so)
+              // the sorted input must be the BARE embeddings scan (modulo
+              // column-pruning Projects): a Filter/Join/Limit under the Sort
+              // would be discarded by the probe rewrite — leave those exact
+              (lr, dir) <- PlanShapes.bareRelation(grand, "embeddings.parquet")
+              if PlanShapes.isColumnOf(lr, embAttr, "embedding")
               // claim only a bare vec_id projection — anything else would
               // need a join-back we don't rewrite here
               out <- projList match {
-                case Seq(a: AttributeReference) if a.name == "vec_id" => Some(a)
+                case Seq(a: AttributeReference)
+                    if PlanShapes.isColumnOf(lr, a, "vec_id") => Some(a)
                 case _ => None
               }
             } yield {
@@ -221,16 +254,26 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** The sf directory when `plan` scans the standard documents table. */
-  private def documentsDir(plan: LogicalPlan): Option[String] =
+  /** Resolves the documents scan that PRODUCED `textAttr` — matched by
+    * exprId, not name, so a join partner exposing its own `text` column can
+    * never have its predicate claimed against the documents index. Returns
+    * the sf dir and that scan's own `doc_id` attribute (the sound semi-join
+    * key even when several joined relations expose a `doc_id`). */
+  private def documentsScanOf(plan: LogicalPlan,
+      textAttr: AttributeReference): Option[(String, AttributeReference)] =
     plan.collectFirst {
-      case lr: LogicalRelation => lr.relation match {
-        case h: HadoopFsRelation =>
-          h.location.rootPaths.headOption.map(_.toString)
-            .filter(_.endsWith("/documents.parquet"))
-            .map(_.stripSuffix("/documents.parquet").stripPrefix("file:"))
-        case _ => None
-      }
+      case lr: LogicalRelation if PlanShapes.isColumnOf(lr, textAttr, "text") =>
+        lr.relation match {
+          case h: HadoopFsRelation =>
+            for {
+              dir <- h.location.rootPaths.headOption.map(_.toString)
+                .filter(_.endsWith("/documents.parquet"))
+                .map(_.stripSuffix("/documents.parquet").stripPrefix("file:"))
+              docId <- lr.output.collectFirst {
+                case a: AttributeReference if a.name == "doc_id" => a }
+            } yield (dir, docId)
+          case _ => None
+        }
     }.flatten
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -245,19 +288,21 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def claim(f: Filter, cond: Expression, child: LogicalPlan): LogicalPlan = {
-    val docId = child.output.find(_.name == "doc_id")
-    val dir = documentsDir(child)
     val parts = conjuncts(cond)
     val claimable = parts.flatMap { p =>
-      asTsMatch(p).collect {
-        case (attr, q, dict) if attr.name == "text" && docId.isDefined && dir.isDefined =>
-          (p, q, dict)
-      }
+      for {
+        (attr, q, dict) <- asTsMatch(p)
+        (dir, docId) <- documentsScanOf(child, attr)
+        // the scan's doc_id must still be visible at the filter for the
+        // semi-join to be well-formed (it always is for the plain
+        // scan→filter shape; a projection that dropped it bails here)
+        if child.outputSet.contains(docId)
+      } yield (p, q, dict, dir, docId)
     }
     if (claimable.isEmpty) return f
 
-    val joined = claimable.foldLeft(child) { case (acc, (_, q, dict)) =>
-      val idx = graft.index.IndexStore.documents(spark, dir.get, dict)
+    val joined = claimable.foldLeft(child) { case (acc, (_, q, dict, dir, docId)) =>
+      val idx = graft.index.IndexStore.documents(spark, dir, dict)
       val parsed = graft.search.TsQueryParser.websearch(
         q, graft.analysis.AnalyzerRegistry.get(dict))
       val matched = graft.search.TsQueryExec.matching(idx, parsed)
@@ -266,7 +311,7 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
       // otherwise reach physical planning unreplaced and fail the query
       val mPlan = matched.queryExecution.optimizedPlan
       val rightId = mPlan.output.find(_.name == "doc_id").get
-      Join(acc, mPlan, LeftSemi, Some(EqualTo(docId.get, rightId)), JoinHint.NONE)
+      Join(acc, mPlan, LeftSemi, Some(EqualTo(docId, rightId)), JoinHint.NONE)
     }
     val claimedSet = claimable.map(_._1).toSet
     parts.filterNot(claimedSet).reduceOption(CAnd(_, _))

@@ -103,6 +103,49 @@ object Surface {
       .agg(count(lit(1)).cast("bigint").as("n_overlap"))
   }
 
+  /** A FILTERED facet: the lang predicate means the term-dict rewrite must
+    * NOT fire (whole-corpus counts would be wrong) — the strict Project-only
+    * claim guard keeps the explode plan, which tokenizes only lang='en' rows
+    * after pushdown. Green here proves the bail path end-to-end. */
+  def tsDictFiltered(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+    s.sql("""SELECT token, count(DISTINCT doc_id) AS docs, count(*) AS freq
+            |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
+            |      FROM graft_documents WHERE lang = 'en')
+            |GROUP BY token""".stripMargin)
+  }
+
+  /** A FILTERED ANN top-k: the vec_id predicate under the Sort means
+    * ClaimAnnTopK must leave the exact sort in place (an IVF probe would
+    * silently drop the filter) — so the result is exact and oracle-hashable,
+    * unlike the claimed (approximate) vec_claimed_ann. */
+  def vecAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 2 === 1)
+      .orderBy(call_udf("ann_l2", col("embedding"), typedlit(q)))
+      .limit(10)
+      .select(col("vec_id"))
+  }
+
+  /** bool + minimum_should_match=2 through the ES DSL row-eval path: doc 1
+    * matches 2 should branches, doc 2 only 1 — counting semantics, not the
+    * drop-the-shoulds superset (dsl.cpp:326-349). */
+  def esDslMsm(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_msm", esDocs, overwrite = true)
+    EsTables.search(s, root, "reviews_msm",
+      """{"query": {"bool": {
+        |  "must": [{"term": {"text": "engine"}}],
+        |  "should": [{"term": {"text": "good"}}, {"term": {"text": "fast"}},
+        |             {"term": {"text": "slow"}}],
+        |  "minimum_should_match": 2}}}""".stripMargin)
+  }
+
   /** The index as a SQL relation: query its parts directly (demo3's
     * `SELECT ... FROM imdb_fts_idx` pattern) — here a term-dict range scan
     * joined to postings for per-term document lists. */
@@ -120,6 +163,9 @@ object Surface {
     "idx_relation_sql" -> idxRelationSql,
     "vec_claimed_ann" -> vecClaimedAnn,
     "ts_dict_pushdown" -> tsDictPushdown,
+    "ts_dict_filtered" -> tsDictFiltered,
+    "vec_ann_filtered" -> vecAnnFiltered,
+    "es_dsl_msm" -> esDslMsm,
     "ts_claimed_match" -> tsClaimedMatch,
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
@@ -146,6 +192,17 @@ object Surface {
       s"""$toks
          |SELECT term AS token, count(DISTINCT doc_id) AS docs, count(*) AS freq
          |FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY term""".stripMargin,
+    "ts_dict_filtered" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents WHERE lang = 'en')
+        |SELECT term AS token, count(DISTINCT doc_id) AS docs, count(*) AS freq
+        |FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY term""".stripMargin,
+    "vec_ann_filtered" ->
+      """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id FROM embeddings, qv WHERE vec_id % 2 = 1
+        |ORDER BY list_distance(embedding::DOUBLE[], qe::DOUBLE[]) LIMIT 10""".stripMargin,
+    "es_dsl_msm" -> """SELECT '1' AS "_id"""",
     "ts_claimed_match" ->
       s"""$toks
          |SELECT t.doc_id FROM toks t JOIN documents d USING (doc_id)

@@ -95,16 +95,18 @@ object EsTables {
       dslJson: String, field: String = "text",
       dict: String = "whitespace"): DataFrame = {
     val analyzer = AnalyzerRegistry.get(dict)
-    val q = EsDsl.parse(dslJson, analyzer) match {
-      case Right(qq) => qq
-      case Left(b) =>
-        graft.search.TsQuery.And(
-          b.must ++ b.mustNot.map(graft.search.TsQuery.Not.apply) ++
-            (if (b.should.nonEmpty && b.minShouldMatch <= 1)
-              Seq(graft.search.TsQuery.Or(b.should)) else Seq.empty))
+    // a top-level bool keeps full counting semantics: every must matches, no
+    // must_not matches, and >= minimum_should_match of the should branches
+    // match — counted per branch in the row-eval, exactly dsl.cpp:326-349
+    val pred: Seq[String] => Boolean = EsDsl.parse(dslJson, analyzer) match {
+      case Right(q) => toks => TsQueryExec.evalTokens(q, toks)
+      case Left(b) => toks =>
+        b.must.forall(TsQueryExec.evalTokens(_, toks)) &&
+          !b.mustNot.exists(TsQueryExec.evalTokens(_, toks)) &&
+          (b.should.isEmpty || b.minShouldMatch <= 0 ||
+            b.should.count(TsQueryExec.evalTokens(_, toks)) >= b.minShouldMatch)
     }
-    val matches = udf((src: String) =>
-      TsQueryExec.evalTokens(q, analyzer.tokens(src)))
+    val matches = udf((src: String) => pred(analyzer.tokens(src)))
     table(spark, root, name)
       .filter(matches(get_json_object(col("_source"), s"$$.$field")))
       .select(col("_id"))

@@ -141,6 +141,30 @@ class IndexSpec extends AnyFunSuite {
     assert(updated.numDocs == idx.numDocs, "update must not change doc count")
   }
 
+  test("second delete after an update tombstones the re-inserted doc") {
+    val dir = sys.props("java.io.tmpdir") + s"/graft-test-del2-${System.nanoTime()}"
+    val spark2 = spark
+    import spark2.implicits._
+    IndexStore.appendSegment(
+      InvertedIndex.build(docs, "doc_id", "text", "whitespace"), dir)
+    // UPDATE doc 0 (delete + re-insert in a newer segment) …
+    IndexStore.delete(spark, dir, Seq(0L))
+    IndexStore.appendSegment(
+      InvertedIndex.build(Seq((0L, "reborn zebra doc")).toDF("doc_id", "text"),
+        "doc_id", "text", "whitespace"), dir)
+    assert(ids(IndexStore.load(spark, dir).term("zebra")) == Set(0L))
+    // … then DELETE it again: the tombstone must land at the new generation,
+    // not be deduped away by the id-only check
+    IndexStore.delete(spark, dir, Seq(0L))
+    val after = IndexStore.load(spark, dir)
+    assert(ids(after.term("zebra")).isEmpty,
+      "a second delete of a re-inserted id must suppress the newer version")
+    assert(after.numDocs == idx.numDocs - 1)
+    IndexStore.compact(spark, dir)
+    assert(ids(IndexStore.load(spark, dir).term("zebra")).isEmpty,
+      "compaction must fold the double-delete away permanently")
+  }
+
   test("deletes: tombstones leave every result; compaction folds them away") {
     val dir = sys.props("java.io.tmpdir") + s"/graft-test-del-${System.nanoTime()}"
     IndexStore.appendSegment(

@@ -41,4 +41,29 @@ class EsTablesSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(cat.get("t").contains(4L))
   }
+
+  test("bool minimum_should_match > 1 enforces per-branch counting") {
+    val spark = TestSpark.spark
+    val root = sys.props("java.io.tmpdir") + s"/graft-es-msm-${System.nanoTime()}"
+    EsTables.bulk(spark, root, "t", docs, overwrite = true)
+
+    // should-only, msm=2: a1 matches 3 branches, a3 matches 2, a2 matches 1
+    def hits(dsl: String): Set[String] =
+      EsTables.search(spark, root, "t", dsl).collect().map(_.getString(0)).toSet
+    assert(hits(
+      """{"query": {"bool": {"should": [
+        |  {"term": {"text": "quick"}}, {"term": {"text": "brown"}},
+        |  {"term": {"text": "fox"}}], "minimum_should_match": 2}}}""".stripMargin)
+      == Set("a1", "a3"),
+      "msm=2 must keep only docs matching >= 2 should branches")
+
+    // must + should msm=2: must 'fox' ∈ {a1,a3}; should counts a1=1, a3=2
+    assert(hits(
+      """{"query": {"bool": {"must": [{"term": {"text": "fox"}}],
+        |  "should": [{"term": {"text": "quick"}}, {"term": {"text": "red"}},
+        |             {"term": {"text": "dog"}}],
+        |  "minimum_should_match": 2}}}""".stripMargin)
+      == Set("a3"),
+      "msm must be counted on top of must clauses, not dropped")
+  }
 }
