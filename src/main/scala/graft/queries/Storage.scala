@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.AvroTables
+
+/** Storage-format and physical-layout entries: Avro scan/write, ORC
+  * roundtrip, and bucketed co-located joins (SURVEY §2.1 formats; §2.3
+  * co-located join strategy).
+  */
+object Storage {
+
+  private def tmp(prefix: String, dir: String): String =
+    sys.props("java.io.tmpdir") + s"/$prefix-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+
+  /** Avro write + distributed Avro scan (AvroTables drives the splittable
+    * Hadoop input format; third_party/duckdb_avro analogue). The filter
+    * proves the scan produces real typed columns, not blobs. */
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("graft-avro", dir)
+    AvroTables.write(
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"), path)
+    AvroTables.read(s, path)
+      .filter(col("n_chars") > 200)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  /** ORC write + native ORC scan (Spark's built-in columnar alternative —
+    * predicate pushdown and column pruning work like parquet). */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("graft-orc", dir)
+    Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+  }
+
+  /** Co-located join over bucketed tables: both sides pre-hashed into the
+    * same bucket count on the join key, so the SortMergeJoin needs NO
+    * shuffle exchange on either side (asserted in BucketedJoinSpec with
+    * broadcast disabled) — the layout you'd give a repeatedly-joined
+    * 100 TB fact table so every downstream join skips its exchange. */
+  /** saveAsTable with overwrite, robust to a PREVIOUS JVM's leftover
+    * warehouse directory: the in-memory catalog forgets the table across
+    * restarts but its location persists, and saveAsTable refuses to reuse
+    * it — clear the orphaned location first. */
+  def saveBucketed(df: DataFrame, name: String, buckets: Int, key: String): Unit = {
+    val s = df.sparkSession
+    if (!s.catalog.tableExists(name)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, name)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(name)
+  }
+
+  def q18BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    saveBucketed(Tables.orders(s, dir), "graft_orders_bkt", 16, "o_custkey")
+    saveBucketed(Tables.customer(s, dir), "graft_customer_bkt", 16, "c_custkey")
+    s.table("graft_orders_bkt")
+      .join(s.table("graft_customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_cents"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "avro_roundtrip" -> avroRoundtrip,
+    "orc_roundtrip" -> orcRoundtrip,
+    "q18_bucketed_join" -> q18BucketedJoin)
+
+  val oracles: Map[String, String] = Map(
+    "avro_roundtrip" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200",
+    "orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q18_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin)
+}
