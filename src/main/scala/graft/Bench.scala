@@ -31,10 +31,13 @@ object Bench {
     names.foreach(runOnce) // warmup: JIT + codegen cache + parquet footers
     // median of 3 timed runs — n=1 deltas were noise-level (VERDICT r2)
     val results = names.map(n => n -> Seq.fill(3)(runOnce(n)).sorted.apply(1))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision keeps the line under the harness's tail-capture window
+    // (r02/r03 lines overflowed it and parsed as null); headline fields go
+    // LAST so front-truncation still leaves them regex-recoverable.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total%.3f,"unit":"sec"}""")
     spark.stop()
   }
 }

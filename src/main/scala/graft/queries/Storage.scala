@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.sources.AvroTables
+import graft.sources.{AvroTables, JdbcTables}
 
 /** Storage-format and physical-layout entries: Avro scan/write, ORC
   * roundtrip, and bucketed co-located joins (SURVEY §2.1 formats; §2.3
@@ -68,9 +68,25 @@ object Storage {
         sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_cents"))
   }
 
+  /** Foreign-server scan through embedded Derby (JdbcTables): seed once,
+    * then a PARTITIONED jdbc read (8 parallel range-scans on c_custkey)
+    * with the filter pushed into the remote SQL (PushedFilters on the
+    * JDBCRelation), aggregated Spark-side. */
+  def jdbcForeignScan(s: SparkSession, dir: String): DataFrame = {
+    val dbDir = tmp("graft-derby", dir)
+    JdbcTables.seedCustomer(s, dir, dbDir)
+    val maxKey = Tables.customer(s, dir).agg(max("c_custkey")).head().getLong(0)
+    JdbcTables.readCustomer(s, dbDir, maxKey)
+      .filter(col("c_acctbal") > 1000.0)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("c_acctbal") * 100).cast("bigint")).as("bal_cents"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "avro_roundtrip" -> avroRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
+    "jdbc_foreign_scan" -> jdbcForeignScan,
     "q18_bucketed_join" -> q18BucketedJoin)
 
   val oracles: Map[String, String] = Map(
@@ -80,6 +96,11 @@ object Storage {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "jdbc_foreign_scan" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer WHERE c_acctbal > 1000.0
+        |GROUP BY 1""".stripMargin,
     "q18_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
