@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.sources.{AvroTables, JdbcTables}
+import graft.sources.{AvroTables, JdbcTables, PgCopyTables}
 
 /** Storage-format and physical-layout entries: Avro scan/write, ORC
   * roundtrip, and bucketed co-located joins (SURVEY §2.1 formats; §2.3
@@ -68,6 +68,22 @@ object Storage {
         sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_cents"))
   }
 
+  /** PG binary COPY round-trip (PgCopyTables): supplier → sharded PGCOPY
+    * containers → typed read-back → aggregate. Proves the byte-level
+    * serializers against real data, not just the plumbing: any
+    * endianness/length slip changes the numbers and fails the oracle. */
+  def pgcopyRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmp("graft-pgcopy", dir)
+    val supplier = Tables.supplier(s, dir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    PgCopyTables.write(supplier, path)
+    PgCopyTables.read(s, path, supplier.schema)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("s_acctbal") * 100).cast("bigint")).as("bal_cents"),
+        max(col("s_name")).as("max_name"))
+  }
+
   /** Foreign-server scan through embedded Derby (JdbcTables): seed once,
     * then a PARTITIONED jdbc read (8 parallel range-scans on c_custkey)
     * with the filter pushed into the remote SQL (PushedFilters on the
@@ -87,6 +103,7 @@ object Storage {
     "avro_roundtrip" -> avroRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
     "jdbc_foreign_scan" -> jdbcForeignScan,
+    "pgcopy_roundtrip" -> pgcopyRoundtrip,
     "q18_bucketed_join" -> q18BucketedJoin)
 
   val oracles: Map[String, String] = Map(
@@ -101,6 +118,11 @@ object Storage {
         |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM customer WHERE c_acctbal > 1000.0
         |GROUP BY 1""".stripMargin,
+    "pgcopy_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        |  max(s_name) AS max_name
+        |FROM supplier GROUP BY 1""".stripMargin,
     "q18_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
