@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.sources.{AvroTables, JdbcTables, PgCopyTables}
+import graft.sources.{AvroTables, IcebergTables, JdbcTables, PgCopyTables}
 
 /** Storage-format and physical-layout entries: Avro scan/write, ORC
   * roundtrip, and bucketed co-located joins (SURVEY §2.1 formats; §2.3
@@ -99,7 +99,47 @@ object Storage {
         sum(round(col("c_acctbal") * 100).cast("bigint")).as("bal_cents"))
   }
 
+  /** Build the Iceberg fixture table once per sf dir: snapshot 1 = even
+    * doc_ids, snapshot 2 appends the odd ones (idempotent — reused when
+    * both snapshots already exist). */
+  private def ensureIcebergDocs(s: SparkSession, dir: String): String = {
+    val table = tmp("graft-iceberg", dir)
+    val ok =
+      try IcebergTables.snapshots(s, table).size == 2
+      catch { case _: Exception => false }
+    if (!ok) {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      IcebergTables.createOrReplace(docs.filter(col("doc_id") % 2 === 0), table)
+      IcebergTables.append(docs.filter(col("doc_id") % 2 === 1), table)
+    }
+    table
+  }
+
+  /** Iceberg snapshot scan: resolve metadata.json → manifest list →
+    * manifests on the driver, then a plain distributed parquet scan of the
+    * live files; both commits must be visible. */
+  def icebergScan(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureIcebergDocs(s, dir)
+    IcebergTables.read(s, table)
+      .filter(col("n_chars") > 100)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+  }
+
+  /** Time travel: the same table read as of snapshot 1 must see ONLY the
+    * first commit (even doc_ids) — the append must not leak backwards. */
+  def icebergTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureIcebergDocs(s, dir)
+    val first = IcebergTables.snapshots(s, table).min
+    IcebergTables.read(s, table, asOfSnapshotId = Some(first))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "iceberg_scan" -> icebergScan,
+    "iceberg_time_travel" -> icebergTimeTravel,
     "avro_roundtrip" -> avroRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
     "jdbc_foreign_scan" -> jdbcForeignScan,
@@ -107,6 +147,12 @@ object Storage {
     "q18_bucketed_join" -> q18BucketedJoin)
 
   val oracles: Map[String, String] = Map(
+    "iceberg_scan" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE n_chars > 100 GROUP BY 1""".stripMargin,
+    "iceberg_time_travel" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id % 2 = 0 GROUP BY 1""".stripMargin,
     "avro_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200",
     "orc_roundtrip" ->

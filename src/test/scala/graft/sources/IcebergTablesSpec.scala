@@ -1,0 +1,83 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Iceberg table semantics: snapshot isolation under append, time travel,
+  * schema enforcement on commit, and spec-shaped metadata (v2 format,
+  * manifest-list field names, record counts). */
+class IcebergTablesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val dir = TestSpark.sfDir
+  private val table = sys.props("java.io.tmpdir") + "/graft-iceberg-spec"
+
+  private def docs = Tables.documents(spark, dir)
+    .select("doc_id", "lang", "source", "n_chars")
+
+  test("append commits are snapshot-isolated and time travel replays them") {
+    val s1 = IcebergTables.createOrReplace(docs.filter(col("doc_id") % 2 === 0), table)
+    val s2 = IcebergTables.append(docs.filter(col("doc_id") % 2 === 1), table)
+    assert(IcebergTables.snapshots(spark, table) == Seq(s1, s2))
+
+    val total = docs.count()
+    val even = docs.filter(col("doc_id") % 2 === 0).count()
+    assert(IcebergTables.read(spark, table).count() == total)
+    assert(IcebergTables.read(spark, table, Some(s1)).count() == even)
+    // as-of values, not just counts: snapshot 1 must hold exactly the evens
+    val s1Ids = IcebergTables.read(spark, table, Some(s1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1Ids == docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("append rejects a mismatched schema") {
+    IcebergTables.createOrReplace(docs, table + "-schema")
+    val bad = docs.withColumn("n_chars", col("n_chars").cast("int"))
+    val e = intercept[IllegalArgumentException](
+      IcebergTables.append(bad, table + "-schema"))
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("metadata layout follows the v2 spec shape") {
+    IcebergTables.createOrReplace(docs.limit(50), table + "-meta")
+    IcebergTables.append(docs.limit(10), table + "-meta")
+    val metaDir = new java.io.File(table + "-meta/metadata")
+    val names = metaDir.listFiles().map(_.getName).toSet
+    assert(names.contains("version-hint.text"))
+    assert(names.contains("v1.metadata.json") && names.contains("v2.metadata.json"))
+    assert(names.exists(_.startsWith("snap-")), "manifest list missing")
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(new java.io.File(metaDir, "v2.metadata.json"))
+    assert(meta.get("format-version").asInt == 2)
+    assert(meta.get("snapshots").size == 2)
+    assert(meta.get("partition-specs").get(0).get("fields").size == 0)
+
+    // manifest list rows carry the spec's counting fields
+    val curList = meta.get("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong)
+      .get.get("manifest-list").asText
+    val in = new java.io.FileInputStream(curList.stripPrefix("file:"))
+    val rdr = new org.apache.avro.file.DataFileStream(in,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val rows = rdr.iterator().asScala.toVector
+    rdr.close(); in.close()
+    assert(rows.size == 2, "current list must reference both manifests")
+    assert(rows.map(_.get("added_rows_count").asInstanceOf[Long]).sum == 60)
+    assert(rows.forall(_.getSchema.getField("manifest_path") != null))
+  }
+
+  test("scan keeps parquet pushdown through the snapshot resolution") {
+    IcebergTables.createOrReplace(docs, table + "-push")
+    val scan = IcebergTables.read(spark, table + "-push")
+      .filter(col("n_chars") > 500).select("doc_id")
+    val physical = scan.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("n_chars"),
+      s"filter must reach the parquet scan:\n$physical")
+  }
+}
