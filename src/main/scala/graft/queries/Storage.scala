@@ -116,6 +116,41 @@ object Storage {
     table
   }
 
+  /** Identity-partitioned Iceberg fixture: snapshot 1 = all docs
+    * partitioned by lang, snapshot 2 = partition drop of 'de'. */
+  private def ensureIcebergPart(s: SparkSession, dir: String): String = {
+    val table = tmp("graft-iceberg-part", dir)
+    val ok =
+      try IcebergTables.snapshots(s, table).size == 2
+      catch { case _: Exception => false }
+    if (!ok) {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      IcebergTables.createOrReplace(docs, table, partitionBy = Some("lang"))
+      IcebergTables.dropPartition(s, table, "de")
+    }
+    table
+  }
+
+  /** Manifest-level partition pruning: a lang='en' read plans ONLY the en
+    * partition's files — other partitions are never listed or opened (the
+    * property that matters at 100 TB; asserted on inputFiles in the spec). */
+  def icebergPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureIcebergPart(s, dir)
+    IcebergTables.read(s, table, partitionValue = Some("en"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+  }
+
+  /** Partition drop = file-level DELETE: the current snapshot must not see
+    * the dropped 'de' partition, with no data rewritten. */
+  def icebergDropPartition(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureIcebergPart(s, dir)
+    IcebergTables.read(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+  }
+
   /** Iceberg snapshot scan: resolve metadata.json → manifest list →
     * manifests on the driver, then a plain distributed parquet scan of the
     * live files; both commits must be visible. */
@@ -140,6 +175,8 @@ object Storage {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "iceberg_scan" -> icebergScan,
     "iceberg_time_travel" -> icebergTimeTravel,
+    "iceberg_partition_prune" -> icebergPartitionPrune,
+    "iceberg_drop_partition" -> icebergDropPartition,
     "avro_roundtrip" -> avroRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
     "jdbc_foreign_scan" -> jdbcForeignScan,
@@ -153,6 +190,12 @@ object Storage {
     "iceberg_time_travel" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id % 2 = 0 GROUP BY 1""".stripMargin,
+    "iceberg_partition_prune" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
+    "iceberg_drop_partition" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang <> 'de' GROUP BY 1""".stripMargin,
     "avro_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200",
     "orc_roundtrip" ->

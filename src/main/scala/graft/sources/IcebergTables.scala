@@ -11,12 +11,15 @@ import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
-/** Minimal Apache Iceberg v2 table: spec-conformant metadata so a snapshot
-  * scan and time travel work without the Iceberg runtime jars (absent in
-  * this build). Reference analogue: /root/reference/third_party/
-  * duckdb_iceberg (metadata-driven snapshot scans over parquet).
+/** Minimal Apache Iceberg v2 table: spec-conformant metadata so snapshot
+  * scans, time travel, identity partitioning with manifest-level partition
+  * pruning, and partition-drop deletes work without the Iceberg runtime
+  * jars (absent in this build). Reference analogue:
+  * /root/reference/third_party/duckdb_iceberg (metadata-driven snapshot
+  * scans over parquet).
   *
   * Layout per the public spec (iceberg.apache.org/spec):
   * {{{
@@ -24,17 +27,21 @@ import org.apache.spark.sql.types._
   *   table/metadata/version-hint.text     latest N
   *   table/metadata/snap-<id>.avro        manifest list (Avro)
   *   table/metadata/<uuid>-m0.avro        manifest: data-file entries (Avro)
-  *   table/data/<uuid>/part-*.parquet     data files
+  *   table/data/<uuid>/[col=val/]*.parquet  data files
   * }}}
   *
   * Planning is driver-side METADATA IO only (a few KB of JSON + Avro, like
   * any Iceberg client); the data read is a plain distributed parquet scan
-  * of the snapshot's live files, so pushdown/pruning work unchanged. The
-  * writer covers unpartitioned append-only tables (commit = new data files
-  * + new manifest + full manifest list + next metadata version); each
-  * append bumps the snapshot, and `read(asOfSnapshotId)` replays any
-  * committed state. Supported column types: the flat primitives the driver
-  * tables use (long/int/double/float/string/boolean/binary).
+  * of the snapshot's live files, so pushdown/pruning work unchanged. This
+  * is the property that matters at 100 TB: a partition-filtered read never
+  * touches — never even lists — the files of other partitions, because the
+  * manifest entries carry each file's partition tuple and pruning happens
+  * on metadata before any data IO. The writer covers unpartitioned and
+  * identity-partitioned append-only tables plus whole-partition deletes
+  * (commit = new data files + manifest + full manifest list + next
+  * metadata version). Column types: the flat primitives the driver tables
+  * use (long/int/double/float/string/boolean/binary); partition columns
+  * may be string/long/int.
   */
 object IcebergTables {
 
@@ -93,28 +100,41 @@ object IcebergTables {
       field("deleted_rows_count", 514, prim(Schema.Type.LONG), optional = false)
     ).asJava)
 
-  /** data_file + manifest_entry records (spec §Manifests). `partition` is
-    * the empty struct — unpartitioned spec-id 0. */
-  private val dataFileSchema: Schema = Schema.createRecord(
-    "r2", null, "org.apache.iceberg", false, Seq(
+  /** data_file + manifest_entry records (spec §Manifests). The `partition`
+    * struct holds the identity-partition tuple: one typed field with
+    * partition-field-id 1000, or empty when unpartitioned. */
+  private def dataFileSchema(part: Option[(String, DataType)]): Schema = {
+    val partFields = part.toSeq.map { case (name, dt) =>
+      val avroT = dt match {
+        case StringType => Schema.Type.STRING
+        case LongType => Schema.Type.LONG
+        case IntegerType => Schema.Type.INT
+        case other =>
+          throw new IllegalArgumentException(s"iceberg: unsupported partition type $other")
+      }
+      field(name, 1000, prim(avroT), optional = false)
+    }
+    Schema.createRecord("r2", null, "org.apache.iceberg", false, Seq(
       field("content", 134, prim(Schema.Type.INT), optional = false),
       field("file_path", 100, prim(Schema.Type.STRING), optional = false),
       field("file_format", 101, prim(Schema.Type.STRING), optional = false),
       field("partition", 102,
         Schema.createRecord("r102", null, "org.apache.iceberg", false,
-          Seq.empty[Schema.Field].asJava), optional = false),
+          partFields.asJava), optional = false),
       field("record_count", 103, prim(Schema.Type.LONG), optional = false),
       field("file_size_in_bytes", 104, prim(Schema.Type.LONG), optional = false)
     ).asJava)
+  }
 
-  private val manifestEntrySchema: Schema = Schema.createRecord(
-    "manifest_entry", null, "org.apache.iceberg", false, Seq(
-      field("status", 0, prim(Schema.Type.INT), optional = false),
-      field("snapshot_id", 1, prim(Schema.Type.LONG), optional = true),
-      field("sequence_number", 3, prim(Schema.Type.LONG), optional = true),
-      field("file_sequence_number", 4, prim(Schema.Type.LONG), optional = true),
-      field("data_file", 2, dataFileSchema, optional = false)
-    ).asJava)
+  private def manifestEntrySchema(part: Option[(String, DataType)]): Schema =
+    Schema.createRecord(
+      "manifest_entry", null, "org.apache.iceberg", false, Seq(
+        field("status", 0, prim(Schema.Type.INT), optional = false),
+        field("snapshot_id", 1, prim(Schema.Type.LONG), optional = true),
+        field("sequence_number", 3, prim(Schema.Type.LONG), optional = true),
+        field("file_sequence_number", 4, prim(Schema.Type.LONG), optional = true),
+        field("data_file", 2, dataFileSchema(part), optional = false)
+      ).asJava)
 
   // ---- small FS helpers ----------------------------------------------------
 
@@ -149,40 +169,112 @@ object IcebergTables {
     try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
   }
 
-  // ---- commit path ---------------------------------------------------------
+  // ---- table state ---------------------------------------------------------
 
-  private case class DataFileInfo(path: String, rows: Long, bytes: Long)
-
-  /** Write `df` as parquet data files under data/<uuid>/ and stat them from
-    * the parquet footers (driver metadata IO, the same file-stats gathering
-    * an Iceberg commit does — no data re-read). */
-  private def writeDataFiles(df: DataFrame, tableDir: String): Seq[DataFileInfo] = {
-    val spark = df.sparkSession
-    val sub = new Path(s"$tableDir/data/${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(sub.toString)
-    val filesystem = fs(spark, sub)
-    filesystem.listStatus(sub).toSeq
-      .filter(st => st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            st.getPath, spark.sparkContext.hadoopConfiguration))
-        val rows = try footer.getRecordCount finally footer.close()
-        DataFileInfo(st.getPath.toString, rows, st.getLen)
-      }
+  private def currentMeta(spark: SparkSession, tableDir: String): Option[(Int, ObjectNode)] = {
+    val metaDir = new Path(s"$tableDir/metadata")
+    val hintPath = new Path(metaDir, "version-hint.text")
+    if (!fs(spark, hintPath).exists(hintPath)) None
+    else {
+      val v = readText(spark, hintPath).toInt
+      Some((v, mapper.readTree(
+        readText(spark, new Path(metaDir, s"v$v.metadata.json"))).asInstanceOf[ObjectNode]))
+    }
   }
 
-  private def manifestRecord(info: DataFileInfo, snapshotId: Long, seq: Long): GenericRecord = {
-    val dfRec = new GenericData.Record(dataFileSchema)
+  private def declaredSchema(meta: ObjectNode): StructType =
+    StructType(meta.get("schemas").asScala
+      .find(_.get("schema-id").asInt == meta.get("current-schema-id").asInt).get
+      .get("fields").asScala.toSeq
+      .map(f => StructField(f.get("name").asText, sparkType(f.get("type").asText))))
+
+  /** The table's identity-partition column, if any. */
+  private def partitionCol(meta: ObjectNode): Option[(String, DataType)] = {
+    val spec = meta.get("partition-specs").asScala
+      .find(_.get("spec-id").asInt == meta.get("default-spec-id").asInt).get
+    spec.get("fields").asScala.headOption.map { f =>
+      val srcId = f.get("source-id").asInt
+      val src = meta.get("schemas").get(0).get("fields").asScala
+        .find(_.get("id").asInt == srcId).get
+      (src.get("name").asText, sparkType(src.get("type").asText))
+    }
+  }
+
+  /** Snapshot ids in commit order (for tests / time travel). */
+  def snapshots(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val (_, meta) = currentMeta(spark, tableDir)
+      .getOrElse(throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
+    meta.get("snapshots").asScala.map(_.get("snapshot-id").asLong).toSeq
+  }
+
+  // ---- commit path ---------------------------------------------------------
+
+  private case class DataFileInfo(path: String, rows: Long, bytes: Long,
+      partValue: Option[Any])
+
+  private def parsePartValue(raw: String, dt: DataType): Any = {
+    val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
+    require(decoded != "__HIVE_DEFAULT_PARTITION__",
+      "iceberg: null partition values unsupported")
+    dt match {
+      case StringType => decoded
+      case LongType => decoded.toLong
+      case IntegerType => decoded.toInt
+      case other => throw new IllegalArgumentException(s"bad partition type $other")
+    }
+  }
+
+  /** Write `df` as parquet data files under data/<uuid>/ (hive-layout
+    * subdirs when partitioned — ONE distributed job either way) and stat
+    * them from the parquet footers: driver metadata IO, the same
+    * file-stats gathering an Iceberg commit does — no data re-read. */
+  private def writeDataFiles(df: DataFrame, tableDir: String,
+      part: Option[(String, DataType)]): Seq[DataFileInfo] = {
+    val spark = df.sparkSession
+    val sub = new Path(s"$tableDir/data/${UUID.randomUUID()}")
+    part match {
+      case Some((c, _)) => df.write.partitionBy(c).mode("overwrite").parquet(sub.toString)
+      case None => df.write.mode("overwrite").parquet(sub.toString)
+    }
+    val filesystem = fs(spark, sub)
+    def stat(p: Path, value: Option[Any]): DataFileInfo = {
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          p, spark.sparkContext.hadoopConfiguration))
+      val rows = try footer.getRecordCount finally footer.close()
+      DataFileInfo(p.toString, rows, filesystem.getFileStatus(p).getLen, value)
+    }
+    part match {
+      case None =>
+        filesystem.listStatus(sub).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => stat(st.getPath, None))
+      case Some((c, dt)) =>
+        filesystem.listStatus(sub).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$c="))
+          .flatMap { dirSt =>
+            val value = parsePartValue(dirSt.getPath.getName.stripPrefix(s"$c="), dt)
+            filesystem.listStatus(dirSt.getPath).toSeq
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map(st => stat(st.getPath, Some(value)))
+          }
+    }
+  }
+
+  private def entryRecord(schema: Schema, info: DataFileInfo, status: Int,
+      snapshotId: Long, seq: Long, part: Option[(String, DataType)]): GenericRecord = {
+    val dfSchema = schema.getField("data_file").schema()
+    val dfRec = new GenericData.Record(dfSchema)
     dfRec.put("content", 0)
     dfRec.put("file_path", info.path)
     dfRec.put("file_format", "PARQUET")
-    dfRec.put("partition", new GenericData.Record(
-      dataFileSchema.getField("partition").schema()))
+    val partRec = new GenericData.Record(dfSchema.getField("partition").schema())
+    part.zip(info.partValue).foreach { case ((name, _), v) => partRec.put(name, v) }
+    dfRec.put("partition", partRec)
     dfRec.put("record_count", info.rows)
     dfRec.put("file_size_in_bytes", info.bytes)
-    val e = new GenericData.Record(manifestEntrySchema)
-    e.put("status", 1) // added
+    val e = new GenericData.Record(schema)
+    e.put("status", status)
     e.put("snapshot_id", snapshotId)
     e.put("sequence_number", seq)
     e.put("file_sequence_number", seq)
@@ -190,149 +282,251 @@ object IcebergTables {
     e
   }
 
-  /** Create the table (destroying any prior state) with `df` as snapshot 1. */
-  def createOrReplace(df: DataFrame, tableDir: String): Long = {
+  /** Create the table (destroying any prior state), `df` as snapshot 1. */
+  def createOrReplace(df: DataFrame, tableDir: String,
+      partitionBy: Option[String] = None): Long = {
     val p = new Path(tableDir)
     fs(df.sparkSession, p).delete(p, true)
-    append(df, tableDir)
+    commit(df.sparkSession, tableDir, Some(df), partitionBy, dropValue = None)
   }
 
   /** Commit `df` as a new append snapshot; returns the new snapshot id. */
-  def append(df: DataFrame, tableDir: String): Long = {
-    val spark = df.sparkSession
+  def append(df: DataFrame, tableDir: String): Long =
+    commit(df.sparkSession, tableDir, Some(df), createPartitionBy = None, dropValue = None)
+
+  /** Drop a whole partition (file-level delete — the new snapshot's
+    * manifest simply omits the partition's files; no data rewritten). */
+  def dropPartition(spark: SparkSession, tableDir: String, value: Any): Long =
+    commit(spark, tableDir, newData = None, createPartitionBy = None,
+      dropValue = Some(value))
+
+  private def commit(spark: SparkSession, tableDir: String, newData: Option[DataFrame],
+      createPartitionBy: Option[String], dropValue: Option[Any]): Long = {
     val metaDir = new Path(s"$tableDir/metadata")
-    val hintPath = new Path(metaDir, "version-hint.text")
-    val prior: Option[ObjectNode] =
-      if (fs(spark, hintPath).exists(hintPath)) {
-        val v = readText(spark, hintPath).toInt
-        Some(mapper.readTree(
-          readText(spark, new Path(metaDir, s"v$v.metadata.json"))).asInstanceOf[ObjectNode])
-      } else None
-    val version = prior.map(_ => readText(spark, hintPath).toInt + 1).getOrElse(1)
-    val seq = prior.map(_.get("last-sequence-number").asLong + 1).getOrElse(1L)
+    val prior = currentMeta(spark, tableDir)
+    val version = prior.map(_._1 + 1).getOrElse(1)
+    val seq = prior.map(_._2.get("last-sequence-number").asLong + 1).getOrElse(1L)
     val snapshotId = seq // monotonic, unique per commit
     val nowMs = System.currentTimeMillis()
 
-    prior.foreach { m =>
-      val declared = m.get("schemas").get(0).get("fields").asScala
-        .map(f => (f.get("name").asText, f.get("type").asText)).toSeq
-      val incoming = df.schema.fields.toSeq.map(f => (f.name, icebergType(f.dataType)))
-      require(declared == incoming,
-        s"iceberg append: schema mismatch — table $declared vs data $incoming")
+    val schema = newData.map(_.schema)
+      .orElse(prior.map(p => declaredSchema(p._2)))
+      .getOrElse(throw new IllegalArgumentException("empty commit on missing table"))
+    val part: Option[(String, DataType)] = prior match {
+      case Some((_, m)) => partitionCol(m)
+      case None => createPartitionBy.map { c =>
+        (c, schema.fields.find(_.name == c)
+          .getOrElse(throw new IllegalArgumentException(s"no partition column $c")).dataType)
+      }
+    }
+    require(dropValue.isEmpty || part.nonEmpty, "dropPartition on unpartitioned table")
+
+    prior.foreach { case (_, m) =>
+      newData.foreach { df =>
+        val declared = declaredSchema(m).fields.toSeq.map(f => (f.name, f.dataType))
+        val incoming = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
+        require(declared == incoming,
+          s"iceberg append: schema mismatch — table $declared vs data $incoming")
+      }
     }
 
-    // 1. data files + their manifest
-    val files = writeDataFiles(df, tableDir)
-    val manifestPath = new Path(metaDir, s"${UUID.randomUUID()}-m0.avro")
-    val manifestLen = writeAvro(spark, manifestPath, manifestEntrySchema,
-      files.map(manifestRecord(_, snapshotId, seq)))
+    val entrySchema = manifestEntrySchema(part)
 
-    // 2. manifest list: prior snapshot's manifests (now "existing") + new
-    val newEntry = {
-      val r = new GenericData.Record(manifestFileSchema)
-      r.put("manifest_path", manifestPath.toString)
-      r.put("manifest_length", manifestLen)
-      r.put("partition_spec_id", 0)
-      r.put("content", 0) // data
-      r.put("sequence_number", seq)
-      r.put("min_sequence_number", seq)
-      r.put("added_snapshot_id", snapshotId)
-      r.put("added_files_count", files.size)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", 0)
-      r.put("added_rows_count", files.map(_.rows).sum)
-      r.put("existing_rows_count", 0L)
-      r.put("deleted_rows_count", 0L)
-      r
-    }
-    val priorManifests: Seq[GenericRecord] = prior.map { m =>
+    // 1. new data files (append) and/or surviving prior entries (drop)
+    val added = newData.map(writeDataFiles(_, tableDir, part)).getOrElse(Seq.empty)
+    val priorManifests: Seq[GenericRecord] = prior.map { case (_, m) =>
       val curId = m.get("current-snapshot-id").asLong
       val cur = m.get("snapshots").asScala.find(_.get("snapshot-id").asLong == curId).get
       readAvro(spark, new Path(cur.get("manifest-list").asText))
     }.getOrElse(Seq.empty)
+
+    val manifests = new scala.collection.mutable.ArrayBuffer[GenericRecord]
+    var droppedFiles = 0; var droppedRows = 0L
+
+    dropValue match {
+      case None =>
+        manifests ++= priorManifests // untouched history manifests
+      case Some(v) =>
+        // rewrite the manifest chain to only the surviving entries
+        val (pname, _) = part.get
+        val survivors = priorManifests.flatMap { m =>
+          readAvro(spark, new Path(m.get("manifest_path").toString))
+        }.filter(_.get("status").asInstanceOf[Int] != 2)
+          .filter { e =>
+            val pv = e.get("data_file").asInstanceOf[GenericRecord]
+              .get("partition").asInstanceOf[GenericRecord].get(pname)
+            val keep = pv.toString != v.toString
+            if (!keep) {
+              droppedFiles += 1
+              droppedRows += e.get("data_file").asInstanceOf[GenericRecord]
+                .get("record_count").asInstanceOf[Long]
+            }
+            keep
+          }
+        // re-author survivors as "existing" under this snapshot
+        val survivorRecs = survivors.map { e =>
+          val n = new GenericData.Record(entrySchema)
+          n.put("status", 0)
+          n.put("snapshot_id", e.get("snapshot_id"))
+          n.put("sequence_number", e.get("sequence_number"))
+          n.put("file_sequence_number", e.get("file_sequence_number"))
+          n.put("data_file", e.get("data_file"))
+          n
+        }
+        val survivorsPath = new Path(metaDir, s"${UUID.randomUUID()}-m0.avro")
+        val survivorsLen = writeAvro(spark, survivorsPath, entrySchema, survivorRecs)
+        val r = new GenericData.Record(manifestFileSchema)
+        r.put("manifest_path", survivorsPath.toString)
+        r.put("manifest_length", survivorsLen)
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", 1L)
+        r.put("added_snapshot_id", snapshotId)
+        r.put("added_files_count", 0)
+        r.put("existing_files_count", survivorRecs.size)
+        r.put("deleted_files_count", droppedFiles)
+        r.put("added_rows_count", 0L)
+        r.put("existing_rows_count", survivorRecs.map(
+          _.get("data_file").asInstanceOf[GenericRecord]
+            .get("record_count").asInstanceOf[Long]).sum)
+        r.put("deleted_rows_count", droppedRows)
+        manifests += r
+    }
+
+    if (added.nonEmpty) {
+      val manifestPath = new Path(metaDir, s"${UUID.randomUUID()}-m0.avro")
+      val manifestLen = writeAvro(spark, manifestPath, entrySchema,
+        added.map(entryRecord(entrySchema, _, status = 1, snapshotId, seq, part)))
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", manifestPath.toString)
+      r.put("manifest_length", manifestLen)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", added.size)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", added.map(_.rows).sum)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      manifests.prepend(r)
+    }
+
+    // 2. manifest list for this snapshot
     val listPath = new Path(metaDir, s"snap-$snapshotId-1-${UUID.randomUUID()}.avro")
-    writeAvro(spark, listPath, manifestFileSchema, newEntry +: priorManifests)
+    writeAvro(spark, listPath, manifestFileSchema, manifests.toSeq)
 
     // 3. next metadata version
     val meta = mapper.createObjectNode()
     meta.put("format-version", 2)
     meta.put("table-uuid",
-      prior.map(_.get("table-uuid").asText).getOrElse(UUID.randomUUID().toString))
+      prior.map(_._2.get("table-uuid").asText).getOrElse(UUID.randomUUID().toString))
     meta.put("location", tableDir)
     meta.put("last-sequence-number", seq)
     meta.put("last-updated-ms", nowMs)
-    meta.put("last-column-id", df.schema.length)
+    meta.put("last-column-id", schema.length)
     val schemaNode = meta.putArray("schemas").addObject()
     schemaNode.put("type", "struct").put("schema-id", 0)
     val fieldsNode = schemaNode.putArray("fields")
-    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
       fieldsNode.addObject().put("id", i + 1).put("name", f.name)
         .put("required", false).put("type", icebergType(f.dataType))
     }
     meta.put("current-schema-id", 0)
-    meta.putArray("partition-specs").addObject()
-      .put("spec-id", 0).putArray("fields")
+    val specNode = meta.putArray("partition-specs").addObject()
+    specNode.put("spec-id", 0)
+    val specFields = specNode.putArray("fields")
+    part.foreach { case (name, _) =>
+      specFields.addObject().put("name", name).put("transform", "identity")
+        .put("source-id", schema.fieldIndex(name) + 1).put("field-id", 1000)
+    }
     meta.put("default-spec-id", 0)
-    meta.put("last-partition-id", 999)
+    meta.put("last-partition-id", if (part.isDefined) 1000 else 999)
     meta.putArray("sort-orders").addObject()
       .put("order-id", 0).putArray("fields")
     meta.put("default-sort-order-id", 0)
     meta.put("current-snapshot-id", snapshotId)
     val snaps = meta.putArray("snapshots")
-    prior.foreach(_.get("snapshots").asScala.foreach(s => snaps.add(s)))
+    prior.foreach(_._2.get("snapshots").asScala.foreach(s => snaps.add(s)))
     val snap = snaps.addObject()
     snap.put("snapshot-id", snapshotId).put("timestamp-ms", nowMs)
       .put("sequence-number", seq).put("schema-id", 0)
       .put("manifest-list", listPath.toString)
-    snap.putObject("summary").put("operation", "append")
+    snap.putObject("summary")
+      .put("operation", if (dropValue.isDefined) "delete" else "append")
     val log = meta.putArray("snapshot-log")
-    prior.foreach(_.get("snapshot-log").asScala.foreach(e => log.add(e)))
+    prior.foreach(_._2.get("snapshot-log").asScala.foreach(e => log.add(e)))
     log.addObject().put("timestamp-ms", nowMs).put("snapshot-id", snapshotId)
     meta.putArray("metadata-log")
     meta.putObject("properties")
 
     writeText(spark, new Path(metaDir, s"v$version.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
-    writeText(spark, hintPath, version.toString)
+    writeText(spark, new Path(metaDir, "version-hint.text"), version.toString)
     snapshotId
   }
 
   // ---- scan path -----------------------------------------------------------
 
-  /** Snapshot ids in commit order (for tests / time travel). */
-  def snapshots(spark: SparkSession, tableDir: String): Seq[Long] = {
-    val metaDir = new Path(s"$tableDir/metadata")
-    val v = readText(spark, new Path(metaDir, "version-hint.text")).toInt
-    val meta = mapper.readTree(readText(spark, new Path(metaDir, s"v$v.metadata.json")))
-    meta.get("snapshots").asScala.map(_.get("snapshot-id").asLong).toSeq
+  /** Live (file path, partition value) pairs of a snapshot. */
+  private def liveFiles(spark: SparkSession, meta: ObjectNode, snapId: Long,
+      part: Option[(String, DataType)]): Seq[(String, Option[Any])] = {
+    val snap = meta.get("snapshots").asScala
+      .find(_.get("snapshot-id").asLong == snapId)
+      .getOrElse(throw new IllegalArgumentException(s"iceberg: unknown snapshot $snapId"))
+    readAvro(spark, new Path(snap.get("manifest-list").asText))
+      .filter(_.get("content").asInstanceOf[Int] == 0)
+      .flatMap(m => readAvro(spark, new Path(m.get("manifest_path").toString)))
+      .filter(_.get("status").asInstanceOf[Int] != 2)
+      .map { e =>
+        val dfRec = e.get("data_file").asInstanceOf[GenericRecord]
+        val value = part.map { case (name, dt) =>
+          val raw = dfRec.get("partition").asInstanceOf[GenericRecord].get(name)
+          dt match {
+            case StringType => raw.toString
+            case LongType => raw.asInstanceOf[Long]
+            case IntegerType => raw.asInstanceOf[Int]
+            case other => throw new IllegalArgumentException(s"bad partition type $other")
+          }
+        }
+        (dfRec.get("file_path").toString, value)
+      }
   }
 
   /** Distributed scan of the current (or as-of) snapshot: resolve the
-    * manifest chain on the driver, then one parquet scan over the live
-    * files with the declared schema (pushdown/pruning intact). */
+    * manifest chain on the driver, prune by partition value BEFORE any
+    * data IO, then one parquet scan per surviving partition group (the
+    * hive-layout files omit the partition column; it is restored as a
+    * literal — constant-folded, costs nothing). */
   def read(spark: SparkSession, tableDir: String,
-      asOfSnapshotId: Option[Long] = None): DataFrame = {
-    val metaDir = new Path(s"$tableDir/metadata")
-    val v = readText(spark, new Path(metaDir, "version-hint.text")).toInt
-    val meta = mapper.readTree(readText(spark, new Path(metaDir, s"v$v.metadata.json")))
+      asOfSnapshotId: Option[Long] = None,
+      partitionValue: Option[Any] = None): DataFrame = {
+    val (_, meta) = currentMeta(spark, tableDir)
+      .getOrElse(throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
     val snapId = asOfSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong)
-    val snap = meta.get("snapshots").asScala
-      .find(_.get("snapshot-id").asLong == snapId)
-      .getOrElse(throw new IllegalArgumentException(
-        s"iceberg: unknown snapshot $snapId in $tableDir"))
+    val schema = declaredSchema(meta)
+    val part = partitionCol(meta)
+    require(partitionValue.isEmpty || part.nonEmpty,
+      "iceberg: partition filter on unpartitioned table")
 
-    val schema = StructType(meta.get("schemas").asScala
-      .find(_.get("schema-id").asInt == meta.get("current-schema-id").asInt).get
-      .get("fields").asScala.toSeq
-      .map(f => StructField(f.get("name").asText, sparkType(f.get("type").asText))))
+    val files = liveFiles(spark, meta, snapId, part)
+      .filter { case (_, v) =>
+        partitionValue.forall(want => v.exists(_.toString == want.toString)) }
+    require(files.nonEmpty, s"iceberg: snapshot $snapId has no matching data files")
 
-    val manifests = readAvro(spark, new Path(snap.get("manifest-list").asText))
-    val dataFiles = manifests
-      .filter(_.get("content").asInstanceOf[Int] == 0)
-      .flatMap(m => readAvro(spark, new Path(m.get("manifest_path").toString)))
-      .filter(_.get("status").asInstanceOf[Int] != 2) // drop deleted entries
-      .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
-    require(dataFiles.nonEmpty, s"iceberg: snapshot $snapId has no data files")
-    spark.read.schema(schema).parquet(dataFiles: _*)
+    part match {
+      case None =>
+        spark.read.schema(schema).parquet(files.map(_._1): _*)
+      case Some((pname, pdt)) =>
+        val fileSchema = StructType(schema.fields.filterNot(_.name == pname))
+        files.groupBy(_._2.get).toSeq.map { case (value, group) =>
+          spark.read.schema(fileSchema).parquet(group.map(_._1): _*)
+            .withColumn(pname, lit(value).cast(pdt))
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        }.reduce(_ union _)
+    }
   }
 }

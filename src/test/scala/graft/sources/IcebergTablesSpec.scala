@@ -72,6 +72,35 @@ class IcebergTablesSpec extends AnyFunSuite {
     assert(rows.forall(_.getSchema.getField("manifest_path") != null))
   }
 
+  test("partition pruning plans only the matching partition's files") {
+    val t = table + "-part"
+    IcebergTables.createOrReplace(docs, t, partitionBy = Some("lang"))
+    val all = IcebergTables.read(spark, t)
+    val en = IcebergTables.read(spark, t, partitionValue = Some("en"))
+    assert(en.inputFiles.length < all.inputFiles.length,
+      "a partition-filtered read must plan strictly fewer files")
+    assert(en.inputFiles.forall(_.contains("lang=en")),
+      "pruned plan must reference only the en partition's files")
+    // restored partition column + values match the plain filter
+    val want = docs.filter(col("lang") === "en")
+      .collect().map(_.toSeq).toSet
+    assert(en.collect().map(_.toSeq).toSet == want)
+  }
+
+  test("dropPartition deletes at file level and time travel restores it") {
+    val t = table + "-drop"
+    val s1 = IcebergTables.createOrReplace(docs, t, partitionBy = Some("lang"))
+    val s2 = IcebergTables.dropPartition(spark, t, "de")
+    val langs = IcebergTables.read(spark, t)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(!langs.contains("de") && langs.contains("en"))
+    assert(IcebergTables.read(spark, t).count() ==
+      docs.filter(col("lang") =!= "de").count())
+    // the delete rewrote METADATA only; time travel still sees 'de'
+    assert(IcebergTables.read(spark, t, Some(s1)).count() == docs.count())
+    assert(IcebergTables.snapshots(spark, t) == Seq(s1, s2))
+  }
+
   test("scan keeps parquet pushdown through the snapshot resolution") {
     IcebergTables.createOrReplace(docs, table + "-push")
     val scan = IcebergTables.read(spark, table + "-push")
