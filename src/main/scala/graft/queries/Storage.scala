@@ -151,6 +151,49 @@ object Storage {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
   }
 
+  /** Range-clustered Iceberg fixture: snapshot 1 = docs range-partitioned
+    * on doc_id into 8 files with disjoint key ranges (the sort-key layout
+    * that makes min/max file skipping effective), snapshot 2 = compaction
+    * of the same data into 2 files. */
+  private def ensureIcebergRange(s: SparkSession, dir: String): String = {
+    val table = tmp("graft-iceberg-range", dir)
+    val ok =
+      try IcebergTables.snapshots(s, table).size == 2
+      catch { case _: Exception => false }
+    if (!ok) {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+      IcebergTables.createOrReplace(docs, table)
+      IcebergTables.compact(s, table, targetFiles = 2)
+    }
+    table
+  }
+
+  /** Min/max stats file skipping: a doc_id range read of the FIRST
+    * snapshot (8 range-clustered files) prunes on manifest bounds before
+    * any data IO; the residual filter gives exact semantics. The spec
+    * asserts the pruned plan opens strictly fewer files. */
+  def icebergStatsSkip(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureIcebergRange(s, dir)
+    val first = IcebergTables.snapshots(s, table).min
+    IcebergTables.read(s, table, asOfSnapshotId = Some(first),
+        range = Some(("doc_id", 100L, 299L)))
+      .filter(col("doc_id").between(100L, 299L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+  }
+
+  /** Compaction: the rewritten (replace-snapshot) table must hold exactly
+    * the original rows — proven against the raw-table oracle. */
+  def icebergCompact(s: SparkSession, dir: String): DataFrame = {
+    val table = ensureIcebergRange(s, dir)
+    IcebergTables.read(s, table)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+  }
+
   /** Iceberg snapshot scan: resolve metadata.json → manifest list →
     * manifests on the driver, then a plain distributed parquet scan of the
     * live files; both commits must be visible. */
@@ -177,6 +220,8 @@ object Storage {
     "iceberg_time_travel" -> icebergTimeTravel,
     "iceberg_partition_prune" -> icebergPartitionPrune,
     "iceberg_drop_partition" -> icebergDropPartition,
+    "iceberg_stats_skip" -> icebergStatsSkip,
+    "iceberg_compact" -> icebergCompact,
     "avro_roundtrip" -> avroRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
     "jdbc_foreign_scan" -> jdbcForeignScan,
@@ -196,6 +241,12 @@ object Storage {
     "iceberg_drop_partition" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE lang <> 'de' GROUP BY 1""".stripMargin,
+    "iceberg_stats_skip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 299 GROUP BY 1""".stripMargin,
+    "iceberg_compact" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "avro_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200",
     "orc_roundtrip" ->

@@ -122,8 +122,49 @@ object IcebergTables {
         Schema.createRecord("r102", null, "org.apache.iceberg", false,
           partFields.asJava), optional = false),
       field("record_count", 103, prim(Schema.Type.LONG), optional = false),
-      field("file_size_in_bytes", 104, prim(Schema.Type.LONG), optional = false)
+      field("file_size_in_bytes", 104, prim(Schema.Type.LONG), optional = false),
+      field("lower_bounds", 125, boundsSchema(126, 127), optional = true),
+      field("upper_bounds", 128, boundsSchema(129, 130), optional = true)
     ).asJava)
+  }
+
+  /** The spec's map<int, binary> bounds, stored as an array of key/value
+    * records (Avro maps require string keys). Values use the spec's
+    * single-value serialization (Appendix D): little-endian numerics. */
+  private def boundsSchema(keyId: Int, valueId: Int): Schema =
+    Schema.createArray(Schema.createRecord(s"k$keyId", null, "org.apache.iceberg",
+      false, Seq(
+        field("key", keyId, prim(Schema.Type.INT), optional = false),
+        field("value", valueId, prim(Schema.Type.BYTES), optional = false)
+      ).asJava))
+
+  private def serBound(dt: DataType, v: Any): java.nio.ByteBuffer = {
+    val size = dt match {
+      case LongType | DoubleType => 8
+      case IntegerType | FloatType => 4
+      case other => throw new IllegalArgumentException(s"iceberg bounds: $other")
+    }
+    val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case LongType => bb.putLong(v.asInstanceOf[Long])
+      case IntegerType => bb.putInt(v.asInstanceOf[Int])
+      case DoubleType => bb.putDouble(v.asInstanceOf[Double])
+      case FloatType => bb.putFloat(v.asInstanceOf[Float])
+      case _ => ()
+    }
+    bb.rewind(); bb
+  }
+
+  private def deserBound(dt: DataType, b: java.nio.ByteBuffer): Any = {
+    val bb = b.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.rewind()
+    dt match {
+      case LongType => bb.getLong()
+      case IntegerType => bb.getInt()
+      case DoubleType => bb.getDouble()
+      case FloatType => bb.getFloat()
+      case other => throw new IllegalArgumentException(s"iceberg bounds: $other")
+    }
   }
 
   private def manifestEntrySchema(part: Option[(String, DataType)]): Schema =
@@ -210,7 +251,8 @@ object IcebergTables {
   // ---- commit path ---------------------------------------------------------
 
   private case class DataFileInfo(path: String, rows: Long, bytes: Long,
-      partValue: Option[Any])
+      partValue: Option[Any],
+      bounds: Map[String, (Any, Any)] = Map.empty)
 
   private def parsePartValue(raw: String, dt: DataType): Any = {
     val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
@@ -237,12 +279,40 @@ object IcebergTables {
       case None => df.write.mode("overwrite").parquet(sub.toString)
     }
     val filesystem = fs(spark, sub)
+    // NUMERIC columns only get min/max bounds: their comparators are exact,
+    // so stats-based file skipping can never wrongly drop a file. (String
+    // bounds would need parquet's unsigned-lexicographic comparator — a
+    // mismatch there silently loses rows, so strings are left unbounded.)
+    val numericCols = df.schema.fields
+      .filter(f => Set[DataType](LongType, IntegerType, DoubleType, FloatType)
+        .contains(f.dataType))
+      .map(f => f.name -> f.dataType).toMap
     def stat(p: Path, value: Option[Any]): DataFileInfo = {
       val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           p, spark.sparkContext.hadoopConfiguration))
-      val rows = try footer.getRecordCount finally footer.close()
-      DataFileInfo(p.toString, rows, filesystem.getFileStatus(p).getLen, value)
+      val (rows, bounds) =
+        try {
+          val blocks = footer.getFooter.getBlocks.asScala
+          val perCol = blocks.flatMap(_.getColumns.asScala)
+            .filter(c => c.getPath.size() == 1 &&
+              numericCols.contains(c.getPath.toDotString))
+            .filter(c => c.getStatistics != null && !c.getStatistics.isEmpty &&
+              c.getStatistics.hasNonNullValue)
+            .groupBy(_.getPath.toDotString)
+            .flatMap { case (name, chunks) =>
+              val ord = Ordering.fromLessThan[Any](
+                (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+              val mins: Seq[Any] = chunks.toSeq.map(_.getStatistics.genericGetMin)
+              val maxs: Seq[Any] = chunks.toSeq.map(_.getStatistics.genericGetMax)
+              // every row group must carry stats, else leave unbounded
+              if (chunks.size == blocks.size)
+                Some(name -> (mins.min(ord), maxs.max(ord)))
+              else None
+            }
+          (footer.getRecordCount, perCol.toMap)
+        } finally footer.close()
+      DataFileInfo(p.toString, rows, filesystem.getFileStatus(p).getLen, value, bounds)
     }
     part match {
       case None =>
@@ -262,7 +332,8 @@ object IcebergTables {
   }
 
   private def entryRecord(schema: Schema, info: DataFileInfo, status: Int,
-      snapshotId: Long, seq: Long, part: Option[(String, DataType)]): GenericRecord = {
+      snapshotId: Long, seq: Long, part: Option[(String, DataType)],
+      tableSchema: StructType): GenericRecord = {
     val dfSchema = schema.getField("data_file").schema()
     val dfRec = new GenericData.Record(dfSchema)
     dfRec.put("content", 0)
@@ -273,6 +344,21 @@ object IcebergTables {
     dfRec.put("partition", partRec)
     dfRec.put("record_count", info.rows)
     dfRec.put("file_size_in_bytes", info.bytes)
+    def boundArray(fieldName: String, pick: ((Any, Any)) => Any): java.util.List[GenericRecord] = {
+      val elem = dfSchema.getField(fieldName).schema().getTypes.asScala
+        .find(_.getType == Schema.Type.ARRAY).get.getElementType
+      info.bounds.toSeq.sortBy(_._1).map { case (colName, mm) =>
+        val fid = tableSchema.fieldIndex(colName) + 1
+        val r: GenericRecord = new GenericData.Record(elem)
+        r.put("key", fid)
+        r.put("value", serBound(tableSchema(colName).dataType, pick(mm)))
+        r
+      }.asJava
+    }
+    if (info.bounds.nonEmpty) {
+      dfRec.put("lower_bounds", boundArray("lower_bounds", _._1))
+      dfRec.put("upper_bounds", boundArray("upper_bounds", _._2))
+    }
     val e = new GenericData.Record(schema)
     e.put("status", status)
     e.put("snapshot_id", snapshotId)
@@ -300,8 +386,20 @@ object IcebergTables {
     commit(spark, tableDir, newData = None, createPartitionBy = None,
       dropValue = Some(value))
 
+  /** Compact the current snapshot into ~`targetFiles` data files per
+    * partition — the small-file maintenance a streaming-ingested table
+    * needs (many tiny commits → one scan-efficient layout). One
+    * distributed rewrite job; the commit is a "replace" snapshot, so prior
+    * snapshots (and time travel to them) keep their original files. */
+  def compact(spark: SparkSession, tableDir: String, targetFiles: Int = 1): Long = {
+    val current = read(spark, tableDir).repartition(targetFiles)
+    commit(spark, tableDir, Some(current), createPartitionBy = None,
+      dropValue = None, replaceAll = true)
+  }
+
   private def commit(spark: SparkSession, tableDir: String, newData: Option[DataFrame],
-      createPartitionBy: Option[String], dropValue: Option[Any]): Long = {
+      createPartitionBy: Option[String], dropValue: Option[Any],
+      replaceAll: Boolean = false): Long = {
     val metaDir = new Path(s"$tableDir/metadata")
     val prior = currentMeta(spark, tableDir)
     val version = prior.map(_._1 + 1).getOrElse(1)
@@ -345,7 +443,7 @@ object IcebergTables {
 
     dropValue match {
       case None =>
-        manifests ++= priorManifests // untouched history manifests
+        if (!replaceAll) manifests ++= priorManifests // untouched history manifests
       case Some(v) =>
         // rewrite the manifest chain to only the surviving entries
         val (pname, _) = part.get
@@ -397,7 +495,7 @@ object IcebergTables {
     if (added.nonEmpty) {
       val manifestPath = new Path(metaDir, s"${UUID.randomUUID()}-m0.avro")
       val manifestLen = writeAvro(spark, manifestPath, entrySchema,
-        added.map(entryRecord(entrySchema, _, status = 1, snapshotId, seq, part)))
+        added.map(entryRecord(entrySchema, _, status = 1, snapshotId, seq, part, schema)))
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", manifestPath.toString)
       r.put("manifest_length", manifestLen)
@@ -456,7 +554,9 @@ object IcebergTables {
       .put("sequence-number", seq).put("schema-id", 0)
       .put("manifest-list", listPath.toString)
     snap.putObject("summary")
-      .put("operation", if (dropValue.isDefined) "delete" else "append")
+      .put("operation",
+        if (dropValue.isDefined) "delete"
+        else if (replaceAll) "replace" else "append")
     val log = meta.putArray("snapshot-log")
     prior.foreach(_._2.get("snapshot-log").asScala.foreach(e => log.add(e)))
     log.addObject().put("timestamp-ms", nowMs).put("snapshot-id", snapshotId)
@@ -473,10 +573,23 @@ object IcebergTables {
 
   /** Live (file path, partition value) pairs of a snapshot. */
   private def liveFiles(spark: SparkSession, meta: ObjectNode, snapId: Long,
-      part: Option[(String, DataType)]): Seq[(String, Option[Any])] = {
+      part: Option[(String, DataType)],
+      schema: StructType): Seq[(String, Option[Any], Map[String, (Any, Any)])] = {
     val snap = meta.get("snapshots").asScala
       .find(_.get("snapshot-id").asLong == snapId)
       .getOrElse(throw new IllegalArgumentException(s"iceberg: unknown snapshot $snapId"))
+    def decodeBounds(dfRec: GenericRecord, which: String): Map[String, Any] =
+      Option(dfRec.get(which)) match {
+        case None => Map.empty
+        case Some(arr) =>
+          arr.asInstanceOf[java.util.List[GenericRecord]].asScala.flatMap { kv =>
+            val fid = kv.get("key").asInstanceOf[Int]
+            schema.fields.lift(fid - 1).map { f =>
+              f.name -> deserBound(f.dataType,
+                kv.get("value").asInstanceOf[java.nio.ByteBuffer])
+            }
+          }.toMap
+      }
     readAvro(spark, new Path(snap.get("manifest-list").asText))
       .filter(_.get("content").asInstanceOf[Int] == 0)
       .flatMap(m => readAvro(spark, new Path(m.get("manifest_path").toString)))
@@ -492,18 +605,31 @@ object IcebergTables {
             case other => throw new IllegalArgumentException(s"bad partition type $other")
           }
         }
-        (dfRec.get("file_path").toString, value)
+        val lower = decodeBounds(dfRec, "lower_bounds")
+        val upper = decodeBounds(dfRec, "upper_bounds")
+        val bounds = lower.keySet.intersect(upper.keySet)
+          .map(k => k -> (lower(k), upper(k))).toMap
+        (dfRec.get("file_path").toString, value, bounds)
       }
   }
 
   /** Distributed scan of the current (or as-of) snapshot: resolve the
-    * manifest chain on the driver, prune by partition value BEFORE any
-    * data IO, then one parquet scan per surviving partition group (the
-    * hive-layout files omit the partition column; it is restored as a
-    * literal — constant-folded, costs nothing). */
+    * manifest chain on the driver, prune by partition value and column
+    * min/max bounds BEFORE any data IO, then one parquet scan per
+    * surviving partition group (the hive-layout files omit the partition
+    * column; it is restored as a literal — constant-folded, costs
+    * nothing).
+    *
+    * `range` = (column, lowerIncl, upperIncl) skips every file whose
+    * manifest bounds don't intersect the interval — the sort-key file-skip
+    * that, on a range-clustered 100 TB table, turns a key-range query from
+    * a full-table scan into a handful of file opens. Files without bounds
+    * for the column are conservatively kept; the range is a PRUNING hint,
+    * not a filter — compose with `.filter` for exact semantics. */
   def read(spark: SparkSession, tableDir: String,
       asOfSnapshotId: Option[Long] = None,
-      partitionValue: Option[Any] = None): DataFrame = {
+      partitionValue: Option[Any] = None,
+      range: Option[(String, Any, Any)] = None): DataFrame = {
     val (_, meta) = currentMeta(spark, tableDir)
       .getOrElse(throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
     val snapId = asOfSnapshotId.getOrElse(meta.get("current-snapshot-id").asLong)
@@ -512,9 +638,22 @@ object IcebergTables {
     require(partitionValue.isEmpty || part.nonEmpty,
       "iceberg: partition filter on unpartitioned table")
 
-    val files = liveFiles(spark, meta, snapId, part)
-      .filter { case (_, v) =>
+    // double rounding is monotonic, so comparing through doubles can only
+    // KEEP a borderline file, never wrongly drop one — pruning stays sound
+    // even for longs beyond 2^53
+    def asD(v: Any): Double = v match {
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(s"non-numeric range bound $other")
+    }
+    val files = liveFiles(spark, meta, snapId, part, schema)
+      .filter { case (_, v, _) =>
         partitionValue.forall(want => v.exists(_.toString == want.toString)) }
+      .filter { case (_, _, bounds) =>
+        range.forall { case (c, lo, hi) =>
+          bounds.get(c).forall { case (mn, mx) =>
+            asD(mx) >= asD(lo) && asD(mn) <= asD(hi) }
+        }
+      }
     require(files.nonEmpty, s"iceberg: snapshot $snapId has no matching data files")
 
     part match {

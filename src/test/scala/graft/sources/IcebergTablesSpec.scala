@@ -101,6 +101,36 @@ class IcebergTablesSpec extends AnyFunSuite {
     assert(IcebergTables.snapshots(spark, t) == Seq(s1, s2))
   }
 
+  test("min/max bounds skip files outside a key range") {
+    val t = table + "-stats"
+    IcebergTables.createOrReplace(
+      docs.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"), t)
+    val all = IcebergTables.read(spark, t)
+    assert(all.inputFiles.length == 8)
+    val ranged = IcebergTables.read(spark, t, range = Some(("doc_id", 100L, 299L)))
+    assert(ranged.inputFiles.length < all.inputFiles.length,
+      "range-clustered files outside the interval must be skipped")
+    // pruning is sound: with the residual filter the answer is exact
+    val want = docs.filter(col("doc_id").between(100L, 299L))
+      .collect().map(_.toSeq).toSet
+    assert(ranged.filter(col("doc_id").between(100L, 299L))
+      .collect().map(_.toSeq).toSet == want)
+  }
+
+  test("compaction rewrites files but not history") {
+    val t = table + "-compact"
+    val s1 = IcebergTables.createOrReplace(
+      docs.repartitionByRange(8, col("doc_id")), t)
+    val s2 = IcebergTables.compact(spark, t, targetFiles = 2)
+    val after = IcebergTables.read(spark, t)
+    assert(after.inputFiles.length == 2, "compaction must shrink the file count")
+    assert(after.count() == docs.count())
+    assert(after.collect().map(_.toSeq).toSet == docs.collect().map(_.toSeq).toSet)
+    // the pre-compaction snapshot still reads its original 8 files
+    assert(IcebergTables.read(spark, t, Some(s1)).inputFiles.length == 8)
+    assert(IcebergTables.snapshots(spark, t) == Seq(s1, s2))
+  }
+
   test("scan keeps parquet pushdown through the snapshot resolution") {
     IcebergTables.createOrReplace(docs, table + "-push")
     val scan = IcebergTables.read(spark, table + "-push")
