@@ -36,4 +36,35 @@ object MultiModal {
       .withColumn("height", col("_dec._2").cast("bigint"))
       .withColumn("channels", col("_dec._3").cast("bigint"))
       .drop("_dec")
+
+  /** Hex nibble `pos` (1-based) of an md5 hex string, as an int column. */
+  private def nib(h: Column, pos: Int): Column =
+    conv(substring(h, pos, 1), 16, 10).cast("int")
+
+  /** Video-shaped frame sampling over a binary media column: probe the
+    * container for its frame count (STUB: derived from the bytes' md5 —
+    * a real deployment swaps the probe and the per-frame decode for codec
+    * calls), emit one row per `every`-th frame, and extract per-frame
+    * features (a perceptual-hash stand-in + a brightness stand-in). The
+    * Spark plumbing is the real thing: the fan-out is one `explode` of a
+    * `sequence` (no shuffle, no UDF in the row-multiplying step), the
+    * media bytes are reduced to a 32-char digest BEFORE the fan-out, and
+    * per-frame features are codegen'd column expressions. */
+  def frameSample(df: DataFrame, binCol: Column, every: Int): DataFrame = {
+    val digest = md5(binCol) // bytes leave the plan here
+    val nFrames = (lit(4) * (lit(1) + nib(digest, 4))).as("n_frames")
+    val withFrames = df
+      .withColumn("_digest", digest)
+      .withColumn("n_frames", nFrames)
+      .withColumn("frame",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(every))))
+      .withColumn("frame", col("frame").cast("bigint"))
+    val frameKey = md5(concat(col("_digest"), lit(":"), col("frame").cast("string")))
+    withFrames
+      .withColumn("_fk", frameKey)
+      .withColumn("phash", substring(col("_fk"), 1, 8))
+      .withColumn("brightness",
+        (nib(col("_fk"), 9) * 16 + nib(col("_fk"), 10)).cast("bigint"))
+      .drop("_digest", "_fk")
+  }
 }

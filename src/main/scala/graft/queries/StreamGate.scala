@@ -84,11 +84,30 @@ object StreamGate {
         col("fin.n_events").as("n_events"))
   }
 
+  /** Streaming exact dedup (the LLM-ingest shape: drop repeats as they
+    * arrive, keep state per key): dropDuplicates over (user_id,
+    * event_type) then a running aggregate; the completed stream must equal
+    * the batch COUNT(DISTINCT) answer. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val qname = "graft_stream_dedup"
+    runToCompletion(
+      eventStream(s, dir)
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique_users")),
+      qname, OutputMode.Complete)
+    s.table(qname)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> streamWindowedAgg,
-    "stream_sessionize" -> streamSessionize)
+    "stream_sessionize" -> streamSessionize,
+    "stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+        |FROM events GROUP BY 1""".stripMargin,
     "stream_windowed_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |  event_type, count(*) AS n,

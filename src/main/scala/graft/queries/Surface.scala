@@ -62,6 +62,16 @@ object Surface {
         col("media"))
       .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("channels"))
 
+  /** Frame sampling over "video" binary columns (every 4th frame of a
+    * stub-probed container; see MultiModal.frameSample for what is stub
+    * vs real plumbing). */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    MultiModal.frameSample(
+        Tables.documents(s, dir).filter(col("doc_id") < 20)
+          .withColumn("media", encode(col("text"), "UTF-8")),
+        col("media"), every = 4)
+      .select(col("doc_id"), col("frame"), col("phash"), col("brightness"))
+
   /** The CLAIMED path: same SQL text as ts_sql_match-style queries, but the
     * ClaimTsMatch optimizer rule rewrites the UDF filter into an index
     * semi-join (+ residual n_chars filter) — `EXPLAIN` shows a LeftSemi join
@@ -170,7 +180,8 @@ object Surface {
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
     "es_write_read" -> esWriteRead,
-    "mm_features" -> mmFeatures)
+    "mm_features" -> mmFeatures,
+    "mm_frame_sample" -> mmFrameSample)
 
   // ---- oracles -------------------------------------------------------------
 
@@ -234,5 +245,17 @@ object Surface {
          |  CAST(16 * (1 + ${nib(2)}) AS BIGINT) AS height,
          |  CAST(1 + ${nib(3)} % 3 AS BIGINT) AS channels
          |FROM documents WHERE doc_id < 20""".stripMargin
+    },
+    "mm_frame_sample" -> {
+      def nib(h: String, pos: Int) =
+        s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
+      s"""WITH v AS (SELECT doc_id, md5(text) AS dg,
+         |    4 * (1 + ${nib("md5(text)", 4)}) AS n_frames
+         |  FROM documents WHERE doc_id < 20),
+         |s AS (SELECT doc_id, dg, unnest(range(0, n_frames, 4)) AS frame FROM v),
+         |k AS (SELECT doc_id, frame, md5(dg || ':' || frame) AS fk FROM s)
+         |SELECT doc_id, frame, substr(fk, 1, 8) AS phash,
+         |  CAST(${nib("fk", 9)} * 16 + ${nib("fk", 10)} AS BIGINT) AS brightness
+         |FROM k""".stripMargin
     })
 }
