@@ -169,7 +169,23 @@ object Surface {
       .select(col("term"), col("df").cast("bigint").as("df"), col("doc_id"))
   }
 
+  /** The DDL entry point: CREATE SEARCH INDEX wires a registered view into
+    * IndexStore (same segments the claimed ts_* queries use) and exposes
+    * the index relations for SQL. The `key` option pins the segment dir to
+    * this dataset, so the build is shared with every other entry. */
+  def ddlIndex(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents_ddl")
+    graft.search.Ddl.execute(s,
+      s"""CREATE SEARCH INDEX ddl_idx ON documents_ddl (text)
+         |WITH (id = 'doc_id', analyzer = 'whitespace', key = '$dir-documents')""".stripMargin)
+    s.sql("""SELECT t.term, t.df, p.doc_id
+            |FROM ddl_idx_termdict t JOIN ddl_idx_postings p ON t.term = p.term
+            |WHERE t.term LIKE 'co%'""".stripMargin)
+      .select(col("term"), col("df").cast("bigint").as("df"), col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ddl_index" -> ddlIndex,
     "idx_relation_sql" -> idxRelationSql,
     "vec_claimed_ann" -> vecClaimedAnn,
     "ts_dict_pushdown" -> tsDictPushdown,
@@ -191,6 +207,13 @@ object Surface {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ddl_index" ->
+      s"""$toks,
+         |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+         |dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |         WHERE term LIKE 'co%' GROUP BY term)
+         |SELECT d.term, d.df, p.doc_id
+         |FROM dict d JOIN (SELECT DISTINCT doc_id, term FROM tok) p USING (term)""".stripMargin,
     "idx_relation_sql" ->
       s"""$toks,
          |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
