@@ -184,7 +184,40 @@ object Extras {
       .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
         count_distinct(col("tag")).as("n_tags"))
 
+  /** The remaining math.cpp gap-fillers (MathExt): erf/erfc/cotd as
+    * codegen'd expression compositions over a deterministic grid, integer
+    * div, and make_timestamp (Spark built-in, UTC session) — all mirrored
+    * term-for-term in the oracle. */
+  def mathExtPack(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MathExt
+    val grid = Tables.documents(s, dir).filter(col("doc_id") < 21)
+      .select(col("doc_id"),
+        ((col("doc_id") - 10).cast("double") / 4.0).as("x"),
+        (col("doc_id") * 7 + 1).cast("double").as("deg"))
+    grid.select(
+      col("doc_id"),
+      round(MathExt.erf(col("x")) * 10000).cast("bigint").as("erf_q"),
+      round(MathExt.erfc(col("x")) * 10000).cast("bigint").as("erfc_q"),
+      round(MathExt.cotd(col("deg")) * 10000).cast("bigint").as("cotd_q"),
+      expr("doc_id div 3").as("div3"),
+      unix_timestamp(expr(
+        "make_timestamp(2026, 3, CAST(doc_id % 27 + 1 AS INT), 12, 30, 0)"))
+        .as("mk_ts_epoch"))
+  }
+
+  /** PG date_bin: 15-minute buckets of the event stream, aligned to the
+    * epoch — pure integer arithmetic, so the bin ids hash-match exactly. */
+  def q19DateBin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MathExt
+    Tables.events(s, dir)
+      .withColumn("bin", MathExt.dateBinEpoch(900L, col("ts"), 0L))
+      .groupBy(col("bin"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "math_ext_pack" -> mathExtPack,
+    "q19_date_bin" -> q19DateBin,
     "json_variant" -> jsonVariant,
     "str_math_pack" -> strMathPack,
     "sql_macro" -> sqlMacro,
@@ -212,6 +245,27 @@ object Extras {
       |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "math_ext_pack" -> {
+      import graft.functions.MathExt.{sql => m}
+      s"""WITH grid AS (SELECT doc_id,
+         |    CAST(doc_id - 10 AS DOUBLE) / 4.0 AS x,
+         |    CAST(doc_id * 7 + 1 AS DOUBLE) AS deg
+         |  FROM documents WHERE doc_id < 21)
+         |SELECT doc_id,
+         |  CAST(round(${m.erf("x")} * 10000) AS BIGINT) AS erf_q,
+         |  CAST(round(${m.erfc("x")} * 10000) AS BIGINT) AS erfc_q,
+         |  CAST(round(${m.cotd("deg")} * 10000) AS BIGINT) AS cotd_q,
+         |  doc_id // 3 AS div3,
+         |  CAST(epoch(make_timestamp(2026, 3, doc_id % 27 + 1, 12, 30, 0)) AS BIGINT)
+         |    AS mk_ts_epoch
+         |FROM grid""".stripMargin
+    },
+    "q19_date_bin" ->
+      // floor(), not CAST: epoch() is fractional and CAST rounds-half-even,
+      // while Spark's unix_timestamp truncates toward zero
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS bin,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "json_variant" ->
       """SELECT event_type,
         |  count(json_extract_string(props, '$.k')) AS n_k,
