@@ -215,7 +215,23 @@ object Extras {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The reference's string.cpp surface beyond str_math_pack (initcap,
+    * base64 encode/decode, string_to_array, to_bin, format,
+    * regexp_match) — Spark built-ins end to end; the oracle mirrors each
+    * with DuckDB's equivalent spelling. */
+  def strPack2(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      initcap(col("p_name")).as("name_cap"),
+      base64(encode(col("p_brand"), "UTF-8")).as("brand_b64"),
+      decode(unbase64(base64(encode(col("p_type"), "UTF-8"))), "UTF-8").as("type_rt"),
+      size(split(col("p_name"), " ")).cast("bigint").as("n_words"),
+      bin(col("p_partkey")).as("key_bin"),
+      format_string("%s#%d", col("p_brand"), col("p_size")).as("tag"),
+      regexp_extract(col("p_type"), "[A-Z]+", 0).as("first_caps"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_pack2" -> strPack2,
     "math_ext_pack" -> mathExtPack,
     "q19_date_bin" -> q19DateBin,
     "json_variant" -> jsonVariant,
@@ -245,6 +261,17 @@ object Extras {
       |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "str_pack2" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(string_split(lower(p_name), ' '),
+        |    w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS name_cap,
+        |  to_base64(encode(p_brand)) AS brand_b64,
+        |  decode(from_base64(to_base64(encode(p_type)))) AS type_rt,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        |  bin(p_partkey) AS key_bin,
+        |  printf('%s#%d', p_brand, p_size) AS tag,
+        |  coalesce(regexp_extract(p_type, '[A-Z]+'), '') AS first_caps
+        |FROM part""".stripMargin,
     "math_ext_pack" -> {
       import graft.functions.MathExt.{sql => m}
       s"""WITH grid AS (SELECT doc_id,
