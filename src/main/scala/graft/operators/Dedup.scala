@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.analysis.{Analyzers, ShingleAnalyzer, WhitespaceAnalyzer}
 
@@ -31,20 +31,33 @@ object Dedup {
 
   private def ws = WhitespaceAnalyzer(lowercase = true)
 
-  /** Distinct (doc_id, shingle) pairs; shingle analyzer constructed directly
-    * so any n works (not just the registry's shingle3). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val a = ShingleAnalyzer(ws, n)
-    val tok = udf((s: String) => a.tokens(s))
-    docs.select(col(idCol).as("doc_id"), explode(tok(col(textCol))).as("sh"))
-      .distinct()
+  /** WhitespaceAnalyzer(lowercase) as a native expression — identical
+    * semantics (lower, split on \s+, drop empties) but codegen'd: the
+    * tokenize pass is the dominant cost of every dedup plan at corpus
+    * scale, and a Scala UDF there breaks whole-stage codegen. */
+  private def tokensNative(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** ShingleAnalyzer(ws, n) as a native expression: n-grams of consecutive
+    * tokens joined by spaces, empty when fewer than n tokens. */
+  private def shinglesNative(c: Column, n: Int): Column = {
+    val toks = tokensNative(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array())
   }
+
+  /** Distinct (doc_id, shingle) pairs, fully codegen'd (no UDF). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(shinglesNative(col(textCol), n)).as("sh"))
+      .distinct()
 
   /** Exact duplicate groups by canonical token-set hash. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = udf((s: String) => ws.tokens(s))
     docs.select(col(idCol).as("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(tok(col(textCol)))))).as("set_hash"))
+        md5(concat_ws(" ", array_sort(array_distinct(tokensNative(col(textCol)))))).as("set_hash"))
       .groupBy(col("set_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_docs") > 1)
