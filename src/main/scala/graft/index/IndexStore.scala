@@ -60,6 +60,11 @@ object IndexStore {
 
   private val jvmCache = TrieMap.empty[String, InvertedIndex]
 
+  /** Drop the cached load of `dir` (callers that delete the directory out
+    * of band — e.g. DROP SEARCH INDEX — must invalidate, or a later
+    * same-key ensure() would serve the dead index). */
+  def invalidate(dir: String): Unit = jvmCache.remove(dir)
+
   private def slug(s: String): String = s.replaceAll("[^A-Za-z0-9._-]+", "_")
 
   // ---- Hadoop FS helpers (cluster-safe metadata IO) ------------------------

@@ -99,14 +99,48 @@ object StreamGate {
     s.table(qname)
   }
 
+  /** Streaming ingest into the Iceberg table: each micro-batch commits one
+    * append snapshot via foreachBatch (the table-format analogue of the
+    * index's two-leg ingest), then the committed table must hold exactly
+    * the source rows. AvailableNow + a fresh checkpoint per run keeps the
+    * entry deterministic; batch replays are the checkpoint's concern
+    * (proven for the index sink in StreamingIngestSpec). */
+  def streamIcebergIngest(s: SparkSession, dir: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") +
+      "/graft-stream-iceberg-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table), true)
+    val q = eventStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_epoch"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.IcebergTables.append(batch, table): Unit
+      }
+      .option("checkpointLocation", table + ".ckpt-" + java.util.UUID.randomUUID())
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    graft.sources.IcebergTables.read(s, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("ts_epoch")).as("sum_ts"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> streamWindowedAgg,
     "stream_sessionize" -> streamSessionize,
-    "stream_dedup" -> streamDedup)
+    "stream_dedup" -> streamDedup,
+    "stream_iceberg_ingest" -> streamIcebergIngest)
 
   val oracles: Map[String, String] = Map(
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "stream_iceberg_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS sum_ts,
+        |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
     "stream_windowed_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

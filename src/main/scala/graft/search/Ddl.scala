@@ -55,6 +55,7 @@ object Ddl {
         case Some((dir, _, _, _)) =>
           val p = new org.apache.hadoop.fs.Path(dir)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          IndexStore.invalidate(dir)
           result(spark, s"dropped $name")
         case None =>
           throw new IllegalArgumentException(s"no such search index: $name")

@@ -33,6 +33,14 @@ class DdlSpec extends AnyFunSuite {
     assert(Ddl.execute(spark, "SHOW SEARCH INDEXES")
       .filter(org.apache.spark.sql.functions.col("index_name") === "spec_idx")
       .count() == 0)
+
+    // re-create under the same key must rebuild, not serve the dead cache
+    Ddl.execute(spark,
+      "CREATE SEARCH INDEX spec_idx ON ddl_spec_docs (text) " +
+        "WITH (id = 'doc_id', analyzer = 'whitespace', key = 'ddl-spec')")
+    assert(spark.sql("SELECT count(*) FROM spec_idx_termdict")
+      .collect()(0).getLong(0) == dfTerms)
+    Ddl.execute(spark, "DROP SEARCH INDEX spec_idx")
   }
 
   test("malformed statements fail loudly") {
