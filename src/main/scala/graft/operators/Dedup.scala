@@ -31,33 +31,20 @@ object Dedup {
 
   private def ws = WhitespaceAnalyzer(lowercase = true)
 
-  /** WhitespaceAnalyzer(lowercase) as a native expression — identical
-    * semantics (lower, split on \s+, drop empties) but codegen'd: the
-    * tokenize pass is the dominant cost of every dedup plan at corpus
-    * scale, and a Scala UDF there breaks whole-stage codegen. */
-  private def tokensNative(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => t =!= "")
-
-  /** ShingleAnalyzer(ws, n) as a native expression: n-grams of consecutive
-    * tokens joined by spaces, empty when fewer than n tokens. */
-  private def shinglesNative(c: Column, n: Int): Column = {
-    val toks = tokensNative(c)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array())
-  }
-
-  /** Distinct (doc_id, shingle) pairs, fully codegen'd (no UDF). */
+  /** Distinct (doc_id, shingle) pairs, fully codegen'd — the tokenize
+    * pass is the dominant cost of every dedup plan at corpus scale, and a
+    * Scala UDF there breaks whole-stage codegen (TextExprs mirrors the
+    * analyzers natively). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(shinglesNative(col(textCol), n)).as("sh"))
+        explode(graft.functions.TextExprs.shingles(col(textCol), n)).as("sh"))
       .distinct()
 
   /** Exact duplicate groups by canonical token-set hash. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     docs.select(col(idCol).as("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(tokensNative(col(textCol)))))).as("set_hash"))
+        md5(concat_ws(" ", array_sort(array_distinct(
+          graft.functions.TextExprs.tokens(col(textCol)))))).as("set_hash"))
       .groupBy(col("set_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_docs") > 1)

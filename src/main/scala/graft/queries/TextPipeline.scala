@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analysis.{Analyzers, AnalyzerRegistry, ShingleAnalyzer, WhitespaceAnalyzer}
+import graft.analysis.Analyzers
 import graft.index.IndexStore
 import graft.search.{TsQuery, TsQueryExec}
 
@@ -16,8 +16,8 @@ import graft.search.{TsQuery, TsQueryExec}
   */
 object TextPipeline {
 
-  private def ws = WhitespaceAnalyzer(lowercase = true)
-  private val tokUdf = udf((s: String) => WhitespaceAnalyzer(lowercase = true).tokens(s))
+  // codegen'd whitespace tokenization (TextExprs mirrors the analyzer)
+  private def tok(c: org.apache.spark.sql.Column) = graft.functions.TextExprs.tokens(c)
 
   /** ts_offsets: char ranges of matches. The index prunes to matching docs
     * (semi-join on doc ids); a re-analysis UDF recovers offsets for those
@@ -43,7 +43,7 @@ object TextPipeline {
       IndexStore.documents(s, dir, "whitespace"), TsQuery.Term("vector"))
     Tables.documents(s, dir)
       .join(matched, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), tokUdf(col("text")).as("ts"))
+      .select(col("doc_id"), tok(col("text")).as("ts"))
       .select(col("doc_id"),
         concat_ws(" ", expr(
           "transform(ts, t -> CASE WHEN t = 'vector' THEN concat('<b>', t, '</b>') ELSE t END)"))
@@ -53,7 +53,7 @@ object TextPipeline {
   /** Token counting: total + distinct per doc. */
   def taTokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), tokUdf(col("text")).as("ts"))
+      .select(col("doc_id"), tok(col("text")).as("ts"))
       .select(col("doc_id"),
         size(col("ts")).cast("bigint").as("n_tokens"),
         size(array_distinct(col("ts"))).cast("bigint").as("n_uniq"))
@@ -65,7 +65,7 @@ object TextPipeline {
     * length) quantized to 1e-4 — the classic pretraining-corpus filters. */
   def taQuality(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), tokUdf(col("text")).as("ts"))
+      .select(col("doc_id"), tok(col("text")).as("ts"))
       .select(col("doc_id"),
         size(col("ts")).cast("bigint").as("n_tokens"),
         round(size(array_distinct(col("ts"))).cast("double") /
@@ -91,7 +91,7 @@ object TextPipeline {
     }
     val Seq(en, de, fr, es) = langProfiles.map(p => col(s"h_${p._1}"))
     Tables.documents(s, dir)
-      .select(col("doc_id"), tokUdf(col("text")).as("ts"))
+      .select(col("doc_id"), tok(col("text")).as("ts"))
       .select(col("doc_id") +: hits: _*)
       .select(col("doc_id"),
         when(en + de + fr + es === 0, "und")
@@ -105,10 +105,9 @@ object TextPipeline {
     * winnowing/MinHash-of-shingles primitive (one stable representative
     * k-gram per doc), md5 so any engine recomputes it. */
   def taFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val sh = ShingleAnalyzer(WhitespaceAnalyzer(lowercase = true), 5)
-    val shUdf = udf((t: String) => sh.tokens(t))
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shUdf(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.shingles(col("text"), 5)).as("sh"))
       .groupBy(col("doc_id"))
       .agg(min(md5(col("sh"))).as("fp"))
   }
