@@ -27,17 +27,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional arg: comma-separated entry filter for fast local iteration
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      if (args.nonEmpty) { val only = args(0).split(",").toSet; all.filter(only) }
+      else all
+    }
     names.foreach(runOnce) // warmup: JIT + codegen cache + parquet footers
     // median of 3 timed runs — n=1 deltas were noise-level (VERDICT r2)
     val results = names.map(n => n -> Seq.fill(3)(runOnce(n)).sorted.apply(1))
-    // ms precision keeps the line under the harness's tail-capture window
-    // (r02/r03 lines overflowed it and parsed as null); headline fields go
-    // LAST so front-truncation still leaves them regex-recoverable.
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // Full per-entry timings go to a FILE — the stdout line overflowed the
+    // driver's tail-capture window at 112 entries (r04 parsed: null) no
+    // matter the field order; the line itself stays headline-compact.
+    val allQs = results.map { case (k, v) => f""""$k":$v%.3f""" }
     val total = results.map(_._2).sum
-    println(f"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total%.3f,"unit":"sec"}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_ENTRIES.json"),
+      f"""{"sf":"$sfDir","total_sec":$total%.3f,"entries":${allQs.mkString("{", ",", "}")}}""")
+    // stdout: headline relational queries only (q01..q19) + totals
+    val headline = results.filter(_._1.startsWith("q"))
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_entries":${results.size},"queries":$headline}""")
     spark.stop()
   }
 }

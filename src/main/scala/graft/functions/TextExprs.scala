@@ -16,12 +16,20 @@ object TextExprs {
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
-  /** `ShingleAnalyzer(ws, n).tokens` as a Column: empty below n tokens. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  /** `ShingleAnalyzer(ws, n).tokens` over a PRE-MATERIALIZED token array
+    * column (the output of [[tokens]] projected as its own attribute):
+    * empty below n tokens.
+    *
+    * The input MUST be an attribute, not the tokenize expression inline:
+    * the `transform` lambda embeds its argument in the per-element body and
+    * Catalyst's subexpression elimination does not reach into HOF lambdas,
+    * so an inline `tokens(text)` argument re-tokenizes the whole document
+    * once per shingle — O(tokens²) per doc (an 8× regression at sf0.1,
+    * worse with doc length). Against an attribute the per-element cost is
+    * one array `slice`, giving the linear plan. */
+  def shinglesOf(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
       .otherwise(array())
-  }
 }

@@ -37,7 +37,9 @@ object Dedup {
     * analyzers natively). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.TextExprs.shingles(col(textCol), n)).as("sh"))
+        graft.functions.TextExprs.tokens(col(textCol)).as("ts")) // materialize once
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.shinglesOf(col("ts"), n)).as("sh"))
       .distinct()
 
   /** Exact duplicate groups by canonical token-set hash. */

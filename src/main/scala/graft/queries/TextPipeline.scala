@@ -105,11 +105,20 @@ object TextPipeline {
     * winnowing/MinHash-of-shingles primitive (one stable representative
     * k-gram per doc), md5 so any engine recomputes it. */
   def taFingerprint(s: SparkSession, dir: String): DataFrame = {
+    // One shuffle-free pass: tokens materialized once (attribute, so the
+    // shingle lambda is linear — see TextExprs.shinglesOf), the min-hash
+    // reduced per row with array_min instead of explode + groupBy, and md5
+    // fused into the shingle lambda so the shingle-string array is never
+    // materialized. Docs shorter than the shingle width keep their row with
+    // a NULL fingerprint — a row-dropping filter on size(ts) would be
+    // pushed below the projection by alias substitution and tokenize every
+    // document twice.
     Tables.documents(s, dir)
+      .select(col("doc_id"), tok(col("text")).as("ts"))
       .select(col("doc_id"),
-        explode(graft.functions.TextExprs.shingles(col("text"), 5)).as("sh"))
-      .groupBy(col("doc_id"))
-      .agg(min(md5(col("sh"))).as("fp"))
+        when(size(col("ts")) >= 5,
+          array_min(transform(sequence(lit(0), size(col("ts")) - 5),
+            i => md5(concat_ws(" ", slice(col("ts"), i + lit(1), lit(5))))))).as("fp"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -181,8 +190,11 @@ object TextPipeline {
          |FROM hits""".stripMargin
     },
     "ta_fingerprint" ->
-      s"""$toks,
-         |sh AS (SELECT doc_id, md5(array_to_string(ts[i:i+4], ' ')) AS h
-         |       FROM toks, unnest(range(1, greatest(len(ts) - 3, 1))) AS u(i))
-         |SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id""".stripMargin)
+      s"""$toks
+         |SELECT doc_id,
+         |  CASE WHEN len(ts) >= 5 THEN
+         |    list_min(list_transform(range(1, len(ts) - 3),
+         |      i -> md5(array_to_string(ts[i:i+4], ' '))))
+         |  END AS fp
+         |FROM toks""".stripMargin)
 }
