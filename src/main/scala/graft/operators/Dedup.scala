@@ -143,16 +143,75 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("j") * 10000).cast("bigint").as("j_q"))
   }
 
-  /** Embedding-cosine near-dup pairs (exact). The quadratic self-join is the
-    * VERIFY stage — at corpus scale candidates come from an ANN structure
-    * first (e.g. IvfIndex cluster-bucket join: only same/neighbor-cluster
-    * pairs are checked), exactly like LSH prunes for MinHash; the fused
-    * native cosine kernel keeps the verify loop one pass per pair. */
-  def embeddingNearDups(embs: DataFrame, idCol: String, embCol: String,
-      minCos: Double): DataFrame = {
-    val a = embs.select(col(idCol).as("ida"), col(embCol).as("ea"))
-    val b = embs.select(col(idCol).as("idb"), col(embCol).as("eb"))
-    a.join(b, col("ida") < col("idb"))
+  /** Embedding-cosine near-dup pairs — exact and complete, via a
+    * metric-pruned cluster-pair join, never an all-pairs cross product.
+    *
+    * Candidates come from the IVF clustering: a pair (x, y) with
+    * cos(x, y) ≥ minCos has angle(x, y) ≤ θ_t, and by the spherical triangle
+    * inequality angle(c_x, c_y) ≤ r_x + θ_t + r_y, where r_i is cluster i's
+    * angular radius around its unit centroid direction. So only cluster
+    * pairs whose centroid angle is within that bound can contain a passing
+    * pair — a PROVABLY complete pruning (unlike sign-LSH, which is
+    * probabilistic and cannot be complete when the data's cosine
+    * distribution is continuous through the threshold, as the testdata's
+    * is). Surviving block pairs are verified with exact cosine through
+    * plain hash joins keyed on cluster id.
+    *
+    * Scale shape: driver state is k centroids + k radii (k ≈ √N, the
+    * IvfIndex sizing) and the O(k²) centroid-angle screen; vectors shuffle
+    * once on cluster id. On clustered corpora most of the k² block pairs
+    * are pruned; on adversarially uniform data pruning degrades gracefully
+    * toward all block pairs — still executed as co-partitioned hash joins,
+    * never a BroadcastNestedLoopJoin (asserted in DedupSpec). */
+  def embeddingNearDups(idx: graft.index.IvfIndex, minCos: Double): DataFrame = {
+    val spark = idx.assignments.sparkSession
+    import spark.implicits._
+    val eps = 1e-6 // float-rounding slack: only ever ADDS candidate blocks
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, minCos)))
+
+    val cdirs = idx.centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    val centDf = cdirs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "cdir")
+
+    // per-cluster angular radius: one distributed pass over the vectors
+    // (HOF fold, cdir is unit-norm); only k doubles return to the driver —
+    // driver-side metadata, not data
+    val ip = aggregate(zip_with(col("embedding"), col("cdir"),
+      (x, y) => x.cast("double") * y), lit(0.0), _ + _)
+    val norm = sqrt(aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
+    val ang = acos(least(lit(1.0), greatest(lit(-1.0), ip / norm)))
+    val radii: Map[Int, Double] = idx.assignments
+      .join(broadcast(centDf), "cluster")
+      .select(col("cluster"), ang.as("ang"))
+      .groupBy("cluster").agg(max(col("ang")).as("r"))
+      .collect().map(r => r.getAs[Number](0).intValue -> r.getDouble(1)).toMap
+
+    def centroidAngle(i: Int, j: Int): Double = {
+      val a = cdirs(i); val b = cdirs(j)
+      var s = 0.0; var t = 0
+      while (t < a.length) { s += a(t) * b(t); t += 1 }
+      math.acos(math.max(-1.0, math.min(1.0, s)))
+    }
+    // ordered block pairs (both orientations — each vector pair appears in
+    // exactly one, resolved by the ida < idb filter); empty clusters absent
+    val live = radii.keys.toSeq.sorted
+    val cand = for {
+      i <- live; j <- live
+      if i == j || centroidAngle(i, j) <= thetaT + radii(i) + radii(j) + eps
+    } yield (i, j)
+    val candDf = cand.toDF("ca", "cb")
+
+    val a = idx.assignments.select(col("vec_id").as("ida"),
+      col("embedding").as("ea"), col("cluster").as("ca"))
+    val b = idx.assignments.select(col("vec_id").as("idb"),
+      col("embedding").as("eb"), col("cluster").as("cb"))
+    a.join(broadcast(candDf), Seq("ca"))
+      .join(b, Seq("cb"))
+      .filter(col("ida") < col("idb"))
       .withColumn("cos",
         graft.functions.VectorFunctions.cosineSimilarity(col("ea"), col("eb")))
       .filter(col("cos") >= minCos)

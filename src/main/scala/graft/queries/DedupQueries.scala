@@ -31,7 +31,10 @@ object DedupQueries {
     Dedup.simHashDedup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+    // same cache key as ClaimAnnTopK, so the clustering is built once per
+    // sf dir and shared between ANN search and dedup
+    Dedup.embeddingNearDups(
+      graft.index.IvfIndex.ensure(s, Tables.embeddings(s, dir), s"$dir-embeddings"), 0.45)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,

@@ -44,6 +44,33 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == brute, "16-bit banding must be complete for hamming <= 3")
   }
 
+  test("embedding near-dups equal brute force and never plan a nested-loop join") {
+    val embs = Tables.embeddings(spark, TestSpark.sfDir)
+    val idx = graft.index.IvfIndex.build(embs, k = 8)
+    val out = Dedup.embeddingNearDups(idx, 0.45)
+
+    // the metric-pruned block join must be EXACT: same pairs as all-pairs
+    val vecs = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ip = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { ip += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      ip / math.sqrt(na * nb)
+    }
+    val brute = (for {
+      (ida, ea) <- vecs; (idb, eb) <- vecs
+      if ida < idb && cos(ea, eb) >= 0.45
+    } yield (ida, idb)).toSet
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata should contain passing pairs")
+    assert(got == brute, "cluster-pair pruning must be complete and exact")
+
+    // and the plan must be bucketed joins — no quadratic physical operator
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys.linesIterator.take(5).mkString("\n"))
+    assert(!phys.contains("CartesianProduct"), phys.linesIterator.take(5).mkString("\n"))
+  }
+
   test("exact groups really are exact duplicates") {
     val ws = WhitespaceAnalyzer(lowercase = true)
     val texts = docs.select("doc_id", "text").collect()
