@@ -171,10 +171,10 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
   * reference's `PushdownDistanceCall` / ANN top-k claim
   * (/root/reference/server/connector/optimizer/iresearch_plan.cpp:546-621):
   * distance order + limit over an ANN-indexed column becomes a
-  * partition-pruned probe of the nprobe nearest inverted lists with exact
-  * distance inside and a global O(k) merge. The claimed result is
-  * approximate (like the reference's); recall is gated by vec_ivf_recall
-  * and IvfIndexSpec. */
+  * partition-pruned probe of the index's inverted lists with exact distance
+  * inside and a global O(k) merge. The default probe is the adaptive-exact
+  * (ball-bound) strategy, so the claimed result EQUALS the exact sort it
+  * replaces — gated by vec_claimed_ann/vec_ivf_recall and IvfIndexSpec. */
 case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Alias, SortOrder, Ascending}
   import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Project, Sort}

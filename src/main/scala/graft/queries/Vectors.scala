@@ -60,10 +60,13 @@ object Vectors {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sum(q4(l2Norm(col("embedding")))).as("sum_l2n_q"))
 
-  /** ANN top-k through the IVF index: probe the nearest ~k/4 of ≈√N inverted
-    * lists (partition-pruned), exact distance inside, global top-k merge.
-    * Approximate ⇒ no SQL oracle for the id list itself; quality is gated by
-    * `vec_ivf_recall` below plus IvfIndexSpec's recall property test. */
+  /** Top-k through the IVF index with the default (adaptive-exact) probe:
+    * phase 1 scans the √k nearest inverted lists, phase 2 adds only lists
+    * whose ball bound ‖q−cᵢ‖ − rᵢ could still beat the candidate kth
+    * distance — so the answer is EXACT (oracle-hashable), and on clustered
+    * corpora the probe reads a small fraction of the lists (asserted in
+    * IvfIndexSpec). Fixed-nprobe approximate probing stays available via
+    * the explicit argument. */
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
     val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
@@ -72,12 +75,33 @@ object Vectors {
       .select(col("vec_id"))
   }
 
-  /** Driver-checkable IVF quality gate: |ivf top-10 ∩ exact top-10|. The
-    * oracle pins it to 10 (perfect recall at this sf/nprobe) — any routing or
-    * pruning regression in the IVF path turns this row red. Mirrors the
-    * reference's recall sweeps (/root/reference/scripts/perf/sweep_hnsw.sh). */
+  /** IVF quality gate: |ivf top-10 ∩ exact top-10|, pinned to 10 by the
+    * oracle — any routing or pruning regression in the IVF path turns this
+    * row red. Mirrors the reference's recall sweeps
+    * (/root/reference/scripts/perf/sweep_hnsw.sh). */
   def ivfRecall(s: SparkSession, dir: String): DataFrame =
     ivfKnn(s, dir).join(knnExact(s, dir), "vec_id")
+      .agg(count(lit(1)).cast("bigint").as("n_overlap"))
+
+  private def hnswIndex(s: SparkSession, dir: String) =
+    // P=4 exercises the partition-local-graph + global-merge path even at
+    // test scale; production sizing is autoPartitions ≈ N/250k
+    graft.index.HnswIndex.ensure(s, Tables.embeddings(s, dir),
+      s"$dir-embeddings", m = 16, efConstruction = 64, partitions = 4)
+
+  /** ANN top-k through partition-local HNSW graphs (ref demo4: hnsw
+    * (metric, m, ef_construction)). Approximate by design ⇒ rows-only
+    * check here; quality is pinned by `vec_hnsw_recall`. */
+  def hnswKnn(s: SparkSession, dir: String): DataFrame = {
+    val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    hnswIndex(s, dir).knn(query, k = 10, ef = 128).select(col("vec_id"))
+  }
+
+  /** HNSW quality gate, the vec_ivf_recall pattern: overlap with exact
+    * top-10, pinned to 10 by the oracle at this sf/ef. */
+  def hnswRecall(s: SparkSession, dir: String): DataFrame =
+    hnswKnn(s, dir).join(knnExact(s, dir), "vec_id")
       .agg(count(lit(1)).cast("bigint").as("n_overlap"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -86,7 +110,9 @@ object Vectors {
     "vec_knn_cosine" -> knnCosine,
     "vec_agg_by_label" -> aggByLabel,
     "vec_ivf_knn" -> ivfKnn,
-    "vec_ivf_recall" -> ivfRecall)
+    "vec_ivf_recall" -> ivfRecall,
+    "vec_hnsw_knn" -> hnswKnn,
+    "vec_hnsw_recall" -> hnswRecall)
 
   private val q = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
 
@@ -114,5 +140,10 @@ object Vectors {
       s"""SELECT label, count(*) AS n,
          |  CAST(SUM(CAST(round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000) AS BIGINT)) AS BIGINT) AS sum_l2n_q
          |FROM embeddings GROUP BY label""".stripMargin,
-    "vec_ivf_recall" -> "SELECT CAST(10 AS BIGINT) AS n_overlap")
+    // the adaptive probe is exact, so the IVF path gets a REAL oracle
+    "vec_ivf_knn" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY list_distance(embedding::DOUBLE[], $q::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
+    "vec_ivf_recall" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
+    "vec_hnsw_recall" -> "SELECT CAST(10 AS BIGINT) AS n_overlap")
 }

@@ -8,26 +8,59 @@ class IvfIndexSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
   private def embs = Tables.embeddings(spark, TestSpark.sfDir)
 
+  private def l2sq(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+
   test("auto list count is ~sqrt(N)") {
     assert(IvfIndex.autoK(500) == 23)
     assert(IvfIndex.autoK(1000000) == 1000)
     assert(IvfIndex.autoK(10) == 4)
   }
 
-  test("IVF knn recall >= 0.9 vs exact at default nprobe") {
+  test("default (adaptive) probe is EXACT even on uniform data") {
     val idx = IvfIndex.build(embs)
     assert(idx.numLists == 23)
-
     val all = embs.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1))
     val q = all.find(_._1 == 0L).get._2
-    def l2sq(a: Seq[Float], b: Seq[Float]): Double =
-      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
-    val exact = all.map { case (id, e) => (id, l2sq(e, q)) }
-      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val exact = all.map { case (id, e) => (l2sq(e, q), id) }.sorted.take(10).map(_._2).toSeq
+    val got = idx.knn(q, 10).collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"adaptive probe must return the exact top-k (got=$got exact=$exact)")
+  }
 
-    val got = idx.knn(q, 10).collect().map(_.getLong(0)).toSet
-    val recall = (got & exact).size / 10.0
-    assert(recall >= 0.9, s"IVF recall $recall below 0.9 (got=$got exact=$exact)")
+  test("fixed-nprobe at half the lists keeps recall >= 0.9 on uniform data") {
+    val idx = IvfIndex.build(embs)
+    val all = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val q = all.find(_._1 == 0L).get._2
+    val exact = all.map { case (id, e) => (l2sq(e, q), id) }.sorted.take(10).map(_._2).toSet
+    val got = idx.knn(q, 10, nprobe = math.ceil(idx.numLists / 2.0).toInt)
+      .collect().map(_.getLong(0)).toSet
+    assert((got & exact).size / 10.0 >= 0.9)
+  }
+
+  test("adaptive probe prunes most lists on clustered data") {
+    // 16 tight, well-separated clusters: the corpus shape IVF exists for
+    // (the driver testdata is uniform-random, IVF's pathological case)
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextDouble() * 20 - 10))
+    val rows = (0 until 1600).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val ss = spark
+    import ss.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val idx = IvfIndex.build(df, k = 16)
+
+    val q = rows.find(_._1 == 0L).get._2
+    val (p1, p2) = idx.adaptiveProbes(q, 10)
+    assert(p1.size + p2.size <= idx.numLists / 2,
+      s"clustered data must prune: probed ${p1.size + p2.size}/${idx.numLists}")
+
+    val exact = rows.map { case (id, e) => (l2sq(e, q), id) }.sorted.take(10).map(_._2)
+    val got = idx.knn(q, 10).collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
   }
 }
