@@ -102,22 +102,47 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Project}
   import org.apache.spark.sql.catalyst.expressions.Explode
 
-  /** The claimable shape, checked strictly: Aggregate.child is a
+  /** The claimable shapes, checked strictly. Aggregate.child must be a
     * Project-only chain down to Generate(explode(ts_tokenize_sql(text,
-    * 'dict'))), whose child is a Project-only chain down to the documents
-    * scan, with `text` provenance-checked against that scan. Any Filter /
-    * Join / Limit on either leg means the dictionary totals would not match
-    * the query's input rows — bail, keep the explode plan (the filtered
-    * facet then tokenizes only what it must; still correct). */
-  private def tokenizeGen(plan: LogicalPlan): Option[(Attribute, String, String, LogicalRelation)] =
+    * 'dict'))), whose child (modulo Projects) is either
+    *
+    *  - the bare documents scan → the UNFILTERED facet: both aggregates are
+    *    precomputed in the term dictionary (df/ctf); or
+    *  - a LeftSemi join of the bare documents scan against an arbitrary
+    *    match subtree on the scan's own doc_id — the shape ClaimTsMatch
+    *    leaves behind for a fully-claimed `WHERE ts_match(...)` — → the
+    *    FILTERED facet: counts are re-aggregated from the POSTINGS of the
+    *    matched docs (semi-join postings on doc id, group by term), the
+    *    reference's ts_dict WHERE-claim (ts_dict_plan.hpp:17-28). Nothing
+    *    tokenizes in either shape.
+    *
+    * Any other Filter / Join / Limit on either leg means the index totals
+    * would not match the query's input rows — bail, keep the explode plan
+    * (the facet then tokenizes only what the residual filter passes; still
+    * correct). `text` and `doc_id` are provenance-checked by exprId against
+    * the scan, never by name. */
+  private def tokenizeGen(plan: LogicalPlan): Option[(Attribute, String, String,
+      LogicalRelation, Option[(LogicalPlan, Attribute)])] =
     PlanShapes.stripProjects(plan) match {
       case g @ Generate(Explode(u: ScalaUDF), _, _, _, _, _)
           if u.udfName.contains("ts_tokenize_sql") =>
         (u.children, g.generatorOutput) match {
           case (Seq(a: AttributeReference, Literal(d: UTF8String, _)), Seq(tokenAttr)) =>
-            PlanShapes.bareRelation(g.child, "documents.parquet").collect {
-              case (lr, dir) if PlanShapes.isColumnOf(lr, a, "text") =>
-                (tokenAttr, d.toString, dir, lr)
+            PlanShapes.stripProjects(g.child) match {
+              case _: LogicalRelation =>
+                PlanShapes.bareRelation(g.child, "documents.parquet").collect {
+                  case (lr, dir) if PlanShapes.isColumnOf(lr, a, "text") =>
+                    (tokenAttr, d.toString, dir, lr, None)
+                }
+              case Join(l, r, LeftSemi, Some(EqualTo(lk: AttributeReference, rk: AttributeReference)), _) =>
+                for {
+                  (lr, dir) <- PlanShapes.bareRelation(l, "documents.parquet")
+                  if PlanShapes.isColumnOf(lr, a, "text")
+                  // the join key must be the scan's own doc_id, either side
+                  (lkey, rkey) = if (lr.output.exists(_.exprId == lk.exprId)) (lk, rk) else (rk, lk)
+                  if PlanShapes.isColumnOf(lr, lkey, "doc_id") && r.outputSet.contains(rkey)
+                } yield (tokenAttr, d.toString, dir, lr, Some((r, rkey)))
+              case _ => None
             }
           case _ => None
         }
@@ -128,8 +153,12 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
     case agg @ Aggregate(Seq(groupAttr: Attribute), aggExprs, child, _) =>
       try {
         tokenizeGen(child) match {
-          case Some((tokenAttr, dict, dir, lr)) if groupAttr.semanticEquals(tokenAttr) =>
+          case Some((tokenAttr, dict, dir, lr, None)) if groupAttr.semanticEquals(tokenAttr) =>
             rewrite(agg, aggExprs, tokenAttr, dict, dir, lr).getOrElse(agg)
+          case Some((tokenAttr, dict, dir, lr, Some((right, rightKey))))
+              if groupAttr.semanticEquals(tokenAttr) =>
+            rewriteFiltered(agg, aggExprs, tokenAttr, dict, dir, lr, right, rightKey)
+              .getOrElse(agg)
           case _ => agg
         }
       } catch {
@@ -137,6 +166,65 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
           logWarning(s"ts_dict pushdown failed, keeping explode plan: $e")
           agg
       }
+  }
+
+  /** Give every leaf relation in `plan` fresh output exprIds (and remap the
+    * references above them) — the manual analogue of the analyzer's
+    * DeduplicateRelations for a rule-constructed self-join. */
+  private def freshRelationIds(plan: LogicalPlan): LogicalPlan = {
+    val mapping = scala.collection.mutable.Map.empty[
+      org.apache.spark.sql.catalyst.expressions.ExprId,
+      org.apache.spark.sql.catalyst.expressions.Attribute]
+    plan.transformUp {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        val fresh = m.newInstance()
+        mapping ++= m.asInstanceOf[LogicalPlan].output.zip(fresh.output)
+          .map { case (o, n) => o.exprId -> n }
+        fresh
+      case other => other.transformExpressions {
+        case a: AttributeReference => mapping.getOrElse(a.exprId, a)
+      }
+    }
+  }
+
+  /** Filtered facet → postings-driven counts: LeftSemi(postings, matched) on
+    * doc id, group by term; count(*) over the explode ≡ sum(tf), and
+    * count(DISTINCT doc_id) ≡ count(*) (postings hold one row per
+    * (term, doc)). */
+  private def rewriteFiltered(agg: Aggregate, aggExprs: Seq[NamedExpression],
+      tokenAttr: Attribute, dict: String, dir: String, lr: LogicalRelation,
+      right: LogicalPlan, rightKey: Attribute): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions.{col => f}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Sum}
+    val idx = graft.index.IndexStore.documents(spark, dir, dict)
+    val posts = idx.postings.select(f("term"), f("doc_id"), f("tf").cast("long").as("tf"))
+    // the matched subtree (`right`) usually reads the SAME cached postings
+    // relation — re-instance ours so the self-join has disjoint exprIds
+    val pPlan = freshRelationIds(posts.queryExecution.optimizedPlan)
+    val Seq(termA, docA, tfA) = pPlan.output
+    val joined = Join(pPlan, right, LeftSemi, Some(EqualTo(docA, rightKey)), JoinHint.NONE)
+    val mapped = aggExprs.map {
+      case a: Attribute if a.semanticEquals(tokenAttr) =>
+        Some(Alias(termA, a.name)(exprId = a.exprId))
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), name) =>
+        Some(Alias(AggregateExpression(Sum(tfA), Complete, isDistinct = false), name)(
+          exprId = al.exprId))
+      case al @ Alias(AggregateExpression(Count(Seq(c: Attribute)), _, true, _, _), name)
+          if PlanShapes.isColumnOf(lr, c, "doc_id") =>
+        Some(Alias(AggregateExpression(Count(Literal(1)), Complete, isDistinct = false), name)(
+          exprId = al.exprId))
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) None
+    else {
+      val out = agg.copy(groupingExpressions = Seq(termA),
+        aggregateExpressions = mapped.flatten, child = joined)
+      if (!out.resolved) {
+        logWarning("filtered ts_dict rewrite produced an unresolved plan, bailing:\n" +
+          out.treeString)
+        None
+      } else Some(out)
+    }
   }
 
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],

@@ -126,6 +126,21 @@ object Surface {
             |GROUP BY token""".stripMargin)
   }
 
+  /** A filtered facet whose WHERE is itself CLAIMABLE: ClaimTsMatch first
+    * turns the ts_match into an index semi-join, then PushdownTsDictAggregate
+    * recognizes the facet-over-semi-join shape and re-aggregates df/freq
+    * from the POSTINGS of the matched docs (the reference's ts_dict
+    * WHERE-claim, ts_dict_plan.hpp:17-28) — the optimized plan neither
+    * tokenizes nor explodes anything (asserted in ClaimRuleSpec). */
+  def tsDictClaimedFilter(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+    s.sql("""SELECT token, count(DISTINCT doc_id) AS docs, count(*) AS freq
+            |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
+            |      FROM graft_documents WHERE ts_match(text, 'stream', 'whitespace'))
+            |GROUP BY token""".stripMargin)
+  }
+
   /** A FILTERED ANN top-k: the vec_id predicate under the Sort means
     * ClaimAnnTopK must leave the exact sort in place (an IVF probe would
     * silently drop the filter) — so the result is exact and oracle-hashable,
@@ -190,6 +205,7 @@ object Surface {
     "vec_claimed_ann" -> vecClaimedAnn,
     "ts_dict_pushdown" -> tsDictPushdown,
     "ts_dict_filtered" -> tsDictFiltered,
+    "ts_dict_claimed_filter" -> tsDictClaimedFilter,
     "vec_ann_filtered" -> vecAnnFiltered,
     "es_dsl_msm" -> esDslMsm,
     "ts_claimed_match" -> tsClaimedMatch,
@@ -232,6 +248,12 @@ object Surface {
         |  FROM documents WHERE lang = 'en')
         |SELECT term AS token, count(DISTINCT doc_id) AS docs, count(*) AS freq
         |FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY term""".stripMargin,
+    "ts_dict_claimed_filter" ->
+      s"""$toks
+         |SELECT term AS token, count(DISTINCT doc_id) AS docs, count(*) AS freq
+         |FROM (SELECT doc_id, unnest(ts) AS term FROM toks
+         |      WHERE list_contains(ts, 'stream'))
+         |GROUP BY term""".stripMargin,
     "vec_ann_filtered" ->
       """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id FROM embeddings, qv WHERE vec_id % 2 = 1

@@ -65,6 +65,54 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("claimable-filtered facet is rewritten to postings-driven counts") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("graft_documents")
+    val df = spark.sql(
+      """SELECT token, count(DISTINCT doc_id) AS docs, count(*) AS freq
+        |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
+        |      FROM graft_documents WHERE ts_match(text, 'stream', 'whitespace'))
+        |GROUP BY token""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "ts_tokenize_sql").isEmpty,
+      s"filtered facet must not re-tokenize:\n$optimized")
+    assert(udfsIn(optimized, "ts_match").isEmpty)
+    val generates = optimized.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.isEmpty, s"filtered facet must drive from postings:\n$optimized")
+
+    // counts must equal the brute-force facet over matching docs only
+    val ws = WhitespaceAnalyzer(lowercase = true)
+    val toks = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ws.tokens(r.getString(1)))
+      .filter(_._2.contains("stream"))
+    val want = toks.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1)
+      .map { case (t, rows) => (t, rows.map(_._2).distinct.size.toLong, rows.size.toLong) }
+      .toSet
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("non-claimable filtered facet still bails to the explode plan") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("graft_documents")
+    val df = spark.sql(
+      """SELECT token, count(DISTINCT doc_id) AS docs, count(*) AS freq
+        |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
+        |      FROM graft_documents WHERE lang = 'en')
+        |GROUP BY token""".stripMargin)
+    val generates = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.nonEmpty, "a non-claimable filter must keep the explode plan")
+  }
+
   test("ANN order-by-limit is claimed into an IVF probe") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
