@@ -92,4 +92,77 @@ object Geo {
   def stContainsBox(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column,
       lon: Column, lat: Column): Column =
     lon >= minLon && lon <= maxLon && lat >= minLat && lat <= maxLat
+
+  // ---- polygons (reference libs/geo/wkb.cpp, geo_json.cpp WKT/WKB surface;
+  // ---- planar semantics like the reference's geometry_wkt.test cases) ----
+
+  /** Outer ring of a WKT `POLYGON((x y, x y, ...))` as
+    * `ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>` — pure string expressions, so a
+    * literal WKT constant-folds to an array literal at plan time. Holes
+    * (inner rings) are not parsed — document them as unsupported rather
+    * than silently wrong: the extract takes the FIRST ring only. */
+  def stPolygonOuter(wkt: Column): Column = {
+    val ring = regexp_extract(wkt, "POLYGON\\s*\\(\\(([^)]*)\\)", 1)
+    transform(split(ring, ","), p => {
+      val xy = split(trim(p), "\\s+")
+      struct(element_at(xy, 1).cast("double").as("x"),
+        element_at(xy, 2).cast("double").as("y"))
+    })
+  }
+
+  /** Point-in-polygon by the even-odd (ray casting) rule over the closed
+    * ring: count edges whose half-plane crossing test passes, odd = inside.
+    * The crossing test is written in the exact arithmetic order
+    * `(x2-x1)*(py-y1)/(y2-y1)+x1` so a SQL oracle repeating the same
+    * expression is bit-identical in IEEE doubles. Pass `verts` as an
+    * attribute or a literal (same HOF-lambda caveat as
+    * TextExprs.shinglesOf); boundary points follow ray-casting's standard
+    * half-open semantics. */
+  def stContainsPolygon(verts: Column, px: Column, py: Column): Column = {
+    val crossings = filter(sequence(lit(0), size(verts) - 2), i => {
+      val a = element_at(verts, i + 1)
+      val b = element_at(verts, i + 2)
+      val (ax, ay) = (a.getField("x"), a.getField("y"))
+      val (bx, by) = (b.getField("x"), b.getField("y"))
+      ((ay > py) =!= (by > py)) && (px < (bx - ax) * (py - ay) / (by - ay) + ax)
+    })
+    size(crossings) % 2 === 1
+  }
+
+  /** Envelope (bounding box) of a ring: STRUCT<minx, miny, maxx, maxy>. */
+  def stEnvelope(verts: Column): Column = struct(
+    array_min(transform(verts, v => v.getField("x"))).as("minx"),
+    array_min(transform(verts, v => v.getField("y"))).as("miny"),
+    array_max(transform(verts, v => v.getField("x"))).as("maxx"),
+    array_max(transform(verts, v => v.getField("y"))).as("maxy"))
+
+  /** ST_Intersects on bounding boxes: the polygon's envelope vs an
+    * axis-aligned box — the coarse pre-filter that drives covering-cell
+    * candidate lookup before the exact refine. */
+  def stIntersectsBox(verts: Column, minLon: Column, minLat: Column,
+      maxLon: Column, maxLat: Column): Column = {
+    val e = stEnvelope(verts)
+    e.getField("minx") <= maxLon && e.getField("maxx") >= minLon &&
+      e.getField("miny") <= maxLat && e.getField("maxy") >= minLat
+  }
+
+  /** Driver-side WKT POLYGON outer-ring parse (for planning covering cells;
+    * mirrors stPolygonOuter exactly). */
+  def parseWktPolygon(wkt: String): Seq[(Double, Double)] = {
+    val m = java.util.regex.Pattern.compile("POLYGON\\s*\\(\\(([^)]*)\\)").matcher(wkt)
+    require(m.find(), s"not a WKT POLYGON: $wkt")
+    m.group(1).split(",").toSeq.map { p =>
+      val xy = p.trim.split("\\s+")
+      (xy(0).toDouble, xy(1).toDouble)
+    }
+  }
+
+  /** Geohash cells covering a polygon's envelope — the covering set for the
+    * in-index candidate lookup; any superset is correct because the exact
+    * containment refine runs after. */
+  def coverPolygon(wkt: String, precision: Int): Seq[String] = {
+    val vs = parseWktPolygon(wkt)
+    coverBox(vs.map(_._1).min, vs.map(_._2).min,
+      vs.map(_._1).max, vs.map(_._2).max, precision)
+  }
 }

@@ -113,6 +113,46 @@ object Extras {
       .select(col("c_custkey"))
   }
 
+  /** The demo pentagon, shared by the polygon entries and their oracles. */
+  private val polyWkt =
+    "POLYGON((0 40, 38 12, 24 -32, -24 -32, -38 12, 0 40))"
+
+  /** ST_Contains(polygon, point) by even-odd ray casting over a WKT
+    * polygon (reference libs/geo/wkb.cpp WKT surface, geometry_wkt.test):
+    * the WKT literal is parsed by expression (constant-folded to an array
+    * literal), each point tests 5 half-plane crossings — codegen'd, no
+    * UDF. The oracle repeats the same crossing arithmetic term-for-term. */
+  def geoPolygonContains(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(s, dir)
+      .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
+      .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
+    pts.filter(Geo.stContainsPolygon(
+        Geo.stPolygonOuter(lit(polyWkt)), col("lon"), col("lat")))
+      .select(col("c_custkey"))
+  }
+
+  /** The polygon query THROUGH the geohash cell index: covering cells of
+    * the polygon's envelope → bucket-pruned keyword lookups → exact
+    * point-in-polygon refine (+ an envelope bbox-intersects sanity guard).
+    * Equal to geo_polygon_contains for any covering superset — the same
+    * invariant geo_cell_search establishes for boxes. */
+  def geoPolygonCells(s: SparkSession, dir: String): DataFrame = {
+    val ghUdf = udf((lat: Double, lon: Double) => Geo.geohash(lat, lon, 2))
+    def pts = Tables.customer(s, dir)
+      .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
+      .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
+    val idx = graft.index.IndexStore.ensure(s,
+      pts.withColumn("gh", ghUdf(col("lat"), col("lon"))),
+      s"$dir-customer-geo", "c_custkey", "gh", "keyword", withPositions = false)
+    val candidates = idx.anyOf(Geo.coverPolygon(polyWkt, 2))
+      .withColumnRenamed("doc_id", "c_custkey")
+    val verts = Geo.stPolygonOuter(lit(polyWkt))
+    pts.join(candidates, "c_custkey")
+      .filter(Geo.stIntersectsBox(verts, col("lon"), col("lat"), col("lon"), col("lat")))
+      .filter(Geo.stContainsPolygon(verts, col("lon"), col("lat")))
+      .select(col("c_custkey"))
+  }
+
   /** ST_Contains(bbox, point) count. */
   def geoBbox(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -244,6 +284,8 @@ object Extras {
     "geo_knn" -> geoKnn,
     "geo_bbox" -> geoBbox,
     "geo_cell_search" -> geoCellSearch,
+    "geo_polygon_contains" -> geoPolygonContains,
+    "geo_polygon_cells" -> geoPolygonCells,
     "ai_embed" -> aiEmbed)
 
   // ---- oracles -------------------------------------------------------------
@@ -253,6 +295,22 @@ object Extras {
       |  CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5 AS lon,
       |  CAST(c_custkey * 7 % 170 - 85 AS DOUBLE) + 0.5 AS lat
       |FROM customer)""".stripMargin
+
+  /** Even-odd ray casting with the SAME half-plane arithmetic order as
+    * Geo.stContainsPolygon — `(x2-x1)*(lat-y1)/(y2-y1)+x1` — so both
+    * engines make identical IEEE decisions at every edge. */
+  private val polygonOracle =
+    s"""WITH $lonLat,
+       |edges(x1, y1, x2, y2) AS (VALUES
+       |  (0.0, 40.0, 38.0, 12.0), (38.0, 12.0, 24.0, -32.0),
+       |  (24.0, -32.0, -24.0, -32.0), (-24.0, -32.0, -38.0, 12.0),
+       |  (-38.0, 12.0, 0.0, 40.0)),
+       |cr AS (SELECT c_custkey, count(*) AS crossings
+       |       FROM pts, edges
+       |       WHERE ((y1 > lat) <> (y2 > lat))
+       |         AND lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+       |       GROUP BY c_custkey)
+       |SELECT c_custkey FROM cr WHERE crossings % 2 = 1""".stripMargin
 
   private val haversine =
     """2.0 * 6371.0088 * asin(sqrt(
@@ -339,6 +397,8 @@ object Extras {
       s"""WITH $lonLat
          |SELECT c_custkey FROM pts
          |WHERE lon >= -60.0 AND lon <= 60.0 AND lat >= -30.0 AND lat <= 30.0""".stripMargin,
+    "geo_polygon_contains" -> polygonOracle,
+    "geo_polygon_cells" -> polygonOracle,
     "ai_embed" -> {
       val comps = (0 until 8).map { k =>
         val nibs = (0 until 4).map { j =>
