@@ -257,6 +257,41 @@ final case class ShingleAnalyzer(inner: Analyzer, n: Int = 3) extends Analyzer {
   }
 }
 
+/** Dictionary-driven compound-word decomposition (the decompounding token
+  * filter family; complements the reference's ts_compound bucket query).
+  * Greedy longest-match: repeatedly take the longest dictionary word
+  * (≥ minLen chars) prefixing the remainder; a token that does not fully
+  * decompose is kept whole. */
+object Decompound {
+  def split(token: String, isWord: String => Boolean, minLen: Int = 3): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < token.length) {
+      var j = token.length
+      var found = -1
+      while (found < 0 && j - i >= minLen) {
+        if (isWord(token.substring(i, j))) found = j else j -= 1
+      }
+      if (found < 0) return Seq(token)
+      out += token.substring(i, found)
+      i = found
+    }
+    out.toSeq
+  }
+}
+
+/** Decompounding analyzer: each inner token is emitted as-is, and — when it
+  * fully decomposes into ≥ 2 dictionary words — its subwords as well (the
+  * emit-both convention of standard decompound filters, so both the exact
+  * compound and its parts are searchable). */
+final case class DecompoundAnalyzer(inner: Analyzer, dictionary: Set[String],
+    minLen: Int = 3) extends Analyzer {
+  def apply(t: String): Seq[String] = inner(t).flatMap { tok =>
+    val parts = Decompound.split(tok, dictionary, minLen)
+    if (parts.lengthCompare(1) > 0) tok +: parts else Seq(tok)
+  }
+}
+
 /** MinHash signature tokens — the reference's `minhash` analyzer
   * (the LSH dedup primitive, SURVEY.md §2.11). Emits `i:h` where h is the
   * minimum of the i-th universal hash over the inner token stream; equal

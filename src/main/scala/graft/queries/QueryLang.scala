@@ -37,9 +37,10 @@ object QueryLang {
     TsQueryExec.matching(idx(s, dir),
       TsQueryParser.toTsquery("(hash <-> join) & vect:* | scan <2> filter", ws))
 
-  /** ts_compound bool query (ts_compound.cpp; search.h:52-55) with
-    * min-should-match counting: stream && !batch && (≥2 of vector, dup,
-    * "hash join"). */
+  /** ts_compound — the reference's TSQUERY[]-bucket boolean filter
+    * (ts_compound.cpp FromCompound: must/must_not/should buckets +
+    * min_should_match; NOT word decompounding — that is `ts_decompound`
+    * below): stream && !batch && (≥2 of vector, dup, "hash join"). */
   def tsCompound(s: SparkSession, dir: String): DataFrame =
     TsQueryExec.compound(idx(s, dir),
       must = Seq(TsQuery.Term("stream")),
@@ -47,6 +48,23 @@ object QueryLang {
       should = Seq(TsQuery.Term("vector"), TsQuery.Term("dup"),
         TsQuery.Phrase(Seq("hash", "join"))),
       minShouldMatch = 2)
+
+  /** ts_decompound: dictionary-driven compound-word search. The query word
+    * is decompounded against the index's OWN term dictionary — the O(len²)
+    * candidate substrings are probed with one bucket-pruned IN lookup
+    * (never a dictionary scan), greedy longest-match picks the split
+    * (analysis.Decompound), and docs matching ALL subwords are returned:
+    * 'hashjoin' finds the "hash join" documents. */
+  def tsDecompound(s: SparkSession, dir: String): DataFrame = {
+    val index = idx(s, dir)
+    val word = "hashjoin"
+    val cands = (for { i <- 0 until word.length; j <- (i + 3) to word.length }
+      yield word.substring(i, j)).distinct
+    val present = index.termDict.filter(col("term").isin(cands: _*))
+      .select(col("term")).collect().map(_.getString(0)).toSet
+    val parts = graft.analysis.Decompound.split(word, present)
+    TsQueryExec.matching(index, TsQuery.And(parts.map(TsQuery.Term(_))))
+  }
 
   /** ES query DSL in, doc ids out (dsl.cpp:147-394). */
   def esDslSearch(s: SparkSession, dir: String): DataFrame = {
@@ -133,6 +151,7 @@ object QueryLang {
     "ts_plainto" -> tsPlainto,
     "ts_to_tsquery" -> tsToTsquery,
     "ts_compound" -> tsCompound,
+    "ts_decompound" -> tsDecompound,
     "es_dsl_search" -> esDslSearch,
     "ts_covered_search" -> tsCoveredSearch,
     "hybrid_search" -> hybridSearch,
@@ -178,6 +197,9 @@ object QueryLang {
          |  AND (CASE WHEN list_contains(ts, 'vector') THEN 1 ELSE 0 END
          |     + CASE WHEN list_contains(ts, 'dup') THEN 1 ELSE 0 END
          |     + CASE WHEN $phraseHashJoin THEN 1 ELSE 0 END) >= 2""".stripMargin,
+    "ts_decompound" ->
+      s"""$toks
+         |SELECT doc_id FROM toks WHERE list_has_all(ts, ['hash', 'join'])""".stripMargin,
     "es_dsl_search" ->
       s"""$toks
          |SELECT doc_id FROM toks

@@ -125,6 +125,19 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(a("dog stuff") == Seq("dog", "puppy", "stuff"))
   }
 
+  test("decompound splits greedily and keeps unsplittable tokens whole") {
+    val dict = Set("stream", "processing", "hash", "join", "has")
+    assert(Decompound.split("streamprocessing", dict) == Seq("stream", "processing"))
+    // greedy longest-match: 'hash' (4) wins over 'has' (3)
+    assert(Decompound.split("hashjoin", dict) == Seq("hash", "join"))
+    // no full decomposition -> original token unchanged
+    assert(Decompound.split("streamline", dict) == Seq("streamline"))
+    assert(Decompound.split("hi", dict) == Seq("hi"))
+
+    val a = DecompoundAnalyzer(WhitespaceAnalyzer(lowercase = true), dict)
+    assert(a("HashJoin wins") == Seq("hashjoin", "hash", "join", "wins"))
+  }
+
   test("registry creates parameterized analyzers") {
     val a = AnalyzerRegistry.create("t_ngram2", "ngram", Map("min" -> "2", "max" -> "2"))
     assert(a("abc") == Seq("ab", "bc"))
