@@ -326,12 +326,12 @@ case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
 
 case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def asTsMatch(e: Expression): Option[(AttributeReference, String, String)] =
+  private def asTsMatch(e: Expression): Option[(Expression, String, String)] =
     e match {
       case u: ScalaUDF if u.udfName.contains("ts_match") =>
         u.children match {
-          case Seq(a: AttributeReference, Literal(q: UTF8String, _), Literal(d: UTF8String, _)) =>
-            Some((a, q.toString, d.toString))
+          case Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _)) =>
+            Some((arg, q.toString, d.toString))
           case _ => None
         }
       case _ => None
@@ -375,22 +375,61 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }
 
+  /** Resolves an EXPRESSION key (`ts_match(upper(text), ...)`-style) against
+    * the ExprIndexes registry: every attribute inside the expression must
+    * come from one parquet scan (exprId provenance), and the normalized
+    * expression SQL + analyzer must have been registered by
+    * `CREATE SEARCH INDEX ... ((expr))`. Returns the segment dir and the
+    * scan's id attribute. */
+  private def exprIndexOf(plan: LogicalPlan, e: Expression,
+      dict: String): Option[(String, AttributeReference)] = {
+    val attrs = e.references.toSeq
+    if (attrs.isEmpty) return None
+    plan.collectFirst {
+      case lr: LogicalRelation if attrs.forall(lr.outputSet.contains) => lr
+    }.flatMap { lr =>
+      lr.relation match {
+        case h: HadoopFsRelation =>
+          // render without view/table qualifiers so the SQL matches the
+          // DDL-registered (unresolved-parse) form
+          val bareSql = e.transform {
+            case a: AttributeReference => a.withQualifier(Seq.empty)
+          }.sql
+          for {
+            root <- h.location.rootPaths.headOption.map(_.toString.stripPrefix("file:"))
+            (segDir, idCol) <- graft.search.ExprIndexes.lookup(root, bareSql, dict)
+            docId <- lr.output.collectFirst {
+              case a: AttributeReference if a.name == idCol => a }
+          } yield (segDir, docId)
+        case _ => None
+      }
+    }
+  }
+
   private def claim(f: Filter, cond: Expression, child: LogicalPlan): LogicalPlan = {
     val parts = conjuncts(cond)
     val claimable = parts.flatMap { p =>
       for {
-        (attr, q, dict) <- asTsMatch(p)
-        (dir, docId) <- documentsScanOf(child, attr)
+        (arg, q, dict) <- asTsMatch(p)
+        (target, docId) <- arg match {
+          case attr: AttributeReference =>
+            documentsScanOf(child, attr).map { case (dir, id) => (Left(dir), id) }
+          case e =>
+            exprIndexOf(child, e, dict).map { case (segDir, id) => (Right(segDir), id) }
+        }
         // the scan's doc_id must still be visible at the filter for the
         // semi-join to be well-formed (it always is for the plain
         // scan→filter shape; a projection that dropped it bails here)
         if child.outputSet.contains(docId)
-      } yield (p, q, dict, dir, docId)
+      } yield (p, q, dict, target, docId)
     }
     if (claimable.isEmpty) return f
 
-    val joined = claimable.foldLeft(child) { case (acc, (_, q, dict, dir, docId)) =>
-      val idx = graft.index.IndexStore.documents(spark, dir, dict)
+    val joined = claimable.foldLeft(child) { case (acc, (_, q, dict, target, docId)) =>
+      val idx = target match {
+        case Left(sfDir) => graft.index.IndexStore.documents(spark, sfDir, dict)
+        case Right(segDir) => graft.index.IndexStore.load(spark, segDir)
+      }
       val parsed = graft.search.TsQueryParser.websearch(
         q, graft.analysis.AnalyzerRegistry.get(dict))
       val matched = graft.search.TsQueryExec.matching(idx, parsed)

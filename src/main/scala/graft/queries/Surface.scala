@@ -199,8 +199,25 @@ object Surface {
       .select(col("term"), col("df").cast("bigint").as("df"), col("doc_id"))
   }
 
+  /** Expression-key index (reference inverted_index.h:233 ExpressionKeys;
+    * inverted_index_expressions.test): the DDL indexes `upper(text)` as a
+    * computed key, and ClaimTsMatch claims the SAME expression inside
+    * ts_match by semantic equality — the optimized plan is an index
+    * semi-join with no row-eval UDF (asserted in DdlSpec). The whitespace
+    * analyzer lowercases, so the oracle is the plain token containment. */
+  def tsExprClaim(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+    graft.search.Ddl.execute(s,
+      s"""CREATE SEARCH INDEX upper_expr_idx ON graft_documents ((upper(text)))
+         |WITH (id = 'doc_id', analyzer = 'whitespace', key = '$dir-documents-upper')""".stripMargin)
+    s.sql("""SELECT doc_id FROM graft_documents
+            |WHERE ts_match(upper(text), 'vector', 'whitespace')""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ddl_index" -> ddlIndex,
+    "ts_expr_claim" -> tsExprClaim,
     "idx_relation_sql" -> idxRelationSql,
     "vec_claimed_ann" -> vecClaimedAnn,
     "ts_dict_pushdown" -> tsDictPushdown,
@@ -238,6 +255,9 @@ object Surface {
          |SELECT d.term, d.df, p.doc_id
          |FROM dict d JOIN (SELECT DISTINCT doc_id, term FROM tok) p USING (term)""".stripMargin,
     "vec_claimed_ann" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
+    "ts_expr_claim" ->
+      s"""$toks
+         |SELECT doc_id FROM toks WHERE list_contains(ts, 'vector')""".stripMargin,
     "ts_dict_pushdown" ->
       s"""$toks
          |SELECT term AS token, count(DISTINCT doc_id) AS docs, count(*) AS freq

@@ -43,6 +43,53 @@ class DdlSpec extends AnyFunSuite {
     Ddl.execute(spark, "DROP SEARCH INDEX spec_idx")
   }
 
+  test("expression-key index claims ts_match on the same expression") {
+    val spark = this.spark
+    graft.search.SqlSurface.registerAll(spark)
+    graft.Tables.documents(spark, graft.TestSpark.sfDir)
+      .createOrReplaceTempView("ddl_expr_docs")
+    Ddl.execute(spark,
+      s"CREATE SEARCH INDEX expr_spec_idx ON ddl_expr_docs ((upper(text))) " +
+        s"WITH (id = 'doc_id', analyzer = 'whitespace', key = '${graft.TestSpark.sfDir}-documents-upper-spec')")
+
+    // SQL-visible like any index
+    assert(spark.sql("SELECT count(*) FROM expr_spec_idx_termdict").head().getLong(0) > 0)
+
+    val df = spark.sql(
+      """SELECT doc_id FROM ddl_expr_docs
+        |WHERE ts_match(upper(text), 'vector', 'whitespace')""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    val semiJoins = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semiJoins.nonEmpty, s"expression key must be claimed:\n$optimized")
+    val udfs = optimized.collect { case n => n.expressions }.flatten.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF
+        if u.udfName.contains("ts_match") => u })
+    assert(udfs.isEmpty, "ts_match over the indexed expression must not row-eval")
+
+    // result still equals row evaluation semantics
+    val ws = graft.analysis.WhitespaceAnalyzer(lowercase = true)
+    val want = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+      .select("doc_id", "text").collect()
+      .filter(r => ws.tokens(r.getString(1).toUpperCase).contains("vector"))
+      .map(_.getLong(0)).toSet
+    assert(df.collect().map(_.getLong(0)).toSet == want)
+
+    // a DIFFERENT expression must not claim (stays row-eval, still correct)
+    val other = spark.sql(
+      """SELECT doc_id FROM ddl_expr_docs
+        |WHERE ts_match(lower(text), 'vector', 'whitespace')""".stripMargin)
+    val otherUdfs = other.queryExecution.optimizedPlan
+      .collect { case n => n.expressions }.flatten.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF
+          if u.udfName.contains("ts_match") => u })
+    assert(otherUdfs.nonEmpty, "an unindexed expression must not be claimed")
+
+    Ddl.execute(spark, "DROP SEARCH INDEX expr_spec_idx")
+  }
+
   test("malformed statements fail loudly") {
     intercept[IllegalArgumentException](
       Ddl.execute(spark, "CREATE SEARCH INDEX x ON v (c) WITH (analyzer = 'a')"))
