@@ -136,8 +136,14 @@ object IndexStore {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$seg/termdict")
     idx.docStats.write.mode("overwrite").parquet(s"$seg/docstats")
+    // per-segment statistics persisted with the segment (the reference's
+    // hyperloglog index option, inverted_index_hyperloglog_option.test):
+    // postings row count + term NDV (termdict rows ARE the distinct terms)
+    // feed the CBO via registerStatsTables without ever re-scanning
+    val postRows = idx.postings.count()
+    val termRows = idx.termDict.count()
     writeStringAtomic(spark, s"$seg/meta.json",
-      s"""{"numDocs":${idx.numDocs},"sumDl":${idx.sumDl}}""")
+      s"""{"numDocs":${idx.numDocs},"sumDl":${idx.sumDl},"postingsRows":$postRows,"termRows":$termRows}""")
     idx.postings.unpersist()
   }
 
@@ -176,6 +182,50 @@ object IndexStore {
     idx.postings.createOrReplaceTempView(s"${prefix}_postings")
     idx.termDict.createOrReplaceTempView(s"${prefix}_termdict")
     idx.docStats.createOrReplaceTempView(s"${prefix}_docstats")
+  }
+
+  /** Register the index parts as CATALOG tables carrying manifest-derived
+    * statistics — the ANALYZE-equivalent fed from segment metadata instead
+    * of a re-scan (reference: per-segment HLL NDV stats,
+    * inverted_index_hyperloglog_option.test). With `spark.sql.cbo.enabled`,
+    * the optimizer then estimates filtered cardinalities from rowCount +
+    * term NDV and flips join build sides accordingly (IndexStatsSpec).
+    * Cross-segment term NDV is the sum of per-segment dictionary sizes — an
+    * upper bound (terms shared across segments count twice), the
+    * conservative direction for selectivity estimates. Segments written
+    * before the stats fields existed fall back to one counting scan. */
+  def registerStatsTables(spark: SparkSession, dir: String, prefix: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    val segs = listSegments(spark, dir)
+    require(segs.nonEmpty, s"no index segments under $dir")
+    def metaSum(key: String): Option[Long] = {
+      val vals = segs.map { s =>
+        val txt = readString(spark, s"$dir/$s/meta.json")
+        (s""""$key":(\\d+)""").r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      }
+      if (vals.forall(_.isDefined)) Some(vals.flatten.sum) else None
+    }
+    def bytesUnder(sub: String): Long = {
+      val f = fs(spark, dir)
+      segs.map(s => f.getContentSummary(new Path(s"$dir/$s/$sub")).getLength).sum
+    }
+    val termRows = metaSum("termRows")
+      .getOrElse(spark.read.parquet(segs.map(s => s"$dir/$s/termdict"): _*).count())
+    val postRows = metaSum("postingsRows")
+      .getOrElse(spark.read.parquet(segs.map(s => s"$dir/$s/postings"): _*).count())
+    def mk(name: String, sub: String, rows: Long, termNdv: Long): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"CREATE TABLE $name USING parquet OPTIONS (path '$dir/seg=*/$sub')")
+      val stats = CatalogStatistics(
+        sizeInBytes = BigInt(bytesUnder(sub)),
+        rowCount = Some(BigInt(rows)),
+        colStats = Map("term" -> CatalogColumnStat(
+          distinctCount = Some(BigInt(termNdv)), nullCount = Some(BigInt(0)))))
+      spark.sessionState.catalog.alterTableStats(TableIdentifier(name), Some(stats))
+    }
+    mk(s"${prefix}_termdict_tbl", "termdict", termRows, termRows)
+    mk(s"${prefix}_postings_tbl", "postings", postRows, termRows)
   }
 
   // ---- DML delete leg ------------------------------------------------------

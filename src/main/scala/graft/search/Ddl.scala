@@ -109,6 +109,7 @@ object Ddl {
       IndexStore.ensure(spark, spark.table(view), cacheKey, idCol, textCol, analyzer)
       val dir = IndexStore.dirFor(cacheKey, textCol, analyzer)
       IndexStore.registerViews(spark, dir, name)
+      IndexStore.registerStatsTables(spark, dir, name) // CBO sees the manifest stats
       catalog.put(name, (dir, view, textCol, analyzer))
       result(spark, s"created $name")
     case dropRe(name) =>
