@@ -230,46 +230,69 @@ object IndexStore {
 
   // ---- DML delete leg ------------------------------------------------------
 
-  /** Tombstone a set of doc ids — the reference's delete path into the
-    * search index (duckdb_physical_search_delete.cpp; deletes-aware facets
-    * in ts_dict deletes tests). Deletes are recorded as `id,dlen,maxSeg`
-    * lines in `_DELETES` and apply only to segments that existed at delete
-    * time (`maxSeg`) — so UPDATE = delete + append re-inserts the same id
-    * in a NEWER segment without the tombstone suppressing it (the
-    * reference's generation-scoped deletes). Readers apply tombstones at
-    * load; [[compact]] folds them away permanently. */
-  def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+  /** Tombstone every doc matching a predicate — the reference's delete path
+    * into the search index (duckdb_physical_search_delete.cpp), DataFrame-
+    * native: matched (doc_id, dlen, max_seg) rows are WRITTEN as parquet
+    * under `_DELETES_P/`, deduped against existing tombstones with a
+    * distributed anti-join — nothing ever materializes on the driver, so a
+    * predicate delete of 10⁶ ids is a join + write like any other DML.
+    *
+    * Tombstones are generation-scoped (`max_seg` = newest segment at delete
+    * time) and deduped on (doc_id, max_seg), NOT doc_id alone: after
+    * delete → re-insert (UPDATE), the re-inserted doc lives in a NEWER
+    * segment, so a second delete of the same id must land as a new
+    * higher-generation tombstone; same-generation repeats stay deduped so
+    * numDocs/sumDl accounting in load() never double-subtracts. Readers
+    * apply tombstones at load; [[compact]] folds them away permanently. */
+  def deleteWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Unit = {
     val current = load(spark, dir)
     val maxSeg = listSegments(spark, dir)
       .map(_.stripPrefix("seg=").toInt).foldLeft(-1)(math.max)
-    val rows = current.docStats
-      .filter(col("doc_id").isin(ids: _*))
-      .select(col("doc_id"), col("dlen").cast("long"))
-      .collect().map(r => s"${r.getLong(0)},${r.getLong(1)},$maxSeg")
-    val prior =
-      if (exists(spark, s"$dir/_DELETES")) readString(spark, s"$dir/_DELETES") else ""
-    // dedup on (doc_id, maxSeg), NOT doc_id alone: after delete → re-insert
-    // (UPDATE), the re-inserted doc lives in a NEWER segment, so a second
-    // delete of the same id must land as a new higher-generation tombstone
-    // (the id-only dedup silently dropped it, leaving the doc visible).
-    // Same-generation repeats stay deduped so numDocs/sumDl accounting in
-    // load() never double-subtracts.
-    val priorKeys = prior.split("\n").filter(_.nonEmpty).map { l =>
-      val p = l.split(","); (p(0).toLong, p(2).toInt)
-    }.toSet
-    val fresh = rows.filter { l =>
-      val p = l.split(","); !priorKeys.contains((p(0).toLong, p(2).toInt))
+    val matched = current.docStats
+      .filter(predicate)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("dlen").cast("long").as("dlen"),
+        lit(maxSeg).cast("int").as("max_seg"))
+    val fresh = deletesDf(spark, dir) match {
+      case Some(prior) => matched.join(prior.select("doc_id", "max_seg"),
+        Seq("doc_id", "max_seg"), "left_anti")
+      case None => matched
     }
-    writeStringAtomic(spark, s"$dir/_DELETES",
-      prior + fresh.mkString("", "\n", if (fresh.nonEmpty) "\n" else ""))
+    // each delete lands in its own generation dir — the write target is
+    // never a path the dedup anti-join is reading
+    val next = deleteGens(spark, dir)
+      .map(_.getName.stripPrefix("gen=").toInt).foldLeft(-1)(math.max) + 1
+    fresh.write.mode("overwrite").parquet(s"$dir/_DELETES_P/gen=$next")
     jvmCache.remove(dir)
   }
 
-  /** (id, dlen, maxSeg) tombstones. */
-  private def readDeletes(spark: SparkSession, dir: String): Seq[(Long, Long, Int)] = {
-    if (!exists(spark, s"$dir/_DELETES")) return Seq.empty
-    readString(spark, s"$dir/_DELETES").split("\n").filter(_.nonEmpty).toSeq
-      .map { l => val p = l.split(","); (p(0).toLong, p(1).toLong, p(2).toInt) }
+  private def deleteGens(spark: SparkSession, dir: String): Seq[Path] =
+    if (!exists(spark, s"$dir/_DELETES_P")) Seq.empty
+    else fs(spark, dir).listStatus(new Path(s"$dir/_DELETES_P")).map(_.getPath)
+      .filter(_.getName.startsWith("gen=")).sortBy(_.getName).toSeq
+
+  /** Id-list delete, routed through the predicate leg. */
+  def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Unit =
+    deleteWhere(spark, dir, col("doc_id").isin(ids: _*))
+
+  /** All tombstones as a DataFrame (doc_id, dlen, max_seg): the parquet
+    * `_DELETES_P` dataset plus any legacy `_DELETES` text lines. */
+  private def deletesDf(spark: SparkSession, dir: String): Option[DataFrame] = {
+    import spark.implicits._
+    val legacy =
+      if (!exists(spark, s"$dir/_DELETES")) None
+      else {
+        val rows = readString(spark, s"$dir/_DELETES").split("\n").filter(_.nonEmpty)
+          .toSeq.map { l => val p = l.split(","); (p(0).toLong, p(1).toLong, p(2).toInt) }
+        if (rows.isEmpty) None else Some(rows.toDF("doc_id", "dlen", "max_seg"))
+      }
+    val gens = deleteGens(spark, dir)
+    val pq =
+      if (gens.isEmpty) None
+      else Some(spark.read.parquet(gens.map(_.toString): _*))
+    (legacy.toSeq ++ pq.toSeq).reduceOption(_ unionByName _)
+      .map(_.dropDuplicates("doc_id", "max_seg"))
   }
 
   /** Live segments per the manifest (source of truth — compacted-away
@@ -282,7 +305,12 @@ object IndexStore {
   def load(spark: SparkSession, dir: String): InvertedIndex = {
     val segs = listSegments(spark, dir)
     require(segs.nonEmpty, s"no index segments under $dir")
-    val deletes = readDeletes(spark, dir)
+    val deletes = deletesDf(spark, dir)
+    // collection-total adjustments are two scalars — metadata, not data
+    val delStats = deletes.map { d =>
+      val r = d.agg(count(lit(1)), coalesce(sum(col("dlen")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     def readAll(part: String): DataFrame =
       segs.map { s =>
         val df = spark.read.parquet(s"$dir/$s/$part")
@@ -292,15 +320,15 @@ object IndexStore {
     // generation-scoped tombstones: a delete suppresses a doc only in
     // segments that existed when the delete happened, so a later re-insert
     // (UPDATE) of the same id is visible
-    def applyDeletes(df: DataFrame): DataFrame =
-      if (deletes.isEmpty) df
-      else {
-        import spark.implicits._
-        val del = broadcast(deletes.map(d => (d._1, d._3)).toDF("doc_id", "max_seg"))
-        df.join(del, df("doc_id") === del("doc_id") && df("__seg") <= del("max_seg"),
-            "left_anti")
+    def applyDeletes(df: DataFrame): DataFrame = deletes match {
+      case None => df
+      case Some(d) =>
+        val del = broadcast(d.select(col("doc_id").as("__del_id"),
+          col("max_seg").as("__del_seg")))
+        df.join(del, df("doc_id") === col("__del_id") &&
+            col("__seg") <= col("__del_seg"), "left_anti")
           .drop("__seg")
-      }
+    }
     val postings = applyDeletes(readAll("postings"))
     val docStats = {
       val base = applyDeletes(readAll("docstats"))
@@ -325,8 +353,8 @@ object IndexStore {
       (nd, sd)
     }
     InvertedIndex(postings, termDict, docStats,
-      metas.map(_._1).sum - deletes.length,
-      metas.map(_._2).sum - deletes.map(_._2).sum)
+      metas.map(_._1).sum - delStats.map(_._1).getOrElse(0L),
+      metas.map(_._2).sum - delStats.map(_._2).getOrElse(0L))
   }
 
   /** Compaction (the reference's background compaction task,
@@ -351,6 +379,9 @@ object IndexStore {
     // AFTER the swap (a crash in between leaves deletes that now anti-join
     // nothing — harmless, never resurrecting rows)
     writeStringAtomic(spark, s"$dir/_DELETES", "")
+    val delDir = new Path(s"$dir/_DELETES_P")
+    val f = fs(spark, dir)
+    if (f.exists(delDir)) f.delete(delDir, true)
     jvmCache.remove(dir)
   }
 

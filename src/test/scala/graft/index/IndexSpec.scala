@@ -165,6 +165,27 @@ class IndexSpec extends AnyFunSuite {
       "compaction must fold the double-delete away permanently")
   }
 
+  test("predicate delete is a distributed write, same semantics as id lists") {
+    val dir = sys.props("java.io.tmpdir") + s"/graft-test-delw-${System.nanoTime()}"
+    IndexStore.appendSegment(
+      InvertedIndex.build(docs, "doc_id", "text", "whitespace"), dir)
+    // DELETE WHERE doc_id % 2 = 0 — the tombstones land as a parquet
+    // dataset, never as a driver-side list
+    IndexStore.deleteWhere(spark, dir, col("doc_id") % 2 === 0)
+    val del = IndexStore.load(spark, dir)
+    val expect = InvertedIndex.build(
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", "whitespace")
+    assert(del.numDocs == expect.numDocs && del.sumDl == expect.sumDl)
+    assert(ids(del.term("vector")) == ids(expect.term("vector")))
+    assert(new java.io.File(s"$dir/_DELETES_P").exists(),
+      "predicate deletes must persist as a parquet dataset")
+    // a repeated identical delete must not double-subtract the stats
+    IndexStore.deleteWhere(spark, dir, col("doc_id") % 2 === 0)
+    val again = IndexStore.load(spark, dir)
+    assert(again.numDocs == expect.numDocs && again.sumDl == expect.sumDl,
+      "same-generation repeat deletes must dedup")
+  }
+
   test("deletes: tombstones leave every result; compaction folds them away") {
     val dir = sys.props("java.io.tmpdir") + s"/graft-test-del-${System.nanoTime()}"
     IndexStore.appendSegment(
