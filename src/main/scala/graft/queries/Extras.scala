@@ -119,15 +119,16 @@ object Extras {
 
   /** ST_Contains(polygon, point) by even-odd ray casting over a WKT
     * polygon (reference libs/geo/wkb.cpp WKT surface, geometry_wkt.test):
-    * the WKT literal is parsed by expression (constant-folded to an array
-    * literal), each point tests 5 half-plane crossings — codegen'd, no
-    * UDF. The oracle repeats the same crossing arithmetic term-for-term. */
+    * the constant polygon becomes a literal vertex array (driver-parsed —
+    * see Geo.polygonLit for why not the expression parse), each point
+    * tests 5 half-plane crossings — codegen'd, no UDF. The oracle repeats
+    * the same crossing arithmetic term-for-term. */
   def geoPolygonContains(s: SparkSession, dir: String): DataFrame = {
     val pts = Tables.customer(s, dir)
       .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
       .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
     pts.filter(Geo.stContainsPolygon(
-        Geo.stPolygonOuter(lit(polyWkt)), col("lon"), col("lat")))
+        Geo.polygonLit(polyWkt), col("lon"), col("lat")))
       .select(col("c_custkey"))
   }
 
@@ -146,7 +147,7 @@ object Extras {
       s"$dir-customer-geo", "c_custkey", "gh", "keyword", withPositions = false)
     val candidates = idx.anyOf(Geo.coverPolygon(polyWkt, 2))
       .withColumnRenamed("doc_id", "c_custkey")
-    val verts = Geo.stPolygonOuter(lit(polyWkt))
+    val verts = Geo.polygonLit(polyWkt)
     pts.join(candidates, "c_custkey")
       .filter(Geo.stIntersectsBox(verts, col("lon"), col("lat"), col("lon"), col("lat")))
       .filter(Geo.stContainsPolygon(verts, col("lon"), col("lat")))

@@ -28,6 +28,14 @@ class GeoSpec extends AnyFunSuite {
     assert(got.map(p => (p(0), p(1))).toList == ring.toList)
   }
 
+  test("polygonLit equals the expression parse") {
+    val a = spark.range(1).select(Geo.stPolygonOuter(lit(wkt)).as("v"))
+      .selectExpr("transform(v, p -> array(p.x, p.y)) AS v").head().getSeq[Any](0)
+    val b = spark.range(1).select(Geo.polygonLit(wkt).as("v"))
+      .selectExpr("transform(v, p -> array(p.x, p.y)) AS v").head().getSeq[Any](0)
+    assert(a == b)
+  }
+
   test("expression containment equals the reference implementation on a grid") {
     val ss = spark
     import ss.implicits._
