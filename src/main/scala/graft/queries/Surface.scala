@@ -98,9 +98,9 @@ object Surface {
   }
 
   /** ANN claimed from plain ORDER BY...LIMIT SQL: the ClaimAnnTopK rule
-    * swaps the full-scan sort for an IVF probe. Approximate ⇒ the entry
-    * emits the overlap with exact top-k (pinned at 10 by the oracle), the
-    * vec_ivf_recall pattern. */
+    * swaps the full-scan sort for an IVF probe — now the adaptive-EXACT
+    * default (ball-bound pruning), so the 10/10 overlap with exact top-k
+    * the oracle pins holds by construction, not by recall luck. */
   def vecClaimedAnn(s: SparkSession, dir: String): DataFrame = {
     SqlSurface.registerAll(s)
     val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
