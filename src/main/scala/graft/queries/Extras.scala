@@ -164,22 +164,18 @@ object Extras {
       .agg(count(lit(1)).as("n_inside"))
   }
 
-  /** ai_embed (reference embedding.cpp:160-201 calls an external provider):
-    * STUBBED with a deterministic md5-based pseudo-embedding — the provider
-    * call is the only fake part; schema, quantization and the knn plumbing
-    * over the result are real. Component k of dim 8 = bytes 2k..2k+1 of
-    * md5(text) scaled to [0,1). */
+  /** ai_embed (reference embedding.cpp:160-201 + provider_openai.cpp): the
+    * provider layer is real — set `spark.graft.ai.endpoint` and executors
+    * batch-POST the OpenAI embeddings protocol (AiEmbed.withEmbedding,
+    * exercised against a live in-process server in AiEmbedSpec). Unset (as
+    * in this container — no egress), the deterministic md5 stub supplies
+    * component k of dim 8 = bytes 2k..2k+1 of md5(text) scaled to [0,1). */
   def aiEmbed(s: SparkSession, dir: String): DataFrame = {
-    val embed = udf { (t: String) =>
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8"))
-      (0 until 8).map(k =>
-        (((d(2 * k) & 0xff) << 8) | (d(2 * k + 1) & 0xff)).toDouble / 65536.0).toArray
-    }
-    Tables.documents(s, dir)
-      .filter(col("doc_id") < 20)
-      .select(col("doc_id") +: (0 until 8).map(k =>
-        round(embed(col("text"))(k) * 10000).cast("bigint").as(s"e${k}_q")): _*)
+    val emb = graft.functions.AiEmbed.withEmbedding(
+      Tables.documents(s, dir).filter(col("doc_id") < 20).select("doc_id", "text"),
+      "text", "emb", endpoint = s.conf.get("spark.graft.ai.endpoint", ""))
+    emb.select(col("doc_id") +: (0 until 8).map(k =>
+      round(col("emb")(k) * 10000).cast("bigint").as(s"e${k}_q")): _*)
   }
 
   /** pg-compat scalar pack (string.cpp/math.cpp gap-fillers, SURVEY §2.8):
