@@ -36,7 +36,10 @@ object GraftSession {
     }
 
   /** Apply graft's standard configuration to an arbitrary builder. */
-  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+  def configure(b: SparkSession.Builder): SparkSession.Builder = {
+    // foreign-server dialects (Postgres ships with Spark; ClickHouse is ours)
+    graft.sources.ClickHouseDialect.register()
+    b
     // search-claim optimizer rule (graft.plans.ClaimTsMatch)
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
@@ -49,6 +52,7 @@ object GraftSession {
     .config("spark.sql.parquet.mergeSchema", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     .config("spark.ui.enabled", "false")
+  }
 
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
     val spark = configure(
