@@ -58,6 +58,24 @@ object TextPipeline {
         size(col("ts")).cast("bigint").as("n_tokens"),
         size(array_distinct(col("ts"))).cast("bigint").as("n_uniq"))
 
+  /** GPT-2-style pretokenizer classes, restricted to syntax both Java regex
+    * (Spark) and RE2 (DuckDB) implement identically: contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs. (The
+    * original's `\s+(?!\S)` lookahead is RE2-unsupported, so whitespace
+    * tokens are intentionally not counted.) */
+  private val bpeIshPattern =
+    "'(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Token counting, BPE-ish: the byte-pair-pretokenizer regex class count
+    * that LLM data pipelines budget with — alongside the whitespace count
+    * for calibration. */
+  def taBpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0)))
+          .cast("bigint").as("n_bpe"),
+        size(tok(col("text"))).cast("bigint").as("n_ws"))
+
   private val stopwordsSql =
     Analyzers.EnglishStopwords.toSeq.sorted.map(w => s"'$w'").mkString("array(", ", ", ")")
 
@@ -125,6 +143,7 @@ object TextPipeline {
     "ts_offsets" -> tsOffsets,
     "ts_highlight" -> tsHighlight,
     "ta_token_stats" -> taTokenStats,
+    "ta_bpe_tokens" -> taBpeTokens,
     "ta_quality" -> taQuality,
     "ta_langid" -> taLangId,
     "ta_fingerprint" -> taFingerprint)
@@ -164,6 +183,13 @@ object TextPipeline {
       s"""$toks
          |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_uniq FROM toks""".stripMargin,
+    "ta_bpe_tokens" ->
+      s"""$toks
+         |SELECT t.doc_id,
+         |  CAST(len(regexp_extract_all(d.text,
+         |    '''(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS n_bpe,
+         |  CAST(len(t.ts) AS BIGINT) AS n_ws
+         |FROM toks t JOIN documents d USING (doc_id)""".stripMargin,
     "ta_quality" ->
       s"""$toks
          |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
