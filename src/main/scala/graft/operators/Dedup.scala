@@ -219,6 +219,78 @@ object Dedup {
         round(col("cos") * 10000).cast("bigint").as("cos_q"))
   }
 
+  /** Connected components over an undirected near-dup pair list — the
+    * clustering step every pairwise dedup needs before it can act (pick one
+    * canonical doc per component, drop the rest). Pairwise output alone is
+    * not actionable: A~B and B~C must collapse to ONE keeper, not two
+    * independent decisions.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * published shuffle-native CC: each round is two groupBy-min shuffles on
+    * node id, the edge list only ever shrinks toward the star graph, and
+    * convergence is O(log n) rounds (vs O(diameter) for naive label
+    * propagation). No driver-side graph state; per-round
+    * `localCheckpoint` truncates the iterative plan lineage so round R
+    * doesn't recompute rounds 1..R-1 (at cluster scale with lineage-based
+    * recovery concerns, swap for reliable `checkpoint` on the index FS).
+    *
+    * Returns (doc_id, cluster_id) for every node appearing in a pair, where
+    * cluster_id = min doc id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val e0 = pairs.select(col(pairs.columns(0)).cast("long").as("u"),
+        col(pairs.columns(1)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    // large-star: connect every neighbor v > u to m = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v"), col("u")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: connect every smaller neighbor (and u itself) to the min
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = or.groupBy("u").agg(min(col("v")).as("m"))
+      or.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    // fixpoint = the star graph (every node edged to its component min);
+    // detect it on a canonicalized-edge-set checksum, one driver row/round
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.select(greatest(col("u"), col("v")).as("a"),
+          least(col("u"), col("v")).as("b")).distinct()
+        // xor-fold (not sum): order-independent AND overflow-free under ANSI
+        .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = e0.localCheckpoint()
+    var sig = checksum(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = checksum(e)
+      converged = next == sig
+      sig = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // star edges are (child → root); add the roots themselves
+    e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+  }
+
   /** 64-bit SimHash per document as a 64-char '0'/'1' bitstring.
     *
     * The per-token hash is the first 64 bits of md5(token) (big-endian nibble

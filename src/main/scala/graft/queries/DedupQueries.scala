@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.Tables
 import graft.operators.Dedup
 
@@ -27,6 +28,13 @@ object DedupQueries {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJ = 0.5)
 
+  /** Pairwise near-dups collapsed into components: A~B, B~C → one cluster
+    * with one canonical keeper — the decision a pipeline actually applies. */
+  def dedupClusterCc(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJ = 0.5))
+      .withColumn("canonical", col("doc_id") === col("cluster_id"))
+
   def dedupSimHash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashDedup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 
@@ -40,6 +48,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinHashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_cluster_cc" -> dedupClusterCc,
     "dedup_simhash" -> dedupSimHash,
     "dedup_embedding" -> dedupEmbedding)
 
@@ -51,9 +60,9 @@ object DedupQueries {
       |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
       |  FROM documents)""".stripMargin
 
-  /** Exact 3-shingle Jaccard pairs at a threshold — the ground truth for both
-    * the LSH and the inverted-ngram plans. */
-  private def jaccardOracle(minJ: Double): String =
+  /** CTE chain computing exact 3-shingle Jaccard per pair (`jj`), shared by
+    * the pair oracles and the clustering oracle. */
+  private val jaccardCtes =
     s"""$toks,
        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS sh
        |       FROM toks, unnest(range(1, greatest(len(ts) - 1, 1))) AS u(i)),
@@ -63,9 +72,26 @@ object DedupQueries {
        |       GROUP BY 1, 2),
        |jj AS (SELECT ida, idb,
        |         CAST(common AS DOUBLE) / CAST(x.sz + y.sz - common AS DOUBLE) AS j
-       |       FROM pr JOIN sz x ON x.doc_id = ida JOIN sz y ON y.doc_id = idb)
+       |       FROM pr JOIN sz x ON x.doc_id = ida JOIN sz y ON y.doc_id = idb)""".stripMargin
+
+  /** Exact 3-shingle Jaccard pairs at a threshold — the ground truth for both
+    * the LSH and the inverted-ngram plans. */
+  private def jaccardOracle(minJ: Double): String =
+    s"""$jaccardCtes
        |SELECT ida, idb, CAST(round(j * 10000) AS BIGINT) AS j_q
        |FROM jj WHERE j >= $minJ""".stripMargin
+
+  /** Ground-truth components by transitive closure (recursive CTE) over the
+    * same exact-Jaccard pair set the Spark plan clusters. */
+  private val ccOracle: String =
+    s"""WITH RECURSIVE ${jaccardCtes.stripPrefix("WITH ")},
+       |pairs AS (SELECT ida, idb FROM jj WHERE j >= 0.5),
+       |ed AS (SELECT ida AS a, idb AS b FROM pairs
+       |       UNION SELECT idb, ida FROM pairs),
+       |reach(id, r) AS (SELECT a, a FROM ed
+       |  UNION SELECT ed.a, reach.r FROM ed JOIN reach ON ed.b = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS canonical
+       |FROM reach GROUP BY id""".stripMargin
 
   /** SimHash recomputed in SQL: per-token md5 → 64 bit-sign sums → 64-char
     * bitstring → all-pairs exact hamming (all-pairs is fine for the oracle at
@@ -97,6 +123,7 @@ object DedupQueries {
          |FROM toks GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle(0.9),
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
+    "dedup_cluster_cc" -> ccOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding" ->
       """SELECT a.vec_id AS ida, b.vec_id AS idb,

@@ -81,4 +81,37 @@ class DedupSpec extends AnyFunSuite {
     val byTokenSet = texts.values.groupBy(identity).values.map(_.size).filter(_ > 1).toSeq
     assert(groups.map(_.getLong(1)).sorted.toSeq == byTokenSet.map(_.toLong).sorted)
   }
+
+  test("connected components match union-find ground truth on a chain graph") {
+    val s = spark
+    import s.implicits._
+    // 1-2-3-4 (chain: forces multi-round convergence), {10,11,12} triangle,
+    // 20-21 pair, self-loop noise (ignored)
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (5L, 5L)).toDF("ida", "idb")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components agree with BFS over the real near-dup pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.connectedComponents(pairs.select("ida", "idb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }
