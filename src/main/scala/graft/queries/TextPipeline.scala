@@ -139,6 +139,73 @@ object TextPipeline {
             i => md5(concat_ws(" ", slice(col("ts"), i + lit(1), lit(5))))))).as("fp"))
   }
 
+  /** Repetition signals (the Gopher-style repetition filters): most-frequent
+    * token share, most-frequent bigram share, duplicate-bigram fraction.
+    * Computed by explode + two aggregations — LINEAR per document (an HOF
+    * `transform(distinct, t -> count_in(ts, t))` would be O(tokens²) per doc,
+    * the exact shape the r4 shingle regression came from). Quantized 1e-4. */
+  def taRepetition(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tok(col("text")).as("ts"))
+    def q(c: org.apache.spark.sql.Column) = round(c * 10000).cast("bigint")
+    val topTok = base.select(col("doc_id"), explode(col("ts")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      .select(col("doc_id"),
+        q(col("mx").cast("double") / col("tot").cast("double")).as("top_token_frac_q"))
+    val bigrams = base.select(col("doc_id"),
+        explode(graft.functions.TextExprs.shinglesOf(col("ts"), 2)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"), count(lit(1)).as("uniq"))
+      .select(col("doc_id"),
+        q(col("mx").cast("double") / col("tot").cast("double")).as("top_bigram_frac_q"),
+        q(lit(1.0) - col("uniq").cast("double") / col("tot").cast("double"))
+          .as("dup_bigram_frac_q"))
+    base.select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+      .join(topTok, Seq("doc_id"), "left")
+      .join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top_token_frac_q"), lit(0L)).as("top_token_frac_q"),
+        coalesce(col("top_bigram_frac_q"), lit(0L)).as("top_bigram_frac_q"),
+        coalesce(col("dup_bigram_frac_q"), lit(0L)).as("dup_bigram_frac_q"))
+  }
+
+  // PII patterns restricted to syntax Java regex and RE2 share (no
+  // lookaround): the pipeline-scrub trio.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private val phoneRe = "\\+\\d[\\d -]{6,}\\d"
+
+  /** PII detection + masking counts. The synthetic corpus carries no PII, so
+    * the entry grafts a DETERMINISTIC contact tail onto each document (both
+    * engines derive the identical tail from doc_id) — the point under test is
+    * the extraction/masking surface itself: per-doc match counts for the
+    * email/IPv4/phone patterns and the md5 of the masked text (emails →
+    * <EMAIL>, then IPs → <IP>, then phones → <PHONE>, in that order). */
+  def taPii(s: SparkSession, dir: String): DataFrame = {
+    def rep(body: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      repeat(body, n.cast("int"))
+    val id = col("doc_id")
+    val tail = concat(
+      rep(concat(lit(" user"), id.cast("string"), lit("@example.com")), id % 3),
+      rep(concat(lit(" 10."), (id % 256).cast("string"), lit(".0."),
+        (id % 100).cast("string")), id % 2),
+      rep(concat(lit(" +1 555-01"), lpad((id % 100).cast("string"), 2, "0")), id % 4))
+    Tables.documents(s, dir)
+      .select(id, concat(col("text"), tail).as("t2"))
+      .select(id,
+        size(regexp_extract_all(col("t2"), lit(emailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("t2"), lit(ipv4Re), lit(0)))
+          .cast("bigint").as("n_ipv4"),
+        size(regexp_extract_all(col("t2"), lit(phoneRe), lit(0)))
+          .cast("bigint").as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t2"),
+          emailRe, "<EMAIL>"), ipv4Re, "<IP>"), phoneRe, "<PHONE>")).as("masked_md5"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_offsets" -> tsOffsets,
     "ts_highlight" -> tsHighlight,
@@ -146,6 +213,8 @@ object TextPipeline {
     "ta_bpe_tokens" -> taBpeTokens,
     "ta_quality" -> taQuality,
     "ta_langid" -> taLangId,
+    "ta_repetition" -> taRepetition,
+    "ta_pii" -> taPii,
     "ta_fingerprint" -> taFingerprint)
 
   // ---- oracles -------------------------------------------------------------
@@ -214,6 +283,47 @@ object TextPipeline {
          |       WHEN h_fr >= h_es THEN 'fr'
          |       ELSE 'es' END AS lang_pred
          |FROM hits""".stripMargin
+    },
+    "ta_repetition" ->
+      s"""$toks,
+         |tokc AS (SELECT doc_id, t, count(*) AS c
+         |         FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1, 2),
+         |toka AS (SELECT doc_id,
+         |  CAST(round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 10000) AS BIGINT)
+         |    AS top_token_frac_q
+         |  FROM tokc GROUP BY doc_id),
+         |bg AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS b
+         |       FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)),
+         |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bga AS (SELECT doc_id,
+         |  CAST(round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 10000) AS BIGINT)
+         |    AS top_bigram_frac_q,
+         |  CAST(round((1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)) * 10000) AS BIGINT)
+         |    AS dup_bigram_frac_q
+         |  FROM bgc GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |  coalesce(toka.top_token_frac_q, 0) AS top_token_frac_q,
+         |  coalesce(bga.top_bigram_frac_q, 0) AS top_bigram_frac_q,
+         |  coalesce(bga.dup_bigram_frac_q, 0) AS dup_bigram_frac_q
+         |FROM toks t LEFT JOIN toka USING (doc_id) LEFT JOIN bga USING (doc_id)""".stripMargin,
+    "ta_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+      val phone = "\\+\\d[\\d -]{6,}\\d"
+      s"""WITH t2 AS (SELECT doc_id, text ||
+         |    repeat(' user' || doc_id || '@example.com', CAST(doc_id % 3 AS INT)) ||
+         |    repeat(' 10.' || (doc_id % 256) || '.0.' || (doc_id % 100), CAST(doc_id % 2 AS INT)) ||
+         |    repeat(' +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), CAST(doc_id % 4 AS INT))
+         |    AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t2, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t2, '$ipv4')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(t2, '$phone')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+         |    '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'), '$phone', '<PHONE>', 'g'))
+         |    AS masked_md5
+         |FROM t2""".stripMargin
     },
     "ta_fingerprint" ->
       s"""$toks
