@@ -175,4 +175,61 @@ object Geo {
     coverBox(vs.map(_._1).min, vs.map(_._2).min,
       vs.map(_._1).max, vs.map(_._2).max, precision)
   }
+
+  // ---- WKB (native expressions, GeoWkb.scala) and GeoJSON (reference
+  // ---- libs/geo/wkb.cpp, geo_json.cpp) ----
+
+  /** 21-byte NDR WKB POINT from lon/lat — codegen'd native expression. */
+  def stAsWkb(lon: Column, lat: Column): Column =
+    call_function("st_aswkb", lon.cast("double"), lat.cast("double"))
+
+  /** X of a WKB POINT (either byte order); null on malformed/non-point. */
+  def stWkbX(wkb: Column): Column = call_function("st_wkb_x", wkb)
+
+  /** Y of a WKB POINT (either byte order); null on malformed/non-point. */
+  def stWkbY(wkb: Column): Column = call_function("st_wkb_y", wkb)
+
+  private val geoJsonPointSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("coordinates",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+
+  private val geoJsonPolygonSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("coordinates",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))))))
+
+  /** GeoJSON `{"type":"Point","coordinates":[x,y]}` from lon/lat. */
+  def asGeoJsonPoint(lon: Column, lat: Column): Column =
+    to_json(struct(lit("Point").as("type"),
+      array(lon.cast("double"), lat.cast("double")).as("coordinates")))
+
+  /** Parse a GeoJSON Point column → STRUCT<x, y>; null unless type=Point. */
+  def geoJsonPoint(json: Column): Column = {
+    val p = from_json(json, geoJsonPointSchema)
+    when(p.getField("type") === "Point",
+      struct(element_at(p.getField("coordinates"), 1).as("x"),
+        element_at(p.getField("coordinates"), 2).as("y")))
+  }
+
+  /** Outer ring of a GeoJSON Polygon column as ARRAY<STRUCT<x, y>> (the
+    * stPolygonOuter shape — holes ignored); null unless type=Polygon.
+    * Materialize the result as its own column before feeding it to
+    * stContainsPolygon: the containment lambda re-evaluates its vertex
+    * argument per edge (the TextExprs.shinglesOf caveat), and that argument
+    * should be an attribute, not this parse. */
+  def geoJsonPolygonOuter(json: Column): Column = {
+    val p = from_json(json, geoJsonPolygonSchema)
+    when(p.getField("type") === "Polygon",
+      transform(element_at(p.getField("coordinates"), 1),
+        q => struct(element_at(q, 1).as("x"), element_at(q, 2).as("y"))))
+  }
 }

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => PushdownTsDictAggregate(s))
     e.injectOptimizerRule(s => ClaimAnnTopK(s))
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
+    graft.functions.GeoWkb.functions.foreach(e.injectFunction)
   }
 }
 

@@ -164,6 +164,40 @@ object Extras {
       .agg(count(lit(1)).as("n_inside"))
   }
 
+  /** WKB round-trip over the scan: encode each point to OGC WKB with the
+    * native st_aswkb expression, decode lon/lat back with st_wkb_x/_y — all
+    * three inside whole-stage codegen (no UDF in the binary path; golden
+    * byte-layout and big-endian decode are asserted in GeoSpec). */
+  def geoWkbRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(s, dir)
+      .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
+      .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
+    pts.withColumn("wkb", Geo.stAsWkb(col("lon"), col("lat")))
+      .select(col("c_custkey"),
+        Geo.stWkbX(col("wkb")).as("lon"), Geo.stWkbY(col("wkb")).as("lat"))
+  }
+
+  /** GeoJSON surface: each point serialized to a GeoJSON Point and parsed
+    * back (to_json/from_json — runtime column ops, not driver constants);
+    * the query polygon arrives as GeoJSON, is parsed to the vertex-array
+    * column ONCE per row (materialized attribute — see
+    * Geo.geoJsonPolygonOuter's lambda caveat), and the same even-odd
+    * containment runs. Result is identical to geo_polygon_contains. */
+  def geoGeoJson(s: SparkSession, dir: String): DataFrame = {
+    val gjPolygon =
+      """{"type":"Polygon","coordinates":
+        |[[[0,40],[38,12],[24,-32],[-24,-32],[-38,12],[0,40]]]}""".stripMargin.replace("\n", "")
+    val pts = Tables.customer(s, dir)
+      .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
+      .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
+    pts.withColumn("gj", Geo.asGeoJsonPoint(col("lon"), col("lat")))
+      .withColumn("p", Geo.geoJsonPoint(col("gj")))
+      .withColumn("verts", Geo.geoJsonPolygonOuter(lit(gjPolygon)))
+      .filter(Geo.stContainsPolygon(col("verts"),
+        col("p").getField("x"), col("p").getField("y")))
+      .select(col("c_custkey"))
+  }
+
   /** ai_embed (reference embedding.cpp:160-201 + provider_openai.cpp): the
     * provider layer is real — set `spark.graft.ai.endpoint` and executors
     * batch-POST the OpenAI embeddings protocol (AiEmbed.withEmbedding,
@@ -283,6 +317,8 @@ object Extras {
     "geo_cell_search" -> geoCellSearch,
     "geo_polygon_contains" -> geoPolygonContains,
     "geo_polygon_cells" -> geoPolygonCells,
+    "geo_wkb_roundtrip" -> geoWkbRoundtrip,
+    "geo_geojson" -> geoGeoJson,
     "ai_embed" -> aiEmbed)
 
   // ---- oracles -------------------------------------------------------------
@@ -396,6 +432,10 @@ object Extras {
          |WHERE lon >= -60.0 AND lon <= 60.0 AND lat >= -30.0 AND lat <= 30.0""".stripMargin,
     "geo_polygon_contains" -> polygonOracle,
     "geo_polygon_cells" -> polygonOracle,
+    "geo_wkb_roundtrip" ->
+      s"""WITH $lonLat
+         |SELECT c_custkey, lon, lat FROM pts""".stripMargin,
+    "geo_geojson" -> polygonOracle,
     "ai_embed" -> {
       val comps = (0 until 8).map { k =>
         val nibs = (0 until 4).map { j =>

@@ -72,4 +72,53 @@ class GeoSpec extends AnyFunSuite {
       assert(cover.contains(gh), s"covering set missing cell $gh of inside point ($x, $y)")
     }
   }
+
+  test("WKB point encode matches the OGC golden bytes and round-trips") {
+    // POINT(1 2), NDR — the canonical example layout from OGC 99-049
+    val golden = "0101000000000000000000f03f0000000000000040"
+    assert(graft.functions.GeoWkb.encodePoint(1.0, 2.0)
+      .map("%02x".format(_)).mkString == golden)
+    val df = spark.range(1).select(
+      Geo.stWkbX(Geo.stAsWkb(lit(-179.5), lit(42.25))).as("x"),
+      Geo.stWkbY(Geo.stAsWkb(lit(-179.5), lit(42.25))).as("y"))
+    val r = df.head()
+    assert(r.getDouble(0) == -179.5 && r.getDouble(1) == 42.25)
+  }
+
+  test("WKB decode honors the XDR (big-endian) flag and rejects garbage") {
+    val buf = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(0: Byte).putInt(1).putDouble(3.5).putDouble(-7.25)
+    val xdr = buf.array()
+    val s = spark
+    import s.implicits._
+    val df = Seq(xdr, Array[Byte](9, 9, 9), graft.functions.GeoWkb.encodePolygon(
+        Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0))))
+      .toDF("wkb")
+      .select(Geo.stWkbX(col("wkb")).as("x"), Geo.stWkbY(col("wkb")).as("y"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 3.5 && rows(0).getDouble(1) == -7.25)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1), "garbage must decode to null")
+    assert(rows(2).isNullAt(0), "a polygon is not a point")
+  }
+
+  test("WKB polygon round-trips the outer ring") {
+    val ring = Geo.parseWktPolygon(wkt)
+    assert(graft.functions.GeoWkb.decodePolygonOuter(
+      graft.functions.GeoWkb.encodePolygon(ring)) == ring)
+  }
+
+  test("GeoJSON point and polygon parse; wrong types yield null") {
+    val df = spark.range(1).select(
+      Geo.geoJsonPoint(Geo.asGeoJsonPoint(lit(12.5), lit(-3.75))).as("p"),
+      Geo.geoJsonPoint(lit("""{"type":"Polygon","coordinates":[[[0,0]]]}""")).as("bad"),
+      Geo.geoJsonPolygonOuter(
+        lit("""{"type":"Polygon","coordinates":[[[0,40],[38,12],[0,40]]]}""")).as("ring"))
+    val r = df.head()
+    val p = r.getStruct(0)
+    assert(p.getDouble(0) == 12.5 && p.getDouble(1) == -3.75)
+    assert(r.isNullAt(1), "non-Point GeoJSON must parse to null")
+    val ring = r.getSeq[org.apache.spark.sql.Row](2)
+    assert(ring.map(v => (v.getDouble(0), v.getDouble(1)))
+      == Seq((0.0, 40.0), (38.0, 12.0), (0.0, 40.0)))
+  }
 }
