@@ -114,19 +114,34 @@ object Geo {
     * ring: count edges whose half-plane crossing test passes, odd = inside.
     * The crossing test is written in the exact arithmetic order
     * `(x2-x1)*(py-y1)/(y2-y1)+x1` so a SQL oracle repeating the same
-    * expression is bit-identical in IEEE doubles. Pass `verts` as an
-    * attribute or a literal (same HOF-lambda caveat as
-    * TextExprs.shinglesOf); boundary points follow ray-casting's standard
-    * half-open semantics. */
+    * expression is bit-identical in IEEE doubles.
+    *
+    * `px`/`py` are threaded through the aggregate's ZERO accumulator, so
+    * they evaluate exactly once per row no matter what the optimizer
+    * inlines into them — an earlier filter-lambda version re-evaluated
+    * them per EDGE, which turned a pushed-down `from_json` point parse
+    * into 2×edges JSON parses per row (measured 2.2 s vs 0.25 s at
+    * sf0.1). `verts` is still referenced per edge: pass it as an
+    * attribute or a literal (the TextExprs.shinglesOf caveat). Boundary
+    * points follow ray-casting's standard half-open semantics. */
   def stContainsPolygon(verts: Column, px: Column, py: Column): Column = {
-    val crossings = filter(sequence(lit(0), size(verts) - 2), i => {
-      val a = element_at(verts, i + 1)
-      val b = element_at(verts, i + 2)
-      val (ax, ay) = (a.getField("x"), a.getField("y"))
-      val (bx, by) = (b.getField("x"), b.getField("y"))
-      ((ay > py) =!= (by > py)) && (px < (bx - ax) * (py - ay) / (by - ay) + ax)
-    })
-    size(crossings) % 2 === 1
+    val crossings = aggregate(
+      sequence(lit(0), size(verts) - 2),
+      struct(px.cast("double").as("px"), py.cast("double").as("py"),
+        lit(0).as("n")),
+      (acc, i) => {
+        val (p, q) = (acc.getField("px"), acc.getField("py"))
+        val a = element_at(verts, i + 1)
+        val b = element_at(verts, i + 2)
+        val (ax, ay) = (a.getField("x"), a.getField("y"))
+        val (bx, by) = (b.getField("x"), b.getField("y"))
+        val crosses = ((ay > q) =!= (by > q)) &&
+          (p < (bx - ax) * (q - ay) / (by - ay) + ax)
+        struct(p.as("px"), q.as("py"),
+          (acc.getField("n") + when(crosses, 1).otherwise(0)).as("n"))
+      },
+      acc => acc.getField("n"))
+    crossings % 2 === 1
   }
 
   /** Envelope (bounding box) of a ring: STRUCT<minx, miny, maxx, maxy>. */
@@ -222,14 +237,41 @@ object Geo {
 
   /** Outer ring of a GeoJSON Polygon column as ARRAY<STRUCT<x, y>> (the
     * stPolygonOuter shape — holes ignored); null unless type=Polygon.
-    * Materialize the result as its own column before feeding it to
-    * stContainsPolygon: the containment lambda re-evaluates its vertex
-    * argument per edge (the TextExprs.shinglesOf caveat), and that argument
-    * should be an attribute, not this parse. */
+    *
+    * For CONSTANT polygons use [[geoJsonPolygonLit]] instead: an alias of
+    * this expression gets substituted into the containment lambda by
+    * projection collapse, and lambda bodies re-evaluate their embedded
+    * expressions per edge — the from_json would re-parse per edge per row
+    * (measured 1.9 s vs 0.1 s at sf0.1; the TextExprs.shinglesOf caveat). */
   def geoJsonPolygonOuter(json: Column): Column = {
     val p = from_json(json, geoJsonPolygonSchema)
     when(p.getField("type") === "Polygon",
       transform(element_at(p.getField("coordinates"), 1),
         q => struct(element_at(q, 1).as("x"), element_at(q, 2).as("y"))))
+  }
+
+  /** A constant GeoJSON Polygon's outer ring as a TRUE array literal,
+    * parsed once on the driver — the geoJsonPolygonOuter analogue of
+    * [[polygonLit]], safe to embed in HOF lambdas. */
+  def geoJsonPolygonLit(json: String): Column =
+    array(parseGeoJsonPolygon(json).map { case (x, y) =>
+      struct(lit(x).as("x"), lit(y).as("y")) }: _*)
+
+  /** Driver-side GeoJSON Polygon outer-ring parse (no JSON library — the
+    * grammar of `{"type":"Polygon","coordinates":[[[x,y],...],...]}` is
+    * regular enough for a split parse; holes ignored like everywhere). */
+  def parseGeoJsonPolygon(json: String): Seq[(Double, Double)] = {
+    require(json.replaceAll("\\s+", "").contains("\"type\":\"Polygon\""),
+      s"not a GeoJSON Polygon: $json")
+    // the outer ring is the first [[...]] — pairs separate with "],[" so
+    // the first "]]" closes the ring
+    val m = java.util.regex.Pattern.compile(
+      "\"coordinates\"\\s*:\\s*\\[\\s*\\[(.*?)\\]\\s*\\]", java.util.regex.Pattern.DOTALL)
+      .matcher(json)
+    require(m.find(), s"no coordinates in: $json")
+    m.group(1).split("\\]\\s*,\\s*\\[").toSeq.map { p =>
+      val xy = p.replaceAll("[\\[\\]]", "").split(",")
+      (xy(0).trim.toDouble, xy(1).trim.toDouble)
+    }
   }
 }

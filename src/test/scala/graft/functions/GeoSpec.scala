@@ -107,6 +107,18 @@ class GeoSpec extends AnyFunSuite {
       graft.functions.GeoWkb.encodePolygon(ring)) == ring)
   }
 
+  test("driver-side GeoJSON polygon parse matches the expression parse") {
+    val gj = """{"type":"Polygon","coordinates":[[[0,40],[38.5,12],[24,-32.25],[0,40]]]}"""
+    assert(Geo.parseGeoJsonPolygon(gj)
+      == Seq((0.0, 40.0), (38.5, 12.0), (24.0, -32.25), (0.0, 40.0)))
+    val viaExpr = spark.range(1)
+      .select(Geo.geoJsonPolygonOuter(lit(gj)).as("r")).head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(v => (v.getDouble(0), v.getDouble(1)))
+    assert(Geo.parseGeoJsonPolygon(gj) == viaExpr)
+    intercept[IllegalArgumentException](Geo.parseGeoJsonPolygon("""{"type":"Point"}"""))
+  }
+
   test("GeoJSON point and polygon parse; wrong types yield null") {
     val df = spark.range(1).select(
       Geo.geoJsonPoint(Geo.asGeoJsonPoint(lit(12.5), lit(-3.75))).as("p"),
