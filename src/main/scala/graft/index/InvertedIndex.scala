@@ -93,18 +93,47 @@ final case class InvertedIndex(
   private def docsForTerms(terms: DataFrame): DataFrame =
     postings.join(broadcast(terms), "term").select(col("doc_id")).distinct()
 
-  def prefix(p: String): DataFrame = docsForTerms(expandTerms(col("term").startsWith(p)))
+  /** Prefix match rewritten as a term RANGE (`term >= p AND term < p⁺`, with
+    * p⁺ = p with its last char incremented) — byte-order-equivalent to
+    * startsWith but pushed to parquet as min/max range filters, so term-dict
+    * row groups outside the prefix band never decompress (the reference walks
+    * a term-dict range the same way, prefix_filter.hpp). The residual
+    * startsWith keeps semantics exact even if p⁺ overflows. */
+  def prefix(p: String): DataFrame = docsForTerms(expandTerms(prefixPred(p)))
 
-  /** SQL LIKE-style wildcard over terms (%, _) — ts_like. */
-  def wildcard(pattern: String): DataFrame = docsForTerms(expandTerms(col("term").like(pattern)))
+  private def prefixPred(p: String): Column = {
+    val base = col("term").startsWith(p)
+    if (p.isEmpty || p.last >= Char.MaxValue) base
+    else {
+      val upper = p.init + (p.last + 1).toChar
+      col("term") >= p && col("term") < upper && base
+    }
+  }
+
+  /** SQL LIKE-style wildcard over terms (%, _) — ts_like. A literal prefix
+    * before the first wildcard char becomes a pushable term range, same as
+    * [[prefix]]. */
+  def wildcard(pattern: String): DataFrame = {
+    val litPrefix = pattern.takeWhile(c => c != '%' && c != '_' && c != '\\')
+    val pred = col("term").like(pattern)
+    docsForTerms(expandTerms(
+      if (litPrefix.isEmpty) pred else prefixPred(litPrefix) && pred))
+  }
 
   /** Regex over terms — ts_regexp. */
   def regexp(pattern: String): DataFrame = docsForTerms(expandTerms(col("term").rlike(pattern)))
 
   /** Levenshtein fuzzy match — ts_levenshtein (max expansions guarded by the
     * term dictionary size, cf. levenshtein_max_terms.test). */
-  def fuzzy(t: String, maxDist: Int): DataFrame =
-    docsForTerms(expandTerms(levenshtein(col("term"), lit(t)) <= maxDist))
+  def fuzzy(t: String, maxDist: Int): DataFrame = {
+    // length band first: |len(term) - len(t)| <= maxDist is a necessary
+    // condition for edit distance <= maxDist, is pushable/codegen-cheap, and
+    // prunes the dict scan before any DP runs; the thresholded levenshtein
+    // (Spark 3.5+ three-arg form) then early-exits rows that blow the band
+    val band = abs(length(col("term")) - lit(t.length)) <= maxDist
+    val dist = levenshtein(col("term"), lit(t), maxDist)
+    docsForTerms(expandTerms(band && dist >= 0 && dist <= maxDist))
+  }
 
   /** Term range — ts_between / ts_lt / ts_gt family. */
   def range(lo: Option[String], hi: Option[String],

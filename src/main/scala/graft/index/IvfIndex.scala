@@ -20,7 +20,7 @@ import graft.functions.VectorFunctions
   * subset of inverted lists — reading only their fraction of the data via
   * partition pruning, then exact distance + per-partition top-k + global O(k)
   * merge (TakeOrderedAndProject). At 100 TB the only driver-side state is the
-  * centroid table (k × dim doubles) plus k list radii.
+  * centroid table (k × dim doubles) plus k list radii and k list sizes.
   *
   * The number of inverted lists defaults to ≈√N (faiss's standard sizing):
   * fixed k would leave lists of N/k vectors that grow unboundedly with the
@@ -30,20 +30,25 @@ import graft.functions.VectorFunctions
   *  - `nprobe > 0`: classic fixed-width ANN — scan the nprobe nearest lists.
   *    Recall is corpus-dependent (uniform-random data spreads true neighbors
   *    across many lists); callers tune per corpus.
-  *  - `nprobe == 0` (default): EXACT two-phase adaptive probe, the ball-tree
-  *    bound. Phase 1 scans the √k nearest lists and takes the candidate kth
-  *    distance d_k (k doubles to the driver — metadata, not data). Phase 2
-  *    adds every other list whose lower bound ‖q−cᵢ‖ − rᵢ ≤ d_k — by the
-  *    triangle inequality no vector in a skipped list can beat the current
-  *    top-k, so the merged result is exactly the brute-force answer. On
-  *    clustered corpora phase 2 adds few lists; on adversarially uniform
-  *    data it degrades gracefully toward a full scan, which is the price of
+  *  - `nprobe == 0` (default): EXACT static ball-bound probe, computed
+  *    entirely from driver metadata (centroids + radii + sizes) with NO Spark
+  *    job: take the nearest lists (by centroid distance) until their sizes
+  *    sum to ≥ k; every point in those lists is within
+  *    du = max(‖q−cᵢ‖ + rᵢ) of q, so the true kth distance d_k ≤ du. Then
+  *    add every other list whose lower bound ‖q−cⱼ‖ − rⱼ ≤ du — by the
+  *    triangle inequality no vector in a skipped list can be within d_k, so
+  *    the merged result EQUALS brute force. Being metadata-only is what lets
+  *    the ClaimAnnTopK optimizer rule plan a claimed query without running a
+  *    distributed job inside `transformUp` (the round-5 scale defect). The
+  *    bound du ≥ d_k is looser than a measured d_k, so on adversarial data
+  *    the probe degrades gracefully toward a full scan — the price of
   *    exactness (verified both ways in IvfIndexSpec).
   */
 final case class IvfIndex(
     assignments: DataFrame, // (vec_id, embedding, cluster)
     centroids: Array[Array[Double]],
-    radii: Array[Double]) {
+    radii: Array[Double],
+    sizes: Array[Long]) {
 
   def numLists: Int = centroids.length
 
@@ -65,38 +70,107 @@ final case class IvfIndex(
       .limit(k)
       .select(col("vec_id"), col("dist"))
 
-  /** The two probe sets of the exact adaptive strategy: (phase-1 lists,
-    * phase-2 lists whose ball-bound overlaps the phase-1 kth distance).
-    * Exposed so IvfIndexSpec can assert pruning on clustered data. */
-  def adaptiveProbes(query: Seq[Float], k: Int): (Seq[Int], Seq[Int]) = {
-    val byDist = centroidDistSq(query.map(_.toDouble))
-    val n1 = math.max(1, math.ceil(math.sqrt(numLists.toDouble)).toInt)
+  /** The two probe sets of the exact static ball-bound strategy: (nearest
+    * lists holding ≥ k points, extra lists whose ball overlaps the upper
+    * bound du on the kth distance). Pure driver arithmetic over (centroids,
+    * radii, sizes) — no Spark job. Exposed so IvfIndexSpec can assert
+    * pruning on clustered data and ClaimRuleSpec can assert job-free
+    * planning. */
+  def ballProbes(query: Seq[Float], k: Int): (Seq[Int], Seq[Int]) = {
+    // empty lists carry no points: they neither tighten du nor need probing
+    val byDist = centroidDistSq(query.map(_.toDouble)).filter(t => sizes(t._2) > 0)
+    // minimal nearest-list prefix with >= k points (all lists if the corpus
+    // holds fewer than k)
+    var acc = 0L
+    var n1 = 0
+    while (n1 < byDist.length && acc < k) { acc += sizes(byDist(n1)._2); n1 += 1 }
     val phase1 = byDist.take(n1).map(_._2).toSeq
-    val cand = topK(phase1, query, k).select(col("dist")).collect()
-    val dk =
-      if (cand.length == k) math.sqrt(cand.map(_.getDouble(0)).max)
+    val du =
+      if (acc >= k)
+        byDist.take(n1).map { case (dSq, i) => math.sqrt(dSq) + radii(i) }.max
       else Double.PositiveInfinity
     val extra = byDist.drop(n1).collect {
-      case (dSq, i) if math.sqrt(dSq) - radii(i) <= dk + 1e-9 => i
+      case (dSq, i) if math.sqrt(dSq) - radii(i) <= du + 1e-9 => i
     }.toSeq
     (phase1, extra)
   }
 
   /** k-NN by L2. `nprobe > 0` = fixed-width approximate probe; `nprobe == 0`
-    * (default) = exact adaptive probe (see class doc). */
+    * (default) = exact static ball-bound probe (see class doc). Probe
+    * selection is driver metadata math, so the returned plan is fully lazy. */
   def knn(query: Seq[Float], k: Int, nprobe: Int = 0): DataFrame = {
     val probes =
       if (nprobe > 0) centroidDistSq(query.map(_.toDouble)).take(nprobe).map(_._2).toSeq
-      else { val (p1, p2) = adaptiveProbes(query, k); p1 ++ p2 }
+      else { val (p1, p2) = ballProbes(query, k); p1 ++ p2 }
     topK(probes, query, k)
+  }
+
+  /** All vectors within L2 distance `r` of `query` — the reference's ANN
+    * range claim (`TryClaimAnnRange`, iresearch_plan.cpp:927-965). List j can
+    * hold a qualifying vector only if ‖q−cⱼ‖ − rⱼ ≤ r, so the probe set is
+    * static metadata math like [[ballProbes]]; the exact distance filter
+    * inside the probed lists makes the result exact. */
+  def rangeSearch(query: Seq[Float], r: Double): DataFrame =
+    rangeSearchSq(query, r * r)
+
+  /** Same, with the threshold in SQUARED-L2 units (the `ann_l2` score
+    * mapping) — the probe bound takes a sqrt (padded, superset-safe) but the
+    * exact row filter compares the caller's threshold verbatim, so boundary
+    * rows match the row-eval predicate bit-for-bit. */
+  def rangeSearchSq(query: Seq[Float], rSq: Double): DataFrame = {
+    val r = math.sqrt(math.max(rSq, 0.0))
+    val probes = centroidDistSq(query.map(_.toDouble)).collect {
+      case (dSq, i) if sizes(i) > 0 && math.sqrt(dSq) - radii(i) <= r + 1e-9 => i
+    }.toSeq
+    assignments
+      .filter(col("cluster").isin(probes: _*))
+      .withColumn("dist", distCol(query))
+      .filter(col("dist") < lit(rSq)) // dist col is SQUARED l2
+      .select(col("vec_id"), col("dist"))
+  }
+
+  /** k-NN by LARGEST inner product, exact via the dot-product ball bound:
+    * dot(q,v) for v in list i lies in dot(q,cᵢ) ± ‖q‖rᵢ. Take lists by
+    * upper bound until ≥ k points (their worst point still has
+    * dot ≥ dl = min(dot(q,cᵢ) − ‖q‖rᵢ)), then add every list whose upper
+    * bound reaches dl. Driver-metadata-only, like [[ballProbes]]. Returns
+    * (vec_id, dist) with dist = −dot so ASC order = best-first, matching
+    * the ann_ip score mapping (reference per-metric score emit,
+    * duckdb_table_function.h:63-68). */
+  def knnIp(query: Seq[Float], k: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val qNorm = math.sqrt(qd.map(x => x * x).sum)
+    val dots = centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * qd(j); j += 1 }
+      (s, i)
+    }
+    val byUb = dots.collect { case (d, i) if sizes(i) > 0 => (d + qNorm * radii(i), i, d) }
+      .sortBy(t => (-t._1, t._2))
+    var acc = 0L
+    var n1 = 0
+    while (n1 < byUb.length && acc < k) { acc += sizes(byUb(n1)._2); n1 += 1 }
+    val phase1 = byUb.take(n1)
+    val dl =
+      if (acc >= k) phase1.map { case (_, i, d) => d - qNorm * radii(i) }.min
+      else Double.NegativeInfinity
+    val probes = (phase1.map(_._2) ++ byUb.drop(n1).collect {
+      case (ub, i, _) if ub >= dl - 1e-9 => i
+    }).toSeq
+    assignments
+      .filter(col("cluster").isin(probes: _*))
+      .withColumn("dist", -VectorFunctions.innerProduct(col("embedding"), typedlit(query)))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("dist"))
   }
 }
 
 object IvfIndex {
   private val jvmCache = TrieMap.empty[String, IvfIndex]
 
-  /** Bumped when the on-disk layout changes (radii sidecar added in .2). */
-  private val IvfFormat = 2
+  /** Bumped when the on-disk layout changes (sizes sidecar added in .3). */
+  private val IvfFormat = 3
 
   def defaultRoot: String = sys.env.getOrElse(
     "GRAFT_INDEX_DIR", sys.props("java.io.tmpdir") + "/graft-index")
@@ -108,9 +182,10 @@ object IvfIndex {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Per-cluster max L2 distance to the centroid — one distributed pass,
-    * k doubles back to the driver. */
-  private def clusterRadii(assigned: DataFrame, centroids: Array[Array[Double]]): Array[Double] = {
+  /** Per-cluster max L2 distance to the centroid + per-cluster counts — one
+    * distributed pass, 2k numbers back to the driver. */
+  private def clusterMeta(assigned: DataFrame,
+      centroids: Array[Array[Double]]): (Array[Double], Array[Long]) = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val cents = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -119,9 +194,10 @@ object IvfIndex {
       (x, y) => (x.cast("double") - y) * (x.cast("double") - y)), lit(0.0), _ + _))
     val byCluster = assigned.join(broadcast(cents), "cluster")
       .select(col("cluster"), dist.as("d"))
-      .groupBy("cluster").agg(max(col("d")).as("r"))
-      .collect().map(r => r.getAs[Number](0).intValue -> r.getDouble(1)).toMap
-    Array.tabulate(centroids.length)(i => byCluster.getOrElse(i, 0.0))
+      .groupBy("cluster").agg(max(col("d")).as("r"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Number](0).intValue -> ((r.getDouble(1), r.getLong(2)))).toMap
+    (Array.tabulate(centroids.length)(i => byCluster.get(i).map(_._1).getOrElse(0.0)),
+     Array.tabulate(centroids.length)(i => byCluster.get(i).map(_._2).getOrElse(0L)))
   }
 
   /** KMeans training + assignment. Deterministic for a fixed seed and input.
@@ -136,8 +212,19 @@ object IvfIndex {
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cluster"))
     val centroids = model.clusterCenters.map(_.toArray)
-    IvfIndex(assigned, centroids, clusterRadii(assigned, centroids))
+    val (radii, sizes) = clusterMeta(assigned, centroids)
+    IvfIndex(assigned, centroids, radii, sizes)
   }
+
+  /** Canonical on-disk location for an ensured index. */
+  def dirFor(cacheKey: String, k: Int = 0): String = {
+    val kTag = if (k > 0) k.toString else "auto"
+    s"$defaultRoot/${cacheKey.replaceAll("[^A-Za-z0-9._-]+", "_")}-ivf$kTag-v${IndexStore.FormatVersion}.$IvfFormat"
+  }
+
+  /** Drop the cached load (callers deleting the directory — DROP VECTOR
+    * INDEX — must invalidate). */
+  def invalidate(dir: String): Unit = jvmCache.remove(dir)
 
   /** Build-or-load a persisted, cluster-partitioned copy (the durable form:
     * partition pruning on `cluster=` directories is what makes the probed
@@ -145,23 +232,23 @@ object IvfIndex {
     * so the index works on HDFS/S3 unchanged. */
   def ensure(spark: SparkSession, embs: => DataFrame, cacheKey: String,
       k: Int = 0): IvfIndex = {
-    val kTag = if (k > 0) k.toString else "auto"
-    val dir = s"$defaultRoot/${cacheKey.replaceAll("[^A-Za-z0-9._-]+", "_")}-ivf$kTag-v${IndexStore.FormatVersion}.$IvfFormat"
+    val dir = dirFor(cacheKey, k)
     jvmCache.getOrElseUpdate(dir, {
       val f = fs(spark, dir)
       val marker = new Path(s"$dir/_CENTROIDS")
       val radiiFile = new Path(s"$dir/_RADII")
+      val sizesFile = new Path(s"$dir/_SIZES")
       if (!f.exists(marker)) {
         val idx = build(embs, k = k)
         idx.assignments.repartition(col("cluster"))
           .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/vectors")
-        val rOut = f.create(radiiFile, true)
-        try rOut.write(idx.radii.mkString("\n").getBytes(StandardCharsets.UTF_8))
-        finally rOut.close()
-        val out = f.create(marker, true)
-        try out.write(idx.centroids.map(_.mkString(","))
-          .mkString("\n").getBytes(StandardCharsets.UTF_8))
-        finally out.close()
+        def writeFile(p: Path, s: String): Unit = {
+          val out = f.create(p, true)
+          try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        }
+        writeFile(radiiFile, idx.radii.mkString("\n"))
+        writeFile(sizesFile, idx.sizes.mkString("\n"))
+        writeFile(marker, idx.centroids.map(_.mkString(",")).mkString("\n"))
       }
       def readLines(p: Path): Array[String] = {
         val in = f.open(p)
@@ -170,7 +257,8 @@ object IvfIndex {
       }
       val centroids = readLines(marker).map(_.split(",").map(_.toDouble))
       val radii = readLines(radiiFile).map(_.toDouble)
-      IvfIndex(spark.read.parquet(s"$dir/vectors"), centroids, radii)
+      val sizes = readLines(sizesFile).map(_.toLong)
+      IvfIndex(spark.read.parquet(s"$dir/vectors"), centroids, radii, sizes)
     })
   }
 }

@@ -7,17 +7,25 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, Logi
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.unsafe.types.UTF8String
+import graft.search.IndexCatalog
 
-/** Session extension installing the search-claim optimizer rule — the Spark
+/** Session extension installing the search-claim optimizer rules — the Spark
   * analogue of the reference registering its optimizer extensions with
   * DuckDB (/root/reference/server/connector/duckdb_storage_extension.cpp:
   * 126-134). Enabled via `spark.sql.extensions=graft.plans.GraftExtensions`
-  * (GraftSession sets it on every session it configures). */
+  * (GraftSession sets it on every session it configures).
+  *
+  * Every rule resolves scans through [[graft.search.IndexCatalog]] — the
+  * analogue of the reference's index source factory
+  * (index_source_factory.h:40-46): `CREATE SEARCH INDEX` / `CREATE VECTOR
+  * INDEX` on ANY table make its predicates claimable; no table or column
+  * name is special-cased here. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(s => ClaimTsMatch(s))
     e.injectOptimizerRule(s => PushdownTsDictAggregate(s))
     e.injectOptimizerRule(s => ClaimAnnTopK(s))
+    e.injectOptimizerRule(s => ClaimAnnRange(s))
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
     graft.functions.GeoWkb.functions.foreach(e.injectFunction)
   }
@@ -45,19 +53,20 @@ private[plans] object PlanShapes {
     case other => other
   }
 
-  /** The scan directory iff `plan` is a Project-only chain over the standard
-    * `<dir>/<tableFile>` parquet relation. */
-  def bareRelation(plan: LogicalPlan, tableFile: String): Option[(LogicalRelation, String)] =
+  /** The (relation, root path) iff `plan` is a Project-only chain over a
+    * single-root file scan — the catalog lookup key. */
+  def bareScan(plan: LogicalPlan): Option[(LogicalRelation, String)] =
     stripProjects(plan) match {
-      case lr: LogicalRelation => lr.relation match {
-        case h: HadoopFsRelation =>
-          h.location.rootPaths.headOption.map(_.toString)
-            .filter(_.endsWith(s"/$tableFile"))
-            .map(p => (lr, p.stripSuffix(s"/$tableFile").stripPrefix("file:")))
-        case _ => None
-      }
+      case lr: LogicalRelation => scanRoot(lr).map(r => (lr, r))
       case _ => None
     }
+
+  /** Root path of a file-backed relation (catalog key form: no `file:`). */
+  def scanRoot(lr: LogicalRelation): Option[String] = lr.relation match {
+    case h: HadoopFsRelation =>
+      h.location.rootPaths.headOption.map(_.toString.stripPrefix("file:"))
+    case _ => None
+  }
 
   /** Provenance: `attr` must BE the relation's column named `name` — same
     * exprId, not merely the same name. A same-named attribute produced by an
@@ -67,35 +76,20 @@ private[plans] object PlanShapes {
     attr.name == name && lr.output.exists(o => o.name == name && o.exprId == attr.exprId)
 }
 
-/** Claims `ts_match(text, 'websearch query', 'dict')` predicates over the
-  * documents table OUT of row-evaluated filters and INTO an index-backed
-  * left-semi join — the direct analogue of the reference's
-  * `IResearchPushdownComplexFilter` walk
-  * (/root/reference/server/connector/optimizer/iresearch_plan.cpp:1068:
-  * claim `@@`/ts_* stubs from filters into the iresearch_scan filter tree;
-  * filter build search_filter_builder.cpp:505-531).
-  *
-  * Claim conditions: the filter's child scans `<dir>/documents.parquet` and
-  * exposes `doc_id`, the first UDF argument is the scanned `text` column,
-  * and query/dict are literals (the reference likewise folds TSQUERY
-  * constants before claiming, ts_query.cpp:341). Non-claimable conjuncts
-  * stay behind as residual filters (ts_dict_residual_filter*.test) — and a
-  * claim failure leaves the row-eval UDF in place, so the rewrite can only
-  * change HOW the query runs, never its result.
-  */
 /** Rewrites token-facet aggregates onto the index term dictionary — the
   * analogue of the reference's `PushdownTsDictAggregates`
   * (/root/reference/server/connector/optimizer/ts_dict_plan.hpp:17-28,
   * 2,094 LoC impl; semantics ts_dict.test:42-55): a GROUP BY over
   * `explode(ts_tokenize_sql(text, 'dict'))` computing `count(*)` (= total
-  * term frequency, ctf) and/or `count(DISTINCT doc_id)` (= document
+  * term frequency, ctf) and/or `count(DISTINCT <id>)` (= document
   * frequency, df) never needs to tokenize anything — both aggregates are
   * precomputed per term in the index's term dictionary. Turns an
   * O(total tokens) explode+shuffle into a read of the (tiny) dictionary.
   *
   * Claimed shape: Aggregate(group=[token], aggs ⊆ {token, count(1),
-  * count(distinct doc_id)}) over Generate(explode(ts_tokenize_sql(text,
-  * literal dict))) over the documents scan. Anything else is left alone.
+  * count(distinct id)}) over Generate(explode(ts_tokenize_sql(col,
+  * literal dict))) over a scan with a catalog-registered index on
+  * (scan root, col, dict). Anything else is left alone.
   */
 case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression}
@@ -104,45 +98,52 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
   import org.apache.spark.sql.catalyst.expressions.Explode
 
   /** The claimable shapes, checked strictly. Aggregate.child must be a
-    * Project-only chain down to Generate(explode(ts_tokenize_sql(text,
+    * Project-only chain down to Generate(explode(ts_tokenize_sql(col,
     * 'dict'))), whose child (modulo Projects) is either
     *
-    *  - the bare documents scan → the UNFILTERED facet: both aggregates are
-    *    precomputed in the term dictionary (df/ctf); or
-    *  - a LeftSemi join of the bare documents scan against an arbitrary
-    *    match subtree on the scan's own doc_id — the shape ClaimTsMatch
-    *    leaves behind for a fully-claimed `WHERE ts_match(...)` — → the
-    *    FILTERED facet: counts are re-aggregated from the POSTINGS of the
-    *    matched docs (semi-join postings on doc id, group by term), the
-    *    reference's ts_dict WHERE-claim (ts_dict_plan.hpp:17-28). Nothing
-    *    tokenizes in either shape.
+    *  - a bare scan with a registered (root, col, dict) text index → the
+    *    UNFILTERED facet: both aggregates are precomputed in the term
+    *    dictionary (df/ctf); or
+    *  - a LeftSemi join of that bare scan against an arbitrary match subtree
+    *    on the scan's own id column — the shape ClaimTsMatch leaves behind
+    *    for a fully-claimed `WHERE ts_match(...)` — → the FILTERED facet:
+    *    counts are re-aggregated from the POSTINGS of the matched docs
+    *    (semi-join postings on doc id, group by term), the reference's
+    *    ts_dict WHERE-claim (ts_dict_plan.hpp:17-28). Nothing tokenizes in
+    *    either shape.
     *
     * Any other Filter / Join / Limit on either leg means the index totals
     * would not match the query's input rows — bail, keep the explode plan
     * (the facet then tokenizes only what the residual filter passes; still
-    * correct). `text` and `doc_id` are provenance-checked by exprId against
-    * the scan, never by name. */
-  private def tokenizeGen(plan: LogicalPlan): Option[(Attribute, String, String,
-      LogicalRelation, Option[(LogicalPlan, Attribute)])] =
+    * correct). The tokenized column and the id column are provenance-checked
+    * by exprId against the scan, never by name. */
+  private case class FacetClaim(tokenAttr: Attribute, segDir: String,
+      lr: LogicalRelation, idCol: String,
+      filtered: Option[(LogicalPlan, Attribute)])
+
+  private def tokenizeGen(plan: LogicalPlan): Option[FacetClaim] =
     PlanShapes.stripProjects(plan) match {
       case g @ Generate(Explode(u: ScalaUDF), _, _, _, _, _)
           if u.udfName.contains("ts_tokenize_sql") =>
         (u.children, g.generatorOutput) match {
           case (Seq(a: AttributeReference, Literal(d: UTF8String, _)), Seq(tokenAttr)) =>
+            val dict = d.toString
             PlanShapes.stripProjects(g.child) match {
               case _: LogicalRelation =>
-                PlanShapes.bareRelation(g.child, "documents.parquet").collect {
-                  case (lr, dir) if PlanShapes.isColumnOf(lr, a, "text") =>
-                    (tokenAttr, d.toString, dir, lr, None)
-                }
+                for {
+                  (lr, root) <- PlanShapes.bareScan(g.child)
+                  if PlanShapes.isColumnOf(lr, a, a.name)
+                  e <- IndexCatalog.lookupText(root, a.name, dict)
+                } yield FacetClaim(tokenAttr, e.segDir, lr, e.idCol, None)
               case Join(l, r, LeftSemi, Some(EqualTo(lk: AttributeReference, rk: AttributeReference)), _) =>
                 for {
-                  (lr, dir) <- PlanShapes.bareRelation(l, "documents.parquet")
-                  if PlanShapes.isColumnOf(lr, a, "text")
-                  // the join key must be the scan's own doc_id, either side
+                  (lr, root) <- PlanShapes.bareScan(l)
+                  if PlanShapes.isColumnOf(lr, a, a.name)
+                  e <- IndexCatalog.lookupText(root, a.name, dict)
+                  // the join key must be the scan's own id column, either side
                   (lkey, rkey) = if (lr.output.exists(_.exprId == lk.exprId)) (lk, rk) else (rk, lk)
-                  if PlanShapes.isColumnOf(lr, lkey, "doc_id") && r.outputSet.contains(rkey)
-                } yield (tokenAttr, d.toString, dir, lr, Some((r, rkey)))
+                  if PlanShapes.isColumnOf(lr, lkey, e.idCol) && r.outputSet.contains(rkey)
+                } yield FacetClaim(tokenAttr, e.segDir, lr, e.idCol, Some((r, rkey)))
               case _ => None
             }
           case _ => None
@@ -154,12 +155,11 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
     case agg @ Aggregate(Seq(groupAttr: Attribute), aggExprs, child, _) =>
       try {
         tokenizeGen(child) match {
-          case Some((tokenAttr, dict, dir, lr, None)) if groupAttr.semanticEquals(tokenAttr) =>
-            rewrite(agg, aggExprs, tokenAttr, dict, dir, lr).getOrElse(agg)
-          case Some((tokenAttr, dict, dir, lr, Some((right, rightKey))))
-              if groupAttr.semanticEquals(tokenAttr) =>
-            rewriteFiltered(agg, aggExprs, tokenAttr, dict, dir, lr, right, rightKey)
-              .getOrElse(agg)
+          case Some(c) if groupAttr.semanticEquals(c.tokenAttr) =>
+            (c.filtered match {
+              case None => rewrite(agg, aggExprs, c)
+              case Some((right, rightKey)) => rewriteFiltered(agg, aggExprs, c, right, rightKey)
+            }).getOrElse(agg)
           case _ => agg
         }
       } catch {
@@ -190,14 +190,12 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
 
   /** Filtered facet → postings-driven counts: LeftSemi(postings, matched) on
     * doc id, group by term; count(*) over the explode ≡ sum(tf), and
-    * count(DISTINCT doc_id) ≡ count(*) (postings hold one row per
-    * (term, doc)). */
+    * count(DISTINCT id) ≡ count(*) (postings hold one row per (term, doc)). */
   private def rewriteFiltered(agg: Aggregate, aggExprs: Seq[NamedExpression],
-      tokenAttr: Attribute, dict: String, dir: String, lr: LogicalRelation,
-      right: LogicalPlan, rightKey: Attribute): Option[LogicalPlan] = {
+      c: FacetClaim, right: LogicalPlan, rightKey: Attribute): Option[LogicalPlan] = {
     import org.apache.spark.sql.functions.{col => f}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Sum}
-    val idx = graft.index.IndexStore.documents(spark, dir, dict)
+    val idx = graft.index.IndexStore.load(spark, c.segDir)
     val posts = idx.postings.select(f("term"), f("doc_id"), f("tf").cast("long").as("tf"))
     // the matched subtree (`right`) usually reads the SAME cached postings
     // relation — re-instance ours so the self-join has disjoint exprIds
@@ -205,13 +203,13 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
     val Seq(termA, docA, tfA) = pPlan.output
     val joined = Join(pPlan, right, LeftSemi, Some(EqualTo(docA, rightKey)), JoinHint.NONE)
     val mapped = aggExprs.map {
-      case a: Attribute if a.semanticEquals(tokenAttr) =>
+      case a: Attribute if a.semanticEquals(c.tokenAttr) =>
         Some(Alias(termA, a.name)(exprId = a.exprId))
       case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), name) =>
         Some(Alias(AggregateExpression(Sum(tfA), Complete, isDistinct = false), name)(
           exprId = al.exprId))
-      case al @ Alias(AggregateExpression(Count(Seq(c: Attribute)), _, true, _, _), name)
-          if PlanShapes.isColumnOf(lr, c, "doc_id") =>
+      case al @ Alias(AggregateExpression(Count(Seq(cc: Attribute)), _, true, _, _), name)
+          if PlanShapes.isColumnOf(c.lr, cc, c.idCol) =>
         Some(Alias(AggregateExpression(Count(Literal(1)), Complete, isDistinct = false), name)(
           exprId = al.exprId))
       case _ => None
@@ -229,9 +227,8 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
   }
 
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
-      tokenAttr: Attribute, dict: String, dir: String,
-      lr: LogicalRelation): Option[LogicalPlan] = {
-    val idx = graft.index.IndexStore.documents(spark, dir, dict)
+      c: FacetClaim): Option[LogicalPlan] = {
+    val idx = graft.index.IndexStore.load(spark, c.segDir)
     val td = idx.termDict.select(
       org.apache.spark.sql.functions.col("term"),
       org.apache.spark.sql.functions.col("df").cast("long").as("df"),
@@ -241,12 +238,12 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
 
     // every output column must map onto a dictionary column, else bail
     val mapped = aggExprs.map {
-      case a: Attribute if a.semanticEquals(tokenAttr) =>
+      case a: Attribute if a.semanticEquals(c.tokenAttr) =>
         Some(Alias(termA, a.name)(exprId = a.exprId))
       case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), name) =>
         Some(Alias(ctfA, name)(exprId = al.exprId))
-      case al @ Alias(AggregateExpression(Count(Seq(c: Attribute)), _, true, _, _), name)
-          if PlanShapes.isColumnOf(lr, c, "doc_id") =>
+      case al @ Alias(AggregateExpression(Count(Seq(cc: Attribute)), _, true, _, _), name)
+          if PlanShapes.isColumnOf(c.lr, cc, c.idCol) =>
         Some(Alias(dfA, name)(exprId = al.exprId))
       case _ => None
     }
@@ -255,66 +252,119 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
   }
 }
 
-/** Claims `ORDER BY ann_l2(embedding, <const vector>) LIMIT k` over the
-  * embeddings table into an IVF index probe — the analogue of the
-  * reference's `PushdownDistanceCall` / ANN top-k claim
-  * (/root/reference/server/connector/optimizer/iresearch_plan.cpp:546-621):
-  * distance order + limit over an ANN-indexed column becomes a
-  * partition-pruned probe of the index's inverted lists with exact distance
-  * inside and a global O(k) merge. The default probe is the adaptive-exact
-  * (ball-bound) strategy, so the claimed result EQUALS the exact sort it
-  * replaces — gated by vec_claimed_ann/vec_ivf_recall and IvfIndexSpec. */
-case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{Alias, SortOrder, Ascending}
-  import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Project, Sort}
+/** Shared ANN-claim helpers: the per-metric score mapping (the reference's
+  * metric table, iresearch_plan.cpp:546-621 / duckdb_table_function.h:63-68)
+  * and the query-vector literal decode. All three registered distance stubs
+  * are ASC-best: `ann_l2` = squared L2, `ann_cosine` = 1 − cos, `ann_ip` =
+  * −dot. */
+private[plans] object AnnShapes {
   import org.apache.spark.sql.catalyst.util.ArrayData
 
-  private def annUdf(e: Expression): Option[(AttributeReference, Seq[Float])] = e match {
-    case u: ScalaUDF if u.udfName.contains("ann_l2") =>
-      u.children match {
-        case Seq(a: AttributeReference, Literal(arr: ArrayData, t)) =>
-          val q = t match {
-            case org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.FloatType, _) => arr.toFloatArray().toSeq
-            case org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.DoubleType, _) =>
-              arr.toDoubleArray().toSeq.map(_.toFloat)
-            case _ => return None
-          }
-          Some((a, q))
-        case _ => None
+  val Metrics: Map[String, String] =
+    Map("ann_l2" -> "l2", "ann_cosine" -> "cosine", "ann_ip" -> "ip")
+
+  /** `ann_<metric>(col, <const vector>)` → (column, query, metric). */
+  def annUdf(e: Expression): Option[(AttributeReference, Seq[Float], String)] = e match {
+    case u: ScalaUDF =>
+      Metrics.collectFirst {
+        case (fn, metric) if u.udfName.contains(fn) => metric
+      }.flatMap { metric =>
+        u.children match {
+          case Seq(a: AttributeReference, Literal(arr: ArrayData, t)) =>
+            decode(arr, t).map(q => (a, q, metric))
+          case _ => None
+        }
       }
     case _ => None
   }
 
+  def decode(arr: ArrayData,
+      t: org.apache.spark.sql.types.DataType): Option[Seq[Float]] = t match {
+    case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => Some(arr.toFloatArray().toSeq)
+    case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) =>
+      Some(arr.toDoubleArray().toSeq.map(_.toFloat))
+    case _ => None
+  }
+
+  /** Unit-normalize a query for a cosine index (whose stored vectors are
+    * normalized by IndexCatalog.annSource). */
+  def normalize(q: Seq[Float]): Seq[Float] = {
+    val n = math.sqrt(q.map(x => x.toDouble * x).sum)
+    if (n == 0) q else q.map(x => (x / n).toFloat)
+  }
+
+  /** The lazily-ensured IVF index for a catalog entry (a cache hit when the
+    * DDL built it; a rebuild from the scan root otherwise). Probe selection
+    * is driver-metadata math (IvfIndex.ballProbes) — ensuring here runs NO
+    * Spark job unless the on-disk index is missing entirely. */
+  def ivfFor(spark: SparkSession, root: String,
+      e: IndexCatalog.AnnEntry): graft.index.IvfIndex =
+    graft.index.IvfIndex.ensure(spark,
+      IndexCatalog.annSource(spark, root, e), e.cacheKey)
+}
+
+/** Claims `ORDER BY ann_<metric>(embedding, <const vector>) LIMIT k` over a
+  * scan with a catalog-registered vector index into an IVF probe — the
+  * analogue of the reference's `PushdownDistanceCall` / ANN top-k claim
+  * (/root/reference/server/connector/optimizer/iresearch_plan.cpp:546-621):
+  * distance order + limit over an ANN-indexed column becomes a
+  * partition-pruned probe of the index's inverted lists with exact distance
+  * inside and a global O(k) merge. The probe set comes from the static
+  * ball bound (driver metadata only — no Spark job at plan time), so the
+  * claimed result EQUALS the exact sort it replaces.
+  *
+  * Projections wider than the id column are claimed via PK-lookup late
+  * materialization (the reference's search_pk_lookup.h): probe for ids,
+  * then one join back to the scan for the other columns. */
+case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, SortOrder}
+  import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Project, Sort}
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case gl @ GlobalLimit(Literal(k: Int, _), LocalLimit(_, inner)) =>
       try {
-        val claimed = inner match {
+        val shaped = inner match {
           case Project(projList, Sort(Seq(SortOrder(so, Ascending, _, _)), true, grand, _)) =>
+            Some((projList, so, grand))
+          case Sort(Seq(SortOrder(so, Ascending, _, _)), true, grand, _) =>
+            Some((inner.output, so, grand)) // SELECT * — claim all columns
+          case _ => None
+        }
+        val claimed = shaped.flatMap { case (projList, so, grand) =>
             for {
-              (embAttr, q) <- annUdf(so)
-              // the sorted input must be the BARE embeddings scan (modulo
+              (embAttr, q, metric) <- AnnShapes.annUdf(so)
+              // the sorted input must be the BARE indexed scan (modulo
               // column-pruning Projects): a Filter/Join/Limit under the Sort
               // would be discarded by the probe rewrite — leave those exact
-              (lr, dir) <- PlanShapes.bareRelation(grand, "embeddings.parquet")
-              if PlanShapes.isColumnOf(lr, embAttr, "embedding")
-              // claim only a bare vec_id projection — anything else would
-              // need a join-back we don't rewrite here
-              out <- projList match {
-                case Seq(a: AttributeReference)
-                    if PlanShapes.isColumnOf(lr, a, "vec_id") => Some(a)
-                case _ => None
-              }
+              (lr, root) <- PlanShapes.bareScan(grand)
+              if PlanShapes.isColumnOf(lr, embAttr, embAttr.name)
+              entry <- IndexCatalog.lookupAnn(root, embAttr.name, metric)
+              // every projected column must be the scan's own (id column →
+              // direct probe output; others → PK-lookup join-back)
+              outAttrs <- Some(projList.collect {
+                case a: AttributeReference if PlanShapes.isColumnOf(lr, a, a.name) => a
+              }).filter(_.size == projList.size)
+              if outAttrs.nonEmpty
             } yield {
-              val idx = graft.index.IvfIndex.ensure(spark,
-                graft.Tables.embeddings(spark, dir), s"$dir-embeddings")
-              val knnPlan = idx.knn(q, k).select(
-                org.apache.spark.sql.functions.col("vec_id"))
-                .queryExecution.optimizedPlan
-              Project(Seq(Alias(knnPlan.output.head, out.name)(exprId = out.exprId)), knnPlan)
+              val idx = AnnShapes.ivfFor(spark, root, entry)
+              val ids = metric match {
+                case "ip" => idx.knnIp(q, k)
+                case "cosine" => idx.knn(AnnShapes.normalize(q), k)
+                case _ => idx.knn(q, k)
+              }
+              import org.apache.spark.sql.functions.{col => f}
+              val probed = ids.select(f("vec_id").as(entry.idCol))
+              val result =
+                if (outAttrs.map(_.name) == Seq(entry.idCol)) probed
+                else probed.join(spark.read.parquet(root), Seq(entry.idCol))
+                  .select(outAttrs.map(a => f(a.name)): _*)
+              val rPlan = result.queryExecution.optimizedPlan
+              Project(outAttrs.zip(rPlan.output).map { case (orig, out) =>
+                Alias(out, orig.name)(exprId = orig.exprId)
+              }, rPlan): LogicalPlan
             }
-          case _ => None
         }
         claimed.getOrElse(gl)
       } catch {
@@ -325,6 +375,104 @@ case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** Claims `ann_l2(embedding, <const>) < r` filter conjuncts into a
+  * list-pruned IVF range probe — the reference's `TryClaimAnnRange`
+  * (iresearch_plan.cpp:927-965). Only lists whose ball overlaps the radius
+  * are read (static metadata math); the exact distance filter inside keeps
+  * the rewrite result-identical to the row-eval predicate it replaces.
+  * Non-claimable conjuncts stay behind as residual filters. */
+case class ClaimAnnRange(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{LessThan, LessThanOrEqual}
+
+  /** `ann_l2(col, q) < r` / `<= r` with literal r (squared-L2 units, the
+    * ann_l2 score mapping). */
+  private def asRange(e: Expression): Option[(AttributeReference, Seq[Float], Double)] = {
+    def num(l: Any): Option[Double] = l match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case i: Int => Some(i.toDouble)
+      case n: Number => Some(n.doubleValue)
+      case _ => None
+    }
+    val parts = e match {
+      // strict < only: the probe's exact row filter is strict, and claiming
+      // <= would shift boundary rows — leave <= to row-eval
+      case LessThan(u: ScalaUDF, Literal(r, _)) => Some((u, r))
+      case _ => None
+    }
+    parts.flatMap { case (u, r) =>
+      for {
+        (a, q, metric) <- AnnShapes.annUdf(u)
+        if metric == "l2"
+        rv <- num(r)
+      } yield (a, q, rv)
+    }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case fl @ Filter(cond, child) if cond.exists(asRange(_).isDefined) =>
+      try {
+        val parts = conjuncts(cond)
+        val claimable = parts.flatMap { p =>
+          for {
+            (embAttr, q, rSq) <- asRange(p)
+            lr <- child.collectFirst {
+              case l: LogicalRelation if PlanShapes.isColumnOf(l, embAttr, embAttr.name) => l
+            }
+            root <- PlanShapes.scanRoot(lr)
+            entry <- IndexCatalog.lookupAnn(root, embAttr.name, "l2")
+            idAttr <- lr.output.collectFirst {
+              case a: AttributeReference if a.name == entry.idCol => a }
+            if child.outputSet.contains(idAttr)
+          } yield (p, q, rSq, root, entry, idAttr)
+        }
+        if (claimable.isEmpty) fl
+        else {
+          val joined = claimable.foldLeft(child) {
+            case (acc, (_, q, rSq, root, entry, idAttr)) =>
+              val idx = AnnShapes.ivfFor(spark, root, entry)
+              import org.apache.spark.sql.functions.{col => f}
+              // ann_l2 scores in squared-L2 units — pass the threshold verbatim
+              val ids = idx.rangeSearchSq(q, rSq)
+                .select(f("vec_id").as(entry.idCol))
+              val mPlan = ids.queryExecution.optimizedPlan
+              Join(acc, mPlan, LeftSemi,
+                Some(EqualTo(idAttr, mPlan.output.head)), JoinHint.NONE)
+          }
+          val claimedSet = claimable.map(_._1).toSet
+          parts.filterNot(claimedSet).reduceOption(CAnd(_, _))
+            .map(Filter(_, joined)).getOrElse(joined)
+        }
+      } catch {
+        case e: Exception =>
+          logWarning(s"ANN range claim failed, keeping row-eval filter: $e")
+          fl
+      }
+  }
+}
+
+/** Claims `ts_match(col, 'websearch query', 'dict')` predicates over any
+  * scan with a catalog-registered text index OUT of row-evaluated filters
+  * and INTO an index-backed left-semi join — the direct analogue of the
+  * reference's `IResearchPushdownComplexFilter` walk
+  * (/root/reference/server/connector/optimizer/iresearch_plan.cpp:1068:
+  * claim `@@`/ts_* stubs from filters into the iresearch_scan filter tree;
+  * filter build search_filter_builder.cpp:505-531).
+  *
+  * Claim conditions: the filter's child scans a root registered in the
+  * IndexCatalog for (root, column, dict), the first UDF argument is that
+  * scanned column (exprId provenance), and query/dict are literals (the
+  * reference likewise folds TSQUERY constants before claiming,
+  * ts_query.cpp:341). Expression arguments resolve through the ExprIndexes
+  * registry by semantic equality instead. Non-claimable conjuncts stay
+  * behind as residual filters (ts_dict_residual_filter*.test) — and a claim
+  * failure leaves the row-eval UDF in place, so the rewrite can only change
+  * HOW the query runs, never its result. */
 case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def asTsMatch(e: Expression): Option[(Expression, String, String)] =
@@ -343,26 +491,21 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Resolves the documents scan that PRODUCED `textAttr` — matched by
-    * exprId, not name, so a join partner exposing its own `text` column can
-    * never have its predicate claimed against the documents index. Returns
-    * the sf dir and that scan's own `doc_id` attribute (the sound semi-join
-    * key even when several joined relations expose a `doc_id`). */
-  private def documentsScanOf(plan: LogicalPlan,
-      textAttr: AttributeReference): Option[(String, AttributeReference)] =
+  /** Resolves the indexed scan that PRODUCED `textAttr` — matched by exprId,
+    * not name, so a join partner exposing a same-named column can never have
+    * its predicate claimed against this relation's index. Returns the
+    * segment dir and that scan's own id attribute (the sound semi-join key
+    * even when several joined relations expose same-named id columns). */
+  private def indexedScanOf(plan: LogicalPlan, textAttr: AttributeReference,
+      dict: String): Option[(String, AttributeReference)] =
     plan.collectFirst {
-      case lr: LogicalRelation if PlanShapes.isColumnOf(lr, textAttr, "text") =>
-        lr.relation match {
-          case h: HadoopFsRelation =>
-            for {
-              dir <- h.location.rootPaths.headOption.map(_.toString)
-                .filter(_.endsWith("/documents.parquet"))
-                .map(_.stripSuffix("/documents.parquet").stripPrefix("file:"))
-              docId <- lr.output.collectFirst {
-                case a: AttributeReference if a.name == "doc_id" => a }
-            } yield (dir, docId)
-          case _ => None
-        }
+      case lr: LogicalRelation if PlanShapes.isColumnOf(lr, textAttr, textAttr.name) =>
+        for {
+          root <- PlanShapes.scanRoot(lr)
+          e <- IndexCatalog.lookupText(root, textAttr.name, dict)
+          idAttr <- lr.output.collectFirst {
+            case a: AttributeReference if a.name == e.idCol => a }
+        } yield (e.segDir, idAttr)
     }.flatten
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -389,21 +532,17 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.collectFirst {
       case lr: LogicalRelation if attrs.forall(lr.outputSet.contains) => lr
     }.flatMap { lr =>
-      lr.relation match {
-        case h: HadoopFsRelation =>
-          // render without view/table qualifiers so the SQL matches the
-          // DDL-registered (unresolved-parse) form
-          val bareSql = e.transform {
-            case a: AttributeReference => a.withQualifier(Seq.empty)
-          }.sql
-          for {
-            root <- h.location.rootPaths.headOption.map(_.toString.stripPrefix("file:"))
-            (segDir, idCol) <- graft.search.ExprIndexes.lookup(root, bareSql, dict)
-            docId <- lr.output.collectFirst {
-              case a: AttributeReference if a.name == idCol => a }
-          } yield (segDir, docId)
-        case _ => None
-      }
+      // render without view/table qualifiers so the SQL matches the
+      // DDL-registered (unresolved-parse) form
+      val bareSql = e.transform {
+        case a: AttributeReference => a.withQualifier(Seq.empty)
+      }.sql
+      for {
+        root <- PlanShapes.scanRoot(lr)
+        (segDir, idCol) <- graft.search.ExprIndexes.lookup(root, bareSql, dict)
+        docId <- lr.output.collectFirst {
+          case a: AttributeReference if a.name == idCol => a }
+      } yield (segDir, docId)
     }
   }
 
@@ -412,25 +551,20 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
     val claimable = parts.flatMap { p =>
       for {
         (arg, q, dict) <- asTsMatch(p)
-        (target, docId) <- arg match {
-          case attr: AttributeReference =>
-            documentsScanOf(child, attr).map { case (dir, id) => (Left(dir), id) }
-          case e =>
-            exprIndexOf(child, e, dict).map { case (segDir, id) => (Right(segDir), id) }
+        (segDir, docId) <- arg match {
+          case attr: AttributeReference => indexedScanOf(child, attr, dict)
+          case e => exprIndexOf(child, e, dict)
         }
-        // the scan's doc_id must still be visible at the filter for the
+        // the scan's id must still be visible at the filter for the
         // semi-join to be well-formed (it always is for the plain
         // scan→filter shape; a projection that dropped it bails here)
         if child.outputSet.contains(docId)
-      } yield (p, q, dict, target, docId)
+      } yield (p, q, dict, segDir, docId)
     }
     if (claimable.isEmpty) return f
 
-    val joined = claimable.foldLeft(child) { case (acc, (_, q, dict, target, docId)) =>
-      val idx = target match {
-        case Left(sfDir) => graft.index.IndexStore.documents(spark, sfDir, dict)
-        case Right(segDir) => graft.index.IndexStore.load(spark, segDir)
-      }
+    val joined = claimable.foldLeft(child) { case (acc, (_, q, dict, segDir, docId)) =>
+      val idx = graft.index.IndexStore.load(spark, segDir)
       val parsed = graft.search.TsQueryParser.websearch(
         q, graft.analysis.AnalyzerRegistry.get(dict))
       val matched = graft.search.TsQueryExec.matching(idx, parsed)

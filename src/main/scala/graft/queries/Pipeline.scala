@@ -71,12 +71,15 @@ object Pipeline {
     def shingled(df: DataFrame): DataFrame =
       df.select(col("doc_id"), tok(col("text")).as("ts"))
         .select(col("doc_id"), explode(TextExprs.shinglesOf(col("ts"), 4)).as("sh"))
-        .distinct()
     val docs = Tables.documents(s, dir)
     val evalSh = shingled(docs.filter(col("doc_id") % 97 === 0))
       .select(col("sh")).distinct()
+    // broadcast-join the exploded corpus shingles to the eval set FIRST, then
+    // dedup only the (tiny) matching subset — the corpus-wide shingle stream
+    // is filtered map-side and never shuffles; only hits reach the distinct
     shingled(docs.filter(col("doc_id") % 97 =!= 0))
       .join(broadcast(evalSh), "sh")
+      .distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }
@@ -169,9 +172,9 @@ object Pipeline {
          |sig AS (SELECT t.doc_id,
          |    CAST(len(t.ts) AS BIGINT) AS n,
          |    CAST(len(list_distinct(t.ts)) AS BIGINT) AS uq,
-         |    m.mx,
+         |    coalesce(m.mx, 0) AS mx,
          |    md5(array_to_string(list_sort(list_distinct(t.ts)), ' ')) AS hsh
-         |  FROM toks t JOIN (SELECT doc_id, max(c) AS mx FROM tokc GROUP BY 1) m
+         |  FROM toks t LEFT JOIN (SELECT doc_id, max(c) AS mx FROM tokc GROUP BY 1) m
          |  USING (doc_id)),
          |cn AS (SELECT *, min(doc_id) OVER (PARTITION BY hsh) AS canonical_id FROM sig)
          |SELECT doc_id,

@@ -29,6 +29,64 @@ object ExprIndexes {
     reg.get((tableRoot, normalize(exprSql), analyzer))
 }
 
+/** The general index catalog the claim rules resolve scans through — the
+  * analogue of the reference's index source factory
+  * (/root/reference/server/connector/index_source_factory.h:40-46,
+  * duckdb_index_scan_entry.cpp): any relation, fixture or user table, maps
+  * from its scan root path to the index that covers it. `CREATE SEARCH
+  * INDEX` / `CREATE VECTOR INDEX` register here; ClaimTsMatch,
+  * PushdownTsDictAggregate and ClaimAnnTopK look up here — no table or
+  * column name is special-cased anywhere in the optimizer rules. */
+object IndexCatalog {
+  /** Text index over a plain column: segment dir + the source id column. */
+  final case class TextEntry(segDir: String, idCol: String)
+
+  /** ANN index: the IVF cache key (→ IvfIndex.ensure), source id/embedding
+    * columns, and the metric the index was built for (`l2` raw vectors,
+    * `cosine` = L2 over unit-normalized copies, `ip` = dot-bound probes). */
+  final case class AnnEntry(cacheKey: String, idCol: String, embCol: String, metric: String)
+
+  private val text = TrieMap.empty[(String, String, String), TextEntry]
+  private val ann = TrieMap.empty[(String, String, String), AnnEntry]
+
+  def registerText(tableRoot: String, column: String, analyzer: String,
+      segDir: String, idCol: String): Unit =
+    text.put((tableRoot, column, analyzer), TextEntry(segDir, idCol))
+
+  def lookupText(tableRoot: String, column: String, analyzer: String): Option[TextEntry] =
+    text.get((tableRoot, column, analyzer))
+
+  def unregisterText(segDir: String): Unit =
+    text.filterInPlace((_, e) => e.segDir != segDir)
+
+  def registerAnn(tableRoot: String, column: String, metric: String,
+      entry: AnnEntry): Unit =
+    ann.put((tableRoot, column, metric), entry)
+
+  def lookupAnn(tableRoot: String, column: String, metric: String): Option[AnnEntry] =
+    ann.get((tableRoot, column, metric))
+
+  def unregisterAnn(cacheKey: String): Unit =
+    ann.filterInPlace((_, e) => e.cacheKey != cacheKey)
+
+  /** The (vec_id, embedding) DataFrame an ANN entry's IVF index is built
+    * over — re-derivable from the scan root alone, so a claim rule can
+    * (re)ensure the index without any fixture knowledge. Cosine indexes
+    * store unit-normalized copies: 1 − cos(q,v) = ‖q̂−v̂‖²/2 on the unit
+    * sphere, so the L2 ball-bound probe stays exact for cosine order. */
+  def annSource(spark: SparkSession, tableRoot: String, entry: AnnEntry): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(tableRoot)
+      .select(col(entry.idCol).as("vec_id"), col(entry.embCol).as("embedding"))
+    if (entry.metric != "cosine") base
+    else base
+      .withColumn("_n", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+      .withColumn("embedding", transform(col("embedding"),
+        x => when(col("_n") > 0, x.cast("double") / col("_n")).otherwise(0.0).cast("float")))
+      .drop("_n")
+  }
+}
+
 /** Minimal DDL surface for the search index — the analogue of the
   * reference's `CREATE INDEX ... WITH (analyzer = ...)` / `DROP INDEX`
   * entry points (DDL handled in server/catalog; index build in
@@ -59,16 +117,45 @@ object ExprIndexes {
   */
 object Ddl {
 
-  /** name → (segment dir, view, textCol, analyzer) for SHOW / DROP. */
-  private val catalog = TrieMap.empty[String, (String, String, String, String)]
+  /** One catalog row per index, for SHOW / DROP. `annKey` is set for vector
+    * indexes (the IvfIndex cache key, needed to unregister). */
+  private final case class Entry(dir: String, view: String, keySpec: String,
+      analyzer: String, annKey: Option[String] = None)
+
+  private val catalog = TrieMap.empty[String, Entry]
 
   private val createRe =
     """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*)\)\s*""".r
   private val createExprRe =
     """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\(\s*(.+?)\s*\)\)\s*WITH\s*\((.*)\)\s*""".r
-  private val dropRe = """(?is)\s*DROP\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
+  private val createVecRe =
+    """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*)\)\s*""".r
+  private val dropRe = """(?is)\s*DROP\s+(?:SEARCH|VECTOR)\s+INDEX\s+(\w+)\s*""".r
   private val showRe = """(?is)\s*SHOW\s+SEARCH\s+INDEXES\s*""".r
   private val optRe = """(?s)(\w+)\s*=\s*'([^']*)'""".r
+
+  /** Root path of the parquet scan a view wraps — the key every claim-rule
+    * catalog lookup uses — iff the view is a BARE scan (modulo Projects).
+    * A row-reducing view (LIMIT/Filter/Join) must never register its root:
+    * the index would cover a subset of the table and a later claim against
+    * the full scan would silently drop rows. Such views stay SQL-queryable
+    * but unclaimed. */
+  private def scanRootOf(spark: SparkSession, view: String): Option[String] = {
+    @annotation.tailrec
+    def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      case org.apache.spark.sql.catalyst.plans.logical.Project(_, c) => strip(c)
+      case other => other
+    }
+    strip(spark.table(view).queryExecution.optimizedPlan) match {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.headOption.map(_.toString.stripPrefix("file:"))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 
   def execute(spark: SparkSession, sql: String): DataFrame = sql match {
     case createExprRe(name, view, exprRaw, optsStr) =>
@@ -87,17 +174,11 @@ object Ddl {
       // root path of the scan the view wraps → claimable by expression
       // equality (bare-scan views only; anything else stays SQL-queryable
       // but unclaimed)
-      spark.table(view).queryExecution.optimizedPlan.collectFirst {
-        case lr: LogicalRelation => lr.relation match {
-          case h: HadoopFsRelation =>
-            h.location.rootPaths.headOption.map(_.toString.stripPrefix("file:"))
-          case _ => None
-        }
-      }.flatten.foreach { root =>
+      scanRootOf(spark, view).foreach { root =>
         ExprIndexes.register(root,
           spark.sessionState.sqlParser.parseExpression(exprRaw).sql, analyzer, dir, idCol)
       }
-      catalog.put(name, (dir, view, s"(($exprRaw))", analyzer))
+      catalog.put(name, Entry(dir, view, s"(($exprRaw))", analyzer))
       result(spark, s"created $name")
     case createRe(name, view, textCol, optsStr) =>
       val opts = optRe.findAllMatchIn(optsStr)
@@ -110,14 +191,44 @@ object Ddl {
       val dir = IndexStore.dirFor(cacheKey, textCol, analyzer)
       IndexStore.registerViews(spark, dir, name)
       IndexStore.registerStatsTables(spark, dir, name) // CBO sees the manifest stats
-      catalog.put(name, (dir, view, textCol, analyzer))
+      // the claim-rule catalog: any ts_match / facet over (this scan root,
+      // this column, this analyzer) now resolves to the segments just built
+      scanRootOf(spark, view).foreach { root =>
+        IndexCatalog.registerText(root, textCol, analyzer, dir, idCol)
+      }
+      catalog.put(name, Entry(dir, view, textCol, analyzer))
+      result(spark, s"created $name")
+    case createVecRe(name, view, embCol, optsStr) =>
+      val opts = optRe.findAllMatchIn(optsStr)
+        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+      val idCol = opts.getOrElse("id",
+        throw new IllegalArgumentException("CREATE VECTOR INDEX requires WITH (id = '...')"))
+      val metric = opts.getOrElse("metric", "l2")
+      require(Set("l2", "cosine", "ip").contains(metric), s"unsupported metric: $metric")
+      val cacheKey = opts.getOrElse("key", view)
+      val effKey = if (metric == "l2") cacheKey else s"$cacheKey-$metric"
+      val lists = opts.get("lists").map(_.toInt).getOrElse(0)
+      val root = scanRootOf(spark, view).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE VECTOR INDEX: view $view is not a bare parquet scan"))
+      val entry = IndexCatalog.AnnEntry(effKey, idCol, embCol, metric)
+      graft.index.IvfIndex.ensure(spark,
+        IndexCatalog.annSource(spark, root, entry), effKey, lists)
+      IndexCatalog.registerAnn(root, embCol, metric, entry)
+      catalog.put(name, Entry(graft.index.IvfIndex.dirFor(effKey, lists), view,
+        embCol, s"vector:$metric", annKey = Some(effKey)))
       result(spark, s"created $name")
     case dropRe(name) =>
       catalog.remove(name) match {
-        case Some((dir, _, _, _)) =>
-          val p = new org.apache.hadoop.fs.Path(dir)
+        case Some(e) =>
+          val p = new org.apache.hadoop.fs.Path(e.dir)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-          IndexStore.invalidate(dir)
+          IndexStore.invalidate(e.dir)
+          IndexCatalog.unregisterText(e.dir)
+          e.annKey.foreach { k =>
+            graft.index.IvfIndex.invalidate(e.dir)
+            IndexCatalog.unregisterAnn(k)
+          }
           result(spark, s"dropped $name")
         case None =>
           throw new IllegalArgumentException(s"no such search index: $name")
@@ -125,7 +236,7 @@ object Ddl {
     case showRe() =>
       import spark.implicits._
       catalog.toSeq.sortBy(_._1)
-        .map { case (n, (dir, view, col, an)) => (n, view, col, an, dir) }
+        .map { case (n, e) => (n, e.view, e.keySpec, e.analyzer, e.dir) }
         .toDF("index_name", "view", "text_col", "analyzer", "location")
     case other =>
       throw new IllegalArgumentException(s"unsupported DDL: $other")

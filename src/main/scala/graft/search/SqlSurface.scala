@@ -38,5 +38,21 @@ object SqlSurface {
       while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
       s
     })
+    // per-metric score mappings, all ascending-best so `ORDER BY ann_*(...)
+    // LIMIT k` claims uniformly (reference metric table,
+    // iresearch_plan.cpp:546-621): cosine DISTANCE (1 − cos), negative dot
+    spark.udf.register("ann_cosine", (a: Seq[Float], b: Seq[Float]) => {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    })
+    spark.udf.register("ann_ip", (a: Seq[Float], b: Seq[Float]) => {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s -= a(i).toDouble * b(i); i += 1 }
+      s
+    })
   }
 }

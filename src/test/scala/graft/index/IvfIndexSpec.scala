@@ -17,6 +17,47 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.autoK(10) == 4)
   }
 
+  test("probe selection is pure driver math — no Spark job") {
+    val idx = IvfIndex.build(embs)
+    val q = embs.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      idx.ballProbes(q, 10)
+      idx.knn(q, 10).queryExecution.optimizedPlan // plan, don't execute
+      Thread.sleep(500) // listener bus is async; zero-event check needs a beat
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(counter.get == 0,
+      s"ballProbes/knn planning must not run Spark jobs, saw ${counter.get}")
+  }
+
+  test("range search returns exactly the vectors inside the radius") {
+    val idx = IvfIndex.build(embs)
+    val all = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val q = all.find(_._1 == 0L).get._2
+    val want = all.collect { case (id, e) if l2sq(e, q) < 1.5 => id }.toSet
+    val got = idx.rangeSearchSq(q, 1.5).collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("inner-product knn is exact") {
+    val idx = IvfIndex.build(embs)
+    val all = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val q = all.find(_._1 == 0L).get._2
+    def ip(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val want = all.map { case (id, e) => (-ip(e, q), id) }.sorted.take(10).map(_._2).toSeq
+    val got = idx.knnIp(q, 10).collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
   test("default (adaptive) probe is EXACT even on uniform data") {
     val idx = IvfIndex.build(embs)
     assert(idx.numLists == 23)
@@ -55,7 +96,7 @@ class IvfIndexSpec extends AnyFunSuite {
     val idx = IvfIndex.build(df, k = 16)
 
     val q = rows.find(_._1 == 0L).get._2
-    val (p1, p2) = idx.adaptiveProbes(q, 10)
+    val (p1, p2) = idx.ballProbes(q, 10)
     assert(p1.size + p2.size <= idx.numLists / 2,
       s"clustered data must prune: probed ${p1.size + p2.size}/${idx.numLists}")
 

@@ -20,10 +20,29 @@ class ClaimRuleSpec extends AnyFunSuite {
     plan.collect { case n => n.expressions }.flatten
       .flatMap(_.collect { case u: ScalaUDF if u.udfName.contains(name) => u })
 
+  /** The claim rules resolve scans through the IndexCatalog that DDL
+    * maintains — register the fixture indexes the way a user would (keys
+    * shared with the library-API entries, so builds are reused). */
+  private def ensureDocsIndex(): Unit = {
+    val spark = TestSpark.spark
+    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("graft_documents")
+    graft.search.Ddl.execute(spark,
+      s"""CREATE SEARCH INDEX docs_claim_idx ON graft_documents (text)
+         |WITH (id = 'doc_id', analyzer = 'whitespace', key = '${TestSpark.sfDir}-documents')""".stripMargin)
+  }
+
+  private def ensureEmbIndex(): Unit = {
+    val spark = TestSpark.spark
+    Tables.embeddings(spark, TestSpark.sfDir).createOrReplaceTempView("graft_embeddings")
+    graft.search.Ddl.execute(spark,
+      s"""CREATE VECTOR INDEX emb_claim_l2 ON graft_embeddings (embedding)
+         |WITH (id = 'vec_id', key = '${TestSpark.sfDir}-embeddings')""".stripMargin)
+  }
+
   private def claimedDf = {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
-    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("graft_documents")
+    ensureDocsIndex()
     spark.sql(
       """SELECT doc_id FROM graft_documents
         |WHERE ts_match(text, 'stream -batch', 'whitespace') AND n_chars > 100""".stripMargin)
@@ -40,7 +59,7 @@ class ClaimRuleSpec extends AnyFunSuite {
   test("ts_dict aggregate pushdown replaces explode with a dictionary read") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
-    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("graft_documents")
+    ensureDocsIndex()
     val df = spark.sql(
       """SELECT token, count(DISTINCT doc_id) AS docs, count(*) AS freq
         |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
@@ -68,7 +87,7 @@ class ClaimRuleSpec extends AnyFunSuite {
   test("claimable-filtered facet is rewritten to postings-driven counts") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
-    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("graft_documents")
+    ensureDocsIndex()
     val df = spark.sql(
       """SELECT token, count(DISTINCT doc_id) AS docs, count(*) AS freq
         |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
@@ -101,7 +120,7 @@ class ClaimRuleSpec extends AnyFunSuite {
   test("non-claimable filtered facet still bails to the explode plan") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
-    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("graft_documents")
+    ensureDocsIndex()
     val df = spark.sql(
       """SELECT token, count(DISTINCT doc_id) AS docs, count(*) AS freq
         |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
@@ -116,6 +135,7 @@ class ClaimRuleSpec extends AnyFunSuite {
   test("ANN order-by-limit is claimed into an IVF probe") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
+    ensureEmbIndex()
     import org.apache.spark.sql.functions._
     val q = Tables.embeddings(spark, TestSpark.sfDir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
@@ -136,7 +156,7 @@ class ClaimRuleSpec extends AnyFunSuite {
   test("filtered facet is NOT claimed — the Filter must survive, counts must be filtered") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
-    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("graft_documents")
+    ensureDocsIndex()
     val df = spark.sql(
       """SELECT token, count(DISTINCT doc_id) AS docs, count(*) AS freq
         |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
@@ -165,7 +185,7 @@ class ClaimRuleSpec extends AnyFunSuite {
   test("a facet whose token filter sits between aggregate and explode is NOT claimed") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
-    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("graft_documents")
+    ensureDocsIndex()
     val df = spark.sql(
       """SELECT token, count(*) AS freq
         |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
@@ -187,6 +207,7 @@ class ClaimRuleSpec extends AnyFunSuite {
   test("filtered ANN order-by-limit keeps the exact sort and exact results") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
+    ensureEmbIndex()
     import org.apache.spark.sql.functions._
     val q = Tables.embeddings(spark, TestSpark.sfDir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
@@ -213,7 +234,7 @@ class ClaimRuleSpec extends AnyFunSuite {
   test("an aliased non-text column named 'text' is never claimed against the index") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
-    Tables.documents(spark, TestSpark.sfDir).createOrReplaceTempView("graft_documents")
+    ensureDocsIndex()
     // `source AS text`: the attribute is NAMED text but is not the scanned
     // text column — provenance (exprId) must block the claim
     val df = spark.sql(
@@ -241,5 +262,114 @@ class ClaimRuleSpec extends AnyFunSuite {
       .filter(r => TsQueryExec.evalTokens(q, ws.tokens(r.getString(1))) && r.getLong(2) > 100)
       .map(_.getLong(0)).toSet
     assert(claimedDf.collect().map(_.getLong(0)).toSet == want)
+  }
+
+  test("the claim fires on a NON-fixture table registered through DDL") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    Tables.events(spark, TestSpark.sfDir).createOrReplaceTempView("graft_events")
+    graft.search.Ddl.execute(spark,
+      s"""CREATE SEARCH INDEX events_type_idx ON graft_events (event_type)
+         |WITH (id = 'event_id', analyzer = 'whitespace', key = '${TestSpark.sfDir}-events-type')""".stripMargin)
+    val df = spark.sql(
+      """SELECT event_id FROM graft_events
+        |WHERE ts_match(event_type, 'click', 'whitespace')""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "ts_match").isEmpty,
+      s"ts_match on a DDL-indexed user table must be claimed:\n$optimized")
+    val semiJoins = optimized.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semiJoins.nonEmpty)
+    val want = Tables.events(spark, TestSpark.sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(df.collect().map(_.getLong(0)).toSet == want)
+  }
+
+  test("ANN claim plans WITHOUT running a Spark job (no plan-time collect)") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureEmbIndex() // index build happens here, outside the listening window
+    import org.apache.spark.sql.functions._
+    val q = Tables.embeddings(spark, TestSpark.sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val df = Tables.embeddings(spark, TestSpark.sfDir)
+      .orderBy(call_udf("ann_l2", col("embedding"), typedlit(q)))
+      .limit(10)
+      .select(col("vec_id"))
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val optimized = df.queryExecution.optimizedPlan
+      assert(udfsIn(optimized, "ann_l2").isEmpty, "claim must fire in this window")
+      Thread.sleep(500) // listener bus is async; zero-event check needs a beat
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(counter.get == 0,
+      s"optimizing a claimable ANN query must not run Spark jobs, saw ${counter.get}")
+  }
+
+  test("ANN claim survives a projection wider than the id column (PK join-back)") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureEmbIndex()
+    import org.apache.spark.sql.functions._
+    val q = Tables.embeddings(spark, TestSpark.sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val df = Tables.embeddings(spark, TestSpark.sfDir)
+      .orderBy(call_udf("ann_l2", col("embedding"), typedlit(q)))
+      .limit(10)
+      .select(col("vec_id"), col("label"))
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "ann_l2").isEmpty,
+      s"wide-projection ANN sort must be claimed:\n$optimized")
+    // the only Sort allowed is the probe's own top-k over the list-pruned
+    // (cluster-filtered) index scan — never a sort of the raw table scan
+    val rawSorts = optimized.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort
+          if !s.exists {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.references.exists(_.name == "cluster")
+            case _ => false
+          } => s
+    }
+    assert(rawSorts.isEmpty, s"claimed plan must not re-sort the full scan:\n$optimized")
+    // exactly one join-back for the extra column
+    val joins = optimized.collect {
+      case j: Join if j.joinType != LeftSemi => j }
+    assert(joins.size == 1, s"expected one PK join-back:\n$optimized")
+
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val want = Tables.embeddings(spark, TestSpark.sfDir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (l2(r.getSeq[Float](1), q), r.getLong(0), r.getInt(2)))
+      .sorted.take(10).map(t => (t._2, t._3)).toSet
+    assert(df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet == want)
+  }
+
+  test("ann_l2 radius predicate is claimed into a list-pruned range probe") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureEmbIndex()
+    import org.apache.spark.sql.functions._
+    val q = Tables.embeddings(spark, TestSpark.sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val df = Tables.embeddings(spark, TestSpark.sfDir)
+      .filter(call_udf("ann_l2", col("embedding"), typedlit(q)) < lit(1.5))
+      .select(col("vec_id"))
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "ann_l2").isEmpty,
+      s"radius predicate must be claimed:\n$optimized")
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val want = Tables.embeddings(spark, TestSpark.sfDir)
+      .select("vec_id", "embedding").collect()
+      .collect { case r if l2(r.getSeq[Float](1), q) < 1.5 => r.getLong(0) }.toSet
+    assert(want.nonEmpty)
+    assert(df.collect().map(_.getLong(0)).toSet == want)
   }
 }
