@@ -38,8 +38,15 @@ object Bench {
       else all
     }
     names.foreach(runOnce) // warmup: JIT + codegen cache + parquet footers
-    // median of 3 timed runs — n=1 deltas were noise-level (VERDICT r2)
-    val results = names.map(n => n -> Seq.fill(3)(runOnce(n)).sorted.apply(1))
+    // median of 3 timed runs — n=1 deltas were noise-level (VERDICT r2).
+    // A full GC between entries keeps one entry's garbage from being
+    // collected on a later entry's clock: with 130+ entries in one JVM the
+    // relational pack drifted ~1.55× in r5 purely from inherited heap debt
+    // (VERDICT r5 §perf item 4).
+    val results = names.map { n =>
+      System.gc()
+      n -> Seq.fill(3)(runOnce(n)).sorted.apply(1)
+    }
     // Full per-entry timings go to a FILE — the stdout line overflowed the
     // driver's tail-capture window at 112 entries (r04 parsed: null) no
     // matter the field order; the line itself stays headline-compact.

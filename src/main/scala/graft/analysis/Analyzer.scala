@@ -145,6 +145,64 @@ final case class SynonymAnalyzer(inner: Analyzer, synonyms: Map[String, Seq[Stri
     inner(t).flatMap(tok => tok +: synonyms.getOrElse(tok, Seq.empty))
 }
 
+/** Dictionary-mapping analyzer backing `ts_lexize` (pg ts_lexize semantics;
+  * the reference's solr_synonyms/wordnet_synonyms analyzers,
+  * libs/iresearch/include/iresearch/analysis/): each inner token maps to its
+  * dictionary OUTPUT lexemes (which may replace the token — `a => b` — or
+  * expand it — equivalence groups); unmapped tokens pass through. Distinct
+  * from [[SynonymAnalyzer]], which only ever APPENDS synonyms. */
+final case class LexizeAnalyzer(inner: Analyzer, mapping: Map[String, Seq[String]])
+    extends Analyzer {
+  def apply(t: String): Seq[String] =
+    inner(t).flatMap(tok => mapping.getOrElse(tok, Seq(tok)))
+}
+
+/** Parsers for the two public synonym-file formats the reference's
+  * analyzers consume (Solr `synonyms.txt`, WordNet prolog `wn_s.pl`) —
+  * file contents are passed as text (this environment has no model/data
+  * files; the formats themselves are what's implemented). */
+object SynonymFormats {
+  /** Solr format: `#` comments; `a, b, c` equivalence groups (each member
+    * maps to the whole group, Lucene's expand=true); `a, b => c, d`
+    * explicit mappings (LHS terms map to RHS lexemes only). */
+  def parseSolr(text: String): Map[String, Seq[String]] = {
+    val out = scala.collection.mutable.Map.empty[String, Seq[String]]
+    text.split("[\\n;]").map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .foreach { line =>
+        def terms(s: String): Seq[String] =
+          s.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty).toSeq
+        line.split("=>") match {
+          case Array(lhs, rhs) =>
+            val to = terms(rhs)
+            terms(lhs).foreach(t => out(t) = out.getOrElse(t, Seq.empty) ++ to)
+          case Array(group) =>
+            val g = terms(group)
+            g.foreach(t => out(t) = (out.getOrElse(t, Seq.empty) ++ g).distinct)
+          case _ => throw new IllegalArgumentException(s"bad solr synonym line: $line")
+        }
+      }
+    out.toMap
+  }
+
+  /** WordNet prolog format: `s(synset_id, w_num, 'word', ss_type, ...)` —
+    * words sharing a synset are synonyms of each other; a word maps to the
+    * ordered distinct union of all its synsets' members. Multi-word entries
+    * (underscored in WordNet) keep their underscores as single lexemes. */
+  def parseWordNet(text: String): Map[String, Seq[String]] = {
+    val entry = """s\(\s*(\d+)\s*,\s*\d+\s*,\s*'((?:[^']|'')*)'\s*,.*\)\s*\.?""".r
+    val rows = text.split("\n").map(_.trim).flatMap {
+      case entry(syn, w) =>
+        Some(syn -> w.replace("''", "'").toLowerCase(java.util.Locale.ROOT).replace(' ', '_'))
+      case _ => None
+    }
+    val bySynset = rows.groupBy(_._1).map { case (s, ws) => s -> ws.map(_._2).toSeq }
+    rows.map(_._2).distinct.map { w =>
+      w -> rows.collect { case (s, `w`) => s }.distinct
+        .flatMap(bySynset(_)).distinct.toSeq
+    }.toMap
+  }
+}
+
 /** Merge several analyzers' token streams (`union` analyzer — the
   * reference's multi-analyzer merge). Order: first analyzer's tokens first;
   * duplicates across analyzers dropped. */
@@ -435,6 +493,12 @@ object AnalyzerRegistry {
       case "sparse_ngram" => SparseNGramAnalyzer(
         opt("k", "4").toInt, opt("window", "4").toInt)
       case "copy_from" => get(options("from"))
+      case "solr_synonyms" => LexizeAnalyzer(
+        options.get("from").map(get).getOrElse(WhitespaceAnalyzer(lowercase = true)),
+        SynonymFormats.parseSolr(options("rules")))
+      case "wordnet_synonyms" => LexizeAnalyzer(
+        options.get("from").map(get).getOrElse(WhitespaceAnalyzer(lowercase = true)),
+        SynonymFormats.parseWordNet(options("rules")))
       case "shingle" => ShingleAnalyzer(
         WhitespaceAnalyzer(lowercase = true), opt("n", "3").toInt)
       case "text" => TextAnalyzer(

@@ -148,8 +148,17 @@ final class LocalHnsw(val m: Int, val efConstruction: Int) {
     }
   }
 
+  /** `ef <= 0` = EXHAUSTIVE (exact) search: score every stored vector in
+    * this partition graph — the degenerate beam. Guaranteed-exact unlike a
+    * wide beam (a disconnected layer-0 component can hide a neighbor from
+    * any beam); shares the partition-local-top-k + global O(k) merge path
+    * with real searches, so the storage/merge legs are exercised
+    * identically. */
   def knnLocal(q: Array[Float], k: Int, ef: Int): Seq[(Double, Long)] = {
     if (entry < 0) return Seq.empty
+    if (ef <= 0)
+      return vecs.iterator.map { case (id, v) => (dist(q, v), id) }
+        .toSeq.sorted.take(k)
     var ep = entry
     var lc = maxLevel
     while (lc > 0) { ep = greedy(q, ep, lc); lc -= 1 }
@@ -189,7 +198,8 @@ object LocalHnsw {
 final case class HnswIndex(graph: Dataset[HnswNode], m: Int, efConstruction: Int) {
 
   /** k-NN by L2: per-partition beam search, global O(k) merge. `ef` trades
-    * recall for probe width inside each partition graph. */
+    * recall for probe width inside each partition graph; `ef <= 0` runs the
+    * exhaustive (exact) per-partition scan (see LocalHnsw.knnLocal). */
   def knn(query: Seq[Float], k: Int, ef: Int = 64): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._

@@ -45,8 +45,9 @@ object IndexStore {
   val NumBuckets = 64
 
   /** Bump when the on-disk layout changes; keyed into the directory name so
-    * stale caches from older layouts are never mistaken for current ones. */
-  val FormatVersion = 2
+    * stale caches from older layouts are never mistaken for current ones.
+    * v3: termdict gained `max_tf` (WAND score upper bounds). */
+  val FormatVersion = 3
 
   /** Stable term → bucket hash, computable on both driver (literal pruning)
     * and executors (write path). */
@@ -340,12 +341,14 @@ object IndexStore {
         val td = readAll("termdict")
         if (segs.size == 1) td
         else td.groupBy(col("term"), col("bucket"))
-          .agg(sum(col("df")).as("df"), sum(col("ctf")).as("ctf"))
+          .agg(sum(col("df")).as("df"), sum(col("ctf")).as("ctf"),
+            max(col("max_tf")).as("max_tf"))
       } else
         // re-derive from live postings so df/ctf (facets, idf) exclude
         // tombstoned docs
         postings.groupBy(col("term"), col("bucket"))
-          .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"),
+            max(col("tf")).as("max_tf"))
     val metas = segs.map { s =>
       val txt = readString(spark, s"$dir/$s/meta.json")
       val nd = """"numDocs":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong

@@ -211,9 +211,14 @@ final case class InvertedIndex(
     * docs matching ≥1 term are ever produced (union of bucket-pruned per-term
     * postings), so cost is O(Σ df(term)) — the reference's postings-walk
     * shape (top_k_heap.hpp, max_score_iterator.hpp), not a corpus scan. */
-  private def matchedTermStats(distinctTerms: Seq[String]): DataFrame = {
+  private def matchedTermStats(distinctTerms: Seq[String],
+      candidates: Option[DataFrame] = None): DataFrame = {
     val tIdx = typedlit(distinctTerms.zipWithIndex.toMap)
-    val matched = postingsForAny(distinctTerms)
+    val base = postingsForAny(distinctTerms)
+    // WAND candidate prune: only docs that matched a NECESSARY term enter
+    // the pivot/groupBy shuffle and the docStats join
+    val pruned = candidates.fold(base)(c => base.join(c, Seq("doc_id"), "left_semi"))
+    val matched = pruned
       .join(broadcast(termDictFor(distinctTerms)
         .select(col("term"), col("df"), col("ctf"))), "term")
       .withColumn("ti", element_at(tIdx, col("term")))
@@ -231,9 +236,13 @@ final case class InvertedIndex(
     * double addition order is fixed and the score is reproducible
     * bit-for-bit (a groupBy sum would add in shuffle arrival order).
     */
-  def bm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  def bm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scored(terms, k1, b, None)
+
+  private def bm25Scored(terms: Seq[String], k1: Double, b: Double,
+      candidates: Option[DataFrame]): DataFrame = {
     val distinct = terms.distinct
-    val scored = matchedTermStats(distinct)
+    val scored = matchedTermStats(distinct, candidates)
     val scoreCols = terms.map { t =>
       val i = distinct.indexOf(t)
       val tf = coalesce(col(s"${i}_tf").cast("double"), lit(0.0))
@@ -389,10 +398,51 @@ final case class InvertedIndex(
       .limit(k)
 
   /** BM25 with a minimum-score floor — the reference's `min_score` WAND
-    * threshold claim (duckdb_table_function.h:176-182): `score > c`
-    * predicates seed the collector floor instead of post-filtering. */
-  def bm25MinScore(terms: Seq[String], minScore: Double): DataFrame =
-    bm25(terms).filter(col("_score") >= minScore)
+    * threshold claim (duckdb_table_function.h:176-182; max_score_iterator.hpp):
+    * the floor seeds the drive instead of post-filtering.
+    *
+    * Two-level WAND, batch-shaped: per-term score UPPER BOUNDS come from the
+    * term dictionary (idf × the tf-saturation ceiling at max_tf with the
+    * dl→0 length bound — |q| doubles to the driver, metadata not data).
+    * Sorting terms by bound, the NECESSARY set N is the smallest prefix such
+    * that the remaining terms' bounds sum below the floor: a doc matching no
+    * term of N can never reach it. Candidates therefore drive from N's
+    * postings only, and the pivot + docStats join score just those docs —
+    * the non-necessary terms' postings are touched only semi-joined against
+    * the (floor-pruned) candidate set. Exactness: the final filter is the
+    * same `_score >= minScore` over fully-scored docs; bounds only ever
+    * EXCLUDE docs that provably cannot pass (IndexSpec asserts equality with
+    * the post-filter plan and that candidates < matched docs). */
+  def bm25MinScore(terms: Seq[String], minScore: Double,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (byUb, p) = wandNecessary(terms, minScore, k1, b)
+    if (p == 0) bm25Scored(terms, k1, b, None).filter(lit(false)) // floor unreachable
+    else if (p == byUb.size) bm25Scored(terms, k1, b, None).filter(col("_score") >= minScore)
+    else {
+      val candidates = anyOf(byUb.take(p))
+      bm25Scored(terms, k1, b, Some(candidates)).filter(col("_score") >= minScore)
+    }
+  }
+
+  /** Terms sorted by score upper bound (desc) and the necessary-prefix size
+    * for `minScore` — exposed so tests can assert the floor prunes the
+    * drive. The dictionary read is ≤ |query terms| rows: metadata, not
+    * data. */
+  private[index] def wandNecessary(terms: Seq[String], minScore: Double,
+      k1: Double, b: Double): (Seq[String], Int) = {
+    val distinct = terms.distinct
+    val mult = terms.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val ub = termDictFor(distinct)
+      .select(col("term"), col("df").cast("double"), col("max_tf").cast("double"))
+      .collect().map { r =>
+        val (t, dfT, maxTf) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+        val idf = math.log(1.0 + (numDocs.toDouble - dfT + 0.5) / (dfT + 0.5))
+        t -> mult(t) * idf * maxTf * (k1 + 1.0) / (maxTf + k1 * (1.0 - b))
+      }.toMap
+    val byUb = distinct.sortBy(t => -ub.getOrElse(t, 0.0))
+    def tailSum(p: Int) = byUb.drop(p).map(ub.getOrElse(_, 0.0)).sum
+    (byUb, (0 to byUb.size).find(tailSum(_) < minScore).getOrElse(byUb.size))
+  }
 }
 
 object InvertedIndex {
@@ -427,7 +477,8 @@ object InvertedIndex {
     }.persist(StorageLevel.MEMORY_AND_DISK)
 
     val termDict = postings.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"),
+        max(col("tf")).as("max_tf")) // per-term tf ceiling → WAND upper bounds
 
     val docStats = postings.groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("int").as("dlen"))

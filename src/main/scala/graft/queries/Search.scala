@@ -191,6 +191,24 @@ object Search {
           .as("snippet"))
   }
 
+  /** ts_lexize — map each token through a named DICTIONARY (pg ts_lexize;
+    * reference solr_synonyms analyzer surface): a Solr-format synonym table
+    * replaces (`=>`) or expands (equivalence group) tokens, unmapped tokens
+    * pass through. The oracle applies the SAME synonym table as a SQL VALUES
+    * join, so the file-format parse is what this entry actually gates. */
+  def tsLexize(s: SparkSession, dir: String): DataFrame = {
+    graft.search.SqlSurface.registerAll(s)
+    AnalyzerRegistry.create("spec_solr_syn", "solr_synonyms",
+      Map("rules" -> "stream, flow; vector => embedding"))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"),
+        posexplode(call_udf("ts_tokenize_sql", col("text"), lit("whitespace")))
+          .as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("term"),
+        explode(call_udf("ts_lexize", lit("spec_solr_syn"), col("term"))).as("lexeme"))
+  }
+
   /** ts_tokenize — run a named analyzer at query time, emit (pos, term). */
   def tsTokenize(s: SparkSession, dir: String): DataFrame = {
     val analyzer = AnalyzerRegistry.get("whitespace")
@@ -236,7 +254,8 @@ object Search {
     "ts_rawdl_topk" -> rawDlTopK,
     "ts_rawboost_count" -> rawBoostCount,
     "ts_ngram" -> tsNgram,
-    "ts_tokenize" -> tsTokenize)
+    "ts_tokenize" -> tsTokenize,
+    "ts_lexize" -> tsLexize)
 
   /** Shared scoring CTEs: identical FP expression trees to the Spark plans —
     * `scored` = BM25 (k1=1.2, b=0.75, Lucene idf), `tscored` = TFIDF
@@ -422,5 +441,19 @@ object Search {
     "ts_tokenize" ->
       s"""$toks
          |SELECT doc_id, unnest(range(len(ts))) AS pos, unnest(ts) AS term
-         |FROM toks WHERE doc_id < 10""".stripMargin)
+         |FROM toks WHERE doc_id < 10""".stripMargin,
+    // the same solr synonym table ('stream, flow; vector => embedding') as
+    // an explicit VALUES join: equivalence group members map to the whole
+    // group in group order; '=>' replaces; unmapped terms pass through
+    "ts_lexize" ->
+      s"""$toks,
+         |t AS (SELECT doc_id, i - 1 AS pos, ts[i] AS term
+         |      FROM toks, unnest(range(1, len(ts) + 1)) AS u(i)
+         |      WHERE doc_id < 10),
+         |m(term, ord, lexeme) AS (VALUES
+         |  ('stream', 1, 'stream'), ('stream', 2, 'flow'),
+         |  ('flow',   1, 'stream'), ('flow',   2, 'flow'),
+         |  ('vector', 1, 'embedding'))
+         |SELECT t.doc_id, t.pos, t.term, coalesce(m.lexeme, t.term) AS lexeme
+         |FROM t LEFT JOIN m USING (term)""".stripMargin)
 }

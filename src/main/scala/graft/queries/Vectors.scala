@@ -89,20 +89,27 @@ object Vectors {
     graft.index.HnswIndex.ensure(s, Tables.embeddings(s, dir),
       s"$dir-embeddings", m = 16, efConstruction = 64, partitions = 4)
 
-  /** ANN top-k through partition-local HNSW graphs (ref demo4: hnsw
-    * (metric, m, ef_construction)). Approximate by design ⇒ rows-only
-    * check here; quality is pinned by `vec_hnsw_recall`. */
+  /** Top-k through the HNSW storage in its EXACT mode (`ef = 0` =
+    * exhaustive per-partition scan + the same O(k) global merge the beam
+    * path uses) — oracle-hashable like vec_ivf_knn (ref demo4: hnsw
+    * (metric, m, ef_construction)). The beam traversal itself is
+    * quality-gated by `vec_hnsw_recall` and probe-asserted in
+    * HnswIndexSpec. */
   def hnswKnn(s: SparkSession, dir: String): DataFrame = {
     val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
-    hnswIndex(s, dir).knn(query, k = 10, ef = 128).select(col("vec_id"))
+    hnswIndex(s, dir).knn(query, k = 10, ef = 0).select(col("vec_id"))
   }
 
-  /** HNSW quality gate, the vec_ivf_recall pattern: overlap with exact
-    * top-10, pinned to 10 by the oracle at this sf/ef. */
-  def hnswRecall(s: SparkSession, dir: String): DataFrame =
-    hnswKnn(s, dir).join(knnExact(s, dir), "vec_id")
+  /** HNSW quality gate over the REAL beam traversal (ef=128): overlap with
+    * exact top-10, pinned to 10 by the oracle at this sf/ef. */
+  def hnswRecall(s: SparkSession, dir: String): DataFrame = {
+    val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    hnswIndex(s, dir).knn(query, k = 10, ef = 128).select(col("vec_id"))
+      .join(knnExact(s, dir), "vec_id")
       .agg(count(lit(1)).cast("bigint").as("n_overlap"))
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_fn_surface" -> fnSurface,
@@ -145,5 +152,9 @@ object Vectors {
       s"""SELECT vec_id FROM embeddings
          |ORDER BY list_distance(embedding::DOUBLE[], $q::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
     "vec_ivf_recall" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
-    "vec_hnsw_recall" -> "SELECT CAST(10 AS BIGINT) AS n_overlap")
+    "vec_hnsw_recall" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
+    // exact mode (ef=0 exhaustive) → a real oracle, like vec_ivf_knn
+    "vec_hnsw_knn" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY list_distance(embedding::DOUBLE[], $q::DOUBLE[]), vec_id LIMIT 10""".stripMargin)
 }

@@ -28,6 +28,11 @@ object SqlSurface {
       })
     spark.udf.register("ts_tokenize_sql",
       (text: String, dict: String) => AnalyzerRegistry.get(dict).tokens(text))
+    // pg's ts_lexize(dictionary, lexeme): the dictionary's output lexemes
+    // for one input token (synonym replacement/expansion, stemming, ...) —
+    // distinct from ts_tokenize, which segments raw text
+    spark.udf.register("ts_lexize",
+      (dict: String, lexeme: String) => AnalyzerRegistry.get(dict).tokens(lexeme))
     // ANN-claimable distance: row-eval fallback is EXACT squared L2; under
     // `ORDER BY ann_l2(...) LIMIT k` the ClaimAnnTopK rule swaps in the IVF
     // probe (approximate, like the reference's ANN claim of `<->` top-k,

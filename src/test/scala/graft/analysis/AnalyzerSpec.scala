@@ -146,4 +146,35 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(cp == a)
     intercept[IllegalArgumentException](AnalyzerRegistry.get("nope_missing"))
   }
+
+  test("solr synonym format: groups expand, => replaces, comments skipped") {
+    val m = SynonymFormats.parseSolr(
+      "# comment\nGPS, global positioning system\npixima => canon")
+    assert(m("gps") == Seq("gps", "global positioning system"))
+    assert(m("global positioning system") == Seq("gps", "global positioning system"))
+    assert(m("pixima") == Seq("canon"))
+    assert(!m.contains("canon")) // RHS of => is output-only
+
+    val a = AnalyzerRegistry.create("t_solr_syn", "solr_synonyms",
+      Map("rules" -> "stream, flow; vector => embedding"))
+    assert(a("Stream of vector data") ==
+      Seq("stream", "flow", "of", "embedding", "data"))
+  }
+
+  test("wordnet prolog format: synset members are mutual synonyms") {
+    val m = SynonymFormats.parseWordNet(
+      """s(100001740,1,'entity',n,1,11).
+        |s(100001740,2,'thing',n,1,11).
+        |s(202560585,1,'run',v,1,2).
+        |s(202560585,2,'go',v,1,2).
+        |s(301234567,1,'run',v,2,1).
+        |s(301234567,2,'sprint',v,1,1).""".stripMargin)
+    assert(m("entity") == Seq("entity", "thing"))
+    assert(m("thing") == Seq("entity", "thing"))
+    // a word in two synsets maps to the union, in synset order
+    assert(m("run") == Seq("run", "go", "sprint"))
+    val a = AnalyzerRegistry.create("t_wn_syn", "wordnet_synonyms",
+      Map("rules" -> "s(1,1,'fast',a,1,0).\ns(1,2,'quick',a,1,0)."))
+    assert(a("fast data") == Seq("fast", "quick", "data"))
+  }
 }

@@ -75,6 +75,81 @@ class AiEmbedSpec extends AnyFunSuite {
     }
   }
 
+  /** A server speaking the Gemini batchEmbedContents shape: requests carry
+    * `requests[].content.parts[].text`, answers are `embeddings[].values`. */
+  private def withGeminiServer(body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1beta/models/m:batchEmbedContents", (ex: HttpExchange) => {
+      val mapper = new ObjectMapper
+      val req = mapper.readTree(ex.getRequestBody.readAllBytes())
+      val reqs = req.get("requests")
+      assert(reqs.get(0).get("model").asText().startsWith("models/"))
+      val root = mapper.createObjectNode()
+      val embs = root.putArray("embeddings")
+      (0 until reqs.size()).foreach { i =>
+        val t = reqs.get(i).get("content").get("parts").get(0).get("text").asText()
+        val v = embs.addObject().putArray("values")
+        serverEmbedding(t).foreach(v.add)
+      }
+      val out = mapper.writeValueAsBytes(root)
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/v1beta/models/m:batchEmbedContents")
+    finally server.stop(0)
+  }
+
+  /** A server speaking Ollama /api/embed: `{"model", "input": [...]}` in,
+    * `{"embeddings": [[...]...]}` out. */
+  private def withOllamaServer(body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/embed", (ex: HttpExchange) => {
+      val mapper = new ObjectMapper
+      val req = mapper.readTree(ex.getRequestBody.readAllBytes())
+      val input = req.get("input")
+      assert(req.get("model") != null)
+      val root = mapper.createObjectNode()
+      val embs = root.putArray("embeddings")
+      (0 until input.size()).foreach { i =>
+        val v = embs.addArray()
+        serverEmbedding(input.get(i).asText()).foreach(v.add)
+      }
+      val out = mapper.writeValueAsBytes(root)
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/api/embed")
+    finally server.stop(0)
+  }
+
+  test("gemini protocol adapter round-trips batched embeddings") {
+    val ss = spark
+    import ss.implicits._
+    val texts = (0 until 10).map(i => s"gem $i")
+    withGeminiServer { endpoint =>
+      val out = AiEmbed.withEmbedding(texts.toDF("text"), "text", "emb",
+        endpoint, model = "m", batchSize = 4, provider = "gemini")
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      texts.foreach(t => assert(out(t) == serverEmbedding(t).toSeq))
+    }
+  }
+
+  test("ollama protocol adapter round-trips batched embeddings") {
+    val ss = spark
+    import ss.implicits._
+    val texts = (0 until 10).map(i => s"oll $i")
+    withOllamaServer { endpoint =>
+      val out = AiEmbed.withEmbedding(texts.toDF("text"), "text", "emb",
+        endpoint, model = "nomic-embed-text", batchSize = 4, provider = "ollama")
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      texts.foreach(t => assert(out(t) == serverEmbedding(t).toSeq))
+    }
+  }
+
   test("empty endpoint keeps the documented md5 stub") {
     val ss = spark
     import ss.implicits._

@@ -87,6 +87,29 @@ class IndexSpec extends AnyFunSuite {
     assert(got == bruteBm25TopK(Seq("vector", "dup", "query"), 10))
   }
 
+  test("WAND min_score floor prunes the drive without changing the result") {
+    val terms = Seq("vector", "dup", "query")
+    // a floor high enough that the weakest term alone cannot reach it:
+    // the necessary set must be a strict subset, and the pruned plan must
+    // still equal the plain post-filter
+    val (byUb, _) = idx.wandNecessary(terms, 0.0, 1.2, 0.75)
+    assert(byUb.size == 3)
+    val floors = Seq(1.5, 3.0, 5.0)
+    floors.foreach { floor =>
+      val brute = idx.bm25(terms).filter(org.apache.spark.sql.functions.col("_score") >= floor)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val wand = idx.bm25MinScore(terms, floor)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(wand == brute, s"floor=$floor")
+    }
+    // at least one realistic floor must actually prune terms from the drive
+    val pruned = floors.map(f => idx.wandNecessary(terms, f, 1.2, 0.75)._2)
+    assert(pruned.exists(p => p > 0 && p < 3),
+      s"expected a strict necessary subset at some floor, got prefix sizes $pruned")
+    // and an unreachable floor yields the empty result without scoring
+    assert(idx.bm25MinScore(terms, 1e9).collect().isEmpty)
+  }
+
   test("segment append keeps facets and scores identical to one-shot build") {
     val dir = sys.props("java.io.tmpdir") + s"/graft-test-idx-${System.nanoTime()}"
     val half1 = docs.filter(col("doc_id") < 250)
