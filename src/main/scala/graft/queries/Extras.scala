@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Geo, Sequences}
+import graft.functions.{Geo, Inet, Sequences}
 
 /** Coverage for the remaining SURVEY §2 rows that are cheap in Spark but
   * must be proven, not assumed: approximate sketches (with quality gates),
@@ -301,7 +301,31 @@ object Extras {
       format_string("%s#%d", col("p_brand"), col("p_size")).as("tag"),
       regexp_extract(col("p_type"), "[A-Z]+", 0).as("first_caps"))
 
+  /** The pg inet function surface (reference: vendored duckdb_inet,
+    * inet.test) over synthetic-but-deterministic addresses derived from
+    * events.user_id — host/masklen/network/broadcast/set_masklen/family and
+    * `<<=` containment, all pure built-in-expression compositions
+    * (functions/Inet.scala — codegen'd, no UDF). */
+  def inetPack(s: SparkSession, dir: String): DataFrame = {
+    val u = col("user_id")
+    val ip = concat_ws("/",
+      concat_ws(".", u % 223 + 1, (u * 7) % 256, (u * 13) % 256, (u * 29) % 256),
+      (u % 25) + 8)
+    Tables.events(s, dir)
+      .filter(col("event_id") < 500)
+      .select(col("event_id"), ip.as("ip"))
+      .select(col("event_id"), col("ip"),
+        Inet.inetHost(col("ip")).as("host"),
+        Inet.inetMasklen(col("ip")).as("mlen"),
+        Inet.inetFamily(col("ip")).as("fam"),
+        Inet.inetNetwork(col("ip")).as("network"),
+        Inet.inetBroadcast(col("ip")).as("bcast"),
+        Inet.inetSetMasklen(col("ip"), 16).as("m16"),
+        Inet.inetContainedBy(col("ip"), lit("128.0.0.0/1")).as("in_upper"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "inet_pack" -> inetPack,
     "str_pack2" -> strPack2,
     "math_ext_pack" -> mathExtPack,
     "q19_date_bin" -> q19DateBin,
@@ -352,6 +376,26 @@ object Extras {
       |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "inet_pack" ->
+      """WITH e AS (SELECT event_id,
+        |    user_id % 223 + 1 AS a, (user_id * 7) % 256 AS b,
+        |    (user_id * 13) % 256 AS c, (user_id * 29) % 256 AS d,
+        |    (user_id % 25) + 8 AS m
+        |  FROM events WHERE event_id < 500),
+        |v AS (SELECT event_id, concat_ws('.', a, b, c, d) AS host, m,
+        |    a * 16777216 + b * 65536 + c * 256 + d AS ipl,
+        |    CAST(pow(2, 32 - m) AS BIGINT) AS sz
+        |  FROM e),
+        |n AS (SELECT *, (ipl // sz) * sz AS net, (ipl // sz) * sz + sz - 1 AS bc FROM v)
+        |SELECT event_id, concat_ws('/', host, m) AS ip, host,
+        |  CAST(m AS INT) AS mlen, 4 AS fam,
+        |  concat_ws('/', concat_ws('.', (net // 16777216) % 256, (net // 65536) % 256,
+        |    (net // 256) % 256, net % 256), m) AS network,
+        |  concat_ws('.', (bc // 16777216) % 256, (bc // 65536) % 256,
+        |    (bc // 256) % 256, bc % 256) AS bcast,
+        |  host || '/16' AS m16,
+        |  ipl >= 2147483648 AS in_upper
+        |FROM n""".stripMargin,
     "str_pack2" ->
       """SELECT p_partkey,
         |  array_to_string(list_transform(string_split(lower(p_name), ' '),

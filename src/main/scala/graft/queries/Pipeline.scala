@@ -129,11 +129,55 @@ object Pipeline {
       .withColumn("keep", col("reason") === "ok")
   }
 
+  /** Sequence packing for LM training — the "concatenate then chunk" layout
+    * (GPT-style packed datasets): within each source shard, docs concatenate
+    * in doc_id order and the token stream is cut into fixed-length
+    * sequences of `seqLen`; each doc reports the sequence span it lands in
+    * and its offset in the first one. Pure prefix-sum over a
+    * partitionBy(source) window — no sequential state, so shards pack
+    * independently and the operator scales with shard count; a real 100 TB
+    * run shards by (source, file) exactly like this. */
+  def pipelinePack(s: SparkSession, dir: String, seqLen: Int = 512): DataFrame = {
+    val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), size(tok(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(bySource.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        // integer div, not fp `/`: exact at any cum size (SURVEY oracle rule)
+        expr(s"cum_before DIV $seqLen").as("seq_start"),
+        (col("cum_before") % seqLen).as("seq_offset"),
+        // last sequence this doc touches (empty docs stay in seq_start)
+        expr(s"(cum_before + greatest(n_tokens - 1, 0L)) DIV $seqLen").as("seq_end"))
+  }
+
+  /** Domain-mixture balancing: cap every lang at the size of the SMALLEST
+    * lang (equal-proportion mixture), keeping each stratum's docs by the
+    * same salted-hash rank sampleStratified uses — deterministic,
+    * quota-exact, and engine-reproducible. One shuffle on the stratum key;
+    * the min-count is a broadcast scalar join, not driver state. */
+  def pipelineMix(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+    val byLang = Window.partitionBy(col("lang"))
+    val quota = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("quota")) // one scalar row — broadcast, not driver state
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        row_number().over(byLang.orderBy(key, col("doc_id"))).as("rk"))
+      .crossJoin(broadcast(quota))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split" -> sampleSplit,
     "sample_stratified" -> sampleStratified,
     "ta_contamination" -> taContamination,
-    "pipeline_curate" -> pipelineCurate)
+    "pipeline_curate" -> pipelineCurate,
+    "pipeline_pack" -> ((s, d) => pipelinePack(s, d)),
+    "pipeline_mix" -> pipelineMix)
 
   // ---- oracles -------------------------------------------------------------
 
@@ -165,6 +209,27 @@ object Pipeline {
          |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
          |FROM sh s JOIN ev USING (sh) WHERE s.doc_id % 97 <> 0
          |GROUP BY s.doc_id""".stripMargin,
+    "pipeline_pack" ->
+      s"""$toks,
+         |n AS (SELECT t.doc_id, d.source, CAST(len(t.ts) AS BIGINT) AS n_tokens
+         |      FROM toks t JOIN documents d USING (doc_id)),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |      FROM n)
+         |SELECT doc_id, source, n_tokens,
+         |  cum_before // 512 AS seq_start,
+         |  cum_before % 512 AS seq_offset,
+         |  (cum_before + greatest(n_tokens - 1, 0)) // 512 AS seq_end
+         |FROM c""".stripMargin,
+    "pipeline_mix" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('mix:' || doc_id), doc_id) AS rk
+        |  FROM documents),
+        |q AS (SELECT min(n) AS quota FROM
+        |  (SELECT count(*) AS n FROM documents GROUP BY lang))
+        |SELECT doc_id, lang FROM r, q WHERE rk <= quota""".stripMargin,
     "pipeline_curate" ->
       s"""$toks,
          |tokc AS (SELECT doc_id, t, count(*) AS c

@@ -166,10 +166,14 @@ object Ddl {
       val analyzer = opts.getOrElse("analyzer", "whitespace")
       val cacheKey = opts.getOrElse("key", s"$view-expr")
       val keyCol = "expr_key"
+      // idempotent fast path, same contract as the plain-column branch
+      val exprDir = IndexStore.dirFor(cacheKey, keyCol, analyzer)
+      if (catalog.get(name).contains(Entry(exprDir, view, s"(($exprRaw))", analyzer)))
+        return result(spark, s"created $name")
       val df = spark.table(view)
         .withColumn(keyCol, org.apache.spark.sql.functions.expr(exprRaw))
       IndexStore.ensure(spark, df, cacheKey, idCol, keyCol, analyzer)
-      val dir = IndexStore.dirFor(cacheKey, keyCol, analyzer)
+      val dir = exprDir
       IndexStore.registerViews(spark, dir, name)
       // root path of the scan the view wraps → claimable by expression
       // equality (bare-scan views only; anything else stays SQL-queryable
@@ -187,8 +191,15 @@ object Ddl {
         throw new IllegalArgumentException("CREATE SEARCH INDEX requires WITH (id = '...')"))
       val analyzer = opts.getOrElse("analyzer", "whitespace")
       val cacheKey = opts.getOrElse("key", view)
+      // idempotent fast path: re-issuing the SAME statement (entries do this
+      // once per query) must not re-run the stats/view registration IO;
+      // DROP removes the catalog row, so a recreate always takes the full
+      // path and rebuilds
+      val fastDir = IndexStore.dirFor(cacheKey, textCol, analyzer)
+      if (catalog.get(name).contains(Entry(fastDir, view, textCol, analyzer)))
+        return result(spark, s"created $name")
       IndexStore.ensure(spark, spark.table(view), cacheKey, idCol, textCol, analyzer)
-      val dir = IndexStore.dirFor(cacheKey, textCol, analyzer)
+      val dir = fastDir
       IndexStore.registerViews(spark, dir, name)
       IndexStore.registerStatsTables(spark, dir, name) // CBO sees the manifest stats
       // the claim-rule catalog: any ts_match / facet over (this scan root,
@@ -208,6 +219,11 @@ object Ddl {
       val cacheKey = opts.getOrElse("key", view)
       val effKey = if (metric == "l2") cacheKey else s"$cacheKey-$metric"
       val lists = opts.get("lists").map(_.toInt).getOrElse(0)
+      // idempotent fast path, same contract as the search-index branch
+      val vecDir = graft.index.IvfIndex.dirFor(effKey, lists)
+      if (catalog.get(name).contains(
+          Entry(vecDir, view, embCol, s"vector:$metric", annKey = Some(effKey))))
+        return result(spark, s"created $name")
       val root = scanRootOf(spark, view).getOrElse(
         throw new IllegalArgumentException(
           s"CREATE VECTOR INDEX: view $view is not a bare parquet scan"))
@@ -215,8 +231,7 @@ object Ddl {
       graft.index.IvfIndex.ensure(spark,
         IndexCatalog.annSource(spark, root, entry), effKey, lists)
       IndexCatalog.registerAnn(root, embCol, metric, entry)
-      catalog.put(name, Entry(graft.index.IvfIndex.dirFor(effKey, lists), view,
-        embCol, s"vector:$metric", annKey = Some(effKey)))
+      catalog.put(name, Entry(vecDir, view, embCol, s"vector:$metric", annKey = Some(effKey)))
       result(spark, s"created $name")
     case dropRe(name) =>
       catalog.remove(name) match {
