@@ -324,8 +324,42 @@ object Extras {
         Inet.inetContainedBy(col("ip"), lit("128.0.0.0/1")).as("in_upper"))
   }
 
+  /** The remaining pg-compat string layer (reference string.cpp:1170-1391,
+    * system.cpp num_nulls/num_nonnulls, split_by_non_alpha.cpp): byte/bit
+    * accessors, quoting, null counters, regexp_instr, and the non-alpha
+    * tokenizer — all built-in expression compositions over ASCII part
+    * names, so the byte-level accessors (pg operates on the UTF-8 bytes)
+    * coincide with character math in both engines. */
+  def strPack3(s: SparkSession, dir: String): DataFrame = {
+    val t = concat(col("p_name"), lit("-"), col("p_partkey"))
+    // inject the quote chars so the escaping actually fires
+    val qsrc = translate(col("p_name"), "a", "\"")
+    val lsrc = translate(col("p_name"), "e", "'")
+    val qi = concat(lit("\""), regexp_replace(qsrc, "\"", "\"\""), lit("\""))
+    val ql = concat(lit("'"), regexp_replace(lsrc, "'", "''"), lit("'"))
+    val b1 = ascii(substring(col("p_name"), 2, 1)) // get_byte(name, 1) — ASCII
+    // get_bit(name, 12) = bit 4 (LSB-first) of byte 1
+    val bit12 = expr("(ascii(substring(p_name, 2, 1)) div 16) % 2")
+    val sb = concat(substring(col("p_name"), 1, 1), lit("Z"),
+      expr("substring(p_name, 3)")) // set_byte(name, 1, 'Z')
+    val nullable = when(col("p_partkey") % 3 === 0, lsrc)
+    val nn = when(nullable.isNull, 1).otherwise(0)
+    Tables.part(s, dir)
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        qi.as("qident"), ql.as("qlit"),
+        // quote_nullable: quote_literal(v) or the literal string NULL
+        coalesce(concat(lit("'"), regexp_replace(nullable, "'", "''"), lit("'")),
+          lit("NULL")).as("qnullable"),
+        b1.as("b1"), bit12.cast("int").as("bit12"), sb.as("sb"),
+        nn.cast("int").as("n_nulls"), (lit(2) - nn).cast("int").as("n_nonnulls"),
+        regexp_instr(t, lit("[0-9]+")).cast("int").as("digit_pos"),
+        concat_ws("|", filter(split(t, "[^A-Za-z]+"), x => x =!= "")).as("alpha_toks"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "inet_pack" -> inetPack,
+    "str_pack3" -> strPack3,
     "str_pack2" -> strPack2,
     "math_ext_pack" -> mathExtPack,
     "q19_date_bin" -> q19DateBin,
@@ -376,6 +410,28 @@ object Extras {
       |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "str_pack3" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 500),
+        |v AS (SELECT p_partkey, p_name,
+        |    concat(p_name, '-', p_partkey) AS t,
+        |    translate(p_name, 'a', '"') AS qsrc,
+        |    translate(p_name, 'e', '''') AS lsrc
+        |  FROM p)
+        |SELECT p_partkey,
+        |  '"' || replace(qsrc, '"', '""') || '"' AS qident,
+        |  '''' || replace(lsrc, '''', '''''') || '''' AS qlit,
+        |  CASE WHEN p_partkey % 3 = 0
+        |       THEN '''' || replace(lsrc, '''', '''''') || ''''
+        |       ELSE 'NULL' END AS qnullable,
+        |  ascii(substr(p_name, 2, 1)) AS b1,
+        |  CAST((ascii(substr(p_name, 2, 1)) // 16) % 2 AS INT) AS bit12,
+        |  substr(p_name, 1, 1) || 'Z' || substr(p_name, 3) AS sb,
+        |  CAST(CASE WHEN p_partkey % 3 = 0 THEN 0 ELSE 1 END AS INT) AS n_nulls,
+        |  CAST(CASE WHEN p_partkey % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_nonnulls,
+        |  CAST(strpos(t, regexp_extract(t, '[0-9]+')) AS INT) AS digit_pos,
+        |  array_to_string(list_filter(string_split_regex(t, '[^A-Za-z]+'),
+        |    x -> x <> ''), '|') AS alpha_toks
+        |FROM v""".stripMargin,
     "inet_pack" ->
       """WITH e AS (SELECT event_id,
         |    user_id % 223 + 1 AS a, (user_id * 7) % 256 AS b,
