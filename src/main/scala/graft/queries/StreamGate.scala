@@ -127,13 +127,52 @@ object StreamGate {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Stream-stream INTERVAL join (the remaining Structured-Streaming shape:
+    * two watermarked streams, a time-bounded join condition so state is
+    * evictable): every click joins the same user's views from the preceding
+    * 4 hours. Event time is second-truncated BEFORE watermarking so the
+    * boundary comparisons match the DuckDB oracle exactly (ns vs µs
+    * precision can't flip a `BETWEEN`). Append mode; the completed stream's
+    * pair set must equal the batch self-join. */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val qname = "graft_stream_ij"
+    val base = eventStream(s, dir)
+      .withColumn("ts", timestamp_seconds(unix_timestamp(col("ts"))))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val joined = clicks.join(views,
+      col("cu") === col("vu") &&
+        col("vts") >= col("cts") - expr("INTERVAL 4 HOURS") &&
+        col("vts") <= col("cts"))
+    runToCompletion(joined, qname, OutputMode.Append)
+    s.table(qname)
+      .groupBy(col("cu").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(unix_timestamp(col("cts")) - unix_timestamp(col("vts"))).as("lag_sum"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> streamWindowedAgg,
     "stream_sessionize" -> streamSessionize,
     "stream_dedup" -> streamDedup,
+    "stream_interval_join" -> streamIntervalJoin,
     "stream_iceberg_ingest" -> streamIcebergIngest)
 
   val oracles: Map[String, String] = Map(
+    "stream_interval_join" ->
+      """WITH c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS cts
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS vts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, count(*) AS n_pairs,
+        |  CAST(sum(cts - vts) AS BIGINT) AS lag_sum
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.vts >= c.cts - 14400 AND v.vts <= c.cts
+        |GROUP BY c.user_id""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
         |FROM events GROUP BY 1""".stripMargin,
