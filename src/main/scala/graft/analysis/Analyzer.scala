@@ -145,6 +145,57 @@ final case class SynonymAnalyzer(inner: Analyzer, synonyms: Map[String, Seq[Stri
     inner(t).flatMap(tok => tok +: synonyms.getOrElse(tok, Seq.empty))
 }
 
+/** `geopoint` analyzer (reference libs/iresearch/.../analysis geopoint:
+  * positions become covering-cell terms so geo predicates claim as term
+  * queries): input "lat,lon" (or whitespace-separated) → the point's
+  * geohash cell at `maxPrecision` plus every coarser prefix, so a query
+  * covering cells at ANY precision ≤ maxPrecision matches by plain term
+  * equality. Malformed input analyzes to no tokens (never throws — analyzer
+  * contract). */
+final case class GeoPointAnalyzer(maxPrecision: Int = 7) extends Analyzer {
+  def apply(t: String): Seq[String] = {
+    val parts = t.split("[,;\\s]+").filter(_.nonEmpty)
+    if (parts.length != 2) Seq.empty
+    else try {
+      val lat = parts(0).toDouble
+      val lon = parts(1).toDouble
+      if (lat.isNaN || lon.isNaN || math.abs(lat) > 90 || math.abs(lon) > 180) Seq.empty
+      else {
+        val h = graft.functions.Geo.geohash(lat, lon, maxPrecision)
+        (1 to maxPrecision).map(h.substring(0, _))
+      }
+    } catch { case _: NumberFormatException => Seq.empty }
+  }
+}
+
+/** `geojson` analyzer (reference geojson analyzer surface): GeoJSON Point →
+  * its cell prefixes like [[GeoPointAnalyzer]] (coordinates are [lon, lat]);
+  * Polygon → the envelope's covering cells at `precision` plus coarser
+  * prefixes (a superset covering is correct — exact refine is the query's
+  * job, same contract as Geo.coverPolygon). Non-geometry input → no
+  * tokens. */
+final case class GeoJsonAnalyzer(precision: Int = 5) extends Analyzer {
+  def apply(t: String): Seq[String] = try {
+    val norm = t.replaceAll("\\s+", "")
+    if (norm.contains("\"type\":\"Point\"")) {
+      val m = java.util.regex.Pattern
+        .compile("\"coordinates\":\\[([-0-9.eE+]+),([-0-9.eE+]+)\\]").matcher(norm)
+      if (!m.find()) Seq.empty
+      else {
+        val lon = m.group(1).toDouble
+        val lat = m.group(2).toDouble
+        val h = graft.functions.Geo.geohash(lat, lon, precision)
+        (1 to precision).map(h.substring(0, _))
+      }
+    } else if (norm.contains("\"type\":\"Polygon\"")) {
+      val vs = graft.functions.Geo.parseGeoJsonPolygon(t)
+      graft.functions.Geo.coverBox(
+          vs.map(_._1).min, vs.map(_._2).min, vs.map(_._1).max, vs.map(_._2).max, precision)
+        .flatMap(c => (1 to precision).map(c.substring(0, _))).distinct
+    } else Seq.empty
+  } catch { case _: Exception => Seq.empty }
+}
+
 /** Dictionary-mapping analyzer backing `ts_lexize` (pg ts_lexize semantics;
   * the reference's solr_synonyms/wordnet_synonyms analyzers,
   * libs/iresearch/include/iresearch/analysis/): each inner token maps to its
@@ -499,6 +550,8 @@ object AnalyzerRegistry {
       case "wordnet_synonyms" => LexizeAnalyzer(
         options.get("from").map(get).getOrElse(WhitespaceAnalyzer(lowercase = true)),
         SynonymFormats.parseWordNet(options("rules")))
+      case "geopoint" => GeoPointAnalyzer(opt("max_precision", "7").toInt)
+      case "geojson" => GeoJsonAnalyzer(opt("precision", "5").toInt)
       case "shingle" => ShingleAnalyzer(
         WhitespaceAnalyzer(lowercase = true), opt("n", "3").toInt)
       case "text" => TextAnalyzer(

@@ -161,6 +161,32 @@ class AnalyzerSpec extends AnyFunSuite {
       Seq("stream", "flow", "of", "embedding", "data"))
   }
 
+  test("geopoint analyzer emits the cell and every coarser prefix") {
+    val a = GeoPointAnalyzer(maxPrecision = 7)
+    // classic geohash test vector: (57.64911, 10.40744) -> u4pruyd
+    assert(a("57.64911,10.40744") ==
+      Seq("u", "u4", "u4p", "u4pr", "u4pru", "u4pruy", "u4pruyd"))
+    assert(a("57.64911 10.40744") == a("57.64911,10.40744"))
+    assert(a("not a point").isEmpty)
+    assert(a("91.0,0.0").isEmpty) // out-of-range lat
+    val reg = AnalyzerRegistry.create("t_geopoint", "geopoint", Map("max_precision" -> "3"))
+    assert(reg("57.64911,10.40744") == Seq("u", "u4", "u4p"))
+  }
+
+  test("geojson analyzer tokenizes Point and Polygon to covering cells") {
+    val a = GeoJsonAnalyzer(precision = 5)
+    val pt = a("""{"type": "Point", "coordinates": [10.40744, 57.64911]}""")
+    assert(pt == Seq("u", "u4", "u4p", "u4pr", "u4pru"))
+    val poly = a(
+      """{"type": "Polygon", "coordinates": [[[10.0, 57.0], [11.0, 57.0],
+        |[11.0, 58.0], [10.0, 58.0], [10.0, 57.0]]]}""".stripMargin)
+    // the polygon's covering cells must include the point's cell (the point
+    // lies inside the polygon) — the containment property the index uses
+    assert(poly.contains("u4pru"))
+    assert(poly.nonEmpty && poly.forall(_.length <= 5))
+    assert(a("""{"type": "LineString", "coordinates": []}""").isEmpty)
+  }
+
   test("wordnet prolog format: synset members are mutual synonyms") {
     val m = SynonymFormats.parseWordNet(
       """s(100001740,1,'entity',n,1,11).
