@@ -227,7 +227,35 @@ object Storage {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
   }
 
+  /** Keyed upsert + insert-ignore over a PARTITIONED Iceberg table
+    * (reference insert_conflict.test: OR REPLACE upserts, DO NOTHING
+    * skips): doc_id%10==0 rows get their n_chars replaced, a shifted copy
+    * of the %10==1 rows inserts as new keys (both via one partition-scoped
+    * CoW commit), then an insert-ignore mixing all-conflicting and new keys
+    * must add only the new ones. The fixture is rebuilt per run so the
+    * final table is a pure function of `documents`. */
+  def icebergUpsert(s: SparkSession, dir: String): DataFrame = {
+    val table = tmp("graft-iceberg-upsert", dir)
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+    IcebergTables.createOrReplace(docs, table, partitionBy = Some("lang"))
+    val updates = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000000)
+      .unionByName(docs.filter(col("doc_id") % 10 === 1)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+    IcebergTables.upsert(s, table, updates, "doc_id")
+    IcebergTables.insertIgnore(s, table,
+      docs.filter(col("doc_id") % 10 === 0) // every key conflicts → skipped
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("doc_id", col("doc_id") + 2000000)), // all new → inserted
+      "doc_id")
+    IcebergTables.read(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        sum(col("doc_id")).as("id_sum"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "iceberg_upsert" -> icebergUpsert,
     "iceberg_scan" -> icebergScan,
     "iceberg_time_travel" -> icebergTimeTravel,
     "iceberg_partition_prune" -> icebergPartitionPrune,
@@ -241,6 +269,24 @@ object Storage {
     "q18_bucketed_join" -> q18BucketedJoin)
 
   val oracles: Map[String, String] = Map(
+    "iceberg_upsert" ->
+      """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |up AS (SELECT doc_id, lang, source, n_chars + 1000000 AS n_chars
+        |       FROM base WHERE doc_id % 10 = 0
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, lang, source, n_chars
+        |       FROM base WHERE doc_id % 10 = 1),
+        |afterup AS (SELECT * FROM base
+        |            WHERE doc_id NOT IN (SELECT doc_id FROM up)
+        |            UNION ALL SELECT * FROM up),
+        |ins AS (SELECT doc_id + 2000000 AS doc_id, lang, source, n_chars
+        |        FROM base WHERE doc_id % 10 = 2),
+        |final AS (SELECT * FROM afterup UNION ALL
+        |          SELECT * FROM ins
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM afterup))
+        |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM final GROUP BY 1""".stripMargin,
     "iceberg_scan" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE n_chars > 100 GROUP BY 1""".stripMargin,

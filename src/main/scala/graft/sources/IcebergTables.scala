@@ -373,18 +373,71 @@ object IcebergTables {
       partitionBy: Option[String] = None): Long = {
     val p = new Path(tableDir)
     fs(df.sparkSession, p).delete(p, true)
-    commit(df.sparkSession, tableDir, Some(df), partitionBy, dropValue = None)
+    commit(df.sparkSession, tableDir, Some(df), partitionBy, dropValues = None)
   }
 
   /** Commit `df` as a new append snapshot; returns the new snapshot id. */
   def append(df: DataFrame, tableDir: String): Long =
-    commit(df.sparkSession, tableDir, Some(df), createPartitionBy = None, dropValue = None)
+    commit(df.sparkSession, tableDir, Some(df), createPartitionBy = None, dropValues = None)
 
   /** Drop a whole partition (file-level delete — the new snapshot's
     * manifest simply omits the partition's files; no data rewritten). */
   def dropPartition(spark: SparkSession, tableDir: String, value: Any): Long =
     commit(spark, tableDir, newData = None, createPartitionBy = None,
-      dropValue = Some(value))
+      dropValues = Some(Seq(value)))
+
+  /** MERGE-style upsert by key — the reference's `INSERT ... ON CONFLICT`
+    * surface (tests/sqllogic/sdb/pg/simple/insert_conflict.test: plain
+    * INSERT throws, DO NOTHING skips, OR REPLACE upserts). Copy-on-write
+    * scoped to the PARTITIONS the updates touch: unaffected partitions'
+    * files survive through the manifest (never rewritten — the property
+    * that matters at 100 TB, where an upsert touches a handful of
+    * partitions); each touched partition is re-authored as (current rows
+    * minus conflicting keys) ∪ updates, and the whole change is ONE atomic
+    * commit, so time travel to the pre-upsert snapshot still sees the old
+    * rows. An unpartitioned table degrades to a full rewrite (CoW
+    * granularity is the partition; IcebergTablesSpec asserts the scoped
+    * behavior on a partitioned fixture). */
+  def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
+      keyCol: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val (_, meta) = currentMeta(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
+    val cols = declaredSchema(meta).fields.map(f => col(f.name)).toSeq
+    partitionCol(meta) match {
+      case Some((pname, _)) =>
+        // partitions the updates land in — coarse metadata, driver-sized
+        val affected = updates.select(col(pname)).distinct().collect().map(_.get(0)).toSeq
+        val merged = read(spark, tableDir)
+          .filter(col(pname).isin(affected: _*))
+          .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+          .select(cols: _*)
+        commit(spark, tableDir, Some(merged), createPartitionBy = None,
+          dropValues = Some(affected))
+      case None =>
+        val merged = read(spark, tableDir)
+          .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+          .select(cols: _*)
+        commit(spark, tableDir, Some(merged), createPartitionBy = None,
+          dropValues = None, replaceAll = true)
+    }
+  }
+
+  /** `INSERT ... ON CONFLICT DO NOTHING`: append only rows whose key is not
+    * already present — a pure append commit (no rewrite at any scale). */
+  def insertIgnore(spark: SparkSession, tableDir: String, rows: DataFrame,
+      keyCol: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val (_, meta) = currentMeta(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
+    val cols = declaredSchema(meta).fields.map(f => col(f.name)).toSeq
+    val fresh = rows
+      .join(read(spark, tableDir).select(col(keyCol)), Seq(keyCol), "left_anti")
+      .select(cols: _*)
+    append(fresh, tableDir)
+  }
 
   /** Compact the current snapshot into ~`targetFiles` data files per
     * partition — the small-file maintenance a streaming-ingested table
@@ -394,11 +447,11 @@ object IcebergTables {
   def compact(spark: SparkSession, tableDir: String, targetFiles: Int = 1): Long = {
     val current = read(spark, tableDir).repartition(targetFiles)
     commit(spark, tableDir, Some(current), createPartitionBy = None,
-      dropValue = None, replaceAll = true)
+      dropValues = None, replaceAll = true)
   }
 
   private def commit(spark: SparkSession, tableDir: String, newData: Option[DataFrame],
-      createPartitionBy: Option[String], dropValue: Option[Any],
+      createPartitionBy: Option[String], dropValues: Option[Seq[Any]],
       replaceAll: Boolean = false): Long = {
     val metaDir = new Path(s"$tableDir/metadata")
     val prior = currentMeta(spark, tableDir)
@@ -417,7 +470,7 @@ object IcebergTables {
           .getOrElse(throw new IllegalArgumentException(s"no partition column $c")).dataType)
       }
     }
-    require(dropValue.isEmpty || part.nonEmpty, "dropPartition on unpartitioned table")
+    require(dropValues.isEmpty || part.nonEmpty, "partition ops on unpartitioned table")
 
     prior.foreach { case (_, m) =>
       newData.foreach { df =>
@@ -441,10 +494,11 @@ object IcebergTables {
     val manifests = new scala.collection.mutable.ArrayBuffer[GenericRecord]
     var droppedFiles = 0; var droppedRows = 0L
 
-    dropValue match {
+    dropValues match {
       case None =>
         if (!replaceAll) manifests ++= priorManifests // untouched history manifests
-      case Some(v) =>
+      case Some(vs) =>
+        val dropSet = vs.map(_.toString).toSet
         // rewrite the manifest chain to only the surviving entries
         val (pname, _) = part.get
         val survivors = priorManifests.flatMap { m =>
@@ -453,7 +507,7 @@ object IcebergTables {
           .filter { e =>
             val pv = e.get("data_file").asInstanceOf[GenericRecord]
               .get("partition").asInstanceOf[GenericRecord].get(pname)
-            val keep = pv.toString != v.toString
+            val keep = !dropSet.contains(pv.toString)
             if (!keep) {
               droppedFiles += 1
               droppedRows += e.get("data_file").asInstanceOf[GenericRecord]
@@ -555,7 +609,8 @@ object IcebergTables {
       .put("manifest-list", listPath.toString)
     snap.putObject("summary")
       .put("operation",
-        if (dropValue.isDefined) "delete"
+        if (dropValues.isDefined && newData.isDefined) "overwrite"
+        else if (dropValues.isDefined) "delete"
         else if (replaceAll) "replace" else "append")
     val log = meta.putArray("snapshot-log")
     prior.foreach(_._2.get("snapshot-log").asScala.foreach(e => log.add(e)))

@@ -87,6 +87,51 @@ class IcebergTablesSpec extends AnyFunSuite {
     assert(en.collect().map(_.toSeq).toSet == want)
   }
 
+  test("upsert rewrites ONLY the touched partitions; insert-ignore is pure append") {
+    val t = table + "-upsert"
+    val s1 = IcebergTables.createOrReplace(docs, t, partitionBy = Some("lang"))
+    val beforeOther = IcebergTables.read(spark, t).inputFiles
+      .filterNot(_.contains("lang=en")).toSet
+    assert(beforeOther.nonEmpty)
+
+    // upsert touches only lang='en' rows: replace some, insert a new key
+    val updates = docs.filter(col("lang") === "en" && col("doc_id") % 7 === 0)
+      .withColumn("n_chars", col("n_chars") + 5000)
+      .unionByName(docs.filter(col("lang") === "en").limit(1)
+        .withColumn("doc_id", col("doc_id") + 9000000))
+    val s2 = IcebergTables.upsert(spark, t, updates, "doc_id")
+
+    // untouched partitions keep their EXACT data files — partition-scoped CoW
+    val afterOther = IcebergTables.read(spark, t).inputFiles
+      .filterNot(_.contains("lang=en")).toSet
+    assert(afterOther == beforeOther,
+      s"upsert must not rewrite unaffected partitions:\n$beforeOther\nvs\n$afterOther")
+
+    // merge semantics: replaced keys carry new values, others unchanged
+    val got = IcebergTables.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val base = docs.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val updRows = updates.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == base ++ updRows)
+
+    // time travel: the pre-upsert snapshot still sees the old values
+    assert(IcebergTables.read(spark, t, Some(s1)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap == base)
+
+    // insert-ignore: conflicting keys skipped, new keys appended, and the
+    // commit adds files without rewriting ANY existing one
+    val beforeAll = IcebergTables.read(spark, t).inputFiles.toSet
+    IcebergTables.insertIgnore(spark, t,
+      docs.limit(5).unionByName(
+        docs.limit(2).withColumn("doc_id", col("doc_id") + 8000000)), "doc_id")
+    val afterAll = IcebergTables.read(spark, t).inputFiles.toSet
+    assert(beforeAll.subsetOf(afterAll), "insert-ignore must be append-only")
+    assert(IcebergTables.read(spark, t).count() ==
+      docs.count() + 1 + 2) // one upsert insert + two ignore inserts
+    assert(IcebergTables.snapshots(spark, t).size == 3)
+    assert(s2 > s1)
+  }
+
   test("dropPartition deletes at file level and time travel restores it") {
     val t = table + "-drop"
     val s1 = IcebergTables.createOrReplace(docs, t, partitionBy = Some("lang"))
