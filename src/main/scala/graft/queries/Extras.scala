@@ -357,7 +357,27 @@ object Extras {
         concat_ws("|", filter(split(t, "[^A-Za-z]+"), x => x =!= "")).as("alpha_toks"))
   }
 
+  /** Temporal surface (reference pg/simple/temporal tests, at_keyword.test):
+    * week/quarter truncation, month arithmetic with end-of-month clamping,
+    * ISO day-of-week, last_day/make_date, and AT TIME ZONE against a
+    * FIXED-OFFSET zone (Asia/Kolkata, +5:30, no DST — keeps the wall-clock
+    * shift engine-provable as epoch+19800). Everything emits epochs/dates,
+    * the hash-stable forms. */
+  def temporalPack(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        unix_timestamp(date_trunc("week", col("ts"))).as("week_start"),
+        unix_timestamp(date_trunc("quarter", col("ts"))).as("quarter_start"),
+        add_months(to_date(col("ts")), 2).as("plus_2m"),
+        (weekday(col("ts")) + 1).as("isodow"),
+        last_day(to_date(col("ts"))).as("month_end"),
+        unix_timestamp(from_utc_timestamp(col("ts"), "Asia/Kolkata"))
+          .as("kolkata_wall_epoch"),
+        make_date(year(col("ts")), month(col("ts")), lit(1)).as("month_start"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "temporal_pack" -> temporalPack,
     "inet_pack" -> inetPack,
     "str_pack3" -> strPack3,
     "str_pack2" -> strPack2,
@@ -410,6 +430,16 @@ object Extras {
       |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "temporal_pack" ->
+      """SELECT event_id,
+        |  CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS week_start,
+        |  CAST(floor(epoch(date_trunc('quarter', ts))) AS BIGINT) AS quarter_start,
+        |  (ts::DATE + INTERVAL 2 MONTH)::DATE AS plus_2m,
+        |  CAST(isodow(ts) AS INT) AS isodow,
+        |  last_day(ts::DATE) AS month_end,
+        |  CAST(floor(epoch(ts)) + 19800 AS BIGINT) AS kolkata_wall_epoch,
+        |  make_date(CAST(year(ts) AS INT), CAST(month(ts) AS INT), 1) AS month_start
+        |FROM events WHERE event_id < 2000""".stripMargin,
     "str_pack3" ->
       """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 500),
         |v AS (SELECT p_partkey, p_name,
