@@ -376,7 +376,75 @@ object Extras {
           .as("kolkata_wall_epoch"),
         make_date(year(col("ts")), month(col("ts")), lit(1)).as("month_start"))
 
+  /** SUMMARIZE parity (summarize_all_types.test): profile seven lineitem
+    * columns — exact distinct + median over canonical integer units instead
+    * of the reference's sketches, so the profile hash-matches any engine.
+    * See [[graft.operators.Summarize]] for the melt-once 100 TB shape. */
+  def summarizeTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Summarize, Summarize.ColSpec
+    Summarize.summarize(Tables.lineitem(s, dir), Seq(
+      ColSpec("l_orderkey", "int", "bigint"),
+      ColSpec("l_linenumber", "int", "int"),
+      ColSpec("l_quantity", "cents", "double"),
+      ColSpec("l_extendedprice", "cents", "double"),
+      ColSpec("l_returnflag", "string", "string"),
+      ColSpec("l_linestatus", "string", "string"),
+      ColSpec("l_shipdate", "epoch", "timestamp")))
+  }
+
+  /** Window-function surface beyond the ranking/frames already green in
+    * q06/q14 (reference window.test): lag/lead, ntile, nth_value,
+    * percent_rank/cume_dist, and a RANGE frame over event-time seconds
+    * (30-day trailing sum). Money is cents BIGINT so every aggregate is
+    * exact; the in-partition order is made total with the unique orderkey
+    * tiebreak so offset functions are deterministic. */
+  def windowPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w30 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("ep"))
+      .rangeBetween(-2592000L, 0L)
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 5000)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("ep", unix_timestamp(col("o_orderdate")))
+      .select(
+        col("o_orderkey"),
+        lag(col("cents"), 1).over(w).as("prev_cents"),
+        lead(col("cents"), 1).over(w).as("next_cents"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        nth_value(col("cents"), 2).over(w).as("second_cents"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        sum(col("cents")).over(w30).as("cents_30d"))
+  }
+
+  /** List/array function surface (reference array_cast_dialects.test +
+    * DuckDB list_* builtins): size, membership, 1-based position (0 when
+    * absent in both engines), slicing,
+    * sort, distinct, a fold (total token length), and list max — all over
+    * split p_name token lists, codegen'd builtins end to end. */
+  def arrayPack(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_partkey") <= 2000)
+      .withColumn("toks", split(col("p_name"), " "))
+      .select(
+        col("p_partkey"),
+        size(col("toks")).cast("long").as("n_toks"),
+        array_contains(col("toks"), "red").as("has_red"),
+        // both engines return 0 for "absent" (pg index convention)
+        array_position(col("toks"), "red").as("red_pos"),
+        concat_ws("-", slice(col("toks"), 1, 2)).as("first2"),
+        concat_ws("-", sort_array(col("toks"))).as("sorted_toks"),
+        concat_ws("-", array_sort(array_distinct(col("toks")))).as("dedup_toks"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("total_len"),
+        array_max(col("toks")).as("max_tok"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_pack" -> windowPack,
+    "array_pack" -> arrayPack,
+    "summarize_table" -> summarizeTable,
     "temporal_pack" -> temporalPack,
     "inet_pack" -> inetPack,
     "str_pack3" -> strPack3,
@@ -430,6 +498,77 @@ object Extras {
       |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "window_pack" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ep
+        |FROM orders WHERE o_orderkey < 5000)
+        |SELECT o_orderkey,
+        |  lag(cents, 1) OVER w AS prev_cents,
+        |  lead(cents, 1) OVER w AS next_cents,
+        |  ntile(4) OVER w AS quartile,
+        |  nth_value(cents, 2) OVER w AS second_cents,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY ep
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cents_30d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "array_pack" ->
+      """WITH p AS (SELECT p_partkey, string_split(p_name, ' ') AS l
+        |FROM part WHERE p_partkey <= 2000)
+        |SELECT p_partkey,
+        |  len(l) AS n_toks,
+        |  list_contains(l, 'red') AS has_red,
+        |  CAST(list_position(l, 'red') AS BIGINT) AS red_pos,
+        |  array_to_string(l[1:2], '-') AS first2,
+        |  array_to_string(list_sort(l), '-') AS sorted_toks,
+        |  array_to_string(list_sort(list_distinct(l)), '-') AS dedup_toks,
+        |  CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) AS total_len,
+        |  list_max(l) AS max_tok
+        |FROM p""".stripMargin,
+    "summarize_table" ->
+      """WITH li AS (SELECT * FROM lineitem)
+        |SELECT 'l_orderkey' AS cname, 'bigint' AS ctype,
+        |  count(l_orderkey) AS cnt,
+        |  count(*) - count(l_orderkey) AS nulls,
+        |  count(DISTINCT l_orderkey) AS ndist,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_render,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_render,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_units,
+        |  quantile_cont(l_orderkey, 0.5) AS q50_units
+        |FROM li
+        |UNION ALL SELECT 'l_linenumber', 'int', count(l_linenumber),
+        |  count(*) - count(l_linenumber), count(DISTINCT l_linenumber),
+        |  CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR),
+        |  CAST(sum(l_linenumber) AS BIGINT), quantile_cont(l_linenumber, 0.5)
+        |FROM li
+        |UNION ALL SELECT 'l_quantity', 'double', count(c),
+        |  count(*) - count(c), count(DISTINCT c),
+        |  CAST(min(c) AS VARCHAR), CAST(max(c) AS VARCHAR),
+        |  CAST(sum(c) AS BIGINT), quantile_cont(c, 0.5)
+        |FROM (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS c FROM li)
+        |UNION ALL SELECT 'l_extendedprice', 'double', count(c),
+        |  count(*) - count(c), count(DISTINCT c),
+        |  CAST(min(c) AS VARCHAR), CAST(max(c) AS VARCHAR),
+        |  CAST(sum(c) AS BIGINT), quantile_cont(c, 0.5)
+        |FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM li)
+        |UNION ALL SELECT 'l_returnflag', 'string', count(l_returnflag),
+        |  count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
+        |  min(l_returnflag), max(l_returnflag),
+        |  NULL, CAST(NULL AS DOUBLE)
+        |FROM li
+        |UNION ALL SELECT 'l_linestatus', 'string', count(l_linestatus),
+        |  count(*) - count(l_linestatus), count(DISTINCT l_linestatus),
+        |  min(l_linestatus), max(l_linestatus),
+        |  NULL, CAST(NULL AS DOUBLE)
+        |FROM li
+        |UNION ALL SELECT 'l_shipdate', 'timestamp', count(c),
+        |  count(*) - count(c), count(DISTINCT c),
+        |  CAST(min(c) AS VARCHAR), CAST(max(c) AS VARCHAR),
+        |  CAST(sum(c) AS BIGINT), quantile_cont(c, 0.5)
+        |FROM (SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) AS c FROM li)""".stripMargin,
     "temporal_pack" ->
       """SELECT event_id,
         |  CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS week_start,

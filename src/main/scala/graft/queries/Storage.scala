@@ -254,7 +254,30 @@ object Storage {
         sum(col("doc_id")).as("id_sum"))
   }
 
+  /** Three-clause MERGE INTO (merge_into_chscan.test_slow) on a
+    * lang-partitioned native Iceberg table: matched rows with target
+    * n_chars < 200 are deleted, other matched rows take the source's
+    * n_chars (+500000), unmatched source rows (+3000000 keys) insert —
+    * one atomic partition-scoped copy-on-write commit. */
+  def icebergMerge(s: SparkSession, dir: String): DataFrame = {
+    val table = tmp("graft-iceberg-merge", dir)
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+    IcebergTables.createOrReplace(docs, table, partitionBy = Some("lang"))
+    val src = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("n_chars", col("n_chars") + 500000)
+      .unionByName(docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("doc_id", col("doc_id") + 3000000))
+    IcebergTables.merge(s, table, src, "doc_id",
+      deleteCond = Some(col("n_chars") < 200),
+      updateSet = Map("n_chars" -> col("src_n_chars")))
+    IcebergTables.read(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        sum(col("doc_id")).as("id_sum"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "iceberg_merge" -> icebergMerge,
     "iceberg_upsert" -> icebergUpsert,
     "iceberg_scan" -> icebergScan,
     "iceberg_time_travel" -> icebergTimeTravel,
@@ -269,6 +292,19 @@ object Storage {
     "q18_bucketed_join" -> q18BucketedJoin)
 
   val oracles: Map[String, String] = Map(
+    "iceberg_merge" ->
+      """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |final AS (
+        |  SELECT * FROM base WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, n_chars + 500000 FROM base
+        |  WHERE doc_id % 7 = 0 AND n_chars >= 200
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, lang, source, n_chars FROM base
+        |  WHERE doc_id % 7 = 3)
+        |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM final GROUP BY 1""".stripMargin,
     "iceberg_upsert" ->
       """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
         |up AS (SELECT doc_id, lang, source, n_chars + 1000000 AS n_chars

@@ -10,7 +10,7 @@ import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
@@ -437,6 +437,75 @@ object IcebergTables {
       .join(read(spark, tableDir).select(col(keyCol)), Seq(keyCol), "left_anti")
       .select(cols: _*)
     append(fresh, tableDir)
+  }
+
+  /** `MERGE INTO target USING source ON target.key = source.key` — the
+    * reference's three-clause surface (tests/sqllogic/sdb/clickhouse/
+    * merge_into_chscan.test_slow: WHEN MATCHED THEN UPDATE SET c = s.c /
+    * WHEN MATCHED THEN DELETE / WHEN NOT MATCHED THEN INSERT), with
+    * optional per-clause AND conditions.
+    *
+    * `source` must carry the target schema. Inside `deleteCond` /
+    * `updateCond` / `updateSet` values, bare column names are the TARGET
+    * row and `src_<name>` is the SOURCE row. Clause order on a matched row:
+    * delete wins over update (matched-and-neither keeps the row unchanged).
+    *
+    * Same copy-on-write granularity as [[upsert]]: only partitions holding
+    * matched target rows or receiving inserts are re-authored; everything
+    * else survives through the manifest untouched — one atomic commit. */
+  def merge(spark: SparkSession, tableDir: String, source: DataFrame,
+      keyCol: String,
+      deleteCond: Option[Column] = None,
+      updateSet: Map[String, Column] = Map.empty,
+      updateCond: Option[Column] = None,
+      insert: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val (_, meta) = currentMeta(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
+    val schema = declaredSchema(meta)
+    val cols = schema.fields.map(f => col(f.name)).toSeq
+    val src = source.select(schema.fields.map { f =>
+      if (f.name == keyCol) col(f.name) else col(f.name).as(s"src_${f.name}")
+    }.toSeq: _*).withColumn("src_match", lit(true))
+
+    val target = read(spark, tableDir)
+    val joined = target.join(src, Seq(keyCol), "left")
+    val matched = coalesce(col("src_match"), lit(false))
+    val doDelete = matched && deleteCond.getOrElse(lit(updateSet.isEmpty))
+    val doUpdate = matched && !doDelete &&
+      lit(updateSet.nonEmpty) && updateCond.getOrElse(lit(true))
+    val survivors = joined.filter(!doDelete).select(schema.fields.map { f =>
+      val base = col(f.name)
+      val out = updateSet.get(f.name)
+        .map(u => when(doUpdate, u).otherwise(base)).getOrElse(base)
+      out.as(f.name)
+    }.toSeq: _*)
+    val inserts =
+      if (insert)
+        src.join(target.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .select(schema.fields.map { f =>
+            (if (f.name == keyCol) col(f.name) else col(s"src_${f.name}"))
+              .as(f.name)
+          }.toSeq: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    partitionCol(meta) match {
+      case Some((pname, _)) =>
+        // driver-sized metadata: partitions with a matched row or an insert
+        val affected = target.join(src.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .select(col(pname))
+          .union(inserts.select(col(pname)))
+          .distinct().collect().map(_.get(0)).toSeq
+        if (affected.isEmpty) return snapshots(spark, tableDir).last
+        val merged = survivors.filter(col(pname).isin(affected: _*))
+          .unionByName(inserts).select(cols: _*)
+        commit(spark, tableDir, Some(merged), createPartitionBy = None,
+          dropValues = Some(affected))
+      case None =>
+        commit(spark, tableDir, Some(survivors.unionByName(inserts).select(cols: _*)),
+          createPartitionBy = None, dropValues = None, replaceAll = true)
+    }
   }
 
   /** Compact the current snapshot into ~`targetFiles` data files per

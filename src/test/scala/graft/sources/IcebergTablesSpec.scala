@@ -132,6 +132,51 @@ class IcebergTablesSpec extends AnyFunSuite {
     assert(s2 > s1)
   }
 
+  test("merge applies delete/update/insert clauses and stays partition-scoped") {
+    val t = table + "-merge"
+    val s1 = IcebergTables.createOrReplace(docs, t, partitionBy = Some("lang"))
+    val beforeOther = IcebergTables.read(spark, t).inputFiles
+      .filterNot(_.contains("lang=en")).toSet
+    assert(beforeOther.nonEmpty)
+
+    // source: every en key (matched), plus one brand-new en key (insert)
+    val minEn = docs.filter(col("lang") === "en")
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val src = docs.filter(col("lang") === "en")
+      .withColumn("n_chars", col("n_chars") + 5000)
+      .unionByName(docs.filter(col("lang") === "en" && col("doc_id") === minEn)
+        .withColumn("doc_id", col("doc_id") + 9100000))
+    val median = docs.filter(col("lang") === "en")
+      .selectExpr("percentile(n_chars, 0.5)").head().getDouble(0).toLong
+    IcebergTables.merge(spark, t, src, "doc_id",
+      deleteCond = Some(col("n_chars") < median),       // target value
+      updateSet = Map("n_chars" -> col("src_n_chars"))) // source value
+
+    val base = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val expected = base.flatMap {
+      case (id, "en", nc) if nc < median => None                 // deleted
+      case (id, "en", nc)               => Some(id -> (nc + 5000)) // updated
+      case (id, _, nc)                  => Some(id -> nc)          // untouched
+    }.toMap + {
+      val (id, _, nc) = base.find(x => x._1 == minEn && x._2 == "en").get
+      (id + 9100000) -> nc                                        // inserted
+    }
+    val got = IcebergTables.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expected)
+
+    // only the en partition was re-authored
+    val afterOther = IcebergTables.read(spark, t).inputFiles
+      .filterNot(_.contains("lang=en")).toSet
+    assert(afterOther == beforeOther,
+      "merge must not rewrite partitions without matches or inserts")
+    // one atomic commit; time travel still sees the pre-merge table
+    assert(IcebergTables.snapshots(spark, t).size == 2)
+    assert(IcebergTables.read(spark, t, Some(s1)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap ==
+      base.map(x => x._1 -> x._3).toMap)
+  }
+
   test("dropPartition deletes at file level and time travel restores it") {
     val t = table + "-drop"
     val s1 = IcebergTables.createOrReplace(docs, t, partitionBy = Some("lang"))
