@@ -441,7 +441,65 @@ object Extras {
         aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("total_len"),
         array_max(col("toks")).as("max_tok"))
 
+  /** Temporal aggregate surface (temporal/temporal_aggregates.test): the
+    * reference's point is that avg over extended-precision timestamps stays
+    * EXACT (hugeint accumulation, no double round-trip). Mirrored here over
+    * the raw TIMESTAMP(NANOS) events column read as a nanos long: the sum
+    * accumulates in DECIMAL(38,0) (a µs-epoch sum at sf0.1 is ~3e17 — past
+    * double's 2^53 — so a float path would visibly drift) and the floor
+    * average is rendered as a string so Spark DECIMAL and DuckDB HUGEINT
+    * hash identically. µs precision because DuckDB's parquet reader
+    * truncates ns→µs; Spark keeps the ns long and truncates the same way. */
+  def temporalAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.adopt(s)
+    // raw read: nanosAsLong gives ts as a plain BIGINT of epoch nanos
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("us", expr("ts DIV 1000"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("us")).as("min_us"),
+        max(col("us")).as("max_us"),
+        expr("CAST(FLOOR(sum(CAST(us AS DECIMAL(38,0))) / count(*)) AS STRING)")
+          .as("avg_us"),
+        expr("CAST(sum(us DIV 1000000) DIV count(*) AS BIGINT)").as("avg_s"))
+  }
+
+  /** SQL-dialect sugar the reference's DuckDB layer accepts and Spark 4
+    * also parses natively — proven as TEXT, not DataFrame calls, so the
+    * user-facing SQL surface is what's exercised: GROUP BY ALL (groupby
+    * .test), PIVOT to a wide layout, and per-group window ranking (the
+    * DuckDB side says QUALIFY; Spark has no QUALIFY, so its text uses the
+    * standard ranked-subquery — same semantics, both dialects' idiom).
+    * One entry, three statements joined on the group key. */
+  def sqlDialect(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    s.sql("""SELECT * FROM (
+            |  SELECT o_orderpriority,
+            |    count(*) AS n,
+            |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            |  FROM graft_orders WHERE o_orderkey < 20000 GROUP BY ALL)
+            |JOIN (
+            |  SELECT o_orderpriority, top_cents, top_key FROM (
+            |    SELECT o_orderpriority,
+            |      CAST(round(o_totalprice * 100) AS BIGINT) AS top_cents,
+            |      o_orderkey AS top_key,
+            |      row_number() OVER (PARTITION BY o_orderpriority
+            |        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            |    FROM graft_orders WHERE o_orderkey < 20000)
+            |  WHERE rn = 1)
+            |USING (o_orderpriority)
+            |JOIN (
+            |  SELECT * FROM (
+            |    SELECT o_orderpriority, o_orderstatus
+            |    FROM graft_orders WHERE o_orderkey < 20000)
+            |  PIVOT (count(*) FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p)))
+            |USING (o_orderpriority)""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_dialect" -> sqlDialect,
+    "temporal_agg" -> temporalAgg,
     "window_pack" -> windowPack,
     "array_pack" -> arrayPack,
     "summarize_table" -> summarizeTable,
@@ -498,6 +556,32 @@ object Extras {
       |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sql_dialect" ->
+      """WITH src AS (SELECT * FROM orders WHERE o_orderkey < 20000),
+        |a AS (SELECT o_orderpriority, count(*) AS n,
+        |        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |          AS cents
+        |      FROM src GROUP BY ALL),
+        |t AS (SELECT o_orderpriority,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS top_cents,
+        |        o_orderkey AS top_key
+        |      FROM src
+        |      QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey) = 1),
+        |p AS (SELECT o_orderpriority,
+        |        nullif(count(*) FILTER (o_orderstatus = 'F'), 0) AS f,
+        |        nullif(count(*) FILTER (o_orderstatus = 'O'), 0) AS o,
+        |        nullif(count(*) FILTER (o_orderstatus = 'P'), 0) AS p
+        |      FROM src GROUP BY 1)
+        |SELECT a.o_orderpriority, a.n, a.cents, t.top_cents, t.top_key,
+        |       p.f, p.o, p.p
+        |FROM a JOIN t USING (o_orderpriority) JOIN p USING (o_orderpriority)""".stripMargin,
+    "temporal_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us,
+        |  CAST(sum(epoch_us(ts)) // count(*) AS VARCHAR) AS avg_us,
+        |  CAST((sum(epoch_us(ts) // 1000000) // count(*)) AS BIGINT) AS avg_s
+        |FROM events GROUP BY 1""".stripMargin,
     "window_pack" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

@@ -48,10 +48,15 @@ object StreamGate {
   }
 
   private def runToCompletion(df: DataFrame, qname: String,
-      mode: OutputMode): Unit = {
-    val q = df.writeStream.format("memory").queryName(qname)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+      mode: OutputMode, statePartitions: Option[Int] = None): Unit = {
+    val s = df.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = df.writeStream.format("memory").queryName(qname)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Watermarked tumbling-window aggregation, run as a stream. Complete
@@ -60,7 +65,7 @@ object StreamGate {
   def streamWindowedAgg(s: SparkSession, dir: String): DataFrame = {
     val qname = "graft_stream_win"
     runToCompletion(StreamingQueries.windowedCounts(eventStream(s, dir)),
-      qname, OutputMode.Complete)
+      qname, OutputMode.Complete, statePartitions = Some(8))
     s.table(qname)
       .select(col("window_start"), col("event_type"), col("n"), col("value_cents"))
   }
@@ -75,7 +80,8 @@ object StreamGate {
     val ev = eventStream(s, dir)
       .select(col("user_id"), unix_timestamp(col("ts")).as("ts_epoch"))
       .as[StreamingQueries.SessionEvent]
-    runToCompletion(StreamingQueries.sessionize(ev).toDF(), qname, OutputMode.Update)
+    runToCompletion(StreamingQueries.sessionize(ev).toDF(), qname,
+      OutputMode.Update, statePartitions = Some(8))
     s.table(qname)
       .groupBy(col("user_id"))
       .agg(max(struct(col("n_events"), col("n_sessions"))).as("fin"))
@@ -95,7 +101,7 @@ object StreamGate {
         .dropDuplicates("user_id", "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_unique_users")),
-      qname, OutputMode.Complete)
+      qname, OutputMode.Complete, statePartitions = Some(8))
     s.table(qname)
   }
 
@@ -148,7 +154,14 @@ object StreamGate {
       col("cu") === col("vu") &&
         col("vts") >= col("cts") - expr("INTERVAL 4 HOURS") &&
         col("vts") <= col("cts"))
-    runToCompletion(joined, qname, OutputMode.Append)
+    // A stream-stream join keeps FOUR state stores per shuffle partition,
+    // and each store pays fixed per-batch checkpoint IO — so state
+    // partition count is a real knob, fixed forever at the checkpoint's
+    // first batch. Size it to the stateful operator's load (join state
+    // here is tiny), not the session's scan-side default; a production
+    // deployment sizes it to state volume the same way.
+    runToCompletion(joined, qname, OutputMode.Append,
+      statePartitions = Some(8))
     s.table(qname)
       .groupBy(col("cu").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
