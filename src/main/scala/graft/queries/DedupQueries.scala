@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, max, struct}
 import graft.Tables
 import graft.operators.Dedup
 
@@ -35,6 +35,28 @@ object DedupQueries {
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJ = 0.5))
       .withColumn("canonical", col("doc_id") === col("cluster_id"))
 
+  /** The pipeline's final pruning decision: clusters → ONE quality-chosen
+    * keeper each (longest doc wins, smallest id breaks ties — not min-id,
+    * which would keep an arbitrary-quality doc), singletons keep themselves.
+    * Keeper choice is a shuffle-native groupBy-max over a (quality, -id)
+    * struct — no per-cluster sort, no window. Emits the whole corpus with
+    * its keep/drop verdict, i.e. exactly what a curation job would write. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val cc = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJ = 0.5))
+    val keepers = cc.join(docs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("keeper_id"))
+    docs.join(cc, Seq("doc_id"), "left")
+      .join(keepers, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"),
+        (col("doc_id") === coalesce(col("keeper_id"), col("doc_id"))).as("kept"),
+        col("n_chars"))
+  }
+
   def dedupSimHash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashDedup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
 
@@ -49,6 +71,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> dedupMinHashLsh,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_cluster_cc" -> dedupClusterCc,
+    "dedup_canonical" -> dedupCanonical,
     "dedup_simhash" -> dedupSimHash,
     "dedup_embedding" -> dedupEmbedding)
 
@@ -93,6 +116,31 @@ object DedupQueries {
        |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS canonical
        |FROM reach GROUP BY id""".stripMargin
 
+  /** Keeper selection over the same transitive-closure clusters: longest
+    * doc wins, smallest id breaks ties; docs outside any cluster keep
+    * themselves. */
+  private val canonicalOracle: String =
+    s"""WITH RECURSIVE ${jaccardCtes.stripPrefix("WITH ")},
+       |pairs AS (SELECT ida, idb FROM jj WHERE j >= 0.5),
+       |ed AS (SELECT ida AS a, idb AS b FROM pairs
+       |       UNION SELECT idb, ida FROM pairs),
+       |reach(id, r) AS (SELECT a, a FROM ed
+       |  UNION SELECT ed.a, reach.r FROM ed JOIN reach ON ed.b = reach.id),
+       |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |k AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+       |        SELECT cc.cluster_id, cc.doc_id,
+       |          row_number() OVER (PARTITION BY cc.cluster_id
+       |            ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+       |        FROM cc JOIN documents d USING (doc_id))
+       |      WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  coalesce(k.keeper_id, d.doc_id) AS keeper_id,
+       |  d.doc_id = coalesce(k.keeper_id, d.doc_id) AS kept,
+       |  d.n_chars
+       |FROM documents d
+       |LEFT JOIN cc ON d.doc_id = cc.doc_id
+       |LEFT JOIN k ON cc.cluster_id = k.cluster_id""".stripMargin
+
   /** SimHash recomputed in SQL: per-token md5 → 64 bit-sign sums → 64-char
     * bitstring → all-pairs exact hamming (all-pairs is fine for the oracle at
     * sf0.01; the Spark plan under test is the banded join). */
@@ -124,6 +172,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> jaccardOracle(0.9),
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
     "dedup_cluster_cc" -> ccOracle,
+    "dedup_canonical" -> canonicalOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding" ->
       """SELECT a.vec_id AS ida, b.vec_id AS idb,

@@ -54,6 +54,27 @@ object Vectors {
       .limit(10)
       .select(col("vec_id"))
 
+  /** Matryoshka-style truncated retrieval (public MRL practice: nested
+    * prefixes of an embedding are themselves usable embeddings): top-10 by
+    * cosine over the FIRST 16 of 64 dims — 4× less IO/compute per
+    * candidate, the standard coarse stage of a two-step retriever — plus a
+    * per-row flag for membership in the full-dimension top-10, so the
+    * quality of the truncation is part of the hashed result. */
+  def matryoshka(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val tq = e.filter(col("vec_id") === 0)
+      .select(slice(col("embedding"), 1, 16).as("qe"))
+    val top = e.withColumn("te", slice(col("embedding"), 1, 16))
+      .crossJoin(broadcast(tq))
+      .withColumn("dist", cosineDistance(col("te"), col("qe")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"))
+    val full10 = knnCosine(s, dir).withColumn("m", lit(true))
+    top.join(full10, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("m"), lit(false)).as("in_full"))
+  }
+
   /** Per-label aggregation over vector norms (integer-sum = order-proof). */
   def aggByLabel(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -115,6 +136,7 @@ object Vectors {
     "vec_fn_surface" -> fnSurface,
     "vec_knn_exact" -> knnExact,
     "vec_knn_cosine" -> knnCosine,
+    "vec_matryoshka" -> matryoshka,
     "vec_agg_by_label" -> aggByLabel,
     "vec_ivf_knn" -> ivfKnn,
     "vec_ivf_recall" -> ivfRecall,
@@ -143,6 +165,17 @@ object Vectors {
       s"""SELECT vec_id FROM embeddings
          |ORDER BY 1.0 - list_cosine_similarity(embedding::DOUBLE[], $q::DOUBLE[]), vec_id
          |LIMIT 10""".stripMargin,
+    "vec_matryoshka" ->
+      s"""WITH tq AS (SELECT embedding[1:16] AS qe FROM embeddings WHERE vec_id = 0),
+         |top AS (SELECT vec_id FROM embeddings, tq
+         |        ORDER BY 1.0 - list_cosine_similarity((embedding[1:16])::DOUBLE[], qe::DOUBLE[]),
+         |          vec_id
+         |        LIMIT 10),
+         |f AS (SELECT vec_id FROM embeddings
+         |      ORDER BY 1.0 - list_cosine_similarity(embedding::DOUBLE[], $q::DOUBLE[]), vec_id
+         |      LIMIT 10)
+         |SELECT t.vec_id, t.vec_id IN (SELECT vec_id FROM f) AS in_full
+         |FROM top t""".stripMargin,
     "vec_agg_by_label" ->
       s"""SELECT label, count(*) AS n,
          |  CAST(SUM(CAST(round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000) AS BIGINT)) AS BIGINT) AS sum_l2n_q
