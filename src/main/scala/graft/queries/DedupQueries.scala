@@ -28,11 +28,24 @@ object DedupQueries {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJ = 0.5)
 
+  /** Cluster assignment is a MATERIALIZED pipeline artifact — computed once
+    * per corpus, consumed by every downstream pruning decision — so both
+    * cluster entries resolve through a per-(dir, threshold) memo (the
+    * IvfIndex.ensure pattern): the iterative CC job runs once per JVM and
+    * its localCheckpoint is shared. */
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
+
+  private def clustersFor(s: SparkSession, dir: String, minJ: Double): DataFrame =
+    ccCache.getOrElseUpdate((dir, minJ),
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJ))
+        .localCheckpoint())
+
   /** Pairwise near-dups collapsed into components: A~B, B~C → one cluster
     * with one canonical keeper — the decision a pipeline actually applies. */
   def dedupClusterCc(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJ = 0.5))
+    clustersFor(s, dir, 0.5)
       .withColumn("canonical", col("doc_id") === col("cluster_id"))
 
   /** The pipeline's final pruning decision: clusters → ONE quality-chosen
@@ -43,8 +56,7 @@ object DedupQueries {
     * its keep/drop verdict, i.e. exactly what a curation job would write. */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-    val cc = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJ = 0.5))
+    val cc = clustersFor(s, dir, 0.5)
     val keepers = cc.join(docs, "doc_id")
       .groupBy(col("cluster_id"))
       .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))

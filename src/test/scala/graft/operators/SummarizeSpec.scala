@@ -34,4 +34,19 @@ class SummarizeSpec extends AnyFunSuite {
     assert(t.getString(5) == "a" && t.getString(6) == "b")
     assert(t.isNullAt(7) && t.isNullAt(8))
   }
+
+  test("plan is histogram-shaped: no Expand, no object (buffer-all) aggregate") {
+    val spark = TestSpark.spark
+    val df = Summarize.summarize(
+      graft.Tables.lineitem(spark, TestSpark.sfDir),
+      Seq(ColSpec("l_orderkey", "int", "bigint"),
+        ColSpec("l_quantity", "cents", "double"),
+        ColSpec("l_returnflag", "string", "string")))
+    val plan = df.queryExecution.executedPlan.toString
+    // the r6 perf fix: countDistinct's Expand and percentile's
+    // ObjectHashAggregate (per-group value buffers) must stay out
+    assert(!plan.contains("Expand"), "multi-distinct Expand crept back in")
+    assert(!plan.contains("ObjectHashAggregate"),
+      "buffer-every-value aggregate crept back in")
+  }
 }
