@@ -497,7 +497,26 @@ object Extras {
             |USING (o_orderpriority)""".stripMargin)
   }
 
+  /** pg SUBSTRING window-clamp conformance (pg/simple/substring.test):
+    * zero/negative starts clamp into the length. Neither engine does this
+    * natively (Spark: 0→1; DuckDB: negative→from-the-end), so both sides
+    * compute the documented pg window [from, from+len) ∩ [1, ∞) — Spark via
+    * [[graft.functions.PgCompat.pgSubstring]], DuckDB via the same formula
+    * in SQL; goldens vs the reference test outputs live in PgCompatSpec. */
+  def strSubstrPg(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PgCompat.pgSubstring
+    Tables.part(s, dir)
+      .filter(col("p_partkey") <= 2000)
+      .withColumn("f", (lit(2) - pmod(col("p_size"), lit(6))).cast("int"))
+      .select(col("p_partkey"),
+        pgSubstring(col("p_name"), col("f"), lit(5)).as("sub_var"),
+        pgSubstring(col("p_name"), lit(0), lit(5)).as("sub_zero"),
+        pgSubstring(col("p_name"), lit(-3), lit(5)).as("sub_neg"),
+        substring(col("p_name"), 2, 5).as("sub_plain"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_substr_pg" -> strSubstrPg,
     "sql_dialect" -> sqlDialect,
     "temporal_agg" -> temporalAgg,
     "window_pack" -> windowPack,
@@ -556,6 +575,18 @@ object Extras {
       |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "str_substr_pg" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |  CAST(2 - (p_size % 6) AS INT) AS f
+        |FROM part WHERE p_partkey <= 2000)
+        |SELECT p_partkey,
+        |  CASE WHEN (f + 5) - greatest(f, 1) <= 0 THEN ''
+        |       ELSE substring(p_name, greatest(f, 1), (f + 5) - greatest(f, 1))
+        |  END AS sub_var,
+        |  substring(p_name, 1, 4) AS sub_zero,
+        |  substring(p_name, 1, 1) AS sub_neg,
+        |  substring(p_name, 2, 5) AS sub_plain
+        |FROM p""".stripMargin,
     "sql_dialect" ->
       """WITH src AS (SELECT * FROM orders WHERE o_orderkey < 20000),
         |a AS (SELECT o_orderpriority, count(*) AS n,
