@@ -21,4 +21,24 @@ object PgCompat {
     val n = (from + len) - start // window end is exclusive
     when(n <= 0, lit("")).otherwise(src.substr(start, n))
   }
+
+  /** pg array TEXT rendering of a string array (reference:
+    * tests/sqllogic/pg/any/conformance/arrays.test — what a pg client sees
+    * over the wire): `{a,b}`, elements quoted iff empty, equal to `NULL`
+    * (any case), or containing whitespace/comma/brace/quote/backslash;
+    * `\` and `"` are backslash-escaped inside quotes; a SQL NULL element
+    * renders bare `NULL` (so `{"NULL",NULL}` distinguishes the literal
+    * string from the missing value). Builtin composition, codegen'd. */
+  def pgArrayText(arr: Column): Column = {
+    val rendered = transform(arr, e => {
+      val esc = regexp_replace(regexp_replace(e, "\\\\", "\\\\\\\\"),
+        "\"", "\\\\\"")
+      val needsQuote = e === "" || lower(e) === "null" ||
+        e.rlike("[\\s,{}\"\\\\]")
+      when(e.isNull, lit("NULL"))
+        .when(needsQuote, concat(lit("\""), esc, lit("\"")))
+        .otherwise(e)
+    })
+    concat(lit("{"), concat_ws(",", rendered), lit("}"))
+  }
 }

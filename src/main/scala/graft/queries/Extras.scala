@@ -515,7 +515,24 @@ object Extras {
         substring(col("p_name"), 2, 5).as("sub_plain"))
   }
 
+  /** pg array TEXT rendering parity (pg/any/conformance/arrays.test): what
+    * a pg wire client sees for an array value — quote/escape/NULL rules in
+    * [[graft.functions.PgCompat.pgArrayText]]; the oracle re-implements the
+    * same documented rules in DuckDB SQL and PgCompatSpec pins the
+    * reference goldens. One array mixes a spaced string (always quoted), a
+    * bare token, and a SQL NULL (renders bare NULL). */
+  def pgArrayRender(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PgCompat.pgArrayText
+    Tables.part(s, dir)
+      .filter(col("p_partkey") <= 2000)
+      .select(col("p_partkey"),
+        pgArrayText(array(col("p_name"), col("p_brand"),
+          nullif(col("p_type"), lit("PROMO")))).as("arr_txt"),
+        pgArrayText(split(col("p_name"), " ")).as("toks_txt"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pg_array_render" -> pgArrayRender,
     "str_substr_pg" -> strSubstrPg,
     "sql_dialect" -> sqlDialect,
     "temporal_agg" -> temporalAgg,
@@ -575,6 +592,25 @@ object Extras {
       |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pg_array_render" ->
+      """WITH p AS (SELECT p_partkey,
+        |    [p_name, p_brand, nullif(p_type, 'PROMO')] AS a,
+        |    string_split(p_name, ' ') AS t
+        |  FROM part WHERE p_partkey <= 2000),
+        |r AS (SELECT p_partkey,
+        |    list_transform(a, e -> CASE WHEN e IS NULL THEN 'NULL'
+        |      WHEN e = '' OR lower(e) = 'null' OR regexp_matches(e, '[\s,{}"\\]')
+        |      THEN '"' || replace(replace(e, '\', '\\'), '"', '\"') || '"'
+        |      ELSE e END) AS ra,
+        |    list_transform(t, e -> CASE WHEN e IS NULL THEN 'NULL'
+        |      WHEN e = '' OR lower(e) = 'null' OR regexp_matches(e, '[\s,{}"\\]')
+        |      THEN '"' || replace(replace(e, '\', '\\'), '"', '\"') || '"'
+        |      ELSE e END) AS rt
+        |  FROM p)
+        |SELECT p_partkey,
+        |  '{' || array_to_string(ra, ',') || '}' AS arr_txt,
+        |  '{' || array_to_string(rt, ',') || '}' AS toks_txt
+        |FROM r""".stripMargin,
     "str_substr_pg" ->
       """WITH p AS (SELECT p_partkey, p_name,
         |  CAST(2 - (p_size % 6) AS INT) AS f

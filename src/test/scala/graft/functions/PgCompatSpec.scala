@@ -24,4 +24,21 @@ class PgCompatSpec extends AnyFunSuite {
       .collect()
     got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
+
+  test("pgArrayText matches the reference arrays.test goldens") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // expected renderings verbatim from pg/any/conformance/arrays.test
+    val cases = Seq(
+      (Seq("a", "b", "c"), "{a,b,c}"),
+      (Seq("a b", "c,d", ""), """{"a b","c,d",""}"""),
+      (Seq("NULL", null), """{"NULL",NULL}"""),
+      (Seq("1", null, "3"), "{1,NULL,3}"),
+      (Seq.empty[String], "{}"),
+      (Seq("""back\slash""", """qu"ote"""), """{"back\\slash","qu\"ote"}"""))
+    val got = cases.toDF("a", "want")
+      .select(PgCompat.pgArrayText(col("a")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
 }
