@@ -41,4 +41,24 @@ object PgCompat {
     })
     concat(lit("{"), concat_ws(",", rendered), lit("}"))
   }
+
+  /** pg boolean TEXT parsing (reference: pg/simple/boolean.test; pg accepts
+    * any unique PREFIX of true/false/yes/no, plus on/off and 1/0, case- and
+    * whitespace-insensitive — so 't', 'tr', 'y', 'n', 'of' are all valid
+    * and 'o' alone is ambiguous/invalid). Unparseable input yields NULL
+    * (pg raises; a vectorized pipeline nulls and filters). */
+  def pgBoolParse(raw: Column): Column = {
+    val v = lower(trim(raw))
+    val nonEmpty = length(v) >= 1
+    when(nonEmpty && (startswith(lit("true"), v) || startswith(lit("yes"), v) ||
+        v === "on" || v === "1"), lit(true))
+      .when(nonEmpty && (startswith(lit("false"), v) || startswith(lit("no"), v) ||
+        (length(v) >= 2 && startswith(lit("off"), v)) || v === "0"), lit(false))
+      .otherwise(lit(null).cast("boolean"))
+  }
+
+  /** pg boolean TEXT rendering: 't' / 'f' (what a pg client sees). */
+  def pgBoolText(b: Column): Column =
+    when(b.isNull, lit(null).cast("string"))
+      .when(b, lit("t")).otherwise(lit("f"))
 }

@@ -531,7 +531,26 @@ object Extras {
         pgArrayText(split(col("p_name"), " ")).as("toks_txt"))
   }
 
+  /** pg boolean text conformance (pg/simple/boolean.test): parse the full
+    * prefix-form input surface (t/tr/y/on/1/…, of/off/n/0/…, junk → NULL)
+    * and render pg's 't'/'f' wire text. Each row exercises one form picked
+    * deterministically by key; rules live in PgCompat, goldens in
+    * PgCompatSpec, and the oracle re-states the documented rule in SQL. */
+  def pgBoolText(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PgCompat
+    val forms = Seq("t", "TRUE", "yes", "on", "1", "f", "False", "no",
+      "off", "0", "tr", "N", " true ", "junk", "o", "of")
+    val raw = element_at(
+      array(forms.map(lit): _*), (pmod(col("p_partkey"), lit(16)) + 1).cast("int"))
+    Tables.part(s, dir)
+      .filter(col("p_partkey") <= 2000)
+      .select(col("p_partkey"), raw.as("raw"),
+        PgCompat.pgBoolParse(raw).as("parsed"),
+        PgCompat.pgBoolText(PgCompat.pgBoolParse(raw)).as("rendered"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pg_bool_text" -> pgBoolText,
     "pg_array_render" -> pgArrayRender,
     "str_substr_pg" -> strSubstrPg,
     "sql_dialect" -> sqlDialect,
@@ -592,6 +611,25 @@ object Extras {
       |    * sin(radians(0.0 - lon) / 2.0) * sin(radians(0.0 - lon) / 2.0)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pg_bool_text" ->
+      """WITH p AS (SELECT p_partkey,
+        |    (['t','TRUE','yes','on','1','f','False','no',
+        |      'off','0','tr','N',' true ','junk','o','of'])[(p_partkey % 16) + 1]
+        |      AS raw
+        |  FROM part WHERE p_partkey <= 2000),
+        |v AS (SELECT p_partkey, raw, lower(trim(raw)) AS t FROM p),
+        |b AS (SELECT p_partkey, raw,
+        |    CASE WHEN length(t) >= 1 AND (starts_with('true', t)
+        |           OR starts_with('yes', t) OR t = 'on' OR t = '1') THEN true
+        |         WHEN length(t) >= 1 AND (starts_with('false', t)
+        |           OR starts_with('no', t) OR t = '0'
+        |           OR (length(t) >= 2 AND starts_with('off', t))) THEN false
+        |         ELSE NULL END AS parsed
+        |  FROM v)
+        |SELECT p_partkey, raw, parsed,
+        |  CASE WHEN parsed IS NULL THEN NULL
+        |       WHEN parsed THEN 't' ELSE 'f' END AS rendered
+        |FROM b""".stripMargin,
     "pg_array_render" ->
       """WITH p AS (SELECT p_partkey,
         |    [p_name, p_brand, nullif(p_type, 'PROMO')] AS a,

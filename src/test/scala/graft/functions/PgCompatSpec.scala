@@ -41,4 +41,25 @@ class PgCompatSpec extends AnyFunSuite {
       .collect()
     got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
+
+  test("pgBoolParse accepts exactly pg's prefix forms") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // pg bool input rules: unique prefixes of true/false/yes/no, on/off,
+    // 1/0; whitespace-trimmed, case-insensitive; 'o' alone is ambiguous
+    val cases: Seq[(String, java.lang.Boolean)] = Seq(
+      ("t", true), ("tr", true), ("TRUE", true), ("y", true), ("YeS", true),
+      ("on", true), ("1", true), (" true ", true),
+      ("f", false), ("fal", false), ("n", false), ("No", false),
+      ("of", false), ("off", false), ("0", false),
+      ("o", null), ("junk", null), ("10", null), ("truex", null), ("", null))
+    val got = cases.toDF("raw", "want")
+      .select(col("raw"), PgCompat.pgBoolParse(col("raw")).as("got"), col("want"))
+      .collect()
+    got.foreach { r =>
+      val g = if (r.isNullAt(1)) null else java.lang.Boolean.valueOf(r.getBoolean(1))
+      val w = if (r.isNullAt(2)) null else java.lang.Boolean.valueOf(r.getBoolean(2))
+      assert(g == w, s"input '${r.getString(0)}': got $g want $w")
+    }
+  }
 }
