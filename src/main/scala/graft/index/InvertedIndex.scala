@@ -103,7 +103,11 @@ final case class InvertedIndex(
 
   private def prefixPred(p: String): Column = {
     val base = col("term").startsWith(p)
-    if (p.isEmpty || p.last >= Char.MaxValue) base
+    // p.last + 1 landing in the surrogate range would make the upper-bound
+    // literal encode as '?' (lone surrogates aren't valid UTF-8), turning
+    // the range empty — fall back to the bare startsWith there
+    if (p.isEmpty || p.last >= Char.MaxValue ||
+        Character.isSurrogate((p.last + 1).toChar)) base
     else {
       val upper = p.init + (p.last + 1).toChar
       col("term") >= p && col("term") < upper && base

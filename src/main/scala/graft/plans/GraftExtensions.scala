@@ -355,10 +355,17 @@ case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
                 case _ => idx.knn(q, k)
               }
               import org.apache.spark.sql.functions.{col => f}
-              val probed = ids.select(f("vec_id").as(entry.idCol))
+              // the probe emits rows in distance order; the join-back would
+              // scramble it, so carry dist through and re-sort afterwards —
+              // the Sort this claim replaces promised distance-ordered output
+              // (reference late materialization keeps score order,
+              // search_pk_lookup.h)
+              val probed = ids.select(f("vec_id").as(entry.idCol), f("dist"))
               val result =
-                if (outAttrs.map(_.name) == Seq(entry.idCol)) probed
+                if (outAttrs.map(_.name) == Seq(entry.idCol))
+                  probed.select(f(entry.idCol))
                 else probed.join(spark.read.parquet(root), Seq(entry.idCol))
+                  .orderBy(f("dist"), f(entry.idCol))
                   .select(outAttrs.map(a => f(a.name)): _*)
               val rPlan = result.queryExecution.optimizedPlan
               Project(outAttrs.zip(rPlan.output).map { case (orig, out) =>

@@ -81,8 +81,15 @@ object IndexCatalog {
     if (entry.metric != "cosine") base
     else base
       .withColumn("_n", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+      // zero-norm vectors have no direction: the row-eval ann_cosine scores
+      // them worst-possible (distance 1.0), but storing them at the origin
+      // would place them at unit-sphere distance 1 (≡ cosine distance 0.5)
+      // and let them outrank real vectors near the k-th boundary — exclude
+      // them from the index instead (they can never belong in a top-k that
+      // any non-degenerate vector could fill)
+      .filter(col("_n") > 0)
       .withColumn("embedding", transform(col("embedding"),
-        x => when(col("_n") > 0, x.cast("double") / col("_n")).otherwise(0.0).cast("float")))
+        x => (x.cast("double") / col("_n")).cast("float")))
       .drop("_n")
   }
 }

@@ -406,8 +406,15 @@ object IcebergTables {
     val cols = declaredSchema(meta).fields.map(f => col(f.name)).toSeq
     partitionCol(meta) match {
       case Some((pname, _)) =>
-        // partitions the updates land in — coarse metadata, driver-sized
-        val affected = updates.select(col(pname)).distinct().collect().map(_.get(0)).toSeq
+        // partitions the updates land in PLUS partitions currently holding a
+        // conflicting key — an update that moves a row across partitions must
+        // rewrite the old partition too, or the stale row would survive as a
+        // duplicate key. Coarse metadata, driver-sized either way.
+        val affected = updates.select(col(pname))
+          .union(read(spark, tableDir)
+            .join(updates.select(col(keyCol)), Seq(keyCol), "left_semi")
+            .select(col(pname)))
+          .distinct().collect().map(_.get(0)).toSeq
         val merged = read(spark, tableDir)
           .filter(col(pname).isin(affected: _*))
           .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
@@ -471,9 +478,13 @@ object IcebergTables {
     val target = read(spark, tableDir)
     val joined = target.join(src, Seq(keyCol), "left")
     val matched = coalesce(col("src_match"), lit(false))
-    val doDelete = matched && deleteCond.getOrElse(lit(updateSet.isEmpty))
-    val doUpdate = matched && !doDelete &&
-      lit(updateSet.nonEmpty) && updateCond.getOrElse(lit(true))
+    // SQL MERGE treats an UNKNOWN clause condition as "clause does not
+    // apply" — coalesce NULL to false so a nullable column in the condition
+    // never silently deletes/updates the row
+    val doDelete = matched &&
+      coalesce(deleteCond.getOrElse(lit(updateSet.isEmpty)), lit(false))
+    val doUpdate = matched && !doDelete && lit(updateSet.nonEmpty) &&
+      coalesce(updateCond.getOrElse(lit(true)), lit(false))
     val survivors = joined.filter(!doDelete).select(schema.fields.map { f =>
       val base = col(f.name)
       val out = updateSet.get(f.name)
