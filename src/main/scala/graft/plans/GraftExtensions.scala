@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => PushdownTsDictAggregate(s))
     e.injectOptimizerRule(s => ClaimAnnTopK(s))
     e.injectOptimizerRule(s => ClaimAnnRange(s))
+    e.injectOptimizerRule(s => ClaimScoreTopK(s))
+    e.injectOptimizerRule(s => ClaimScoreFilter(s))
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
     graft.functions.GeoWkb.functions.foreach(e.injectFunction)
   }

@@ -261,7 +261,7 @@ object Search {
     * `scored` = BM25 (k1=1.2, b=0.75, Lucene idf), `tscored` = TFIDF
     * (sqrt(tf) · (1 + ln(N/(df+1)))², norm-free), both over the query bag
     * (vector, dup, query) with left-to-right partial addition. */
-  private val scoringCtes: String =
+  private[queries] val scoringCtes: String =
     s"""$toks,
        |dl AS (SELECT doc_id, len(ts) AS dlen FROM toks),
        |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,

@@ -317,7 +317,54 @@ object Surface {
             |WHERE ts_match(upper(text), 'vector', 'whitespace')""".stripMargin)
   }
 
+  /** The reference's FLAGSHIP query shape in SQL text — `SELECT ... ORDER BY
+    * bm25(...) DESC LIMIT 10` (examples/demo0/demo.sql:39-48): the scorer is
+    * a claim-only stub (it THROWS if row-evaluated), so green here proves
+    * ClaimScoreTopK rewrote the sort into the index postings top-k drive. */
+  def tsClaimedBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql("""SELECT doc_id FROM graft_documents
+            |ORDER BY bm25(text, 'vector dup query', 'whitespace') DESC
+            |LIMIT 10""".stripMargin)
+  }
+
+  /** Scorer aliased in the SELECT list — the score VALUE reaches the output
+    * (quantized for FP-stable hashing), late-materialized join-back plus the
+    * doc's lang column, order preserved through the claim. */
+  def tsClaimedBm25Score(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql("""SELECT doc_id, CAST(round(s * 10000) AS BIGINT) AS score_q, lang
+            |FROM (SELECT doc_id, bm25(text, 'vector dup query', 'whitespace') AS s, lang
+            |      FROM graft_documents
+            |      ORDER BY s DESC LIMIT 10)""".stripMargin)
+  }
+
+  /** Score-threshold WHERE claimed into the WAND min-score drive
+    * (ClaimScoreFilter → InvertedIndex.bm25MinScore): the floor seeds the
+    * necessary-term-set postings drive instead of post-filtering. */
+  def tsClaimedBm25MinScore(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql("""SELECT doc_id FROM graft_documents
+            |WHERE bm25(text, 'vector dup query', 'whitespace') >= 1.5""".stripMargin)
+  }
+
+  /** Second scorer through the same SQL claim path. */
+  def tsClaimedTfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql("""SELECT doc_id FROM graft_documents
+            |ORDER BY tfidf(text, 'vector dup query', 'whitespace') DESC
+            |LIMIT 10""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_claimed_bm25_topk" -> tsClaimedBm25TopK,
+    "ts_claimed_bm25_score" -> tsClaimedBm25Score,
+    "ts_claimed_bm25_minscore" -> tsClaimedBm25MinScore,
+    "ts_claimed_tfidf_topk" -> tsClaimedTfidfTopK,
     "ddl_index" -> ddlIndex,
     "ts_expr_claim" -> tsExprClaim,
     "idx_relation_sql" -> idxRelationSql,
@@ -347,6 +394,23 @@ object Surface {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_claimed_bm25_topk" ->
+      s"""${Search.scoringCtes}
+         |SELECT doc_id FROM scored WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_claimed_bm25_score" ->
+      s"""${Search.scoringCtes}
+         |SELECT s.doc_id, CAST(round(s.score * 10000) AS BIGINT) AS score_q, d.lang
+         |FROM (SELECT doc_id, score FROM scored WHERE score > 0
+         |      ORDER BY score DESC, doc_id LIMIT 10) s
+         |JOIN documents d USING (doc_id)""".stripMargin,
+    "ts_claimed_bm25_minscore" ->
+      s"""${Search.scoringCtes}
+         |SELECT doc_id FROM scored WHERE score >= 1.5""".stripMargin,
+    "ts_claimed_tfidf_topk" ->
+      s"""${Search.scoringCtes}
+         |SELECT doc_id FROM tscored WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "ddl_index" ->
       s"""$toks,
          |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),

@@ -59,5 +59,28 @@ object SqlSurface {
       while (i < a.length) { s -= a(i).toDouble * b(i); i += 1 }
       s
     })
+    // Relevance-scorer STUBS — the reference's flagship SQL surface
+    // (`SELECT ... ORDER BY bm25(...) DESC LIMIT k`, examples/demo0/
+    // demo.sql:39-48). A scorer needs corpus statistics (idf, avgdl, ctf)
+    // that no row-at-a-time UDF can see, so these are claim-only: the
+    // ClaimScoreTopK / ClaimScoreFilter optimizer rules rewrite them into
+    // the index postings drive, and an un-claimed evaluation THROWS with
+    // the missing-index diagnosis — exactly the reference's SearchStubFn
+    // surface (server/connector/functions/search.h:128-132; scorer misuse
+    // error iresearch_plan.cpp:778-782).
+    scorerNames.foreach { n => spark.udf.register(n, scorerStub(n)) }
   }
+
+  /** The scorer function names the claim rules recognize, mapping 1:1 to
+    * the reference's registered scorers (search.cpp:142-173). */
+  val scorerNames: Seq[String] =
+    Seq("bm25", "tfidf", "lm_dirichlet", "lm_jelinek_mercer", "indri_dirichlet", "dfi")
+
+  private def scorerStub(name: String): (String, String, String) => Double =
+    (_, _, _) => throw new UnsupportedOperationException(
+      s"$name(col, query, dict) is a search-scorer stub: it can only run " +
+        "claimed against a search index over the scanned column. CREATE " +
+        "SEARCH INDEX on the table (matching column and analyzer) and keep " +
+        "the query shape ORDER BY ... DESC LIMIT k or a score-threshold " +
+        "WHERE conjunct.")
 }

@@ -351,6 +351,90 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet == want)
   }
 
+  test("bm25 ORDER BY ... DESC LIMIT k in SQL is claimed into the postings top-k drive") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT doc_id FROM graft_documents
+        |ORDER BY bm25(text, 'vector dup query', 'whitespace') DESC
+        |LIMIT 10""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "bm25").isEmpty,
+      s"bm25 is a claim-only stub — it must not survive optimization:\n$optimized")
+    // result must equal the library postings drive, IN score order
+    val want = graft.index.IndexStore.documents(spark, TestSpark.sfDir, "whitespace")
+      .bm25TopK(Seq("vector", "dup", "query"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(df.collect().map(_.getLong(0)).toSeq == want)
+  }
+
+  test("aliased bm25 in the SELECT list is claimed, score values + join-back in order") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT doc_id, CAST(round(s * 10000) AS BIGINT) AS score_q, lang
+        |FROM (SELECT doc_id, bm25(text, 'vector dup query', 'whitespace') AS s, lang
+        |      FROM graft_documents
+        |      ORDER BY s DESC LIMIT 10)""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "bm25").isEmpty,
+      s"aliased bm25 must be claimed:\n$optimized")
+    val idx = graft.index.IndexStore.documents(spark, TestSpark.sfDir, "whitespace")
+    import org.apache.spark.sql.functions.{col => f}
+    val want = idx.bm25(Seq("vector", "dup", "query"))
+      .orderBy(f("_score").desc, f("doc_id")).limit(10)
+      .join(Tables.documents(spark, TestSpark.sfDir), "doc_id")
+      .orderBy(f("_score").desc, f("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 10000), r.getString(r.fieldIndex("lang"))))
+      .toSeq
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == want, "claimed output must carry score values and preserve score order")
+  }
+
+  test("bm25 threshold WHERE is claimed into a min-score semi-join (WAND floor)") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT doc_id FROM graft_documents
+        |WHERE bm25(text, 'vector dup query', 'whitespace') >= 1.5 AND n_chars > 50""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "bm25").isEmpty,
+      s"threshold bm25 must be claimed:\n$optimized")
+    val semiJoins = optimized.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semiJoins.nonEmpty)
+    val idx = graft.index.IndexStore.documents(spark, TestSpark.sfDir, "whitespace")
+    import org.apache.spark.sql.functions.{col => f}
+    val scoreOk = idx.bm25(Seq("vector", "dup", "query"))
+      .filter(f("_score") >= 1.5).collect().map(_.getLong(0)).toSet
+    val want = Tables.documents(spark, TestSpark.sfDir)
+      .filter(f("n_chars") > 50).select("doc_id").collect()
+      .map(_.getLong(0)).toSet & scoreOk
+    assert(want.nonEmpty)
+    assert(df.collect().map(_.getLong(0)).toSet == want)
+  }
+
+  test("an unclaimed scorer throws the stub error instead of silently mis-scoring") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    // `source AS text` — provenance blocks the claim, so the stub row-evals
+    val df = spark.sql(
+      """SELECT doc_id FROM (SELECT doc_id, source AS text FROM graft_documents)
+        |ORDER BY bm25(text, 'vector', 'whitespace') DESC LIMIT 5""".stripMargin)
+    assert(udfsIn(df.queryExecution.optimizedPlan, "bm25").nonEmpty,
+      "the claim must NOT fire across an alias boundary")
+    val err = intercept[Exception](df.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c => c.getMessage != null && c.getMessage.contains("scorer stub")),
+      s"expected the scorer-stub diagnosis, got: $err")
+  }
+
   test("ann_l2 radius predicate is claimed into a list-pruned range probe") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
