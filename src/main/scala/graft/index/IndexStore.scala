@@ -93,6 +93,13 @@ object IndexStore {
   private def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))
 
+  /** Whether the durable segment manifest for an index dir is on disk — the
+    * catalog fast paths verify this before trusting a persisted row: a row
+    * whose segments were deleted out-of-band must trigger a rebuild, not a
+    * load failure. */
+  def durable(spark: SparkSession, dir: String): Boolean =
+    exists(spark, s"$dir/_SEGMENTS")
+
   // ---- lifecycle -----------------------------------------------------------
 
   /** Build-or-load the index for (table parquet dir, text column, analyzer);

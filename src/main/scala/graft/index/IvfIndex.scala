@@ -226,6 +226,16 @@ object IvfIndex {
     * INDEX — must invalidate). */
   def invalidate(dir: String): Unit = jvmCache.remove(dir)
 
+  /** Whether an ensured index is loadable WITHOUT a build — in the JVM
+    * cache or durable on disk. Claim rules check this before [[ensure]]:
+    * planning must never run a KMeans job inside `transformUp` (a missing
+    * artifact fails the claim and the query keeps its exact sort). */
+  def available(spark: SparkSession, cacheKey: String, k: Int = 0): Boolean = {
+    val dir = dirFor(cacheKey, k)
+    jvmCache.contains(dir) ||
+      fs(spark, dir).exists(new Path(s"$dir/_CENTROIDS"))
+  }
+
   /** Build-or-load a persisted, cluster-partitioned copy (the durable form:
     * partition pruning on `cluster=` directories is what makes the probed
     * fraction of the data the actual IO cost). All metadata IO is Hadoop-FS

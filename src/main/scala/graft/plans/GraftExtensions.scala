@@ -28,8 +28,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => ClaimAnnRange(s))
     e.injectOptimizerRule(s => ClaimScoreTopK(s))
     e.injectOptimizerRule(s => ClaimScoreFilter(s))
+    e.injectPlannerStrategy(s => StrictClaimCheck(s))
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
     graft.functions.GeoWkb.functions.foreach(e.injectFunction)
+  }
+}
+
+/** Opt-in strict stub surface — the reference's `SearchStubFn` behavior
+  * (/root/reference/server/connector/functions/search.h:128-132: a search
+  * stub that escapes the claim THROWS; scorer misuse
+  * iresearch_plan.cpp:778-782). Under `spark.graft.strictClaims=true`, a
+  * `ts_match` or scorer stub that survives every optimizer claim pass
+  * raises an AnalysisException naming the missing index instead of
+  * silently row-evaluating — a user who typo'd the DDL learns their index
+  * is dark at plan time, not from a slow query. Implemented as a planner
+  * strategy (never produces a physical plan) because strategies see each
+  * node AFTER all optimizer batches have finished — an optimizer-rule
+  * check could fire before a later pass claims the predicate. Default mode
+  * keeps the safe fallback: row-eval is always result-correct. */
+case class StrictClaimCheck(spark: SparkSession)
+    extends org.apache.spark.sql.execution.SparkStrategy {
+  private val stubNames = graft.search.SqlSurface.scorerNames.toSet + "ts_match"
+
+  override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    if (spark.conf.get("spark.graft.strictClaims", "false").toBoolean) {
+      // walk the whole subtree: the planner does not visit every logical
+      // node individually (FileSourceStrategy consumes Project+Filter+Scan
+      // in one shot), so a single-node check would miss a stub inside a
+      // collapsed span. The root invocation covers the full plan.
+      plan.foreach(node => node.expressions.foreach(_.foreach {
+        case u: ScalaUDF if u.udfName.exists(stubNames.contains) =>
+          val name = u.udfName.get
+          val detail = u.children match {
+            case Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _)) =>
+              s"$name(${arg.sql}, '$q', '$d') needs CREATE SEARCH INDEX ... " +
+                s"ON <table> (${arg.sql}) WITH (analyzer = '$d', ...)"
+            case _ => s"$name(...) with non-literal query/dict arguments can never claim"
+          }
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+              (s"strictClaims: $detail — no matching index is registered for " +
+                "this scan, so the predicate would row-evaluate. Register the " +
+                "index or unset spark.graft.strictClaims.")))
+        case _ => ()
+      }))
+    }
+    Nil
   }
 }
 
@@ -297,14 +341,21 @@ private[plans] object AnnShapes {
     if (n == 0) q else q.map(x => (x / n).toFloat)
   }
 
-  /** The lazily-ensured IVF index for a catalog entry (a cache hit when the
-    * DDL built it; a rebuild from the scan root otherwise). Probe selection
-    * is driver-metadata math (IvfIndex.ballProbes) — ensuring here runs NO
-    * Spark job unless the on-disk index is missing entirely. */
+  /** The lazily-ensured IVF index for a catalog entry. DDL builds eagerly,
+    * so the normal path is a JVM-cache hit or a metadata-only disk load; if
+    * the on-disk artifact was deleted AFTER registration, the claim FAILS
+    * (throw → caller's catch keeps the exact sort) rather than running a
+    * KMeans job inside the optimizer — plan time must never run jobs. */
   def ivfFor(spark: SparkSession, root: String,
-      e: IndexCatalog.AnnEntry): graft.index.IvfIndex =
+      e: IndexCatalog.AnnEntry): graft.index.IvfIndex = {
+    if (!graft.index.IvfIndex.available(spark, e.cacheKey))
+      throw new IllegalStateException(
+        s"vector index ${e.cacheKey} is registered but its on-disk artifact " +
+          "is gone — failing the claim (exact sort keeps the query correct); " +
+          "re-run CREATE VECTOR INDEX to rebuild")
     graft.index.IvfIndex.ensure(spark,
       IndexCatalog.annSource(spark, root, e), e.cacheKey)
+  }
 }
 
 /** Claims `ORDER BY ann_<metric>(embedding, <const vector>) LIMIT k` over a

@@ -273,6 +273,25 @@ object Surface {
         |  "minimum_should_match": 2}}}""".stripMargin)
   }
 
+  /** ES `_search` through the CLAIM path (the reference's dsl.cpp→SQL→
+    * claimed-scan design, dsl.cpp:147-204): EsTables.createIndex registers
+    * the extracted `_source.text` as an expression-key index, and the DSL
+    * drives postings via semi-joins instead of re-tokenizing every doc —
+    * EsTablesSpec asserts the LeftSemi plan. Row-eval remains the
+    * un-indexed fallback (es_dsl_search / es_dsl_msm stay on it). */
+  def esDslClaimed(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_cl", esDocs, overwrite = true)
+    EsTables.createIndex(s, root, "reviews_cl", "text", "whitespace")
+    EsTables.search(s, root, "reviews_cl",
+      """{"query": {"bool": {
+        |  "must": [{"term": {"text": "engine"}}],
+        |  "should": [{"term": {"text": "good"}}, {"term": {"text": "fast"}},
+        |             {"term": {"text": "slow"}}],
+        |  "minimum_should_match": 2}}}""".stripMargin)
+  }
+
   /** The index as a SQL relation: query its parts directly (demo3's
     * `SELECT ... FROM imdb_fts_idx` pattern) — here a term-dict range scan
     * joined to postings for per-term document lists. */
@@ -379,6 +398,7 @@ object Surface {
     "ts_dict_claimed_filter" -> tsDictClaimedFilter,
     "vec_ann_filtered" -> vecAnnFiltered,
     "es_dsl_msm" -> esDslMsm,
+    "es_dsl_claimed" -> esDslClaimed,
     "ts_claimed_match" -> tsClaimedMatch,
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
@@ -464,6 +484,8 @@ object Surface {
         |SELECT vec_id FROM embeddings, qv WHERE vec_id % 2 = 1
         |ORDER BY list_distance(embedding::DOUBLE[], qe::DOUBLE[]) LIMIT 10""".stripMargin,
     "es_dsl_msm" -> """SELECT '1' AS "_id"""",
+    // doc 1: engine + (good, fast) = 2 shoulds; doc 2: engine + (slow) = 1
+    "es_dsl_claimed" -> """SELECT '1' AS "_id"""",
     "ts_claimed_match" ->
       s"""$toks
          |SELECT t.doc_id FROM toks t JOIN documents d USING (doc_id)

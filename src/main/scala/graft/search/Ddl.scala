@@ -13,7 +13,7 @@ import graft.index.IndexStore
   * ExpressionKeys surface (catalog/inverted_index.h:233,
   * inverted_index_expressions.test). */
 object ExprIndexes {
-  private val reg = TrieMap.empty[(String, String, String), (String, String)]
+  private[search] val reg = TrieMap.empty[(String, String, String), (String, String)]
 
   /** Canonical form for equality: lowercase, no backticks, no whitespace —
     * both the DDL-registered text and a resolved Catalyst expression's
@@ -25,8 +25,10 @@ object ExprIndexes {
       segDir: String, idCol: String): Unit =
     reg.put((tableRoot, normalize(exprSql), analyzer), (segDir, idCol))
 
-  def lookup(tableRoot: String, exprSql: String, analyzer: String): Option[(String, String)] =
+  def lookup(tableRoot: String, exprSql: String, analyzer: String): Option[(String, String)] = {
+    CatalogStore.ensureLoaded()
     reg.get((tableRoot, normalize(exprSql), analyzer))
+  }
 }
 
 /** The general index catalog the claim rules resolve scans through — the
@@ -46,15 +48,17 @@ object IndexCatalog {
     * `cosine` = L2 over unit-normalized copies, `ip` = dot-bound probes). */
   final case class AnnEntry(cacheKey: String, idCol: String, embCol: String, metric: String)
 
-  private val text = TrieMap.empty[(String, String, String), TextEntry]
-  private val ann = TrieMap.empty[(String, String, String), AnnEntry]
+  private[search] val text = TrieMap.empty[(String, String, String), TextEntry]
+  private[search] val ann = TrieMap.empty[(String, String, String), AnnEntry]
 
   def registerText(tableRoot: String, column: String, analyzer: String,
       segDir: String, idCol: String): Unit =
     text.put((tableRoot, column, analyzer), TextEntry(segDir, idCol))
 
-  def lookupText(tableRoot: String, column: String, analyzer: String): Option[TextEntry] =
+  def lookupText(tableRoot: String, column: String, analyzer: String): Option[TextEntry] = {
+    CatalogStore.ensureLoaded()
     text.get((tableRoot, column, analyzer))
+  }
 
   def unregisterText(segDir: String): Unit =
     text.filterInPlace((_, e) => e.segDir != segDir)
@@ -63,8 +67,10 @@ object IndexCatalog {
       entry: AnnEntry): Unit =
     ann.put((tableRoot, column, metric), entry)
 
-  def lookupAnn(tableRoot: String, column: String, metric: String): Option[AnnEntry] =
+  def lookupAnn(tableRoot: String, column: String, metric: String): Option[AnnEntry] = {
+    CatalogStore.ensureLoaded()
     ann.get((tableRoot, column, metric))
+  }
 
   def unregisterAnn(cacheKey: String): Unit =
     ann.filterInPlace((_, e) => e.cacheKey != cacheKey)
@@ -126,10 +132,15 @@ object Ddl {
 
   /** One catalog row per index, for SHOW / DROP. `annKey` is set for vector
     * indexes (the IvfIndex cache key, needed to unregister). */
-  private final case class Entry(dir: String, view: String, keySpec: String,
+  private[search] final case class Entry(dir: String, view: String, keySpec: String,
       analyzer: String, annKey: Option[String] = None)
 
-  private val catalog = TrieMap.empty[String, Entry]
+  private[search] val catalog = TrieMap.empty[String, Entry]
+
+  /** Index names whose session-local SQL views were registered in THIS JVM
+    * — a catalog row loaded from disk skips the build but still owes the
+    * session its `<name>_termdict/_postings/_docstats` views, once. */
+  private[search] val sessionReady = TrieMap.empty[String, Boolean]
 
   private val createRe =
     """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*)\)\s*""".r
@@ -164,7 +175,12 @@ object Ddl {
     }
   }
 
-  def execute(spark: SparkSession, sql: String): DataFrame = sql match {
+  def execute(spark: SparkSession, sql: String): DataFrame = {
+    CatalogStore.ensureLoaded()
+    executeParsed(spark, sql)
+  }
+
+  private def executeParsed(spark: SparkSession, sql: String): DataFrame = sql match {
     case createExprRe(name, view, exprRaw, optsStr) =>
       val opts = optRe.findAllMatchIn(optsStr)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
@@ -173,10 +189,18 @@ object Ddl {
       val analyzer = opts.getOrElse("analyzer", "whitespace")
       val cacheKey = opts.getOrElse("key", s"$view-expr")
       val keyCol = "expr_key"
-      // idempotent fast path, same contract as the plain-column branch
+      // idempotent fast path, same contract as the plain-column branch; a
+      // row LOADED from the persisted catalog still needs this session's
+      // SQL views registered once. The durable check guards against a stale
+      // persisted row whose segments were deleted out-of-band: CREATE must
+      // rebuild then, not fail the load.
       val exprDir = IndexStore.dirFor(cacheKey, keyCol, analyzer)
-      if (catalog.get(name).contains(Entry(exprDir, view, s"(($exprRaw))", analyzer)))
+      if (catalog.get(name).contains(Entry(exprDir, view, s"(($exprRaw))", analyzer)) &&
+          IndexStore.durable(spark, exprDir)) {
+        if (sessionReady.putIfAbsent(name, true).isEmpty)
+          IndexStore.registerViews(spark, exprDir, name)
         return result(spark, s"created $name")
+      }
       val df = spark.table(view)
         .withColumn(keyCol, org.apache.spark.sql.functions.expr(exprRaw))
       IndexStore.ensure(spark, df, cacheKey, idCol, keyCol, analyzer)
@@ -190,6 +214,8 @@ object Ddl {
           spark.sessionState.sqlParser.parseExpression(exprRaw).sql, analyzer, dir, idCol)
       }
       catalog.put(name, Entry(dir, view, s"(($exprRaw))", analyzer))
+      sessionReady.put(name, true)
+      CatalogStore.persist(spark)
       result(spark, s"created $name")
     case createRe(name, view, textCol, optsStr) =>
       val opts = optRe.findAllMatchIn(optsStr)
@@ -203,8 +229,14 @@ object Ddl {
       // DROP removes the catalog row, so a recreate always takes the full
       // path and rebuilds
       val fastDir = IndexStore.dirFor(cacheKey, textCol, analyzer)
-      if (catalog.get(name).contains(Entry(fastDir, view, textCol, analyzer)))
+      if (catalog.get(name).contains(Entry(fastDir, view, textCol, analyzer)) &&
+          IndexStore.durable(spark, fastDir)) {
+        if (sessionReady.putIfAbsent(name, true).isEmpty) {
+          IndexStore.registerViews(spark, fastDir, name)
+          IndexStore.registerStatsTables(spark, fastDir, name)
+        }
         return result(spark, s"created $name")
+      }
       IndexStore.ensure(spark, spark.table(view), cacheKey, idCol, textCol, analyzer)
       val dir = fastDir
       IndexStore.registerViews(spark, dir, name)
@@ -215,6 +247,8 @@ object Ddl {
         IndexCatalog.registerText(root, textCol, analyzer, dir, idCol)
       }
       catalog.put(name, Entry(dir, view, textCol, analyzer))
+      sessionReady.put(name, true)
+      CatalogStore.persist(spark)
       result(spark, s"created $name")
     case createVecRe(name, view, embCol, optsStr) =>
       val opts = optRe.findAllMatchIn(optsStr)
@@ -229,7 +263,8 @@ object Ddl {
       // idempotent fast path, same contract as the search-index branch
       val vecDir = graft.index.IvfIndex.dirFor(effKey, lists)
       if (catalog.get(name).contains(
-          Entry(vecDir, view, embCol, s"vector:$metric", annKey = Some(effKey))))
+            Entry(vecDir, view, embCol, s"vector:$metric", annKey = Some(effKey))) &&
+          graft.index.IvfIndex.available(spark, effKey, lists))
         return result(spark, s"created $name")
       val root = scanRootOf(spark, view).getOrElse(
         throw new IllegalArgumentException(
@@ -239,8 +274,10 @@ object Ddl {
         IndexCatalog.annSource(spark, root, entry), effKey, lists)
       IndexCatalog.registerAnn(root, embCol, metric, entry)
       catalog.put(name, Entry(vecDir, view, embCol, s"vector:$metric", annKey = Some(effKey)))
+      CatalogStore.persist(spark)
       result(spark, s"created $name")
     case dropRe(name) =>
+      sessionReady.remove(name)
       catalog.remove(name) match {
         case Some(e) =>
           val p = new org.apache.hadoop.fs.Path(e.dir)
@@ -251,6 +288,7 @@ object Ddl {
             graft.index.IvfIndex.invalidate(e.dir)
             IndexCatalog.unregisterAnn(k)
           }
+          CatalogStore.persist(spark)
           result(spark, s"dropped $name")
         case None =>
           throw new IllegalArgumentException(s"no such search index: $name")
@@ -267,5 +305,128 @@ object Ddl {
   private def result(spark: SparkSession, msg: String): DataFrame = {
     import spark.implicits._
     Seq(msg).toDF("result")
+  }
+}
+
+/** Durable form of the index catalog — the analogue of the reference
+  * persisting index catalog objects and re-attaching them at boot
+  * (/root/reference/server/catalog/catalog.cpp:5602). Every DDL statement
+  * rewrites `<GRAFT_INDEX_DIR>/_CATALOG/catalog.json` (one JSON object per
+  * line, atomic tmp+rename through the Hadoop FS API so the same code path
+  * covers HDFS/S3 at cluster scale); the first catalog LOOKUP of a fresh
+  * JVM loads it lazily, so a claimed query in a new session resolves
+  * DDL-registered indexes with no re-run — without persistence every claim
+  * would silently degrade to row-eval after a restart.
+  *
+  * Registrations made in THIS session win over loaded rows (load is
+  * putIfAbsent); a stale row whose segment dir was deleted out-of-band just
+  * fails its claim at IndexStore.load and the query falls back to row-eval
+  * — durability can change HOW a query runs, never its result. */
+object CatalogStore {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  import org.apache.hadoop.fs.Path
+
+  @volatile private var loadedOnce = false
+  private val mapper = new ObjectMapper()
+
+  /** Test hook: point the persisted catalog somewhere else (isolation from
+    * catalogs other JVMs left in the shared tmp dir). */
+  @volatile private[graft] var baseDirOverride: Option[String] = None
+
+  private def baseDir: String = baseDirOverride.getOrElse(sys.env.getOrElse(
+    "GRAFT_INDEX_DIR", sys.props("java.io.tmpdir") + "/graft-index"))
+  private def catalogPath = new Path(baseDir, "_CATALOG/catalog.json")
+
+  private def fs(p: Path) =
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  def ensureLoaded(): Unit =
+    if (!loadedOnce) synchronized {
+      if (!loadedOnce) {
+        try load()
+        catch { case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"index catalog load failed, starting empty: $e")
+        }
+        loadedOnce = true
+      }
+    }
+
+  /** Test hook: forget the in-JVM registries and re-load from disk, as a
+    * fresh session would. */
+  private[graft] def reset(): Unit = synchronized {
+    IndexCatalog.text.clear(); IndexCatalog.ann.clear()
+    ExprIndexes.reg.clear(); Ddl.catalog.clear(); Ddl.sessionReady.clear()
+    loadedOnce = false
+  }
+
+  private def row(kv: (String, String)*): String = {
+    val node = mapper.createObjectNode()
+    kv.foreach { case (k, v) => node.put(k, v) }
+    mapper.writeValueAsString(node)
+  }
+
+  def persist(spark: SparkSession): Unit = synchronized {
+    val lines = Seq.newBuilder[String]
+    IndexCatalog.text.foreach { case ((root, c, a), e) =>
+      lines += row("kind" -> "text", "root" -> root, "column" -> c,
+        "analyzer" -> a, "segDir" -> e.segDir, "idCol" -> e.idCol)
+    }
+    IndexCatalog.ann.foreach { case ((root, c, m), e) =>
+      lines += row("kind" -> "ann", "root" -> root, "column" -> c,
+        "metric" -> m, "cacheKey" -> e.cacheKey, "idCol" -> e.idCol,
+        "embCol" -> e.embCol)
+    }
+    ExprIndexes.reg.foreach { case ((root, sql, a), (segDir, idCol)) =>
+      lines += row("kind" -> "expr", "root" -> root, "exprSql" -> sql,
+        "analyzer" -> a, "segDir" -> segDir, "idCol" -> idCol)
+    }
+    Ddl.catalog.foreach { case (n, e) =>
+      lines += row((Seq("kind" -> "ddl", "name" -> n, "dir" -> e.dir,
+        "view" -> e.view, "keySpec" -> e.keySpec, "analyzer" -> e.analyzer) ++
+        e.annKey.map("annKey" -> _)): _*)
+    }
+    val dest = catalogPath
+    val tmp = new Path(dest.getParent, s"catalog.json.tmp-${java.util.UUID.randomUUID}")
+    val f = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(tmp, true)
+    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (f.exists(dest)) f.delete(dest, false)
+    f.rename(tmp, dest)
+  }
+
+  private def load(): Unit = {
+    val p = catalogPath
+    val f = fs(p)
+    if (!f.exists(p)) return
+    val in = f.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+      val n = mapper.readTree(line)
+      def s(k: String) = Option(n.get(k)).map(_.asText())
+      s("kind") match {
+        case Some("text") =>
+          IndexCatalog.text.putIfAbsent(
+            (s("root").get, s("column").get, s("analyzer").get),
+            IndexCatalog.TextEntry(s("segDir").get, s("idCol").get))
+        case Some("ann") =>
+          IndexCatalog.ann.putIfAbsent(
+            (s("root").get, s("column").get, s("metric").get),
+            IndexCatalog.AnnEntry(s("cacheKey").get, s("idCol").get,
+              s("embCol").get, s("metric").get))
+        case Some("expr") =>
+          ExprIndexes.reg.putIfAbsent(
+            (s("root").get, s("exprSql").get, s("analyzer").get),
+            (s("segDir").get, s("idCol").get))
+        case Some("ddl") =>
+          Ddl.catalog.putIfAbsent(s("name").get,
+            Ddl.Entry(s("dir").get, s("view").get, s("keySpec").get,
+              s("analyzer").get, s("annKey")))
+        case _ => // unknown row kind: ignore (forward compatibility)
+      }
+    }
   }
 }

@@ -89,16 +89,99 @@ object EsTables {
       .orderBy(col("_id")).limit(size)
   }
 
-  /** _search: query DSL over a JSON field of `_source`, row-evaluated —
-    * returns matching `_id`s (handlers.cpp:636; dsl.cpp translation). */
+  /** The expression DDL registers the extracted JSON field as an
+    * expression-key index (`((get_json_object(_source, '$.field')))`) — the
+    * same catalog every `ts_match` claim resolves through, so [[search]]
+    * finds it and drives from postings. The reference reaches the identical
+    * state by translating DSL→SQL and letting the iresearch claim walk pick
+    * it up (dsl.cpp:147-204 → iresearch_plan claimed scan). */
+  def createIndex(spark: SparkSession, root: String, name: String,
+      field: String = "text", dict: String = "whitespace"): Unit = {
+    val view = s"es_${name}_v".replaceAll("[^A-Za-z0-9_]", "_")
+    table(spark, root, name).createOrReplaceTempView(view)
+    val idxName = s"es_${name}_${field}_idx".replaceAll("[^A-Za-z0-9_]", "_")
+    graft.search.Ddl.execute(spark,
+      s"CREATE SEARCH INDEX $idxName ON $view ((get_json_object(_source, '$$.$field'))) " +
+        s"WITH (id = '_id', analyzer = '$dict', key = '$root-es-$name-$field')")
+  }
+
+  /** _search: query DSL over a JSON field of `_source` — returns matching
+    * `_id`s (handlers.cpp:636; dsl.cpp translation).
+    *
+    * If [[createIndex]] registered a search index over this field, the DSL
+    * drives the INDEX: each branch becomes a postings match
+    * (TsQueryExec.matching) and the bool combines them with semi/anti joins
+    * + a minimum_should_match branch count — the plan is a LeftSemi join
+    * against index segments, never a full `_source` tokenize-and-scan (at
+    * scale an un-indexed ES query re-analyzes the whole corpus per call).
+    * Without an index it row-evaluates, result-identical. */
   def search(spark: SparkSession, root: String, name: String,
       dslJson: String, field: String = "text",
       dict: String = "whitespace"): DataFrame = {
     val analyzer = AnalyzerRegistry.get(dict)
+    val parsed = EsDsl.parse(dslJson, analyzer)
+    graft.search.ExprIndexes.lookup(
+        dir(root, name), s"get_json_object(_source, '$$.$field')", dict) match {
+      case Some((segDir, idCol)) => claimedSearch(spark, root, name, segDir, idCol, parsed)
+      case None => rowEvalSearch(spark, root, name, parsed, analyzer, field)
+    }
+  }
+
+  private def claimedSearch(spark: SparkSession, root: String, name: String,
+      segDir: String, idCol: String,
+      parsed: Either[EsDsl.Bool, graft.search.TsQuery]): DataFrame = {
+    val idx = graft.index.IndexStore.load(spark, segDir)
+    def hits(q: graft.search.TsQuery): DataFrame =
+      TsQueryExec.matching(idx, q).select(col("doc_id"))
+    val matched: Option[DataFrame] = parsed match {
+      case Right(q) => Some(hits(q))
+      case Left(b) =>
+        // must branches intersect; should branches count toward the
+        // minimum_should_match floor; must_not anti-joins — the same
+        // counting semantics as the row-eval (dsl.cpp:326-349)
+        val mustDf = b.must.map(hits).reduceOption(
+          (a, c) => a.join(c, Seq("doc_id"), "left_semi"))
+        val shouldDf =
+          if (b.should.isEmpty || b.minShouldMatch <= 0) None
+          else Some(b.should.zipWithIndex
+            .map { case (q, i) => hits(q).withColumn("_b", lit(i)) }
+            .reduce(_ unionByName _)
+            .groupBy(col("doc_id"))
+            .agg(countDistinct(col("_b")).as("_nb"))
+            .filter(col("_nb") >= b.minShouldMatch)
+            .select(col("doc_id")))
+        val pos = (mustDf, shouldDf) match {
+          case (Some(m), Some(s)) => Some(m.join(s, Seq("doc_id"), "left_semi"))
+          case (m, s) => m.orElse(s)
+        }
+        pos.map { p =>
+          b.mustNot.map(hits).foldLeft(p)(
+            (acc, n) => acc.join(n, Seq("doc_id"), "left_anti"))
+        }.orElse {
+          // no positive branch: match_all minus the must_nots
+          if (b.mustNot.isEmpty) None
+          else Some(b.mustNot.map(hits).foldLeft(
+            table(spark, root, name).select(col("_id").as("doc_id")))(
+            (acc, n) => acc.join(n, Seq("doc_id"), "left_anti")))
+        }
+    }
+    matched match {
+      case None => table(spark, root, name).select(col("_id")) // match_all
+      case Some(m) =>
+        table(spark, root, name)
+          .join(m.select(col("doc_id").as("__match_id")),
+            col("_id") === col("__match_id"), "left_semi")
+          .select(col("_id"))
+    }
+  }
+
+  private def rowEvalSearch(spark: SparkSession, root: String, name: String,
+      parsed: Either[EsDsl.Bool, graft.search.TsQuery],
+      analyzer: graft.analysis.Analyzer, field: String): DataFrame = {
     // a top-level bool keeps full counting semantics: every must matches, no
     // must_not matches, and >= minimum_should_match of the should branches
     // match — counted per branch in the row-eval, exactly dsl.cpp:326-349
-    val pred: Seq[String] => Boolean = EsDsl.parse(dslJson, analyzer) match {
+    val pred: Seq[String] => Boolean = parsed match {
       case Right(q) => toks => TsQueryExec.evalTokens(q, toks)
       case Left(b) => toks =>
         b.must.forall(TsQueryExec.evalTokens(_, toks)) &&

@@ -435,6 +435,90 @@ class ClaimRuleSpec extends AnyFunSuite {
       s"expected the scorer-stub diagnosis, got: $err")
   }
 
+  test("a parameterized ts_match claims after named-parameter folding") {
+    // the prepared-statement shape (reference tsquery_params.test): the
+    // query text carries :q / :d placeholders; Spark's BindParameters folds
+    // them to literals during analysis, so by optimization time the claim
+    // rule sees the same constant-argument ts_match as inline SQL
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT doc_id FROM graft_documents
+        |WHERE ts_match(text, :q, :d) AND n_chars > 100""".stripMargin,
+      Map("q" -> "stream -batch", "d" -> "whitespace"))
+    val optimized = df.queryExecution.optimizedPlan
+    val semiJoins = optimized.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semiJoins.nonEmpty, s"parameterized ts_match must claim:\n$optimized")
+    assert(udfsIn(optimized, "ts_match").isEmpty,
+      "folded parameters must not leave a row-eval ts_match")
+    // and the parameterized result equals the inline-literal result
+    assert(df.collect().map(_.getLong(0)).toSet ==
+      claimedDf.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("strictClaims raises at plan time when a stub survives unclaimed") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    spark.conf.set("spark.graft.strictClaims", "true")
+    try {
+      // a claimable query still plans and runs under strict mode
+      assert(claimedDf.collect().nonEmpty)
+      // an unclaimable stub (aliased column blocks provenance) must fail
+      // PLANNING with a diagnosis, not row-evaluate silently
+      val bad = spark.sql(
+        """SELECT doc_id FROM (SELECT doc_id, source AS text FROM graft_documents)
+          |WHERE ts_match(text, 'src1', 'whitespace')""".stripMargin)
+      val e = intercept[org.apache.spark.sql.AnalysisException](bad.queryExecution.executedPlan)
+      assert(e.getMessage.contains("strictClaims") && e.getMessage.contains("ts_match"),
+        s"expected the strict-claims diagnosis, got: ${e.getMessage}")
+    } finally spark.conf.set("spark.graft.strictClaims", "false")
+  }
+
+  test("a registered ANN claim whose artifact was deleted keeps the exact sort (no plan-time build)") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureEmbIndex()
+    import org.apache.spark.sql.functions._
+    val q = Tables.embeddings(spark, TestSpark.sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    // delete the durable artifact out-of-band + forget the JVM cache
+    val ivfDir = graft.index.IvfIndex.dirFor(s"${TestSpark.sfDir}-embeddings")
+    val p = new org.apache.hadoop.fs.Path(ivfDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    graft.index.IvfIndex.invalidate(ivfDir)
+    try {
+      val df = Tables.embeddings(spark, TestSpark.sfDir)
+        .orderBy(call_udf("ann_l2", col("embedding"), typedlit(q)))
+        .limit(10)
+        .select(col("vec_id"))
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val optimized =
+        try { val o = df.queryExecution.optimizedPlan; Thread.sleep(500); o }
+        finally spark.sparkContext.removeSparkListener(listener)
+      assert(udfsIn(optimized, "ann_l2").nonEmpty,
+        s"a claim without its artifact must bail to the exact sort:\n$optimized")
+      assert(counter.get == 0,
+        s"failing the claim must not run a plan-time build job, saw ${counter.get}")
+      // and the exact sort still answers correctly
+      val exact = graft.queries.Vectors.knnExact(spark, TestSpark.sfDir)
+        .collect().map(_.getLong(0)).toSet
+      assert(df.collect().map(_.getLong(0)).toSet == exact)
+    } finally {
+      // rebuild the shared index for later tests (DROP clears the stale
+      // catalog row so CREATE takes the full build path)
+      graft.search.Ddl.execute(spark, "DROP VECTOR INDEX emb_claim_l2")
+      ensureEmbIndex()
+    }
+  }
+
   test("ann_l2 radius predicate is claimed into a list-pruned range probe") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)

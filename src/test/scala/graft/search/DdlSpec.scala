@@ -90,6 +90,52 @@ class DdlSpec extends AnyFunSuite {
     Ddl.execute(spark, "DROP SEARCH INDEX expr_spec_idx")
   }
 
+  test("a DDL-registered claim survives a session restart via the persisted catalog") {
+    graft.search.SqlSurface.registerAll(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("persist_spec_docs")
+    // a key of its own: DROP below deletes this index's segment dir, which
+    // must never be the shared `$dir-documents` fixture other suites load
+    def create(): Unit = Ddl.execute(spark,
+      s"CREATE SEARCH INDEX persist_spec_idx ON persist_spec_docs (text) " +
+        s"WITH (id = 'doc_id', analyzer = 'whitespace', key = '$dir-documents-persist-spec')")
+    def claimedPlan() = spark.sql(
+      """SELECT doc_id FROM persist_spec_docs
+        |WHERE ts_match(text, 'stream', 'whitespace')""".stripMargin)
+      .queryExecution.optimizedPlan
+    def hasUdf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case n => n.expressions }.flatten.exists(_.exists {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+          u.udfName.contains("ts_match")
+        case _ => false
+      })
+    // isolate the persisted catalog from files other JVMs left in /tmp
+    val tmpCat = java.nio.file.Files.createTempDirectory("graft-cat-spec").toString
+    CatalogStore.baseDirOverride = Some(tmpCat)
+    try {
+      CatalogStore.reset()
+      create()
+      assert(!hasUdf(claimedPlan()), "claim must fire in the registering session")
+
+      // simulate a fresh JVM: wipe every in-memory registry, then lazily
+      // re-load from <GRAFT_INDEX_DIR>/_CATALOG on the next lookup
+      CatalogStore.reset()
+      assert(!hasUdf(claimedPlan()),
+        "claim must fire in a FRESH session with no DDL re-run (persisted catalog)")
+
+      // DROP removes the persisted row: after another restart the claim is
+      // dark (and must NOT be resurrected by the catalog file)
+      Ddl.execute(spark, "DROP SEARCH INDEX persist_spec_idx")
+      CatalogStore.reset()
+      assert(hasUdf(claimedPlan()),
+        "after DROP + restart the catalog must not resurrect the index")
+    } finally {
+      // restore shared state: drop the override and re-load the real
+      // persisted catalog lazily on the next lookup
+      CatalogStore.baseDirOverride = None
+      CatalogStore.reset()
+    }
+  }
+
   test("malformed statements fail loudly") {
     intercept[IllegalArgumentException](
       Ddl.execute(spark, "CREATE SEARCH INDEX x ON v (c) WITH (analyzer = 'a')"))

@@ -42,6 +42,45 @@ class EsTablesSpec extends AnyFunSuite {
     assert(cat.get("t").contains(4L))
   }
 
+  test("an indexed es field routes _search through the claim path (LeftSemi, no UDF)") {
+    val spark = TestSpark.spark
+    val root = sys.props("java.io.tmpdir") + s"/graft-es-claim-${System.nanoTime()}"
+    EsTables.bulk(spark, root, "c", docs, overwrite = true)
+
+    // un-indexed row-eval baseline for the same DSL
+    val dsl =
+      """{"query": {"bool": {
+        |  "must": [{"term": {"text": "fox"}}],
+        |  "should": [{"term": {"text": "quick"}}, {"term": {"text": "red"}},
+        |             {"term": {"text": "lazy"}}],
+        |  "minimum_should_match": 2}}}""".stripMargin
+    val rowEval = EsTables.search(spark, root, "c", dsl)
+      .collect().map(_.getString(0)).toSet
+
+    EsTables.createIndex(spark, root, "c")
+    val claimed = EsTables.search(spark, root, "c", dsl)
+    val optimized = claimed.queryExecution.optimizedPlan
+    val semis = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty, s"indexed es _search must drive from postings:\n$optimized")
+    val udfs = optimized.collect { case n => n.expressions }.flatten
+      .flatMap(_.collect { case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u })
+    assert(udfs.isEmpty, s"indexed es _search must not row-eval the DSL:\n$optimized")
+    assert(claimed.collect().map(_.getString(0)).toSet == rowEval,
+      "claimed and row-eval _search must agree")
+    // a3 = fox + (quick, red); a1 = fox + (quick) only
+    assert(rowEval == Set("a3"))
+
+    // must_not still works through the claim (anti-join path)
+    val dsl2 =
+      """{"query": {"bool": {"must": [{"term": {"text": "brown"}}],
+        |"must_not": [{"term": {"text": "lazy"}}]}}}""".stripMargin
+    assert(EsTables.search(spark, root, "c", dsl2)
+      .collect().map(_.getString(0)).toSet == Set("a1"))
+  }
+
   test("bool minimum_should_match > 1 enforces per-branch counting") {
     val spark = TestSpark.spark
     val root = sys.props("java.io.tmpdir") + s"/graft-es-msm-${System.nanoTime()}"
