@@ -47,6 +47,54 @@ object Bench {
       System.gc()
       n -> Seq.fill(3)(runOnce(n)).sorted.apply(1)
     }
+    // memoized-artifact build costs (VERDICT r6 §wrong-4): the steady-state
+    // entry time for e.g. dedup_cluster_cc reads a shared artifact; the
+    // one-time build ran during warmup and is reported here so it stays
+    // visible in the scaling story
+    val builds = graft.queries.DedupQueries.artifactBuildSeconds.toSeq.sorted
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+
+    // sf1 spot (VERDICT r6 item 8): replicate the bench tables 10x and run
+    // the most expensive DATA-BOUND entries once — the cheapest way to catch
+    // super-linear scaling that sf0.1 numbers hide. Documents replicas get
+    // replica-prefixed tokens so cross-replica text is disjoint: the dup
+    // structure of each replica mirrors sf0.1 (10x corpus -> 10x dup pairs,
+    // the honest linear-scaling shape), instead of every doc gaining 9
+    // artificial exact twins (quadratic pair blowup that no real 10x corpus
+    // has).
+    val sf1Spot: String =
+      if (!sfDir.contains("sf0.1") || sys.env.get("SPARK_GRAFT_SF1_SPOT").contains("0")) ""
+      else {
+        import org.apache.spark.sql.functions._
+        val sf1Dir = sys.props("java.io.tmpdir") + "/graft-sf1"
+        val genT0 = System.nanoTime()
+        if (!new java.io.File(s"$sf1Dir/documents.parquet/_SUCCESS").exists()) {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+          (0 until 10).map { i =>
+            docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * maxId))
+              .withColumn("text", array_join(
+                transform(split(col("text"), " "),
+                  t => concat_ws("_", lit(s"r$i"), t)), " "))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$sf1Dir/documents.parquet")
+          val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          Seq.fill(10)(li).reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
+        }
+        val genS = (System.nanoTime() - genT0) / 1e9
+        val spot = Seq("summarize_table", "approx_sketches", "dedup_simhash",
+          "dedup_minhash_lsh", "dedup_ngram_jaccard")
+        val times = spot.filter(SparkEntry.queries.contains).map { n =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sf1Dir).write.mode("overwrite")
+            .format("noop").save()
+          n -> (System.nanoTime() - t0) / 1e9
+        }
+        f""","sf1_spot":${times.map { case (k, v) => f""""$k":$v%.3f""" }
+          .mkString("{", ",", "}")},"sf1_gen_sec":$genS%.1f"""
+      }
+
     // Full per-entry timings go to a FILE — the stdout line overflowed the
     // driver's tail-capture window at 112 entries (r04 parsed: null) no
     // matter the field order; the line itself stays headline-compact.
@@ -54,11 +102,12 @@ object Bench {
     val total = results.map(_._2).sum
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_ENTRIES.json"),
-      f"""{"sf":"$sfDir","total_sec":$total%.3f,"entries":${allQs.mkString("{", ",", "}")}}""")
-    // stdout: headline relational queries only (q01..q19) + totals
+      f"""{"sf":"$sfDir","total_sec":$total%.3f,"artifact_build":$builds$sf1Spot,"entries":${allQs.mkString("{", ",", "}")}}""")
+    // stdout: headline relational queries only (q01..q19) + totals; the
+    // artifact-build and sf1-spot blocks ride along (both are tiny)
     val headline = results.filter(_._1.startsWith("q"))
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_entries":${results.size},"queries":$headline}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_entries":${results.size},"artifact_build":$builds$sf1Spot,"queries":$headline}""")
     spark.stop()
   }
 }

@@ -356,6 +356,73 @@ final case class NearestNeighborsAnalyzer(
     }
 }
 
+/** fastText TEXT-format (`.vec`) word vectors: an `N dim` header line, then
+  * one `word v1 .. vdim` row per word — the public format
+  * `fasttext print-word-vectors` / `save_model` text export emits. Rows
+  * whose word carries the supervised-training `__label__` prefix are split
+  * out as label vectors, so one file can back both `nearest_neighbors`
+  * (word rows) and `classification` (label rows). Loaded once per analyzer
+  * instance on the driver; analyzers ship to executors as part of the
+  * serialized closure like every other dictionary-backed analyzer. */
+object FastTextVec {
+  final case class Model(words: Map[String, Array[Double]],
+      labels: Map[String, Array[Double]])
+
+  def load(path: String): Model = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try {
+      val it = src.getLines().filter(_.trim.nonEmpty)
+      require(it.hasNext, s"empty vector file: $path")
+      val header = it.next().trim.split("\\s+")
+      require(header.length == 2 && header.forall(_.forall(_.isDigit)),
+        s"expected fastText `N dim` header in $path, got: ${header.mkString(" ")}")
+      val dim = header(1).toInt
+      val words = Map.newBuilder[String, Array[Double]]
+      val labels = Map.newBuilder[String, Array[Double]]
+      it.foreach { line =>
+        val parts = line.trim.split("\\s+")
+        require(parts.length == dim + 1,
+          s"malformed vector row (want $dim dims): ${line.take(80)}")
+        val vec = Array.tabulate(dim)(i => parts(i + 1).toDouble)
+        if (parts(0).startsWith("__label__"))
+          labels += parts(0).stripPrefix("__label__") -> vec
+        else words += parts(0) -> vec
+      }
+      Model(words.result(), labels.result())
+    } finally src.close()
+  }
+
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}
+
+/** Model-backed text labeling: mean of the tokens' word vectors scored by
+  * cosine against each `__label__` vector, top-k labels emitted as tokens —
+  * the fastText-supervised scoring shape behind the reference's
+  * `classification` analyzer (classification_tokenizer.cpp), driven here by
+  * the public text vector format instead of the binary .bin. Deterministic:
+  * ties break on label name. */
+final case class VecClassificationAnalyzer(
+    inner: Analyzer,
+    model: FastTextVec.Model,
+    topK: Int = 1) extends Analyzer {
+  require(model.labels.nonEmpty, "classification model has no __label__ rows")
+  def apply(t: String): Seq[String] = {
+    val vecs = inner(t).flatMap(model.words.get)
+    if (vecs.isEmpty) return Seq.empty
+    val dim = vecs.head.length
+    val mean = Array.tabulate(dim)(i => vecs.map(_(i)).sum / vecs.size)
+    model.labels.toSeq
+      .map { case (l, v) => (l, FastTextVec.cosine(mean, v)) }
+      .sortBy { case (l, s) => (-s, l) }
+      .take(topK)
+      .map(_._1)
+  }
+}
+
 /** Word shingles: n consecutive tokens joined by a space — the unit set for
   * document-level Jaccard/MinHash dedup (inputs shorter than n emit nothing). */
 final case class ShingleAnalyzer(inner: Analyzer, n: Int = 3) extends Analyzer {
@@ -550,6 +617,30 @@ object AnalyzerRegistry {
       case "wordnet_synonyms" => LexizeAnalyzer(
         options.get("from").map(get).getOrElse(WhitespaceAnalyzer(lowercase = true)),
         SynonymFormats.parseWordNet(options("rules")))
+      case "nearest_neighbors" =>
+        // model_location = fastText .vec file; without one the analyzer is
+        // the deterministic stand-in (empty table -> tokens pass through)
+        NearestNeighborsAnalyzer(
+          options.get("from").map(get).getOrElse(WhitespaceAnalyzer(lowercase = true)),
+          options.get("model_location")
+            .map(p => FastTextVec.load(p).words).getOrElse(Map.empty),
+          opt("top_k", "2").toInt)
+      case "classification" =>
+        val inner = options.get("from").map(get)
+          .getOrElse(WhitespaceAnalyzer(lowercase = true))
+        options.get("model_location") match {
+          case Some(p) =>
+            VecClassificationAnalyzer(inner, FastTextVec.load(p), opt("top_k", "1").toInt)
+          case None =>
+            // deterministic stand-in: explicit keyword profiles
+            // `label1:w1,w2;label2:w3`
+            val profiles = opt("profiles", "").split(";").filter(_.contains(":"))
+              .map { s =>
+                val Array(l, ws) = s.split(":", 2)
+                l.trim -> ws.split(",").map(_.trim).filter(_.nonEmpty).toSet
+              }.toMap
+            ClassificationAnalyzer(inner, profiles, opt("top_k", "1").toInt)
+        }
       case "geopoint" => GeoPointAnalyzer(opt("max_precision", "7").toInt)
       case "geojson" => GeoJsonAnalyzer(opt("precision", "5").toInt)
       case "shingle" => ShingleAnalyzer(

@@ -69,6 +69,138 @@ object Geo {
     (360.0 / (1L << lonBits), 180.0 / (1L << latBits))
   }
 
+  /** Bounds of a geohash cell (inverse of [[geohash]]):
+    * (lonLo, latLo, lonHi, latHi). */
+  def cellBounds(gh: String): (Double, Double, Double, Double) = {
+    var latLo = -90.0; var latHi = 90.0; var lonLo = -180.0; var lonHi = 180.0
+    var even = true
+    gh.foreach { c =>
+      val ch = Base32.indexOf(c)
+      require(ch >= 0, s"not a geohash char: $c")
+      var b = 4
+      while (b >= 0) {
+        val bit = (ch >> b) & 1
+        if (even) {
+          val mid = (lonLo + lonHi) / 2
+          if (bit == 1) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (bit == 1) latLo = mid else latHi = mid
+        }
+        even = !even; b -= 1
+      }
+    }
+    (lonLo, latLo, lonHi, latHi)
+  }
+
+  /** How a cell rectangle relates to a query shape: drives the adaptive
+    * covering recursion (the S2 covering interior/boundary distinction,
+    * geo_filter_builder.cpp:599-661). */
+  sealed trait CellRel
+  case object CellInside extends CellRel   // emit at this (coarse) level
+  case object CellOutside extends CellRel  // prune the whole subtree
+  case object CellPartial extends CellRel  // subdivide (or emit at max depth)
+
+  /** Adaptive mixed-precision covering: start from the 32 precision-1 cells,
+    * keep cells fully inside the shape at their coarsest level, subdivide
+    * boundary cells down to `maxPrecision`. Returns geohash PREFIXES of
+    * mixed lengths — against an index tokenized at a fine fixed precision,
+    * each prefix is a term-range read (geohash is hierarchical: child cells
+    * extend the parent string). Any covering superset is correct; the exact
+    * refine runs after the index lookup. */
+  def adaptiveCover(classify: (Double, Double, Double, Double) => CellRel,
+      maxPrecision: Int): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def go(prefix: String): Unit = Base32.foreach { c =>
+      val cell = prefix + c
+      val (lo, la, hi, ha) = cellBounds(cell)
+      classify(lo, la, hi, ha) match {
+        case CellOutside => ()
+        case CellInside => out += cell
+        case CellPartial =>
+          if (cell.length >= maxPrecision) out += cell else go(cell)
+      }
+    }
+    go("")
+    out.result()
+  }
+
+  /** Finest precision whose estimated boundary-cell count fits `budget` —
+    * the query-shape-derived precision of the adaptive covering (small
+    * shapes refine further, large shapes stay coarse; the S2
+    * max_cells-style knob). The default budget tolerates a few hundred
+    * boundary cells: each covering cell is one pushable term-range over the
+    * (small) term dictionary, so predicate size — not IO — is the only
+    * cost of a finer boundary. */
+  def targetPrecision(width: Double, height: Double, maxPrecision: Int,
+      budget: Int = 256): Int =
+    (maxPrecision to 1 by -1).find { p =>
+      val (cw, ch) = cellSize(p)
+      2 * (width / cw + height / ch) <= budget
+    }.getOrElse(1)
+
+  /** Adaptive covering of an axis-aligned bbox. */
+  def adaptiveCoverBox(minLon: Double, minLat: Double,
+      maxLon: Double, maxLat: Double, maxPrecision: Int): Seq[String] = {
+    val p = targetPrecision(maxLon - minLon, maxLat - minLat, maxPrecision)
+    adaptiveCover((lo, la, hi, ha) =>
+      if (lo >= minLon && hi <= maxLon && la >= minLat && ha <= maxLat) CellInside
+      else if (lo > maxLon || hi < minLon || la > maxLat || ha < minLat) CellOutside
+      else CellPartial, p)
+  }
+
+  /** Driver-side even-odd point-in-polygon (same crossing arithmetic as
+    * [[stContainsPolygon]]). */
+  def pointInPolygon(verts: Seq[(Double, Double)], px: Double, py: Double): Boolean = {
+    var n = 0
+    var i = 0
+    while (i < verts.length - 1) {
+      val (ax, ay) = verts(i); val (bx, by) = verts(i + 1)
+      if ((ay > py) != (by > py) && px < (bx - ax) * (py - ay) / (by - ay) + ax) n += 1
+      i += 1
+    }
+    n % 2 == 1
+  }
+
+  private def segsIntersect(p1: (Double, Double), p2: (Double, Double),
+      p3: (Double, Double), p4: (Double, Double)): Boolean = {
+    def orient(a: (Double, Double), b: (Double, Double), c: (Double, Double)) =
+      math.signum((b._1 - a._1) * (c._2 - a._2) - (b._2 - a._2) * (c._1 - a._1))
+    val (d1, d2) = (orient(p3, p4, p1), orient(p3, p4, p2))
+    val (d3, d4) = (orient(p1, p2, p3), orient(p1, p2, p4))
+    (d1 != d2 && d3 != d4) ||
+      // collinear touch counts as intersecting (conservative → Partial)
+      (d1 == 0 && onSeg(p3, p4, p1)) || (d2 == 0 && onSeg(p3, p4, p2)) ||
+      (d3 == 0 && onSeg(p1, p2, p3)) || (d4 == 0 && onSeg(p1, p2, p4))
+  }
+
+  private def onSeg(a: (Double, Double), b: (Double, Double),
+      p: (Double, Double)): Boolean =
+    p._1 >= math.min(a._1, b._1) && p._1 <= math.max(a._1, b._1) &&
+      p._2 >= math.min(a._2, b._2) && p._2 <= math.max(a._2, b._2)
+
+  /** Adaptive covering of a WKT polygon: a cell is Inside when no polygon
+    * edge crosses it and its center is inside; Partial when an edge crosses
+    * it or the polygon sits wholly within it; Outside otherwise. */
+  def adaptiveCoverPolygon(wkt: String, maxPrecision: Int): Seq[String] = {
+    val vs = parseWktPolygon(wkt)
+    val (w, h) = (vs.map(_._1).max - vs.map(_._1).min,
+      vs.map(_._2).max - vs.map(_._2).min)
+    val p = targetPrecision(w, h, maxPrecision)
+    adaptiveCover((lo, la, hi, ha) => {
+      val corners = Seq((lo, la), (hi, la), (hi, ha), (lo, ha))
+      val rectEdges = corners.zip(corners.tail :+ corners.head)
+      val edgeCrosses = vs.sliding(2).exists { e =>
+        rectEdges.exists { case (a, b) => segsIntersect(e(0), e(1), a, b) }
+      }
+      if (edgeCrosses) CellPartial
+      else if (vs.exists { case (x, y) => x > lo && x < hi && y > la && y < ha })
+        CellPartial // polygon wholly inside the cell
+      else if (pointInPolygon(vs, (lo + hi) / 2, (la + ha) / 2)) CellInside
+      else CellOutside
+    }, p)
+  }
+
   /** All geohash cells intersecting a bbox — the covering set driving the
     * in-index candidate lookup (exact refine happens after). */
   def coverBox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,

@@ -101,6 +101,40 @@ final case class InvertedIndex(
     * startsWith keeps semantics exact even if p⁺ overflows. */
   def prefix(p: String): DataFrame = docsForTerms(expandTerms(prefixPred(p)))
 
+  /** Docs whose term starts with ANY of `prefixes` — one term-dict scan,
+    * then one bucket-pruned postings join. Drives mixed-precision geo cell
+    * coverings (a coarse covering cell is a prefix of every finer cell
+    * inside it), where N separate [[prefix]] calls would mean N dict scans
+    * and an N-way union.
+    *
+    * Small prefix sets become an OR of pushable term ranges; large ones
+    * (fine-boundary coverings run to hundreds of cells) use ONE pushable
+    * global range plus per-length set membership — `isin` over >10 values
+    * optimizes to an O(1) hash-set probe (InSet), where an equally long
+    * OR-of-ranges chain would blow up codegen. */
+  def anyOfPrefixes(prefixes: Seq[String]): DataFrame = {
+    require(prefixes.nonEmpty, "anyOfPrefixes needs at least one prefix")
+    val ps = prefixes.distinct
+    val pred =
+      if (ps.size <= 16) ps.map(prefixPred).reduce(_ || _)
+      else {
+        val lo = ps.min
+        val hiBase = ps.max
+        val range =
+          if (hiBase.last >= Char.MaxValue ||
+              Character.isSurrogate((hiBase.last + 1).toChar))
+            col("term") >= lo
+          else col("term") >= lo && col("term") < hiBase.init + (hiBase.last + 1).toChar
+        // a term shorter than a level's length substrings to a shorter
+        // string, which is never in that level's set — exactness holds
+        val member = ps.groupBy(_.length).toSeq.sortBy(_._1)
+          .map { case (l, cells) => substring(col("term"), 1, l).isin(cells: _*) }
+          .reduce(_ || _)
+        range && member
+      }
+    docsForTerms(expandTerms(pred))
+  }
+
   private def prefixPred(p: String): Column = {
     val base = col("term").startsWith(p)
     // p.last + 1 landing in the surrogate range would make the upper-bound

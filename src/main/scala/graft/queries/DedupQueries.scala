@@ -36,11 +36,22 @@ object DedupQueries {
   private val ccCache =
     scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
 
+  /** Wall seconds spent BUILDING each memoized artifact (key = artifact
+    * name), so the bench can report the one-time build cost next to the
+    * steady-state read — a 0.01 s cached read must not hide a multi-second
+    * build from the scaling story (VERDICT r6 §wrong-4). */
+  val artifactBuildSeconds =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+
   private def clustersFor(s: SparkSession, dir: String, minJ: Double): DataFrame =
-    ccCache.getOrElseUpdate((dir, minJ),
-      Dedup.connectedComponents(
+    ccCache.getOrElseUpdate((dir, minJ), {
+      val t0 = System.nanoTime()
+      val built = Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJ))
-        .localCheckpoint())
+        .localCheckpoint()
+      artifactBuildSeconds.put(s"cluster_cc:$minJ", (System.nanoTime() - t0) / 1e9)
+      built
+    })
 
   /** Pairwise near-dups collapsed into components: A~B, B~C → one cluster
     * with one canonical keeper — the decision a pipeline actually applies. */

@@ -90,22 +90,38 @@ object Extras {
       .select(col("c_custkey"), round(col("dist_km")).cast("bigint").as("km_q"))
   }
 
+  /** Indexed geohash precision for the customer-points fixture: tokens are
+    * stored at this FIXED fine precision; coverings at coarser precisions
+    * read the index through prefix term-ranges (a coarse cell is a string
+    * prefix of every finer cell inside it). */
+  private val GeoIdxPrecision = 4
+
+  private def geoPointsIndex(s: SparkSession, dir: String,
+      pts: DataFrame): graft.index.InvertedIndex = {
+    val ghUdf = udf((lat: Double, lon: Double) =>
+      Geo.geohash(lat, lon, GeoIdxPrecision))
+    graft.index.IndexStore.ensure(s,
+      pts.withColumn("gh", ghUdf(col("lat"), col("lon"))),
+      s"$dir-customer-geo$GeoIdxPrecision", "c_custkey", "gh", "keyword",
+      withPositions = false)
+  }
+
   /** In-index geo search: customer points are indexed as geohash cell
     * tokens (keyword terms — the S2-covering-cell pattern,
-    * geo_filter_builder.cpp:599-661); a bbox query looks up the covering
-    * cells in the index (bucket-pruned term reads), then refines the
-    * candidates with the exact containment predicate. Result equals the
-    * direct filter for ANY covering superset. */
+    * geo_filter_builder.cpp:599-661); a bbox query computes an ADAPTIVE
+    * mixed-precision covering (coarse cells where fully inside, refined at
+    * the boundary, target precision derived from the box size — the
+    * S2-covering analogue), looks the cells up as pushable term-range
+    * prefix reads, then refines candidates with the exact containment
+    * predicate. Result equals the direct filter for ANY covering superset. */
   def geoCellSearch(s: SparkSession, dir: String): DataFrame = {
-    val ghUdf = udf((lat: Double, lon: Double) => Geo.geohash(lat, lon, 2))
     def pts = Tables.customer(s, dir)
       .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
       .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
-    val idx = graft.index.IndexStore.ensure(s,
-      pts.withColumn("gh", ghUdf(col("lat"), col("lon"))),
-      s"$dir-customer-geo", "c_custkey", "gh", "keyword", withPositions = false)
+    val idx = geoPointsIndex(s, dir, pts)
     val (minLon, minLat, maxLon, maxLat) = (-60.0, -30.0, 60.0, 30.0)
-    val candidates = idx.anyOf(Geo.coverBox(minLon, minLat, maxLon, maxLat, 2))
+    val cover = Geo.adaptiveCoverBox(minLon, minLat, maxLon, maxLat, GeoIdxPrecision)
+    val candidates = idx.anyOfPrefixes(cover)
       .withColumnRenamed("doc_id", "c_custkey")
     pts.join(candidates, "c_custkey")
       .filter(Geo.stContainsBox(lit(minLon), lit(minLat), lit(maxLon), lit(maxLat),
@@ -132,20 +148,20 @@ object Extras {
       .select(col("c_custkey"))
   }
 
-  /** The polygon query THROUGH the geohash cell index: covering cells of
-    * the polygon's envelope → bucket-pruned keyword lookups → exact
-    * point-in-polygon refine (+ an envelope bbox-intersects sanity guard).
-    * Equal to geo_polygon_contains for any covering superset — the same
-    * invariant geo_cell_search establishes for boxes. */
+  /** The polygon query THROUGH the geohash cell index: an adaptive covering
+    * of the polygon itself (not just its envelope — cells outside the
+    * polygon but inside the envelope are pruned) → prefix term-range
+    * lookups → exact point-in-polygon refine (+ an envelope
+    * bbox-intersects sanity guard). Equal to geo_polygon_contains for any
+    * covering superset — the same invariant geo_cell_search establishes
+    * for boxes. */
   def geoPolygonCells(s: SparkSession, dir: String): DataFrame = {
-    val ghUdf = udf((lat: Double, lon: Double) => Geo.geohash(lat, lon, 2))
     def pts = Tables.customer(s, dir)
       .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
       .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
-    val idx = graft.index.IndexStore.ensure(s,
-      pts.withColumn("gh", ghUdf(col("lat"), col("lon"))),
-      s"$dir-customer-geo", "c_custkey", "gh", "keyword", withPositions = false)
-    val candidates = idx.anyOf(Geo.coverPolygon(polyWkt, 2))
+    val idx = geoPointsIndex(s, dir, pts)
+    val candidates = idx.anyOfPrefixes(
+        Geo.adaptiveCoverPolygon(polyWkt, GeoIdxPrecision))
       .withColumnRenamed("doc_id", "c_custkey")
     val verts = Geo.polygonLit(polyWkt)
     pts.join(candidates, "c_custkey")

@@ -125,6 +125,37 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(a("dog stuff") == Seq("dog", "puppy", "stuff"))
   }
 
+  test("fastText .vec model file backs nearest_neighbors and classification") {
+    val path = getClass.getResource("/fasttext-mini.vec").getPath
+    val m = FastTextVec.load(path)
+    assert(m.words.size == 7 && m.labels.keySet == Set("royalty", "fruit"))
+
+    // registry template with a model path: expansion by model cosine
+    val nn = AnalyzerRegistry.create("ft_nn_spec", "nearest_neighbors",
+      Map("model_location" -> path, "top_k" -> "1"))
+    assert(nn("king") == Seq("king", "queen"))
+    assert(nn("apple pie") == Seq("apple", "banana", "pie"))
+
+    // classification: mean token vector vs __label__ vectors
+    val cls = AnalyzerRegistry.create("ft_cls_spec", "classification",
+      Map("model_location" -> path))
+    assert(cls("king queen") == Seq("royalty"))
+    assert(cls("apple banana unknownword") == Seq("fruit"))
+    assert(cls("unknownword only") == Seq.empty)
+
+    // without a model both templates stay deterministic stand-ins
+    val plain = AnalyzerRegistry.create("ft_nn_plain_spec", "nearest_neighbors", Map.empty)
+    assert(plain("king cabbage") == Seq("king", "cabbage"))
+    val prof = AnalyzerRegistry.create("ft_cls_plain_spec", "classification",
+      Map("profiles" -> "db:query,index;ml:model,train"))
+    assert(prof("the query index") == Seq("db"))
+
+    // malformed files fail loudly
+    val bad = java.nio.file.Files.createTempFile("ft-bad", ".vec")
+    java.nio.file.Files.writeString(bad, "not a header\nword 1 2\n")
+    intercept[IllegalArgumentException](FastTextVec.load(bad.toString))
+  }
+
   test("decompound splits greedily and keeps unsplittable tokens whole") {
     val dict = Set("stream", "processing", "hash", "join", "has")
     assert(Decompound.split("streamprocessing", dict) == Seq("stream", "processing"))

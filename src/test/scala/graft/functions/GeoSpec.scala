@@ -73,6 +73,63 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive covering is complete and prunes by shape size") {
+    // completeness for the polygon: every inside point's fine cell has an
+    // ancestor (prefix) in the mixed-precision covering
+    val polyCover = Geo.adaptiveCoverPolygon(wkt, 4)
+    for (x <- -40 to 40 by 3; y <- -35 to 40 by 3 if insideRef(x + 0.5, y + 0.5)) {
+      val gh = Geo.geohash(y + 0.5, x + 0.5, 4)
+      assert(polyCover.exists(gh.startsWith),
+        s"covering missing a prefix of $gh for inside point ($x, $y)")
+    }
+
+    // completeness for boxes, including one crossing the equator/meridian
+    for ((lo, la, hi, ha) <- Seq((-60.0, -30.0, 60.0, 30.0),
+        (3.0, 7.0, 4.5, 8.5), (-1.0, -1.0, 1.0, 1.0))) {
+      val cover = Geo.adaptiveCoverBox(lo, la, hi, ha, 4)
+      var x = lo + 0.01
+      while (x < hi) {
+        var y = la + 0.01
+        while (y < ha) {
+          val gh = Geo.geohash(y, x, 4)
+          assert(cover.exists(gh.startsWith), s"box cover missing ($x, $y)")
+          y += (ha - la) / 7
+        }
+        x += (hi - lo) / 7
+      }
+    }
+
+    // pruning ratio: the covered area of a SMALL box must be within a small
+    // factor of the box itself — the fixed precision-2 covering was ~1 cell
+    // of 11.25°x5.625° (≈63 deg²) for this 2.25 deg² box, a 28x blowup
+    def coveredArea(cells: Seq[String]): Double = cells.map { c =>
+      val (lo, la, hi, ha) = Geo.cellBounds(c)
+      (hi - lo) * (ha - la)
+    }.sum
+    val small = Geo.adaptiveCoverBox(3.0, 7.0, 4.5, 8.5, 4)
+    val ratio = coveredArea(small) / (1.5 * 1.5)
+    assert(ratio <= 8.0, s"small-box covering must prune tightly, ratio=$ratio " +
+      s"cells=${small.size}")
+    // and the polygon covering must beat its own envelope (envelope covering
+    // was the old behavior): pentagon area ≈ 3318 deg² vs envelope 5472 deg²
+    val polyArea = coveredArea(polyCover)
+    assert(polyArea < 5472 * 0.9,
+      s"polygon covering must prune inside the envelope, area=$polyArea")
+    // cell count stays bounded (the budget knob caps the boundary estimate;
+    // diagonal edges can run past it by a small constant factor)
+    assert(small.size <= 96 && polyCover.size <= 1024,
+      s"coverings must stay bounded: ${small.size}, ${polyCover.size}")
+  }
+
+  test("cellBounds inverts geohash") {
+    for ((lat, lon) <- Seq((0.0, 0.0), (42.25, -179.5), (-89.9, 179.9), (7.3, 3.2))) {
+      val gh = Geo.geohash(lat, lon, 4)
+      val (lo, la, hi, ha) = Geo.cellBounds(gh)
+      assert(lon >= lo && lon < hi && lat >= la && lat < ha,
+        s"($lat, $lon) outside bounds of its own cell $gh: ($lo, $la, $hi, $ha)")
+    }
+  }
+
   test("WKB point encode matches the OGC golden bytes and round-trips") {
     // POINT(1 2), NDR — the canonical example layout from OGC 99-049
     val golden = "0101000000000000000000f03f0000000000000040"
