@@ -92,7 +92,10 @@ object Bench {
           n -> (System.nanoTime() - t0) / 1e9
         }
         f""","sf1_spot":${times.map { case (k, v) => f""""$k":$v%.3f""" }
-          .mkString("{", ",", "}")},"sf1_gen_sec":$genS%.1f"""
+          .mkString("{", ",", "}")},"sf1_gen_sec":$genS%.1f""" +
+          ""","sf1_note":"approx_sketches carries an exact-percentile """ +
+          """correctness gate (buffers all values; test-scale construct) """ +
+          """that dominates its sf1 time; the sketch itself is linear""""
       }
 
     // Full per-entry timings go to a FILE — the stdout line overflowed the

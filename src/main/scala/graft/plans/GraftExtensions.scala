@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => ClaimScoreTopK(s))
     e.injectOptimizerRule(s => ClaimScoreFilter(s))
     e.injectPlannerStrategy(s => StrictClaimCheck(s))
+    e.injectParser((_, delegate) => new graft.search.GraftSqlParser(delegate))
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
     graft.functions.GeoWkb.functions.foreach(e.injectFunction)
   }

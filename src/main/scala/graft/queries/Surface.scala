@@ -292,6 +292,19 @@ object Surface {
         |  "minimum_should_match": 2}}}""".stripMargin)
   }
 
+  /** ES `range` clause (dsl.cpp:257): lexicographic token bounds read as a
+    * pushable term-dict range when the field is indexed (the same
+    * granular-range machinery as ts_between). */
+  def esDslRange(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_rng", esDocs, overwrite = true)
+    EsTables.createIndex(s, root, "reviews_rng", "text", "whitespace")
+    // tokens in [e, g): engine (docs 1, 2), enough (3), fast (1)
+    EsTables.search(s, root, "reviews_rng",
+      """{"query": {"range": {"text": {"gte": "e", "lt": "g"}}}}""")
+  }
+
   /** The index as a SQL relation: query its parts directly (demo3's
     * `SELECT ... FROM imdb_fts_idx` pattern) — here a term-dict range scan
     * joined to postings for per-term document lists. */
@@ -399,6 +412,7 @@ object Surface {
     "vec_ann_filtered" -> vecAnnFiltered,
     "es_dsl_msm" -> esDslMsm,
     "es_dsl_claimed" -> esDslClaimed,
+    "es_dsl_range" -> esDslRange,
     "ts_claimed_match" -> tsClaimedMatch,
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
@@ -486,6 +500,9 @@ object Surface {
     "es_dsl_msm" -> """SELECT '1' AS "_id"""",
     // doc 1: engine + (good, fast) = 2 shoulds; doc 2: engine + (slow) = 1
     "es_dsl_claimed" -> """SELECT '1' AS "_id"""",
+    // [e, g): engine (1, 2), enough (3), fast (1)
+    "es_dsl_range" ->
+      """SELECT * FROM (VALUES ('1'), ('2'), ('3')) AS t("_id")""",
     "ts_claimed_match" ->
       s"""$toks
          |SELECT t.doc_id FROM toks t JOIN documents d USING (doc_id)

@@ -175,6 +175,21 @@ object Ddl {
     }
   }
 
+  /** Whether this statement is graft index DDL — the session-parser
+    * extension ([[GraftSqlParser]]) routes these out of the Spark grammar. */
+  def handles(sql: String): Boolean = sql match {
+    case createExprRe(_*) | createRe(_*) | createVecRe(_*) | dropRe(_*) |
+        showRe() => true
+    case _ => false
+  }
+
+  /** Output columns of a handled statement (SHOW is a table; everything else
+    * returns one `result` string). */
+  def isShow(sql: String): Boolean = sql match {
+    case showRe() => true
+    case _ => false
+  }
+
   def execute(spark: SparkSession, sql: String): DataFrame = {
     CatalogStore.ensureLoaded()
     executeParsed(spark, sql)

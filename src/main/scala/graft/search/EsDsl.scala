@@ -7,7 +7,7 @@ import graft.analysis.Analyzer
 /** Elasticsearch query-DSL → [[TsQuery]] translator — the Spark analogue of
   * the reference's ES HTTP layer (/root/reference/server/network/http/es/
   * dsl.cpp:147-394): `match` (analyzed disjunction by default, conjunction
-  * with `"operator":"and"`), `match_phrase`, `term`, `bool` with
+  * with `"operator":"and"`), `match_phrase`, `term`, `range`, `bool` with
   * must/should/must_not/filter + `minimum_should_match`, `match_all`.
   * json4s ships with Spark — no extra dependency.
   */
@@ -44,6 +44,28 @@ object EsDsl {
         case "term" =>
           val (_, value, _) = fieldTextOp(body)
           Right(TsQuery.Term(value))
+        case "range" =>
+          // {"field": {"gt"/"gte": ..., "lt"/"lte": ...}} (dsl.cpp:257) —
+          // lexicographic over the analyzed tokens, like `term`
+          body match {
+            case JObject(List((_, o: JObject))) =>
+              def bound(k: String): Option[String] = (o \ k) match {
+                case JString(s) => Some(s)
+                case JInt(n) => Some(n.toString)
+                case JDouble(d) => Some(d.toString)
+                case _ => None
+              }
+              val (gte, gt, lte, lt) =
+                (bound("gte"), bound("gt"), bound("lte"), bound("lt"))
+              require((gte.isEmpty || gt.isEmpty) && (lte.isEmpty || lt.isEmpty),
+                "ES DSL: range with both inclusive and exclusive bound")
+              val q = TsQuery.TermRange(gte.orElse(gt), lte.orElse(lt),
+                loInc = gte.nonEmpty, hiInc = lte.nonEmpty)
+              require(q.lo.nonEmpty || q.hi.nonEmpty, "ES DSL: empty range clause")
+              Right(q)
+            case other =>
+              throw new IllegalArgumentException(s"ES DSL: bad range clause $other")
+          }
         case "bool" =>
           def clause(name: String): Seq[TsQuery] = (body \ name) match {
             case JArray(items) => items.map(i => flat(translate(i, analyzer)))

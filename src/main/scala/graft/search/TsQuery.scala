@@ -24,6 +24,11 @@ object TsQuery {
   case object All extends TsQuery
   final case class Term(t: String) extends TsQuery
   final case class Prefix(p: String) extends TsQuery
+  /** Matches docs with any token in the (optionally open) lexicographic
+    * range — the ES `range` clause (dsl.cpp:257) over our token-centric
+    * emulation, and the ts_between/ts_lt/ts_gt surface. */
+  final case class TermRange(lo: Option[String], hi: Option[String],
+      loInc: Boolean, hiInc: Boolean) extends TsQuery
   final case class Phrase(terms: Seq[String]) extends TsQuery
   /** Positional phrase with per-gap [min,max] distance bounds — `<N>` in
     * tsquery syntax, `##` in the reference's operator surface. */
@@ -51,6 +56,7 @@ object TsQueryExec {
     case TsQuery.And(qs) if qs.isEmpty => universe(idx)
     case TsQuery.Term(t) => idx.term(t)
     case TsQuery.Prefix(p) => idx.prefix(p)
+    case TsQuery.TermRange(lo, hi, loInc, hiInc) => idx.range(lo, hi, loInc, hiInc)
     case TsQuery.Phrase(ts) if ts.size == 1 => idx.term(ts.head)
     case TsQuery.Phrase(ts) => idx.phrase(ts)
     case TsQuery.PhraseGap(ts, gaps) => idx.sloppyPhrase(ts, gaps)
@@ -86,6 +92,10 @@ object TsQueryExec {
     case TsQuery.All => true
     case TsQuery.Term(t) => toks.contains(t)
     case TsQuery.Prefix(p) => toks.exists(_.startsWith(p))
+    case TsQuery.TermRange(lo, hi, loInc, hiInc) => toks.exists { t =>
+      lo.forall(v => if (loInc) t >= v else t > v) &&
+        hi.forall(v => if (hiInc) t <= v else t < v)
+    }
     case TsQuery.Phrase(ps) => ps.size <= toks.size && toks.sliding(ps.size).contains(ps)
     case TsQuery.PhraseGap(ts, gaps) =>
       val positions = ts.map(t => toks.zipWithIndex.collect { case (x, i) if x == t => i })

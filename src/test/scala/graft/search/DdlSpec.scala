@@ -136,6 +136,26 @@ class DdlSpec extends AnyFunSuite {
     }
   }
 
+  test("index DDL is first-class spark.sql text via the parser extension") {
+    Tables.documents(spark, dir).limit(40).createOrReplaceTempView("sqlddl_docs")
+    val created = spark.sql(
+      "CREATE SEARCH INDEX sqlddl_idx ON sqlddl_docs (text) " +
+        "WITH (id = 'doc_id', analyzer = 'whitespace', key = 'sqlddl-spec')")
+    assert(created.collect().map(_.getString(0)).toSeq == Seq("created sqlddl_idx"))
+
+    val shown = spark.sql("SHOW SEARCH INDEXES")
+    assert(shown.filter(shown("index_name") === "sqlddl_idx").count() == 1)
+    // the SHOW output is a real relation: project/filter compose over it
+    assert(spark.sql("SHOW SEARCH INDEXES").select("analyzer").columns.length == 1)
+
+    assert(spark.sql("DROP SEARCH INDEX sqlddl_idx")
+      .head().getString(0) == "dropped sqlddl_idx")
+
+    // non-graft statements pass through to the Spark parser untouched
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    intercept[Exception](spark.sql("CREATE SEARCH NONSENSE"))
+  }
+
   test("malformed statements fail loudly") {
     intercept[IllegalArgumentException](
       Ddl.execute(spark, "CREATE SEARCH INDEX x ON v (c) WITH (analyzer = 'a')"))

@@ -81,6 +81,37 @@ class EsTablesSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set("a1"))
   }
 
+  test("range clause matches lexicographic token bounds, row-eval and claimed") {
+    val spark = TestSpark.spark
+    val root = sys.props("java.io.tmpdir") + s"/graft-es-range-${System.nanoTime()}"
+    EsTables.bulk(spark, root, "r", docs, overwrite = true)
+    // tokens in [d, m): dog, lazy, fox... fox yes (f<m), else: e<m yes ->
+    // a4 matches via "else"; a1 fox; a2 lazy+dog; a3 fox
+    val dsl = """{"query": {"range": {"text": {"gte": "d", "lt": "f"}}}}"""
+    // [d, f): dog (a2), else (a4)
+    def ids() = EsTables.search(spark, root, "r", dsl)
+      .collect().map(_.getString(0)).toSet
+    assert(ids() == Set("a2", "a4"))
+    // claimed path agrees and still plans as a semi-join
+    EsTables.createIndex(spark, root, "r")
+    assert(ids() == Set("a2", "a4"))
+    val optimized = EsTables.search(spark, root, "r", dsl)
+      .queryExecution.optimizedPlan
+    val semis = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty, s"indexed range must drive from the term dict:\n$optimized")
+    // bool combining range with a term, exclusive bound
+    val dsl2 =
+      """{"query": {"bool": {
+        |  "must": [{"range": {"text": {"gt": "dog", "lte": "lazy"}}},
+        |           {"term": {"text": "brown"}}]}}}""".stripMargin
+    // (dog, lazy]: fox, lazy -> a1 (fox), a2 (lazy), a3 (fox); brown -> a1, a2
+    assert(EsTables.search(spark, root, "r", dsl2)
+      .collect().map(_.getString(0)).toSet == Set("a1", "a2"))
+  }
+
   test("bool minimum_should_match > 1 enforces per-branch counting") {
     val spark = TestSpark.spark
     val root = sys.props("java.io.tmpdir") + s"/graft-es-msm-${System.nanoTime()}"
