@@ -36,6 +36,19 @@ object TextPipeline {
         col("o._2").cast("bigint").as("off_end"))
   }
 
+  /** ts_positions: match TOKEN positions straight from postings — the
+    * index-resident presentation path (the reference reads positions from
+    * the inverted index when stored, iresearch_plan.cpp:652-752 claiming
+    * ts_offsets; our index stores token positions, so this path touches no
+    * document text at all — zero text IO, pure index read). Char-range
+    * offsets (ts_offsets below) still use the documented prune+re-analyze
+    * fallback, since storing char offsets would double the postings. */
+  def tsPositions(s: SparkSession, dir: String): DataFrame =
+    IndexStore.documents(s, dir, "whitespace")
+      .postingsFor("vector")
+      .select(col("doc_id"), explode(col("positions")).as("p"))
+      .select(col("doc_id"), col("p").cast("bigint").as("pos"))
+
   /** ts_highlight: normalized-whitespace snippet with matched terms wrapped —
     * token-stream reconstruction so the snippet is engine-reproducible. */
   def tsHighlight(s: SparkSession, dir: String): DataFrame = {
@@ -241,6 +254,7 @@ object TextPipeline {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_offsets" -> tsOffsets,
+    "ts_positions" -> tsPositions,
     "ts_highlight" -> tsHighlight,
     "ta_token_stats" -> taTokenStats,
     "ta_bpe_tokens" -> taBpeTokens,
@@ -274,6 +288,15 @@ object TextPipeline {
         |SELECT doc_id, s AS off_start, s + 6 AS off_end FROM occ
         |WHERE (s = 1 OR regexp_matches(substr(t, CAST(s - 1 AS INT), 1), '\s'))
         |  AND (s + 6 > len(t) OR regexp_matches(substr(t, CAST(s + 6 AS INT), 1), '\s'))""".stripMargin,
+    // generate_subscripts and unnest zip in lockstep in DuckDB; positions
+    // are 0-based token indexes, same base as posexplode at index build
+    "ts_positions" ->
+      s"""$toks
+         |SELECT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(ts) AS tok,
+         |    CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS pos
+         |  FROM toks)
+         |WHERE tok = 'vector'""".stripMargin,
     "ts_highlight" ->
       s"""$toks
          |SELECT doc_id,
