@@ -150,6 +150,8 @@ object Ddl {
     """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*)\)\s*""".r
   private val dropRe = """(?is)\s*DROP\s+(?:SEARCH|VECTOR)\s+INDEX\s+(\w+)\s*""".r
   private val showRe = """(?is)\s*SHOW\s+SEARCH\s+INDEXES\s*""".r
+  private val compactRe = """(?is)\s*COMPACT\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
+  private val describeRe = """(?is)\s*DESCRIBE\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
   private val optRe = """(?s)(\w+)\s*=\s*'([^']*)'""".r
 
   /** Root path of the parquet scan a view wraps — the key every claim-rule
@@ -179,14 +181,19 @@ object Ddl {
     * extension ([[GraftSqlParser]]) routes these out of the Spark grammar. */
   def handles(sql: String): Boolean = sql match {
     case createExprRe(_*) | createRe(_*) | createVecRe(_*) | dropRe(_*) |
-        showRe() => true
+        showRe() | compactRe(_*) | describeRe(_*) => true
     case _ => false
   }
 
-  /** Output columns of a handled statement (SHOW is a table; everything else
-    * returns one `result` string). */
+  /** Output columns of a handled statement (SHOW and DESCRIBE are tables;
+    * everything else returns one `result` string). */
   def isShow(sql: String): Boolean = sql match {
     case showRe() => true
+    case _ => false
+  }
+
+  def isDescribe(sql: String): Boolean = sql match {
+    case describeRe(_*) => true
     case _ => false
   }
 
@@ -313,6 +320,47 @@ object Ddl {
       catalog.toSeq.sortBy(_._1)
         .map { case (n, e) => (n, e.view, e.keySpec, e.analyzer, e.dir) }
         .toDF("index_name", "view", "text_col", "analyzer", "location")
+    case compactRe(name) =>
+      // the reference's background compaction task as a user-issued verb
+      // (maintenance.h:36-44): merge live segments + fold tombstones into
+      // one segment, then drop unreferenced segment dirs
+      catalog.get(name) match {
+        case Some(e) if e.annKey.isEmpty =>
+          IndexStore.compact(spark, e.dir)
+          val cleaned = IndexStore.cleanup(spark, e.dir)
+          // the session's <name>_termdict/_postings views cache a file
+          // index over the pre-compaction segment dirs — re-register so
+          // they list the new segment (and drop the stale cached listing)
+          spark.catalog.refreshByPath(e.dir)
+          IndexStore.registerViews(spark, e.dir, name)
+          IndexStore.registerStatsTables(spark, e.dir, name)
+          result(spark, s"compacted $name ($cleaned stale segments removed)")
+        case Some(_) =>
+          throw new IllegalArgumentException(
+            s"COMPACT SEARCH INDEX applies to search indexes; $name is a vector index")
+        case None =>
+          throw new IllegalArgumentException(s"no such search index: $name")
+      }
+    case describeRe(name) =>
+      catalog.get(name) match {
+        case Some(e) =>
+          import spark.implicits._
+          val base = Seq("view" -> e.view, "key_spec" -> e.keySpec,
+            "analyzer" -> e.analyzer, "location" -> e.dir)
+          val stats =
+            if (e.annKey.nonEmpty) Seq("kind" -> "vector")
+            else {
+              val idx = IndexStore.load(spark, e.dir)
+              Seq("kind" -> "search",
+                "num_docs" -> idx.numDocs.toString,
+                "sum_dlen" -> idx.sumDl.toString,
+                "num_terms" -> idx.termDict.count().toString,
+                "num_segments" -> IndexStore.listSegments(spark, e.dir).size.toString)
+            }
+          (base ++ stats).toDF("stat", "value")
+        case None =>
+          throw new IllegalArgumentException(s"no such search index: $name")
+      }
     case other =>
       throw new IllegalArgumentException(s"unsupported DDL: $other")
   }

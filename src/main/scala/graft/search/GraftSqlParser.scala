@@ -56,6 +56,9 @@ case class GraftDdlCommand(sql: String) extends LeafRunnableCommand {
     if (Ddl.isShow(sql))
       Seq("index_name", "view", "text_col", "analyzer", "location")
         .map(n => AttributeReference(n, StringType, nullable = false)())
+    else if (Ddl.isDescribe(sql))
+      Seq("stat", "value")
+        .map(n => AttributeReference(n, StringType, nullable = false)())
     else Seq(AttributeReference("result", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] =

@@ -156,6 +156,37 @@ class DdlSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("CREATE SEARCH NONSENSE"))
   }
 
+  test("COMPACT and DESCRIBE maintenance verbs work over SQL text") {
+    Tables.documents(spark, dir).limit(60).createOrReplaceTempView("maint_docs")
+    spark.sql("CREATE SEARCH INDEX maint_idx ON maint_docs (text) " +
+      "WITH (id = 'doc_id', analyzer = 'whitespace', key = 'maint-spec')")
+    val loc = Ddl.execute(spark, "SHOW SEARCH INDEXES")
+      .filter(org.apache.spark.sql.functions.col("index_name") === "maint_idx")
+      .select("location").head().getString(0)
+
+    def stat(name: String): String = spark.sql("DESCRIBE SEARCH INDEX maint_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap.apply(name)
+    val docsBefore = stat("num_docs").toLong
+    assert(docsBefore > 0 && stat("kind") == "search")
+
+    // delete a few docs -> tombstones; compact folds them into one segment
+    // (ids taken from the index itself — limit(60) is an arbitrary slice)
+    val victims = spark.sql("SELECT DISTINCT doc_id FROM maint_idx_postings LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    assert(victims.size == 3)
+    graft.index.IndexStore.delete(spark, loc, victims)
+    val compacted = spark.sql("COMPACT SEARCH INDEX maint_idx").head().getString(0)
+    assert(compacted.startsWith("compacted maint_idx"), compacted)
+    assert(stat("num_segments") == "1")
+    assert(stat("num_docs").toLong == docsBefore - 3)
+    // and the index still answers correctly post-compaction
+    assert(spark.sql("SELECT count(*) FROM maint_idx_termdict").head().getLong(0) > 0)
+
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark, "COMPACT SEARCH INDEX never_created"))
+    spark.sql("DROP SEARCH INDEX maint_idx")
+  }
+
   test("malformed statements fail loudly") {
     intercept[IllegalArgumentException](
       Ddl.execute(spark, "CREATE SEARCH INDEX x ON v (c) WITH (analyzer = 'a')"))
