@@ -49,7 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * keeps the safe fallback: row-eval is always result-correct. */
 case class StrictClaimCheck(spark: SparkSession)
     extends org.apache.spark.sql.execution.SparkStrategy {
-  private val stubNames = graft.search.SqlSurface.scorerNames.toSet + "ts_match"
+  private val stubNames = graft.search.SqlSurface.scorerNames.toSet ++
+    graft.search.SqlSurface.sugarNames + "ts_match"
 
   override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
     if (spark.conf.get("spark.graft.strictClaims", "false").toBoolean) {
@@ -536,16 +537,41 @@ case class ClaimAnnRange(spark: SparkSession) extends Rule[LogicalPlan] {
   * HOW the query runs, never its result. */
 case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def asTsMatch(e: Expression): Option[(Expression, String, String)] =
+  /** A claimable text predicate: ts_match plus the reference's sugar
+    * predicates (search.h:95-99), each mapped to the TsQuery leaf its
+    * row-eval UDF evaluates — so the claimed and unclaimed paths share one
+    * query algebra. Returns (text arg, dict name, analyzer→query). */
+  private def asTsMatch(
+      e: Expression): Option[(Expression, String, graft.analysis.Analyzer => graft.search.TsQuery)] = {
+    import graft.search.TsQuery
     e match {
-      case u: ScalaUDF if u.udfName.contains("ts_match") =>
-        u.children match {
-          case Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _)) =>
-            Some((arg, q.toString, d.toString))
+      case u: ScalaUDF =>
+        (u.udfName.getOrElse(""), u.children) match {
+          case ("ts_match", Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _))) =>
+            val qs = q.toString
+            Some((arg, d.toString, a => graft.search.TsQueryParser.websearch(qs, a)))
+          case ("has_any_tokens", Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _))) =>
+            val qs = q.toString
+            Some((arg, d.toString, a => TsQuery.Or(a.tokens(qs).map(TsQuery.Term.apply))))
+          case ("has_all_tokens", Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _))) =>
+            val qs = q.toString
+            Some((arg, d.toString, a => TsQuery.And(a.tokens(qs).map(TsQuery.Term.apply))))
+          case ("phrase_matches", Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _))) =>
+            val qs = q.toString
+            Some((arg, d.toString, a => TsQuery.Phrase(a.tokens(qs))))
+          case ("levenshtein_matches", Seq(arg, Literal(t: UTF8String, _),
+              Literal(maxD: Int, _), Literal(d: UTF8String, _))) =>
+            val ts = t.toString
+            Some((arg, d.toString, _ => TsQuery.Fuzzy(ts, maxD)))
+          case ("ngram_matches", Seq(arg, Literal(q: UTF8String, _),
+              Literal(minJ: Double, _), Literal(d: UTF8String, _))) =>
+            val qs = q.toString
+            Some((arg, d.toString, _ => TsQuery.NgramSim(qs, minJ)))
           case _ => None
         }
       case _ => None
     }
+  }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -611,7 +637,7 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
     val parts = conjuncts(cond)
     val claimable = parts.flatMap { p =>
       for {
-        (arg, q, dict) <- asTsMatch(p)
+        (arg, dict, build) <- asTsMatch(p)
         (segDir, docId) <- arg match {
           case attr: AttributeReference => indexedScanOf(child, attr, dict)
           case e => exprIndexOf(child, e, dict)
@@ -620,14 +646,13 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
         // semi-join to be well-formed (it always is for the plain
         // scan→filter shape; a projection that dropped it bails here)
         if child.outputSet.contains(docId)
-      } yield (p, q, dict, segDir, docId)
+      } yield (p, build, dict, segDir, docId)
     }
     if (claimable.isEmpty) return f
 
-    val joined = claimable.foldLeft(child) { case (acc, (_, q, dict, segDir, docId)) =>
+    val joined = claimable.foldLeft(child) { case (acc, (_, build, dict, segDir, docId)) =>
       val idx = graft.index.IndexStore.load(spark, segDir)
-      val parsed = graft.search.TsQueryParser.websearch(
-        q, graft.analysis.AnalyzerRegistry.get(dict))
+      val parsed = build(graft.analysis.AnalyzerRegistry.get(dict))
       val matched = graft.search.TsQueryExec.matching(idx, parsed)
       // optimizedPlan, NOT analyzed: the injected subtree skips the earlier
       // optimizer batches, so e.g. a Deduplicate (from .distinct()) would

@@ -106,6 +106,29 @@ object Surface {
             |""".stripMargin)
   }
 
+  /** The reference's sugar predicates (search.h:95-99: has_any_tokens /
+    * has_all_tokens / phrase_matches / levenshtein_matches / ngram_matches)
+    * in SQL text over the indexed table — each claims into the matching
+    * TsQuery leaf's postings/dict drive (ClaimRuleSpec asserts the plan);
+    * the counts gate both claimed and row-eval paths against DuckDB. */
+  def tsSugarPreds(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql(
+      """SELECT
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE has_any_tokens(text, 'stream vector', 'whitespace')) AS n_any,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE has_all_tokens(text, 'stream vector', 'whitespace')) AS n_all,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE phrase_matches(text, 'hash join', 'whitespace')) AS n_phrase,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE levenshtein_matches(text, 'qery', 1, 'whitespace')) AS n_fuzzy,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE ngram_matches(text, 'vectr', 0.35, 'whitespace')) AS n_ngram
+        |""".stripMargin)
+  }
+
   /** The claim firing on a NON-fixture table: `events` indexed by
     * `event_type`/`event_id` through plain DDL — proof the claim rules carry
     * zero fixture knowledge (round-5 verdict item 1; ClaimRuleSpec asserts
@@ -414,6 +437,7 @@ object Surface {
     "es_dsl_claimed" -> esDslClaimed,
     "es_dsl_range" -> esDslRange,
     "ts_claimed_match" -> tsClaimedMatch,
+    "ts_sugar_preds" -> tsSugarPreds,
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
     "es_write_read" -> esWriteRead,
@@ -503,6 +527,27 @@ object Surface {
     // [e, g): engine (1, 2), enough (3), fast (1)
     "es_dsl_range" ->
       """SELECT * FROM (VALUES ('1'), ('2'), ('3')) AS t("_id")""",
+    "ts_sugar_preds" -> {
+      // same gram arithmetic as the engine's NgramSim leaf: distinct char
+      // 3-grams on both sides; 'vectr' -> [vec, ect, ctr]
+      val qg = "['vec', 'ect', 'ctr']"
+      val g = "CASE WHEN len(t) < 3 THEN [] ELSE list_distinct(list_transform(range(1, len(t) - 1), i -> substr(t, CAST(i AS INT), 3))) END"
+      s"""$toks
+         |SELECT
+         |  (SELECT count(*) FROM toks
+         |   WHERE len(list_filter(ts, t -> t IN ('stream', 'vector'))) > 0) AS n_any,
+         |  (SELECT count(*) FROM toks
+         |   WHERE list_contains(ts, 'stream') AND list_contains(ts, 'vector')) AS n_all,
+         |  (SELECT count(*) FROM toks
+         |   WHERE ' ' || array_to_string(ts, ' ') || ' ' LIKE '% hash join %') AS n_phrase,
+         |  (SELECT count(*) FROM toks
+         |   WHERE len(list_filter(ts, t -> levenshtein(t, 'qery') <= 1)) > 0) AS n_fuzzy,
+         |  (SELECT count(*) FROM toks
+         |   WHERE len(list_filter(list_distinct(ts), t ->
+         |     CAST(len(list_intersect($g, $qg)) AS DOUBLE) /
+         |     CAST(len(list_distinct(list_concat($g, $qg))) AS DOUBLE) >= 0.35)) > 0) AS n_ngram
+         |""".stripMargin
+    },
     "ts_claimed_match" ->
       s"""$toks
          |SELECT t.doc_id FROM toks t JOIN documents d USING (doc_id)

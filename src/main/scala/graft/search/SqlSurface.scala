@@ -69,12 +69,51 @@ object SqlSurface {
     // surface (server/connector/functions/search.h:128-132; scorer misuse
     // error iresearch_plan.cpp:778-782).
     scorerNames.foreach { n => spark.udf.register(n, scorerStub(n)) }
+    // Sugar predicates — the reference rewrites these to `col @@ ts_*(...)`
+    // at filter-build (search.h:95-99 phrase_matches/ngram_matches/
+    // levenshtein_matches/has_all_tokens/has_any_tokens). Here each is a
+    // row-eval of the equivalent TsQuery leaf; ClaimTsMatch recognizes the
+    // names and drives the same leaf from the index when one is registered.
+    spark.udf.register("has_any_tokens",
+      (text: String, q: String, dict: String) => {
+        val a = AnalyzerRegistry.get(dict)
+        TsQueryExec.evalTokens(
+          TsQuery.Or(a.tokens(q).map(TsQuery.Term.apply)), a.tokens(text))
+      })
+    spark.udf.register("has_all_tokens",
+      (text: String, q: String, dict: String) => {
+        val a = AnalyzerRegistry.get(dict)
+        TsQueryExec.evalTokens(
+          TsQuery.And(a.tokens(q).map(TsQuery.Term.apply)), a.tokens(text))
+      })
+    spark.udf.register("phrase_matches",
+      (text: String, q: String, dict: String) => {
+        val a = AnalyzerRegistry.get(dict)
+        TsQueryExec.evalTokens(TsQuery.Phrase(a.tokens(q)), a.tokens(text))
+      })
+    spark.udf.register("levenshtein_matches",
+      (text: String, term: String, maxDist: Int, dict: String) => {
+        val a = AnalyzerRegistry.get(dict)
+        TsQueryExec.evalTokens(TsQuery.Fuzzy(term, maxDist), a.tokens(text))
+      })
+    spark.udf.register("ngram_matches",
+      (text: String, q: String, minJaccard: Double, dict: String) => {
+        val a = AnalyzerRegistry.get(dict)
+        TsQueryExec.evalTokens(TsQuery.NgramSim(q, minJaccard), a.tokens(text))
+      })
   }
 
   /** The scorer function names the claim rules recognize, mapping 1:1 to
     * the reference's registered scorers (search.cpp:142-173). */
   val scorerNames: Seq[String] =
     Seq("bm25", "tfidf", "lm_dirichlet", "lm_jelinek_mercer", "indri_dirichlet", "dfi")
+
+  /** Claimable sugar-predicate names (strict mode flags these too when they
+    * survive unclaimed — they row-eval correctly, but a strict user asked
+    * to know). */
+  val sugarNames: Seq[String] =
+    Seq("has_any_tokens", "has_all_tokens", "phrase_matches",
+      "levenshtein_matches", "ngram_matches")
 
   private def scorerStub(name: String): (String, String, String) => Double =
     (_, _, _) => throw new UnsupportedOperationException(

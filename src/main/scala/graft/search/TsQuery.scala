@@ -29,6 +29,12 @@ object TsQuery {
     * emulation, and the ts_between/ts_lt/ts_gt surface. */
   final case class TermRange(lo: Option[String], hi: Option[String],
       loInc: Boolean, hiInc: Boolean) extends TsQuery
+  /** Edit-distance leaf — the reference's `ts_levenshtein` TSQUERY
+    * constructor (search.h:46; levenshtein_filter.hpp). */
+  final case class Fuzzy(t: String, maxDist: Int) extends TsQuery
+  /** Char-n-gram Jaccard leaf — `ts_ngram` (search.h:44;
+    * ngram_similarity_filter.hpp). */
+  final case class NgramSim(q: String, minJaccard: Double, n: Int = 3) extends TsQuery
   final case class Phrase(terms: Seq[String]) extends TsQuery
   /** Positional phrase with per-gap [min,max] distance bounds — `<N>` in
     * tsquery syntax, `##` in the reference's operator surface. */
@@ -57,6 +63,8 @@ object TsQueryExec {
     case TsQuery.Term(t) => idx.term(t)
     case TsQuery.Prefix(p) => idx.prefix(p)
     case TsQuery.TermRange(lo, hi, loInc, hiInc) => idx.range(lo, hi, loInc, hiInc)
+    case TsQuery.Fuzzy(t, d) => idx.fuzzy(t, d)
+    case TsQuery.NgramSim(q, j, n) => idx.ngramSimilarity(q, j, n)
     case TsQuery.Phrase(ts) if ts.size == 1 => idx.term(ts.head)
     case TsQuery.Phrase(ts) => idx.phrase(ts)
     case TsQuery.PhraseGap(ts, gaps) => idx.sloppyPhrase(ts, gaps)
@@ -84,6 +92,29 @@ object TsQueryExec {
   private def universe(idx: InvertedIndex): DataFrame =
     idx.docStats.select(col("doc_id"))
 
+  /** Plain two-row DP edit distance for the row-eval Fuzzy leaf (the
+    * indexed path uses Spark's thresholded `levenshtein` over the term
+    * dictionary instead). */
+  private def levenshtein(a: String, b: String): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var curr = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      curr(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val sub = prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+        curr(j) = math.min(math.min(prev(j) + 1, curr(j - 1) + 1), sub)
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
   /** Row-level TSQUERY evaluation over an analyzed token stream — the
     * un-indexed fallback matcher (the reference's row-eval path for
     * residual/un-claimed predicates). Used by the SQL-visible `ts_match`
@@ -96,6 +127,19 @@ object TsQueryExec {
       lo.forall(v => if (loInc) t >= v else t > v) &&
         hi.forall(v => if (hiInc) t <= v else t < v)
     }
+    case TsQuery.Fuzzy(t, d) =>
+      toks.exists(tok => math.abs(tok.length - t.length) <= d &&
+        levenshtein(tok, t) <= d)
+    case TsQuery.NgramSim(q, j, n) =>
+      // same gram/jaccard arithmetic as InvertedIndex.ngramSimilarity's
+      // codegen'd dict-side expression (distinct grams on both sides;
+      // terms shorter than n have no grams)
+      val qg = (0 to q.length - n).map(i => q.substring(i, i + n)).distinct.toSet
+      toks.exists { tok =>
+        val tg = (0 to tok.length - n).map(i => tok.substring(i, i + n)).distinct.toSet
+        val u = (tg ++ qg).size
+        u > 0 && (tg & qg).size.toDouble / u >= j
+      }
     case TsQuery.Phrase(ps) => ps.size <= toks.size && toks.sliding(ps.size).contains(ps)
     case TsQuery.PhraseGap(ts, gaps) =>
       val positions = ts.map(t => toks.zipWithIndex.collect { case (x, i) if x == t => i })

@@ -435,6 +435,36 @@ class ClaimRuleSpec extends AnyFunSuite {
       s"expected the scorer-stub diagnosis, got: $err")
   }
 
+  test("sugar predicates claim into the matching TsQuery leaf") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val preds = Seq(
+      "has_any_tokens(text, 'stream vector', 'whitespace')" -> "has_any_tokens",
+      "has_all_tokens(text, 'stream vector', 'whitespace')" -> "has_all_tokens",
+      "phrase_matches(text, 'hash join', 'whitespace')" -> "phrase_matches",
+      "levenshtein_matches(text, 'qery', 1, 'whitespace')" -> "levenshtein_matches",
+      "ngram_matches(text, 'vectr', 0.35, 'whitespace')" -> "ngram_matches")
+    for ((pred, name) <- preds) {
+      val df = spark.sql(s"SELECT doc_id FROM graft_documents WHERE $pred")
+      val optimized = df.queryExecution.optimizedPlan
+      assert(optimized.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+        s"$name must claim into a semi-join:\n$optimized")
+      assert(udfsIn(optimized, name).isEmpty, s"$name must not survive as row-eval")
+      // un-claimable shape (computed column, no expression index) row-evals
+      // to the same rows — claimed and fallback paths share one algebra
+      val fallback = spark.sql(
+        s"""SELECT doc_id FROM
+           |  (SELECT doc_id, concat(text, '') AS text FROM graft_documents) t
+           |WHERE $pred""".stripMargin)
+      assert(udfsIn(fallback.queryExecution.optimizedPlan, name).nonEmpty,
+        s"$name over a computed column must stay row-eval")
+      assert(df.collect().map(_.getLong(0)).toSet ==
+        fallback.collect().map(_.getLong(0)).toSet, s"$name claimed != row-eval")
+      assert(df.collect().nonEmpty, s"$name fixture query must match something")
+    }
+  }
+
   test("a parameterized ts_match claims after named-parameter folding") {
     // the prepared-statement shape (reference tsquery_params.test): the
     // query text carries :q / :d placeholders; Spark's BindParameters folds
