@@ -219,12 +219,18 @@ object IndexStore {
       segs.map(s => f.getContentSummary(new Path(s"$dir/$s/$sub")).getLength).sum
     }
     val termRows = metaSum("termRows")
-      .getOrElse(spark.read.parquet(segs.map(s => s"$dir/$s/termdict"): _*).count())
+      .getOrElse(segs.map(s => spark.read.parquet(s"$dir/$s/termdict").count()).sum)
     val postRows = metaSum("postingsRows")
-      .getOrElse(spark.read.parquet(segs.map(s => s"$dir/$s/postings"): _*).count())
+      .getOrElse(segs.map(s => spark.read.parquet(s"$dir/$s/postings").count()).sum)
     def mk(name: String, sub: String, rows: Long, termNdv: Long): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $name")
-      spark.sql(s"CREATE TABLE $name USING parquet OPTIONS (path '$dir/seg=*/$sub')")
+      // recursiveFileLookup: a multi-segment glob would otherwise make
+      // partition discovery see each seg dir as a conflicting root. The
+      // bucket partition column disappears from these CBO-stats tables —
+      // bucket-pruned access goes through the registered views, which read
+      // per-segment and union.
+      spark.sql(s"CREATE TABLE $name USING parquet OPTIONS " +
+        s"(path '$dir/seg=*/$sub', recursiveFileLookup 'true')")
       val stats = CatalogStatistics(
         sizeInBytes = BigInt(bytesUnder(sub)),
         rowCount = Some(BigInt(rows)),

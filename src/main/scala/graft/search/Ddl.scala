@@ -130,10 +130,16 @@ object IndexCatalog {
   */
 object Ddl {
 
-  /** One catalog row per index, for SHOW / DROP. `annKey` is set for vector
-    * indexes (the IvfIndex cache key, needed to unregister). */
+  /** One catalog row per index, for SHOW / DROP / REFRESH. `annKey` is set
+    * for vector indexes (the IvfIndex cache key, needed to unregister);
+    * `idCol` is the source id column REFRESH anti-joins on. The idempotent
+    * fast paths compare on (dir, view, keySpec, analyzer) only — idCol and
+    * annKey ride along. */
   private[search] final case class Entry(dir: String, view: String, keySpec: String,
-      analyzer: String, annKey: Option[String] = None)
+      analyzer: String, annKey: Option[String] = None, idCol: String = "") {
+    def sameSpec(o: Entry): Boolean =
+      dir == o.dir && view == o.view && keySpec == o.keySpec && analyzer == o.analyzer
+  }
 
   private[search] val catalog = TrieMap.empty[String, Entry]
 
@@ -152,6 +158,7 @@ object Ddl {
   private val showRe = """(?is)\s*SHOW\s+SEARCH\s+INDEXES\s*""".r
   private val compactRe = """(?is)\s*COMPACT\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
   private val describeRe = """(?is)\s*DESCRIBE\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
+  private val refreshRe = """(?is)\s*REFRESH\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
   private val optRe = """(?s)(\w+)\s*=\s*'([^']*)'""".r
 
   /** Root path of the parquet scan a view wraps — the key every claim-rule
@@ -181,7 +188,7 @@ object Ddl {
     * extension ([[GraftSqlParser]]) routes these out of the Spark grammar. */
   def handles(sql: String): Boolean = sql match {
     case createExprRe(_*) | createRe(_*) | createVecRe(_*) | dropRe(_*) |
-        showRe() | compactRe(_*) | describeRe(_*) => true
+        showRe() | compactRe(_*) | describeRe(_*) | refreshRe(_*) => true
     case _ => false
   }
 
@@ -217,7 +224,8 @@ object Ddl {
       // persisted row whose segments were deleted out-of-band: CREATE must
       // rebuild then, not fail the load.
       val exprDir = IndexStore.dirFor(cacheKey, keyCol, analyzer)
-      if (catalog.get(name).contains(Entry(exprDir, view, s"(($exprRaw))", analyzer)) &&
+      if (catalog.get(name).exists(_.sameSpec(
+            Entry(exprDir, view, s"(($exprRaw))", analyzer))) &&
           IndexStore.durable(spark, exprDir)) {
         if (sessionReady.putIfAbsent(name, true).isEmpty)
           IndexStore.registerViews(spark, exprDir, name)
@@ -235,7 +243,7 @@ object Ddl {
         ExprIndexes.register(root,
           spark.sessionState.sqlParser.parseExpression(exprRaw).sql, analyzer, dir, idCol)
       }
-      catalog.put(name, Entry(dir, view, s"(($exprRaw))", analyzer))
+      catalog.put(name, Entry(dir, view, s"(($exprRaw))", analyzer, idCol = idCol))
       sessionReady.put(name, true)
       CatalogStore.persist(spark)
       result(spark, s"created $name")
@@ -251,7 +259,7 @@ object Ddl {
       // DROP removes the catalog row, so a recreate always takes the full
       // path and rebuilds
       val fastDir = IndexStore.dirFor(cacheKey, textCol, analyzer)
-      if (catalog.get(name).contains(Entry(fastDir, view, textCol, analyzer)) &&
+      if (catalog.get(name).exists(_.sameSpec(Entry(fastDir, view, textCol, analyzer))) &&
           IndexStore.durable(spark, fastDir)) {
         if (sessionReady.putIfAbsent(name, true).isEmpty) {
           IndexStore.registerViews(spark, fastDir, name)
@@ -268,7 +276,7 @@ object Ddl {
       scanRootOf(spark, view).foreach { root =>
         IndexCatalog.registerText(root, textCol, analyzer, dir, idCol)
       }
-      catalog.put(name, Entry(dir, view, textCol, analyzer))
+      catalog.put(name, Entry(dir, view, textCol, analyzer, idCol = idCol))
       sessionReady.put(name, true)
       CatalogStore.persist(spark)
       result(spark, s"created $name")
@@ -284,8 +292,8 @@ object Ddl {
       val lists = opts.get("lists").map(_.toInt).getOrElse(0)
       // idempotent fast path, same contract as the search-index branch
       val vecDir = graft.index.IvfIndex.dirFor(effKey, lists)
-      if (catalog.get(name).contains(
-            Entry(vecDir, view, embCol, s"vector:$metric", annKey = Some(effKey))) &&
+      if (catalog.get(name).exists(_.sameSpec(
+            Entry(vecDir, view, embCol, s"vector:$metric"))) &&
           graft.index.IvfIndex.available(spark, effKey, lists))
         return result(spark, s"created $name")
       val root = scanRootOf(spark, view).getOrElse(
@@ -295,7 +303,8 @@ object Ddl {
       graft.index.IvfIndex.ensure(spark,
         IndexCatalog.annSource(spark, root, entry), effKey, lists)
       IndexCatalog.registerAnn(root, embCol, metric, entry)
-      catalog.put(name, Entry(vecDir, view, embCol, s"vector:$metric", annKey = Some(effKey)))
+      catalog.put(name, Entry(vecDir, view, embCol, s"vector:$metric",
+        annKey = Some(effKey), idCol = idCol))
       CatalogStore.persist(spark)
       result(spark, s"created $name")
     case dropRe(name) =>
@@ -338,6 +347,52 @@ object Ddl {
         case Some(_) =>
           throw new IllegalArgumentException(
             s"COMPACT SEARCH INDEX applies to search indexes; $name is a vector index")
+        case None =>
+          throw new IllegalArgumentException(s"no such search index: $name")
+      }
+    case refreshRe(name) =>
+      // incremental re-sync with the source view (the reference's refresh
+      // maintenance task, maintenance.h:30-35): docs whose id is not yet in
+      // the index land as ONE appended segment — the shuffle/analyze cost is
+      // proportional to the NEW data, never the corpus. Removed rows are the
+      // DML path's job (IndexStore.deleteWhere / ts_deletes), not refresh's.
+      catalog.get(name) match {
+        case Some(e) if e.annKey.isEmpty =>
+          // catalog rows persisted before idCol existed fall back to the
+          // claim registries (bare-scan views register there)
+          val idCol = Some(e.idCol).filter(_.nonEmpty)
+            .orElse(IndexCatalog.text.values.collectFirst {
+              case t if t.segDir == e.dir => t.idCol
+            })
+            .orElse(ExprIndexes.reg.values.collectFirst {
+              case (segDir, id) if segDir == e.dir => id
+            })
+            .getOrElse(throw new IllegalStateException(
+              s"cannot refresh $name: no record of its id column"))
+          val exprSpec = """^\(\((.*)\)\)$""".r
+          val (source, keyCol) = e.keySpec match {
+            case exprSpec(exprRaw) =>
+              (spark.table(e.view).withColumn("expr_key",
+                org.apache.spark.sql.functions.expr(exprRaw)), "expr_key")
+            case colName => (spark.table(e.view), colName)
+          }
+          val existing = IndexStore.load(spark, e.dir)
+            .docStats.select(org.apache.spark.sql.functions.col("doc_id"))
+          val newDocs = source.join(existing,
+            source(idCol) === existing("doc_id"), "left_anti")
+          val added = newDocs.count()
+          if (added > 0) {
+            val idx = graft.index.InvertedIndex.build(newDocs, idCol, keyCol, e.analyzer)
+            IndexStore.appendSegment(idx, e.dir)
+            spark.catalog.refreshByPath(e.dir)
+            IndexStore.registerViews(spark, e.dir, name)
+            IndexStore.registerStatsTables(spark, e.dir, name)
+          }
+          result(spark, s"refreshed $name (+$added docs)")
+        case Some(_) =>
+          throw new IllegalArgumentException(
+            s"REFRESH SEARCH INDEX applies to search indexes; $name is a vector " +
+              "index — DROP and re-CREATE it to rebuild")
         case None =>
           throw new IllegalArgumentException(s"no such search index: $name")
       }
@@ -446,7 +501,8 @@ object CatalogStore {
     }
     Ddl.catalog.foreach { case (n, e) =>
       lines += row((Seq("kind" -> "ddl", "name" -> n, "dir" -> e.dir,
-        "view" -> e.view, "keySpec" -> e.keySpec, "analyzer" -> e.analyzer) ++
+        "view" -> e.view, "keySpec" -> e.keySpec, "analyzer" -> e.analyzer,
+        "idCol" -> e.idCol) ++
         e.annKey.map("annKey" -> _)): _*)
     }
     val dest = catalogPath
@@ -487,7 +543,7 @@ object CatalogStore {
         case Some("ddl") =>
           Ddl.catalog.putIfAbsent(s("name").get,
             Ddl.Entry(s("dir").get, s("view").get, s("keySpec").get,
-              s("analyzer").get, s("annKey")))
+              s("analyzer").get, s("annKey"), s("idCol").getOrElse("")))
         case _ => // unknown row kind: ignore (forward compatibility)
       }
     }

@@ -187,6 +187,48 @@ class DdlSpec extends AnyFunSuite {
     spark.sql("DROP SEARCH INDEX maint_idx")
   }
 
+  test("REFRESH SEARCH INDEX appends only newly-arrived docs") {
+    val docs = Tables.documents(spark, dir)
+    import org.apache.spark.sql.functions.col
+    // a previous failed run may have left the index (and its persisted
+    // catalog row) behind — start from a clean slate
+    try Ddl.execute(spark, "DROP SEARCH INDEX refresh_idx")
+    catch { case _: IllegalArgumentException => () }
+    docs.filter(col("doc_id") < 30).createOrReplaceTempView("refresh_docs")
+    spark.sql("CREATE SEARCH INDEX refresh_idx ON refresh_docs (text) " +
+      "WITH (id = 'doc_id', analyzer = 'whitespace', key = 'refresh-spec')")
+    def stats = spark.sql("DESCRIBE SEARCH INDEX refresh_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val n0 = stats("num_docs").toLong
+    assert(n0 > 0 && stats("num_segments") == "1")
+
+    // the source grows; refresh appends ONE segment holding only the delta
+    docs.filter(col("doc_id") < 60).createOrReplaceTempView("refresh_docs")
+    val msg = spark.sql("REFRESH SEARCH INDEX refresh_idx").head().getString(0)
+    assert(msg.matches("refreshed refresh_idx \\(\\+\\d+ docs\\)"), msg)
+    val n1 = stats("num_docs").toLong
+    assert(n1 > n0, s"refresh must index the new docs ($n0 -> $n1)")
+    assert(stats("num_segments") == "2")
+
+    // idempotent: nothing new, nothing appended
+    assert(spark.sql("REFRESH SEARCH INDEX refresh_idx")
+      .head().getString(0) == "refreshed refresh_idx (+0 docs)")
+    assert(stats("num_segments") == "2")
+
+    // the refreshed index equals a from-scratch tokenization of the view
+    val viaIndex = spark.sql(
+      "SELECT count(DISTINCT doc_id) FROM refresh_idx_postings").head().getLong(0)
+    val direct = docs.filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text")).collect()
+      .count(r => graft.analysis.WhitespaceAnalyzer(lowercase = true)
+        .tokens(r.getString(1)).nonEmpty)
+    assert(viaIndex == direct)
+
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark, "REFRESH SEARCH INDEX never_created"))
+    spark.sql("DROP SEARCH INDEX refresh_idx")
+  }
+
   test("malformed statements fail loudly") {
     intercept[IllegalArgumentException](
       Ddl.execute(spark, "CREATE SEARCH INDEX x ON v (c) WITH (analyzer = 'a')"))
