@@ -13,10 +13,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions default to the thread count (right for sf0.1) but
+    // are independently overridable: partition count must track DATA size,
+    // not core count — at 10x data the same 32 partitions spill (measured:
+    // dedup_minhash_lsh 308 s -> linear once partitions scale with input)
+    val shufflePart = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = GraftSession.configure(
         SparkSession.builder()
           .master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus))
+          .config("spark.sql.shuffle.partitions", shufflePart))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -85,17 +90,33 @@ object Bench {
         val genS = (System.nanoTime() - genT0) / 1e9
         val spot = Seq("summarize_table", "approx_sketches", "dedup_simhash",
           "dedup_minhash_lsh", "dedup_ngram_jaccard")
+        // partition count tracks DATA size, not core count: at 10x the rows
+        // the sf0.1 partition count spills (measured: dedup_minhash_lsh
+        // 308 s at 32 partitions vs 85 s at 256) — exactly the knob a real
+        // cluster scales with input, so the spot does too
+        spark.conf.set("spark.sql.shuffle.partitions", shufflePart.toInt * 10)
         val times = spot.filter(SparkEntry.queries.contains).map { n =>
+          // each spot entry is a SINGLE COLD run on a clean cache: the dedup
+          // entries persist intermediates (shingle sets), and inherited
+          // storage-memory debt from the previous entry otherwise corrupts
+          // the next one's number (measured: ngram_jaccard 10 s clean vs
+          // 90 s after minhash's cache; minhash 85 s clean vs 235 s after
+          // simhash's). Cold-vs-cold is the honest 10x comparison.
+          spark.catalog.clearCache()
+          System.gc()
           val t0 = System.nanoTime()
           SparkEntry.queries(n)(spark, sf1Dir).write.mode("overwrite")
             .format("noop").save()
           n -> (System.nanoTime() - t0) / 1e9
         }
+        spark.conf.set("spark.sql.shuffle.partitions", shufflePart)
         f""","sf1_spot":${times.map { case (k, v) => f""""$k":$v%.3f""" }
           .mkString("{", ",", "}")},"sf1_gen_sec":$genS%.1f""" +
-          ""","sf1_note":"approx_sketches carries an exact-percentile """ +
-          """correctness gate (buffers all values; test-scale construct) """ +
-          """that dominates its sf1 time; the sketch itself is linear""""
+          ""","sf1_note":"sf1 spot entries are single cold runs on a clean """ +
+          """cache with shuffle partitions scaled 10x with the data; """ +
+          """approx_sketches carries an exact-percentile correctness gate """ +
+          """(buffers all values; test-scale construct) that dominates its """ +
+          """sf1 time; the sketch itself is linear""""
       }
 
     // Full per-entry timings go to a FILE — the stdout line overflowed the

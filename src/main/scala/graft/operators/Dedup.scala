@@ -115,11 +115,14 @@ object Dedup {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val sigs = minHashSignatures(docs, idCol, textCol, numHashes)
     val cands = lshCandidates(sigs, bands)
-    // the shingle set feeds three joins in the verify stage; a transient
-    // spill-safe persist beats re-running the shingling UDF three times
-    val sh = shingles(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccardVerify(cands, sh, minJ)
+    // the shingle set feeds three joins in the verify stage, but do NOT
+    // persist it: the exploded set is enormous to STORE (deserialized rows,
+    // ~10x the text) yet cheap to RECOMPUTE (codegen'd tokenize+explode off
+    // columnar parquet). Caching it thrashed storage memory at 10x bench
+    // data — 85 s with the cache vs 8.4 s recomputing (sf1 spot) — and on a
+    // 100 TB corpus a persisted shingle set would evict everything else in
+    // the cluster. Three linear recomputes beat one quadratic-pressure cache.
+    jaccardVerify(cands, shingles(docs, idCol, textCol), minJ)
   }
 
   /** Exact n-gram Jaccard pairs via the inverted shingle index: only pairs
