@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, Attribute, AttributeReference, Descending, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, ScalaUDF, SortOrder}
-import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, Ascending, Attribute, AttributeReference, Descending, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, ScalaUDF, SortOrder}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, JoinHint, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -22,6 +22,14 @@ import graft.search.{IndexCatalog, SqlSurface}
   * (server/connector/optimizer/iresearch_plan.cpp:870-885). */
 private[plans] object ScorerShapes {
   private val names = SqlSurface.scorerNames.toSet
+
+  /** Whether `e` contains a scorer stub call anywhere — layers holding one
+    * must not be treated as plain row-reducing filters (the stub would throw
+    * at row-eval); ClaimScoreFilter claims the threshold forms first. */
+  def containsScorerStub(e: Expression): Boolean = e.exists {
+    case u: ScalaUDF => u.udfName.exists(names.contains)
+    case _ => false
+  }
 
   /** `(textAttr, scorerName, query, dict)` iff `e` is a scorer stub over a
     * plain column with literal query + dict (the reference folds TSQUERY
@@ -48,6 +56,9 @@ private[plans] object ScorerShapes {
       case "lm_jelinek_mercer" => idx.lmJelinekMercer(terms)
       case "indri_dirichlet" => idx.indriDirichlet(terms)
       case "dfi" => idx.dfi(terms)
+      case "raw_tf" => idx.rawTf(terms)
+      case "raw_dl" => idx.rawDl(terms)
+      case "raw_boost" => idx.rawBoost(terms)
       case other => throw new IllegalArgumentException(s"unknown scorer $other")
     }
 
@@ -85,7 +96,14 @@ private[plans] object ScorerShapes {
   * Projections beyond the id column late-materialize through one PK
   * join-back (search_pk_lookup.h), re-sorted by score so the claimed output
   * preserves the order the Sort promised. Ties break by doc id — a
-  * deterministic refinement of the requested score-only order. */
+  * deterministic refinement of the requested score-only order.
+  *
+  * SEMANTICS NOTE (intentional deviation from literal SQL Sort+Limit): a
+  * claimed scorer returns only docs matching ≥1 query term — the search
+  * engine's contract (the reference scores index matches only) — so a
+  * LIMIT k can return fewer than k rows when fewer than k docs match.
+  * Un-matched docs have no defined score to sort by; SQL semantics would
+  * have to invent zero-score fill rows in arbitrary order. */
 case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -126,11 +144,13 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
               })
             case _ => None
           })
-      // the sorted input must be the BARE indexed scan (modulo pruning
-      // Projects): any Filter/Join in between would be dropped by the probe
-      (lr, root) <- PlanShapes.bareScan(scanPlan)
+      // the sorted input: the bare indexed scan (fast path) or a stack of
+      // row-reducing layers over it (the composed filter + top-k claim)
+      (lr, root, candidate) <- candidateScan(scanPlan)
       if PlanShapes.isColumnOf(lr, textAttr, textAttr.name)
       entry <- IndexCatalog.lookupText(root, textAttr.name, dict)
+      idAttr <- lr.output.collectFirst {
+        case a: AttributeReference if a.name == entry.idCol => a }
       // P2 may hold only the scan's own columns + the one scorer alias —
       // anything else computed there would be silently lost
       if p2.forall(_.forall {
@@ -143,7 +163,20 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
       refs = outList.flatMap(_.references.toSeq).distinct
       if refs.forall(a =>
         PlanShapes.isColumnOf(lr, a, a.name) || scoreId.contains(a.exprId))
-    } yield {
+    } yield candidate match {
+      case Some(candTree) =>
+        claimFiltered(candTree, entry, scorer, query, dict, k, idAttr, scoreId, outList)
+      case None => claimBare(entry, scorer, query, dict, k, root, refs, scoreId, outList)
+    }
+  }
+
+  /** The original bare-scan drive: index top-k, then one late-materializing
+    * join-back for any projected columns beyond the id. */
+  private def claimBare(entry: IndexCatalog.TextEntry, scorer: String,
+      query: String, dict: String, k: Int, root: String,
+      refs: Seq[Attribute], scoreId: Option[ExprId],
+      outList: Seq[NamedExpression]): LogicalPlan = {
+    {
       val idx = IndexStore.load(spark, entry.segDir)
       val terms = ScorerShapes.termsOf(query, dict)
       val topk = ScorerShapes.scored(idx, scorer, terms)
@@ -174,6 +207,95 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
       Project(newList, rPlan): LogicalPlan
     }
   }
+
+  /** The COMPOSED claim — filter + scorer top-k in ONE drive (the
+    * reference's demo3 shape: `@@` predicates combined with BM25 ordering;
+    * iresearch_plan.cpp:870-885 walks Sort/TopN over a scan whose filter
+    * tree search_filter_builder.cpp already claimed). The candidate subtree
+    * (residual Filters and the LeftSemi joins earlier claim rules left) runs
+    * FIRST and restricts the scored postings via one inner join on the id,
+    * so the k survivors are the top-k of the FILTERED set — then
+    * Sort+Limit over the join plans as TakeOrderedAndProject (per-partition
+    * heaps, O(k) driver merge). The candidate tree keeps its pushed-down
+    * pruned scan; scan-column references flow through unchanged, so only
+    * the score attribute needs substitution. */
+  private def claimFiltered(candTree: LogicalPlan, entry: IndexCatalog.TextEntry,
+      scorer: String, query: String, dict: String, k: Int,
+      idAttr: AttributeReference, scoreId: Option[ExprId],
+      outList: Seq[NamedExpression]): LogicalPlan = {
+    val idx = IndexStore.load(spark, entry.segDir)
+    val terms = ScorerShapes.termsOf(query, dict)
+    val scoredPlan = ScorerShapes.scored(idx, scorer, terms)
+      .select(col("doc_id"), col("_score").as("__graft_score"))
+      .queryExecution.optimizedPlan
+    val docId = scoredPlan.output.find(_.name == "doc_id").get
+    val scoreAttr = scoredPlan.output.find(_.name == "__graft_score").get
+    val joined = Join(widenWithId(candTree, idAttr), scoredPlan, Inner,
+      Some(EqualTo(idAttr, docId)), JoinHint.NONE)
+    // ties break by doc id — the same deterministic refinement as the bare
+    // path; matched-docs-only semantics (can return < k rows, see scaladoc)
+    val sorted = Sort(
+      Seq(SortOrder(scoreAttr, Descending), SortOrder(idAttr, Ascending)),
+      global = true, joined)
+    val limited = GlobalLimit(Literal(k), LocalLimit(Literal(k), sorted))
+    val newList = outList.map {
+      case a: AttributeReference if scoreId.contains(a.exprId) =>
+        Alias(scoreAttr, a.name)(exprId = a.exprId)
+      case a: AttributeReference => a
+      case al @ Alias(c, n) =>
+        Alias(c.transform {
+          case a: AttributeReference if scoreId.contains(a.exprId) => scoreAttr
+        }, n)(exprId = al.exprId)
+      case other => other
+    }
+    Project(newList, limited)
+  }
+
+  /** Resolves the sorted input to its underlying indexed scan. Accepted
+    * shapes (the reference claims Sort/TopN over an already-claimed filter
+    * tree, iresearch_plan.cpp:870-885):
+    *   - Project-only chain over the scan → (lr, root, None): the bare fast
+    *     path, no candidate restriction needed;
+    *   - a stack of row-REDUCING-only layers — Filter (with no scorer stub
+    *     left in the condition: threshold forms claim via ClaimScoreFilter
+    *     on an earlier fixpoint pass) and LeftSemi/LeftAnti joins (the
+    *     shapes ClaimTsMatch leaves behind) — over Projects over the scan
+    *     → (lr, root, Some(subtree)): the top-k must drive over the
+    *     restricted candidate set.
+    * Anything else (row-adding or row-altering: other join types,
+    * Aggregate, Window, Generate, Limit, …) bails the claim — the rewrite
+    * would not preserve the query's semantics. */
+  private def candidateScan(plan: LogicalPlan):
+      Option[(LogicalRelation, String, Option[LogicalPlan])] = {
+    @annotation.tailrec
+    def walk(p: LogicalPlan, reduced: Boolean): Option[(LogicalRelation, Boolean)] =
+      p match {
+        case Filter(cond, child) if !ScorerShapes.containsScorerStub(cond) =>
+          walk(child, reduced = true)
+        case Join(l, _, LeftSemi | LeftAnti, _, _) => walk(l, reduced = true)
+        case Project(_, child) => walk(child, reduced)
+        case lr: LogicalRelation => Some((lr, reduced))
+        case _ => None
+      }
+    walk(plan, reduced = false).flatMap { case (lr, reduced) =>
+      PlanShapes.scanRoot(lr).map(r => (lr, r, if (reduced) Some(plan) else None))
+    }
+  }
+
+  /** The candidate subtree with the scan's id column threaded through any
+    * column-pruning Projects, so the claim can join candidates to scored
+    * postings even when the query never selected the id. */
+  private def widenWithId(plan: LogicalPlan, idAttr: AttributeReference): LogicalPlan =
+    plan match {
+      case Project(list, child) =>
+        val c = widenWithId(child, idAttr)
+        if (list.exists(_.exprId == idAttr.exprId)) Project(list, c)
+        else Project(list :+ idAttr, c)
+      case Filter(cond, child) => Filter(cond, widenWithId(child, idAttr))
+      case j @ Join(l, _, LeftSemi | LeftAnti, _, _) =>
+        j.copy(left = widenWithId(l, idAttr))
+      case other => other
+    }
 }
 
 /** Claims score-threshold WHERE conjuncts — `bm25(col, 'q', 'dict') >= c`

@@ -106,7 +106,8 @@ object SqlSurface {
   /** The scorer function names the claim rules recognize, mapping 1:1 to
     * the reference's registered scorers (search.cpp:142-173). */
   val scorerNames: Seq[String] =
-    Seq("bm25", "tfidf", "lm_dirichlet", "lm_jelinek_mercer", "indri_dirichlet", "dfi")
+    Seq("bm25", "tfidf", "lm_dirichlet", "lm_jelinek_mercer", "indri_dirichlet",
+      "dfi", "raw_tf", "raw_dl", "raw_boost")
 
   /** Claimable sugar-predicate names (strict mode flags these too when they
     * survive unclaimed — they row-eval correctly, but a strict user asked
@@ -120,6 +121,9 @@ object SqlSurface {
       s"$name(col, query, dict) is a search-scorer stub: it can only run " +
         "claimed against a search index over the scanned column. CREATE " +
         "SEARCH INDEX on the table (matching column and analyzer) and keep " +
-        "the query shape ORDER BY ... DESC LIMIT k or a score-threshold " +
-        "WHERE conjunct.")
+        "the query shape ORDER BY ... DESC LIMIT k (optionally composed " +
+        "with WHERE filters and claimable ts_match conjuncts) or a " +
+        "score-threshold WHERE conjunct. Note: claimed scorers follow " +
+        "search-engine semantics — only docs matching at least one query " +
+        "term are returned, so a top-k can yield fewer than k rows.")
 }

@@ -417,6 +417,75 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSet == want)
   }
 
+  test("WHERE filter + bm25 top-k compose into one claimed drive") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT doc_id FROM graft_documents
+        |WHERE n_chars > 100
+        |ORDER BY bm25(text, 'vector dup query', 'whitespace') DESC
+        |LIMIT 10""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "bm25").isEmpty,
+      s"filtered scorer top-k must claim (round-7 verdict item 1):\n$optimized")
+    // ground truth: top-k of the FILTERED docs, not a post-filter of the
+    // global top-k
+    import org.apache.spark.sql.functions.{col => f}
+    val idx = graft.index.IndexStore.documents(spark, TestSpark.sfDir, "whitespace")
+    val want = idx.bm25(Seq("vector", "dup", "query"))
+      .join(Tables.documents(spark, TestSpark.sfDir).filter(f("n_chars") > 100)
+        .select("doc_id"), "doc_id")
+      .orderBy(f("_score").desc, f("doc_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(want.nonEmpty)
+    assert(df.collect().map(_.getLong(0)).toSeq == want)
+  }
+
+  test("claimed ts_match conjunct + bm25 top-k compose — no row-eval UDF anywhere") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT doc_id FROM graft_documents
+        |WHERE ts_match(text, 'stream', 'whitespace')
+        |ORDER BY bm25(text, 'vector dup query', 'whitespace') DESC
+        |LIMIT 10""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "bm25").isEmpty, s"bm25 must claim:\n$optimized")
+    assert(udfsIn(optimized, "ts_match").isEmpty, s"ts_match must claim:\n$optimized")
+    val semiJoins = optimized.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semiJoins.nonEmpty, "the claimed ts_match semi-join must drive the candidates")
+    import org.apache.spark.sql.functions.{col => f}
+    val idx = graft.index.IndexStore.documents(spark, TestSpark.sfDir, "whitespace")
+    val matched = graft.search.TsQueryExec.matching(idx,
+      graft.search.TsQuery.Term("stream")).select("doc_id")
+    val want = idx.bm25(Seq("vector", "dup", "query"))
+      .join(matched, "doc_id")
+      .orderBy(f("_score").desc, f("doc_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(want.nonEmpty)
+    assert(df.collect().map(_.getLong(0)).toSeq == want)
+  }
+
+  test("raw_tf in SQL claims like the other six scorers") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT doc_id, CAST(s AS BIGINT) AS tf_sum
+        |FROM (SELECT doc_id, raw_tf(text, 'vector dup query', 'whitespace') AS s
+        |      FROM graft_documents ORDER BY s DESC LIMIT 10)""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "raw_tf").isEmpty, s"raw_tf must claim:\n$optimized")
+    import org.apache.spark.sql.functions.{col => f}
+    val idx = graft.index.IndexStore.documents(spark, TestSpark.sfDir, "whitespace")
+    val want = idx.rawTf(Seq("vector", "dup", "query"))
+      .orderBy(f("_score").desc, f("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1).toLong)).toSeq
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == want)
+  }
+
   test("an unclaimed scorer throws the stub error instead of silently mis-scoring") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
