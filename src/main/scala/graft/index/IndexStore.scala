@@ -188,7 +188,17 @@ object IndexStore {
   def registerViews(spark: SparkSession, dir: String, prefix: String): Unit = {
     val idx = load(spark, dir)
     idx.postings.createOrReplaceTempView(s"${prefix}_postings")
-    idx.termDict.createOrReplaceTempView(s"${prefix}_termdict")
+    // `boost` and `term_raw` are the reference's ts_dict_score /
+    // ts_dict_raw_agg projections (search.h:106-109; TermBoost read at
+    // duckdb_search_full_scan.cpp:2683, default 1.0 — our analyzers store
+    // no per-term boosts; raw = the term's bytes for text fields,
+    // kInvertedIndexTermRawId BLOB).
+    idx.termDict
+      .withColumn("boost", org.apache.spark.sql.functions.lit(1.0f))
+      .withColumn("term_raw",
+        org.apache.spark.sql.functions.encode(
+          org.apache.spark.sql.functions.col("term"), "UTF-8"))
+      .createOrReplaceTempView(s"${prefix}_termdict")
     idx.docStats.createOrReplaceTempView(s"${prefix}_docstats")
   }
 

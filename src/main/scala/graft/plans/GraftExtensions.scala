@@ -215,6 +215,59 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
           logWarning(s"ts_dict pushdown failed, keeping explode plan: $e")
           agg
       }
+    case agg @ Aggregate(Nil, aggExprs, child, _) =>
+      try {
+        tokenizeGen(child) match {
+          // filtered shape bails: dictionary totals would not match the
+          // query's input rows — the explode plan stays (still correct)
+          case Some(c) if c.filtered.isEmpty =>
+            rewriteUngrouped(aggExprs, c).getOrElse(agg)
+          case _ => agg
+        }
+      } catch {
+        case e: Exception =>
+          logWarning(s"ts_dict ungrouped pushdown failed, keeping explode plan: $e")
+          agg
+      }
+  }
+
+  /** Ungrouped dictionary aggregates — the reference's convertible-aggregate
+    * claim (ts_dict_minmax_count.test: `count(DISTINCT col)`, `min(col)`,
+    * `max(col)` over an indexed column are served from the term enumeration;
+    * `ts_dict_min`/`ts_dict_max` stubs, search.h:110-111; min-only requests
+    * stop at the first live term per segment — TsDictTermUses::kMin,
+    * duckdb_search_full_scan.cpp:2660). Here: min/max(token) = the ends of
+    * the byte-ordered dictionary, count(DISTINCT token) = dictionary row
+    * count, count(*) (total tokens) = sum(ctf). Nothing tokenizes; the
+    * aggregate runs over the (tiny) dictionary instead of every token. */
+  private def rewriteUngrouped(aggExprs: Seq[NamedExpression],
+      c: FacetClaim): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+    import org.apache.spark.sql.functions.{coalesce => fCoalesce, col => f, count => fCount, lit => fLit, max => fMax, min => fMin, sum => fSum}
+    // every aggregate must map onto a dictionary-served value, else bail
+    val mapped: Seq[Option[(Alias, String)]] = aggExprs.map {
+      case al @ Alias(AggregateExpression(Min(a: Attribute), _, false, _, _), _)
+          if a.semanticEquals(c.tokenAttr) => Some(al -> "__mn")
+      case al @ Alias(AggregateExpression(Max(a: Attribute), _, false, _, _), _)
+          if a.semanticEquals(c.tokenAttr) => Some(al -> "__mx")
+      case al @ Alias(AggregateExpression(Count(Seq(a: Attribute)), _, true, _, _), _)
+          if a.semanticEquals(c.tokenAttr) => Some(al -> "__nd")
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), _) =>
+        Some(al -> "__nt")
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) return None
+    val dict = graft.index.IndexStore.load(spark, c.segDir).termDict
+    val aggd = dict.agg(
+      fMin(f("term")).as("__mn"), fMax(f("term")).as("__mx"),
+      fCount(fLit(1)).as("__nd"),
+      fCoalesce(fSum(f("ctf")), fLit(0L)).cast("long").as("__nt"))
+    val rPlan = aggd.queryExecution.optimizedPlan
+    val byName = rPlan.output.map(a => a.name -> a).toMap
+    Some(Project(
+      mapped.flatten.map { case (al, key) =>
+        Alias(byName(key), al.name)(exprId = al.exprId) },
+      rPlan))
   }
 
   /** Give every leaf relation in `plan` fresh output exprIds (and remap the

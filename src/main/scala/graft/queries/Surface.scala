@@ -238,6 +238,29 @@ object Surface {
       .select(col("vec_id"), col("label"))
   }
 
+  /** The remaining ts_dict variants (round-7 verdict item 2; search.h:
+    * 105-111): ts_dict_min/ts_dict_max = ungrouped min/max(token) served
+    * from the ends of the byte-ordered term dictionary, count(DISTINCT
+    * token) = dictionary row count, count(*) = Σctf — claimed by
+    * PushdownTsDictAggregate's ungrouped path, nothing tokenizes
+    * (ClaimRuleSpec asserts). ts_dict_score = the per-term boost column
+    * (default 1.0, TermBoost) and ts_dict_raw_agg = raw term bytes, both
+    * projected on the index's termdict relation. */
+  def tsDictVariants(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql("""SELECT m.term_min, m.term_max, m.n_terms, m.n_tokens,
+            |       s.n_boost1, s.n_raw_ok
+            |FROM
+            | (SELECT min(token) AS term_min, max(token) AS term_max,
+            |         count(DISTINCT token) AS n_terms, count(*) AS n_tokens
+            |  FROM (SELECT explode(ts_tokenize_sql(text, 'whitespace')) AS token
+            |        FROM graft_documents)) m,
+            | (SELECT count(*) AS n_boost1,
+            |         count_if(decode(term_raw, 'UTF-8') = term) AS n_raw_ok
+            |  FROM docs_claim_idx_termdict WHERE boost = 1.0) s""".stripMargin)
+  }
+
   /** A FILTERED facet: the lang predicate means the term-dict rewrite must
     * NOT fire (whole-corpus counts would be wrong) — the strict Project-only
     * claim guard keeps the explode plan, which tokenizes only lang='en' rows
@@ -475,6 +498,7 @@ object Surface {
     "vec_claimed_ann_cols" -> vecClaimedAnnCols,
     "ts_claim_generic" -> tsClaimGeneric,
     "ts_dict_pushdown" -> tsDictPushdown,
+    "ts_dict_variants" -> tsDictVariants,
     "ts_dict_filtered" -> tsDictFiltered,
     "ts_dict_claimed_filter" -> tsDictClaimedFilter,
     "vec_ann_filtered" -> vecAnnFiltered,
@@ -565,6 +589,14 @@ object Surface {
       s"""$toks
          |SELECT term AS token, count(DISTINCT doc_id) AS docs, count(*) AS freq
          |FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY term""".stripMargin,
+    "ts_dict_variants" ->
+      s"""$toks,
+         |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks)
+         |SELECT min(term) AS term_min, max(term) AS term_max,
+         |       count(DISTINCT term) AS n_terms, count(*) AS n_tokens,
+         |       count(DISTINCT term) AS n_boost1,
+         |       count(DISTINCT term) AS n_raw_ok
+         |FROM tok""".stripMargin,
     "ts_dict_filtered" ->
       """WITH toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts

@@ -117,6 +117,32 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ungrouped min/max/count-distinct facet is served from the dictionary ends") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT min(token) AS mn, max(token) AS mx,
+        |       count(DISTINCT token) AS nd, count(*) AS nt
+        |FROM (SELECT explode(ts_tokenize_sql(text, 'whitespace')) AS token
+        |      FROM graft_documents)""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "ts_tokenize_sql").isEmpty,
+      s"ungrouped dict aggregates must not tokenize:\n$optimized")
+    assert(optimized.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.isEmpty)
+    // ground truth from the brute-force tokenize
+    val ws = WhitespaceAnalyzer(lowercase = true)
+    val all = Tables.documents(spark, TestSpark.sfDir)
+      .select("text").collect().flatMap(r => ws.tokens(r.getString(0)))
+    val row = df.collect().head
+    assert(row.getString(0) == all.min)
+    assert(row.getString(1) == all.max)
+    assert(row.getLong(2) == all.distinct.length.toLong)
+    assert(row.getLong(3) == all.length.toLong)
+  }
+
   test("non-claimable filtered facet still bails to the explode plan") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
