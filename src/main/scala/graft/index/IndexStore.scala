@@ -78,16 +78,18 @@ object IndexStore {
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
   }
 
-  /** Write via temp file + rename — atomic on HDFS/local, close-to-atomic on
-    * object stores; the manifest is always either old or new, never partial. */
+  /** Write via temp file + FileContext rename(OVERWRITE) — atomic on
+    * HDFS/local with no delete-then-rename window (a crash leaves the old or
+    * the new manifest, never none), close-to-atomic on object stores. */
   private def writeStringAtomic(spark: SparkSession, path: String, s: String): Unit = {
     val f = fs(spark, path)
     val tmp = new Path(path + ".tmp")
     val out = f.create(tmp, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val dst = new Path(path)
-    if (f.exists(dst)) f.delete(dst, false)
-    require(f.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def exists(spark: SparkSession, path: String): Boolean =
@@ -114,8 +116,9 @@ object IndexStore {
     val dir = dirFor(cacheKey, textCol, analyzerName)
     jvmCache.getOrElseUpdate(dir, {
       if (!exists(spark, s"$dir/_SEGMENTS")) {
-        val idx = InvertedIndex.build(docs, idCol, textCol, analyzerName, withPositions)
-        writeSegment(idx, dir, 0)
+        val d = docs
+        val idx = InvertedIndex.build(d, idCol, textCol, analyzerName, withPositions)
+        writeSegment(idx, dir, 0, Some(d.select(col(idCol).as("doc_id"))))
         writeStringAtomic(spark, s"$dir/_SEGMENTS", "seg=00000\n")
       }
       load(spark, dir)
@@ -132,7 +135,8 @@ object IndexStore {
     * bucket-partitioned; termdict/docstats are derived from the (persisted)
     * postings so the analyzer pass is never repeated; postings are
     * unpersisted once the segment is durable. */
-  def writeSegment(idx: InvertedIndex, dir: String, segNo: Int): Unit = {
+  def writeSegment(idx: InvertedIndex, dir: String, segNo: Int,
+      docIds: Option[DataFrame] = None): Unit = {
     val seg = f"$dir/seg=$segNo%05d"
     val spark = idx.postings.sparkSession
     idx.postings
@@ -144,6 +148,13 @@ object IndexStore {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$seg/termdict")
     idx.docStats.write.mode("overwrite").parquet(s"$seg/docstats")
+    // full doc-id manifest: includes zero-token (empty/stopword-only) docs,
+    // which docstats cannot carry — REFRESH anti-joins against this so such
+    // docs don't look "new" on every run (segment-count drift, round-7
+    // ADVICE). Callers without the source frame fall back to docstats ids
+    // (status quo for streaming batches, which dedup by batch id instead).
+    docIds.getOrElse(idx.docStats).select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$seg/docids")
     // per-segment statistics persisted with the segment (the reference's
     // hyperloglog index option, inverted_index_hyperloglog_option.test):
     // postings row count + term NDV (termdict rows ARE the distinct terms)
@@ -156,16 +167,28 @@ object IndexStore {
   }
 
   /** Append a new segment (streaming ingest / incremental refresh). */
-  def appendSegment(idx: InvertedIndex, dir: String): Int = {
+  def appendSegment(idx: InvertedIndex, dir: String,
+      docIds: Option[DataFrame] = None): Int = {
     val spark = idx.postings.sparkSession
     val existing = listSegments(spark, dir)
     val next = existing.map(_.stripPrefix("seg=").toInt).foldLeft(-1)(math.max) + 1
-    writeSegment(idx, dir, next)
+    writeSegment(idx, dir, next, docIds)
     writeStringAtomic(spark, s"$dir/_SEGMENTS",
       (existing :+ f"seg=$next%05d").distinct.sorted.mkString("", "\n", "\n"))
     jvmCache.remove(dir)
     next
   }
+
+  /** Every doc id ever indexed into `dir`, INCLUDING zero-token docs — the
+    * REFRESH anti-join base. Segments written before the docids manifest
+    * existed fall back to their docstats (the pre-fix behavior, confined to
+    * old segments). */
+  def allDocIds(spark: SparkSession, dir: String): DataFrame =
+    listSegments(spark, dir).map { s =>
+      val p = s"$dir/$s/docids"
+      if (exists(spark, p)) spark.read.parquet(p).select(col("doc_id"))
+      else spark.read.parquet(s"$dir/$s/docstats").select(col("doc_id"))
+    }.reduce(_ unionByName _).distinct()
 
   /** Streaming-ingest batch markers (see graft.streaming.StreamingIngest):
     * which foreachBatch ids have fully committed their segment. */

@@ -114,7 +114,18 @@ final case class InvertedIndex(
     * OR-of-ranges chain would blow up codegen. */
   def anyOfPrefixes(prefixes: Seq[String]): DataFrame = {
     require(prefixes.nonEmpty, "anyOfPrefixes needs at least one prefix")
-    val ps = prefixes.distinct
+    // prefix-free reduction: drop any prefix that has an ancestor in the set
+    // (the ancestor matches a superset, so the matched terms are unchanged).
+    // The >16 path's single global upper bound is exact ONLY for prefix-free
+    // sets (round-7 ADVICE: with both 'b' and 'ba' present, ps.max = 'ba'
+    // would bound out terms like 'bz' that 'b' should match). In sorted
+    // order an element's longest kept ancestor is always acc.last — any
+    // kept element between an ancestor and its descendant would itself
+    // start with that ancestor and have been dropped.
+    val ps = prefixes.distinct.sorted
+      .foldLeft(Vector.empty[String]) { (acc, p) =>
+        if (acc.nonEmpty && p.startsWith(acc.last)) acc else acc :+ p
+      }
     val pred =
       if (ps.size <= 16) ps.map(prefixPred).reduce(_ || _)
       else {

@@ -315,9 +315,13 @@ object Ddl {
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
           IndexStore.invalidate(e.dir)
           IndexCatalog.unregisterText(e.dir)
+          // tombstone for the persist merge: another session's catalog row
+          // pointing at this (now deleted) artifact must not be resurrected
+          CatalogStore.dropped.put(e.dir, true)
           e.annKey.foreach { k =>
             graft.index.IvfIndex.invalidate(e.dir)
             IndexCatalog.unregisterAnn(k)
+            CatalogStore.dropped.put(k, true)
           }
           CatalogStore.persist(spark)
           result(spark, s"dropped $name")
@@ -376,14 +380,19 @@ object Ddl {
                 org.apache.spark.sql.functions.expr(exprRaw)), "expr_key")
             case colName => (spark.table(e.view), colName)
           }
-          val existing = IndexStore.load(spark, e.dir)
-            .docStats.select(org.apache.spark.sql.functions.col("doc_id"))
+          // anti-join against the FULL per-segment doc-id manifest, not
+          // docStats: docStats carries only docs with ≥1 token, so a
+          // zero-token doc would count as "new" on every REFRESH, appending
+          // a segment each run and drifting bm25/idf/avgdl (round-7 ADVICE)
+          val existing = IndexStore.allDocIds(spark, e.dir)
           val newDocs = source.join(existing,
             source(idCol) === existing("doc_id"), "left_anti")
           val added = newDocs.count()
           if (added > 0) {
             val idx = graft.index.InvertedIndex.build(newDocs, idCol, keyCol, e.analyzer)
-            IndexStore.appendSegment(idx, e.dir)
+            IndexStore.appendSegment(idx, e.dir,
+              Some(newDocs.select(
+                org.apache.spark.sql.functions.col(idCol).as("doc_id"))))
             spark.catalog.refreshByPath(e.dir)
             IndexStore.registerViews(spark, e.dir, name)
             IndexStore.registerStatsTables(spark, e.dir, name)
@@ -447,6 +456,11 @@ object CatalogStore {
   @volatile private var loadedOnce = false
   private val mapper = new ObjectMapper()
 
+  /** Segment/cache dirs DROPped in this JVM — persist() must not resurrect
+    * their rows when merging the on-disk catalog written by another session
+    * (read-modify-write below). */
+  private[search] val dropped = TrieMap.empty[String, Boolean]
+
   /** Test hook: point the persisted catalog somewhere else (isolation from
     * catalogs other JVMs left in the shared tmp dir). */
   @volatile private[graft] var baseDirOverride: Option[String] = None
@@ -475,6 +489,7 @@ object CatalogStore {
   private[graft] def reset(): Unit = synchronized {
     IndexCatalog.text.clear(); IndexCatalog.ann.clear()
     ExprIndexes.reg.clear(); Ddl.catalog.clear(); Ddl.sessionReady.clear()
+    dropped.clear()
     loadedOnce = false
   }
 
@@ -484,35 +499,82 @@ object CatalogStore {
     mapper.writeValueAsString(node)
   }
 
+  /** Dedup identity of a catalog row — the same key the in-memory registries
+    * use, so a merge can tell "row this JVM also has" from "row another
+    * session persisted that this JVM never saw". */
+  private def keyOf(n: com.fasterxml.jackson.databind.JsonNode): String = {
+    def s(k: String) = Option(n.get(k)).map(_.asText()).getOrElse("")
+    s("kind") match {
+      case "text" => s"text|${s("root")}|${s("column")}|${s("analyzer")}"
+      case "ann" => s"ann|${s("root")}|${s("column")}|${s("metric")}"
+      case "expr" => s"expr|${s("root")}|${s("exprSql")}|${s("analyzer")}"
+      case "ddl" => s"ddl|${s("name")}"
+      case other => s"$other|${n.toString}"
+    }
+  }
+
+  /** Whether a disk row points at an artifact this session DROPped — the
+    * merge must not resurrect it. */
+  private def isDropped(n: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    def s(k: String) = Option(n.get(k)).map(_.asText())
+    Seq("segDir", "dir", "cacheKey", "annKey").flatMap(s).exists(dropped.contains)
+  }
+
   def persist(spark: SparkSession): Unit = synchronized {
-    val lines = Seq.newBuilder[String]
+    val lines = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def add(key: String, line: String): Unit = lines.put(key, line)
     IndexCatalog.text.foreach { case ((root, c, a), e) =>
-      lines += row("kind" -> "text", "root" -> root, "column" -> c,
-        "analyzer" -> a, "segDir" -> e.segDir, "idCol" -> e.idCol)
+      add(s"text|$root|$c|$a", row("kind" -> "text", "root" -> root,
+        "column" -> c, "analyzer" -> a, "segDir" -> e.segDir, "idCol" -> e.idCol))
     }
     IndexCatalog.ann.foreach { case ((root, c, m), e) =>
-      lines += row("kind" -> "ann", "root" -> root, "column" -> c,
+      add(s"ann|$root|$c|$m", row("kind" -> "ann", "root" -> root, "column" -> c,
         "metric" -> m, "cacheKey" -> e.cacheKey, "idCol" -> e.idCol,
-        "embCol" -> e.embCol)
+        "embCol" -> e.embCol))
     }
     ExprIndexes.reg.foreach { case ((root, sql, a), (segDir, idCol)) =>
-      lines += row("kind" -> "expr", "root" -> root, "exprSql" -> sql,
-        "analyzer" -> a, "segDir" -> segDir, "idCol" -> idCol)
+      add(s"expr|$root|$sql|$a", row("kind" -> "expr", "root" -> root,
+        "exprSql" -> sql, "analyzer" -> a, "segDir" -> segDir, "idCol" -> idCol))
     }
     Ddl.catalog.foreach { case (n, e) =>
-      lines += row((Seq("kind" -> "ddl", "name" -> n, "dir" -> e.dir,
+      add(s"ddl|$n", row((Seq("kind" -> "ddl", "name" -> n, "dir" -> e.dir,
         "view" -> e.view, "keySpec" -> e.keySpec, "analyzer" -> e.analyzer,
         "idCol" -> e.idCol) ++
-        e.annKey.map("annKey" -> _)): _*)
+        e.annKey.map("annKey" -> _)): _*))
     }
     val dest = catalogPath
-    val tmp = new Path(dest.getParent, s"catalog.json.tmp-${java.util.UUID.randomUUID}")
     val f = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // read-modify-write under the rename (ADVICE round 7): with the
+    // documented shared GRAFT_INDEX_DIR, another JVM may have persisted rows
+    // after this JVM's lazy load — a plain rewrite from this JVM's snapshot
+    // would silently drop them (last-writer-wins lost update). Disk rows
+    // this JVM doesn't know keep their place unless they point at an
+    // artifact this session DROPped. This-session rows win on key conflict.
+    try {
+      if (f.exists(dest)) {
+        val in = f.open(dest)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                      finally in.close()
+        content.linesIterator.filter(_.trim.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          val k = keyOf(n)
+          if (!lines.contains(k) && !isDropped(n)) lines.put(k, line)
+        }
+      }
+    } catch { case e: Exception =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"catalog merge read failed, persisting this session's rows only: $e")
+    }
+    val tmp = new Path(dest.getParent, s"catalog.json.tmp-${java.util.UUID.randomUUID}")
     val out = f.create(tmp, true)
-    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((lines.values.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (f.exists(dest)) f.delete(dest, false)
-    f.rename(tmp, dest)
+    // atomic replace: FileContext.rename(OVERWRITE) has no delete-then-rename
+    // window — a crash leaves either the old or the new catalog, never none
+    // and never a torn file (reference two-leg commit, transaction.h:58-76)
+    org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def load(): Unit = {

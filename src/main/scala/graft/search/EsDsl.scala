@@ -51,8 +51,14 @@ object EsDsl {
             case JObject(List((_, o: JObject))) =>
               def bound(k: String): Option[String] = (o \ k) match {
                 case JString(s) => Some(s)
-                case JInt(n) => Some(n.toString)
-                case JDouble(d) => Some(d.toString)
+                // stringifying a numeric bound would silently compare
+                // lexicographically ('10' < '9') — not ES's numeric-field
+                // range semantics. Reject loudly (round-7 ADVICE).
+                case JInt(_) | JDouble(_) =>
+                  throw new IllegalArgumentException(
+                    "ES DSL: numeric range bounds are not supported — range " +
+                      "compares analyzed tokens lexicographically; pass string " +
+                      "bounds (zero-padded if numeric order is intended)")
                 case _ => None
               }
               val (gte, gt, lte, lt) =

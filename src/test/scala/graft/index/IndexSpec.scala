@@ -48,6 +48,21 @@ class IndexSpec extends AnyFunSuite {
         if ts.exists(t => t.startsWith("s") && t.endsWith("t")) => id }.toSet)
   }
 
+  test("anyOfPrefixes stays exact on a NON-prefix-free set through the >16 path") {
+    // the round-7 ADVICE hazard: the set's lexicographic MAX ('re') is an
+    // extension of another member ('r'), so the >16 path's global upper
+    // bound derived from ps.max ('rf') would exclude terms like 'row'/'run'
+    // that the shorter prefix should match. The prefix-free reduction must
+    // make the result equal the per-prefix union regardless.
+    val base = "abcdefghijklmnopqr".map(_.toString) // 18 singles > 16
+    val nonPrefixFree = base ++ Seq("ba", "co", "qu", "re")
+    val got = ids(idx.anyOfPrefixes(nonPrefixFree))
+    val want = nonPrefixFree
+      .map(p => toks.collect { case (id, ts) if ts.exists(_.startsWith(p)) => id }.toSet)
+      .reduce(_ union _)
+    assert(got == want)
+  }
+
   test("phrase matches full scan sliding window") {
     val q = Seq("hash", "join")
     assert(ids(idx.phrase(q)) ==

@@ -229,6 +229,84 @@ class DdlSpec extends AnyFunSuite {
     spark.sql("DROP SEARCH INDEX refresh_idx")
   }
 
+  test("REFRESH is idempotent when the source holds zero-token docs") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    try Ddl.execute(spark, "DROP SEARCH INDEX zt_refresh_idx")
+    catch { case _: IllegalArgumentException => () }
+    // every fifth doc has EMPTY text: zero tokens, so it can never appear in
+    // docStats — the pre-fix anti-join would count it as "new" on every
+    // REFRESH, appending a segment each run and drifting numDocs/avgdl
+    val src = Tables.documents(spark, dir).filter(col("doc_id") < 20)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, lit("")).otherwise(col("text")))
+    src.createOrReplaceTempView("zt_refresh_docs")
+    spark.sql("CREATE SEARCH INDEX zt_refresh_idx ON zt_refresh_docs (text) " +
+      "WITH (id = 'doc_id', analyzer = 'whitespace', key = 'zt-refresh-spec')")
+    def stats = spark.sql("DESCRIBE SEARCH INDEX zt_refresh_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val n0 = stats("num_docs").toLong
+    assert(stats("num_segments") == "1")
+    // two refreshes with an unchanged source: +0 docs, no segment growth,
+    // numDocs (hence idf/avgdl) stable
+    (1 to 2).foreach { _ =>
+      assert(spark.sql("REFRESH SEARCH INDEX zt_refresh_idx")
+        .head().getString(0) == "refreshed zt_refresh_idx (+0 docs)")
+    }
+    assert(stats("num_segments") == "1")
+    assert(stats("num_docs").toLong == n0)
+    spark.sql("DROP SEARCH INDEX zt_refresh_idx")
+  }
+
+  test("persist merges concurrent sessions' catalog rows instead of dropping them") {
+    val tmpCat = java.nio.file.Files.createTempDirectory("graft-cat-merge").toString
+    CatalogStore.baseDirOverride = Some(tmpCat)
+    try {
+      CatalogStore.reset()
+      // private keys: DROP below deletes these indexes' segment dirs, which
+      // must never be the shared fixture other suites load
+      Tables.documents(spark, dir).limit(20).createOrReplaceTempView("merge_spec_docs")
+      Ddl.execute(spark,
+        s"CREATE SEARCH INDEX merge_spec_a ON merge_spec_docs (text) " +
+          s"WITH (id = 'doc_id', analyzer = 'whitespace', key = 'merge-spec-a')")
+      // simulate ANOTHER session persisting a row after this JVM's load:
+      // append a foreign text-index row to catalog.json through the Hadoop
+      // FS API (as a real session would — keeps the .crc sidecar valid)
+      val catPath = new org.apache.hadoop.fs.Path(s"$tmpCat/_CATALOG/catalog.json")
+      val hfs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val foreign = """{"kind":"text","root":"/other/session/table","column":"body",""" +
+        """"analyzer":"whitespace","segDir":"/other/session/idx","idCol":"id"}"""
+      val prior = {
+        val in = hfs.open(catPath)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      val out = hfs.create(catPath, true)
+      try out.write((prior + foreign + "\n").getBytes("UTF-8")) finally out.close()
+      def catContent() = {
+        val in = hfs.open(catPath)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      // any DDL in THIS session persists again — the pre-fix rewrite-from-
+      // memory would silently drop the foreign row (last-writer-wins)
+      Ddl.execute(spark,
+        s"CREATE SEARCH INDEX merge_spec_b ON merge_spec_docs (text) " +
+          s"WITH (id = 'doc_id', analyzer = 'whitespace', key = 'merge-spec-b')")
+      val after = catContent()
+      assert(after.contains("/other/session/idx"),
+        s"foreign session's row must survive this session's persist:\n$after")
+      assert(after.contains("merge_spec_a") && after.contains("merge_spec_b"))
+      // DROP tombstones: the dropped index must not be resurrected from the
+      // on-disk copy on the next persist, while the foreign row stays
+      Ddl.execute(spark, "DROP SEARCH INDEX merge_spec_b")
+      val afterDrop = catContent()
+      assert(!afterDrop.contains("merge_spec_b"))
+      assert(afterDrop.contains("/other/session/idx"))
+      Ddl.execute(spark, "DROP SEARCH INDEX merge_spec_a")
+    } finally {
+      CatalogStore.baseDirOverride = None
+      CatalogStore.reset()
+    }
+  }
+
   test("malformed statements fail loudly") {
     intercept[IllegalArgumentException](
       Ddl.execute(spark, "CREATE SEARCH INDEX x ON v (c) WITH (analyzer = 'a')"))

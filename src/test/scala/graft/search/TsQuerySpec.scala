@@ -56,6 +56,14 @@ class TsQuerySpec extends AnyFunSuite {
         |"must_not":[{"term":{"text":"b"}}],
         |"should":[{"term":{"text":"c"}}],"minimum_should_match":1}}}""".stripMargin, ws)
     assert(b == Left(EsDsl.Bool(Seq(Term("a")), Seq(Term("b")), Seq(Term("c")), 1)))
+    // string range bounds parse; numeric bounds are rejected loudly — a
+    // stringified numeric would silently compare lexicographically
+    // ('10' < '9'), not ES's numeric-field semantics (round-7 ADVICE)
+    assert(EsDsl.parse("""{"query":{"range":{"text":{"gte":"b","lt":"d"}}}}""", ws) ==
+      Right(TermRange(Some("b"), Some("d"), loInc = true, hiInc = false)))
+    val numErr = intercept[IllegalArgumentException](
+      EsDsl.parse("""{"query":{"range":{"text":{"gte":10,"lt":20}}}}""", ws))
+    assert(numErr.getMessage.contains("lexicographically"))
   }
 
   test("ES DSL nested bool flattens into the parent query") {
