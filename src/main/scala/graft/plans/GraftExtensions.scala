@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => ClaimAnnRange(s))
     e.injectOptimizerRule(s => ClaimScoreTopK(s))
     e.injectOptimizerRule(s => ClaimScoreFilter(s))
+    e.injectOptimizerRule(s => ClaimPkLookup(s))
     e.injectPlannerStrategy(s => StrictClaimCheck(s))
     e.injectParser((_, delegate) => new graft.search.GraftSqlParser(delegate))
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)

@@ -48,8 +48,12 @@ object IndexCatalog {
     * `cosine` = L2 over unit-normalized copies, `ip` = dot-bound probes). */
   final case class AnnEntry(cacheKey: String, idCol: String, embCol: String, metric: String)
 
+  /** Secondary (point-lookup) index: the PkIndex manifest dir. */
+  final case class PkEntry(dir: String)
+
   private[search] val text = TrieMap.empty[(String, String, String), TextEntry]
   private[search] val ann = TrieMap.empty[(String, String, String), AnnEntry]
+  private[search] val pk = TrieMap.empty[(String, String), PkEntry]
 
   def registerText(tableRoot: String, column: String, analyzer: String,
       segDir: String, idCol: String): Unit =
@@ -74,6 +78,17 @@ object IndexCatalog {
 
   def unregisterAnn(cacheKey: String): Unit =
     ann.filterInPlace((_, e) => e.cacheKey != cacheKey)
+
+  def registerPk(tableRoot: String, column: String, dir: String): Unit =
+    pk.put((tableRoot, column), PkEntry(dir))
+
+  def lookupPk(tableRoot: String, column: String): Option[PkEntry] = {
+    CatalogStore.ensureLoaded()
+    pk.get((tableRoot, column))
+  }
+
+  def unregisterPk(dir: String): Unit =
+    pk.filterInPlace((_, e) => e.dir != dir)
 
   /** The (vec_id, embedding) DataFrame an ANN entry's IVF index is built
     * over — re-derivable from the scan root alone, so a claim rule can
@@ -154,7 +169,9 @@ object Ddl {
     """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\(\s*(.+?)\s*\)\)\s*WITH\s*\((.*)\)\s*""".r
   private val createVecRe =
     """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*)\)\s*""".r
-  private val dropRe = """(?is)\s*DROP\s+(?:SEARCH|VECTOR)\s+INDEX\s+(\w+)\s*""".r
+  private val createPkRe =
+    """(?is)\s*CREATE\s+SECONDARY\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)(?:\s*WITH\s*\((.*)\))?\s*""".r
+  private val dropRe = """(?is)\s*DROP\s+(?:SEARCH|VECTOR|SECONDARY)\s+INDEX\s+(\w+)\s*""".r
   private val showRe = """(?is)\s*SHOW\s+SEARCH\s+INDEXES\s*""".r
   private val compactRe = """(?is)\s*COMPACT\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
   private val describeRe = """(?is)\s*DESCRIBE\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
@@ -187,8 +204,8 @@ object Ddl {
   /** Whether this statement is graft index DDL — the session-parser
     * extension ([[GraftSqlParser]]) routes these out of the Spark grammar. */
   def handles(sql: String): Boolean = sql match {
-    case createExprRe(_*) | createRe(_*) | createVecRe(_*) | dropRe(_*) |
-        showRe() | compactRe(_*) | describeRe(_*) | refreshRe(_*) => true
+    case createExprRe(_*) | createRe(_*) | createVecRe(_*) | createPkRe(_*) |
+        dropRe(_*) | showRe() | compactRe(_*) | describeRe(_*) | refreshRe(_*) => true
     case _ => false
   }
 
@@ -307,6 +324,25 @@ object Ddl {
         annKey = Some(effKey), idCol = idCol))
       CatalogStore.persist(spark)
       result(spark, s"created $name")
+    case createPkRe(name, view, keyCol, optsStr) =>
+      val opts = optRe.findAllMatchIn(Option(optsStr).getOrElse(""))
+        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+      val cacheKey = opts.getOrElse("key", view)
+      val dir = graft.index.PkIndex.dirFor(cacheKey, keyCol)
+      val root = scanRootOf(spark, view).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE SECONDARY INDEX: view $view is not a bare parquet scan"))
+      // idempotent fast path like the other CREATE verbs
+      if (catalog.get(name).exists(_.sameSpec(Entry(dir, view, keyCol, "secondary"))) &&
+          graft.index.PkIndex.available(spark, dir)) {
+        IndexCatalog.registerPk(root, keyCol, dir)
+        return result(spark, s"created $name")
+      }
+      val nFiles = graft.index.PkIndex.build(spark, root, keyCol, dir)
+      IndexCatalog.registerPk(root, keyCol, dir)
+      catalog.put(name, Entry(dir, view, keyCol, "secondary", idCol = keyCol))
+      CatalogStore.persist(spark)
+      result(spark, s"created $name ($nFiles files)")
     case dropRe(name) =>
       sessionReady.remove(name)
       catalog.remove(name) match {
@@ -315,6 +351,8 @@ object Ddl {
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
           IndexStore.invalidate(e.dir)
           IndexCatalog.unregisterText(e.dir)
+          IndexCatalog.unregisterPk(e.dir)
+          graft.index.PkIndex.invalidate(e.dir)
           // tombstone for the persist merge: another session's catalog row
           // pointing at this (now deleted) artifact must not be resurrected
           CatalogStore.dropped.put(e.dir, true)
@@ -487,7 +525,7 @@ object CatalogStore {
   /** Test hook: forget the in-JVM registries and re-load from disk, as a
     * fresh session would. */
   private[graft] def reset(): Unit = synchronized {
-    IndexCatalog.text.clear(); IndexCatalog.ann.clear()
+    IndexCatalog.text.clear(); IndexCatalog.ann.clear(); IndexCatalog.pk.clear()
     ExprIndexes.reg.clear(); Ddl.catalog.clear(); Ddl.sessionReady.clear()
     dropped.clear()
     loadedOnce = false
@@ -508,6 +546,7 @@ object CatalogStore {
       case "text" => s"text|${s("root")}|${s("column")}|${s("analyzer")}"
       case "ann" => s"ann|${s("root")}|${s("column")}|${s("metric")}"
       case "expr" => s"expr|${s("root")}|${s("exprSql")}|${s("analyzer")}"
+      case "pk" => s"pk|${s("root")}|${s("column")}"
       case "ddl" => s"ddl|${s("name")}"
       case other => s"$other|${n.toString}"
     }
@@ -535,6 +574,10 @@ object CatalogStore {
     ExprIndexes.reg.foreach { case ((root, sql, a), (segDir, idCol)) =>
       add(s"expr|$root|$sql|$a", row("kind" -> "expr", "root" -> root,
         "exprSql" -> sql, "analyzer" -> a, "segDir" -> segDir, "idCol" -> idCol))
+    }
+    IndexCatalog.pk.foreach { case ((root, c), e) =>
+      add(s"pk|$root|$c", row("kind" -> "pk", "root" -> root, "column" -> c,
+        "dir" -> e.dir))
     }
     Ddl.catalog.foreach { case (n, e) =>
       add(s"ddl|$n", row((Seq("kind" -> "ddl", "name" -> n, "dir" -> e.dir,
@@ -602,6 +645,9 @@ object CatalogStore {
           ExprIndexes.reg.putIfAbsent(
             (s("root").get, s("exprSql").get, s("analyzer").get),
             (s("segDir").get, s("idCol").get))
+        case Some("pk") =>
+          IndexCatalog.pk.putIfAbsent((s("root").get, s("column").get),
+            IndexCatalog.PkEntry(s("dir").get))
         case Some("ddl") =>
           Ddl.catalog.putIfAbsent(s("name").get,
             Ddl.Entry(s("dir").get, s("view").get, s("keySpec").get,
