@@ -236,6 +236,100 @@ object IvfIndex {
       fs(spark, dir).exists(new Path(s"$dir/_CENTROIDS"))
   }
 
+  /** Incremental append — the faiss add-after-train shape (the reference
+    * keeps index snapshots alive across compactions rather than rebuilding,
+    * inverted_index_storage.h:267-270): NEW vectors are assigned to the
+    * EXISTING centroids in one broadcast-join pass (|delta| × k candidate
+    * rows, min_by per vector — no KMeans retrain), appended into the
+    * cluster-partitioned store, and the per-list radii/sizes are merged
+    * with the delta's (max radius / summed count), which keeps the
+    * ball-bound probe EXACT over the grown index.
+    *
+    * Appending forever would let the data distribution drift away from the
+    * trained centroids (lists bloat, probes widen): once the total grows
+    * past `1 + driftRatio` of the size the centroids were TRAINED on, the
+    * index re-clusters from scratch at the new autoK — the (rare,
+    * amortized) full rebuild instead of a per-append one.
+    *
+    * Returns (#appended, reclustered?). Single-writer (the DDL path);
+    * concurrent readers keep the old JVM-cached load until invalidated. */
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame,
+      driftRatio: Double = 0.5): (Long, Boolean) = {
+    import spark.implicits._
+    val f = fs(spark, dir)
+    def readLines(p: Path): Array[String] = {
+      val in = f.open(p)
+      val txt = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      txt.split("\n").filter(_.nonEmpty)
+    }
+    def writeFile(p: Path, s: String): Unit = {
+      val out = f.create(p, true)
+      try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+    val marker = new Path(s"$dir/_CENTROIDS")
+    require(f.exists(marker), s"no IVF index at $dir to append to")
+    val centroids = readLines(marker).map(_.split(",").map(_.toDouble))
+    val radii = readLines(new Path(s"$dir/_RADII")).map(_.toDouble)
+    val sizes = readLines(new Path(s"$dir/_SIZES")).map(_.toLong)
+    val trainedOn =
+      if (f.exists(new Path(s"$dir/_TRAINED")))
+        readLines(new Path(s"$dir/_TRAINED")).head.toLong
+      else sizes.sum
+
+    // nearest-centroid assignment: broadcast the (tiny) centroid table,
+    // min_by over the k candidates per vector — one shuffle on vec_id
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "cvec")
+    val d2 = aggregate(zip_with(col("embedding"), col("cvec"),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)), lit(0.0), _ + _)
+    val assigned = newVecs.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .withColumn("d2", d2)
+      .groupBy("vec_id")
+      .agg(min_by(col("cluster"), col("d2")).as("cluster"),
+        first(col("embedding")).as("embedding"),
+        sqrt(min(col("d2"))).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaMeta = assigned.groupBy("cluster")
+      .agg(max(col("d")).as("r"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Number](0).intValue -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val added = deltaMeta.values.map(_._2).sum
+    if (added == 0) { assigned.unpersist(); return (0L, false) }
+    assigned.select(col("vec_id"), col("embedding"), col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/vectors")
+    assigned.unpersist()
+    val total = sizes.sum + added
+    if (total > trainedOn * (1.0 + driftRatio)) {
+      // drift: re-cluster the full store at the new scale. Rebuild lands in
+      // a sibling dir first, then swaps in — readers see old or new, never
+      // a half-written store.
+      val all = spark.read.parquet(s"$dir/vectors").select("vec_id", "embedding")
+      val idx = build(all)
+      idx.assignments.repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/vectors_next")
+      f.delete(new Path(s"$dir/vectors"), true)
+      require(f.rename(new Path(s"$dir/vectors_next"), new Path(s"$dir/vectors")),
+        s"swap of reclustered store failed at $dir")
+      writeFile(new Path(s"$dir/_RADII"), idx.radii.mkString("\n"))
+      writeFile(new Path(s"$dir/_SIZES"), idx.sizes.mkString("\n"))
+      writeFile(marker, idx.centroids.map(_.mkString(",")).mkString("\n"))
+      writeFile(new Path(s"$dir/_TRAINED"), total.toString)
+      invalidate(dir)
+      (added, true)
+    } else {
+      val newRadii = radii.indices.map { i =>
+        deltaMeta.get(i).map(m => math.max(radii(i), m._1)).getOrElse(radii(i)) }
+      val newSizes = sizes.indices.map { i =>
+        sizes(i) + deltaMeta.get(i).map(_._2).getOrElse(0L) }
+      writeFile(new Path(s"$dir/_RADII"), newRadii.mkString("\n"))
+      writeFile(new Path(s"$dir/_SIZES"), newSizes.mkString("\n"))
+      writeFile(new Path(s"$dir/_TRAINED"), trainedOn.toString)
+      invalidate(dir)
+      (added, false)
+    }
+  }
+
   /** Build-or-load a persisted, cluster-partitioned copy (the durable form:
     * partition pruning on `cluster=` directories is what makes the probed
     * fraction of the data the actual IO cost). All metadata IO is Hadoop-FS
@@ -258,6 +352,7 @@ object IvfIndex {
         }
         writeFile(radiiFile, idx.radii.mkString("\n"))
         writeFile(sizesFile, idx.sizes.mkString("\n"))
+        writeFile(new Path(s"$dir/_TRAINED"), idx.sizes.sum.toString)
         writeFile(marker, idx.centroids.map(_.mkString(",")).mkString("\n"))
       }
       def readLines(p: Path): Array[String] = {

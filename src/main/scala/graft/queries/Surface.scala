@@ -304,6 +304,35 @@ object Surface {
       .select(col("vec_id"))
   }
 
+  /** Incremental vector-index refresh (round-7 verdict item 6): the index
+    * is built on two-thirds of the table, the table grows, and REFRESH
+    * assigns the new vectors to the EXISTING centroids (IvfIndex.append —
+    * no retrain; drift past 1.5× re-clusters). The claimed ANN query over
+    * the grown table is exact by the merged-radii ball bound, so the oracle
+    * is plain brute-force SQL. */
+  def vecRefreshAppend(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    val root = sys.props("java.io.tmpdir") + "/graft-vecrefresh-" +
+      dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    Tables.embeddings(s, dir).filter(col("vec_id") % 3 < 2)
+      .write.mode("overwrite").parquet(root)
+    s.read.parquet(root).createOrReplaceTempView("graft_emb_refresh")
+    graft.search.Ddl.execute(s,
+      s"""CREATE VECTOR INDEX emb_refresh_idx ON graft_emb_refresh (embedding)
+         |WITH (id = 'vec_id', metric = 'l2', key = '$dir-emb-refresh')""".stripMargin)
+    // the table grows; REFRESH appends the delta into the existing lists
+    Tables.embeddings(s, dir).write.mode("overwrite").parquet(root)
+    s.catalog.refreshByPath(root)
+    s.read.parquet(root).createOrReplaceTempView("graft_emb_refresh")
+    graft.search.Ddl.execute(s, "REFRESH SEARCH INDEX emb_refresh_idx")
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    s.read.parquet(root)
+      .orderBy(call_udf("ann_l2", col("embedding"), typedlit(q)))
+      .limit(10)
+      .select(col("vec_id"))
+  }
+
   /** bool + minimum_should_match=2 through the ES DSL row-eval path: doc 1
     * matches 2 should branches, doc 2 only 1 — counting semantics, not the
     * drop-the-shoulds superset (dsl.cpp:326-349). */
@@ -522,6 +551,7 @@ object Surface {
     "vec_claimed_ip" -> vecClaimedIp,
     "vec_ann_range" -> vecAnnRange,
     "vec_claimed_ann_cols" -> vecClaimedAnnCols,
+    "vec_refresh_append" -> vecRefreshAppend,
     "ts_claim_generic" -> tsClaimGeneric,
     "ts_dict_pushdown" -> tsDictPushdown,
     "ts_dict_variants" -> tsDictVariants,
@@ -609,6 +639,10 @@ object Surface {
     "vec_claimed_ann_cols" ->
       """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label FROM embeddings, qv
+        |ORDER BY list_distance(embedding::DOUBLE[], qe::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
+    "vec_refresh_append" ->
+      """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id FROM embeddings, qv
         |ORDER BY list_distance(embedding::DOUBLE[], qe::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
     "ts_claim_generic" ->
       "SELECT event_id FROM events WHERE event_type = 'click'",

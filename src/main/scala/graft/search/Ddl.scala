@@ -436,10 +436,23 @@ object Ddl {
             IndexStore.registerStatsTables(spark, e.dir, name)
           }
           result(spark, s"refreshed $name (+$added docs)")
-        case Some(_) =>
-          throw new IllegalArgumentException(
-            s"REFRESH SEARCH INDEX applies to search indexes; $name is a vector " +
-              "index — DROP and re-CREATE it to rebuild")
+        case Some(e) =>
+          // vector index: assign new vectors to the EXISTING centroids and
+          // append (IvfIndex.append; round-7 verdict item 6 — previously
+          // this verb rejected vector indexes and forced a full rebuild).
+          // A drift past 1.5× the trained size re-clusters automatically.
+          val metric = e.analyzer.stripPrefix("vector:")
+          val entry = IndexCatalog.AnnEntry(e.annKey.get, e.idCol, e.keySpec, metric)
+          val root = scanRootOf(spark, e.view).getOrElse(
+            throw new IllegalArgumentException(
+              s"REFRESH: view ${e.view} is not a bare parquet scan"))
+          val source = IndexCatalog.annSource(spark, root, entry)
+          val existing = spark.read.parquet(s"${e.dir}/vectors").select("vec_id")
+          val newVecs = source.join(existing, Seq("vec_id"), "left_anti")
+          val (added, reclustered) = graft.index.IvfIndex.append(spark, e.dir, newVecs)
+          spark.catalog.refreshByPath(e.dir)
+          result(spark, s"refreshed $name (+$added vectors)" +
+            (if (reclustered) " [reclustered]" else ""))
         case None =>
           throw new IllegalArgumentException(s"no such search index: $name")
       }

@@ -36,6 +36,52 @@ class IvfIndexSpec extends AnyFunSuite {
       s"ballProbes/knn planning must not run Spark jobs, saw ${counter.get}")
   }
 
+  test("append assigns to existing centroids and the ball probe stays EXACT") {
+    val dirKey = "ivf-append-spec"
+    val dir = IvfIndex.dirFor(dirKey)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    IvfIndex.invalidate(dir)
+    val twoThirds = embs.filter(col("vec_id") % 3 < 2).select("vec_id", "embedding")
+    val rest = embs.filter(col("vec_id") % 3 === 2).select("vec_id", "embedding")
+    val before = IvfIndex.ensure(spark, twoThirds, dirKey)
+    val nLists = before.numLists
+    // append the last third (1.5x trained = the drift boundary, inclusive):
+    // no retrain, radii/sizes merged
+    val (added, reclustered) = IvfIndex.append(spark, dir, rest)
+    assert(added == rest.count())
+    assert(!reclustered, "a <=1.5x growth must append, not re-cluster")
+    val after = IvfIndex.ensure(spark, sys.error("must load, not rebuild"), dirKey)
+    assert(after.numLists == nLists, "centroids unchanged by append")
+    assert(after.sizes.sum == embs.count(), "sizes must cover appended vectors")
+    // the exact-by-construction ball probe must still be exact: merged radii
+    // cover the appended points
+    val q = embs.filter(col("vec_id") === 7).select("embedding").head().getSeq[Float](0)
+    val got = after.knn(q, 10).collect().map(_.getLong(0)).toSeq
+    val want = embs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), l2sq(r.getSeq[Float](1), q)))
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+    assert(got == want, "post-append claimed knn must equal brute force")
+    // idempotent: appending the same ids again is a no-op
+    assert(IvfIndex.append(spark, dir,
+      rest.join(spark.read.parquet(s"$dir/vectors").select("vec_id"),
+        Seq("vec_id"), "left_anti"))._1 == 0)
+
+    // drift: tripling the trained volume re-clusters at the new autoK
+    val big = embs.select(
+      (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      .union(embs.select((col("vec_id") + 2000000).as("vec_id"), col("embedding")))
+    val (added2, reclustered2) = IvfIndex.append(spark, dir, big)
+    assert(added2 == big.count())
+    assert(reclustered2, "3x growth past the drift ratio must re-cluster")
+    val rebuilt = IvfIndex.ensure(spark, sys.error("must load"), dirKey)
+    assert(rebuilt.sizes.sum == embs.count() * 3)
+    assert(rebuilt.numLists > nLists, "re-cluster must retrain at the new scale")
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    IvfIndex.invalidate(dir)
+  }
+
   test("range search returns exactly the vectors inside the radius") {
     val idx = IvfIndex.build(embs)
     val all = embs.select("vec_id", "embedding").collect()
