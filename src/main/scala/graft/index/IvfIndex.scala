@@ -105,6 +105,67 @@ final case class IvfIndex(
     topK(probes, query, k)
   }
 
+  /** EXACT filtered k-NN — top-k by L2 among the CANDIDATE ids only (the
+    * reference claims filtered ANN into the same iresearch scan with a
+    * filter tree, iresearch_plan.cpp:546-621). No STATIC probe set can be
+    * exact under a filter: a selective filter may leave the true neighbors
+    * in any list, so the eligible-per-list counts are runtime facts. This
+    * is therefore a driver-ADAPTIVE probe (AQE-style runtime refinement):
+    *
+    *  1. probe the nearest lists holding ≥ k points (as if unfiltered);
+    *  2. top-k the FILTERED points inside them (semi-join on the candidate
+    *     ids). With ≥ k survivors, the kth distance d_k plus the triangle
+    *     inequality proves which unprobed lists could still matter
+    *     (‖q−cⱼ‖ − rⱼ ≤ d_k); probe exactly those once more — after that
+    *     re-score d_k can only shrink, so no further list can qualify.
+    *  3. While < k survivors, double the probe set in centroid order.
+    *
+    * ≤ log₂(#lists)+1 rounds, each a partition-pruned job; driver state is
+    * k rows per round. A filter that empties the near lists degrades toward
+    * the full scan — the price of exactness. */
+  def knnFiltered(query: Seq[Float], k: Int, candidates: DataFrame): DataFrame = {
+    val spark = assignments.sparkSession
+    import spark.implicits._
+    val lists = centroidDistSq(query.map(_.toDouble))
+      .filter(t => sizes(t._2) > 0)
+      .map { case (dSq, i) => (i, math.sqrt(dSq)) } // centroid-distance order
+    val cand = candidates.select(col("vec_id"))
+    def topAmong(listIds: Seq[Int]): Array[(Long, Double)] =
+      if (listIds.isEmpty) Array.empty
+      else assignments.filter(col("cluster").isin(listIds: _*))
+        .join(cand, Seq("vec_id"), "left_semi")
+        .withColumn("dist", distCol(query))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(k)
+        .select(col("vec_id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val probedSet = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var acc = 0L
+    lists.iterator.takeWhile(_ => acc < k).foreach { case (i, _) =>
+      acc += sizes(i); probedSet += i
+    }
+    if (probedSet.isEmpty && lists.nonEmpty) probedSet += lists.head._1
+    var top = topAmong(probedSet.toSeq)
+    var go = true
+    while (go) {
+      val unprobed = lists.filterNot(l => probedSet.contains(l._1))
+      if (unprobed.isEmpty) go = false
+      else if (top.length >= k) {
+        val dk = math.sqrt(top.last._2) // dist col is SQUARED l2
+        val need = unprobed.collect {
+          case (i, d) if d - radii(i) <= dk + 1e-9 => i }
+        if (need.isEmpty) go = false
+        else { probedSet ++= need; top = topAmong(probedSet.toSeq) }
+        // after this re-score, every remaining list had lower bound > the
+        // (only-shrinking) dk — the next iteration's need set is empty
+      } else {
+        probedSet ++= unprobed.take(math.max(probedSet.size, 1)).map(_._1)
+        top = topAmong(probedSet.toSeq)
+      }
+    }
+    top.toSeq.toDF("vec_id", "dist")
+  }
+
   /** All vectors within L2 distance `r` of `query` — the reference's ANN
     * range claim (`TryClaimAnnRange`, iresearch_plan.cpp:927-965). List j can
     * hold a qualifying vector only if ‖q−cⱼ‖ − rⱼ ≤ r, so the probe set is

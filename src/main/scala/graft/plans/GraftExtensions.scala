@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => ClaimScoreTopK(s))
     e.injectOptimizerRule(s => ClaimScoreFilter(s))
     e.injectOptimizerRule(s => ClaimPkLookup(s))
+    e.injectOptimizerRule(s => ClaimAnnDistanceRewrite(s))
     e.injectPlannerStrategy(s => StrictClaimCheck(s))
     e.injectParser((_, delegate) => new graft.search.GraftSqlParser(delegate))
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
@@ -488,6 +489,51 @@ case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
           logWarning(s"ANN claim failed, keeping exact sort: $e")
           gl
       }
+  }
+}
+
+/** Rewrites a SURVIVING `ORDER BY ann_l2/ann_ip(col, <const>)` sort key —
+  * the shapes the IVF claim must leave exact (a Filter/Join under the Sort:
+  * no static probe set is exact under a filter; the library's adaptive
+  * IvfIndex.knnFiltered is the runtime-refined index path, and the
+  * reference likewise evaluates its filter tree inside the scan at runtime,
+  * iresearch_plan.cpp:546-621) — from the row-eval ScalaUDF into the native
+  * codegen'd kernel (L2SqrDistanceExpr / −InnerProductExpr). The fold is
+  * the same left-to-right double accumulation as the UDF (and IEEE negation
+  * is exact), so values, order AND ties are bit-identical — but the sort
+  * key now runs inside whole-stage codegen with no per-row array
+  * deserialization into Seq[Float]. Registered AFTER ClaimAnnTopK in the
+  * batch, so bare-scan shapes still claim the index probe first.
+  * `ann_cosine` keeps the UDF: its zero-norm convention (exactly 1.0) has
+  * no loss-free native composition. */
+case class ClaimAnnDistanceRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.UnaryMinus
+  import org.apache.spark.sql.catalyst.plans.logical.Sort
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+  private def isFloatArray(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isAnnUdf(e: Expression): Boolean = e match {
+    case u: ScalaUDF => u.udfName.exists(n => n == "ann_l2" || n == "ann_ip")
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case s @ Sort(order, _, _, _) if order.exists(_.child.exists(isAnnUdf)) =>
+      s.copy(order = order.map(o => o.copy(child = o.child.transform {
+        case u: ScalaUDF if isAnnUdf(u) =>
+          u.children match {
+            case Seq(a, l: Literal)
+                if isFloatArray(a.dataType) && isFloatArray(l.dataType) =>
+              if (u.udfName.contains("ann_l2"))
+                graft.functions.L2SqrDistanceExpr(a, l)
+              else UnaryMinus(graft.functions.InnerProductExpr(a, l))
+            case _ => u
+          }
+      })))
   }
 }
 

@@ -333,6 +333,22 @@ object Surface {
       .select(col("vec_id"))
   }
 
+  /** FILTERED knn through the index (round-7 verdict item 7): the adaptive
+    * exact probe (IvfIndex.knnFiltered) — ball-bound lists first, widened
+    * by the triangle-inequality proof until no unprobed list can hold a
+    * closer filtered neighbor. Exact by construction, so the oracle is the
+    * brute-force filtered SQL. */
+  def vecKnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val idx = graft.index.IvfIndex.ensure(s,
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      s"$dir-embeddings")
+    idx.knnFiltered(q, 10,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 2 === 1).select("vec_id"))
+      .select(col("vec_id"))
+  }
+
   /** bool + minimum_should_match=2 through the ES DSL row-eval path: doc 1
     * matches 2 should branches, doc 2 only 1 — counting semantics, not the
     * drop-the-shoulds superset (dsl.cpp:326-349). */
@@ -552,6 +568,7 @@ object Surface {
     "vec_ann_range" -> vecAnnRange,
     "vec_claimed_ann_cols" -> vecClaimedAnnCols,
     "vec_refresh_append" -> vecRefreshAppend,
+    "vec_knn_filtered" -> vecKnnFiltered,
     "ts_claim_generic" -> tsClaimGeneric,
     "ts_dict_pushdown" -> tsDictPushdown,
     "ts_dict_variants" -> tsDictVariants,
@@ -643,6 +660,10 @@ object Surface {
     "vec_refresh_append" ->
       """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id FROM embeddings, qv
+        |ORDER BY list_distance(embedding::DOUBLE[], qe::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
+    "vec_knn_filtered" ->
+      """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id FROM embeddings, qv WHERE vec_id % 2 = 1
         |ORDER BY list_distance(embedding::DOUBLE[], qe::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
     "ts_claim_generic" ->
       "SELECT event_id FROM events WHERE event_type = 'click'",

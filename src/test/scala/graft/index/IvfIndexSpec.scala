@@ -82,6 +82,25 @@ class IvfIndexSpec extends AnyFunSuite {
     IvfIndex.invalidate(dir)
   }
 
+  test("filtered knn (adaptive probe) equals brute force over the candidates") {
+    val idx = IvfIndex.build(embs)
+    val q = embs.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    def check(mod: Int, rem: Int): Unit = {
+      val cands = embs.filter(col("vec_id") % mod === rem).select("vec_id")
+      val got = idx.knnFiltered(q, 10, cands).collect().map(_.getLong(0)).toSeq
+      val want = embs.filter(col("vec_id") % mod === rem)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), l2sq(r.getSeq[Float](1), q)))
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+      assert(got == want, s"filtered knn (mod=$mod) must equal brute force")
+    }
+    check(2, 1)  // half the corpus survives
+    check(23, 3) // selective: forces the adaptive widening rounds
+    // empty candidate set → empty result, loop terminates
+    assert(idx.knnFiltered(q, 5,
+      embs.filter(col("vec_id") < 0).select("vec_id")).count() == 0)
+  }
+
   test("range search returns exactly the vectors inside the radius") {
     val idx = IvfIndex.build(embs)
     val all = embs.select("vec_id", "embedding").collect()

@@ -243,9 +243,19 @@ class ClaimRuleSpec extends AnyFunSuite {
       .limit(10)
       .select(col("vec_id"))
     val optimized = df.queryExecution.optimizedPlan
-    val leftoverUdfs = udfsIn(optimized, "ann_l2")
-    assert(leftoverUdfs.nonEmpty,
+    // the IVF probe must NOT claim (it would drop the filter): the Sort
+    // survives — but its row-eval UDF key is rewritten into the native
+    // codegen'd kernel (ClaimAnnDistanceRewrite), bit-identical fold
+    val sorts = optimized.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s }
+    assert(sorts.nonEmpty,
       s"a FILTERED ANN sort must stay exact — claiming would drop the filter:\n$optimized")
+    assert(udfsIn(optimized, "ann_l2").isEmpty,
+      s"the surviving sort key must be the native kernel, not the ScalaUDF:\n$optimized")
+    assert(optimized.exists(_.expressions.exists(_.exists {
+      case _: graft.functions.L2SqrDistanceExpr => true
+      case _ => false
+    })), s"expected L2SqrDistanceExpr in the sort key:\n$optimized")
 
     def l2(a: Seq[Float], b: Seq[Float]): Double =
       a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
@@ -628,8 +638,20 @@ class ClaimRuleSpec extends AnyFunSuite {
       val optimized =
         try { val o = df.queryExecution.optimizedPlan; Thread.sleep(500); o }
         finally spark.sparkContext.removeSparkListener(listener)
-      assert(udfsIn(optimized, "ann_l2").nonEmpty,
+      // the claim bails to the exact sort (whose UDF key is then rewritten
+      // to the native kernel by ClaimAnnDistanceRewrite): still a Sort, and
+      // still over the TABLE scan — not the index's vectors store
+      assert(optimized.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s }.nonEmpty,
         s"a claim without its artifact must bail to the exact sort:\n$optimized")
+      val scannedRoots = optimized.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.mkString(",")
+      }
+      assert(scannedRoots.exists(_.contains("embeddings.parquet")),
+        s"the bailed plan must scan the table, not the index store: $scannedRoots")
       assert(counter.get == 0,
         s"failing the claim must not run a plan-time build job, saw ${counter.get}")
       // and the exact sort still answers correctly
