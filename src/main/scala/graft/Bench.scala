@@ -88,6 +88,36 @@ object Bench {
             .write.mode("overwrite").parquet(s"$sf1Dir/lineitem.parquet")
         }
         val genS = (System.nanoTime() - genT0) / 1e9
+
+        // claimed-search spot (VERDICT r7 item 8): its own 10x documents
+        // table — PLAIN replication (ids offset, text unchanged), because
+        // the dedup table's replica-prefixed tokens would make the bm25
+        // query match nothing. 10 identical replicas keep idf/avgdl shape
+        // (df and numDocs both 10x) — the honest 10x-corpus for a postings
+        // drive. es_dsl_claimed is NOT spotted: its corpus is a 4-doc
+        // protocol fixture; its claim path shares this same postings drive.
+        val sf1SearchDir = sys.props("java.io.tmpdir") + "/graft-sf1search"
+        if (!new java.io.File(s"$sf1SearchDir/documents.parquet/_SUCCESS").exists()) {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+          (0 until 10).map { i =>
+            docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * maxId))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$sf1SearchDir/documents.parquet")
+        }
+        // 10x data wants 10x shuffle partitions for everything below,
+        // including the index build (see the measured spill note under
+        // `spot`)
+        spark.conf.set("spark.sql.shuffle.partitions", shufflePart.toInt * 10)
+        // pre-build the 10x search index (a durable artifact like the dedup
+        // cluster artifact): the spot times the claimed DRIVE; the one-time
+        // build cost is surfaced separately as sf1_index_build
+        val idxT0 = System.nanoTime()
+        SparkEntry.queries("ts_claimed_bm25_topk")(spark, sf1SearchDir)
+          .write.mode("overwrite").format("noop").save()
+        val idxBuildS = (System.nanoTime() - idxT0) / 1e9
+        val searchSpot = Seq("ts_claimed_bm25_topk", "ts_claimed_bm25_filtered_topk")
+
         val spot = Seq("summarize_table", "approx_sketches", "dedup_simhash",
           "dedup_minhash_lsh", "dedup_ngram_jaccard")
         // partition count tracks DATA size, not core count: at 10x the rows
@@ -109,14 +139,26 @@ object Bench {
             .format("noop").save()
           n -> (System.nanoTime() - t0) / 1e9
         }
+        val searchTimes = searchSpot.filter(SparkEntry.queries.contains).map { n =>
+          spark.catalog.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sf1SearchDir).write.mode("overwrite")
+            .format("noop").save()
+          n -> (System.nanoTime() - t0) / 1e9
+        }
         spark.conf.set("spark.sql.shuffle.partitions", shufflePart)
-        f""","sf1_spot":${times.map { case (k, v) => f""""$k":$v%.3f""" }
+        f""","sf1_spot":${(times ++ searchTimes).map { case (k, v) => f""""$k":$v%.3f""" }
           .mkString("{", ",", "}")},"sf1_gen_sec":$genS%.1f""" +
+          f""","sf1_index_build":$idxBuildS%.3f""" +
           ""","sf1_note":"sf1 spot entries are single cold runs on a clean """ +
           """cache with shuffle partitions scaled 10x with the data; """ +
           """approx_sketches carries an exact-percentile correctness gate """ +
           """(buffers all values; test-scale construct) that dominates its """ +
-          """sf1 time; the sketch itself is linear""""
+          """sf1 time; the sketch itself is linear; ts_claimed_* spots run """ +
+          """on a plain 10x replication (the dedup table's replica-prefixed """ +
+          """tokens would empty the search query) with the one-time index """ +
+          """build reported as sf1_index_build""""
       }
 
     // Full per-entry timings go to a FILE — the stdout line overflowed the
