@@ -513,6 +513,21 @@ object Surface {
             |LIMIT 10""".stripMargin)
   }
 
+  /** THREE claims composing in one query: the score threshold claims into
+    * the WAND min-score semi-join (ClaimScoreFilter), the plain n_chars
+    * conjunct stays a pushed-down residual, and the scorer ORDER BY + LIMIT
+    * claims the top-k drive over that candidate tree (ClaimScoreTopK) —
+    * all inside one optimizer fixpoint. */
+  def tsClaimedBm25MinscoreTopK(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql("""SELECT doc_id FROM graft_documents
+            |WHERE bm25(text, 'vector dup query', 'whitespace') >= 1.5
+            |  AND n_chars > 50
+            |ORDER BY bm25(text, 'vector dup query', 'whitespace') DESC
+            |LIMIT 10""".stripMargin)
+  }
+
   /** raw_tf through the SQL claim path — the reference registers all NINE
     * scorers as SQL stubs (search.cpp:142-173); round-7 verdict item 4
     * flagged raw_tf/raw_dl/raw_boost as Scala-API-only. Aliased-select
@@ -558,6 +573,7 @@ object Surface {
     "ts_claimed_tfidf_topk" -> tsClaimedTfidfTopK,
     "ts_claimed_bm25_filtered_topk" -> tsClaimedBm25FilteredTopK,
     "ts_claimed_bm25_match_topk" -> tsClaimedBm25MatchTopK,
+    "ts_claimed_bm25_minscore_topk" -> tsClaimedBm25MinscoreTopK,
     "ts_claimed_rawtf_topk" -> tsClaimedRawTfTopK,
     "ddl_index" -> ddlIndex,
     "ts_expr_claim" -> tsExprClaim,
@@ -624,6 +640,11 @@ object Surface {
       s"""${Search.scoringCtes}
          |SELECT s.doc_id FROM scored s JOIN toks t USING (doc_id)
          |WHERE list_contains(t.ts, 'stream') AND s.score > 0
+         |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin,
+    "ts_claimed_bm25_minscore_topk" ->
+      s"""${Search.scoringCtes}
+         |SELECT s.doc_id FROM scored s JOIN documents d USING (doc_id)
+         |WHERE s.score >= 1.5 AND d.n_chars > 50
          |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin,
     "ts_claimed_rawtf_topk" ->
       s"""${Search.scoringCtes}

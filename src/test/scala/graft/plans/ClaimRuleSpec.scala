@@ -504,6 +504,31 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == want)
   }
 
+  test("threshold + residual + scorer top-k compose — three claims, one fixpoint") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT doc_id FROM graft_documents
+        |WHERE bm25(text, 'vector dup query', 'whitespace') >= 1.5
+        |  AND n_chars > 50
+        |ORDER BY bm25(text, 'vector dup query', 'whitespace') DESC
+        |LIMIT 10""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "bm25").isEmpty,
+      s"both bm25 occurrences must claim:\n$optimized")
+    import org.apache.spark.sql.functions.{col => f}
+    val idx = graft.index.IndexStore.documents(spark, TestSpark.sfDir, "whitespace")
+    val want = idx.bm25(Seq("vector", "dup", "query"))
+      .filter(f("_score") >= 1.5)
+      .join(Tables.documents(spark, TestSpark.sfDir).filter(f("n_chars") > 50)
+        .select("doc_id"), "doc_id")
+      .orderBy(f("_score").desc, f("doc_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(want.nonEmpty)
+    assert(df.collect().map(_.getLong(0)).toSeq == want)
+  }
+
   test("raw_tf in SQL claims like the other six scorers") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)

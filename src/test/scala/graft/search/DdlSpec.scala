@@ -307,6 +307,43 @@ class DdlSpec extends AnyFunSuite {
     }
   }
 
+  test("crash-torn builds: orphan segments invisible, missing manifest rebuilds") {
+    try Ddl.execute(spark, "DROP SEARCH INDEX torn_idx")
+    catch { case _: IllegalArgumentException => () }
+    Tables.documents(spark, dir).limit(30).createOrReplaceTempView("torn_docs")
+    spark.sql("CREATE SEARCH INDEX torn_idx ON torn_docs (text) " +
+      "WITH (id = 'doc_id', analyzer = 'whitespace', key = 'torn-spec')")
+    def stats = spark.sql("DESCRIBE SEARCH INDEX torn_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val loc = stats("location")
+    val n0 = stats("num_docs").toLong
+    assert(n0 > 0 && stats("num_segments") == "1")
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(loc).getFileSystem(conf)
+    // a KILLED mid-append: segment data fully written but the _SEGMENTS
+    // manifest swap never happened — the orphan directory must be invisible
+    // (readers see the OLD index, never a torn one)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$loc/seg=00000"),
+      fs, new org.apache.hadoop.fs.Path(s"$loc/seg=00001"), false, conf)
+    graft.index.IndexStore.invalidate(loc)
+    assert(stats("num_segments") == "1",
+      "an orphan segment dir outside the manifest must stay invisible")
+    assert(stats("num_docs").toLong == n0)
+
+    // a KILLED initial build: segment data present, manifest never written.
+    // durable() is false, so CREATE must take the full rebuild path
+    fs.delete(new org.apache.hadoop.fs.Path(s"$loc/_SEGMENTS"), false)
+    graft.index.IndexStore.invalidate(loc)
+    val recreated = spark.sql("CREATE SEARCH INDEX torn_idx ON torn_docs (text) " +
+      "WITH (id = 'doc_id', analyzer = 'whitespace', key = 'torn-spec')")
+    assert(recreated.head().getString(0) == "created torn_idx")
+    assert(stats("num_segments") == "1")
+    assert(stats("num_docs").toLong == n0, "rebuild must restore the index")
+    spark.sql("DROP SEARCH INDEX torn_idx")
+  }
+
   test("malformed statements fail loudly") {
     intercept[IllegalArgumentException](
       Ddl.execute(spark, "CREATE SEARCH INDEX x ON v (c) WITH (analyzer = 'a')"))
