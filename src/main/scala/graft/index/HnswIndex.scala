@@ -219,6 +219,9 @@ final case class HnswIndex(graph: Dataset[HnswNode], m: Int, efConstruction: Int
 object HnswIndex {
   private val jvmCache = TrieMap.empty[String, HnswIndex]
 
+  /** Drop the cached load (callers deleting the directory out of band). */
+  def invalidate(dir: String): Unit = jvmCache.remove(dir)
+
   /** Deterministic layer level: geometric with mL = 1/ln(M), the uniform
     * drawn from splitmix64(vec_id) — no executor RNG state, rebuildable
     * bit-for-bit. */
@@ -256,12 +259,62 @@ object HnswIndex {
     HnswIndex(nodes, m, efConstruction)
   }
 
+  /** Incremental append for a persisted graph — the reference's
+    * per-segment shape (new segments get their own graphs; query-time
+    * merge spans them, inverted_index_storage.h:267-270): the delta builds
+    * its OWN partition-local graphs, numbered after the existing
+    * partitions, and appends to the parquet store. Search already merges
+    * per-partition local top-k lists, so recall properties are per-graph
+    * and unaffected by the append; exhaustive mode (`ef <= 0`) stays
+    * exact. When accumulated appends leave more than 2× the partition
+    * count autoPartitions would pick for the total, the graph rebuilds
+    * once at the new scale (staged + rename) — amortized, like IVF's
+    * drift re-cluster. Returns (#appended, rebuilt?). */
+  def append(spark: SparkSession, cacheKey: String, newVecs: DataFrame,
+      m: Int = 16, efConstruction: Int = 64, partitions: Int = 0): (Long, Boolean) = {
+    import spark.implicits._
+    val dir = dirFor(cacheKey, m, efConstruction, partitions)
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(new Path(s"$dir/_OK")), s"no HNSW graph at $dir to append to")
+    val existing = spark.read.parquet(s"$dir/graph")
+    val stats = existing.agg(max("part"), count(lit(1))).head()
+    val (maxPart, n0) = (stats.getInt(0), stats.getLong(1))
+    val nd = newVecs.count()
+    if (nd == 0) return (0L, false)
+    val deltaParts = autoPartitions(nd)
+    val offset = maxPart + 1
+    val delta = build(newVecs, partitions = deltaParts,
+        m = m, efConstruction = efConstruction)
+      .graph.map(node => node.copy(part = node.part + offset))
+    delta.write.mode("append").parquet(s"$dir/graph")
+    jvmCache.remove(dir)
+    val totalParts = offset + deltaParts
+    if (totalParts > 2 * autoPartitions(n0 + nd)) {
+      // too many small segment graphs: each adds a beam at query time —
+      // rebuild once at the new scale, staged then swapped
+      val all = spark.read.parquet(s"$dir/graph")
+        .select(col("vec_id"), col("embedding")).distinct()
+      build(all, m = m, efConstruction = efConstruction, partitions = partitions)
+        .graph.write.mode("overwrite").parquet(s"$dir/graph_next")
+      f.delete(new Path(s"$dir/graph"), true)
+      require(f.rename(new Path(s"$dir/graph_next"), new Path(s"$dir/graph")),
+        s"swap of rebuilt graph failed at $dir")
+      jvmCache.remove(dir)
+      (nd, true)
+    } else (nd, false)
+  }
+
+  def dirFor(cacheKey: String, m: Int = 16, efConstruction: Int = 64,
+      partitions: Int = 0): String = {
+    val key = cacheKey.replaceAll("[^A-Za-z0-9._-]+", "_")
+    s"${IvfIndex.defaultRoot}/$key-hnsw$m-$efConstruction-$partitions-v${IndexStore.FormatVersion}"
+  }
+
   /** Build-or-load the persisted graph (parquet neighbor lists; Hadoop-FS
     * metadata IO only, so HDFS/S3 work unchanged). */
   def ensure(spark: SparkSession, embs: => DataFrame, cacheKey: String,
       m: Int = 16, efConstruction: Int = 64, partitions: Int = 0): HnswIndex = {
-    val key = cacheKey.replaceAll("[^A-Za-z0-9._-]+", "_")
-    val dir = s"${IvfIndex.defaultRoot}/$key-hnsw$m-$efConstruction-$partitions-v${IndexStore.FormatVersion}"
+    val dir = dirFor(cacheKey, m, efConstruction, partitions)
     jvmCache.getOrElseUpdate(dir, {
       import spark.implicits._
       val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

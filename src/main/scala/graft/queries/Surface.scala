@@ -333,6 +333,29 @@ object Surface {
       .select(col("vec_id"))
   }
 
+  /** HNSW incremental refresh: the delta builds its own partition-local
+    * graphs (the reference's per-segment shape — new segments, query-time
+    * merge); exhaustive mode stays exact over the grown store, so the
+    * oracle is brute-force SQL. Idempotent across runs (the delta is an
+    * anti-join against the stored graph's ids). */
+  def vecHnswRefresh(s: SparkSession, dir: String): DataFrame = {
+    val key = s"$dir-emb-hnsw-refresh"
+    val graphDir = graft.index.HnswIndex.dirFor(key)
+    graft.index.HnswIndex.ensure(s,
+      Tables.embeddings(s, dir).filter(col("vec_id") % 3 < 2)
+        .select(col("vec_id"), col("embedding")), key)
+    val present = s.read.parquet(s"$graphDir/graph").select("vec_id")
+    val delta = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .join(present, Seq("vec_id"), "left_anti")
+    graft.index.HnswIndex.append(s, key, delta)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    graft.index.HnswIndex.ensure(s,
+        sys.error("graph must load from disk, never rebuild here"), key)
+      .knn(q, 10, ef = 0)
+      .select(col("vec_id"))
+  }
+
   /** FILTERED knn through the index (round-7 verdict item 7): the adaptive
     * exact probe (IvfIndex.knnFiltered) — ball-bound lists first, widened
     * by the triangle-inequality proof until no unprobed list can hold a
@@ -585,6 +608,7 @@ object Surface {
     "vec_claimed_ann_cols" -> vecClaimedAnnCols,
     "vec_refresh_append" -> vecRefreshAppend,
     "vec_knn_filtered" -> vecKnnFiltered,
+    "vec_hnsw_refresh" -> vecHnswRefresh,
     "ts_claim_generic" -> tsClaimGeneric,
     "ts_dict_pushdown" -> tsDictPushdown,
     "ts_dict_variants" -> tsDictVariants,
@@ -685,6 +709,10 @@ object Surface {
     "vec_knn_filtered" ->
       """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id FROM embeddings, qv WHERE vec_id % 2 = 1
+        |ORDER BY list_distance(embedding::DOUBLE[], qe::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
+    "vec_hnsw_refresh" ->
+      """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id FROM embeddings, qv
         |ORDER BY list_distance(embedding::DOUBLE[], qe::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
     "ts_claim_generic" ->
       "SELECT event_id FROM events WHERE event_type = 'click'",

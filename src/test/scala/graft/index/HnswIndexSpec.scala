@@ -28,6 +28,39 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(got == exact, s"got=$got exact=$exact")
   }
 
+  test("append builds delta partition graphs; exhaustive search stays exact") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val embs = graft.Tables.embeddings(spark, TestSpark.sfDir)
+    val key = "hnsw-append-spec"
+    val dir = HnswIndex.dirFor(key)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    HnswIndex.invalidate(dir)
+    val twoThirds = embs.filter(col("vec_id") % 3 < 2).select("vec_id", "embedding")
+    val rest = embs.filter(col("vec_id") % 3 === 2).select("vec_id", "embedding")
+    HnswIndex.ensure(spark, twoThirds, key)
+    val (added, rebuilt) = HnswIndex.append(spark, key, rest)
+    assert(added == rest.count())
+    assert(!rebuilt, "a small delta must append its own partition graphs, not rebuild")
+    // load fresh and verify: exhaustive (ef<=0) per-partition scan + global
+    // merge is exact over the grown store
+    val idx = HnswIndex.ensure(spark, sys.error("must load, not rebuild"), key)
+    val q = embs.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0)
+    def l2sq(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val got = idx.knn(q, 10, ef = 0).collect().map(_.getLong(0)).toSeq
+    val want = embs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), l2sq(r.getSeq[Float](1), q)))
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+    assert(got == want, "post-append exhaustive knn must equal brute force")
+    // beam search over the grown store keeps high overlap with exact
+    val beam = idx.knn(q, 10, ef = 128).collect().map(_.getLong(0)).toSet
+    assert((beam & want.toSet).size >= 9, s"beam recall dropped: $beam vs $want")
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
   test("graph serialization round-trips through rows") {
     val vecs = {
       val rnd = new scala.util.Random(3)
