@@ -220,10 +220,14 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
     case agg @ Aggregate(Nil, aggExprs, child, _) =>
       try {
         tokenizeGen(child) match {
-          // filtered shape bails: dictionary totals would not match the
-          // query's input rows — the explode plan stays (still correct)
           case Some(c) if c.filtered.isEmpty =>
             rewriteUngrouped(aggExprs, c).getOrElse(agg)
+          // claimed-filter shape (ts_match → LeftSemi): the same aggregates
+          // re-derive from the POSTINGS of the matched docs — min/max/NDV
+          // over the semi-joined terms, total tokens = sum(tf)
+          case Some(c) =>
+            val (right, rightKey) = c.filtered.get
+            rewriteUngroupedFiltered(aggExprs, c, right, rightKey).getOrElse(agg)
           case _ => agg
         }
       } catch {
@@ -231,6 +235,56 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
           logWarning(s"ts_dict ungrouped pushdown failed, keeping explode plan: $e")
           agg
       }
+  }
+
+  /** Ungrouped min/max/NDV/token-count over a CLAIMED-filter facet — the
+    * reference's ts_dict WHERE-claim applied to the convertible aggregates
+    * (ts_dict_plan.hpp:17-28 + ts_dict_minmax_count.test): counts come from
+    * the postings rows of the matched docs, so nothing tokenizes and only
+    * matched postings aggregate. */
+  private def rewriteUngroupedFiltered(aggExprs: Seq[NamedExpression],
+      c: FacetClaim, right: LogicalPlan, rightKey: Attribute): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+    import org.apache.spark.sql.functions.{col => f}
+    val mapped: Seq[Option[(Alias, String)]] = aggExprs.map {
+      case al @ Alias(AggregateExpression(Min(a: Attribute), _, false, _, _), _)
+          if a.semanticEquals(c.tokenAttr) => Some(al -> "__mn")
+      case al @ Alias(AggregateExpression(Max(a: Attribute), _, false, _, _), _)
+          if a.semanticEquals(c.tokenAttr) => Some(al -> "__mx")
+      case al @ Alias(AggregateExpression(Count(Seq(a: Attribute)), _, true, _, _), _)
+          if a.semanticEquals(c.tokenAttr) => Some(al -> "__nd")
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), _) =>
+        Some(al -> "__nt")
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) return None
+    val idx = graft.index.IndexStore.load(spark, c.segDir)
+    val posts = idx.postings.select(f("term"), f("doc_id"), f("tf").cast("long").as("tf"))
+    val pPlan = freshRelationIds(posts.queryExecution.optimizedPlan)
+    val Seq(termA, docA, _) = pPlan.output
+    val joined = Join(pPlan, right, LeftSemi, Some(EqualTo(docA, rightKey)), JoinHint.NONE)
+    // aggregate over matched postings via the DataFrame API on a wrapped
+    // plan is not available inside a rule — construct the Aggregate node
+    val aggd = {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Count => CCount, Max => CMax, Min => CMin, Sum => CSum}
+      val mn = Alias(AggregateExpression(CMin(termA), Complete, isDistinct = false), "__mn")()
+      val mx = Alias(AggregateExpression(CMax(termA), Complete, isDistinct = false), "__mx")()
+      val nd = Alias(AggregateExpression(CCount(Seq(termA)), Complete, isDistinct = true), "__nd")()
+      val nt = Alias(org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+        AggregateExpression(CSum(pPlan.output(2)), Complete, isDistinct = false),
+        Literal(0L))), "__nt")()
+      Aggregate(Nil, Seq(mn, mx, nd, nt), joined)
+    }
+    if (!aggd.resolved) {
+      logWarning("filtered ungrouped ts_dict rewrite produced an unresolved plan, bailing:\n" +
+        aggd.treeString)
+      return None
+    }
+    val byName = aggd.output.map(a => a.name -> a).toMap
+    Some(Project(
+      mapped.flatten.map { case (al, key) =>
+        Alias(byName(key), al.name)(exprId = al.exprId) },
+      aggd))
   }
 
   /** Ungrouped dictionary aggregates — the reference's convertible-aggregate

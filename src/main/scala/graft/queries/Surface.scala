@@ -250,7 +250,7 @@ object Surface {
     SqlSurface.registerAll(s)
     ensureDocsIndex(s, dir)
     s.sql("""SELECT m.term_min, m.term_max, m.n_terms, m.n_tokens,
-            |       s.n_boost1, s.n_raw_ok
+            |       s.n_boost1, s.n_raw_ok, fm.f_terms, fm.f_tokens
             |FROM
             | (SELECT min(token) AS term_min, max(token) AS term_max,
             |         count(DISTINCT token) AS n_terms, count(*) AS n_tokens
@@ -258,7 +258,11 @@ object Surface {
             |        FROM graft_documents)) m,
             | (SELECT count(*) AS n_boost1,
             |         count_if(decode(term_raw, 'UTF-8') = term) AS n_raw_ok
-            |  FROM docs_claim_idx_termdict WHERE boost = 1.0) s""".stripMargin)
+            |  FROM docs_claim_idx_termdict WHERE boost = 1.0) s,
+            | (SELECT count(DISTINCT token) AS f_terms, count(*) AS f_tokens
+            |  FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
+            |        FROM graft_documents
+            |        WHERE ts_match(text, 'stream', 'whitespace'))) fm""".stripMargin)
   }
 
   /** A FILTERED facet: the lang predicate means the term-dict rewrite must
@@ -725,11 +729,15 @@ object Surface {
          |FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY term""".stripMargin,
     "ts_dict_variants" ->
       s"""$toks,
-         |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks)
+         |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+         |ftok AS (SELECT t.doc_id, unnest(t.ts) AS term FROM toks t
+         |         WHERE list_contains(t.ts, 'stream'))
          |SELECT min(term) AS term_min, max(term) AS term_max,
          |       count(DISTINCT term) AS n_terms, count(*) AS n_tokens,
          |       count(DISTINCT term) AS n_boost1,
-         |       count(DISTINCT term) AS n_raw_ok
+         |       count(DISTINCT term) AS n_raw_ok,
+         |       (SELECT count(DISTINCT term) FROM ftok) AS f_terms,
+         |       (SELECT count(*) FROM ftok) AS f_tokens
          |FROM tok""".stripMargin,
     "ts_dict_filtered" ->
       """WITH toks AS (SELECT doc_id,

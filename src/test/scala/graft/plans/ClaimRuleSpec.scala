@@ -143,6 +143,35 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(row.getLong(3) == all.length.toLong)
   }
 
+  test("ungrouped facet over a CLAIMED ts_match filter drives from matched postings") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT min(token) AS mn, max(token) AS mx,
+        |       count(DISTINCT token) AS nd, count(*) AS nt
+        |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
+        |      FROM graft_documents WHERE ts_match(text, 'stream', 'whitespace'))""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "ts_tokenize_sql").isEmpty,
+      s"filtered ungrouped facet must not re-tokenize:\n$optimized")
+    assert(udfsIn(optimized, "ts_match").isEmpty)
+    assert(optimized.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.isEmpty, s"must drive from postings, not explode:\n$optimized")
+    // ground truth over the matching docs only
+    val ws = WhitespaceAnalyzer(lowercase = true)
+    val matched = Tables.documents(spark, TestSpark.sfDir)
+      .select("text").collect().map(r => ws.tokens(r.getString(0)))
+      .filter(_.contains("stream"))
+    val all = matched.flatten
+    val row = df.collect().head
+    assert(row.getString(0) == all.min)
+    assert(row.getString(1) == all.max)
+    assert(row.getLong(2) == all.distinct.length.toLong)
+    assert(row.getLong(3) == all.length.toLong)
+  }
+
   test("non-claimable filtered facet still bails to the explode plan") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
