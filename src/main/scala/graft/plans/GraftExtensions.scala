@@ -54,6 +54,33 @@ case class StrictClaimCheck(spark: SparkSession)
   private val stubNames = graft.search.SqlSurface.scorerNames.toSet ++
     graft.search.SqlSurface.sugarNames + "ts_match"
 
+  /** Whether an index covering this stub's (scan, column, analyzer) IS
+    * registered — then the problem is the query SHAPE, not a missing DDL,
+    * and the error should say so (round-7 verdict item 9: name the actual
+    * limitation, not a misleading "no matching index"). */
+  private def indexExistsFor(plan: LogicalPlan, arg: Expression,
+      dict: String): Boolean = arg match {
+    case a: AttributeReference =>
+      plan.exists {
+        case lr: LogicalRelation if PlanShapes.isColumnOf(lr, a, a.name) =>
+          PlanShapes.scanRoot(lr)
+            .exists(root => IndexCatalog.lookupText(root, a.name, dict).isDefined)
+        case _ => false
+      }
+    case e =>
+      val attrs = e.references.toSeq
+      attrs.nonEmpty && plan.exists {
+        case lr: LogicalRelation if attrs.forall(lr.outputSet.contains) =>
+          PlanShapes.scanRoot(lr).exists { root =>
+            val bareSql = e.transform {
+              case a: AttributeReference => a.withQualifier(Seq.empty)
+            }.sql
+            graft.search.ExprIndexes.lookup(root, bareSql, dict).isDefined
+          }
+        case _ => false
+      }
+  }
+
   override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
     if (spark.conf.get("spark.graft.strictClaims", "false").toBoolean) {
       // walk the whole subtree: the planner does not visit every logical
@@ -65,15 +92,24 @@ case class StrictClaimCheck(spark: SparkSession)
           val name = u.udfName.get
           val detail = u.children match {
             case Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _)) =>
-              s"$name(${arg.sql}, '$q', '$d') needs CREATE SEARCH INDEX ... " +
-                s"ON <table> (${arg.sql}) WITH (analyzer = '$d', ...)"
+              if (indexExistsFor(plan, arg, d.toString))
+                s"$name(${arg.sql}, '$q', '$d') has a matching registered " +
+                  "index, but THIS query shape is not claimable — supported " +
+                  "shapes: a WHERE conjunct over the indexed scan; ORDER BY " +
+                  "<scorer> DESC LIMIT k (optionally composed with claimable " +
+                  "WHERE conjuncts); a scorer score-threshold conjunct. " +
+                  "Workaround: stage the non-claimable part into a temp view " +
+                  "first, then run the claimable query over it"
+              else
+                s"$name(${arg.sql}, '$q', '$d') needs CREATE SEARCH INDEX ... " +
+                  s"ON <table> (${arg.sql}) WITH (analyzer = '$d', ...) — no " +
+                  "matching index is registered for this scan"
             case _ => s"$name(...) with non-literal query/dict arguments can never claim"
           }
           throw new org.apache.spark.sql.AnalysisException(
             "USER_RAISED_EXCEPTION", Map("errorMessage" ->
-              (s"strictClaims: $detail — no matching index is registered for " +
-                "this scan, so the predicate would row-evaluate. Register the " +
-                "index or unset spark.graft.strictClaims.")))
+              (s"strictClaims: $detail; the predicate would row-evaluate. " +
+                "Fix the query/index or unset spark.graft.strictClaims.")))
         case _ => ()
       }))
     }

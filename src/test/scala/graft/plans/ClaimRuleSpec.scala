@@ -662,6 +662,24 @@ class ClaimRuleSpec extends AnyFunSuite {
       val e = intercept[org.apache.spark.sql.AnalysisException](bad.queryExecution.executedPlan)
       assert(e.getMessage.contains("strictClaims") && e.getMessage.contains("ts_match"),
         s"expected the strict-claims diagnosis, got: ${e.getMessage}")
+      // the aliased column has NO registered index — the message must say so
+      assert(e.getMessage.contains("no matching index is registered"),
+        s"expected the missing-index diagnosis, got: ${e.getMessage}")
+
+      // a shape the rules RECOGNIZE but cannot claim (ts_match inside an OR
+      // disjunct — not a conjunct) over an INDEXED column: the message must
+      // name the shape limitation + workaround, not claim the index is
+      // missing (round-7 verdict item 9)
+      val shapeBad = spark.sql(
+        """SELECT doc_id FROM graft_documents
+          |WHERE ts_match(text, 'stream', 'whitespace') OR n_chars > 10000""".stripMargin)
+      val e2 = intercept[org.apache.spark.sql.AnalysisException](
+        shapeBad.queryExecution.executedPlan)
+      assert(e2.getMessage.contains("matching registered index") &&
+        e2.getMessage.contains("not claimable") &&
+        e2.getMessage.contains("Workaround"),
+        s"expected the shape-limitation diagnosis, got: ${e2.getMessage}")
+      assert(!e2.getMessage.contains("no matching index is registered"))
     } finally spark.conf.set("spark.graft.strictClaims", "false")
   }
 
