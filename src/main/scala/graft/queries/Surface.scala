@@ -410,6 +410,31 @@ object Surface {
         |  "minimum_should_match": 2}}}""".stripMargin)
   }
 
+  /** ES request-level `sort`/`from`/`size` (dsl.cpp:434-456, 680-697):
+    * numeric sort fields compare via the inferred mapping (never
+    * lexicographic), `_id` is the deterministic tiebreak, pagination after
+    * the sort. Page 2 of size 1 over the stars-desc order. */
+  def esDslPaging(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_pg", esDocs, overwrite = true)
+    EsTables.search(s, root, "reviews_pg",
+      """{"query": {"match_all": {}},
+        |"sort": [{"stars": "desc"}], "from": 1, "size": 2}""".stripMargin)
+  }
+
+  /** ES `aggs` terms buckets (dsl.cpp:525-552): GROUP BY a _source field
+    * over ALL hits of the query (pagination never affects aggregations),
+    * buckets ordered doc_count DESC then key ASC. */
+  def esDslAggs(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_agg", esDocs, overwrite = true)
+    EsTables.aggs(s, root, "reviews_agg",
+      """{"query": {"term": {"text": "engine"}},
+        |"aggs": {"by_stars": {"terms": {"field": "stars", "size": 5}}}}""".stripMargin)
+  }
+
   /** ES `range` clause (dsl.cpp:257): lexicographic token bounds read as a
     * pushable term-dict range when the field is indexed (the same
     * granular-range machinery as ts_between). */
@@ -622,6 +647,8 @@ object Surface {
     "es_dsl_msm" -> esDslMsm,
     "es_dsl_claimed" -> esDslClaimed,
     "es_dsl_range" -> esDslRange,
+    "es_dsl_paging" -> esDslPaging,
+    "es_dsl_aggs" -> esDslAggs,
     "ts_claimed_match" -> tsClaimedMatch,
     "ts_sugar_preds" -> tsSugarPreds,
     "ts_sql_match" -> tsSqlMatch,
@@ -761,6 +788,14 @@ object Surface {
     // [e, g): engine (1, 2), enough (3), fast (1)
     "es_dsl_range" ->
       """SELECT * FROM (VALUES ('1'), ('2'), ('3')) AS t("_id")""",
+    // stars desc, _id tiebreak: (1:5) (3:4) (2:1) (4:1); from=1 size=2
+    "es_dsl_paging" ->
+      """SELECT * FROM (VALUES ('3'), ('2')) AS t("_id")""",
+    // 'engine' hits docs 1 (stars 5) and 2 (stars 1); equal counts -> key asc
+    "es_dsl_aggs" ->
+      """SELECT * FROM (VALUES
+        |  ('by_stars', '1', CAST(1 AS BIGINT)),
+        |  ('by_stars', '5', CAST(1 AS BIGINT))) AS t(agg, key, doc_count)""".stripMargin,
     "ts_sugar_preds" -> {
       // same gram arithmetic as the engine's NgramSim leaf: distinct char
       // 3-grams on both sides; 'vectr' -> [vec, ect, ctr]

@@ -17,6 +17,17 @@ object EsDsl {
       must: Seq[TsQuery], mustNot: Seq[TsQuery],
       should: Seq[TsQuery], minShouldMatch: Int)
 
+  /** One `{"terms": {"field": f, "size": n}}` bucket aggregation
+    * (dsl.cpp:525-552): GROUP BY field, buckets ordered doc_count DESC then
+    * key ASC, top `size` (ES default 10). */
+  final case class TermsAgg(name: String, field: String, size: Int)
+
+  /** Request-level options around the query (dsl.cpp:680-697): `from`/`size`
+    * pagination, `sort` entries as (field, ascending) with `_id` allowed,
+    * and `aggs` terms aggregations. */
+  final case class Request(query: Either[Bool, TsQuery], from: Int,
+      size: Option[Int], sort: Seq[(String, Boolean)], aggs: Seq[TermsAgg])
+
   /** Parse `{"query": {...}}` (or a bare query object). Returns either a
     * plain query or a bool compound. */
   def parse(json: String, analyzer: Analyzer): Either[Bool, TsQuery] = {
@@ -28,6 +39,56 @@ object EsDsl {
       case other => throw new IllegalArgumentException(s"ES DSL: expected object, got $other")
     }
     translate(root, analyzer)
+  }
+
+  /** Parse the full request: query + from/size/sort/aggs. */
+  def parseRequest(json: String, analyzer: Analyzer): Request = {
+    val o = JsonMethods.parse(json) match {
+      case obj: JObject => obj
+      case other => throw new IllegalArgumentException(s"ES DSL: expected object, got $other")
+    }
+    val from = (o \ "from") match {
+      case JInt(n) => n.toInt
+      case _ => 0
+    }
+    val size = (o \ "size") match {
+      case JInt(n) => Some(n.toInt)
+      case _ => None
+    }
+    // "sort": ["f1", {"f2": "desc"}, {"f3": {"order": "asc"}}] or a single
+    // entry of those forms (dsl.cpp:434-456)
+    def sortEntry(v: JValue): (String, Boolean) = v match {
+      case JString(f) => (f, true)
+      case JObject(List((f, JString(ord)))) => (f, ord.toLowerCase != "desc")
+      case JObject(List((f, body: JObject))) => (body \ "order") match {
+        case JString(ord) => (f, ord.toLowerCase != "desc")
+        case _ => (f, true)
+      }
+      case other => throw new IllegalArgumentException(s"ES DSL: bad sort entry $other")
+    }
+    val sort = (o \ "sort") match {
+      case JArray(entries) => entries.map(sortEntry)
+      case JNothing => Nil
+      case single => Seq(sortEntry(single))
+    }
+    val aggs = ((o \ "aggs") match {
+      case a: JObject => a.obj
+      case _ => Nil
+    }).map {
+      case (name, body) => (body \ "terms") match {
+        case t: JObject =>
+          val field = (t \ "field") match {
+            case JString(f) => f
+            case _ => throw new IllegalArgumentException(
+              s"ES DSL: terms aggregation $name needs a field")
+          }
+          val sz = (t \ "size") match { case JInt(n) => n.toInt; case _ => 10 }
+          TermsAgg(name, field, sz)
+        case _ => throw new IllegalArgumentException(
+          s"ES DSL: only terms aggregations are supported (agg $name)")
+      }
+    }
+    Request(parse(json, analyzer), from, size, sort, aggs)
   }
 
   private def translate(q: JValue, analyzer: Analyzer): Either[Bool, TsQuery] =

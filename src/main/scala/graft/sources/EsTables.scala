@@ -119,12 +119,72 @@ object EsTables {
       dslJson: String, field: String = "text",
       dict: String = "whitespace"): DataFrame = {
     val analyzer = AnalyzerRegistry.get(dict)
-    val parsed = EsDsl.parse(dslJson, analyzer)
+    val req = EsDsl.parseRequest(dslJson, analyzer)
+    applyPage(spark, root, name, hitsFor(spark, root, name, req.query, field, dict), req)
+  }
+
+  /** The unpaged hit set for a parsed query — shared by [[search]] (which
+    * pages it) and [[aggs]] (ES aggregations run over ALL hits, ignoring
+    * from/size). */
+  private def hitsFor(spark: SparkSession, root: String, name: String,
+      parsed: Either[EsDsl.Bool, graft.search.TsQuery], field: String,
+      dict: String): DataFrame =
     graft.search.ExprIndexes.lookup(
         dir(root, name), s"get_json_object(_source, '$$.$field')", dict) match {
       case Some((segDir, idCol)) => claimedSearch(spark, root, name, segDir, idCol, parsed)
-      case None => rowEvalSearch(spark, root, name, parsed, analyzer, field)
+      case None =>
+        rowEvalSearch(spark, root, name, parsed, AnalyzerRegistry.get(dict), field)
     }
+
+  /** Request-level `sort`/`from`/`size` (dsl.cpp:434-456, 680-697): sort
+    * keys come from `_source` (numeric fields compare numerically via the
+    * inferred mapping — never lexicographic '10' < '9'); `_id` sorts the
+    * key itself and is always the final tiebreak, so pages are
+    * deterministic. */
+  private def applyPage(spark: SparkSession, root: String, name: String,
+      hits: DataFrame, req: EsDsl.Request): DataFrame = {
+    if (req.sort.isEmpty && req.from == 0 && req.size.isEmpty) return hits
+    val needSource = req.sort.exists(_._1 != "_id")
+    val base = if (needSource) hits.join(table(spark, root, name), "_id") else hits
+    val types: Map[String, String] =
+      if (!needSource) Map.empty
+      else mapping(spark, root, name).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val keys = req.sort.map { case (f, asc) =>
+      val c =
+        if (f == "_id") col("_id")
+        else types.get(f) match {
+          case Some(t) if t == "bigint" || t == "double" =>
+            get_json_object(col("_source"), s"$$.$f").cast("double")
+          case _ => get_json_object(col("_source"), s"$$.$f")
+        }
+      if (asc) c.asc else c.desc
+    } :+ col("_id").asc
+    var out = base.orderBy(keys: _*).select(col("_id"))
+    if (req.from > 0) out = out.offset(req.from)
+    req.size.foreach(s => out = out.limit(s))
+    out
+  }
+
+  /** `aggs` terms buckets over the query's hits (dsl.cpp:525-552): GROUP BY
+    * the JSON `_source` field, buckets ordered doc_count DESC then key ASC,
+    * top `size` per aggregation. Multiple aggregations union with their
+    * names. Numeric fields keep their mapping type for the key text. */
+  def aggs(spark: SparkSession, root: String, name: String,
+      dslJson: String, field: String = "text",
+      dict: String = "whitespace"): DataFrame = {
+    val req = EsDsl.parseRequest(dslJson, AnalyzerRegistry.get(dict))
+    require(req.aggs.nonEmpty, "ES DSL: request has no aggs")
+    val hits = hitsFor(spark, root, name, req.query, field, dict)
+    val withSource = hits.join(table(spark, root, name), "_id")
+    req.aggs.map { a =>
+      withSource
+        .groupBy(get_json_object(col("_source"), s"$$.${a.field}").as("key"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"))
+        .orderBy(col("doc_count").desc, col("key"))
+        .limit(a.size)
+        .select(lit(a.name).as("agg"), col("key"), col("doc_count"))
+    }.reduce(_ unionByName _)
   }
 
   private def claimedSearch(spark: SparkSession, root: String, name: String,
