@@ -43,10 +43,26 @@ object PkIndex {
         val ks = keys.collect { case n: Number => n.longValue }
         zones.filter(z => ks.exists(k => z.mnL <= k && k <= z.mxL)).map(_.file)
       case _ =>
-        val ks = keys.map(_.toString)
-        zones.filter(z => ks.exists(k => z.mnS <= k && k <= z.mxS)).map(_.file)
+        // zone min/max were computed by Spark's min/max, which orders strings
+        // by UTF-8 bytes (code points) — Java String <= is UTF-16 code-unit
+        // order, and the two disagree above the BMP. Compare the way the
+        // zones were built, or a file containing the key can be pruned away.
+        val ks = keys.map(k =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(k.toString))
+        zones.filter { z =>
+          val mn = org.apache.spark.unsafe.types.UTF8String.fromString(z.mnS)
+          val mx = org.apache.spark.unsafe.types.UTF8String.fromString(z.mxS)
+          ks.exists(k => mn.compareTo(k) <= 0 && k.compareTo(mx) <= 0)
+        }.map(_.file)
     }
+    /** Scheme-insensitive path keys of the files this manifest knows. */
+    lazy val fileKeys: Set[String] = zones.map(z => pathKey(z.file)).toSet
   }
+
+  /** Normalize a file path string to its path component so manifest entries
+    * (from `_metadata.file_path`, e.g. `file:///x/y`) compare equal to
+    * FileIndex listings (`file:/x/y`) regardless of scheme spelling. */
+  def pathKey(p: String): String = new Path(p).toUri.getPath
 
   private val cache = TrieMap.empty[String, Manifest]
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -62,6 +78,17 @@ object PkIndex {
     val p = new Path(s"$dir/manifest.json")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** True iff the persisted manifest's file set matches the table's CURRENT
+    * listing — a rewrite (compaction, re-ingest, overwrite) invalidates the
+    * zones. Driver-side listing only, no Spark job; the claim rule performs
+    * the same reconciliation per-query, so this is a cheap DDL-time gate
+    * that lets CREATE rebuild instead of fast-pathing onto stale zones. */
+  def fresh(spark: SparkSession, dir: String, tableRoot: String): Boolean =
+    load(spark, dir).exists { m =>
+      val live = spark.read.parquet(tableRoot).inputFiles.map(pathKey).toSet
+      m.fileKeys == live
+    }
 
   /** Build the sidecar: one metadata-projection aggregation over the table
     * — reads only the key column + the file-path virtual column, never the

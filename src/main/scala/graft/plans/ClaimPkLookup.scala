@@ -79,6 +79,17 @@ case class ClaimPkLookup(spark: SparkSession) extends Rule[LogicalPlan] {
       case h: HadoopFsRelation if !h.location.isInstanceOf[PrunedPkFileIndex] => h
       case _ => return fl
     }
+    // the InMemoryFileIndex swap lists leaf files only — partition values
+    // recovered from directory names would be lost, so never claim a
+    // partitioned relation
+    if (rel.partitionSchema.nonEmpty) return fl
+    // Reconcile the manifest with the relation's CURRENT file listing
+    // (already cached in its FileIndex — no job): files rewritten since
+    // CREATE are absent from the manifest and their zones are unknown, so
+    // they must always stay candidates or a rewrite would silently drop
+    // rows; manifest entries for deleted files are ignored.
+    val live = rel.location.inputFiles
+    val liveByKey = live.map(f => PkIndex.pathKey(f) -> f).toMap
     // among all claimable point conjuncts, prune by the most selective one
     // (any single conjunct's candidate set is a sound superset of the rows)
     val prunings = conjuncts(cond).flatMap { p =>
@@ -87,10 +98,16 @@ case class ClaimPkLookup(spark: SparkSession) extends Rule[LogicalPlan] {
         if PlanShapes.isColumnOf(lr, attr, attr.name)
         entry <- IndexCatalog.lookupPk(root, attr.name)
         m <- PkIndex.load(spark, entry.dir)
-      } yield (m, m.candidates(keys).distinct)
+      } yield {
+        val known = m.candidates(keys).map(PkIndex.pathKey).toSet
+        val unknown = liveByKey.keySet -- m.fileKeys
+        liveByKey.collect {
+          case (k, f) if known(k) || unknown(k) => f
+        }.toSeq
+      }
     }
-    prunings.sortBy(_._2.size).headOption match {
-      case Some((m, cand)) if cand.size < m.numFiles =>
+    prunings.sortBy(_.size).headOption match {
+      case Some(cand) if cand.size < live.length =>
         val pruned = new PrunedPkFileIndex(spark, cand.map(new Path(_)))
         val newRel = rel.copy(location = pruned)(spark)
         fl.copy(child = child.transformUp {

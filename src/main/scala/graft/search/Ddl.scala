@@ -332,9 +332,12 @@ object Ddl {
       val root = scanRootOf(spark, view).getOrElse(
         throw new IllegalArgumentException(
           s"CREATE SECONDARY INDEX: view $view is not a bare parquet scan"))
-      // idempotent fast path like the other CREATE verbs
+      // idempotent fast path like the other CREATE verbs — but only when the
+      // manifest still matches the table's live file set; after a rewrite
+      // (overwrite, compaction, re-ingest) the zones describe dead files and
+      // must be rebuilt, not fast-pathed onto
       if (catalog.get(name).exists(_.sameSpec(Entry(dir, view, keyCol, "secondary"))) &&
-          graft.index.PkIndex.available(spark, dir)) {
+          graft.index.PkIndex.fresh(spark, dir, root)) {
         IndexCatalog.registerPk(root, keyCol, dir)
         return result(spark, s"created $name")
       }
@@ -376,6 +379,12 @@ object Ddl {
       // (maintenance.h:36-44): merge live segments + fold tombstones into
       // one segment, then drop unreferenced segment dirs
       catalog.get(name) match {
+        case Some(e) if e.analyzer == "secondary" =>
+          // a zone manifest has no segments to merge — nothing to compact;
+          // REFRESH rebuilds it against the live file set
+          throw new IllegalArgumentException(
+            s"COMPACT SEARCH INDEX does not apply to secondary (point-lookup) " +
+            s"index $name; use REFRESH SEARCH INDEX $name to resync its zones")
         case Some(e) if e.annKey.isEmpty =>
           IndexStore.compact(spark, e.dir)
           val cleaned = IndexStore.cleanup(spark, e.dir)
@@ -399,6 +408,21 @@ object Ddl {
       // proportional to the NEW data, never the corpus. Removed rows are the
       // DML path's job (IndexStore.deleteWhere / ts_deletes), not refresh's.
       catalog.get(name) match {
+        case Some(e) if e.analyzer == "secondary" =>
+          // zone-manifest resync: rebuild from the live file set (one
+          // metadata-only aggregation — cost ∝ #files, not table bytes).
+          // Without this there was no way to repair a stale manifest short
+          // of DROP+CREATE, and the generic text branch below would throw
+          // from IndexStore.allDocIds on a dir with no _SEGMENTS.
+          val root = scanRootOf(spark, e.view)
+            .orElse(IndexCatalog.pk.collectFirst {
+              case ((tableRoot, _), pe) if pe.dir == e.dir => tableRoot
+            })
+            .getOrElse(throw new IllegalArgumentException(
+              s"REFRESH: cannot locate the parquet root behind ${e.view}"))
+          val nFiles = graft.index.PkIndex.build(spark, root, e.keySpec, e.dir)
+          IndexCatalog.registerPk(root, e.keySpec, e.dir)
+          result(spark, s"refreshed $name ($nFiles files)")
         case Some(e) if e.annKey.isEmpty =>
           // catalog rows persisted before idCol existed fall back to the
           // claim registries (bare-scan views register there)

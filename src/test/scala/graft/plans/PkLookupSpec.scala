@@ -69,6 +69,40 @@ class PkLookupSpec extends AnyFunSuite {
     assert(!scanLocation(df).isInstanceOf[PrunedPkFileIndex])
   }
 
+  test("a table rewrite after CREATE never drops rows; REFRESH resyncs") {
+    setup()
+    // rewrite the table in place: new file names, different clustering —
+    // every persisted zone now describes a dead file
+    Tables.orders(spark, TestSpark.sfDir)
+      .repartitionByRange(4, col("o_custkey"))
+      .write.mode("overwrite").parquet(root)
+    spark.catalog.refreshByPath(root)
+    spark.read.parquet(root).createOrReplaceTempView("pk_spec_orders")
+    val k = spark.read.parquet(root).agg(min("o_orderkey")).head().getLong(0)
+    val df = spark.sql(
+      s"SELECT o_orderkey FROM pk_spec_orders WHERE o_orderkey = $k")
+    // all live files are unknown to the stale manifest → no pruning is
+    // possible, but the result MUST be exact (this returned 0 rows silently
+    // before the live-listing reconciliation)
+    assert(df.collect().map(_.getLong(0)).toSet == Set(k))
+    // REFRESH rebuilds the zones from the live file set → pruning is back
+    spark.sql("REFRESH SEARCH INDEX pk_spec_idx")
+    val df2 = spark.sql(
+      s"SELECT o_orderkey FROM pk_spec_orders WHERE o_orderkey = $k")
+    val loc2 = scanLocation(df2)
+    assert(loc2.isInstanceOf[PrunedPkFileIndex],
+      s"after REFRESH the claim must prune again, got ${loc2.getClass}")
+    assert(loc2.inputFiles.length < spark.read.parquet(root).inputFiles.length)
+    assert(df2.collect().map(_.getLong(0)).toSet == Set(k))
+    // restore the sorted fixture for any later test ordering
+    Tables.orders(spark, TestSpark.sfDir)
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(root)
+    spark.catalog.refreshByPath(root)
+    spark.sql("REFRESH SEARCH INDEX pk_spec_idx")
+  }
+
   test("the claim survives a fresh session via the persisted catalog") {
     setup()
     graft.search.CatalogStore.reset() // simulate a new JVM: lazy re-load
