@@ -275,6 +275,7 @@ object HnswIndex {
     import spark.implicits._
     val dir = dirFor(cacheKey, m, efConstruction, partitions)
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, dir)
     require(f.exists(new Path(s"$dir/_OK")), s"no HNSW graph at $dir to append to")
     val existing = spark.read.parquet(s"$dir/graph")
     val stats = existing.agg(max("part"), count(lit(1))).head()
@@ -291,17 +292,44 @@ object HnswIndex {
     val totalParts = offset + deltaParts
     if (totalParts > 2 * autoPartitions(n0 + nd)) {
       // too many small segment graphs: each adds a beam at query time —
-      // rebuild once at the new scale, staged then swapped
+      // rebuild once at the new scale, staged durably then committed via
+      // the _SWAP_PENDING roll-forward marker (same protocol as the IVF
+      // recluster: a crash leaves the old graph intact before the marker,
+      // and recover() finishes the idempotent swap after it — no
+      // delete-then-rename window)
       val all = spark.read.parquet(s"$dir/graph")
         .select(col("vec_id"), col("embedding")).distinct()
       build(all, m = m, efConstruction = efConstruction, partitions = partitions)
         .graph.write.mode("overwrite").parquet(s"$dir/graph_next")
-      f.delete(new Path(s"$dir/graph"), true)
-      require(f.rename(new Path(s"$dir/graph_next"), new Path(s"$dir/graph")),
-        s"swap of rebuilt graph failed at $dir")
+      IvfIndex.writeAtomic(spark, s"$dir/_SWAP_PENDING", "1") // commit point
+      completeSwap(f, dir)
       jvmCache.remove(dir)
       (nd, true)
     } else (nd, false)
+  }
+
+  /** Idempotent: safe to re-run from any crash point after the marker. */
+  private def completeSwap(f: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    if (f.exists(new Path(s"$dir/graph_next"))) {
+      if (f.exists(new Path(s"$dir/graph")))
+        require(f.rename(new Path(s"$dir/graph"), new Path(s"$dir/graph_stale")),
+          s"graph swap: could not move old graph aside at $dir")
+      require(f.rename(new Path(s"$dir/graph_next"), new Path(s"$dir/graph")),
+        s"graph swap: could not move new graph in at $dir")
+    }
+    f.delete(new Path(s"$dir/graph_stale"), true)
+    f.delete(new Path(s"$dir/_SWAP_PENDING"), false)
+  }
+
+  /** Marker present → finish the staged rebuild; absent → delete any
+    * pre-commit staging leftovers (the old graph is intact). */
+  private def recover(spark: SparkSession, dir: String): Unit = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(new Path(dir))) return
+    if (f.exists(new Path(s"$dir/_SWAP_PENDING"))) {
+      completeSwap(f, dir)
+      jvmCache.remove(dir)
+    } else f.delete(new Path(s"$dir/graph_next"), true)
   }
 
   def dirFor(cacheKey: String, m: Int = 16, efConstruction: Int = 64,
@@ -318,6 +346,7 @@ object HnswIndex {
     jvmCache.getOrElseUpdate(dir, {
       import spark.implicits._
       val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recover(spark, dir)
       val marker = new Path(s"$dir/_OK")
       if (!f.exists(marker)) {
         build(embs, m = m, efConstruction = efConstruction, partitions = partitions)

@@ -318,14 +318,11 @@ object IvfIndex {
       driftRatio: Double = 0.5): (Long, Boolean) = {
     import spark.implicits._
     val f = fs(spark, dir)
+    recover(spark, dir)
     def readLines(p: Path): Array[String] = {
       val in = f.open(p)
       val txt = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
       txt.split("\n").filter(_.nonEmpty)
-    }
-    def writeFile(p: Path, s: String): Unit = {
-      val out = f.create(p, true)
-      try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
     val marker = new Path(s"$dir/_CENTROIDS")
     require(f.exists(marker), s"no IVF index at $dir to append to")
@@ -356,38 +353,103 @@ object IvfIndex {
       .collect().map(r => r.getAs[Number](0).intValue -> ((r.getDouble(1), r.getLong(2)))).toMap
     val added = deltaMeta.values.map(_._2).sum
     if (added == 0) { assigned.unpersist(); return (0L, false) }
+    // Metadata FIRST, data second: merged radii/sizes are conservative
+    // upper bounds over the union, so a crash after the metadata rename but
+    // before the parquet append leaves radii slightly too large — the
+    // ball-bound probe stays EXACT, just a touch wider. The reverse order
+    // (data first) had a window where appended vectors sat outside stale
+    // radii and the probe silently missed true neighbors. A crash mid
+    // parquet-append is invisible (task files live under _temporary until
+    // commit), and the interrupted REFRESH re-derives the same delta by
+    // anti-join and retries.
+    val newRadii = radii.indices.map { i =>
+      deltaMeta.get(i).map(m => math.max(radii(i), m._1)).getOrElse(radii(i)) }
+    val newSizes = sizes.indices.map { i =>
+      sizes(i) + deltaMeta.get(i).map(_._2).getOrElse(0L) }
+    writeAtomic(spark, s"$dir/_RADII", newRadii.mkString("\n"))
+    writeAtomic(spark, s"$dir/_SIZES", newSizes.mkString("\n"))
+    writeAtomic(spark, s"$dir/_TRAINED", trainedOn.toString)
     assigned.select(col("vec_id"), col("embedding"), col("cluster"))
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(s"$dir/vectors")
     assigned.unpersist()
     val total = sizes.sum + added
     if (total > trainedOn * (1.0 + driftRatio)) {
-      // drift: re-cluster the full store at the new scale. Rebuild lands in
-      // a sibling dir first, then swaps in — readers see old or new, never
-      // a half-written store.
+      // drift: re-cluster the full store at the new scale. The whole new
+      // index (vectors + centroids/radii/sizes) is staged durably first,
+      // then committed via the _SWAP_PENDING roll-forward marker — a crash
+      // at any point leaves either the old index intact (marker absent) or
+      // a completed swap on the next recover() (marker present, every step
+      // idempotent). No delete-then-rename window remains.
       val all = spark.read.parquet(s"$dir/vectors").select("vec_id", "embedding")
       val idx = build(all)
       idx.assignments.repartition(col("cluster"))
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/vectors_next")
-      f.delete(new Path(s"$dir/vectors"), true)
-      require(f.rename(new Path(s"$dir/vectors_next"), new Path(s"$dir/vectors")),
-        s"swap of reclustered store failed at $dir")
-      writeFile(new Path(s"$dir/_RADII"), idx.radii.mkString("\n"))
-      writeFile(new Path(s"$dir/_SIZES"), idx.sizes.mkString("\n"))
-      writeFile(marker, idx.centroids.map(_.mkString(",")).mkString("\n"))
-      writeFile(new Path(s"$dir/_TRAINED"), total.toString)
+      writeAtomic(spark, s"$dir/_CENTROIDS.next",
+        idx.centroids.map(_.mkString(",")).mkString("\n"))
+      writeAtomic(spark, s"$dir/_RADII.next", idx.radii.mkString("\n"))
+      writeAtomic(spark, s"$dir/_SIZES.next", idx.sizes.mkString("\n"))
+      writeAtomic(spark, s"$dir/_TRAINED.next", total.toString)
+      writeAtomic(spark, s"$dir/_SWAP_PENDING", "1") // commit point
+      completeSwap(spark, dir)
       invalidate(dir)
       (added, true)
     } else {
-      val newRadii = radii.indices.map { i =>
-        deltaMeta.get(i).map(m => math.max(radii(i), m._1)).getOrElse(radii(i)) }
-      val newSizes = sizes.indices.map { i =>
-        sizes(i) + deltaMeta.get(i).map(_._2).getOrElse(0L) }
-      writeFile(new Path(s"$dir/_RADII"), newRadii.mkString("\n"))
-      writeFile(new Path(s"$dir/_SIZES"), newSizes.mkString("\n"))
-      writeFile(new Path(s"$dir/_TRAINED"), trainedOn.toString)
       invalidate(dir)
       (added, false)
+    }
+  }
+
+  private[index] def writeAtomic(spark: SparkSession, path: String, s: String): Unit = {
+    val f = fs(spark, path)
+    val tmp = new Path(path + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(path), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private val metaFiles = Seq("_CENTROIDS", "_RADII", "_SIZES", "_TRAINED")
+
+  /** Roll the staged recluster forward. Every step checks before acting, so
+    * this is safe to re-run from any crash point after the _SWAP_PENDING
+    * commit marker was written (the staged `.next` files are durable by
+    * then). */
+  private def completeSwap(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    if (f.exists(new Path(s"$dir/vectors_next"))) {
+      if (f.exists(new Path(s"$dir/vectors")))
+        require(f.rename(new Path(s"$dir/vectors"), new Path(s"$dir/vectors_stale")),
+          s"recluster swap: could not move old store aside at $dir")
+      require(f.rename(new Path(s"$dir/vectors_next"), new Path(s"$dir/vectors")),
+        s"recluster swap: could not move new store in at $dir")
+    }
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    metaFiles.foreach { m =>
+      val next = new Path(s"$dir/$m.next")
+      if (f.exists(next))
+        fc.rename(next, new Path(s"$dir/$m"), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    f.delete(new Path(s"$dir/vectors_stale"), true)
+    f.delete(new Path(s"$dir/_SWAP_PENDING"), false)
+  }
+
+  /** Crash recovery, run before any read/append of a persisted index:
+    * marker present → the staged recluster is complete on disk, finish the
+    * swap; marker absent → any `vectors_next` / `.next` staging is from a
+    * crash BEFORE the commit point, so the old index is intact and the
+    * leftovers are deleted. */
+  private def recover(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir))) return
+    if (f.exists(new Path(s"$dir/_SWAP_PENDING"))) {
+      completeSwap(spark, dir)
+      invalidate(dir)
+    } else {
+      f.delete(new Path(s"$dir/vectors_next"), true)
+      metaFiles.foreach(m => f.delete(new Path(s"$dir/$m.next"), false))
     }
   }
 
@@ -400,6 +462,7 @@ object IvfIndex {
     val dir = dirFor(cacheKey, k)
     jvmCache.getOrElseUpdate(dir, {
       val f = fs(spark, dir)
+      recover(spark, dir)
       val marker = new Path(s"$dir/_CENTROIDS")
       val radiiFile = new Path(s"$dir/_RADII")
       val sizesFile = new Path(s"$dir/_SIZES")
@@ -407,14 +470,12 @@ object IvfIndex {
         val idx = build(embs, k = k)
         idx.assignments.repartition(col("cluster"))
           .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/vectors")
-        def writeFile(p: Path, s: String): Unit = {
-          val out = f.create(p, true)
-          try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
-        }
-        writeFile(radiiFile, idx.radii.mkString("\n"))
-        writeFile(sizesFile, idx.sizes.mkString("\n"))
-        writeFile(new Path(s"$dir/_TRAINED"), idx.sizes.sum.toString)
-        writeFile(marker, idx.centroids.map(_.mkString(",")).mkString("\n"))
+        // atomic writes, _CENTROIDS (the availability marker) LAST: a crash
+        // mid-build leaves no marker and the next ensure rebuilds over it
+        writeAtomic(spark, radiiFile.toString, idx.radii.mkString("\n"))
+        writeAtomic(spark, sizesFile.toString, idx.sizes.mkString("\n"))
+        writeAtomic(spark, s"$dir/_TRAINED", idx.sizes.sum.toString)
+        writeAtomic(spark, marker.toString, idx.centroids.map(_.mkString(",")).mkString("\n"))
       }
       def readLines(p: Path): Array[String] = {
         val in = f.open(p)

@@ -225,9 +225,14 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
       outList: Seq[NamedExpression]): LogicalPlan = {
     val idx = IndexStore.load(spark, entry.segDir)
     val terms = ScorerShapes.termsOf(query, dict)
-    val scoredPlan = ScorerShapes.scored(idx, scorer, terms)
-      .select(col("doc_id"), col("_score").as("__graft_score"))
-      .queryExecution.optimizedPlan
+    // fresh exprIds: the candidate tree's LeftSemi legs were built from the
+    // SAME JVM-cached postings relation, so without re-instancing, identical
+    // leaf exprIds would sit on both sides of the Inner join — hidden today
+    // by the semi-join's output but fragile under later optimizer passes
+    val scoredPlan = PlanShapes.freshRelationIds(
+      ScorerShapes.scored(idx, scorer, terms)
+        .select(col("doc_id"), col("_score").as("__graft_score"))
+        .queryExecution.optimizedPlan)
     val docId = scoredPlan.output.find(_.name == "doc_id").get
     val scoreAttr = scoredPlan.output.find(_.name == "__graft_score").get
     val joined = Join(widenWithId(candTree, idAttr), scoredPlan, Inner,

@@ -139,6 +139,26 @@ private[plans] object PlanShapes {
     case other => other
   }
 
+  /** Give every leaf relation in `plan` fresh output exprIds (and remap the
+    * references above them) — the manual analogue of the analyzer's
+    * DeduplicateRelations for a rule-constructed self-join. */
+  def freshRelationIds(plan: LogicalPlan): LogicalPlan = {
+    val mapping = scala.collection.mutable.Map.empty[
+      org.apache.spark.sql.catalyst.expressions.ExprId,
+      org.apache.spark.sql.catalyst.expressions.Attribute]
+    plan.transformUp {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        val fresh = m.newInstance()
+        mapping ++= m.asInstanceOf[LogicalPlan].output.zip(fresh.output)
+          .map { case (o, n) => o.exprId -> n }
+        fresh
+      case other => other.transformExpressions {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          mapping.getOrElse(a.exprId, a)
+      }
+    }
+  }
+
   /** The (relation, root path) iff `plan` is a Project-only chain over a
     * single-root file scan — the catalog lookup key. */
   def bareScan(plan: LogicalPlan): Option[(LogicalRelation, String)] =
@@ -362,24 +382,8 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
       rPlan))
   }
 
-  /** Give every leaf relation in `plan` fresh output exprIds (and remap the
-    * references above them) — the manual analogue of the analyzer's
-    * DeduplicateRelations for a rule-constructed self-join. */
-  private def freshRelationIds(plan: LogicalPlan): LogicalPlan = {
-    val mapping = scala.collection.mutable.Map.empty[
-      org.apache.spark.sql.catalyst.expressions.ExprId,
-      org.apache.spark.sql.catalyst.expressions.Attribute]
-    plan.transformUp {
-      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
-        val fresh = m.newInstance()
-        mapping ++= m.asInstanceOf[LogicalPlan].output.zip(fresh.output)
-          .map { case (o, n) => o.exprId -> n }
-        fresh
-      case other => other.transformExpressions {
-        case a: AttributeReference => mapping.getOrElse(a.exprId, a)
-      }
-    }
-  }
+  private def freshRelationIds(plan: LogicalPlan): LogicalPlan =
+    PlanShapes.freshRelationIds(plan)
 
   /** Filtered facet → postings-driven counts: LeftSemi(postings, matched) on
     * doc id, group by term; count(*) over the explode ≡ sum(tf), and

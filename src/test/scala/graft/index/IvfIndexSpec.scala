@@ -169,4 +169,56 @@ class IvfIndexSpec extends AnyFunSuite {
     val got = idx.knn(q, 10).collect().map(_.getLong(0)).toSeq
     assert(got == exact)
   }
+
+  test("recluster swap is crash-safe: roll-forward after the commit marker, " +
+      "rollback-by-cleanup before it") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val dirKey = "ivf-crash-spec"
+    val dir = IvfIndex.dirFor(dirKey)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = new Path(dir).getFileSystem(conf)
+    f.delete(new Path(dir), true)
+    IvfIndex.invalidate(dir)
+    val base = embs.select("vec_id", "embedding")
+    IvfIndex.ensure(spark, base, dirKey)
+    def meta(name: String): String = {
+      val in = f.open(new Path(s"$dir/$name"))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val origMeta = Seq("_CENTROIDS", "_RADII", "_SIZES", "_TRAINED").map(n => n -> meta(n))
+
+    // crash BEFORE the commit marker: staged leftovers, old index intact —
+    // recovery (run inside ensure) must discard the staging
+    FileUtil.copy(f, new Path(s"$dir/vectors"), f, new Path(s"$dir/vectors_next"),
+      false, conf)
+    val out = f.create(new Path(s"$dir/_RADII.next"), true)
+    out.write("999.0".getBytes("UTF-8")); out.close()
+    IvfIndex.invalidate(dir)
+    IvfIndex.ensure(spark, sys.error("must load, not rebuild"), dirKey)
+    assert(!f.exists(new Path(s"$dir/vectors_next")), "pre-commit staging discarded")
+    assert(!f.exists(new Path(s"$dir/_RADII.next")))
+    origMeta.foreach { case (n, v) => assert(meta(n) == v, s"$n untouched") }
+
+    // crash AFTER the commit marker (all .next staged, dirs unswapped):
+    // recovery must complete the swap and the probe must stay exact
+    FileUtil.copy(f, new Path(s"$dir/vectors"), f, new Path(s"$dir/vectors_next"),
+      false, conf)
+    origMeta.foreach { case (n, v) =>
+      val o = f.create(new Path(s"$dir/$n.next"), true)
+      o.write(v.getBytes("UTF-8")); o.close()
+    }
+    val mk = f.create(new Path(s"$dir/_SWAP_PENDING"), true)
+    mk.write("1".getBytes("UTF-8")); mk.close()
+    IvfIndex.invalidate(dir)
+    val idx = IvfIndex.ensure(spark, sys.error("must load, not rebuild"), dirKey)
+    assert(!f.exists(new Path(s"$dir/_SWAP_PENDING")), "marker cleared")
+    assert(!f.exists(new Path(s"$dir/vectors_next")) &&
+      !f.exists(new Path(s"$dir/vectors_stale")), "swap completed and cleaned")
+    origMeta.foreach { case (n, v) => assert(meta(n) == v, s"$n rolled forward") }
+    val rows = base.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val q = rows.head._2
+    val exact = rows.map { case (id, e) => (l2sq(e, q), id) }.sorted.take(5).map(_._2).toSeq
+    assert(idx.knn(q, 5).collect().map(_.getLong(0)).toSeq == exact,
+      "post-recovery probe equals brute force")
+  }
 }
