@@ -173,7 +173,14 @@ object Bench {
     // artifact-build and sf1-spot blocks ride along (both are tiny)
     val headline = results.filter(_._1.startsWith("q"))
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_entries":${results.size},"artifact_build":$builds$sf1Spot,"queries":$headline}""")
+    // the TPC-H Q1-Q22 suite (BASELINE.md's conformance workload) gets its
+    // own block so suite-level throughput is visible without the file
+    val tpch = results.filter(_._1.startsWith("tpch_"))
+    val tpchJson =
+      if (tpch.isEmpty) ""
+      else f""","tpch_total":${tpch.map(_._2).sum}%.3f,"tpch":${
+        tpch.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_entries":${results.size},"artifact_build":$builds$sf1Spot$tpchJson,"queries":$headline}""")
     spark.stop()
   }
 }

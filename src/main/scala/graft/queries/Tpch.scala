@@ -113,13 +113,23 @@ object Tpch {
         |FROM part CROSS JOIN
         |  (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) reps""".stripMargin)
 
-  /** Register base tables + augmented views in the session. Idempotent. */
-  def register(s: SparkSession, dir: String): Unit = {
-    Tables.registerAll(s, dir)
-    aug(spark).foreach { case (name, body) =>
-      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $body")
+  private val registered =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[(SparkSession, String)]())
+
+  /** Register base tables + augmented views in the session. Memoized per
+    * (session, dir): re-registration re-reads 10 parquet footers and
+    * re-analyzes 6 view bodies — pure driver overhead that would otherwise
+    * be charged to every query in a suite run. Assumes the session's base
+    * table views stay bound to `dir` while TPC-H entries run (true for
+    * Verify and Bench, which drive one scale dir per pass; the sf1 spot
+    * re-registers tables only after the main suite completes). */
+  def register(s: SparkSession, dir: String): Unit =
+    if (registered.add((s, dir))) {
+      Tables.registerAll(s, dir)
+      aug(spark).foreach { case (name, body) =>
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $body")
+      }
     }
-  }
 
   /** DuckDB oracle prefix: the same augmentation as CTEs over the driver's
     * registered base views. */
