@@ -46,8 +46,9 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
-    // read it as a long (nanos since epoch) and convert in Tables.events.
+    // Some testdata generations encode events.ts as TIMESTAMP(NANOS), which
+    // vanilla Spark rejects; with this flag those files read as nanos longs
+    // and Tables.normalizeTs converts. Harmless for timestamp[us] files.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.mergeSchema", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)

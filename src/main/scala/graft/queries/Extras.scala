@@ -468,9 +468,11 @@ object Extras {
     * truncates ns→µs; Spark keeps the ns long and truncates the same way. */
   def temporalAgg(s: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.adopt(s)
-    // raw read: nanosAsLong gives ts as a plain BIGINT of epoch nanos
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("us", expr("ts DIV 1000"))
+    // Normalize ts to TimestampType whatever the file's physical encoding
+    // (nanos-long or timestamp[us] — Tables.normalizeTs branches on the
+    // loaded type), then take exact epoch micros.
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),

@@ -88,6 +88,47 @@ object Search {
       .orderBy(col("docs").desc, col("term"))
       .limit(10)
 
+  /** Fuzzy DICTIONARY probe — the `fuzzy` leg of the reference's ts_dict
+    * filter matrix (ts_dict_cartesian.test §fuzzy: `WHERE
+    * levenshtein_matches(body, 'spark', 2)` lowered to a Levenshtein
+    * automaton over the term dictionary, not a doc scan). Here the facet is
+    * served ENTIRELY from the termdict relation: the length band prunes
+    * before any edit-distance DP runs and the thresholded `levenshtein`
+    * early-exits — nothing tokenizes, no postings are touched. */
+  def tsDictFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val target = "spark"; val maxDist = 2
+    val band = abs(length(col("term")) - lit(target.length)) <= maxDist
+    val dist = levenshtein(col("term"), lit(target), maxDist)
+    idx(s, dir).termDict
+      .filter(band && dist >= 0 && dist <= maxDist)
+      .select(col("term"), col("df").cast("bigint").as("docs"),
+        col("ctf").cast("bigint").as("freq"))
+  }
+
+  /** Cartesian multi-field facet — a facet JOIN across two fields'
+    * dictionaries (the multi-field axis of ts_dict_cartesian.test's
+    * generator): co-occurrence counts of (source keyword term × text term)
+    * pairs. Both sides drive from INDEX postings — the keyword-analyzed
+    * `source` index and the text index pruned to a dictionary prefix band —
+    * joined on doc_id and re-aggregated; the raw table is never scanned and
+    * nothing re-tokenizes. The text side's prefix restriction keeps the
+    * pair-space bounded the same way the reference bounds dict expansions
+    * (Limit: 1024 in its Starts With filter). */
+  def tsDictCartesian(s: SparkSession, dir: String): DataFrame = {
+    val text = idx(s, dir)
+    val src = IndexStore.ensure(s, Tables.documents(s, dir),
+      s"$dir-documents", "doc_id", "source", "keyword", withPositions = false)
+    val p = "s"
+    val textTerms = text.expandTerms(
+      col("term") >= p && col("term") < "t" && col("term").startsWith(p))
+    val textPost = text.postings.join(broadcast(textTerms), "term")
+      .select(col("term").as("text_term"), col("doc_id"))
+    src.postings.select(col("term").as("src_term"), col("doc_id"))
+      .join(textPost, "doc_id")
+      .groupBy(col("src_term"), col("text_term"))
+      .agg(countDistinct(col("doc_id")).as("docs"))
+  }
+
   /** Search-bench COUNT class: how many docs match the disjunction. */
   def tsCount(s: SparkSession, dir: String): DataFrame =
     idx(s, dir).anyOf(Seq("dup", "vector"))
@@ -241,6 +282,8 @@ object Search {
     "ts_phrase_slop" -> tsPhraseSlop,
     "ts_dict_facet" -> tsDictFacet,
     "ts_dict_topk" -> tsDictTopK,
+    "ts_dict_fuzzy" -> tsDictFuzzy,
+    "ts_dict_cartesian" -> tsDictCartesian,
     "ts_count" -> tsCount,
     "ts_bm25_topk" -> bm25TopK,
     "ts_tfidf_topk" -> tfidfTopK,
@@ -372,6 +415,20 @@ object Search {
          |SELECT term, count(DISTINCT doc_id) AS docs, count(*) AS freq
          |FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY term
          |ORDER BY docs DESC, term LIMIT 10""".stripMargin,
+    "ts_dict_fuzzy" ->
+      s"""$toks
+         |SELECT term, count(DISTINCT doc_id) AS docs, count(*) AS freq
+         |FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+         |WHERE levenshtein(term, 'spark') <= 2
+         |GROUP BY term""".stripMargin,
+    "ts_dict_cartesian" ->
+      s"""$toks
+         |SELECT source AS src_term, term AS text_term,
+         |  count(DISTINCT doc_id) AS docs
+         |FROM (SELECT d.doc_id, d.source, unnest(t.ts) AS term
+         |      FROM toks t JOIN documents d USING (doc_id))
+         |WHERE term LIKE 's%'
+         |GROUP BY 1, 2""".stripMargin,
     "ts_count" ->
       s"""$toks
          |SELECT count(*) AS n FROM toks

@@ -15,36 +15,44 @@ import graft.streaming.StreamingQueries
   */
 object StreamGate {
 
-  /** events.parquet carries TIMESTAMP(NANOS): the stream schema reads it as
-    * long (nanosAsLong, same as Tables.events) and converts per row. */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** The stream source needs a declared schema; read the batch footer schema
+    * of the ACTUAL file rather than assuming one historical encoding of `ts`
+    * (TIMESTAMP(NANOS)-as-long vs plain timestamp[us] — the testdata has
+    * shipped both). One footer read per (session, dir); `ts` is then
+    * normalized per-row with the same branch Tables.events uses. */
+  private def sniffedSchema(s: SparkSession, dir: String): StructType =
+    s.read.parquet(s"$dir/events.parquet").schema
 
   /** The file stream source watches a DIRECTORY; the testdata table is a
-    * single file, so stage it into one (idempotent, Hadoop-FS copy). In a
-    * real deployment the ingest dir is already a directory of arriving
-    * files — this is test-fixture plumbing, not an operator. */
+    * single file, so stage it into one (idempotent, Hadoop-FS copy). The
+    * staged dir is keyed by the SOURCE file's length+mtime fingerprint, so a
+    * regenerated events.parquet at the same path re-stages instead of
+    * silently replaying last generation's bytes. In a real deployment the
+    * ingest dir is already a directory of arriving files — this is
+    * test-fixture plumbing, not an operator. */
   private def stagedEventsDir(s: SparkSession, dir: String): String = {
-    val dst = sys.props("java.io.tmpdir") +
-      "/graft-stream-ev-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
     val conf = s.sparkContext.hadoopConfiguration
     val srcP = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val srcFs = srcP.getFileSystem(conf)
+    val st = srcFs.getFileStatus(srcP)
+    val fp = s"${st.getLen}-${st.getModificationTime}"
+    val dst = sys.props("java.io.tmpdir") +
+      "/graft-stream-ev-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_") + "-" + fp
     val dstP = new org.apache.hadoop.fs.Path(s"$dst/events.parquet")
     val fs = dstP.getFileSystem(conf)
     if (!fs.exists(dstP)) {
       fs.mkdirs(dstP.getParent)
-      org.apache.hadoop.fs.FileUtil.copy(
-        srcP.getFileSystem(conf), srcP, fs, dstP, false, conf)
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, srcP, fs, dstP, false, conf)
     }
     dst
   }
 
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.adopt(s)
-    s.readStream.schema(eventsSchema).parquet(stagedEventsDir(s, dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = sniffedSchema(s, dir)
+    s.readStream.schema(schema).parquet(stagedEventsDir(s, dir))
+      .withColumn("ts",
+        graft.Tables.normalizeTs(schema("ts").dataType, col("ts")))
   }
 
   private def runToCompletion(df: DataFrame, qname: String,

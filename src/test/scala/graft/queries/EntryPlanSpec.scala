@@ -29,7 +29,10 @@ class EntryPlanSpec extends AnyFunSuite {
 
   test("temporal_agg reads only ts and event_type") {
     val p = planOf(Extras.temporalAgg(spark, dir))
-    assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string>"), p.take(2000))
+    // don't pin ts's physical encoding — the testdata has shipped both
+    // nanos-as-long and timestamp[us]; what matters is the 2-column pruning
+    assert("ReadSchema: struct<ts:[^,>]+,event_type:string>".r.findFirstIn(p).isDefined,
+      p.take(2000))
   }
 
   test("summarize_table prunes the lineitem scan to the profiled columns") {
