@@ -180,7 +180,10 @@ object Bench {
       if (tpch.isEmpty) ""
       else f""","tpch_total":${tpch.map(_._2).sum}%.3f,"tpch":${
         tpch.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_entries":${results.size},"artifact_build":$builds$sf1Spot$tpchJson,"queries":$headline}""")
+    // Search-Benchmark-Game block (BASELINE.md row 1): COUNT/TOP_10/100/1000
+    // per query class against the claimed index drive
+    val sbg = graft.queries.SearchBench.block(spark, sfDir)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_entries":${results.size},"artifact_build":$builds$sf1Spot$tpchJson$sbg,"queries":$headline}""")
     spark.stop()
   }
 }

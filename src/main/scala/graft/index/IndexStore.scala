@@ -73,7 +73,7 @@ object IndexStore {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readString(spark: SparkSession, path: String): String = {
+  private[graft] def readString(spark: SparkSession, path: String): String = {
     val in = fs(spark, path).open(new Path(path))
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
   }
@@ -81,7 +81,7 @@ object IndexStore {
   /** Write via temp file + FileContext rename(OVERWRITE) — atomic on
     * HDFS/local with no delete-then-rename window (a crash leaves the old or
     * the new manifest, never none), close-to-atomic on object stores. */
-  private def writeStringAtomic(spark: SparkSession, path: String, s: String): Unit = {
+  private[graft] def writeStringAtomic(spark: SparkSession, path: String, s: String): Unit = {
     val f = fs(spark, path)
     val tmp = new Path(path + ".tmp")
     val out = f.create(tmp, true)
@@ -92,7 +92,7 @@ object IndexStore {
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  private def exists(spark: SparkSession, path: String): Boolean =
+  private[graft] def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))
 
   /** Whether the durable segment manifest for an index dir is on disk — the
@@ -432,6 +432,34 @@ object IndexStore {
     val f = fs(spark, dir)
     if (f.exists(delDir)) f.delete(delDir, true)
     jvmCache.remove(dir)
+  }
+
+  /** Compact with SNAPSHOT-ISOLATED cleanup (the reference pins the segment
+    * set a query opened with until the query ends, so background compaction
+    * never yanks files out from under a reader —
+    * iresearch_snapshot_pinning.test, ts_offsets_isolation.test). Spark has
+    * no per-query segment pin, so we retain one full COMPACT GENERATION of
+    * grace instead: segments retired by THIS compact stay on disk (lazy
+    * plans over them remain executable); segments retired by the PREVIOUS
+    * compact — which have now survived an entire compaction interval, far
+    * past any live query — are deleted. Returns (retiredNow, cleanedPrior).
+    */
+  def compactRetaining(spark: SparkSession, dir: String): (Int, Int) = {
+    val retiredPath = s"$dir/_RETIRED"
+    val prior =
+      if (exists(spark, retiredPath))
+        readString(spark, retiredPath).split("\n").filter(_.nonEmpty).toSeq
+      else Seq.empty
+    val before = listSegments(spark, dir)
+    compact(spark, dir)
+    val f = fs(spark, dir)
+    var cleaned = 0
+    prior.foreach { seg =>
+      val p = new Path(s"$dir/$seg")
+      if (f.exists(p)) { f.delete(p, true); cleaned += 1 }
+    }
+    writeStringAtomic(spark, retiredPath, before.mkString("", "\n", "\n"))
+    (before.size, cleaned)
   }
 
   /** Delete segment directories no longer referenced by the manifest. Safe

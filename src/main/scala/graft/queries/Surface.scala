@@ -535,6 +535,27 @@ object Surface {
             |LIMIT 10""".stripMargin)
   }
 
+  /** UNION-combined scorers — the reference allows ONE scorer per index
+    * scan but composes several via set operators, each branch claiming its
+    * own postings drive (iresearch_plan.cpp:492-510: the scorer binds to
+    * the scan, a UNION has two scans). Both scorers here are claim-only
+    * stubs (they THROW if row-evaluated), so green proves BOTH branches
+    * were independently rewritten into index top-k drives in one statement
+    * — ClaimRuleSpec additionally asserts the two drives in the plan. */
+  def tsClaimedUnionScorers(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql("""SELECT doc_id, 'bm25' AS leg FROM (
+            |  SELECT doc_id FROM graft_documents
+            |  ORDER BY bm25(text, 'vector dup query', 'whitespace') DESC
+            |  LIMIT 10)
+            |UNION ALL
+            |SELECT doc_id, 'tfidf' AS leg FROM (
+            |  SELECT doc_id FROM graft_documents
+            |  ORDER BY tfidf(text, 'vector dup query', 'whitespace') DESC
+            |  LIMIT 10)""".stripMargin)
+  }
+
   /** The COMPOSED claim — filter + scorer top-k in ONE query (the
     * reference's demo3 shape: `@@` predicates combined with BM25 ordering;
     * iresearch_plan.cpp:870-885 claims Sort/TopN over an already-claimed
@@ -620,6 +641,7 @@ object Surface {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pk_point_lookup" -> pkPointLookup,
     "ts_claimed_bm25_topk" -> tsClaimedBm25TopK,
+    "ts_claimed_union_scorers" -> tsClaimedUnionScorers,
     "ts_claimed_bm25_score" -> tsClaimedBm25Score,
     "ts_claimed_bm25_minscore" -> tsClaimedBm25MinScore,
     "ts_claimed_tfidf_topk" -> tsClaimedTfidfTopK,
@@ -686,6 +708,15 @@ object Surface {
       s"""${Search.scoringCtes}
          |SELECT doc_id FROM tscored WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_claimed_union_scorers" ->
+      s"""${Search.scoringCtes}
+         |SELECT doc_id, 'bm25' AS leg FROM (
+         |  SELECT doc_id FROM scored WHERE score > 0
+         |  ORDER BY score DESC, doc_id LIMIT 10)
+         |UNION ALL
+         |SELECT doc_id, 'tfidf' AS leg FROM (
+         |  SELECT doc_id FROM tscored WHERE score > 0
+         |  ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin,
     "ts_claimed_bm25_filtered_topk" ->
       s"""${Search.scoringCtes}
          |SELECT s.doc_id FROM scored s JOIN documents d USING (doc_id)

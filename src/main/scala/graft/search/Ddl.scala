@@ -201,6 +201,46 @@ object Ddl {
     }
   }
 
+  /** Fingerprint of an index's SOURCE data: file count, total bytes, max
+    * mtime over the view's input files — one metadata listing, no data read.
+    * Persisted to `<dir>/_SOURCE_FP` at CREATE/REFRESH; DESCRIBE recomputes
+    * and compares, surfacing `stale: true` when the source was rewritten
+    * after the index was last (re)built (the reference tracks the analogue
+    * via its collection tick vs index snapshot tick). */
+  private def sourceFingerprint(spark: SparkSession, view: String): Option[String] =
+    try {
+      val files = spark.table(view).inputFiles
+      if (files.isEmpty) None
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        var bytes = 0L; var mtime = 0L
+        files.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          bytes += st.getLen; mtime = math.max(mtime, st.getModificationTime)
+        }
+        Some(s"${files.length}:$bytes:$mtime")
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def writeSourceFp(spark: SparkSession, dir: String, view: String): Unit =
+    sourceFingerprint(spark, view).foreach(fp =>
+      IndexStore.writeStringAtomic(spark, s"$dir/_SOURCE_FP", fp + "\n"))
+
+  /** `(stale, detail)` rows for DESCRIBE: "unknown" when either side of the
+    * comparison is unavailable (non-parquet view, pre-fingerprint index). */
+  private def stalenessRows(spark: SparkSession, dir: String, view: String): Seq[(String, String)] = {
+    val stored =
+      if (IndexStore.exists(spark, s"$dir/_SOURCE_FP"))
+        Some(IndexStore.readString(spark, s"$dir/_SOURCE_FP").trim)
+      else None
+    val now = sourceFingerprint(spark, view)
+    (stored, now) match {
+      case (Some(a), Some(b)) => Seq("stale" -> (a != b).toString)
+      case _ => Seq("stale" -> "unknown")
+    }
+  }
+
   /** Whether this statement is graft index DDL — the session-parser
     * extension ([[GraftSqlParser]]) routes these out of the Spark grammar. */
   def handles(sql: String): Boolean = sql match {
@@ -252,6 +292,7 @@ object Ddl {
         .withColumn(keyCol, org.apache.spark.sql.functions.expr(exprRaw))
       IndexStore.ensure(spark, df, cacheKey, idCol, keyCol, analyzer)
       val dir = exprDir
+      writeSourceFp(spark, dir, view)
       IndexStore.registerViews(spark, dir, name)
       // root path of the scan the view wraps → claimable by expression
       // equality (bare-scan views only; anything else stays SQL-queryable
@@ -286,6 +327,7 @@ object Ddl {
       }
       IndexStore.ensure(spark, spark.table(view), cacheKey, idCol, textCol, analyzer)
       val dir = fastDir
+      writeSourceFp(spark, dir, view)
       IndexStore.registerViews(spark, dir, name)
       IndexStore.registerStatsTables(spark, dir, name) // CBO sees the manifest stats
       // the claim-rule catalog: any ts_match / facet over (this scan root,
@@ -320,6 +362,7 @@ object Ddl {
       graft.index.IvfIndex.ensure(spark,
         IndexCatalog.annSource(spark, root, entry), effKey, lists)
       IndexCatalog.registerAnn(root, embCol, metric, entry)
+      writeSourceFp(spark, vecDir, view)
       catalog.put(name, Entry(vecDir, view, embCol, s"vector:$metric",
         annKey = Some(effKey), idCol = idCol))
       CatalogStore.persist(spark)
@@ -386,15 +429,18 @@ object Ddl {
             s"COMPACT SEARCH INDEX does not apply to secondary (point-lookup) " +
             s"index $name; use REFRESH SEARCH INDEX $name to resync its zones")
         case Some(e) if e.annKey.isEmpty =>
-          IndexStore.compact(spark, e.dir)
-          val cleaned = IndexStore.cleanup(spark, e.dir)
+          // snapshot-isolated: segments retired NOW stay on disk one full
+          // compaction generation (a query planned pre-compact still reads
+          // them); segments retired by the PREVIOUS compact are deleted
+          val (retired, cleaned) = IndexStore.compactRetaining(spark, e.dir)
           // the session's <name>_termdict/_postings views cache a file
           // index over the pre-compaction segment dirs — re-register so
           // they list the new segment (and drop the stale cached listing)
           spark.catalog.refreshByPath(e.dir)
           IndexStore.registerViews(spark, e.dir, name)
           IndexStore.registerStatsTables(spark, e.dir, name)
-          result(spark, s"compacted $name ($cleaned stale segments removed)")
+          result(spark, s"compacted $name ($retired segments retired, " +
+            s"$cleaned prior-generation segments removed)")
         case Some(_) =>
           throw new IllegalArgumentException(
             s"COMPACT SEARCH INDEX applies to search indexes; $name is a vector index")
@@ -459,6 +505,7 @@ object Ddl {
             IndexStore.registerViews(spark, e.dir, name)
             IndexStore.registerStatsTables(spark, e.dir, name)
           }
+          writeSourceFp(spark, e.dir, e.view)
           result(spark, s"refreshed $name (+$added docs)")
         case Some(e) =>
           // vector index: assign new vectors to the EXISTING centroids and
@@ -475,6 +522,7 @@ object Ddl {
           val newVecs = source.join(existing, Seq("vec_id"), "left_anti")
           val (added, reclustered) = graft.index.IvfIndex.append(spark, e.dir, newVecs)
           spark.catalog.refreshByPath(e.dir)
+          writeSourceFp(spark, e.dir, e.view)
           result(spark, s"refreshed $name (+$added vectors)" +
             (if (reclustered) " [reclustered]" else ""))
         case None =>
@@ -496,7 +544,10 @@ object Ddl {
                 "num_terms" -> idx.termDict.count().toString,
                 "num_segments" -> IndexStore.listSegments(spark, e.dir).size.toString)
             }
-          (base ++ stats).toDF("stat", "value")
+          val staleness =
+            if (e.analyzer == "secondary") Seq.empty  // PK zones self-report via fresh()
+            else stalenessRows(spark, e.dir, e.view)
+          (base ++ stats ++ staleness).toDF("stat", "value")
         case None =>
           throw new IllegalArgumentException(s"no such search index: $name")
       }

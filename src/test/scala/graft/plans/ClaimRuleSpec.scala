@@ -318,6 +318,39 @@ class ClaimRuleSpec extends AnyFunSuite {
       "row-eval must run over the aliased source values, not the text index")
   }
 
+  test("UNION of two scorer branches claims BOTH into independent postings drives") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT doc_id, 'bm25' AS leg FROM (
+        |  SELECT doc_id FROM graft_documents
+        |  ORDER BY bm25(text, 'vector dup query', 'whitespace') DESC LIMIT 10)
+        |UNION ALL
+        |SELECT doc_id, 'tfidf' AS leg FROM (
+        |  SELECT doc_id FROM graft_documents
+        |  ORDER BY tfidf(text, 'vector dup query', 'whitespace') DESC LIMIT 10)""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    // neither scorer stub survives row-eval anywhere in the tree
+    assert(udfsIn(optimized, "bm25").isEmpty,
+      s"bm25 branch must claim inside the UNION:\n$optimized")
+    assert(udfsIn(optimized, "tfidf").isEmpty,
+      s"tfidf branch must claim inside the UNION:\n$optimized")
+    // and each branch drives its own postings scan — two index drives
+    val postingsScans = optimized.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+            if h.location.rootPaths.exists(_.toString.contains("postings")) => 1
+          case _ => 0
+        }
+    }.sum
+    assert(postingsScans >= 2,
+      s"expected one postings drive per UNION branch:\n$optimized")
+    // the union executes: 10 + 10 rows, no stub throw
+    assert(df.count() == 20)
+  }
+
   test("claimed plan returns exactly the row-eval result") {
     val spark = TestSpark.spark
     val ws = WhitespaceAnalyzer(lowercase = true)

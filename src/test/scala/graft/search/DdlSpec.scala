@@ -344,6 +344,31 @@ class DdlSpec extends AnyFunSuite {
     spark.sql("DROP SEARCH INDEX torn_idx")
   }
 
+  test("DESCRIBE surfaces staleness after a source rewrite; REFRESH clears it") {
+    val spark = this.spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stale-src").toString
+    Tables.documents(spark, dir).limit(80).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("stale_docs")
+    Ddl.execute(spark,
+      s"CREATE SEARCH INDEX stale_idx ON stale_docs (text) " +
+        s"WITH (id = 'doc_id', analyzer = 'whitespace', key = 'stale-${System.nanoTime()}')")
+    def staleVal: String = {
+      val d = Ddl.execute(spark, "DESCRIBE SEARCH INDEX stale_idx")
+      d.filter(d("stat") === "stale").head().getString(1)
+    }
+    assert(staleVal == "false", "freshly built index must not be stale")
+
+    // rewrite the SOURCE files under the index
+    Tables.documents(spark, dir).limit(160).write.mode("overwrite").parquet(tmp)
+    spark.catalog.refreshByPath(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("stale_docs")
+    assert(staleVal == "true", "source rewrite must flip the staleness flag")
+
+    Ddl.execute(spark, "REFRESH SEARCH INDEX stale_idx")
+    assert(staleVal == "false", "REFRESH must clear the staleness flag")
+    Ddl.execute(spark, "DROP SEARCH INDEX stale_idx")
+  }
+
   test("malformed statements fail loudly") {
     intercept[IllegalArgumentException](
       Ddl.execute(spark, "CREATE SEARCH INDEX x ON v (c) WITH (analyzer = 'a')"))
