@@ -227,6 +227,23 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
       lr: LogicalRelation, idCol: String,
       filtered: Option[(LogicalPlan, Attribute)])
 
+  /** [[tokenizeGen]] plus an optional TOKEN-RESIDUAL: a deterministic
+    * Filter above the Generate whose condition references ONLY the token
+    * attribute. Such a predicate commutes with the facet aggregation (it
+    * drops whole term groups), so it becomes a residual filter over the
+    * DICTIONARY rows — the reference's `len` leg in ts_dict_cartesian.test:
+    * `WHERE length(body) = 5` plans as a FILTER over the term projection of
+    * the IRESEARCH_SCAN, never a tokenize. */
+  private def tokenizeGenResidual(plan: LogicalPlan): Option[(FacetClaim, Option[Expression])] =
+    PlanShapes.stripProjects(plan) match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, fc) if cond.deterministic =>
+        tokenizeGen(fc)
+          .filter(c => cond.references.subsetOf(
+            org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(c.tokenAttr))))
+          .map(c => (c, Some(cond)))
+      case _ => tokenizeGen(plan).map((_, None))
+    }
+
   private def tokenizeGen(plan: LogicalPlan): Option[FacetClaim] =
     PlanShapes.stripProjects(plan) match {
       case g @ Generate(Explode(u: ScalaUDF), _, _, _, _, _)
@@ -260,11 +277,12 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Seq(groupAttr: Attribute), aggExprs, child, _) =>
       try {
-        tokenizeGen(child) match {
-          case Some(c) if groupAttr.semanticEquals(c.tokenAttr) =>
+        tokenizeGenResidual(child) match {
+          case Some((c, residual)) if groupAttr.semanticEquals(c.tokenAttr) =>
             (c.filtered match {
-              case None => rewrite(agg, aggExprs, c)
-              case Some((right, rightKey)) => rewriteFiltered(agg, aggExprs, c, right, rightKey)
+              case None => rewrite(agg, aggExprs, c, residual)
+              case Some((right, rightKey)) =>
+                rewriteFiltered(agg, aggExprs, c, right, rightKey, residual)
             }).getOrElse(agg)
           case _ => agg
         }
@@ -389,14 +407,25 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
     * doc id, group by term; count(*) over the explode ≡ sum(tf), and
     * count(DISTINCT id) ≡ count(*) (postings hold one row per (term, doc)). */
   private def rewriteFiltered(agg: Aggregate, aggExprs: Seq[NamedExpression],
-      c: FacetClaim, right: LogicalPlan, rightKey: Attribute): Option[LogicalPlan] = {
+      c: FacetClaim, right: LogicalPlan, rightKey: Attribute,
+      residual: Option[Expression] = None): Option[LogicalPlan] = {
     import org.apache.spark.sql.functions.{col => f}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Sum}
     val idx = graft.index.IndexStore.load(spark, c.segDir)
     val posts = idx.postings.select(f("term"), f("doc_id"), f("tf").cast("long").as("tf"))
     // the matched subtree (`right`) usually reads the SAME cached postings
     // relation — re-instance ours so the self-join has disjoint exprIds
-    val pPlan = freshRelationIds(posts.queryExecution.optimizedPlan)
+    val pBase = freshRelationIds(posts.queryExecution.optimizedPlan)
+    // token residual commutes with the per-term grouping — apply it to the
+    // postings' term column BEFORE the semi-join (prunes earliest)
+    val pPlan = residual match {
+      case Some(cond) =>
+        val bound = cond.transform {
+          case a: Attribute if a.exprId == c.tokenAttr.exprId => pBase.output.head
+        }
+        org.apache.spark.sql.catalyst.plans.logical.Filter(bound, pBase)
+      case None => pBase
+    }
     val Seq(termA, docA, tfA) = pPlan.output
     val joined = Join(pPlan, right, LeftSemi, Some(EqualTo(docA, rightKey)), JoinHint.NONE)
     val mapped = aggExprs.map {
@@ -424,13 +453,24 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
   }
 
   private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
-      c: FacetClaim): Option[LogicalPlan] = {
+      c: FacetClaim, residual: Option[Expression] = None): Option[LogicalPlan] = {
     val idx = graft.index.IndexStore.load(spark, c.segDir)
     val td = idx.termDict.select(
       org.apache.spark.sql.functions.col("term"),
       org.apache.spark.sql.functions.col("df").cast("long").as("df"),
       org.apache.spark.sql.functions.col("ctf").cast("long").as("ctf"))
-    val tdPlan = td.queryExecution.optimizedPlan
+    val tdBase = td.queryExecution.optimizedPlan
+    // token residual → dictionary residual: same predicate, token attr
+    // re-bound to the dict's term column (the reference's FILTER over the
+    // term projection, ts_dict_cartesian.test `len` leg)
+    val tdPlan = residual match {
+      case Some(cond) =>
+        val bound = cond.transform {
+          case a: Attribute if a.exprId == c.tokenAttr.exprId => tdBase.output.head
+        }
+        org.apache.spark.sql.catalyst.plans.logical.Filter(bound, tdBase)
+      case None => tdBase
+    }
     val Seq(termA, dfA, ctfA) = tdPlan.output
 
     // every output column must map onto a dictionary column, else bail

@@ -155,6 +155,23 @@ object Surface {
             |GROUP BY token""".stripMargin)
   }
 
+  /** Facet with a TOKEN-ONLY residual predicate — the `len` leg of the
+    * reference's ts_dict filter matrix (ts_dict_cartesian.test: `WHERE
+    * length(body) = 5` plans as a FILTER over the term projection of the
+    * index scan). The predicate commutes with the facet aggregation, so
+    * PushdownTsDictAggregate serves it from the DICTIONARY with the
+    * predicate as a residual dict filter — nothing tokenizes (asserted in
+    * ClaimRuleSpec). */
+  def tsDictResidual(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql("""SELECT token, count(DISTINCT doc_id) AS docs, count(*) AS freq
+            |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
+            |      FROM graft_documents)
+            |WHERE length(token) = 5
+            |GROUP BY token""".stripMargin)
+  }
+
   /** ANN claimed from plain ORDER BY...LIMIT SQL: the ClaimAnnTopK rule
     * swaps the full-scan sort for an IVF probe — now the adaptive-EXACT
     * default (ball-bound pruning), so the 10/10 overlap with exact top-k
@@ -662,6 +679,7 @@ object Surface {
     "vec_hnsw_refresh" -> vecHnswRefresh,
     "ts_claim_generic" -> tsClaimGeneric,
     "ts_dict_pushdown" -> tsDictPushdown,
+    "ts_dict_residual" -> tsDictResidual,
     "ts_dict_variants" -> tsDictVariants,
     "ts_dict_filtered" -> tsDictFiltered,
     "ts_dict_claimed_filter" -> tsDictClaimedFilter,
@@ -785,6 +803,12 @@ object Surface {
       s"""$toks
          |SELECT term AS token, count(DISTINCT doc_id) AS docs, count(*) AS freq
          |FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY term""".stripMargin,
+    "ts_dict_residual" ->
+      s"""$toks
+         |SELECT term AS token, count(DISTINCT doc_id) AS docs, count(*) AS freq
+         |FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+         |WHERE length(term) = 5
+         |GROUP BY term""".stripMargin,
     "ts_dict_variants" ->
       s"""$toks,
          |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),

@@ -237,7 +237,7 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(got == want, "filtered facet counts must reflect only lang='en' docs")
   }
 
-  test("a facet whose token filter sits between aggregate and explode is NOT claimed") {
+  test("a token-only filter between aggregate and explode claims as a dictionary residual") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
     ensureDocsIndex()
@@ -247,14 +247,40 @@ class ClaimRuleSpec extends AnyFunSuite {
         |      FROM graft_documents)
         |WHERE token LIKE 'z%' AND length(token) > 4
         |GROUP BY token""".stripMargin)
-    // the token filter happens to be claimable in principle (it commutes with
-    // the dict rewrite), but the strict Project-only guard keeps it unclaimed
-    // — correctness over cleverness; assert the result is right either way
+    // the predicate references only the token, so it commutes with the facet
+    // and becomes a residual FILTER over the dictionary rows (the
+    // reference's `len` leg, ts_dict_cartesian.test) — nothing tokenizes
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "ts_tokenize_sql").isEmpty,
+      s"token-residual facet must serve from the dictionary:\n$optimized")
     val ws = WhitespaceAnalyzer(lowercase = true)
     val want = Tables.documents(spark, TestSpark.sfDir)
       .select("text").collect()
       .flatMap(r => ws.tokens(r.getString(0)))
       .filter(t => t.startsWith("z") && t.length > 4)
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }.toSet
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet == want)
+  }
+
+  test("a filter touching NON-token columns still bails to the explode plan") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT token, count(*) AS freq
+        |FROM (SELECT doc_id, explode(ts_tokenize_sql(text, 'whitespace')) AS token
+        |      FROM graft_documents)
+        |WHERE token LIKE 'z%' AND doc_id % 2 = 0
+        |GROUP BY token""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "ts_tokenize_sql").nonEmpty,
+      "a doc-dependent filter must keep the explode plan — dict counts would be wrong")
+    val ws = WhitespaceAnalyzer(lowercase = true)
+    val want = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 2 == 0)
+      .flatMap(r => ws.tokens(r.getString(1)))
+      .filter(_.startsWith("z"))
       .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }.toSet
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet == want)
   }
