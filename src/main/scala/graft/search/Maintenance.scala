@@ -55,9 +55,26 @@ object Maintenance {
 
   def isRunning(spark: SparkSession): Boolean = running.contains(spark)
 
+  /** Config from session confs — the reference's `SET refresh_interval = N`
+    * / `SET compaction_interval = N` settings surface (its sqllogic tests
+    * flip them per session): `SET spark.graft.maintenance.refreshIntervalMs
+    * = 500` etc., read at [[start]] time. */
+  def configFrom(spark: SparkSession): Config = {
+    def n(key: String, dflt: Long): Long =
+      spark.conf.getOption(s"spark.graft.maintenance.$key").map(_.toLong).getOrElse(dflt)
+    val d = Config()
+    Config(
+      refreshIntervalMs = n("refreshIntervalMs", d.refreshIntervalMs),
+      compactionIntervalMs = n("compactionIntervalMs", d.compactionIntervalMs),
+      compactMinSegments = n("compactMinSegments", d.compactMinSegments.toLong).toInt)
+  }
+
+  /** Start maintenance with the session-conf knobs. */
+  def start(spark: SparkSession): Unit = start(spark, configFrom(spark))
+
   /** Start (or restart) maintenance for a session. Idempotent per session:
     * a second start replaces the previous schedule. */
-  def start(spark: SparkSession, cfg: Config = Config()): Unit = synchronized {
+  def start(spark: SparkSession, cfg: Config): Unit = synchronized {
     stop(spark)
     def tickRefresh(): Unit = eachIndex(spark, cfg.only) { name =>
       Ddl.execute(spark, s"REFRESH SEARCH INDEX $name")

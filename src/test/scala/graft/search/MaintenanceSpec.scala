@@ -46,6 +46,20 @@ class MaintenanceSpec extends AnyFunSuite with Eventually {
     }
   }
 
+  test("maintenance knobs are session-conf settable (reference SET refresh_interval)") {
+    spark.sql("SET spark.graft.maintenance.refreshIntervalMs=1234")
+    spark.sql("SET spark.graft.maintenance.compactMinSegments=7")
+    try {
+      val cfg = Maintenance.configFrom(spark)
+      assert(cfg.refreshIntervalMs == 1234L)
+      assert(cfg.compactMinSegments == 7)
+      assert(cfg.compactionIntervalMs == Maintenance.Config().compactionIntervalMs)
+    } finally {
+      spark.conf.unset("spark.graft.maintenance.refreshIntervalMs")
+      spark.conf.unset("spark.graft.maintenance.compactMinSegments")
+    }
+  }
+
   test("the compaction tick bounds segment fan-in under continuous ingest") {
     val docs = Tables.documents(spark, dir)
     docs.limit(40).createOrReplaceTempView("maintc_docs")
