@@ -298,7 +298,23 @@ object Storage {
         sum(col("doc_id")).as("id_sum"))
   }
 
+  /** DELETE ... RETURNING (pg/dml/returning.test): deleteWhere commits one
+    * partition-scoped CoW snapshot and RETURNS the deleted rows. The entry
+    * folds the returned rows per lang AND cross-checks the surviving table
+    * state in the same result, so the oracle pins both sides of the verb. */
+  def icebergDeleteReturning(s: SparkSession, dir: String): DataFrame = {
+    val table = freshDocsTable(s, dir, "graft-iceberg-delret")
+    val returned = IcebergTables.deleteWhere(s, table, col("n_chars") < 150)
+    val survivors = IcebergTables.read(s, table)
+      .agg(count(lit(1)).as("n_left"), sum(col("doc_id")).as("left_id_sum"))
+    returned
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_deleted"), sum(col("doc_id")).as("del_id_sum"))
+      .crossJoin(broadcast(survivors))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "iceberg_delete_returning" -> icebergDeleteReturning,
     "iceberg_merge" -> icebergMerge,
     "iceberg_upsert" -> icebergUpsert,
     "iceberg_scan" -> icebergScan,
@@ -314,6 +330,17 @@ object Storage {
     "q18_bucketed_join" -> q18BucketedJoin)
 
   val oracles: Map[String, String] = Map(
+    "iceberg_delete_returning" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |del AS (SELECT * FROM base WHERE n_chars < 150),
+        |left_agg AS (SELECT count(*) AS n_left,
+        |  CAST(sum(doc_id) AS BIGINT) AS left_id_sum
+        |  FROM base WHERE NOT coalesce(n_chars < 150, false))
+        |SELECT d.lang, count(*) AS n_deleted,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS del_id_sum,
+        |  l.n_left, l.left_id_sum
+        |FROM del d, left_agg l
+        |GROUP BY d.lang, l.n_left, l.left_id_sum""".stripMargin,
     "iceberg_merge" ->
       """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
         |final AS (

@@ -386,6 +386,47 @@ object IcebergTables {
     commit(spark, tableDir, newData = None, createPartitionBy = None,
       dropValues = Some(Seq(value)))
 
+  /** `DELETE FROM t WHERE pred RETURNING *` — the reference's RETURNING
+    * surface on the delete path (tests/sqllogic/sdb/pg/dml/returning.test,
+    * delete_all_rows.test): commits one partition-scoped copy-on-write
+    * snapshot removing the matching rows and RETURNS those rows as a
+    * DataFrame. The returned rows are materialized (localCheckpoint)
+    * BEFORE the commit — a lazy plan would re-read the post-delete
+    * snapshot and return nothing. Same CoW granularity as [[upsert]]:
+    * only partitions holding matched rows are re-authored; at 100 TB a
+    * selective delete rewrites a handful of partitions, and time travel
+    * to the pre-delete snapshot still sees the rows. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (_, meta) = currentMeta(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
+    val cols = declaredSchema(meta).fields.map(f => col(f.name)).toSeq
+    val current = read(spark, tableDir)
+    val deleted = current.filter(pred).select(cols: _*).localCheckpoint()
+    partitionCol(meta) match {
+      case Some((pname, _)) =>
+        val affected = deleted.select(col(pname)).distinct()
+          .collect().map(_.get(0)).toSeq
+        // SQL DELETE keeps rows where pred is FALSE or NULL — negating a
+        // three-valued predicate directly would silently drop NULL rows
+        val keep = !org.apache.spark.sql.functions.coalesce(
+          pred, org.apache.spark.sql.functions.lit(false))
+        if (affected.nonEmpty) {
+          val kept = current.filter(col(pname).isin(affected: _*))
+            .filter(keep).select(cols: _*)
+          commit(spark, tableDir, Some(kept), createPartitionBy = None,
+            dropValues = Some(affected))
+        }
+      case None =>
+        val keep = !org.apache.spark.sql.functions.coalesce(
+          pred, org.apache.spark.sql.functions.lit(false))
+        commit(spark, tableDir, Some(current.filter(keep).select(cols: _*)),
+          createPartitionBy = None, dropValues = None, replaceAll = true)
+    }
+    deleted
+  }
+
   /** MERGE-style upsert by key — the reference's `INSERT ... ON CONFLICT`
     * surface (tests/sqllogic/sdb/pg/simple/insert_conflict.test: plain
     * INSERT throws, DO NOTHING skips, OR REPLACE upserts). Copy-on-write
