@@ -35,6 +35,42 @@ class EntryPlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  /** Scan roots of every parquet relation in the optimized logical plan —
+    * executedPlan strings truncate file paths, so shape assertions go
+    * against the relations themselves. */
+  private def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+
+  test("ts_dict_fuzzy is a pure dictionary read — no tokenize, no postings") {
+    val df = Search.tsDictFuzzy(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("ts_tokenize") && !p.contains("Generate"),
+      "fuzzy dict probe must not tokenize or explode")
+    assert(p.contains("levenshtein"), "the thresholded edit distance runs over dict rows")
+    val roots = scanRoots(df)
+    assert(roots.nonEmpty && roots.forall(_.contains("termdict")),
+      s"must read ONLY the term dictionary, scans: $roots")
+  }
+
+  test("ts_dict_cartesian drives from two indexes' postings — nothing tokenizes") {
+    val df = Search.tsDictCartesian(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("ts_tokenize") && !p.contains("Generate"),
+      "the cartesian facet must not re-tokenize either field")
+    val roots = scanRoots(df)
+    assert(roots.count(_.contains("postings")) >= 2,
+      s"both fields must drive from index postings, scans: $roots")
+    assert(roots.exists(r => r.contains("-source-") && r.contains("postings")),
+      s"the keyword source index is one of the drives: $roots")
+  }
+
   test("summarize_table prunes the lineitem scan to the profiled columns") {
     val p = planOf(Extras.summarizeTable(spark, dir))
     assert(!p.contains("l_discount") && !p.contains("l_tax"),
