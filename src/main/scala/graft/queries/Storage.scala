@@ -313,7 +313,25 @@ object Storage {
       .crossJoin(broadcast(survivors))
   }
 
+  /** UPDATE ... SET ... WHERE ... RETURNING (pg/dml/update_returning_rowid
+    * .test): updateWhere commits a partition-scoped CoW snapshot and
+    * RETURNS the post-image rows. The SET moves n_chars by +100000 on a
+    * doc_id stripe; the entry folds the returned post-images per lang and
+    * cross-checks the updated table's totals in the same result. */
+  def icebergUpdateReturning(s: SparkSession, dir: String): DataFrame = {
+    val table = freshDocsTable(s, dir, "graft-iceberg-updret")
+    val returned = IcebergTables.updateWhere(s, table,
+      col("doc_id") % 5 === 0, Map("n_chars" -> (col("n_chars") + 100000)))
+    val state = IcebergTables.read(s, table)
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("chars_total"))
+    returned
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_updated"), sum(col("n_chars")).as("upd_chars"))
+      .crossJoin(broadcast(state))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "iceberg_update_returning" -> icebergUpdateReturning,
     "iceberg_delete_returning" -> icebergDeleteReturning,
     "iceberg_merge" -> icebergMerge,
     "iceberg_upsert" -> icebergUpsert,
@@ -330,6 +348,19 @@ object Storage {
     "q18_bucketed_join" -> q18BucketedJoin)
 
   val oracles: Map[String, String] = Map(
+    "iceberg_update_returning" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |upd AS (SELECT doc_id, lang, n_chars + 100000 AS n_chars
+        |        FROM base WHERE doc_id % 5 = 0),
+        |state AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 100000
+        |                ELSE n_chars END) AS BIGINT) AS chars_total
+        |  FROM base)
+        |SELECT u.lang, count(*) AS n_updated,
+        |  CAST(sum(u.n_chars) AS BIGINT) AS upd_chars,
+        |  s.n_rows, s.chars_total
+        |FROM upd u, state s
+        |GROUP BY u.lang, s.n_rows, s.chars_total""".stripMargin,
     "iceberg_delete_returning" ->
       """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
         |del AS (SELECT * FROM base WHERE n_chars < 150),

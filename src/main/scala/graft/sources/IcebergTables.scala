@@ -427,6 +427,44 @@ object IcebergTables {
     deleted
   }
 
+  /** `UPDATE t SET ... WHERE pred RETURNING *` — the update leg of the
+    * reference's RETURNING surface (pg/dml/update_returning_rowid.test):
+    * commits one partition-scoped CoW snapshot applying `set` to the
+    * matching rows and RETURNS the POST-image rows (what PG's RETURNING
+    * reports). A `set` that rewrites the partition column moves rows
+    * across partitions: both the old and the new partitions are
+    * re-authored, everything else survives through the manifest. */
+  def updateWhere(spark: SparkSession, tableDir: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (_, meta) = currentMeta(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
+    val cols = declaredSchema(meta).fields.map(f => col(f.name)).toSeq
+    val current = read(spark, tableDir)
+    val matched = current.filter(pred)
+    val updated = set.foldLeft(matched) { case (df, (c, v)) => df.withColumn(c, v) }
+      .select(cols: _*).localCheckpoint()
+    val keep = !coalesce(pred, lit(false))
+    partitionCol(meta) match {
+      case Some((pname, _)) =>
+        val affected = (matched.select(col(pname))
+            union updated.select(col(pname)))
+          .distinct().collect().map(_.get(0)).toSeq
+        if (affected.nonEmpty) {
+          val kept = current.filter(col(pname).isin(affected: _*))
+            .filter(keep).select(cols: _*)
+          commit(spark, tableDir, Some(kept.unionByName(updated)),
+            createPartitionBy = None, dropValues = Some(affected))
+        }
+      case None =>
+        commit(spark, tableDir,
+          Some(current.filter(keep).select(cols: _*).unionByName(updated)),
+          createPartitionBy = None, dropValues = None, replaceAll = true)
+    }
+    updated
+  }
+
   /** MERGE-style upsert by key — the reference's `INSERT ... ON CONFLICT`
     * surface (tests/sqllogic/sdb/pg/simple/insert_conflict.test: plain
     * INSERT throws, DO NOTHING skips, OR REPLACE upserts). Copy-on-write

@@ -132,6 +132,36 @@ class IcebergTablesSpec extends AnyFunSuite {
     assert(s2 > s1)
   }
 
+  test("delete/update RETURNING report affected rows, stay partition-scoped, keep NULL-pred rows") {
+    val t = table + "-returning"
+    val s1 = IcebergTables.createOrReplace(docs, t, partitionBy = Some("lang"))
+    val beforeOther = IcebergTables.read(spark, t).inputFiles
+      .filterNot(_.contains("lang=en")).toSet
+
+    // DELETE ... RETURNING: rows where pred is TRUE come back; the table
+    // loses exactly those; pred-NULL rows survive (SQL delete semantics)
+    val delPred = col("lang") === "en" && col("doc_id") % 11 === 0
+    val expectedDel = docs.filter(delPred).select("doc_id").collect().map(_.getLong(0)).toSet
+    val returned = IcebergTables.deleteWhere(spark, t, delPred)
+    assert(returned.select("doc_id").collect().map(_.getLong(0)).toSet == expectedDel)
+    assert(IcebergTables.read(spark, t).count() == docs.count() - expectedDel.size)
+    // untouched partitions keep their exact files
+    assert(IcebergTables.read(spark, t).inputFiles
+      .filterNot(_.contains("lang=en")).toSet == beforeOther)
+
+    // UPDATE ... RETURNING: post-images come back; only matched rows change
+    val updPred = col("lang") === "en" && col("doc_id") % 7 === 0
+    val post = IcebergTables.updateWhere(spark, t, updPred,
+      Map("n_chars" -> (col("n_chars") + 5000)))
+    val postMap = post.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(postMap.nonEmpty)
+    val now = IcebergTables.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    postMap.foreach { case (id, v) => assert(now(id) == v, s"post-image mismatch for $id") }
+    // time travel: the original snapshot still sees everything pre-DML
+    assert(IcebergTables.read(spark, t, Some(s1)).count() == docs.count())
+  }
+
   test("merge applies delete/update/insert clauses and stays partition-scoped") {
     val t = table + "-merge"
     val s1 = IcebergTables.createOrReplace(docs, t, partitionBy = Some("lang"))
