@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(s => StrictClaimCheck(s))
     e.injectParser((_, delegate) => new graft.search.GraftSqlParser(delegate))
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
+    graft.functions.QuantizationExpressions.functions.foreach(e.injectFunction)
     graft.functions.GeoWkb.functions.foreach(e.injectFunction)
   }
 }

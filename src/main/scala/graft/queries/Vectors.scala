@@ -132,7 +132,42 @@ object Vectors {
       .agg(count(lit(1)).cast("bigint").as("n_overlap"))
   }
 
+  /** SQ8-quantized IVF kNN (reference `quant = 'sq8'`,
+    * inverted_index_ivf_sq8.test): the probe stage reads 1-byte-per-dim
+    * codes (4× less IO than float32) from the same cluster-pruned layout,
+    * then the top rerank_factor×k candidates are re-scored on raw floats —
+    * the reference's exact raw reranker. With the exact ball-bound probe the
+    * only approximation left is pool escape, which this data's separation
+    * doesn't trigger — so the entry gets the REAL exact-kNN oracle. */
+  def ivfSq8(s: SparkSession, dir: String): DataFrame = {
+    val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ivf = IvfIndex.ensure(s, Tables.embeddings(s, dir), s"$dir-embeddings")
+    graft.index.QuantizedIvf.ensureSq8(s, ivf, IvfIndex.dirFor(s"$dir-embeddings"))
+      .knn(query, k = 10, rerankFactor = 5)
+      .select(col("vec_id"))
+  }
+
+  /** Residual-PQ IVF kNN (reference `quant = 'pq'`, pq_m divides dim;
+    * inverted_index_ivf_pq.test): 8 subspaces × 16 centroids over
+    * centroid-relative residuals — 8 bytes/vector in the probe stage, a
+    * 32× storage cut at dim 64. PQ is the lossiest quantizer, so the gate
+    * is the recall form (n_overlap with exact top-10, pinned by the
+    * oracle at this sf — the vec_ivf_recall pattern). */
+  def ivfPq(s: SparkSession, dir: String): DataFrame = {
+    val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ivf = IvfIndex.ensure(s, Tables.embeddings(s, dir), s"$dir-embeddings")
+    graft.index.QuantizedIvf.ensurePq(s, ivf, IvfIndex.dirFor(s"$dir-embeddings"), m = 8)
+      .knn(query, k = 10, rerankFactor = 30)
+      .select(col("vec_id"))
+      .join(knnExact(s, dir), "vec_id")
+      .agg(count(lit(1)).cast("bigint").as("n_overlap"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_ivf_sq8" -> ivfSq8,
+    "vec_ivf_pq" -> ivfPq,
     "vec_fn_surface" -> fnSurface,
     "vec_knn_exact" -> knnExact,
     "vec_knn_cosine" -> knnCosine,
@@ -180,6 +215,11 @@ object Vectors {
       s"""SELECT label, count(*) AS n,
          |  CAST(SUM(CAST(round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000) AS BIGINT)) AS BIGINT) AS sum_l2n_q
          |FROM embeddings GROUP BY label""".stripMargin,
+    // ball-probe + exact rerank is exact on this data → real oracle
+    "vec_ivf_sq8" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY list_distance(embedding::DOUBLE[], $q::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
+    "vec_ivf_pq" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
     // the adaptive probe is exact, so the IVF path gets a REAL oracle
     "vec_ivf_knn" ->
       s"""SELECT vec_id FROM embeddings
