@@ -75,6 +75,10 @@ private[plans] object ScorerShapes {
         for {
           root <- PlanShapes.scanRoot(lr)
           e <- IndexCatalog.lookupText(root, textAttr.name, dict)
+          // scorer drives enumerate the index's postings as THE row source —
+          // a partial index would silently hide out-of-predicate rows from
+          // scoring, so score claims require a full index
+          if e.predicate.isEmpty
           idAttr <- lr.output.collectFirst {
             case a: AttributeReference if a.name == e.idCol => a }
         } yield (lr, root, e, idAttr)
@@ -149,6 +153,8 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
       (lr, root, candidate) <- candidateScan(scanPlan)
       if PlanShapes.isColumnOf(lr, textAttr, textAttr.name)
       entry <- IndexCatalog.lookupText(root, textAttr.name, dict)
+      // partial indexes never drive scorer top-k (see indexedScanOf)
+      if entry.predicate.isEmpty
       idAttr <- lr.output.collectFirst {
         case a: AttributeReference if a.name == entry.idCol => a }
       // P2 may hold only the scan's own columns + the one scorer alias —

@@ -258,12 +258,16 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
                   (lr, root) <- PlanShapes.bareScan(g.child)
                   if PlanShapes.isColumnOf(lr, a, a.name)
                   e <- IndexCatalog.lookupText(root, a.name, dict)
+                  // a PARTIAL index covers a row subset — serving a facet
+                  // from its dictionary would silently undercount
+                  if e.predicate.isEmpty
                 } yield FacetClaim(tokenAttr, e.segDir, lr, e.idCol, None)
               case Join(l, r, LeftSemi, Some(EqualTo(lk: AttributeReference, rk: AttributeReference)), _) =>
                 for {
                   (lr, root) <- PlanShapes.bareScan(l)
                   if PlanShapes.isColumnOf(lr, a, a.name)
                   e <- IndexCatalog.lookupText(root, a.name, dict)
+                  if e.predicate.isEmpty
                   // the join key must be the scan's own id column, either side
                   (lkey, rkey) = if (lr.output.exists(_.exprId == lk.exprId)) (lk, rk) else (rk, lk)
                   if PlanShapes.isColumnOf(lr, lkey, e.idCol) && r.outputSet.contains(rkey)
@@ -819,7 +823,7 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
     * segment dir and that scan's own id attribute (the sound semi-join key
     * even when several joined relations expose same-named id columns). */
   private def indexedScanOf(plan: LogicalPlan, textAttr: AttributeReference,
-      dict: String): Option[(String, AttributeReference)] =
+      dict: String): Option[(String, AttributeReference, Option[String])] =
     plan.collectFirst {
       case lr: LogicalRelation if PlanShapes.isColumnOf(lr, textAttr, textAttr.name) =>
         for {
@@ -827,8 +831,13 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
           e <- IndexCatalog.lookupText(root, textAttr.name, dict)
           idAttr <- lr.output.collectFirst {
             case a: AttributeReference if a.name == e.idCol => a }
-        } yield (e.segDir, idAttr)
+        } yield (e.segDir, idAttr, e.predicate)
     }.flatten
+
+  /** Qualifier-free canonical SQL — the rendering partial-index predicates
+    * are stored in at DDL time, so conjunct comparison is string-stable. */
+  private def bareSql(e: Expression): String =
+    e.transform { case a: AttributeReference => a.withQualifier(Seq.empty) }.sql
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) if cond.exists(asTsMatch(_).isDefined) =>
@@ -873,14 +882,21 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
     val claimable = parts.flatMap { p =>
       for {
         (arg, dict, build) <- asTsMatch(p)
-        (segDir, docId) <- arg match {
+        (segDir, docId, partialPred) <- arg match {
           case attr: AttributeReference => indexedScanOf(child, attr, dict)
-          case e => exprIndexOf(child, e, dict)
+          case e => exprIndexOf(child, e, dict).map { case (d, id) => (d, id, None) }
         }
         // the scan's id must still be visible at the filter for the
         // semi-join to be well-formed (it always is for the plain
         // scan→filter shape; a projection that dropped it bails here)
         if child.outputSet.contains(docId)
+        // PARTIAL index: claimable only when the filter restricts to the
+        // indexed subset — the predicate must appear verbatim among the
+        // conjuncts (it stays in the residual, so semantics are unchanged;
+        // the sound syntactic case of PG's predicate-implication test).
+        // Without it the semi-join would silently drop out-of-predicate rows.
+        if partialPred.forall(ps =>
+          parts.exists(c => bareSql(c).equalsIgnoreCase(ps)))
       } yield (p, build, dict, segDir, docId)
     }
     if (claimable.isEmpty) return f

@@ -106,6 +106,27 @@ object Surface {
             |""".stripMargin)
   }
 
+  /** PARTIAL index end-to-end (reference `CREATE INDEX ... WHERE <pred>`,
+    * inverted_index_partial.test): the backfill indexes only `lang = 'en'`
+    * rows (the predicate is a pushed-down filter on the backfill scan), the
+    * index views expose the indexed subset, and a query carrying the same
+    * predicate claims into the partial index's semi-join (plan-asserted in
+    * PartialIndexSpec; a query WITHOUT the predicate must NOT claim). */
+  def tsPartialIndex(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+    graft.search.Ddl.execute(s,
+      s"""CREATE SEARCH INDEX docs_partial_idx ON graft_documents (text)
+         |WITH (id = 'doc_id', analyzer = 'simple', key = '$dir-documents')
+         |WHERE lang = 'en'""".stripMargin)
+    s.sql(
+      """SELECT
+        |  (SELECT count(*) FROM docs_partial_idx_docstats) AS n_indexed,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE lang = 'en' AND ts_match(text, 'stream', 'simple')) AS n_match
+        |""".stripMargin)
+  }
+
   /** The reference's sugar predicates (search.h:95-99: has_any_tokens /
     * has_all_tokens / phrase_matches / levenshtein_matches / ngram_matches)
     * in SQL text over the indexed table — each claims into the matching
@@ -690,6 +711,7 @@ object Surface {
     "es_dsl_paging" -> esDslPaging,
     "es_dsl_aggs" -> esDslAggs,
     "ts_claimed_match" -> tsClaimedMatch,
+    "ts_partial_index" -> tsPartialIndex,
     "ts_sugar_preds" -> tsSugarPreds,
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
@@ -877,6 +899,13 @@ object Surface {
          |SELECT t.doc_id FROM toks t JOIN documents d USING (doc_id)
          |WHERE list_contains(ts, 'stream') AND NOT list_contains(ts, 'batch')
          |  AND d.n_chars > 100""".stripMargin,
+    "ts_partial_index" ->
+      """WITH en AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+        |  FROM documents WHERE lang = 'en')
+        |SELECT (SELECT count(*) FROM en WHERE len(ts) > 0) AS n_indexed,
+        |       (SELECT count(*) FROM en WHERE list_contains(ts, 'stream')) AS n_match
+        |""".stripMargin,
     "ts_sql_match" ->
       s"""$toks
          |SELECT doc_id FROM toks

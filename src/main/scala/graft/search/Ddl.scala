@@ -40,8 +40,15 @@ object ExprIndexes {
   * PushdownTsDictAggregate and ClaimAnnTopK look up here — no table or
   * column name is special-cased anywhere in the optimizer rules. */
 object IndexCatalog {
-  /** Text index over a plain column: segment dir + the source id column. */
-  final case class TextEntry(segDir: String, idCol: String)
+  /** Text index over a plain column: segment dir + the source id column.
+    * `predicate` marks a PARTIAL index (reference
+    * `CREATE INDEX ... WHERE <pred>`, inverted_index_partial.test): only
+    * rows satisfying it are indexed, so a claim rule may use the index
+    * ONLY when the query provably restricts to that subset (the claim
+    * rules require the predicate verbatim among the filter's conjuncts —
+    * PG-style implication, restricted to the sound syntactic case). */
+  final case class TextEntry(segDir: String, idCol: String,
+      predicate: Option[String] = None)
 
   /** ANN index: the IVF cache key (→ IvfIndex.ensure), source id/embedding
     * columns, and the metric the index was built for (`l2` raw vectors,
@@ -56,8 +63,19 @@ object IndexCatalog {
   private[search] val pk = TrieMap.empty[(String, String), PkEntry]
 
   def registerText(tableRoot: String, column: String, analyzer: String,
-      segDir: String, idCol: String): Unit =
-    text.put((tableRoot, column, analyzer), TextEntry(segDir, idCol))
+      segDir: String, idCol: String, predicate: Option[String] = None): Unit = {
+    val k = (tableRoot, column, analyzer)
+    // never DOWNGRADE the claimable surface: a FULL index on this key keeps
+    // its slot when a partial one is created alongside (the full index
+    // serves every query the partial could, and more). A full registration
+    // always wins the slot back.
+    val incoming = TextEntry(segDir, idCol, predicate)
+    text.get(k) match {
+      case Some(existing) if existing.predicate.isEmpty && predicate.nonEmpty
+          && existing.segDir != segDir => ()
+      case _ => text.put(k, incoming)
+    }
+  }
 
   def lookupText(tableRoot: String, column: String, analyzer: String): Option[TextEntry] = {
     CatalogStore.ensureLoaded()
@@ -151,9 +169,11 @@ object Ddl {
     * fast paths compare on (dir, view, keySpec, analyzer) only — idCol and
     * annKey ride along. */
   private[search] final case class Entry(dir: String, view: String, keySpec: String,
-      analyzer: String, annKey: Option[String] = None, idCol: String = "") {
+      analyzer: String, annKey: Option[String] = None, idCol: String = "",
+      predicate: Option[String] = None) {
     def sameSpec(o: Entry): Boolean =
-      dir == o.dir && view == o.view && keySpec == o.keySpec && analyzer == o.analyzer
+      dir == o.dir && view == o.view && keySpec == o.keySpec &&
+        analyzer == o.analyzer && predicate == o.predicate
   }
 
   private[search] val catalog = TrieMap.empty[String, Entry]
@@ -163,8 +183,11 @@ object Ddl {
     * session its `<name>_termdict/_postings/_docstats` views, once. */
   private[search] val sessionReady = TrieMap.empty[String, Boolean]
 
+  // the optional trailing WHERE makes this a PARTIAL index (reference
+  // inverted_index_partial.test); the opts group is lazy so the predicate
+  // stays outside the WITH parens
   private val createRe =
-    """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*)\)\s*""".r
+    """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*?)\)\s*(?:WHERE\s+(.+?))?\s*""".r
   private val createExprRe =
     """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\(\s*(.+?)\s*\)\)\s*WITH\s*\((.*)\)\s*""".r
   private val createVecRe =
@@ -305,19 +328,32 @@ object Ddl {
       sessionReady.put(name, true)
       CatalogStore.persist(spark)
       result(spark, s"created $name")
-    case createRe(name, view, textCol, optsStr) =>
+    case createRe(name, view, textCol, optsStr, whereRaw) =>
       val opts = optRe.findAllMatchIn(optsStr)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
       val idCol = opts.getOrElse("id",
         throw new IllegalArgumentException("CREATE SEARCH INDEX requires WITH (id = '...')"))
       val analyzer = opts.getOrElse("analyzer", "whitespace")
-      val cacheKey = opts.getOrElse("key", view)
+      // partial index (WHERE <pred>): normalize the predicate to its parsed
+      // SQL once, at DDL time — the claim rules compare conjuncts against
+      // this canonical rendering. The key gets a predicate tag so a partial
+      // and a full index over the same (key, col, analyzer) never share a
+      // segment dir.
+      val predicate = Option(whereRaw).map(_.trim).filter(_.nonEmpty)
+        .map(w => spark.sessionState.sqlParser.parseExpression(w).sql)
+      val baseKey = opts.getOrElse("key", view)
+      val cacheKey = predicate match {
+        case Some(p) =>
+          s"$baseKey-part${java.lang.Integer.toHexString(p.hashCode).takeRight(8)}"
+        case None => baseKey
+      }
       // idempotent fast path: re-issuing the SAME statement (entries do this
       // once per query) must not re-run the stats/view registration IO;
       // DROP removes the catalog row, so a recreate always takes the full
       // path and rebuilds
       val fastDir = IndexStore.dirFor(cacheKey, textCol, analyzer)
-      if (catalog.get(name).exists(_.sameSpec(Entry(fastDir, view, textCol, analyzer))) &&
+      if (catalog.get(name).exists(_.sameSpec(
+            Entry(fastDir, view, textCol, analyzer, predicate = predicate))) &&
           IndexStore.durable(spark, fastDir)) {
         if (sessionReady.putIfAbsent(name, true).isEmpty) {
           IndexStore.registerViews(spark, fastDir, name)
@@ -325,7 +361,12 @@ object Ddl {
         }
         return result(spark, s"created $name")
       }
-      IndexStore.ensure(spark, spark.table(view), cacheKey, idCol, textCol, analyzer)
+      // the predicate is a WHERE filter on the backfill scan — Catalyst
+      // pushes it into the parquet read (the reference shows it as a
+      // Column Filter in the backfill SEQ_SCAN, inverted_index_partial.test)
+      val source = predicate.foldLeft(spark.table(view))(
+        (df, p) => df.filter(org.apache.spark.sql.functions.expr(p)))
+      IndexStore.ensure(spark, source, cacheKey, idCol, textCol, analyzer)
       val dir = fastDir
       writeSourceFp(spark, dir, view)
       IndexStore.registerViews(spark, dir, name)
@@ -333,9 +374,10 @@ object Ddl {
       // the claim-rule catalog: any ts_match / facet over (this scan root,
       // this column, this analyzer) now resolves to the segments just built
       scanRootOf(spark, view).foreach { root =>
-        IndexCatalog.registerText(root, textCol, analyzer, dir, idCol)
+        IndexCatalog.registerText(root, textCol, analyzer, dir, idCol, predicate)
       }
-      catalog.put(name, Entry(dir, view, textCol, analyzer, idCol = idCol))
+      catalog.put(name,
+        Entry(dir, view, textCol, analyzer, idCol = idCol, predicate = predicate))
       sessionReady.put(name, true)
       CatalogStore.persist(spark)
       result(spark, s"created $name")
@@ -482,11 +524,15 @@ object Ddl {
             .getOrElse(throw new IllegalStateException(
               s"cannot refresh $name: no record of its id column"))
           val exprSpec = """^\(\((.*)\)\)$""".r
+          // a partial index refreshes against the predicate-restricted view:
+          // rows outside the predicate are invisible to it by definition
+          val viewDf = e.predicate.foldLeft(spark.table(e.view))(
+            (df, p) => df.filter(org.apache.spark.sql.functions.expr(p)))
           val (source, keyCol) = e.keySpec match {
             case exprSpec(exprRaw) =>
-              (spark.table(e.view).withColumn("expr_key",
+              (viewDf.withColumn("expr_key",
                 org.apache.spark.sql.functions.expr(exprRaw)), "expr_key")
-            case colName => (spark.table(e.view), colName)
+            case colName => (viewDf, colName)
           }
           // anti-join against the FULL per-segment doc-id manifest, not
           // docStats: docStats carries only docs with ≥1 token, so a
@@ -533,7 +579,8 @@ object Ddl {
         case Some(e) =>
           import spark.implicits._
           val base = Seq("view" -> e.view, "key_spec" -> e.keySpec,
-            "analyzer" -> e.analyzer, "location" -> e.dir)
+            "analyzer" -> e.analyzer, "location" -> e.dir) ++
+            e.predicate.map("predicate" -> _)
           val stats =
             if (e.annKey.nonEmpty) Seq("kind" -> "vector")
             else {
@@ -651,8 +698,9 @@ object CatalogStore {
     val lines = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def add(key: String, line: String): Unit = lines.put(key, line)
     IndexCatalog.text.foreach { case ((root, c, a), e) =>
-      add(s"text|$root|$c|$a", row("kind" -> "text", "root" -> root,
-        "column" -> c, "analyzer" -> a, "segDir" -> e.segDir, "idCol" -> e.idCol))
+      add(s"text|$root|$c|$a", row((Seq("kind" -> "text", "root" -> root,
+        "column" -> c, "analyzer" -> a, "segDir" -> e.segDir,
+        "idCol" -> e.idCol) ++ e.predicate.map("predicate" -> _)): _*))
     }
     IndexCatalog.ann.foreach { case ((root, c, m), e) =>
       add(s"ann|$root|$c|$m", row("kind" -> "ann", "root" -> root, "column" -> c,
@@ -671,7 +719,8 @@ object CatalogStore {
       add(s"ddl|$n", row((Seq("kind" -> "ddl", "name" -> n, "dir" -> e.dir,
         "view" -> e.view, "keySpec" -> e.keySpec, "analyzer" -> e.analyzer,
         "idCol" -> e.idCol) ++
-        e.annKey.map("annKey" -> _)): _*))
+        e.annKey.map("annKey" -> _) ++
+        e.predicate.map("predicate" -> _)): _*))
     }
     val dest = catalogPath
     val f = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -723,7 +772,8 @@ object CatalogStore {
         case Some("text") =>
           IndexCatalog.text.putIfAbsent(
             (s("root").get, s("column").get, s("analyzer").get),
-            IndexCatalog.TextEntry(s("segDir").get, s("idCol").get))
+            IndexCatalog.TextEntry(s("segDir").get, s("idCol").get,
+              s("predicate")))
         case Some("ann") =>
           IndexCatalog.ann.putIfAbsent(
             (s("root").get, s("column").get, s("metric").get),
@@ -739,7 +789,8 @@ object CatalogStore {
         case Some("ddl") =>
           Ddl.catalog.putIfAbsent(s("name").get,
             Ddl.Entry(s("dir").get, s("view").get, s("keySpec").get,
-              s("analyzer").get, s("annKey"), s("idCol").getOrElse("")))
+              s("analyzer").get, s("annKey"), s("idCol").getOrElse(""),
+              s("predicate")))
         case _ => // unknown row kind: ignore (forward compatibility)
       }
     }
