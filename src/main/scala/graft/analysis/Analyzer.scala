@@ -200,13 +200,36 @@ final case class GeoJsonAnalyzer(precision: Int = 5) extends Analyzer {
   * the reference's solr_synonyms/wordnet_synonyms analyzers,
   * libs/iresearch/include/iresearch/analysis/): each inner token maps to its
   * dictionary OUTPUT lexemes (which may replace the token — `a => b` — or
-  * expand it — equivalence groups); unmapped tokens pass through. Distinct
-  * from [[SynonymAnalyzer]], which only ever APPENDS synonyms. */
-final case class LexizeAnalyzer(inner: Analyzer, mapping: Map[String, Seq[String]])
+  * expand it — equivalence groups). `passThrough` controls unmapped tokens:
+  * solr dictionaries pass them through unchanged; wordnet dictionaries emit
+  * NOTHING for unknown words (both observable in the reference's
+  * inverted_index_synonyms.test). Distinct from [[SynonymAnalyzer]], which
+  * only ever APPENDS synonyms. */
+final case class LexizeAnalyzer(inner: Analyzer, mapping: Map[String, Seq[String]],
+    passThrough: Boolean = true) extends Analyzer {
+  def apply(t: String): Seq[String] =
+    inner(t).flatMap(tok =>
+      mapping.getOrElse(tok, if (passThrough) Seq(tok) else Seq.empty))
+}
+
+/** Per-token Porter stemming (`stem` dictionary template; English only —
+  * the reference delegates to snowball per locale). */
+final case class StemAnalyzer(inner: Analyzer, locale: String = "en")
+    extends Analyzer {
+  def apply(t: String): Seq[String] = {
+    val toks = inner(t).map(_.toLowerCase(Locale.ROOT))
+    if (locale.startsWith("en")) toks.map(Porter.stem) else toks
+  }
+}
+
+/** Drop stop tokens, pass everything else (`stopwords` dictionary
+  * template). */
+final case class StopTokensAnalyzer(inner: Analyzer, stopwords: Set[String])
     extends Analyzer {
   def apply(t: String): Seq[String] =
-    inner(t).flatMap(tok => mapping.getOrElse(tok, Seq(tok)))
+    inner(t).filterNot(tok => stopwords.contains(tok.toLowerCase(Locale.ROOT)))
 }
+
 
 /** Parsers for the two public synonym-file formats the reference's
   * analyzers consume (Solr `synonyms.txt`, WordNet prolog `wn_s.pl`) —
@@ -236,20 +259,24 @@ object SynonymFormats {
   }
 
   /** WordNet prolog format: `s(synset_id, w_num, 'word', ss_type, ...)` —
-    * words sharing a synset are synonyms of each other; a word maps to the
-    * ordered distinct union of all its synsets' members. Multi-word entries
-    * (underscored in WordNet) keep their underscores as single lexemes. */
+    * a word lexizes to its SYNSET ID(s) (the reference's observable
+    * `ts_lexize` output, inverted_index_synonyms.test: `come` →
+    * `{100000002}`): words sharing a synset map to the same id token, which
+    * is exactly what makes them match each other in the index. Unknown
+    * words emit nothing (LexizeAnalyzer passThrough=false). Multi-word
+    * entries keep underscores as single lexemes. Non-blank lines that are
+    * not `s(...)` records fail the parse (DDL-time error, as the reference
+    * rejects malformed dictionaries). */
   def parseWordNet(text: String): Map[String, Seq[String]] = {
     val entry = """s\(\s*(\d+)\s*,\s*\d+\s*,\s*'((?:[^']|'')*)'\s*,.*\)\s*\.?""".r
-    val rows = text.split("\n").map(_.trim).flatMap {
+    val rows = text.split("\n").map(_.trim).filter(_.nonEmpty).map {
       case entry(syn, w) =>
-        Some(syn -> w.replace("''", "'").toLowerCase(java.util.Locale.ROOT).replace(' ', '_'))
-      case _ => None
+        w.replace("''", "'").toLowerCase(java.util.Locale.ROOT).replace(' ', '_') -> syn
+      case bad => throw new IllegalArgumentException(
+        s"wordnet_synonyms: failed to parse synonyms (bad record: $bad)")
     }
-    val bySynset = rows.groupBy(_._1).map { case (s, ws) => s -> ws.map(_._2).toSeq }
-    rows.map(_._2).distinct.map { w =>
-      w -> rows.collect { case (s, `w`) => s }.distinct
-        .flatMap(bySynset(_)).distinct.toSeq
+    rows.map(_._1).distinct.map { w =>
+      w -> rows.collect { case (`w`, s) => s }.distinct.toSeq
     }.toMap
   }
 }
@@ -576,6 +603,8 @@ object AnalyzerRegistry {
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, Analyzer]()
 
   def register(name: String, analyzer: Analyzer): Unit = registry.put(name, analyzer)
+  def unregister(name: String): Boolean = registry.remove(name) != null
+  def exists(name: String): Boolean = registry.containsKey(name)
   def get(name: String): Analyzer = {
     val a = registry.get(name)
     require(a != null, s"unknown text search dictionary: $name")
@@ -586,9 +615,46 @@ object AnalyzerRegistry {
     registry.keySet().asScala.toSeq.sorted
   }
 
-  /** Build from a template name + options, mirroring tokenizer templates. */
+  /** Build + register from a template name + options (the
+    * `CREATE TEXT SEARCH DICTIONARY` execution path). */
   def create(name: String, template: String, options: Map[String, String] = Map.empty): Analyzer = {
+    val a = build(template, options)
+    register(name, a)
+    a
+  }
+
+  /** `'"a", "b", "c"'`-style quoted lists (the reference's stopwords /
+    * delimiters option format); unquoted input splits on commas. */
+  private def quotedList(s: String): Seq[String] = {
+    val q = "\"([^\"]*)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    if (q.nonEmpty) q else s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Build WITHOUT registering — compound templates (pipeline/union) build
+    * their member stages through this. Option keys are case-insensitive and
+    * the reference's aliases are honored (`synonyms`→rules,
+    * `mingram`/`maxgram`→min/max). */
+  def build(template: String, rawOptions: Map[String, String]): Analyzer = {
+    val options = rawOptions.map { case (k, v) =>
+      (k.toLowerCase(Locale.ROOT) match {
+        case "synonyms" => "rules"
+        case "mingram" => "min"
+        case "maxgram" => "max"
+        case other => other
+      }) -> v
+    }
     def opt(k: String, d: String) = options.getOrElse(k, d)
+    // nested-template options: `<prefix>template` names the member template,
+    // every other `<prefix>*` option is passed through prefix-stripped
+    // (reference pipeline step1_*/union tokenizer1_* conventions)
+    def sub(prefix: String): Option[Analyzer] = {
+      val subOpts = options.collect {
+        case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v }
+      subOpts.get("template").map(t => build(t, subOpts - "template"))
+    }
+    def requiredRules(tpl: String): String = options.getOrElse("rules",
+      throw new IllegalArgumentException(
+        s"""$tpl: required parameter "synonyms" was not found"""))
     val a: Analyzer = template match {
       case "keyword" => KeywordAnalyzer
       case "whitespace" => WhitespaceAnalyzer(opt("case", "none") == "lower")
@@ -613,10 +679,47 @@ object AnalyzerRegistry {
       case "copy_from" => get(options("from"))
       case "solr_synonyms" => LexizeAnalyzer(
         options.get("from").map(get).getOrElse(WhitespaceAnalyzer(lowercase = true)),
-        SynonymFormats.parseSolr(options("rules")))
+        try SynonymFormats.parseSolr(requiredRules("solr_synonyms"))
+        catch {
+          case e: IllegalArgumentException if e.getMessage.contains("was not found") => throw e
+          case e: Exception => throw new IllegalArgumentException(
+            s"solr_synonyms: failed to parse synonyms (${e.getMessage})")
+        })
       case "wordnet_synonyms" => LexizeAnalyzer(
         options.get("from").map(get).getOrElse(WhitespaceAnalyzer(lowercase = true)),
-        SynonymFormats.parseWordNet(options("rules")))
+        try SynonymFormats.parseWordNet(requiredRules("wordnet_synonyms"))
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("was not found") ||
+                e.getMessage.contains("failed to parse") => throw e
+          case e: Exception => throw new IllegalArgumentException(
+            s"wordnet_synonyms: failed to parse synonyms (${e.getMessage})")
+        },
+        // unknown words emit NOTHING (reference: ts_lexize → {})
+        passThrough = false)
+      // --- reference dictionary templates (create_text_search_dictionary
+      // corpus): per-token filters default to treating the input as ONE
+      // token (pg ts_lexize semantics), with an optional tokenizer_* member
+      case "stem" =>
+        StemAnalyzer(sub("tokenizer_").getOrElse(KeywordAnalyzer), opt("locale", "en"))
+      case "stopwords" =>
+        StopTokensAnalyzer(sub("tokenizer_").getOrElse(KeywordAnalyzer),
+          quotedList(options.getOrElse("stopwords",
+            throw new IllegalArgumentException(
+              """stopwords: required parameter "stopwords" was not found""")))
+            .map(_.toLowerCase(Locale.ROOT)).toSet)
+      case "multi_delimiter" =>
+        MultiDelimiterAnalyzer(quotedList(options.getOrElse("delimiters",
+          throw new IllegalArgumentException(
+            """multi_delimiter: required parameter "delimiters" was not found"""))))
+      case "union" =>
+        val members = (1 to 9).flatMap(i => sub(s"tokenizer${i}_"))
+        require(members.nonEmpty, "union: no tokenizerN_template members found")
+        UnionAnalyzer(members)
+      case "pipeline" =>
+        val stages = (1 to 9).flatMap(i => sub(s"step${i}_"))
+        require(stages.nonEmpty, "pipeline: no stepN_template stages found")
+        PipelineAnalyzer(stages)
       case "nearest_neighbors" =>
         // model_location = fastText .vec file; without one the analyzer is
         // the deterministic stand-in (empty table -> tokens pass through)
@@ -653,7 +756,6 @@ object AnalyzerRegistry {
         stemming = opt("stemming", "true") == "true")
       case other => throw new IllegalArgumentException(s"unknown analyzer template: $other")
     }
-    register(name, a)
     a
   }
 

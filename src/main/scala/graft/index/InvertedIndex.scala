@@ -254,6 +254,39 @@ final case class InvertedIndex(
     chained.select(col("doc_id"))
   }
 
+  /** Move-budget sloppy phrase (Lucene slop; reference
+    * `ts_phrase(..., slop := N)`, sloppy_phrase.test /
+    * iresearch search/phrase_filter.hpp's VariadicPhrase): matches when the
+    * terms align with total displacement Σ|pᵢ₊₁ − pᵢ − 1| ≤ slop — one
+    * inserted word costs 1, a transposed adjacent pair costs 2. Unlike
+    * [[sloppyPhrase]]'s per-gap ranges, the budget is shared and order
+    * inversions are admitted. Chained co-partitioned joins on doc_id like
+    * [[phrase]]; the chain carries (endPos, minUsedBudget) structs — a DP
+    * whose state is one struct per candidate position, all inside
+    * higher-order functions (codegen'd, no UDF). */
+  def slopPhrase(terms: Seq[String], slop: Int): DataFrame = {
+    require(terms.size >= 2, "slop phrase needs >= 2 terms")
+    val first = postingsFor(terms.head)
+      .select(col("doc_id"), transform(col("positions"),
+        p => struct(p.as("p"), lit(0).as("c"))).as("chain"))
+    val chained = terms.drop(1).foldLeft(first) { (acc, t) =>
+      val next = postingsFor(t)
+        .select(col("doc_id"), col("positions").as("next_pos"))
+      acc.join(next, "doc_id")
+        .withColumn("chain",
+          filter(
+            transform(col("next_pos"), pp => struct(
+              pp.as("p"),
+              array_min(transform(
+                filter(col("chain"), e => e.getField("p") =!= pp),
+                e => e.getField("c") + abs(pp - e.getField("p") - lit(1)))).as("c"))),
+            e => e.getField("c").isNotNull && e.getField("c") <= slop))
+        .filter(size(col("chain")) > 0)
+        .select(col("doc_id"), col("chain"))
+    }
+    chained.select(col("doc_id"))
+  }
+
   /** Matched docs with per-query-term tf and df as pivoted columns
     * (`0_tf`, `0_df`, `1_tf`, …, indexed by position in `distinctTerms`),
     * joined with docStats for dlen. This is the shared scoring drive: only

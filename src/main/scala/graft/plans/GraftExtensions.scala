@@ -789,6 +789,9 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
           case ("ts_match", Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _))) =>
             val qs = q.toString
             Some((arg, d.toString, a => graft.search.TsQueryParser.websearch(qs, a)))
+          case ("tsquery_match", Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _))) =>
+            val qs = q.toString
+            Some((arg, d.toString, a => graft.search.TsQueryParser.toTsquery(qs, a)))
           case ("has_any_tokens", Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _))) =>
             val qs = q.toString
             Some((arg, d.toString, a => TsQuery.Or(a.tokens(qs).map(TsQuery.Term.apply))))
@@ -798,6 +801,13 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
           case ("phrase_matches", Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _))) =>
             val qs = q.toString
             Some((arg, d.toString, a => TsQuery.Phrase(a.tokens(qs))))
+          case ("phrase_slop_matches", Seq(arg, Literal(q: UTF8String, _),
+              Literal(slop: Int, _), Literal(d: UTF8String, _))) =>
+            val qs = q.toString
+            Some((arg, d.toString, a => {
+              val ts = a.tokens(qs)
+              if (ts.size < 2) TsQuery.Phrase(ts) else TsQuery.SlopPhrase(ts, slop)
+            }))
           case ("levenshtein_matches", Seq(arg, Literal(t: UTF8String, _),
               Literal(maxD: Int, _), Literal(d: UTF8String, _))) =>
             val ts = t.toString

@@ -144,7 +144,23 @@ object QueryLang {
       .select(col("term"), col("df").cast("bigint").as("docs"),
         col("ctf").cast("bigint").as("freq"))
 
+  /** Move-budget sloppy phrase (reference `ts_phrase(..., slop := N)` /
+    * `"..."~N`, sloppy_phrase.test): slop 0 = exact phrase, one inserted
+    * word costs 1, a transposed adjacent pair costs 2, the budget shared
+    * across gaps. Three counts pin the budget semantics; slop 2 drives
+    * through the `"..."~N` to_tsquery syntax so the parser path is covered
+    * too. */
+  def tsSlopPhrase(s: SparkSession, dir: String): DataFrame = {
+    val index = idx(s, dir)
+    def cnt(q: TsQuery, as: String): DataFrame =
+      TsQueryExec.matching(index, q).agg(count(lit(1)).cast("bigint").as(as))
+    cnt(TsQueryParser.toTsquery("\"hash join\"~0", ws), "n_slop0")
+      .crossJoin(cnt(TsQuery.SlopPhrase(Seq("hash", "join"), 1), "n_slop1"))
+      .crossJoin(cnt(TsQueryParser.toTsquery("\"hash join\"~2", ws), "n_slop2"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_slop_phrase" -> tsSlopPhrase,
     "kw_index_facet" -> kwIndexFacet,
     "ts_deletes" -> tsDeletes,
     "ts_websearch" -> tsWebsearch,
@@ -168,6 +184,20 @@ object QueryLang {
     "' ' || array_to_string(ts, ' ') || ' ' LIKE '% hash join %'"
 
   val oracles: Map[String, String] = Map(
+    "ts_slop_phrase" ->
+      s"""$toks,
+         |pos AS (SELECT doc_id,
+         |  [i FOR i IN range(1, len(ts) + 1) IF ts[i] = 'hash'] AS p1,
+         |  [i FOR i IN range(1, len(ts) + 1) IF ts[i] = 'join'] AS p2
+         |  FROM toks)
+         |SELECT
+         |  (SELECT count(*) FROM pos WHERE len(list_filter(p1,
+         |     a -> len(list_filter(p2, b -> b = a + 1)) > 0)) > 0) AS n_slop0,
+         |  (SELECT count(*) FROM pos WHERE len(list_filter(p1,
+         |     a -> len(list_filter(p2, b -> b != a AND abs(b - a - 1) <= 1)) > 0)) > 0) AS n_slop1,
+         |  (SELECT count(*) FROM pos WHERE len(list_filter(p1,
+         |     a -> len(list_filter(p2, b -> b != a AND abs(b - a - 1) <= 2)) > 0)) > 0) AS n_slop2
+         |""".stripMargin,
     "kw_index_facet" ->
       """SELECT event_type AS term, count(*) AS docs, count(*) AS freq
         |FROM events GROUP BY event_type""".stripMargin,

@@ -194,6 +194,10 @@ object Ddl {
     """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*)\)\s*""".r
   private val createPkRe =
     """(?is)\s*CREATE\s+SECONDARY\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)(?:\s*WITH\s*\((.*)\))?\s*""".r
+  private val createDictRe =
+    """(?is)\s*CREATE\s+TEXT\s+SEARCH\s+DICTIONARY\s+(\w+)\s*\((.*)\)\s*;?\s*""".r
+  private val dropDictRe =
+    """(?is)\s*DROP\s+TEXT\s+SEARCH\s+DICTIONARY\s+(\w+)\s*;?\s*""".r
   private val dropRe = """(?is)\s*DROP\s+(?:SEARCH|VECTOR|SECONDARY)\s+INDEX\s+(\w+)\s*""".r
   private val showRe = """(?is)\s*SHOW\s+SEARCH\s+INDEXES\s*""".r
   private val compactRe = """(?is)\s*COMPACT\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
@@ -268,8 +272,68 @@ object Ddl {
     * extension ([[GraftSqlParser]]) routes these out of the Spark grammar. */
   def handles(sql: String): Boolean = sql match {
     case createExprRe(_*) | createRe(_*) | createVecRe(_*) | createPkRe(_*) |
-        dropRe(_*) | showRe() | compactRe(_*) | describeRe(_*) | refreshRe(_*) => true
+        dropRe(_*) | showRe() | compactRe(_*) | describeRe(_*) | refreshRe(_*) |
+        createDictRe(_*) | dropDictRe(_*) => true
     case _ => false
+  }
+
+  /** `key = value` pairs inside CREATE TEXT SEARCH DICTIONARY parens: values
+    * are `'...'` strings ('' = escaped quote, may span lines and contain
+    * commas/`=>`) or bare numbers/booleans; `--` line comments allowed
+    * between pairs (the reference's doc examples carry them). A hand parser
+    * because quoted values make this non-regular. Keys are lowercased —
+    * the reference accepts TOKENIZER1_TEMPLATE and tokenizer1_template
+    * alike. */
+  private[search] def parseDictOptions(s: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < s.length) {
+        if (s.charAt(i).isWhitespace) i += 1
+        else if (s.startsWith("--", i)) { while (i < s.length && s.charAt(i) != '\n') i += 1 }
+        else go = false
+      }
+    }
+    while ({ skipWs(); i < s.length }) {
+      val kStart = i
+      while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+      val key = s.substring(kStart, i)
+      if (key.isEmpty) throw new IllegalArgumentException(
+        s"CREATE TEXT SEARCH DICTIONARY: cannot parse options at ...${s.substring(i).take(30)}")
+      skipWs()
+      if (i >= s.length || s.charAt(i) != '=') throw new IllegalArgumentException(
+        s"CREATE TEXT SEARCH DICTIONARY: expected '=' after $key")
+      i += 1
+      skipWs()
+      val value =
+        if (i < s.length && s.charAt(i) == '\'') {
+          val sb = new StringBuilder
+          i += 1
+          var closed = false
+          while (!closed) {
+            if (i >= s.length) throw new IllegalArgumentException(
+              s"CREATE TEXT SEARCH DICTIONARY: unterminated string for $key")
+            if (s.charAt(i) == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+              sb.append('\''); i += 2
+            } else if (s.charAt(i) == '\'') { i += 1; closed = true }
+            else { sb.append(s.charAt(i)); i += 1 }
+          }
+          sb.toString
+        } else {
+          val vStart = i
+          while (i < s.length && s.charAt(i) != ',') i += 1
+          s.substring(vStart, i).trim
+        }
+      out.put(key.toLowerCase(java.util.Locale.ROOT), value)
+      skipWs()
+      if (i < s.length) {
+        if (s.charAt(i) != ',') throw new IllegalArgumentException(
+          s"CREATE TEXT SEARCH DICTIONARY: expected ',' after $key's value")
+        i += 1
+      }
+    }
+    out.toMap
   }
 
   /** Output columns of a handled statement (SHOW and DESCRIBE are tables;
@@ -290,6 +354,22 @@ object Ddl {
   }
 
   private def executeParsed(spark: SparkSession, sql: String): DataFrame = sql match {
+    case createDictRe(name, optsStr) =>
+      // the reference's CREATE TEXT SEARCH DICTIONARY
+      // (server/pg/commands/create_tsdictionary.cpp; 21-file corpus under
+      // site_docs/sql/statements/create_text_search_dictionary): template +
+      // options → a named analyzer in the registry, usable by ts_lexize /
+      // ts_tokenize_sql / CREATE SEARCH INDEX WITH (analyzer = ...)
+      val opts = parseDictOptions(optsStr)
+      val template = opts.getOrElse("template",
+        throw new IllegalArgumentException(
+          """CREATE TEXT SEARCH DICTIONARY: required parameter "template" was not found"""))
+      graft.analysis.AnalyzerRegistry.create(name, template, opts - "template")
+      result(spark, s"created dictionary $name")
+    case dropDictRe(name) =>
+      if (!graft.analysis.AnalyzerRegistry.unregister(name))
+        throw new IllegalArgumentException(s"no such text search dictionary: $name")
+      result(spark, s"dropped dictionary $name")
     case createExprRe(name, view, exprRaw, optsStr) =>
       val opts = optRe.findAllMatchIn(optsStr)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap

@@ -26,6 +26,15 @@ object SqlSurface {
         val a = AnalyzerRegistry.get(dict)
         TsQueryExec.evalTokens(TsQueryParser.websearch(query, a), a.tokens(text))
       })
+    // the to_tsquery SYNTAX path (`&`/`|`/`!`, `<->`, `<N>`, `:*`,
+    // `"..."~N` slop) as a SQL predicate — ts_match stays the websearch
+    // dialect, mirroring the reference's two parser entry points
+    // (ts_query.cpp to_tsquery vs websearch_to_tsquery)
+    spark.udf.register("tsquery_match",
+      (text: String, query: String, dict: String) => {
+        val a = AnalyzerRegistry.get(dict)
+        TsQueryExec.evalTokens(TsQueryParser.toTsquery(query, a), a.tokens(text))
+      })
     spark.udf.register("ts_tokenize_sql",
       (text: String, dict: String) => AnalyzerRegistry.get(dict).tokens(text))
     // pg's ts_lexize(dictionary, lexeme): the dictionary's output lexemes
@@ -91,6 +100,15 @@ object SqlSurface {
         val a = AnalyzerRegistry.get(dict)
         TsQueryExec.evalTokens(TsQuery.Phrase(a.tokens(q)), a.tokens(text))
       })
+    // reference ts_phrase(..., slop := N): shared move budget, order
+    // inversions admitted (sloppy_phrase.test) — claimable like the others
+    spark.udf.register("phrase_slop_matches",
+      (text: String, q: String, slop: Int, dict: String) => {
+        val a = AnalyzerRegistry.get(dict)
+        val ts = a.tokens(q)
+        val tsq = if (ts.size < 2) TsQuery.Phrase(ts) else TsQuery.SlopPhrase(ts, slop)
+        TsQueryExec.evalTokens(tsq, a.tokens(text))
+      })
     spark.udf.register("levenshtein_matches",
       (text: String, term: String, maxDist: Int, dict: String) => {
         val a = AnalyzerRegistry.get(dict)
@@ -114,6 +132,7 @@ object SqlSurface {
     * to know). */
   val sugarNames: Seq[String] =
     Seq("has_any_tokens", "has_all_tokens", "phrase_matches",
+      "phrase_slop_matches", "tsquery_match",
       "levenshtein_matches", "ngram_matches")
 
   private def scorerStub(name: String): (String, String, String) => Double =

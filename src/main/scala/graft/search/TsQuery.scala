@@ -39,6 +39,13 @@ object TsQuery {
   /** Positional phrase with per-gap [min,max] distance bounds — `<N>` in
     * tsquery syntax, `##` in the reference's operator surface. */
   final case class PhraseGap(terms: Seq[String], gaps: Seq[(Int, Int)]) extends TsQuery
+  /** Move-budget sloppy phrase (Lucene slop; the reference's
+    * `ts_phrase(..., slop := N)` / `"..."~N`, sloppy_phrase.test): matches
+    * when the terms align with total displacement Σ|pᵢ₊₁ − pᵢ − 1| ≤ slop —
+    * one inserted word costs 1, a transposed adjacent pair costs 2. The
+    * budget is SHARED across gaps and order inversions are admitted, which
+    * per-gap [[PhraseGap]] ranges cannot express. */
+  final case class SlopPhrase(terms: Seq[String], slop: Int) extends TsQuery
   final case class And(qs: Seq[TsQuery]) extends TsQuery
   final case class Or(qs: Seq[TsQuery]) extends TsQuery
   final case class Not(q: TsQuery) extends TsQuery
@@ -68,6 +75,9 @@ object TsQueryExec {
     case TsQuery.Phrase(ts) if ts.size == 1 => idx.term(ts.head)
     case TsQuery.Phrase(ts) => idx.phrase(ts)
     case TsQuery.PhraseGap(ts, gaps) => idx.sloppyPhrase(ts, gaps)
+    case TsQuery.SlopPhrase(ts, s) if ts.size == 1 => idx.term(ts.head)
+    case TsQuery.SlopPhrase(ts, 0) => idx.phrase(ts)
+    case TsQuery.SlopPhrase(ts, s) => idx.slopPhrase(ts, s)
     case TsQuery.Boost(inner, _) => matching(idx, inner)
     case TsQuery.Or(qs) =>
       qs.map(matching(idx, _)).reduce(_ unionByName _).distinct()
@@ -145,6 +155,17 @@ object TsQueryExec {
       val positions = ts.map(t => toks.zipWithIndex.collect { case (x, i) if x == t => i })
       gaps.zip(positions.drop(1)).foldLeft(positions.head) { case (chain, ((lo, hi), next)) =>
         next.filter(p => chain.exists(c => p >= c + lo && p <= c + hi))
+      }.nonEmpty
+    case TsQuery.SlopPhrase(ts, slop) =>
+      // DP over (position of term i, min budget used) — same recurrence as
+      // InvertedIndex.slopPhrase's chain of (p, c) structs
+      val positions = ts.map(t => toks.zipWithIndex.collect { case (x, i) if x == t => i })
+      positions.drop(1).foldLeft(positions.head.map(p => (p, 0))) { (chain, next) =>
+        next.flatMap { pp =>
+          val costs = chain.collect {
+            case (p, c) if p != pp => c + math.abs(pp - p - 1) }
+          if (costs.isEmpty) None else Some((pp, costs.min))
+        }.filter(_._2 <= slop)
       }.nonEmpty
     case TsQuery.And(qs) => qs.forall(evalTokens(_, toks))
     case TsQuery.Or(qs) => qs.exists(evalTokens(_, toks))
@@ -279,13 +300,23 @@ object TsQueryParser {
         inner
       case Some(_) =>
         val w = take()
-        if (w.endsWith(":*")) TsQuery.Prefix(analyzer.tokens(w.dropRight(2))
-          .headOption.getOrElse(w.dropRight(2)))
-        else {
-          val ts = analyzer.tokens(w)
-          if (ts.isEmpty) TsQuery.Or(Seq.empty)
-          else if (ts.size == 1) TsQuery.Term(ts.head)
-          else TsQuery.Phrase(ts)
+        val quoted = """^"(.*)"(?:~(\d+))?$""".r
+        w match {
+          case quoted(body, slopStr) =>
+            val ts = analyzer.tokens(body)
+            val slop = Option(slopStr).map(_.toInt).getOrElse(0)
+            if (ts.isEmpty) TsQuery.Or(Seq.empty)
+            else if (ts.size == 1) TsQuery.Term(ts.head)
+            else if (slop == 0) TsQuery.Phrase(ts)
+            else TsQuery.SlopPhrase(ts, slop)
+          case _ if w.endsWith(":*") =>
+            TsQuery.Prefix(analyzer.tokens(w.dropRight(2))
+              .headOption.getOrElse(w.dropRight(2)))
+          case _ =>
+            val ts = analyzer.tokens(w)
+            if (ts.isEmpty) TsQuery.Or(Seq.empty)
+            else if (ts.size == 1) TsQuery.Term(ts.head)
+            else TsQuery.Phrase(ts)
         }
       case None => throw new IllegalArgumentException("tsquery: unexpected end")
     }
@@ -311,6 +342,19 @@ object TsQueryParser {
         val stop = if (end < 0) s.length else end
         out += s.substring(i + 1, stop)
         i = stop + 1
+      } else if (c == '"') {
+        // Lucene-style quoted phrase, optional `~N` slop suffix
+        // (reference to_tsquery('"quick fox"~1'), sloppy_phrase.test) —
+        // quotes retained so parseNot can tell it from a bare word
+        val end = s.indexOf('"', i + 1)
+        require(end > i, s"tsquery: unterminated quote at $i")
+        var k = end + 1
+        if (k < s.length && s.charAt(k) == '~') {
+          k += 1
+          while (k < s.length && s.charAt(k).isDigit) k += 1
+        }
+        out += s.substring(i, k)
+        i = k
       } else {
         var k = i
         while (k < s.length && !s.charAt(k).isWhitespace && !"&|!()<".contains(s.charAt(k))) k += 1

@@ -218,7 +218,11 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(a("""{"type": "LineString", "coordinates": []}""").isEmpty)
   }
 
-  test("wordnet prolog format: synset members are mutual synonyms") {
+  test("wordnet prolog format: words lexize to their synset ids") {
+    // the reference's observable ts_lexize output
+    // (inverted_index_synonyms.test): a word maps to its synset ID(s) —
+    // words sharing a synset share a token, which is what makes them match
+    // each other in the index; unknown words emit nothing
     val m = SynonymFormats.parseWordNet(
       """s(100001740,1,'entity',n,1,11).
         |s(100001740,2,'thing',n,1,11).
@@ -226,12 +230,39 @@ class AnalyzerSpec extends AnyFunSuite {
         |s(202560585,2,'go',v,1,2).
         |s(301234567,1,'run',v,2,1).
         |s(301234567,2,'sprint',v,1,1).""".stripMargin)
-    assert(m("entity") == Seq("entity", "thing"))
-    assert(m("thing") == Seq("entity", "thing"))
-    // a word in two synsets maps to the union, in synset order
-    assert(m("run") == Seq("run", "go", "sprint"))
+    assert(m("entity") == Seq("100001740"))
+    assert(m("thing") == Seq("100001740"))
+    // a word in two synsets maps to both ids, in record order
+    assert(m("run") == Seq("202560585", "301234567"))
     val a = AnalyzerRegistry.create("t_wn_syn", "wordnet_synonyms",
       Map("rules" -> "s(1,1,'fast',a,1,0).\ns(1,2,'quick',a,1,0)."))
-    assert(a("fast data") == Seq("fast", "quick", "data"))
+    assert(a("fast quick") == Seq("1", "1"))
+    assert(a("data") == Seq.empty, "unknown words lexize to nothing")
+    // malformed input is a DDL-time error, not a silent empty dictionary
+    val err = intercept[IllegalArgumentException] {
+      SynonymFormats.parseWordNet("not a wordnet record")
+    }
+    assert(err.getMessage.contains("failed to parse"))
+  }
+
+  test("stem / stopwords / multi_delimiter / union / pipeline templates") {
+    val stem = AnalyzerRegistry.build("stem", Map("locale" -> "en"))
+    assert(stem("running") == Seq("run"))
+    val stop = AnalyzerRegistry.build("stopwords",
+      Map("stopwords" -> "\"the\",\"a\",\"an\",\"is\""))
+    assert(stop("the") == Seq.empty)
+    assert(stop("query") == Seq("query"))
+    val md = AnalyzerRegistry.build("multi_delimiter",
+      Map("delimiters" -> "\":\", \";\", \" \""))
+    assert(md("key:value; key2:value2") == Seq("key", "value", "key2", "value2"))
+    val u = AnalyzerRegistry.build("union", Map(
+      "TOKENIZER1_TEMPLATE" -> "keyword",
+      "TOKENIZER2_TEMPLATE" -> "ngram", "TOKENIZER2_MINGRAM" -> "2",
+      "TOKENIZER2_MAXGRAM" -> "2"))
+    assert(u("abcd") == Seq("abcd", "ab", "bc", "cd"))
+    val p = AnalyzerRegistry.build("pipeline", Map(
+      "step1_template" -> "delimiter", "step1_delimiter" -> " ",
+      "step2_template" -> "stem", "step2_locale" -> "en"))
+    assert(p("running runners ran") == Seq("run", "runner", "ran"))
   }
 }
