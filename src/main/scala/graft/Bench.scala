@@ -125,34 +125,35 @@ object Bench {
         // 308 s at 32 partitions vs 85 s at 256) — exactly the knob a real
         // cluster scales with input, so the spot does too
         spark.conf.set("spark.sql.shuffle.partitions", shufflePart.toInt * 10)
-        val times = spot.filter(SparkEntry.queries.contains).map { n =>
-          // each spot entry is a SINGLE COLD run on a clean cache: the dedup
-          // entries persist intermediates (shingle sets), and inherited
-          // storage-memory debt from the previous entry otherwise corrupts
-          // the next one's number (measured: ngram_jaccard 10 s clean vs
-          // 90 s after minhash's cache; minhash 85 s clean vs 235 s after
-          // simhash's). Cold-vs-cold is the honest 10x comparison.
-          spark.catalog.clearCache()
-          System.gc()
-          val t0 = System.nanoTime()
-          SparkEntry.queries(n)(spark, sf1Dir).write.mode("overwrite")
-            .format("noop").save()
-          n -> (System.nanoTime() - t0) / 1e9
-        }
-        val searchTimes = searchSpot.filter(SparkEntry.queries.contains).map { n =>
-          spark.catalog.clearCache()
-          System.gc()
-          val t0 = System.nanoTime()
-          SparkEntry.queries(n)(spark, sf1SearchDir).write.mode("overwrite")
-            .format("noop").save()
-          n -> (System.nanoTime() - t0) / 1e9
-        }
+        // each spot iteration is a COLD run on a clean cache: the dedup
+        // entries persist intermediates (shingle sets), and inherited
+        // storage-memory debt from the previous entry otherwise corrupts
+        // the next one's number (measured: ngram_jaccard 10 s clean vs
+        // 90 s after minhash's cache; minhash 85 s clean vs 235 s after
+        // simhash's). Cold-vs-cold is the honest 10x comparison — and
+        // MEDIAN OF 3 cold runs: two rounds of "is minhash regressing?"
+        // (r8 #6, r9) turned out to be single-run variance on a shared VM
+        // (same entry measured 9.6/15.5/23.6 s across rounds with no code
+        // change in the path).
+        def coldMedian(n: String, dir: String): Double =
+          Seq.fill(3) {
+            spark.catalog.clearCache()
+            System.gc()
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, dir).write.mode("overwrite")
+              .format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted.apply(1)
+        val times = spot.filter(SparkEntry.queries.contains)
+          .map(n => n -> coldMedian(n, sf1Dir))
+        val searchTimes = searchSpot.filter(SparkEntry.queries.contains)
+          .map(n => n -> coldMedian(n, sf1SearchDir))
         spark.conf.set("spark.sql.shuffle.partitions", shufflePart)
         f""","sf1_spot":${(times ++ searchTimes).map { case (k, v) => f""""$k":$v%.3f""" }
           .mkString("{", ",", "}")},"sf1_gen_sec":$genS%.1f""" +
           f""","sf1_index_build":$idxBuildS%.3f""" +
-          ""","sf1_note":"sf1 spot entries are single cold runs on a clean """ +
-          """cache with shuffle partitions scaled 10x with the data; """ +
+          ""","sf1_note":"sf1 spot entries are MEDIAN OF 3 cold runs on a """ +
+          """clean cache with shuffle partitions scaled 10x with the data; """ +
           """approx_sketches carries an exact-percentile correctness gate """ +
           """(buffers all values; test-scale construct) that dominates its """ +
           """sf1 time; the sketch itself is linear; ts_claimed_* spots run """ +

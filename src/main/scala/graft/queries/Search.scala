@@ -141,6 +141,21 @@ object Search {
     idx(s, dir).bm25TopK(Seq("vector", "dup", "query"), 10)
       .select(col("doc_id"))
 
+  /** Boost-folded structured BM25 — the reference's
+    * `BM25(...) WHERE body @@ (q ^ w)` (boost_score.test: boost scales the
+    * contribution of every query shape; the TSQUERY `^` combinator,
+    * search.h:91): top-10 by `2·bm25(vector) + phrase('hash join')`'s
+    * term contributions, summed with OR's full-outer coalesce. */
+  def boostedBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.{TsQuery, TsQueryExec}
+    val q = (TsQuery.Term("vector") ^ 2.0) ||
+      TsQuery.Phrase(Seq("hash", "join"))
+    TsQueryExec.scoredBm25(idx(s, dir), q)
+      .orderBy(col("_score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"))
+  }
+
   /** TFIDF top-k — the reference's second scorer (tfidf.hpp; search.cpp:142-173
     * registers 9; one scorer per index scan, iresearch_plan.cpp:492-509).
     * Shares the matched-postings drive with bm25. */
@@ -286,6 +301,7 @@ object Search {
     "ts_dict_cartesian" -> tsDictCartesian,
     "ts_count" -> tsCount,
     "ts_bm25_topk" -> bm25TopK,
+    "ts_boosted_bm25" -> boostedBm25TopK,
     "ts_tfidf_topk" -> tfidfTopK,
     "ts_bm25_minscore" -> bm25MinScore,
     "ts_lmd_topk" -> lmdTopK,
@@ -436,6 +452,38 @@ object Search {
     "ts_bm25_topk" ->
       s"""$scoringCtes
          |SELECT doc_id FROM scored WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // boosted structured query: 2·c(vector) + (phrase-matching docs get
+    // c(hash) + c(join)); identical FP tree to the Spark full-outer sum
+    "ts_boosted_bm25" ->
+      s"""$toks,
+         |dl AS (SELECT doc_id, len(ts) AS dlen FROM toks),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+         |              CAST(SUM(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tfs AS (SELECT doc_id,
+         |  CAST(len(list_filter(ts, t -> t = 'vector')) AS DOUBLE) AS tfv,
+         |  CAST(len(list_filter(ts, t -> t = 'hash')) AS DOUBLE) AS tfh,
+         |  CAST(len(list_filter(ts, t -> t = 'join')) AS DOUBLE) AS tfj FROM toks),
+         |dfs AS (SELECT
+         |  greatest(CAST(count(*) FILTER (WHERE tfv > 0) AS DOUBLE), 1.0) AS dfv,
+         |  greatest(CAST(count(*) FILTER (WHERE tfh > 0) AS DOUBLE), 1.0) AS dfh,
+         |  greatest(CAST(count(*) FILTER (WHERE tfj > 0) AS DOUBLE), 1.0) AS dfj FROM tfs),
+         |ph AS (SELECT doc_id FROM toks
+         |       WHERE ' ' || array_to_string(ts, ' ') || ' ' LIKE '% hash join %'),
+         |scored AS (SELECT t.doc_id,
+         |  coalesce(CASE WHEN tfv > 0 THEN
+         |    (ln(1.0 + (nd - dfv + 0.5) / (dfv + 0.5)) * tfv * (1.2 + 1.0)
+         |      / (tfv + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dlen AS DOUBLE) / avgdl))) * 2.0
+         |  END, 0.0)
+         |  + coalesce(CASE WHEN t.doc_id IN (SELECT doc_id FROM ph) THEN
+         |      ln(1.0 + (nd - dfh + 0.5) / (dfh + 0.5)) * tfh * (1.2 + 1.0)
+         |        / (tfh + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dlen AS DOUBLE) / avgdl))
+         |    + ln(1.0 + (nd - dfj + 0.5) / (dfj + 0.5)) * tfj * (1.2 + 1.0)
+         |        / (tfj + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dlen AS DOUBLE) / avgdl))
+         |  END, 0.0) AS score,
+         |  (tfv > 0 OR t.doc_id IN (SELECT doc_id FROM ph)) AS matched
+         |  FROM tfs t JOIN dl USING (doc_id), st, dfs)
+         |SELECT doc_id FROM scored WHERE matched
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "ts_tfidf_topk" ->
       s"""$scoringCtes

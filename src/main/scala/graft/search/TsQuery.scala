@@ -96,6 +96,58 @@ object TsQueryExec {
       universe(idx).join(matching(idx, inner), Seq("doc_id"), "left_anti")
   }
 
+  /** BM25 over a STRUCTURED query with boost folding — the reference's
+    * `BM25(...) WHERE body @@ (q ^ w)` surface (boost_score.test: "boost
+    * must scale the BM25 contribution of every query shape"). Semantics:
+    *  - Term: its bm25 contribution;
+    *  - positional leaves (Phrase/SlopPhrase/PhraseGap): the sum of their
+    *    terms' bm25 contributions over the leaf's MATCHING docs (the
+    *    PhraseQuery shape);
+    *  - automaton leaves (Prefix/Fuzzy/TermRange/NgramSim): constant score
+    *    1.0 per matching doc (Lucene's MultiTermQuery constant-score
+    *    rewrite) — boost still scales it;
+    *  - OR: full-outer sum; AND: inner sum with NOTs as anti-joins;
+    *  - Boost(q, w): w × subtree score.
+    * Returns (doc_id, _score); every operator stays a doc_id-keyed
+    * join/agg over bucket-pruned postings — no corpus scan. */
+  def scoredBm25(idx: InvertedIndex, q: TsQuery): DataFrame = q match {
+    case TsQuery.Boost(inner, w) =>
+      scoredBm25(idx, inner)
+        .select(col("doc_id"), (col("_score") * w).as("_score"))
+    case TsQuery.Term(t) => idx.bm25(Seq(t))
+    case p @ TsQuery.Phrase(ts) =>
+      matching(idx, p).join(idx.bm25(ts.distinct), "doc_id")
+        .select(col("doc_id"), col("_score"))
+    case p @ TsQuery.SlopPhrase(ts, _) =>
+      matching(idx, p).join(idx.bm25(ts.distinct), "doc_id")
+        .select(col("doc_id"), col("_score"))
+    case p @ TsQuery.PhraseGap(ts, _) =>
+      matching(idx, p).join(idx.bm25(ts.distinct), "doc_id")
+        .select(col("doc_id"), col("_score"))
+    case TsQuery.Or(qs) if qs.nonEmpty =>
+      qs.map(scoredBm25(idx, _)).reduce { (a, b) =>
+        a.select(col("doc_id"), col("_score").as("s1"))
+          .join(b.select(col("doc_id"), col("_score").as("s2")),
+            Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))).as("_score"))
+      }
+    case TsQuery.And(qs) if qs.nonEmpty =>
+      val (negs, poss) = qs.partition(_.isInstanceOf[TsQuery.Not])
+      require(poss.nonEmpty, "scoredBm25: pure-negative conjunction has no score")
+      val pos = poss.map(scoredBm25(idx, _)).reduce { (a, b) =>
+        a.select(col("doc_id"), col("_score").as("s1"))
+          .join(b.select(col("doc_id"), col("_score").as("s2")), Seq("doc_id"))
+          .select(col("doc_id"), (col("s1") + col("s2")).as("_score"))
+      }
+      negs.foldLeft(pos) { (acc, n) =>
+        acc.join(matching(idx, n.asInstanceOf[TsQuery.Not].q),
+          Seq("doc_id"), "left_anti")
+      }
+    case other =>
+      matching(idx, other).select(col("doc_id"), lit(1.0).as("_score"))
+  }
+
   /** All indexed docs (docs with ≥1 token; zero-token docs cannot be
     * represented in postings and are excluded from NOT results — deviation
     * documented in InvertedIndex.build). */
