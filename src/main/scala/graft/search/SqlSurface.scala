@@ -22,19 +22,21 @@ object SqlSurface {
   def registerAll(spark: SparkSession): Unit = if (registered.add(spark)) {
     VectorFunctions.registerSql(spark)
     spark.udf.register("ts_match",
-      (text: String, query: String, dict: String) => {
-        val a = AnalyzerRegistry.get(dict)
-        TsQueryExec.evalTokens(TsQueryParser.websearch(query, a), a.tokens(text))
-      })
+      (text: String, query: String, dict: String) =>
+        if (text == null) None else {
+          val a = AnalyzerRegistry.get(dict)
+          Some(TsQueryExec.evalTokens(TsQueryParser.websearch(query, a), a.tokens(text)))
+        })
     // the to_tsquery SYNTAX path (`&`/`|`/`!`, `<->`, `<N>`, `:*`,
     // `"..."~N` slop) as a SQL predicate — ts_match stays the websearch
     // dialect, mirroring the reference's two parser entry points
     // (ts_query.cpp to_tsquery vs websearch_to_tsquery)
     spark.udf.register("tsquery_match",
-      (text: String, query: String, dict: String) => {
-        val a = AnalyzerRegistry.get(dict)
-        TsQueryExec.evalTokens(TsQueryParser.toTsquery(query, a), a.tokens(text))
-      })
+      (text: String, query: String, dict: String) =>
+        if (text == null) None else {
+          val a = AnalyzerRegistry.get(dict)
+          Some(TsQueryExec.evalTokens(TsQueryParser.toTsquery(query, a), a.tokens(text)))
+        })
     spark.udf.register("ts_tokenize_sql",
       (text: String, dict: String) => AnalyzerRegistry.get(dict).tokens(text))
     // pg's ts_lexize(dictionary, lexeme): the dictionary's output lexemes
@@ -84,41 +86,47 @@ object SqlSurface {
     // row-eval of the equivalent TsQuery leaf; ClaimTsMatch recognizes the
     // names and drives the same leaf from the index when one is registered.
     spark.udf.register("has_any_tokens",
-      (text: String, q: String, dict: String) => {
-        val a = AnalyzerRegistry.get(dict)
-        TsQueryExec.evalTokens(
-          TsQuery.Or(a.tokens(q).map(TsQuery.Term.apply)), a.tokens(text))
-      })
+      (text: String, q: String, dict: String) =>
+        if (text == null) None else {
+          val a = AnalyzerRegistry.get(dict)
+          Some(TsQueryExec.evalTokens(
+            TsQuery.Or(a.tokens(q).map(TsQuery.Term.apply)), a.tokens(text)))
+        })
     spark.udf.register("has_all_tokens",
-      (text: String, q: String, dict: String) => {
-        val a = AnalyzerRegistry.get(dict)
-        TsQueryExec.evalTokens(
-          TsQuery.And(a.tokens(q).map(TsQuery.Term.apply)), a.tokens(text))
-      })
+      (text: String, q: String, dict: String) =>
+        if (text == null) None else {
+          val a = AnalyzerRegistry.get(dict)
+          Some(TsQueryExec.evalTokens(
+            TsQuery.And(a.tokens(q).map(TsQuery.Term.apply)), a.tokens(text)))
+        })
     spark.udf.register("phrase_matches",
-      (text: String, q: String, dict: String) => {
-        val a = AnalyzerRegistry.get(dict)
-        TsQueryExec.evalTokens(TsQuery.Phrase(a.tokens(q)), a.tokens(text))
-      })
+      (text: String, q: String, dict: String) =>
+        if (text == null) None else {
+          val a = AnalyzerRegistry.get(dict)
+          Some(TsQueryExec.evalTokens(TsQuery.Phrase(a.tokens(q)), a.tokens(text)))
+        })
     // reference ts_phrase(..., slop := N): shared move budget, order
     // inversions admitted (sloppy_phrase.test) — claimable like the others
     spark.udf.register("phrase_slop_matches",
-      (text: String, q: String, slop: Int, dict: String) => {
-        val a = AnalyzerRegistry.get(dict)
-        val ts = a.tokens(q)
-        val tsq = if (ts.size < 2) TsQuery.Phrase(ts) else TsQuery.SlopPhrase(ts, slop)
-        TsQueryExec.evalTokens(tsq, a.tokens(text))
-      })
+      (text: String, q: String, slop: Int, dict: String) =>
+        if (text == null) None else {
+          val a = AnalyzerRegistry.get(dict)
+          val ts = a.tokens(q)
+          val tsq = if (ts.size < 2) TsQuery.Phrase(ts) else TsQuery.SlopPhrase(ts, slop)
+          Some(TsQueryExec.evalTokens(tsq, a.tokens(text)))
+        })
     spark.udf.register("levenshtein_matches",
-      (text: String, term: String, maxDist: Int, dict: String) => {
-        val a = AnalyzerRegistry.get(dict)
-        TsQueryExec.evalTokens(TsQuery.Fuzzy(term, maxDist), a.tokens(text))
-      })
+      (text: String, term: String, maxDist: Int, dict: String) =>
+        if (text == null) None else {
+          val a = AnalyzerRegistry.get(dict)
+          Some(TsQueryExec.evalTokens(TsQuery.Fuzzy(term, maxDist), a.tokens(text)))
+        })
     spark.udf.register("ngram_matches",
-      (text: String, q: String, minJaccard: Double, dict: String) => {
-        val a = AnalyzerRegistry.get(dict)
-        TsQueryExec.evalTokens(TsQuery.NgramSim(q, minJaccard), a.tokens(text))
-      })
+      (text: String, q: String, minJaccard: Double, dict: String) =>
+        if (text == null) None else {
+          val a = AnalyzerRegistry.get(dict)
+          Some(TsQueryExec.evalTokens(TsQuery.NgramSim(q, minJaccard), a.tokens(text)))
+        })
   }
 
   /** The scorer function names the claim rules recognize, mapping 1:1 to
