@@ -198,7 +198,12 @@ final case class IvfIndex(
     * (vec_id, dist) with dist = −dot so ASC order = best-first, matching
     * the ann_ip score mapping (reference per-metric score emit,
     * duckdb_table_function.h:63-68). */
-  def knnIp(query: Seq[Float], k: Int): DataFrame = {
+  /** Exact probe set for largest-inner-product retrieval: dot(q,v) for v in
+    * list i lies in dot(q,cᵢ) ± ‖q‖rᵢ — take lists by upper bound until
+    * ≥ k points, then every list whose upper bound reaches the worst kept
+    * lower bound. Driver-metadata math like [[ballProbes]]; shared by the
+    * raw and quantized IP paths. */
+  def ipProbes(query: Seq[Float], k: Int): Seq[Int] = {
     val qd = query.map(_.toDouble)
     val qNorm = math.sqrt(qd.map(x => x * x).sum)
     val dots = centroids.zipWithIndex.map { case (c, i) =>
@@ -215,9 +220,13 @@ final case class IvfIndex(
     val dl =
       if (acc >= k) phase1.map { case (_, i, d) => d - qNorm * radii(i) }.min
       else Double.NegativeInfinity
-    val probes = (phase1.map(_._2) ++ byUb.drop(n1).collect {
+    (phase1.map(_._2) ++ byUb.drop(n1).collect {
       case (ub, i, _) if ub >= dl - 1e-9 => i
     }).toSeq
+  }
+
+  def knnIp(query: Seq[Float], k: Int): DataFrame = {
+    val probes = ipProbes(query, k)
     assignments
       .filter(col("cluster").isin(probes: _*))
       .withColumn("dist", -VectorFunctions.innerProduct(col("embedding"), typedlit(query)))

@@ -309,6 +309,34 @@ final case class QuantizedIvf(ivf: IvfIndex, codes: DataFrame,
     rerank(query, k, probes, cand)
   }
 
+  /** Largest-inner-product kNN through the SQ8 codes (reference
+    * `quant = 'sq8'` metric 'ip'; COSINE rides this same path over an
+    * index whose store is L2-normalized copies — "cosine is encoded as
+    * inner product over L2-normalized vectors", ivf_sq8.test:13). Probe
+    * set = the exact dot-product ball bound; candidates by the negated-IP
+    * ADC kernel; exact float rerank. */
+  def knnIp(query: Seq[Float], k: Int, rerankFactor: Int = 5): DataFrame = {
+    val q = sq8.getOrElse(throw new IllegalStateException(
+      "knnIp requires an SQ8 quantizer (PQ ADC uses L2 residual tables)"))
+    val probes = ivf.ipProbes(query, k)
+    val pool = rerankFactor * k
+    val cand = codes
+      .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+      .withColumn("adist", q.adcNegIp(col("code"), query))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(pool)
+      .select("vec_id")
+      .collect().map(_.getLong(0))
+    ivf.assignments
+      .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+      .filter(col("vec_id").isin(cand.map(java.lang.Long.valueOf): _*))
+      .withColumn("dist",
+        -graft.functions.VectorFunctions.innerProduct(col("embedding"), typedlit(query)))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("dist"))
+  }
+
   /** Exact-rerank stage: raw floats for the pool ids only. */
   private def rerank(query: Seq[Float], k: Int, probes: Seq[Int],
       pool: Array[Long]): DataFrame =

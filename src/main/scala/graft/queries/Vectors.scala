@@ -165,8 +165,21 @@ object Vectors {
       .agg(count(lit(1)).cast("bigint").as("n_overlap"))
   }
 
+  /** SQ8 codes under the INNER-PRODUCT metric (reference quant='sq8'
+    * metric 'ip'; cosine = this path over normalized copies): dot-product
+    * ball-bound probe, negated-IP ADC candidates, exact rerank. */
+  def ivfSq8Ip(s: SparkSession, dir: String): DataFrame = {
+    val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ivf = IvfIndex.ensure(s, Tables.embeddings(s, dir), s"$dir-embeddings")
+    graft.index.QuantizedIvf.ensureSq8(s, ivf, IvfIndex.dirFor(s"$dir-embeddings"))
+      .knnIp(query, k = 10, rerankFactor = 5)
+      .select(col("vec_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_ivf_sq8" -> ivfSq8,
+    "vec_ivf_sq8_ip" -> ivfSq8Ip,
     "vec_ivf_pq" -> ivfPq,
     "vec_fn_surface" -> fnSurface,
     "vec_knn_exact" -> knnExact,
@@ -220,6 +233,10 @@ object Vectors {
       s"""SELECT vec_id FROM embeddings
          |ORDER BY list_distance(embedding::DOUBLE[], $q::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
     "vec_ivf_pq" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
+    "vec_ivf_sq8_ip" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY -list_inner_product(embedding::DOUBLE[], $q::DOUBLE[]), vec_id
+         |LIMIT 10""".stripMargin,
     // the adaptive probe is exact, so the IVF path gets a REAL oracle
     "vec_ivf_knn" ->
       s"""SELECT vec_id FROM embeddings

@@ -65,6 +65,19 @@ class QuantizationSpec extends AnyFunSuite {
     assert(got == exactTop10)
   }
 
+  test("sq8 IP kNN with exact rerank matches brute-force largest-dot top-10") {
+    val q = QuantizedIvf.ensureSq8(spark, ivf, ivfDir)
+    val got = q.knnIp(query, k = 10, rerankFactor = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = embs.crossJoin(broadcast(
+        embs.filter(col("vec_id") === 0).select(col("embedding").as("qe"))))
+      .withColumn("d",
+        -graft.functions.VectorFunctions.innerProduct(col("embedding"), col("qe")))
+      .orderBy(col("d"), col("vec_id"))
+      .limit(10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+
   test("pq codes are m bytes and ADC+rerank recall is high") {
     val q = QuantizedIvf.ensurePq(spark, ivf, ivfDir, m = 8)
     val codeLen = q.codes.select(length(col("code"))).head().getInt(0)
