@@ -157,22 +157,32 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
       if entry.predicate.isEmpty
       idAttr <- lr.output.collectFirst {
         case a: AttributeReference if a.name == entry.idCol => a }
-      // P2 may hold only the scan's own columns + the one scorer alias —
-      // anything else computed there would be silently lost
+      // duplicate-alias dedup (reference score_alias_dedup.test: "the
+      // rewrite keeps one scorer + one virtual score column ... each
+      // select-list slot gets its own column ref"): EVERY P2 alias of the
+      // semantically-same scorer call maps onto the single score column
+      scoreIds = p2.map(_.collect {
+        case al @ Alias(u: ScalaUDF, _)
+            if ScorerShapes.asScorer(u).exists { case (ta, n, q2, d2) =>
+              ta.semanticEquals(textAttr) && n == scorer && q2 == query && d2 == dict } =>
+          al.exprId
+      }.toSet).getOrElse(Set.empty[ExprId]) ++ scoreId
+      // P2 may hold only the scan's own columns + aliases of THE scorer
+      // call — anything else computed there would be silently lost
       if p2.forall(_.forall {
         case a: AttributeReference => PlanShapes.isColumnOf(lr, a, a.name)
-        case al: Alias => scoreId.contains(al.exprId)
+        case al: Alias => scoreIds.contains(al.exprId)
         case _ => false
       })
       // every output expression must read only scan columns / the score
       outList = p1.getOrElse(afterSort.output.map(a => a: NamedExpression))
       refs = outList.flatMap(_.references.toSeq).distinct
       if refs.forall(a =>
-        PlanShapes.isColumnOf(lr, a, a.name) || scoreId.contains(a.exprId))
+        PlanShapes.isColumnOf(lr, a, a.name) || scoreIds.contains(a.exprId))
     } yield candidate match {
       case Some(candTree) =>
-        claimFiltered(candTree, entry, scorer, query, dict, k, idAttr, scoreId, outList)
-      case None => claimBare(entry, scorer, query, dict, k, root, refs, scoreId, outList)
+        claimFiltered(candTree, entry, scorer, query, dict, k, idAttr, scoreIds, outList)
+      case None => claimBare(entry, scorer, query, dict, k, root, refs, scoreIds, outList)
     }
   }
 
@@ -180,7 +190,7 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
     * join-back for any projected columns beyond the id. */
   private def claimBare(entry: IndexCatalog.TextEntry, scorer: String,
       query: String, dict: String, k: Int, root: String,
-      refs: Seq[Attribute], scoreId: Option[ExprId],
+      refs: Seq[Attribute], scoreIds: Set[ExprId],
       outList: Seq[NamedExpression]): LogicalPlan = {
     {
       val idx = IndexStore.load(spark, entry.segDir)
@@ -190,7 +200,7 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
         .limit(k)
         .select(col("doc_id").as(entry.idCol), col("_score").as("__graft_score"))
       val neededScanCols = refs.collect {
-        case a: AttributeReference if !scoreId.contains(a.exprId) => a.name
+        case a: AttributeReference if !scoreIds.contains(a.exprId) => a.name
       }.distinct
       val base =
         if (neededScanCols.forall(_ == entry.idCol)) topk
@@ -203,7 +213,7 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
       val rPlan = base.queryExecution.optimizedPlan
       val byName = rPlan.output.map(a => a.name -> a).toMap
       def subst(a: AttributeReference): Attribute =
-        if (scoreId.contains(a.exprId)) byName("__graft_score") else byName(a.name)
+        if (scoreIds.contains(a.exprId)) byName("__graft_score") else byName(a.name)
       val newList = outList.map {
         case a: AttributeReference => Alias(subst(a), a.name)(exprId = a.exprId)
         case al @ Alias(c, n) =>
@@ -227,7 +237,7 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
     * the score attribute needs substitution. */
   private def claimFiltered(candTree: LogicalPlan, entry: IndexCatalog.TextEntry,
       scorer: String, query: String, dict: String, k: Int,
-      idAttr: AttributeReference, scoreId: Option[ExprId],
+      idAttr: AttributeReference, scoreIds: Set[ExprId],
       outList: Seq[NamedExpression]): LogicalPlan = {
     val idx = IndexStore.load(spark, entry.segDir)
     val terms = ScorerShapes.termsOf(query, dict)
@@ -250,12 +260,12 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
       global = true, joined)
     val limited = GlobalLimit(Literal(k), LocalLimit(Literal(k), sorted))
     val newList = outList.map {
-      case a: AttributeReference if scoreId.contains(a.exprId) =>
+      case a: AttributeReference if scoreIds.contains(a.exprId) =>
         Alias(scoreAttr, a.name)(exprId = a.exprId)
       case a: AttributeReference => a
       case al @ Alias(c, n) =>
         Alias(c.transform {
-          case a: AttributeReference if scoreId.contains(a.exprId) => scoreAttr
+          case a: AttributeReference if scoreIds.contains(a.exprId) => scoreAttr
         }, n)(exprId = al.exprId)
       case other => other
     }

@@ -439,6 +439,15 @@ object Ddl {
           IndexStore.registerViews(spark, fastDir, name)
           IndexStore.registerStatsTables(spark, fastDir, name)
         }
+        // the claim-catalog slot may be vacant even when the artifact is
+        // durable (e.g. this index's registration was refused while a FULL
+        // index held the slot, and that index was later dropped — the drop
+        // vacates the slot and the persisted catalog carries no row for
+        // it). Re-offer the registration; registerText's no-downgrade rule
+        // still keeps a live full index in place.
+        scanRootOf(spark, view).foreach { root =>
+          IndexCatalog.registerText(root, textCol, analyzer, fastDir, idCol, predicate)
+        }
         return result(spark, s"created $name")
       }
       // the predicate is a WHERE filter on the backfill scan — Catalyst

@@ -518,6 +518,30 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(got == want, "claimed output must carry score values and preserve score order")
   }
 
+  test("the SAME scorer aliased twice claims once — one score column, two refs") {
+    // reference score_alias_dedup.test: "aliasing the same score call twice
+    // must not duplicate scorers or score columns"
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT doc_id,
+        |       CAST(round(s1 * 10000) AS BIGINT) AS q1,
+        |       CAST(round(s2 * 10000) AS BIGINT) AS q2
+        |FROM (SELECT doc_id,
+        |        bm25(text, 'vector dup query', 'whitespace') AS s1,
+        |        bm25(text, 'vector dup query', 'whitespace') AS s2
+        |      FROM graft_documents
+        |      ORDER BY s1 DESC LIMIT 5)""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "bm25").isEmpty,
+      s"duplicate-aliased bm25 must still claim (one virtual score column):\n$optimized")
+    val rows = df.collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      "both aliases must carry the same score value"))
+  }
+
   test("bm25 threshold WHERE is claimed into a min-score semi-join (WAND floor)") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
