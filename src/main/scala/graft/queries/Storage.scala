@@ -152,6 +152,32 @@ object Storage {
     table
   }
 
+  /** Schema-evolution fixture + query (reference ddl/alter_rename.test +
+    * add_column family; Iceberg's metadata-only evolution contract): build
+    * snapshot 1 with (doc_id, lang, n_chars); ADD COLUMN score; append rows
+    * carrying it; RENAME n_chars → len_chars. The read must serve BOTH
+    * generations of files under the evolved schema — len_chars from the
+    * pre-rename files via the name mapping, score as NULL for them. */
+  def icebergSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val table = tmp("graft-iceberg-evo-entry", dir)
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+    val ok =
+      try IcebergTables.read(s, table).columns.contains("len_chars")
+      catch { case _: Exception => false }
+    if (!ok) {
+      IcebergTables.createOrReplace(docs.filter(col("doc_id") % 2 === 0), table)
+      IcebergTables.addColumn(s, table, "score", org.apache.spark.sql.types.LongType)
+      IcebergTables.append(docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("score", col("doc_id") * 10), table)
+      IcebergTables.renameColumn(s, table, "n_chars", "len_chars")
+    }
+    IcebergTables.read(s, table)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("len_chars")).cast("bigint").as("chars"),
+        sum(coalesce(col("score"), lit(0L))).cast("bigint").as("score_sum"))
+  }
+
   /** Identity-partitioned Iceberg fixture: snapshot 1 = all docs
     * partitioned by lang, snapshot 2 = partition drop of 'de'. */
   private def ensureIcebergPart(s: SparkSession, dir: String): String = {
@@ -336,6 +362,7 @@ object Storage {
     "iceberg_merge" -> icebergMerge,
     "iceberg_upsert" -> icebergUpsert,
     "iceberg_scan" -> icebergScan,
+    "iceberg_schema_evolution" -> icebergSchemaEvolution,
     "iceberg_time_travel" -> icebergTimeTravel,
     "iceberg_partition_prune" -> icebergPartitionPrune,
     "iceberg_drop_partition" -> icebergDropPartition,
@@ -406,6 +433,10 @@ object Storage {
     "iceberg_scan" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE n_chars > 100 GROUP BY 1""".stripMargin,
+    "iceberg_schema_evolution" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN doc_id * 10 ELSE 0 END) AS BIGINT) AS score_sum
+        |FROM documents GROUP BY 1""".stripMargin,
     "iceberg_time_travel" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id % 2 = 0 GROUP BY 1""".stripMargin,

@@ -609,6 +609,124 @@ object IcebergTables {
       dropValues = None, replaceAll = true)
   }
 
+  // ---- schema evolution (metadata-only commits) ----------------------------
+
+  /** Column-rename history: current name → former names, persisted in table
+    * `properties` as `graft.name-mapping`. Real Iceberg readers resolve
+    * parquet columns by FIELD ID; plain Spark parquet writes carry no field
+    * ids, so this reader resolves renamed columns by recorded-name mapping
+    * instead — same observable semantics (old files keep serving the column
+    * under its new name), different resolution key. */
+  private def nameMapping(meta: ObjectNode): Map[String, Seq[String]] = {
+    val props = meta.get("properties")
+    val raw = if (props != null && props.has("graft.name-mapping"))
+      props.get("graft.name-mapping").asText else ""
+    if (raw.isEmpty) Map.empty
+    else {
+      val node = mapper.readTree(raw)
+      node.fieldNames().asScala.map(k =>
+        k -> node.get(k).asScala.map(_.asText).toSeq).toMap
+    }
+  }
+
+  /** Metadata-only commit: same snapshots/manifests, next metadata version
+    * with a new declared schema (ADD/DROP/RENAME COLUMN never touch data
+    * files — the Iceberg schema-evolution contract; reference
+    * ddl/alter_rename.test, add_column family). */
+  private def commitSchema(spark: SparkSession, tableDir: String, v: Int,
+      meta: ObjectNode, newSchema: StructType,
+      newMapping: Map[String, Seq[String]], boundsUnsafe: Boolean = false): Unit = {
+    val schemaNode = meta.get("schemas").get(0).asInstanceOf[ObjectNode]
+    val fieldsNode = schemaNode.putArray("fields")
+    newSchema.fields.zipWithIndex.foreach { case (f, i) =>
+      fieldsNode.addObject().put("id", i + 1).put("name", f.name)
+        .put("required", false).put("type", icebergType(f.dataType))
+    }
+    meta.put("last-column-id", newSchema.length)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    // re-point the partition spec's source-id at the (possibly moved) field
+    val specFields = meta.get("partition-specs").get(0).get("fields")
+    if (specFields.size() > 0) {
+      val sf = specFields.get(0).asInstanceOf[ObjectNode]
+      val pname = sf.get("name").asText
+      val idx = newSchema.fieldNames.indexOf(pname)
+      require(idx >= 0, s"schema evolution cannot remove partition column $pname")
+      sf.put("source-id", idx + 1)
+    }
+    val priorProps = Option(meta.get("properties"))
+      .map(pp => pp.fieldNames().asScala.map(k => k -> pp.get(k).asText).toMap)
+      .getOrElse(Map.empty)
+    val props = meta.putObject("properties")
+    (priorProps - "graft.name-mapping").foreach { case (k, v) => props.put(k, v) }
+    if (newMapping.nonEmpty) {
+      val mapNode = mapper.createObjectNode()
+      newMapping.foreach { case (cur, formers) =>
+        val arr = mapNode.putArray(cur)
+        formers.foreach(arr.add)
+      }
+      props.put("graft.name-mapping", mapper.writeValueAsString(mapNode))
+    }
+    if (boundsUnsafe) props.put("graft.bounds-unsafe", "true")
+    writeText(spark, new Path(s"$tableDir/metadata/v${v + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    writeText(spark, new Path(s"$tableDir/metadata/version-hint.text"), (v + 1).toString)
+  }
+
+  /** ALTER TABLE ADD COLUMN — metadata-only; existing files read the new
+    * column as NULL (schema-on-read). */
+  def addColumn(spark: SparkSession, tableDir: String, name: String,
+      dt: DataType): Unit = {
+    val (vv, meta) = currentMeta(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
+    val schema = declaredSchema(meta)
+    val mapping = nameMapping(meta)
+    require(!schema.fieldNames.contains(name), s"column $name already exists")
+    require(!mapping.values.flatten.toSet.contains(name),
+      s"column $name collides with a former name of a renamed column")
+    commitSchema(spark, tableDir, vv, meta, StructType(schema.fields :+
+      StructField(name, dt, nullable = true)), mapping)
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only; files keep the bytes, reads
+    * stop projecting them. */
+  def dropColumn(spark: SparkSession, tableDir: String, name: String): Unit = {
+    val (vv, meta) = currentMeta(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
+    val schema = declaredSchema(meta)
+    require(schema.fieldNames.contains(name), s"no column $name")
+    partitionCol(meta).foreach { case (pname, _) =>
+      require(pname != name, s"cannot drop partition column $name") }
+    // dropping a column SHIFTS the positional field ids of later columns,
+    // so historical files' min/max bounds can no longer be trusted by id —
+    // mark the table so reads skip bounds pruning (sound, just less pruned)
+    commitSchema(spark, tableDir, vv, meta,
+      StructType(schema.fields.filterNot(_.name == name)),
+      nameMapping(meta) - name, boundsUnsafe = true)
+  }
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only; old data files keep the old
+    * parquet column name, and [[read]] coalesces it into the new name via
+    * the persisted name mapping. */
+  def renameColumn(spark: SparkSession, tableDir: String, from: String,
+      to: String): Unit = {
+    val (vv, meta) = currentMeta(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
+    val schema = declaredSchema(meta)
+    require(schema.fieldNames.contains(from), s"no column $from")
+    require(!schema.fieldNames.contains(to), s"column $to already exists")
+    val mapping = nameMapping(meta)
+    val formerOfFrom = mapping.getOrElse(from, Seq.empty)
+    val newMapping = (mapping - from) + (to -> (formerOfFrom :+ from).distinct)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    // renaming the partition column: keep the spec's name in step
+    val specFields = meta.get("partition-specs").get(0).get("fields")
+    if (specFields.size() > 0 &&
+        specFields.get(0).get("name").asText == from)
+      specFields.get(0).asInstanceOf[ObjectNode].put("name", to)
+    commitSchema(spark, tableDir, vv, meta, newSchema, newMapping)
+  }
+
   private def commit(spark: SparkSession, tableDir: String, newData: Option[DataFrame],
       createPartitionBy: Option[String], dropValues: Option[Seq[Any]],
       replaceAll: Boolean = false): Long = {
@@ -775,7 +893,14 @@ object IcebergTables {
     prior.foreach(_._2.get("snapshot-log").asScala.foreach(e => log.add(e)))
     log.addObject().put("timestamp-ms", nowMs).put("snapshot-id", snapshotId)
     meta.putArray("metadata-log")
-    meta.putObject("properties")
+    // carry table properties forward — the schema-evolution name mapping
+    // lives there, and a data commit must not amputate it
+    val propsNode = meta.putObject("properties")
+    prior.foreach { case (_, m) =>
+      val pp = m.get("properties")
+      if (pp != null)
+        pp.fieldNames().asScala.foreach(k => propsNode.put(k, pp.get(k).asText))
+    }
 
     writeText(spark, new Path(metaDir, s"v$version.metadata.json"),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
@@ -792,8 +917,13 @@ object IcebergTables {
     val snap = meta.get("snapshots").asScala
       .find(_.get("snapshot-id").asLong == snapId)
       .getOrElse(throw new IllegalArgumentException(s"iceberg: unknown snapshot $snapId"))
+    val boundsUnsafe = {
+      val pp = meta.get("properties")
+      pp != null && pp.has("graft.bounds-unsafe")
+    }
     def decodeBounds(dfRec: GenericRecord, which: String): Map[String, Any] =
-      Option(dfRec.get(which)) match {
+      if (boundsUnsafe) Map.empty
+      else Option(dfRec.get(which)) match {
         case None => Map.empty
         case Some(arr) =>
           arr.asInstanceOf[java.util.List[GenericRecord]].asScala.flatMap { kv =>
@@ -811,7 +941,13 @@ object IcebergTables {
       .map { e =>
         val dfRec = e.get("data_file").asInstanceOf[GenericRecord]
         val value = part.map { case (name, dt) =>
-          val raw = dfRec.get("partition").asInstanceOf[GenericRecord].get(name)
+          // by name when the manifest predates no rename; positionally
+          // otherwise — the partition struct holds exactly one field, and a
+          // RENAME COLUMN leaves historical manifests carrying the old name
+          val pRec = dfRec.get("partition").asInstanceOf[GenericRecord]
+          val raw =
+            if (pRec.getSchema.getField(name) != null) pRec.get(name)
+            else pRec.get(0)
           dt match {
             case StringType => raw.toString
             case LongType => raw.asInstanceOf[Long]
@@ -870,15 +1006,35 @@ object IcebergTables {
       }
     require(files.nonEmpty, s"iceberg: snapshot $snapId has no matching data files")
 
+    // schema evolution: widen the READ schema with renamed columns' former
+    // names (same type, nullable) so files written before a RENAME still
+    // surface their bytes, then coalesce former → current. ADD COLUMN needs
+    // nothing — the explicit read schema fills missing columns with NULL;
+    // DROP COLUMN needs nothing — extra file columns are never projected.
+    val mapping = nameMapping(meta)
+    def widen(s: StructType): StructType = StructType(s.fields ++ (for {
+      (cur, formers) <- mapping.toSeq
+      curField <- s.fields.find(_.name == cur).toSeq
+      f <- formers
+    } yield StructField(f, curField.dataType, nullable = true)))
+    def resolve(df: DataFrame): DataFrame = {
+      val merged = mapping.foldLeft(df) { case (d, (cur, formers)) =>
+        val present = formers.filter(d.columns.contains)
+        if (present.isEmpty || !d.columns.contains(cur)) d
+        else d.withColumn(cur, org.apache.spark.sql.functions.coalesce(
+          (cur +: present).map(col): _*))
+      }
+      merged.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+
     part match {
       case None =>
-        spark.read.schema(schema).parquet(files.map(_._1): _*)
+        resolve(spark.read.schema(widen(schema)).parquet(files.map(_._1): _*))
       case Some((pname, pdt)) =>
         val fileSchema = StructType(schema.fields.filterNot(_.name == pname))
         files.groupBy(_._2.get).toSeq.map { case (value, group) =>
-          spark.read.schema(fileSchema).parquet(group.map(_._1): _*)
-            .withColumn(pname, lit(value).cast(pdt))
-            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          resolve(spark.read.schema(widen(fileSchema)).parquet(group.map(_._1): _*)
+            .withColumn(pname, lit(value).cast(pdt)))
         }.reduce(_ union _)
     }
   }
