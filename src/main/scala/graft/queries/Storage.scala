@@ -324,6 +324,29 @@ object Storage {
         sum(col("doc_id")).as("id_sum"))
   }
 
+  /** MERGE ... RETURNING (pg/dml/merge_returning_rowid.test): the merge's
+    * actions return their post-image rows — updates carry the new n_chars,
+    * inserts their full row, deletes nothing. Folded per lang with the
+    * surviving table state cross-checked in the same result. */
+  def icebergMergeReturning(s: SparkSession, dir: String): DataFrame = {
+    val table = freshDocsTable(s, dir, "graft-iceberg-mergeret")
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+    val src = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("n_chars", col("n_chars") + 500000)
+      .unionByName(docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("doc_id", col("doc_id") + 3000000))
+    val returned = IcebergTables.mergeReturning(s, table, src, "doc_id",
+      deleteCond = Some(col("n_chars") < 200),
+      updateSet = Map("n_chars" -> col("src_n_chars")))
+    val survivors = IcebergTables.read(s, table)
+      .agg(count(lit(1)).as("n_left"), sum(col("doc_id")).as("left_id_sum"))
+    returned
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ret"), sum(col("n_chars")).as("ret_chars"),
+        sum(col("doc_id")).as("ret_id_sum"))
+      .crossJoin(broadcast(survivors))
+  }
+
   /** DELETE ... RETURNING (pg/dml/returning.test): deleteWhere commits one
     * partition-scoped CoW snapshot and RETURNS the deleted rows. The entry
     * folds the returned rows per lang AND cross-checks the surviving table
@@ -360,6 +383,7 @@ object Storage {
     "iceberg_update_returning" -> icebergUpdateReturning,
     "iceberg_delete_returning" -> icebergDeleteReturning,
     "iceberg_merge" -> icebergMerge,
+    "iceberg_merge_returning" -> icebergMergeReturning,
     "iceberg_upsert" -> icebergUpsert,
     "iceberg_scan" -> icebergScan,
     "iceberg_schema_evolution" -> icebergSchemaEvolution,
@@ -412,6 +436,24 @@ object Storage {
         |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM final GROUP BY 1""".stripMargin,
+    "iceberg_merge_returning" ->
+      """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |ret AS (
+        |  SELECT doc_id, lang, n_chars + 500000 AS n_chars FROM base
+        |  WHERE doc_id % 7 = 0 AND n_chars >= 200
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, lang, n_chars FROM base WHERE doc_id % 7 = 3),
+        |final AS (
+        |  SELECT doc_id FROM base WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id FROM base WHERE doc_id % 7 = 0 AND n_chars >= 200
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 FROM base WHERE doc_id % 7 = 3),
+        |surv AS (SELECT count(*) AS n_left, CAST(sum(doc_id) AS BIGINT) AS left_id_sum
+        |         FROM final)
+        |SELECT lang, count(*) AS n_ret, CAST(sum(n_chars) AS BIGINT) AS ret_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS ret_id_sum, n_left, left_id_sum
+        |FROM ret, surv GROUP BY lang, n_left, left_id_sum""".stripMargin,
     "iceberg_upsert" ->
       """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
         |up AS (SELECT doc_id, lang, source, n_chars + 1000000 AS n_chars

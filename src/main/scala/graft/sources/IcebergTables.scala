@@ -598,6 +598,25 @@ object IcebergTables {
     }
   }
 
+  /** MERGE ... RETURNING (reference dml/merge_returning_rowid.test +
+    * merge.test's RETURNING legs): commits the merge, then RETURNS the
+    * post-image rows the merge's actions PRODUCED — updated and inserted
+    * rows; deleted rows return nothing. Derived exactly as post-snapshot ∖
+    * pre-snapshot by full-row anti-join over the two (time-travel-readable)
+    * snapshots — distributed, never driver-sized. Observable deviation,
+    * documented: an UPDATE assigning identical values yields no returned
+    * row (PG emits one per executed action; a diff can't see a no-op). */
+  def mergeReturning(spark: SparkSession, tableDir: String, source: DataFrame,
+      keyCol: String,
+      deleteCond: Option[Column] = None,
+      updateSet: Map[String, Column] = Map.empty,
+      updateCond: Option[Column] = None,
+      insert: Boolean = true): DataFrame = {
+    val preSnap = snapshots(spark, tableDir).last
+    merge(spark, tableDir, source, keyCol, deleteCond, updateSet, updateCond, insert)
+    read(spark, tableDir).exceptAll(read(spark, tableDir, Some(preSnap)))
+  }
+
   /** Compact the current snapshot into ~`targetFiles` data files per
     * partition — the small-file maintenance a streaming-ingested table
     * needs (many tiny commits → one scan-efficient layout). One
