@@ -166,6 +166,44 @@ object IndexStore {
     idx.postings.unpersist()
   }
 
+  /** Commit-on-flush backfill rotation (reference `segment_docs_max` CREATE
+    * option, online_create_index_rotation.test: "an online inverted CREATE
+    * INDEX commits each segment as soon as it fills, so the published index
+    * consists of many independently committed segments instead of one giant
+    * final publish"). Waves are hash buckets of ≈`docsMax` docs — like the
+    * reference, the exact per-segment count "depends on sink parallelism";
+    * the pinned contract is >1 published segment for a large backfill and
+    * full-corpus search results. Each wave is its own distributed build +
+    * durable segment commit, so a crashed backfill leaves a usable prefix
+    * and a 100 TB backfill's compaction/retry unit stays bounded. */
+  def ensureRotating(spark: SparkSession, docs: => DataFrame, cacheKey: String,
+      idCol: String, textCol: String, analyzerName: String,
+      docsMax: Long): InvertedIndex = {
+    val dir = dirFor(cacheKey, textCol, analyzerName)
+    jvmCache.getOrElseUpdate(dir, {
+      if (!exists(spark, s"$dir/_BACKFILL_DONE")) {
+        val d = docs
+        val n = d.count()
+        val waves = math.max(1, math.ceil(n.toDouble / docsMax).toInt)
+        // a crashed backfill resumes at the first unpublished wave: wave
+        // membership is a deterministic hash, committed segments map 1:1 to
+        // completed waves (assumes the source is unchanged across the
+        // retry, the usual backfill-retry contract)
+        val alreadyDone = listSegments(spark, dir).size
+        (alreadyDone until waves).foreach { w =>
+          val wave = d.filter(
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.hash(col(idCol)),
+              org.apache.spark.sql.functions.lit(waves)) === w)
+          val idx = InvertedIndex.build(wave, idCol, textCol, analyzerName)
+          appendSegment(idx, dir, Some(wave.select(col(idCol).as("doc_id"))))
+        }
+        writeStringAtomic(spark, s"$dir/_BACKFILL_DONE", waves.toString)
+      }
+      load(spark, dir)
+    })
+  }
+
   /** Append a new segment (streaming ingest / incremental refresh). */
   def appendSegment(idx: InvertedIndex, dir: String,
       docIds: Option[DataFrame] = None): Int = {

@@ -455,7 +455,16 @@ object Ddl {
       // Column Filter in the backfill SEQ_SCAN, inverted_index_partial.test)
       val source = predicate.foldLeft(spark.table(view))(
         (df, p) => df.filter(org.apache.spark.sql.functions.expr(p)))
-      IndexStore.ensure(spark, source, cacheKey, idCol, textCol, analyzer)
+      // segment_docs_max: commit-on-flush backfill rotation (reference
+      // online_create_index_rotation.test) — many independently committed
+      // segments instead of one final publish
+      opts.get("segment_docs_max").map(_.toLong) match {
+        case Some(max) =>
+          IndexStore.ensureRotating(spark, source, cacheKey, idCol, textCol,
+            analyzer, max)
+        case None =>
+          IndexStore.ensure(spark, source, cacheKey, idCol, textCol, analyzer)
+      }
       val dir = fastDir
       writeSourceFp(spark, dir, view)
       IndexStore.registerViews(spark, dir, name)

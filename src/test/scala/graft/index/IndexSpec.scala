@@ -250,4 +250,27 @@ class IndexSpec extends AnyFunSuite {
     assert(compacted.numDocs == expect.numDocs && compacted.sumDl == expect.sumDl)
     assert(ids(compacted.term("vector")) == ids(expect.term("vector")))
   }
+
+  test("segment_docs_max rotation publishes multiple segments, same results") {
+    val spark = graft.TestSpark.spark
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    val dir = IndexStore.dirFor("rotation-spec", "text", "whitespace")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    IndexStore.invalidate(dir)
+    val n = docs.count()
+    val rotated = IndexStore.ensureRotating(spark, docs, "rotation-spec",
+      "doc_id", "text", "whitespace", docsMax = n / 4)
+    val segs = IndexStore.listSegments(spark, dir)
+    assert(segs.size >= 2, s"expected multiple committed segments, got $segs")
+    assert(rotated.numDocs == n)
+    // rotated build == single-segment build, observably
+    val whole = IndexStore.documents(spark, graft.TestSpark.sfDir, "whitespace")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(rotated.term("vector")) == ids(whole.term("vector")))
+    assert(ids(rotated.phrase(Seq("hash", "join"))) == ids(whole.phrase(Seq("hash", "join"))))
+    assert(rotated.sumDl == whole.sumDl)
+  }
 }
