@@ -1,0 +1,105 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed-field postings + INCLUDE columnstore for a composite search index.
+  *
+  * Spark-native analogue of the reference's multi-column inverted index
+  * (/root/reference/server/catalog/inverted_index.h — an
+  * `InvertedIndexColumnInfo` per column may carry a text dictionary, a
+  * typed posting list, and/or `store_values=true`;
+  * tests/sqllogic/sdb/pg/index/inverted_index_indexed_vs_included.test):
+  *
+  *   - an INDEXED typed field (string keyword / integral / floating /
+  *     date-time) serves equality and range predicates FROM THE INDEX —
+  *     the reference's Term / "Granular Range" filter nodes inside
+  *     IRESEARCH_SCAN (inverted_index_include_pushdown.test);
+  *   - an INCLUDE column keeps a typed columnstore copy inside the index,
+  *     so a query projecting only covered columns never touches the base
+  *     table at all — `Lookup: columnstore` vs `Lookup: table`.
+  *
+  * Layout under the composite dir (all parquet, all written by executors):
+  *
+  * {{{
+  *   <dir>/_FIELDS                    (manifest json: idCol, fields, included)
+  *   <dir>/field=<name>/              (v, doc_id) range-partitioned + sorted by v
+  *   <dir>/stored/                    (doc_id, <included cols...>) sorted by doc_id
+  * }}}
+  *
+  * The field datasets are the idiomatic-Spark stand-in for per-term typed
+  * posting lists: `(v, doc_id)` written `repartitionByRange(v).sortWithinPartitions(v)`
+  * means BOTH an equality probe and a range predicate prune to the files and
+  * row groups whose min/max straddle the constant — at 100 TB a
+  * `sev >= 13` drive reads the tail files of the field dataset, never the
+  * wide base table. NULL field values are omitted (a `v = x` / `v > x`
+  * predicate can never select them — identical semantics to the filter it
+  * claims), so the semi-join on `doc_id` is exactly the predicate's row set.
+  *
+  * The stored dataset is the covering columnstore: two to a few narrow
+  * columns, sorted by `doc_id` so the matched-ids join prunes row groups.
+  * Rebuild (REFRESH) is one linear scan of the source — these are sorted
+  * COPIES, not merged structures, so there is no incremental-merge
+  * machinery to maintain; the text postings beside them keep their own
+  * segmented incremental path.
+  */
+object FieldStore {
+  /** Manifest: which columns are indexed fields / included, and the id. */
+  final case class Manifest(idCol: String, fields: Seq[String], included: Seq[String])
+
+  private def manifestPath(dir: String) = s"$dir/_FIELDS"
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    IndexStore.exists(spark, manifestPath(dir))
+
+  def readManifest(spark: SparkSession, dir: String): Manifest = {
+    val lines = IndexStore.readString(spark, manifestPath(dir)).split("\n")
+    def row(k: String): Seq[String] = lines.collectFirst {
+      case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=").split(",").filter(_.nonEmpty).toSeq
+    }.getOrElse(Seq.empty)
+    Manifest(row("id").headOption.getOrElse("doc_id"), row("fields"), row("included"))
+  }
+
+  /** Build (or rebuild) the field datasets + stored columnstore from the
+    * source relation. One pass per field dataset plus one for the stored
+    * copy — each a plain column-pruned scan of the source, so the total
+    * cost is linear in the covered columns, not in the table width. The
+    * manifest is written LAST (atomic rename): a crash mid-build leaves no
+    * manifest, and the next CREATE rebuilds from scratch. */
+  def build(spark: SparkSession, source: DataFrame, dir: String,
+      idCol: String, fields: Seq[String], included: Seq[String]): Unit = {
+    val fs = IndexStore.fsFor(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(p)) fs.delete(p, true)
+    fields.foreach { f =>
+      source.select(col(f).as("v"), col(idCol).cast("long").as("doc_id"))
+        .filter(col("v").isNotNull)
+        .repartitionByRange(col("v"))
+        .sortWithinPartitions("v")
+        .write.mode("overwrite").parquet(s"$dir/field=$f")
+    }
+    if (included.nonEmpty) {
+      source.select((col(idCol).cast("long").as("doc_id") +:
+          included.map(c => col(c))): _*)
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$dir/stored")
+    }
+    IndexStore.writeStringAtomic(spark, manifestPath(dir),
+      s"id=$idCol\nfields=${fields.mkString(",")}\nincluded=${included.mkString(",")}\n")
+  }
+
+  /** The `(v, doc_id)` dataset of one indexed field. */
+  def field(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/field=$name")
+
+  /** The covering columnstore `(doc_id, included...)`. */
+  def stored(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/stored")
+
+  def drop(spark: SparkSession, dir: String): Unit = {
+    val fs = IndexStore.fsFor(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}

@@ -70,6 +70,9 @@ object IndexStore {
 
   // ---- Hadoop FS helpers (cluster-safe metadata IO) ------------------------
 
+  private[index] def fsFor(spark: SparkSession, path: String): FileSystem =
+    fs(spark, path)
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -22,6 +22,7 @@ import graft.search.IndexCatalog
   * name is special-cased here. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(s => ClaimCoveredProjection(s))
     e.injectOptimizerRule(s => ClaimTsMatch(s))
     e.injectOptimizerRule(s => PushdownTsDictAggregate(s))
     e.injectOptimizerRule(s => ClaimAnnTopK(s))
@@ -774,13 +775,15 @@ case class ClaimAnnRange(spark: SparkSession) extends Rule[LogicalPlan] {
   * behind as residual filters (ts_dict_residual_filter*.test) — and a claim
   * failure leaves the row-eval UDF in place, so the rewrite can only change
   * HOW the query runs, never its result. */
-case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
+/** Predicate-shape helpers shared by [[ClaimTsMatch]] and
+  * [[ClaimCoveredProjection]] — one algebra, two drive shapes. */
+private[plans] object TsPredicates {
 
   /** A claimable text predicate: ts_match plus the reference's sugar
     * predicates (search.h:95-99), each mapped to the TsQuery leaf its
     * row-eval UDF evaluates — so the claimed and unclaimed paths share one
     * query algebra. Returns (text arg, dict name, analyzer→query). */
-  private def asTsMatch(
+  def asTsMatch(
       e: Expression): Option[(Expression, String, graft.analysis.Analyzer => graft.search.TsQuery)] = {
     import graft.search.TsQuery
     e match {
@@ -822,10 +825,42 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
+  /** A claimable typed-FIELD conjunct (reference Term / "Granular Range"
+    * filter nodes inside IRESEARCH_SCAN, inverted_index_include_pushdown
+    * .test): `attr op literal` comparisons and literal IN-lists — exactly
+    * the null-excluding shapes whose satisfying row set equals a filter
+    * over the field dataset's non-null `(v, doc_id)` rows. Returns the
+    * attribute plus the predicate rewritten onto a `v` stand-in the caller
+    * substitutes with the field dataset's value column. */
+  def asFieldPred(e: Expression): Option[(AttributeReference, AttributeReference => Expression, Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // the Boolean is isPointLookup: equality/IN shapes (the reference's Term
+    // filter — selective by nature) vs range shapes (Granular Range)
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal) => Some((a, v => EqualTo(v, l), true))
+      case EqualTo(l: Literal, a: AttributeReference) => Some((a, v => EqualTo(v, l), true))
+      case GreaterThan(a: AttributeReference, l: Literal) => Some((a, v => GreaterThan(v, l), false))
+      case GreaterThan(l: Literal, a: AttributeReference) => Some((a, v => LessThan(v, l), false))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => Some((a, v => GreaterThanOrEqual(v, l), false))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => Some((a, v => LessThanOrEqual(v, l), false))
+      case LessThan(a: AttributeReference, l: Literal) => Some((a, v => LessThan(v, l), false))
+      case LessThan(l: Literal, a: AttributeReference) => Some((a, v => GreaterThan(v, l), false))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => Some((a, v => LessThanOrEqual(v, l), false))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => Some((a, v => GreaterThanOrEqual(v, l), false))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some((a, v => In(v, vs), true))
+      case _ => None
+    }
+  }
+
+  def conjuncts(e: Expression): Seq[Expression] = e match {
     case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
   }
+}
+
+case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
+  import TsPredicates.{asTsMatch, conjuncts}
 
   /** Resolves the indexed scan that PRODUCED `textAttr` — matched by exprId,
     * not name, so a join partner exposing a same-named column can never have
@@ -911,6 +946,26 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (claimable.isEmpty) return f
 
+    // typed-FIELD conjuncts (composite index sidecar): claimed only when a
+    // text claim already drives the same Filter — the intersection then
+    // happens on postings-sized doc-id sets — and only for the POINT
+    // (equality/IN) shapes: a range conjunct evaluates for free on the
+    // already-fetched join-back rows, so trading it for another semi-join
+    // would add a shuffle for nothing. A STANDALONE field filter also
+    // stays on the base scan on purpose: Catalyst already pushes it into
+    // the parquet read there (the reference pushes standalone field
+    // filters into IRESEARCH_SCAN because ITS base table is a row store;
+    // ours is columnar parquet with native predicate pushdown).
+    val textClaimed = claimable.map(_._1).toSet
+    val fieldClaimable = parts.filterNot(textClaimed).flatMap { p =>
+      for {
+        (attr, mkPred, isPoint) <- TsPredicates.asFieldPred(p)
+        if isPoint
+        (entry, idAttr) <- fieldIndexOf(child, attr)
+        if child.outputSet.contains(idAttr)
+      } yield (p, attr, mkPred, entry, idAttr)
+    }
+
     val joined = claimable.foldLeft(child) { case (acc, (_, build, dict, segDir, docId)) =>
       val idx = graft.index.IndexStore.load(spark, segDir)
       val parsed = build(graft.analysis.AnalyzerRegistry.get(dict))
@@ -922,8 +977,182 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
       val rightId = mPlan.output.find(_.name == "doc_id").get
       Join(acc, mPlan, LeftSemi, Some(EqualTo(docId, rightId)), JoinHint.NONE)
     }
-    val claimedSet = claimable.map(_._1).toSet
+    val joinedAll = fieldClaimable.foldLeft(joined) {
+      case (acc, (_, attr, mkPred, entry, idAttr)) =>
+        val m = FieldDrives.matchedIds(spark, entry, attr.name, mkPred)
+        val rightId = m.output.find(_.name == "doc_id").get
+        Join(acc, m, LeftSemi,
+          Some(FieldDrives.idEq(idAttr, rightId)), JoinHint.NONE)
+    }
+    val claimedSet = textClaimed ++ fieldClaimable.map(_._1)
     parts.filterNot(claimedSet).reduceOption(CAnd(_, _))
-      .map(Filter(_, joined)).getOrElse(joined)
+      .map(Filter(_, joinedAll)).getOrElse(joinedAll)
+  }
+
+  /** Resolves the composite-index sidecar covering the scan that produced
+    * `attr` as an indexed FIELD, plus that scan's id attribute. */
+  private def fieldIndexOf(plan: LogicalPlan,
+      attr: AttributeReference): Option[(IndexCatalog.FieldsEntry, AttributeReference)] =
+    plan.collectFirst {
+      case lr: LogicalRelation if lr.outputSet.contains(attr) =>
+        for {
+          root <- PlanShapes.scanRoot(lr)
+          e <- IndexCatalog.lookupFields(root)
+          if e.fields.contains(attr.name)
+          idAttr <- lr.output.collectFirst {
+            case a: AttributeReference if a.name == e.idCol => a }
+        } yield (e, idAttr)
+    }.flatten
+}
+
+/** Shared construction of typed-field index drives. */
+private[plans] object FieldDrives {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast}
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  /** The matched doc_ids of one field predicate as a logical subtree:
+    * `Project(doc_id, Filter(pred(v), <field dataset scan>))`. The field
+    * dataset is range-partitioned + sorted by `v` (FieldStore.build), so
+    * the Filter lands on the parquet scan and prunes to the files/row
+    * groups whose min/max straddle the constants — the Spark analogue of
+    * the reference's Term / Granular Range posting-list seek. */
+  def matchedIds(spark: SparkSession, entry: IndexCatalog.FieldsEntry,
+      field: String, mkPred: AttributeReference => Expression): LogicalPlan = {
+    val fPlan = graft.index.FieldStore.field(spark, entry.dir, field)
+      .queryExecution.optimizedPlan
+    val v = fPlan.output.collectFirst {
+      case a: AttributeReference if a.name == "v" => a }.get
+    val id = fPlan.output.collectFirst {
+      case a: AttributeReference if a.name == "doc_id" => a }.get
+    Project(Seq(id), Filter(mkPred(v), fPlan))
+  }
+
+  /** doc_id join condition; the sidecar stores ids as long, a narrower
+    * scan id gets a widening cast (exact for all integral types). */
+  def idEq(left: AttributeReference, rightId: Attribute): Expression =
+    if (left.dataType == rightId.dataType) EqualTo(left, rightId)
+    else EqualTo(Cast(left, rightId.dataType), rightId)
+}
+
+/** Covering-projection claim — the INCLUDE columnstore payoff
+  * (reference `Lookup: columnstore` vs `Lookup: table`,
+  * inverted_index_indexed_vs_included.test, inverted_index_topk_include
+  * .test): a `Project(Filter(scan))` whose projected expressions touch
+  * only the index's id + INCLUDE columns, and whose filter conjuncts are
+  * all either index-claimable (text predicates, typed-field predicates)
+  * or evaluable over INCLUDE columns, is rewritten to drive ENTIRELY from
+  * the index artifacts: stored columnstore ⋉ matched-id sets, residual
+  * conjuncts re-evaluated on the stored copies. The base table is not
+  * read at all — at 100 TB that deletes the join-back against the wide
+  * fact table, which dominates every covered search.
+  *
+  * Soundness: any projected expression or residual conjunct referencing a
+  * non-covered column bails the whole rewrite (the plain [[ClaimTsMatch]]
+  * path then still claims the text predicates with a base-table
+  * join-back); output attributes keep their original exprIds via aliases,
+  * so the parent plan is untouched. Injected BEFORE ClaimTsMatch so the
+  * pristine Filter shape is still visible when it runs. */
+case class ClaimCoveredProjection(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import TsPredicates.{asFieldPred, asTsMatch, conjuncts}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList, Filter(cond, child)) =>
+      try cover(p, projList, cond, child).getOrElse(p) catch {
+        case e: Exception =>
+          logWarning(s"covered-projection claim failed, keeping base scan: $e")
+          p
+      }
+  }
+
+  private def cover(orig: Project, projList: Seq[NamedExpression],
+      cond: Expression, child: LogicalPlan): Option[LogicalPlan] = {
+    val (lr, root) = PlanShapes.bareScan(child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val entry = IndexCatalog.lookupFields(root) match {
+      case Some(e) if e.included.nonEmpty => e
+      case _ => return None
+    }
+    val coveredNames = (entry.included :+ entry.idCol).toSet
+    val covered: Map[org.apache.spark.sql.catalyst.expressions.ExprId, AttributeReference] =
+      lr.output.collect {
+        case a: AttributeReference if coveredNames.contains(a.name) => a.exprId -> a
+      }.toMap
+    def isCovered(e: Expression): Boolean = e.references.forall {
+      case a: AttributeReference => covered.contains(a.exprId)
+      case _ => false
+    }
+    if (!projList.forall(isCovered)) return None
+
+    // classify every conjunct; any unclassifiable one bails the rewrite
+    val parts = conjuncts(cond)
+    val textClaims = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, graft.analysis.Analyzer => graft.search.TsQuery)]
+    val fieldClaims = scala.collection.mutable.ArrayBuffer
+      .empty[(String, AttributeReference => Expression)]
+    val residuals = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    parts.foreach { c =>
+      asTsMatch(c) match {
+        case Some((arg: AttributeReference, dict, build))
+            if lr.outputSet.contains(arg) &&
+              IndexCatalog.lookupText(root, arg.name, dict).exists(_.predicate.isEmpty) =>
+          textClaims +=
+            ((IndexCatalog.lookupText(root, arg.name, dict).get.segDir, dict, build))
+        case Some(_) => return None // text predicate with no (full) index
+        case None => asFieldPred(c) match {
+          // point (equality/IN) predicates on an indexed field drive the
+          // field dataset — a Term seek that prunes the stored join. Range
+          // predicates prefer residual eval on the stored copy when the
+          // column is ALSO included (free on rows being read anyway), and
+          // drive the field dataset only when it is the sole access path.
+          case Some((attr, mk, isPoint)) if lr.outputSet.contains(attr) &&
+              entry.fields.contains(attr.name) &&
+              (isPoint || !entry.included.contains(attr.name)) =>
+            fieldClaims += ((attr.name, mk))
+          case _ =>
+            if (isCovered(c)) residuals += c else return None
+        }
+      }
+    }
+    if (textClaims.isEmpty && fieldClaims.isEmpty) return None
+
+    // drive: stored columnstore ⋉ each matched-id set
+    val storedPlan = graft.index.FieldStore.stored(spark, entry.dir)
+      .queryExecution.optimizedPlan
+    val sId = storedPlan.output.collectFirst {
+      case a: AttributeReference if a.name == "doc_id" => a }.get
+    var acc: LogicalPlan = storedPlan
+    textClaims.foreach { case (segDir, dict, build) =>
+      val idx = graft.index.IndexStore.load(spark, segDir)
+      val parsed = build(graft.analysis.AnalyzerRegistry.get(dict))
+      val m = graft.search.TsQueryExec.matching(idx, parsed)
+        .queryExecution.optimizedPlan
+      val rightId = m.output.find(_.name == "doc_id").get
+      acc = Join(acc, m, LeftSemi, Some(EqualTo(sId, rightId)), JoinHint.NONE)
+    }
+    fieldClaims.foreach { case (field, mk) =>
+      val m = FieldDrives.matchedIds(spark, entry, field, mk)
+      val rightId = m.output.find(_.name == "doc_id").get
+      acc = Join(acc, m, LeftSemi, Some(EqualTo(sId, rightId)), JoinHint.NONE)
+    }
+
+    // original covered attr → stored attr (cast when stored widened the id)
+    val byName = storedPlan.output.collect { case a: AttributeReference => a.name -> a }.toMap
+    def sub(e: Expression): Expression = e.transform {
+      case a: AttributeReference if covered.contains(a.exprId) =>
+        val s = byName.getOrElse(a.name,
+          throw new IllegalStateException(s"stored columnstore lacks ${a.name}"))
+        if (s.dataType == a.dataType) s else Cast(s, a.dataType)
+    }
+    residuals.map(sub).reduceOption(CAnd(_, _)).foreach(r => acc = Filter(r, acc))
+    val outProj: Seq[NamedExpression] = projList.map {
+      case a: AttributeReference => Alias(sub(a), a.name)(exprId = a.exprId)
+      case al: Alias => Alias(sub(al.child), al.name)(exprId = al.exprId)
+      case other => Alias(sub(other), other.name)(exprId = other.exprId)
+    }
+    Some(Project(outProj, acc))
   }
 }

@@ -127,6 +127,49 @@ object Surface {
         |""".stripMargin)
   }
 
+  /** Composite index: text postings + typed indexed FIELDS + INCLUDE
+    * columnstore (reference `USING inverted(id, body en, service, sev)
+    * INCLUDE (...)`, inverted_index_include_pushdown.test). Shared by the
+    * covered-projection and field-pushdown entries. */
+  private def ensureDocsCoverIdx(s: SparkSession, dir: String): Unit = {
+    Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+    graft.search.Ddl.execute(s,
+      s"""CREATE SEARCH INDEX docs_cover_idx ON graft_documents (text)
+         |WITH (id = 'doc_id', analyzer = 'whitespace', key = '$dir-documents')
+         |FIELDS (lang, n_chars) INCLUDE (lang, source, n_chars)""".stripMargin)
+  }
+
+  /** COVERED search: every projected column is id or INCLUDE — the
+    * ClaimCoveredProjection rule serves the whole query from index
+    * artifacts (stored columnstore ⋉ postings ⋉ field dataset); the base
+    * parquet is not read at all (CoveredIndexSpec asserts inputFiles).
+    * The reference's `Lookup: columnstore` path,
+    * inverted_index_indexed_vs_included.test scenario 3. */
+  def tsCoveredProjection(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsCoverIdx(s, dir)
+    s.sql(
+      """SELECT doc_id, lang, source, n_chars FROM graft_documents
+        |WHERE ts_match(text, 'vector', 'whitespace')
+        |  AND lang = 'en' AND n_chars >= 200""".stripMargin)
+  }
+
+  /** Typed-field pushdown with a NON-covered projection (`length(text)`
+    * needs the base table): the equality conjunct on the indexed `lang`
+    * field claims into a field-dataset Term seek semi-joined with the text
+    * postings drive — the reference's compound Index Filter
+    * (inverted_index_include_pushdown.test "all three filters land inside
+    * the IRESEARCH_SCAN"). */
+  def tsFieldPushdown(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsCoverIdx(s, dir)
+    s.sql(
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+        |FROM graft_documents
+        |WHERE ts_match(text, 'stream', 'whitespace')
+        |  AND lang IN ('en', 'de')""".stripMargin)
+  }
+
   /** The reference's sugar predicates (search.h:95-99: has_any_tokens /
     * has_all_tokens / phrase_matches / levenshtein_matches / ngram_matches)
     * in SQL text over the indexed table — each claims into the matching
@@ -712,6 +755,8 @@ object Surface {
     "es_dsl_aggs" -> esDslAggs,
     "ts_claimed_match" -> tsClaimedMatch,
     "ts_partial_index" -> tsPartialIndex,
+    "ts_covered_projection" -> tsCoveredProjection,
+    "ts_field_pushdown" -> tsFieldPushdown,
     "ts_sugar_preds" -> tsSugarPreds,
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
@@ -899,6 +944,17 @@ object Surface {
          |SELECT t.doc_id FROM toks t JOIN documents d USING (doc_id)
          |WHERE list_contains(ts, 'stream') AND NOT list_contains(ts, 'batch')
          |  AND d.n_chars > 100""".stripMargin,
+    "ts_covered_projection" ->
+      s"""$toks
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN toks USING (doc_id)
+         |WHERE list_contains(ts, 'vector') AND d.lang = 'en'
+         |  AND d.n_chars >= 200""".stripMargin,
+    "ts_field_pushdown" ->
+      s"""$toks
+         |SELECT d.doc_id, length(d.text) AS text_len
+         |FROM documents d JOIN toks USING (doc_id)
+         |WHERE list_contains(ts, 'stream') AND d.lang IN ('en', 'de')""".stripMargin,
     "ts_partial_index" ->
       """WITH en AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts

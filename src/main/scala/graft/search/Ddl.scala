@@ -58,9 +58,30 @@ object IndexCatalog {
   /** Secondary (point-lookup) index: the PkIndex manifest dir. */
   final case class PkEntry(dir: String)
 
+  /** Composite-index sidecar: typed indexed FIELDS + INCLUDE columnstore
+    * (reference InvertedIndexColumnInfo: typed posting lists +
+    * store_values, inverted_index_indexed_vs_included.test). One per scan
+    * root — the claim rules use it to (a) serve equality/range predicates
+    * on indexed fields from the field datasets and (b) serve covered
+    * projections from the stored columnstore with no base-table access. */
+  final case class FieldsEntry(dir: String, idCol: String,
+      fields: Seq[String], included: Seq[String])
+
   private[search] val text = TrieMap.empty[(String, String, String), TextEntry]
   private[search] val ann = TrieMap.empty[(String, String, String), AnnEntry]
   private[search] val pk = TrieMap.empty[(String, String), PkEntry]
+  private[search] val fieldSide = TrieMap.empty[String, FieldsEntry]
+
+  def registerFields(tableRoot: String, e: FieldsEntry): Unit =
+    fieldSide.put(tableRoot, e)
+
+  def lookupFields(tableRoot: String): Option[FieldsEntry] = {
+    CatalogStore.ensureLoaded()
+    fieldSide.get(tableRoot)
+  }
+
+  def unregisterFields(dir: String): Unit =
+    fieldSide.filterInPlace((_, e) => e.dir != dir)
 
   def registerText(tableRoot: String, column: String, analyzer: String,
       segDir: String, idCol: String, predicate: Option[String] = None): Unit = {
@@ -186,8 +207,12 @@ object Ddl {
   // the optional trailing WHERE makes this a PARTIAL index (reference
   // inverted_index_partial.test); the opts group is lazy so the predicate
   // stays outside the WITH parens
+  // optional FIELDS (typed indexed columns → per-field posting datasets)
+  // and INCLUDE (covering columnstore) clauses — the reference's
+  // `USING inverted(id, body en, service, sev) INCLUDE (tag)` surface
+  // (inverted_index_include_pushdown.test, indexed_vs_included.test)
   private val createRe =
-    """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*?)\)\s*(?:WHERE\s+(.+?))?\s*""".r
+    """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*?)\)\s*(?:FIELDS\s*\(([^)]*)\)\s*)?(?:INCLUDE\s*\(([^)]*)\)\s*)?(?:WHERE\s+(.+?))?\s*""".r
   private val createExprRe =
     """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\(\s*(.+?)\s*\)\)\s*WITH\s*\((.*)\)\s*""".r
   private val createVecRe =
@@ -408,12 +433,16 @@ object Ddl {
       sessionReady.put(name, true)
       CatalogStore.persist(spark)
       result(spark, s"created $name")
-    case createRe(name, view, textCol, optsStr, whereRaw) =>
+    case createRe(name, view, textCol, optsStr, fieldsRaw, includeRaw, whereRaw) =>
       val opts = optRe.findAllMatchIn(optsStr)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
       val idCol = opts.getOrElse("id",
         throw new IllegalArgumentException("CREATE SEARCH INDEX requires WITH (id = '...')"))
       val analyzer = opts.getOrElse("analyzer", "whitespace")
+      def cols(raw: String): Seq[String] = Option(raw).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val fieldCols = cols(fieldsRaw)
+      val includeCols = cols(includeRaw)
       // partial index (WHERE <pred>): normalize the predicate to its parsed
       // SQL once, at DDL time — the claim rules compare conjuncts against
       // this canonical rendering. The key gets a predicate tag so a partial
@@ -427,14 +456,26 @@ object Ddl {
           s"$baseKey-part${java.lang.Integer.toHexString(p.hashCode).takeRight(8)}"
         case None => baseKey
       }
+      // the composite sidecar (typed fields + INCLUDE columnstore) always
+      // lives NEXT to the text index dir, so DROP/REFRESH/DESCRIBE find it
+      // from the catalog row alone
+      if ((fieldCols.nonEmpty || includeCols.nonEmpty) && predicate.nonEmpty)
+        throw new IllegalArgumentException(
+          "FIELDS/INCLUDE are not supported on a partial (WHERE) index")
+      val keySpecOf =
+        if (fieldCols.isEmpty && includeCols.isEmpty) textCol
+        else s"$textCol fields(${fieldCols.mkString(",")}) include(${includeCols.mkString(",")})"
       // idempotent fast path: re-issuing the SAME statement (entries do this
       // once per query) must not re-run the stats/view registration IO;
       // DROP removes the catalog row, so a recreate always takes the full
       // path and rebuilds
       val fastDir = IndexStore.dirFor(cacheKey, textCol, analyzer)
+      val fieldsDir = fastDir + "-fields"
+      val fieldsWanted = fieldCols.nonEmpty || includeCols.nonEmpty
       if (catalog.get(name).exists(_.sameSpec(
-            Entry(fastDir, view, textCol, analyzer, predicate = predicate))) &&
-          IndexStore.durable(spark, fastDir)) {
+            Entry(fastDir, view, keySpecOf, analyzer, predicate = predicate))) &&
+          IndexStore.durable(spark, fastDir) &&
+          (!fieldsWanted || graft.index.FieldStore.exists(spark, fieldsDir))) {
         if (sessionReady.putIfAbsent(name, true).isEmpty) {
           IndexStore.registerViews(spark, fastDir, name)
           IndexStore.registerStatsTables(spark, fastDir, name)
@@ -447,6 +488,9 @@ object Ddl {
         // still keeps a live full index in place.
         scanRootOf(spark, view).foreach { root =>
           IndexCatalog.registerText(root, textCol, analyzer, fastDir, idCol, predicate)
+          if (fieldsWanted)
+            IndexCatalog.registerFields(root,
+              IndexCatalog.FieldsEntry(fieldsDir, idCol, fieldCols, includeCols))
         }
         return result(spark, s"created $name")
       }
@@ -469,13 +513,21 @@ object Ddl {
       writeSourceFp(spark, dir, view)
       IndexStore.registerViews(spark, dir, name)
       IndexStore.registerStatsTables(spark, dir, name) // CBO sees the manifest stats
+      // typed-field postings + INCLUDE columnstore sidecar: one linear
+      // column-pruned pass over the source per covered column family
+      if (fieldsWanted)
+        graft.index.FieldStore.build(spark, spark.table(view), fieldsDir,
+          idCol, fieldCols, includeCols)
       // the claim-rule catalog: any ts_match / facet over (this scan root,
       // this column, this analyzer) now resolves to the segments just built
       scanRootOf(spark, view).foreach { root =>
         IndexCatalog.registerText(root, textCol, analyzer, dir, idCol, predicate)
+        if (fieldsWanted)
+          IndexCatalog.registerFields(root,
+            IndexCatalog.FieldsEntry(fieldsDir, idCol, fieldCols, includeCols))
       }
       catalog.put(name,
-        Entry(dir, view, textCol, analyzer, idCol = idCol, predicate = predicate))
+        Entry(dir, view, keySpecOf, analyzer, idCol = idCol, predicate = predicate))
       sessionReady.put(name, true)
       CatalogStore.persist(spark)
       result(spark, s"created $name")
@@ -538,6 +590,9 @@ object Ddl {
           IndexStore.invalidate(e.dir)
           IndexCatalog.unregisterText(e.dir)
           IndexCatalog.unregisterPk(e.dir)
+          graft.index.FieldStore.drop(spark, e.dir + "-fields")
+          IndexCatalog.unregisterFields(e.dir + "-fields")
+          CatalogStore.dropped.put(e.dir + "-fields", true)
           graft.index.PkIndex.invalidate(e.dir)
           // tombstone for the persist merge: another session's catalog row
           // pointing at this (now deleted) artifact must not be resurrected
@@ -630,7 +685,8 @@ object Ddl {
             case exprSpec(exprRaw) =>
               (viewDf.withColumn("expr_key",
                 org.apache.spark.sql.functions.expr(exprRaw)), "expr_key")
-            case colName => (viewDf, colName)
+            // composite spec "col fields(...) include(...)" → bare column
+            case colName => (viewDf, colName.split("\\s+").head)
           }
           // anti-join against the FULL per-segment doc-id manifest, not
           // docStats: docStats carries only docs with ≥1 token, so a
@@ -648,6 +704,17 @@ object Ddl {
             spark.catalog.refreshByPath(e.dir)
             IndexStore.registerViews(spark, e.dir, name)
             IndexStore.registerStatsTables(spark, e.dir, name)
+          }
+          // the composite sidecar is sorted COPIES, not merged segments:
+          // refresh = one linear rebuild from the source (cheaper than an
+          // incremental merge would be to maintain, and it folds source
+          // deletes in for free)
+          val sidecar = e.dir + "-fields"
+          if (added > 0 && graft.index.FieldStore.exists(spark, sidecar)) {
+            val m = graft.index.FieldStore.readManifest(spark, sidecar)
+            graft.index.FieldStore.build(spark, spark.table(e.view), sidecar,
+              m.idCol, m.fields, m.included)
+            spark.catalog.refreshByPath(sidecar)
           }
           writeSourceFp(spark, e.dir, e.view)
           result(spark, s"refreshed $name (+$added docs)")
@@ -692,7 +759,13 @@ object Ddl {
           val staleness =
             if (e.analyzer == "secondary") Seq.empty  // PK zones self-report via fresh()
             else stalenessRows(spark, e.dir, e.view)
-          (base ++ stats ++ staleness).toDF("stat", "value")
+          val sidecar =
+            if (graft.index.FieldStore.exists(spark, e.dir + "-fields")) {
+              val m = graft.index.FieldStore.readManifest(spark, e.dir + "-fields")
+              Seq("indexed_fields" -> m.fields.mkString(","),
+                "included_columns" -> m.included.mkString(","))
+            } else Seq.empty
+          (base ++ stats ++ sidecar ++ staleness).toDF("stat", "value")
         case None =>
           throw new IllegalArgumentException(s"no such search index: $name")
       }
@@ -759,6 +832,7 @@ object CatalogStore {
     * fresh session would. */
   private[graft] def reset(): Unit = synchronized {
     IndexCatalog.text.clear(); IndexCatalog.ann.clear(); IndexCatalog.pk.clear()
+    IndexCatalog.fieldSide.clear()
     ExprIndexes.reg.clear(); Ddl.catalog.clear(); Ddl.sessionReady.clear()
     dropped.clear()
     loadedOnce = false
@@ -780,6 +854,7 @@ object CatalogStore {
       case "ann" => s"ann|${s("root")}|${s("column")}|${s("metric")}"
       case "expr" => s"expr|${s("root")}|${s("exprSql")}|${s("analyzer")}"
       case "pk" => s"pk|${s("root")}|${s("column")}"
+      case "fields" => s"fields|${s("root")}"
       case "ddl" => s"ddl|${s("name")}"
       case other => s"$other|${n.toString}"
     }
@@ -812,6 +887,12 @@ object CatalogStore {
     IndexCatalog.pk.foreach { case ((root, c), e) =>
       add(s"pk|$root|$c", row("kind" -> "pk", "root" -> root, "column" -> c,
         "dir" -> e.dir))
+    }
+    IndexCatalog.fieldSide.foreach { case (root, e) =>
+      add(s"fields|$root", row("kind" -> "fields", "root" -> root,
+        "dir" -> e.dir, "idCol" -> e.idCol,
+        "fields" -> e.fields.mkString(","),
+        "included" -> e.included.mkString(",")))
     }
     Ddl.catalog.foreach { case (n, e) =>
       add(s"ddl|$n", row((Seq("kind" -> "ddl", "name" -> n, "dir" -> e.dir,
@@ -884,6 +965,11 @@ object CatalogStore {
         case Some("pk") =>
           IndexCatalog.pk.putIfAbsent((s("root").get, s("column").get),
             IndexCatalog.PkEntry(s("dir").get))
+        case Some("fields") =>
+          IndexCatalog.fieldSide.putIfAbsent(s("root").get,
+            IndexCatalog.FieldsEntry(s("dir").get, s("idCol").get,
+              s("fields").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+              s("included").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)))
         case Some("ddl") =>
           Ddl.catalog.putIfAbsent(s("name").get,
             Ddl.Entry(s("dir").get, s("view").get, s("keySpec").get,

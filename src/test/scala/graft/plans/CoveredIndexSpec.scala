@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.Tables
+import graft.search.SqlSurface
+
+/** Composite-index sidecar: typed indexed FIELDS + INCLUDE columnstore
+  * (reference inverted_index_include_pushdown.test,
+  * inverted_index_indexed_vs_included.test). Asserts the three contracts:
+  * covered projections never read the base parquet, field point predicates
+  * drive the field dataset, and results are identical to brute force. */
+class CoveredIndexSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val key = TestSpark.sfDir + "-documents-coverspec"
+
+  private def ensure(): Unit = {
+    SqlSurface.registerAll(spark)
+    Tables.documents(spark, TestSpark.sfDir)
+      .createOrReplaceTempView("graft_documents")
+    graft.search.Ddl.execute(spark,
+      s"""CREATE SEARCH INDEX docs_coverspec_idx ON graft_documents (text)
+         |WITH (id = 'doc_id', analyzer = 'whitespace', key = '$key')
+         |FIELDS (lang, n_chars) INCLUDE (lang, source, n_chars)""".stripMargin)
+  }
+
+  private def bruteMatched(term: String) =
+    Tables.documents(spark, TestSpark.sfDir)
+      .filter(array_contains(
+        filter(split(lower(col("text")), "\\s+"), t => t =!= ""), term))
+
+  test("covered projection never reads the base table") {
+    ensure()
+    val df = spark.sql(
+      """SELECT doc_id, lang, source, n_chars FROM graft_documents
+        |WHERE ts_match(text, 'vector', 'whitespace')
+        |  AND lang = 'en' AND n_chars >= 200""".stripMargin)
+    val base = Tables.documents(spark, TestSpark.sfDir).inputFiles.toSet
+    val read = df.inputFiles.toSet
+    assert(read.nonEmpty, "covered plan must still read index artifacts")
+    assert((read & base).isEmpty,
+      s"covered projection must not touch the base parquet; read:\n${read.mkString("\n")}")
+    // results identical to brute force over the base table
+    val want = bruteMatched("vector")
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select("doc_id", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val got = df.collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("covered projection survives expressions over included columns") {
+    ensure()
+    val df = spark.sql(
+      """SELECT doc_id, upper(lang) AS lang_uc, n_chars + 1 AS nc1
+        |FROM graft_documents
+        |WHERE ts_match(text, 'stream', 'whitespace') AND n_chars < 400""".stripMargin)
+    val base = Tables.documents(spark, TestSpark.sfDir).inputFiles.toSet
+    assert((df.inputFiles.toSet & base).isEmpty,
+      "projection of expressions over covered columns must stay covered")
+    val want = bruteMatched("stream").filter(col("n_chars") < 400)
+      .select(col("doc_id"), upper(col("lang")).as("lang_uc"),
+        (col("n_chars") + 1).as("nc1"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(df.collect().map(_.toSeq).sortBy(_.head.toString).toSeq == want.toSeq)
+  }
+
+  test("projection of a non-included column falls back to the base join (still claimed)") {
+    ensure()
+    val df = spark.sql(
+      """SELECT doc_id, length(text) AS text_len FROM graft_documents
+        |WHERE ts_match(text, 'stream', 'whitespace') AND lang IN ('en', 'de')""".stripMargin)
+    val base = Tables.documents(spark, TestSpark.sfDir).inputFiles.toSet
+    assert((df.inputFiles.toSet & base).nonEmpty,
+      "a projection needing `text` must read the base table")
+    val optimized = df.queryExecution.optimizedPlan
+    val semis = optimized.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.size >= 2,
+      s"text claim + lang field claim expected as two semi-joins:\n$optimized")
+    val want = bruteMatched("stream").filter(col("lang").isin("en", "de"))
+      .select(col("doc_id"), length(col("text")).as("text_len"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(df.collect().map(_.toSeq).sortBy(_.head.toString).toSeq == want.toSeq)
+  }
+
+  test("a residual on a non-covered column keeps the base scan") {
+    ensure()
+    // `text LIKE ...` is not claimable and text is not included → the
+    // covering rewrite must bail and the base scan must survive
+    val df = spark.sql(
+      """SELECT doc_id, lang FROM graft_documents
+        |WHERE ts_match(text, 'stream', 'whitespace') AND text LIKE '%join%'""".stripMargin)
+    val base = Tables.documents(spark, TestSpark.sfDir).inputFiles.toSet
+    assert((df.inputFiles.toSet & base).nonEmpty)
+    val want = bruteMatched("stream").filter(col("text").contains("join"))
+      .select("doc_id", "lang").collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(df.collect().map(_.toSeq).sortBy(_.head.toString).toSeq == want.toSeq)
+  }
+
+  test("DESCRIBE surfaces the sidecar; DROP removes it") {
+    ensure()
+    val desc = graft.search.Ddl.execute(spark,
+      "DESCRIBE SEARCH INDEX docs_coverspec_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("indexed_fields") == "lang,n_chars")
+    assert(desc("included_columns") == "lang,source,n_chars")
+    graft.search.Ddl.execute(spark, "DROP SEARCH INDEX docs_coverspec_idx")
+    // after the drop, the same covered query must run on the base table
+    val df = spark.sql(
+      """SELECT doc_id, lang FROM graft_documents
+        |WHERE ts_match(text, 'vector', 'whitespace') AND lang = 'en'""".stripMargin)
+    val base = Tables.documents(spark, TestSpark.sfDir).inputFiles.toSet
+    assert((df.inputFiles.toSet & base).nonEmpty,
+      "after DROP the base scan must come back")
+    val want = bruteMatched("vector").filter(col("lang") === "en")
+      .select("doc_id", "lang").collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(df.collect().map(_.toSeq).sortBy(_.head.toString).toSeq == want.toSeq)
+  }
+}
