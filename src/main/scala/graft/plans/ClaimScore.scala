@@ -204,16 +204,36 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
       }.distinct
       val base =
         if (neededScanCols.forall(_ == entry.idCol)) topk
-        else topk
-          .join(spark.read.parquet(root)
-            .select((neededScanCols.toSet + entry.idCol).toSeq.map(col): _*), Seq(entry.idCol))
-          // the join-back scrambles row order; the claim replaces a Sort,
-          // so re-establish score order before handing the plan back
-          .orderBy(col("__graft_score").desc, col(entry.idCol))
+        else {
+          // covered join-back (reference inverted_index_topk_include.test):
+          // when every projected column is id or INCLUDE, the k-row
+          // late materialization reads the narrow stored columnstore
+          // instead of the wide base table — at 100 TB the base fact scan
+          // disappears from the top-k serve path entirely
+          val lookup = IndexCatalog.lookupFields(root) match {
+            case Some(fe) if neededScanCols.forall(c =>
+                c == entry.idCol || fe.included.contains(c)) =>
+              graft.index.FieldStore.stored(spark, fe.dir)
+                .withColumnRenamed("doc_id", entry.idCol)
+            case _ => spark.read.parquet(root)
+          }
+          topk
+            .join(lookup.select(
+              (neededScanCols.toSet + entry.idCol).toSeq.map(col): _*), Seq(entry.idCol))
+            // the join-back scrambles row order; the claim replaces a Sort,
+            // so re-establish score order before handing the plan back
+            .orderBy(col("__graft_score").desc, col(entry.idCol))
+        }
       val rPlan = base.queryExecution.optimizedPlan
       val byName = rPlan.output.map(a => a.name -> a).toMap
-      def subst(a: AttributeReference): Attribute =
-        if (scoreIds.contains(a.exprId)) byName("__graft_score") else byName(a.name)
+      def subst(a: AttributeReference): Expression = {
+        val r: Attribute =
+          if (scoreIds.contains(a.exprId)) byName("__graft_score") else byName(a.name)
+        // the stored columnstore keeps ids as long; cast back when the
+        // original scan attribute was narrower so output types are stable
+        if (r.dataType == a.dataType) r
+        else org.apache.spark.sql.catalyst.expressions.Cast(r, a.dataType)
+      }
       val newList = outList.map {
         case a: AttributeReference => Alias(subst(a), a.name)(exprId = a.exprId)
         case al @ Alias(c, n) =>

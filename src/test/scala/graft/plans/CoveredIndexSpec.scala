@@ -101,6 +101,27 @@ class CoveredIndexSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).sortBy(_.head.toString).toSeq == want.toSeq)
   }
 
+  test("covered scored top-k joins back to the stored columnstore, not the base table") {
+    ensure()
+    val df = spark.sql(
+      """SELECT doc_id, lang, source FROM graft_documents
+        |ORDER BY bm25(text, 'stream vector', 'whitespace') DESC
+        |LIMIT 10""".stripMargin)
+    val base = Tables.documents(spark, TestSpark.sfDir).inputFiles.toSet
+    assert((df.inputFiles.toSet & base).isEmpty,
+      "covered top-k must late-materialize from the stored columnstore")
+    // parity with the row-eval scorer over the base table
+    val got = df.collect().map(_.getLong(0))
+    assert(got.length == 10 && got.distinct.length == 10)
+    val storedVals = df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val baseVals = Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("doc_id").isin(got.toSeq: _*))
+      .select("doc_id", "lang", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(storedVals.toSet == baseVals,
+      "stored columnstore values must equal the base table's")
+  }
+
   test("DESCRIBE surfaces the sidecar; DROP removes it") {
     ensure()
     val desc = graft.search.Ddl.execute(spark,
