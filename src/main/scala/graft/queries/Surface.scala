@@ -170,6 +170,53 @@ object Surface {
         |  AND lang IN ('en', 'de')""".stripMargin)
   }
 
+  /** Term-dictionary enumeration composing with JOINs (reference
+    * ts_dict_joins.test): each registered `<name>_termdict` view is an
+    * independent relation, so an allowlist join, a cross-index join and a
+    * self-join (two prefix slices of the same dictionary joined on df)
+    * all resolve natively — identity is the column binding, not the
+    * display name. Dictionary-sized inputs only; no postings or base rows
+    * are touched. */
+  def tsDictJoins(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    Tables.events(s, dir).createOrReplaceTempView("graft_events")
+    graft.search.Ddl.execute(s,
+      s"""CREATE SEARCH INDEX events_kw_idx ON graft_events (event_type)
+         |WITH (id = 'event_id', analyzer = 'keyword', key = '$dir-events')""".stripMargin)
+    s.sql(
+      """SELECT src, term, CAST(df AS BIGINT) AS df FROM (
+        |  SELECT 'cross' AS src, e.term AS term, e.df AS df
+        |  FROM events_kw_idx_termdict e
+        |  JOIN (VALUES ('signup'), ('click'), ('error'), ('stream')) AS allow(term)
+        |    ON e.term = allow.term
+        |  UNION ALL
+        |  SELECT 'self', concat(a.term, '|', b.term), a.df
+        |  FROM (SELECT term, df FROM docs_claim_idx_termdict WHERE term LIKE 'st%') a
+        |  JOIN (SELECT term, df FROM docs_claim_idx_termdict WHERE term LIKE 'ba%') b
+        |    ON a.df >= 0 AND b.df >= 0
+        |)""".stripMargin)
+  }
+
+  /** Boolean composition over dictionary enumerations (reference
+    * ts_dict_compose.test): OR → UNION, AND → INTERSECT, NOT → EXCEPT,
+    * arbitrary scalars as outer filters — all over the dictionary views,
+    * never the corpus. */
+  def tsDictCompose(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql(
+      """SELECT term FROM (
+        |  SELECT term FROM docs_claim_idx_termdict WHERE term LIKE 's%'
+        |  UNION
+        |  SELECT term FROM docs_claim_idx_termdict WHERE term LIKE 'b%'
+        |)
+        |INTERSECT
+        |SELECT term FROM docs_claim_idx_termdict WHERE length(term) >= 5
+        |EXCEPT
+        |SELECT term FROM docs_claim_idx_termdict WHERE term LIKE 'ba%'""".stripMargin)
+  }
+
   /** The reference's sugar predicates (search.h:95-99: has_any_tokens /
     * has_all_tokens / phrase_matches / levenshtein_matches / ngram_matches)
     * in SQL text over the indexed table — each claims into the matching
@@ -757,6 +804,8 @@ object Surface {
     "ts_partial_index" -> tsPartialIndex,
     "ts_covered_projection" -> tsCoveredProjection,
     "ts_field_pushdown" -> tsFieldPushdown,
+    "ts_dict_joins" -> tsDictJoins,
+    "ts_dict_compose" -> tsDictCompose,
     "ts_sugar_preds" -> tsSugarPreds,
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
@@ -944,6 +993,36 @@ object Surface {
          |SELECT t.doc_id FROM toks t JOIN documents d USING (doc_id)
          |WHERE list_contains(ts, 'stream') AND NOT list_contains(ts, 'batch')
          |  AND d.n_chars > 100""".stripMargin,
+    "ts_dict_joins" ->
+      s"""$toks,
+         |dict AS (SELECT t AS term, count(DISTINCT doc_id) AS df
+         |         FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1),
+         |edict AS (SELECT event_type AS term, count(DISTINCT event_id) AS df
+         |          FROM events GROUP BY 1)
+         |SELECT src, term, df FROM (
+         |  SELECT 'cross' AS src, e.term AS term, e.df AS df
+         |  FROM edict e
+         |  JOIN (VALUES ('signup'), ('click'), ('error'), ('stream')) AS allow(term)
+         |    ON e.term = allow.term
+         |  UNION ALL
+         |  SELECT 'self', concat(a.term, '|', b.term), a.df
+         |  FROM (SELECT term, df FROM dict WHERE term LIKE 'st%') a
+         |  JOIN (SELECT term, df FROM dict WHERE term LIKE 'ba%') b
+         |    ON a.df >= 0 AND b.df >= 0
+         |)""".stripMargin,
+    "ts_dict_compose" ->
+      s"""$toks,
+         |dict AS (SELECT DISTINCT t AS term
+         |         FROM (SELECT unnest(ts) AS t FROM toks))
+         |SELECT term FROM (
+         |  SELECT term FROM dict WHERE term LIKE 's%'
+         |  UNION
+         |  SELECT term FROM dict WHERE term LIKE 'b%'
+         |)
+         |INTERSECT
+         |SELECT term FROM dict WHERE length(term) >= 5
+         |EXCEPT
+         |SELECT term FROM dict WHERE term LIKE 'ba%'""".stripMargin,
     "ts_covered_projection" ->
       s"""$toks
          |SELECT d.doc_id, d.lang, d.source, d.n_chars
