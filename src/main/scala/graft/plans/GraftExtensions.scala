@@ -614,9 +614,22 @@ case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
               val result =
                 if (outAttrs.map(_.name) == Seq(entry.idCol))
                   probed.select(f(entry.idCol))
-                else probed.join(spark.read.parquet(root), Seq(entry.idCol))
-                  .orderBy(f("dist"), f(entry.idCol))
-                  .select(outAttrs.map(a => f(a.name)): _*)
+                else {
+                  // covered kNN (reference inverted_index_ann_include.test):
+                  // when every projected column is the id or an INCLUDE of
+                  // the vector index's sidecar, the k-row join-back reads
+                  // the narrow stored columnstore, never the base table
+                  val lookup = IndexCatalog.lookupFields(root) match {
+                    case Some(fe) if outAttrs.forall(a =>
+                        a.name == entry.idCol || fe.included.contains(a.name)) =>
+                      graft.index.FieldStore.stored(spark, fe.dir)
+                        .withColumnRenamed("doc_id", entry.idCol)
+                    case _ => spark.read.parquet(root)
+                  }
+                  probed.join(lookup, Seq(entry.idCol))
+                    .orderBy(f("dist"), f(entry.idCol))
+                    .select(outAttrs.map(a => f(a.name)): _*)
+                }
               val rPlan = result.queryExecution.optimizedPlan
               Project(outAttrs.zip(rPlan.output).map { case (orig, out) =>
                 Alias(out, orig.name)(exprId = orig.exprId)

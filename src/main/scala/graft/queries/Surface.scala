@@ -366,6 +366,27 @@ object Surface {
       .select(col("vec_id"), col("label"))
   }
 
+  /** Covered kNN (reference inverted_index_ann_include.test — the ivf
+    * opclass stores column values): the vector index carries INCLUDE
+    * (label), so the claimed probe's k-row late materialization reads the
+    * index's stored columnstore — the embeddings base parquet is not
+    * touched (CoveredIndexSpec asserts inputFiles). Probe is exact → real
+    * SQL oracle on (vec_id, label). */
+  def vecAnnInclude(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+    graft.search.Ddl.execute(s,
+      s"""CREATE VECTOR INDEX emb_inc_idx ON graft_embeddings (embedding)
+         |WITH (id = 'vec_id', metric = 'l2', key = '$dir-embeddings')
+         |INCLUDE (label)""".stripMargin)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Tables.embeddings(s, dir)
+      .orderBy(call_udf("ann_l2", col("embedding"), typedlit(q)))
+      .limit(10)
+      .select(col("vec_id"), col("label"))
+  }
+
   /** The remaining ts_dict variants (round-7 verdict item 2; search.h:
     * 105-111): ts_dict_min/ts_dict_max = ungrouped min/max(token) served
     * from the ends of the byte-ordered term dictionary, count(DISTINCT
@@ -785,6 +806,7 @@ object Surface {
     "vec_claimed_ip" -> vecClaimedIp,
     "vec_ann_range" -> vecAnnRange,
     "vec_claimed_ann_cols" -> vecClaimedAnnCols,
+    "vec_ann_include" -> vecAnnInclude,
     "vec_refresh_append" -> vecRefreshAppend,
     "vec_knn_filtered" -> vecKnnFiltered,
     "vec_hnsw_refresh" -> vecHnswRefresh,
@@ -895,6 +917,10 @@ object Surface {
         |  list_zip(embedding::DOUBLE[], qe::DOUBLE[]),
         |  p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') < 1.5""".stripMargin,
     "vec_claimed_ann_cols" ->
+      """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label FROM embeddings, qv
+        |ORDER BY list_distance(embedding::DOUBLE[], qe::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
+    "vec_ann_include" ->
       """WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label FROM embeddings, qv
         |ORDER BY list_distance(embedding::DOUBLE[], qe::DOUBLE[]), vec_id LIMIT 10""".stripMargin,

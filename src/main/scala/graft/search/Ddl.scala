@@ -215,8 +215,10 @@ object Ddl {
     """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*?)\)\s*(?:FIELDS\s*\(([^)]*)\)\s*)?(?:INCLUDE\s*\(([^)]*)\)\s*)?(?:WHERE\s+(.+?))?\s*""".r
   private val createExprRe =
     """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\(\s*(.+?)\s*\)\)\s*WITH\s*\((.*)\)\s*""".r
+  // optional INCLUDE: the `ivf` opclass with store_values — covered kNN
+  // (reference inverted_index_ann_include.test)
   private val createVecRe =
-    """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*)\)\s*""".r
+    """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*?)\)\s*(?:INCLUDE\s*\(([^)]*)\)\s*)?""".r
   private val createPkRe =
     """(?is)\s*CREATE\s+SECONDARY\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)(?:\s*WITH\s*\((.*)\))?\s*""".r
   private val createDictRe =
@@ -531,7 +533,7 @@ object Ddl {
       sessionReady.put(name, true)
       CatalogStore.persist(spark)
       result(spark, s"created $name")
-    case createVecRe(name, view, embCol, optsStr) =>
+    case createVecRe(name, view, embCol, optsStr, includeRaw) =>
       val opts = optRe.findAllMatchIn(optsStr)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
       val idCol = opts.getOrElse("id",
@@ -541,12 +543,28 @@ object Ddl {
       val cacheKey = opts.getOrElse("key", view)
       val effKey = if (metric == "l2") cacheKey else s"$cacheKey-$metric"
       val lists = opts.get("lists").map(_.toInt).getOrElse(0)
+      // INCLUDE → covered kNN: the reference's ivf opclass implicitly sets
+      // store_values (inverted_index_ann_include.test); here the stored
+      // copies live in the shared FieldStore sidecar next to the IVF dir
+      val includeCols = Option(includeRaw).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val vecSpec =
+        if (includeCols.isEmpty) embCol
+        else s"$embCol include(${includeCols.mkString(",")})"
       // idempotent fast path, same contract as the search-index branch
       val vecDir = graft.index.IvfIndex.dirFor(effKey, lists)
+      val vecFieldsDir = vecDir + "-fields"
       if (catalog.get(name).exists(_.sameSpec(
-            Entry(vecDir, view, embCol, s"vector:$metric"))) &&
-          graft.index.IvfIndex.available(spark, effKey, lists))
+            Entry(vecDir, view, vecSpec, s"vector:$metric"))) &&
+          graft.index.IvfIndex.available(spark, effKey, lists) &&
+          (includeCols.isEmpty || graft.index.FieldStore.exists(spark, vecFieldsDir))) {
+        scanRootOf(spark, view).foreach { root =>
+          if (includeCols.nonEmpty)
+            IndexCatalog.registerFields(root,
+              IndexCatalog.FieldsEntry(vecFieldsDir, idCol, Seq.empty, includeCols))
+        }
         return result(spark, s"created $name")
+      }
       val root = scanRootOf(spark, view).getOrElse(
         throw new IllegalArgumentException(
           s"CREATE VECTOR INDEX: view $view is not a bare parquet scan"))
@@ -554,8 +572,14 @@ object Ddl {
       graft.index.IvfIndex.ensure(spark,
         IndexCatalog.annSource(spark, root, entry), effKey, lists)
       IndexCatalog.registerAnn(root, embCol, metric, entry)
+      if (includeCols.nonEmpty) {
+        graft.index.FieldStore.build(spark, spark.table(view), vecFieldsDir,
+          idCol, Seq.empty, includeCols)
+        IndexCatalog.registerFields(root,
+          IndexCatalog.FieldsEntry(vecFieldsDir, idCol, Seq.empty, includeCols))
+      }
       writeSourceFp(spark, vecDir, view)
-      catalog.put(name, Entry(vecDir, view, embCol, s"vector:$metric",
+      catalog.put(name, Entry(vecDir, view, vecSpec, s"vector:$metric",
         annKey = Some(effKey), idCol = idCol))
       CatalogStore.persist(spark)
       result(spark, s"created $name")

@@ -122,6 +122,31 @@ class CoveredIndexSpec extends AnyFunSuite {
       "stored columnstore values must equal the base table's")
   }
 
+  test("covered kNN reads the vector index sidecar, not the embeddings table") {
+    SqlSurface.registerAll(spark)
+    Tables.embeddings(spark, TestSpark.sfDir)
+      .createOrReplaceTempView("graft_embeddings")
+    graft.search.Ddl.execute(spark,
+      s"""CREATE VECTOR INDEX emb_coverspec_idx ON graft_embeddings (embedding)
+         |WITH (id = 'vec_id', metric = 'l2', key = '${TestSpark.sfDir}-emb-coverspec')
+         |INCLUDE (label)""".stripMargin)
+    val q = Tables.embeddings(spark, TestSpark.sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val df = Tables.embeddings(spark, TestSpark.sfDir)
+      .orderBy(call_udf("ann_l2", col("embedding"), typedlit(q)))
+      .limit(10)
+      .select(col("vec_id"), col("label"))
+    val base = Tables.embeddings(spark, TestSpark.sfDir).inputFiles.toSet
+    assert((df.inputFiles.toSet & base).isEmpty,
+      s"covered kNN must not read embeddings.parquet")
+    // values parity against the base table for the k ids
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val want = Tables.embeddings(spark, TestSpark.sfDir)
+      .filter(col("vec_id").isin(got.map(_._1).toSeq: _*))
+      .select("vec_id", "label").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got.length == 10 && got.toSet == want)
+  }
+
   test("DESCRIBE surfaces the sidecar; DROP removes it") {
     ensure()
     val desc = graft.search.Ddl.execute(spark,
