@@ -106,6 +106,14 @@ case class StrictClaimCheck(spark: SparkSession)
                 s"$name(${arg.sql}, '$q', '$d') needs CREATE SEARCH INDEX ... " +
                   s"ON <table> (${arg.sql}) WITH (analyzer = '$d', ...) — no " +
                   "matching index is registered for this scan"
+            case Seq(arg, qExpr, Literal(d: UTF8String, _))
+                if TsPredicates.constQuery(qExpr).isDefined =>
+              if (indexExistsFor(plan, arg, d.toString))
+                s"$name(${arg.sql}, <constructor>, '$d') has a matching " +
+                  "registered index, but THIS query shape is not claimable"
+              else
+                s"$name(${arg.sql}, <constructor>, '$d') needs CREATE SEARCH " +
+                  s"INDEX ... ON <table> (${arg.sql}) WITH (analyzer = '$d', ...)"
             case _ => s"$name(...) with non-literal query/dict arguments can never claim"
           }
           throw new org.apache.spark.sql.AnalysisException(
@@ -796,15 +804,30 @@ private[plans] object TsPredicates {
     * predicates (search.h:95-99), each mapped to the TsQuery leaf its
     * row-eval UDF evaluates — so the claimed and unclaimed paths share one
     * query algebra. Returns (text arg, dict name, analyzer→query). */
+  /** Plan-time value of a constant query argument: a string literal, or a
+    * TSQUERY-constructor tree (`ts_like('s%m')`, `boost(ts_phrase(...), 2)`
+    * — deterministic pure-String UDFs over literals, TsQueryCodec) folded
+    * by direct evaluation. Anything referencing a row bails. */
+  def constQuery(e: Expression): Option[String] = e match {
+    case Literal(q: UTF8String, _) => Some(q.toString)
+    case u: ScalaUDF if u.deterministic && u.references.isEmpty &&
+        graft.search.SqlSurface.constructorNames.contains(u.udfName.getOrElse("")) =>
+      try Option(u.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+        .map(_.toString)
+      catch { case scala.util.control.NonFatal(_) => None }
+    case _ => None
+  }
+
   def asTsMatch(
       e: Expression): Option[(Expression, String, graft.analysis.Analyzer => graft.search.TsQuery)] = {
     import graft.search.TsQuery
     e match {
       case u: ScalaUDF =>
         (u.udfName.getOrElse(""), u.children) match {
-          case ("ts_match", Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _))) =>
-            val qs = q.toString
-            Some((arg, d.toString, a => graft.search.TsQueryParser.websearch(qs, a)))
+          case ("ts_match", Seq(arg, qExpr, Literal(d: UTF8String, _)))
+              if constQuery(qExpr).isDefined =>
+            val qs = constQuery(qExpr).get
+            Some((arg, d.toString, a => graft.search.TsQueryCodec.decode(qs, a)))
           case ("tsquery_match", Seq(arg, Literal(q: UTF8String, _), Literal(d: UTF8String, _))) =>
             val qs = q.toString
             Some((arg, d.toString, a => graft.search.TsQueryParser.toTsquery(qs, a)))

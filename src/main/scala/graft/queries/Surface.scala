@@ -170,6 +170,41 @@ object Surface {
         |  AND lang IN ('en', 'de')""".stripMargin)
   }
 
+  /** The reference's TSQUERY-constructor functions in SQL text
+    * (search.h:42-71; used with `@@` throughout the reference corpus:
+    * `body @@ ts_phrase('alpha')`, `@@ ts_like('server-0_')`,
+    * `@@ ts_starts_with('a')`, boost/slop wrappers…). Here the `@@` form
+    * is `ts_match(col, <constructor>, dict)`; ClaimTsMatch folds the
+    * constructor tree at plan time and claims the SAME index drive as the
+    * text syntaxes (ClaimRuleSpec asserts), and the row-eval ts_match
+    * decodes the same wire value — one algebra, two execution paths. */
+  def tsConstructors(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql(
+      """SELECT
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE ts_match(text, ts_starts_with('st'), 'whitespace')) AS n_starts,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE ts_match(text, ts_like('s%m'), 'whitespace')) AS n_like,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE ts_match(text, ts_regexp('^va..e$'), 'whitespace')) AS n_regexp,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE ts_match(text, ts_phrase('hash join'), 'whitespace')) AS n_phrase,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE ts_match(text, slop(ts_phrase('hash join'), 2), 'whitespace')) AS n_slop,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE ts_match(text, ts_between('batch', 'customer'), 'whitespace')) AS n_between,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE ts_match(text, ts_ge('window'), 'whitespace')) AS n_ge,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE ts_match(text, ts_levenshtein('qery', 1), 'whitespace')) AS n_fuzzy,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE ts_match(text, boost(ts_any('stream vector'), CAST(2.0 AS DOUBLE)), 'whitespace')) AS n_any,
+        |  (SELECT count(*) FROM graft_documents
+        |   WHERE ts_match(text, ts_all('stream vector'), 'whitespace')) AS n_all""".stripMargin)
+  }
+
   /** Term-dictionary enumeration composing with JOINs (reference
     * ts_dict_joins.test): each registered `<name>_termdict` view is an
     * independent relation, so an allowlist join, a cross-index join and a
@@ -828,6 +863,7 @@ object Surface {
     "ts_field_pushdown" -> tsFieldPushdown,
     "ts_dict_joins" -> tsDictJoins,
     "ts_dict_compose" -> tsDictCompose,
+    "ts_constructors" -> tsConstructors,
     "ts_sugar_preds" -> tsSugarPreds,
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
@@ -841,6 +877,9 @@ object Surface {
     """WITH toks AS (SELECT doc_id,
       |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
       |  FROM documents)""".stripMargin
+
+  private val phraseHashJoin =
+    "' ' || array_to_string(ts, ' ') || ' ' LIKE '% hash join %'"
 
   val oracles: Map[String, String] = Map(
     "pk_point_lookup" ->
@@ -1019,6 +1058,33 @@ object Surface {
          |SELECT t.doc_id FROM toks t JOIN documents d USING (doc_id)
          |WHERE list_contains(ts, 'stream') AND NOT list_contains(ts, 'batch')
          |  AND d.n_chars > 100""".stripMargin,
+    "ts_constructors" ->
+      s"""$toks,
+         |pos AS (SELECT doc_id,
+         |  [i FOR i IN range(1, len(ts) + 1) IF ts[i] = 'hash'] AS p1,
+         |  [i FOR i IN range(1, len(ts) + 1) IF ts[i] = 'join'] AS p2
+         |  FROM toks)
+         |SELECT
+         |  (SELECT count(*) FROM toks
+         |   WHERE len(list_filter(ts, t -> t LIKE 'st%')) > 0) AS n_starts,
+         |  (SELECT count(*) FROM toks
+         |   WHERE len(list_filter(ts, t -> t LIKE 's%m')) > 0) AS n_like,
+         |  (SELECT count(*) FROM toks
+         |   WHERE len(list_filter(ts, t -> regexp_matches(t, '^va..e$$'))) > 0) AS n_regexp,
+         |  (SELECT count(*) FROM toks WHERE $phraseHashJoin) AS n_phrase,
+         |  (SELECT count(*) FROM pos WHERE len(list_filter(p1,
+         |     a -> len(list_filter(p2, b -> b != a AND abs(b - a - 1) <= 2)) > 0)) > 0) AS n_slop,
+         |  (SELECT count(*) FROM toks
+         |   WHERE len(list_filter(ts, t -> t >= 'batch' AND t <= 'customer')) > 0) AS n_between,
+         |  (SELECT count(*) FROM toks
+         |   WHERE len(list_filter(ts, t -> t >= 'window')) > 0) AS n_ge,
+         |  (SELECT count(*) FROM toks
+         |   WHERE len(list_filter(ts, t -> abs(len(t) - 4) <= 1
+         |     AND levenshtein(t, 'qery') <= 1)) > 0) AS n_fuzzy,
+         |  (SELECT count(*) FROM toks
+         |   WHERE list_contains(ts, 'stream') OR list_contains(ts, 'vector')) AS n_any,
+         |  (SELECT count(*) FROM toks
+         |   WHERE list_contains(ts, 'stream') AND list_contains(ts, 'vector')) AS n_all""".stripMargin,
     "ts_dict_joins" ->
       s"""$toks,
          |dict AS (SELECT t AS term, count(DISTINCT doc_id) AS df

@@ -25,7 +25,12 @@ object SqlSurface {
       (text: String, query: String, dict: String) =>
         if (text == null) None else {
           val a = AnalyzerRegistry.get(dict)
-          Some(TsQueryExec.evalTokens(TsQueryParser.websearch(query, a), a.tokens(text)))
+          // a TSQUERY-constructor value (ts_like/ts_phrase/boost/... —
+          // TsQueryCodec) decodes to its leaf; plain text is websearch
+          val q =
+            if (TsQueryCodec.isEncoded(query)) TsQueryCodec.decode(query, a)
+            else TsQueryParser.websearch(query, a)
+          Some(TsQueryExec.evalTokens(q, a.tokens(text)))
         })
     // the to_tsquery SYNTAX path (`&`/`|`/`!`, `<->`, `<N>`, `:*`,
     // `"..."~N` slop) as a SQL predicate — ts_match stays the websearch
@@ -35,8 +40,34 @@ object SqlSurface {
       (text: String, query: String, dict: String) =>
         if (text == null) None else {
           val a = AnalyzerRegistry.get(dict)
-          Some(TsQueryExec.evalTokens(TsQueryParser.toTsquery(query, a), a.tokens(text)))
+          val q =
+            if (TsQueryCodec.isEncoded(query)) TsQueryCodec.decode(query, a)
+            else TsQueryParser.toTsquery(query, a)
+          Some(TsQueryExec.evalTokens(q, a.tokens(text)))
         })
+    // the reference's TSQUERY-constructor functions (search.h:42-71),
+    // composable as `ts_match(col, <constructor>, dict)` — the `@@` form.
+    // Pure String→String encoders (TsQueryCodec); ClaimTsMatch evaluates
+    // literal-argument constructor trees at PLAN time, so these claim into
+    // the same index drives as the text syntaxes.
+    spark.udf.register("ts_starts_with", (p: String) => TsQueryCodec.startsWith(p))
+    spark.udf.register("ts_like", (p: String) => TsQueryCodec.like(p))
+    spark.udf.register("ts_regexp", (r: String) => TsQueryCodec.regexp(r))
+    spark.udf.register("ts_levenshtein",
+      (t: String, d: Int) => TsQueryCodec.levenshtein(t, d))
+    spark.udf.register("ts_ngram",
+      (q: String, j: Double) => TsQueryCodec.ngram(q, j))
+    spark.udf.register("ts_phrase", (text: String) => TsQueryCodec.phrase(text))
+    spark.udf.register("ts_any", (text: String) => TsQueryCodec.any(text))
+    spark.udf.register("ts_all", (text: String) => TsQueryCodec.all(text))
+    spark.udf.register("ts_between",
+      (lo: String, hi: String) => TsQueryCodec.between(lo, hi))
+    spark.udf.register("ts_ge", (b: String) => TsQueryCodec.cmp("ge", b))
+    spark.udf.register("ts_gt", (b: String) => TsQueryCodec.cmp("gt", b))
+    spark.udf.register("ts_le", (b: String) => TsQueryCodec.cmp("le", b))
+    spark.udf.register("ts_lt", (b: String) => TsQueryCodec.cmp("lt", b))
+    spark.udf.register("boost", (q: String, w: Double) => TsQueryCodec.boost(q, w))
+    spark.udf.register("slop", (q: String, n: Int) => TsQueryCodec.slop(q, n))
     spark.udf.register("ts_tokenize_sql",
       (text: String, dict: String) => AnalyzerRegistry.get(dict).tokens(text))
     // pg's ts_lexize(dictionary, lexeme): the dictionary's output lexemes
@@ -138,6 +169,13 @@ object SqlSurface {
   /** Claimable sugar-predicate names (strict mode flags these too when they
     * survive unclaimed — they row-eval correctly, but a strict user asked
     * to know). */
+  /** TSQUERY-constructor function names (TsQueryCodec) — ClaimTsMatch
+    * evaluates trees of exactly these over literals at plan time. */
+  val constructorNames: Set[String] =
+    Set("ts_starts_with", "ts_like", "ts_regexp", "ts_levenshtein",
+      "ts_ngram", "ts_phrase", "ts_any", "ts_all", "ts_between",
+      "ts_ge", "ts_gt", "ts_le", "ts_lt", "boost", "slop")
+
   val sugarNames: Seq[String] =
     Seq("has_any_tokens", "has_all_tokens", "phrase_matches",
       "phrase_slop_matches", "tsquery_match",

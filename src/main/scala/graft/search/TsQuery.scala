@@ -24,6 +24,12 @@ object TsQuery {
   case object All extends TsQuery
   final case class Term(t: String) extends TsQuery
   final case class Prefix(p: String) extends TsQuery
+  /** SQL-LIKE pattern over terms (`%`/`_` wildcards) — the reference's
+    * `ts_like` TSQUERY constructor (search.h:43; wildcard_filter.hpp). */
+  final case class Wildcard(pattern: String) extends TsQuery
+  /** Regex over terms, unanchored find semantics (Spark `rlike`) —
+    * `ts_regexp` (automaton_filter.hpp). */
+  final case class Regexp(re: String) extends TsQuery
   /** Matches docs with any token in the (optionally open) lexicographic
     * range — the ES `range` clause (dsl.cpp:257) over our token-centric
     * emulation, and the ts_between/ts_lt/ts_gt surface. */
@@ -69,6 +75,8 @@ object TsQueryExec {
     case TsQuery.And(qs) if qs.isEmpty => universe(idx)
     case TsQuery.Term(t) => idx.term(t)
     case TsQuery.Prefix(p) => idx.prefix(p)
+    case TsQuery.Wildcard(p) => idx.wildcard(p)
+    case TsQuery.Regexp(r) => idx.regexp(r)
     case TsQuery.TermRange(lo, hi, loInc, hiInc) => idx.range(lo, hi, loInc, hiInc)
     case TsQuery.Fuzzy(t, d) => idx.fuzzy(t, d)
     case TsQuery.NgramSim(q, j, n) => idx.ngramSimilarity(q, j, n)
@@ -185,6 +193,20 @@ object TsQueryExec {
     case TsQuery.All => true
     case TsQuery.Term(t) => toks.contains(t)
     case TsQuery.Prefix(p) => toks.exists(_.startsWith(p))
+    case TsQuery.Wildcard(p) =>
+      // LIKE → anchored regex: escape regex metachars, then % → .*, _ → .
+      val re = p.flatMap {
+        case '%' => ".*"
+        case '_' => "."
+        case c if "\\.[]{}()*+-?^$|".contains(c) => "\\" + c
+        case c => c.toString
+      }
+      val cp = java.util.regex.Pattern.compile("^" + re + "$")
+      toks.exists(t => cp.matcher(t).matches())
+    case TsQuery.Regexp(r) =>
+      // unanchored find — mirrors the dict-side `rlike`
+      val cp = java.util.regex.Pattern.compile(r)
+      toks.exists(t => cp.matcher(t).find())
     case TsQuery.TermRange(lo, hi, loInc, hiInc) => toks.exists { t =>
       lo.forall(v => if (loInc) t >= v else t > v) &&
         hi.forall(v => if (hiInc) t <= v else t < v)

@@ -707,6 +707,35 @@ class ClaimRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("TSQUERY constructors fold at plan time and claim like text syntaxes") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val constructors = Seq(
+      "ts_starts_with('st')", "ts_like('s%m')", "ts_regexp('^va..e$')",
+      "ts_phrase('hash join')", "slop(ts_phrase('hash join'), 2)",
+      "ts_between('batch', 'customer')", "ts_ge('window')",
+      "ts_levenshtein('qery', 1)",
+      "boost(ts_any('stream vector'), CAST(2.0 AS DOUBLE))",
+      "ts_all('stream vector')")
+    for (ctor <- constructors) {
+      val df = spark.sql(
+        s"SELECT doc_id FROM graft_documents WHERE ts_match(text, $ctor, 'whitespace')")
+      val optimized = df.queryExecution.optimizedPlan
+      assert(optimized.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+        s"$ctor must claim into a semi-join:\n$optimized")
+      assert(udfsIn(optimized, "ts_match").isEmpty,
+        s"ts_match($ctor) must not survive as row-eval")
+      // same rows as the forced row-eval path (computed column blocks claim)
+      val fallback = spark.sql(
+        s"""SELECT doc_id FROM
+           |  (SELECT doc_id, concat(text, '') AS text FROM graft_documents) t
+           |WHERE ts_match(text, $ctor, 'whitespace')""".stripMargin)
+      assert(df.collect().map(_.getLong(0)).toSet ==
+        fallback.collect().map(_.getLong(0)).toSet, s"$ctor claimed != row-eval")
+    }
+  }
+
   test("a parameterized ts_match claims after named-parameter folding") {
     // the prepared-statement shape (reference tsquery_params.test): the
     // query text carries :q / :d placeholders; Spark's BindParameters folds
