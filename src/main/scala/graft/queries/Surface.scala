@@ -619,6 +619,48 @@ object Surface {
         |"aggs": {"by_stars": {"terms": {"field": "stars", "size": 5}}}}""".stripMargin)
   }
 
+  private val esDatedDocs = Seq(
+    """{"index": {"_id": "1"}}""",
+    """{"text": "good fast engine", "stars": 5, "ts": "2024-01-01T10:00:00"}""",
+    """{"index": {"_id": "2"}}""",
+    """{"text": "bad slow engine", "stars": 1, "ts": "2024-01-01T23:30:00"}""",
+    """{"index": {"_id": "3"}}""",
+    """{"text": "good enough", "stars": 4, "ts": "2024-01-02T00:10:00"}""",
+    """{"index": {"_id": "4"}}""",
+    """{"text": "terrible", "stars": 1, "ts": "2024-01-02T05:00:00"}""")
+
+  /** ES `terms` query clause (dsl.cpp's terms: any-of over exact values) —
+    * translates to the disjunction of Term leaves, claimed when the es
+    * table is indexed. */
+  def esDslTermsQuery(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_terms", esDatedDocs, overwrite = true)
+    EsTables.search(s, root, "reviews_terms",
+      """{"query": {"terms": {"text": ["good", "terrible"]}}}""")
+      .orderBy(col("_id"))
+  }
+
+  /** The reference's remaining aggregation kinds (dsl.cpp): date_histogram
+    * with calendar_interval (bucket = date_trunc, key_as_string) and the
+    * metric aggs min/max/avg/sum/value_count/cardinality — one request,
+    * all kinds, pinned against a literal oracle. */
+  def esDslDateMetrics(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_dated", esDatedDocs, overwrite = true)
+    EsTables.aggs(s, root, "reviews_dated",
+      """{"query": {"match_all": {}},
+        |"aggs": {
+        |  "by_day": {"date_histogram": {"field": "ts", "calendar_interval": "day"}},
+        |  "avg_stars": {"avg": {"field": "stars"}},
+        |  "sum_stars": {"sum": {"field": "stars"}},
+        |  "n_stars": {"value_count": {"field": "stars"}},
+        |  "uniq_stars": {"cardinality": {"field": "stars"}},
+        |  "min_stars": {"min": {"field": "stars"}},
+        |  "max_stars": {"max": {"field": "stars"}}}}""".stripMargin)
+  }
+
   /** ES `range` clause (dsl.cpp:257): lexicographic token bounds read as a
     * pushable term-dict range when the field is indexed (the same
     * granular-range machinery as ts_between). */
@@ -857,6 +899,8 @@ object Surface {
     "es_dsl_range" -> esDslRange,
     "es_dsl_paging" -> esDslPaging,
     "es_dsl_aggs" -> esDslAggs,
+    "es_dsl_terms_query" -> esDslTermsQuery,
+    "es_dsl_date_metrics" -> esDslDateMetrics,
     "ts_claimed_match" -> tsClaimedMatch,
     "ts_partial_index" -> tsPartialIndex,
     "ts_covered_projection" -> tsCoveredProjection,
@@ -1030,8 +1074,22 @@ object Surface {
     // 'engine' hits docs 1 (stars 5) and 2 (stars 1); equal counts -> key asc
     "es_dsl_aggs" ->
       """SELECT * FROM (VALUES
-        |  ('by_stars', '1', CAST(1 AS BIGINT)),
-        |  ('by_stars', '5', CAST(1 AS BIGINT))) AS t(agg, key, doc_count)""".stripMargin,
+        |  ('by_stars', '1', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('by_stars', '5', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)))
+        |  AS t(agg, key, doc_count, value)""".stripMargin,
+    "es_dsl_terms_query" ->
+      """SELECT * FROM (VALUES ('1'), ('3'), ('4')) AS t(_id)""".stripMargin,
+    "es_dsl_date_metrics" ->
+      """SELECT * FROM (VALUES
+        |  ('by_day', '2024-01-01T00:00:00', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('by_day', '2024-01-02T00:00:00', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('avg_stars', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 2.75),
+        |  ('sum_stars', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 11.0),
+        |  ('n_stars',   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 4.0),
+        |  ('uniq_stars', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 3.0),
+        |  ('min_stars', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 1.0),
+        |  ('max_stars', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 5.0))
+        |  AS t(agg, key, doc_count, value)""".stripMargin,
     "ts_sugar_preds" -> {
       // same gram arithmetic as the engine's NgramSim leaf: distinct char
       // 3-grams on both sides; 'vectr' -> [vec, ect, ctr]

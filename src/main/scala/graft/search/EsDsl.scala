@@ -17,16 +17,25 @@ object EsDsl {
       must: Seq[TsQuery], mustNot: Seq[TsQuery],
       should: Seq[TsQuery], minShouldMatch: Int)
 
-  /** One `{"terms": {"field": f, "size": n}}` bucket aggregation
-    * (dsl.cpp:525-552): GROUP BY field, buckets ordered doc_count DESC then
-    * key ASC, top `size` (ES default 10). */
-  final case class TermsAgg(name: String, field: String, size: Int)
+  /** The reference's aggregation surface (dsl.cpp: terms buckets,
+    * date_histogram with calendar_interval, and the metric kinds
+    * min/max/avg/sum/value_count/cardinality). */
+  sealed trait Agg { def name: String }
+  final case class TermsAgg(name: String, field: String, size: Int) extends Agg
+  final case class DateHistogramAgg(name: String, field: String,
+      interval: String) extends Agg
+  final case class MetricAgg(name: String, kind: String, field: String) extends Agg
+
+  private val metricKinds =
+    Set("min", "max", "avg", "sum", "value_count", "cardinality")
+  private val calendarIntervals =
+    Set("minute", "hour", "day", "week", "month", "quarter", "year")
 
   /** Request-level options around the query (dsl.cpp:680-697): `from`/`size`
     * pagination, `sort` entries as (field, ascending) with `_id` allowed,
     * and `aggs` terms aggregations. */
   final case class Request(query: Either[Bool, TsQuery], from: Int,
-      size: Option[Int], sort: Seq[(String, Boolean)], aggs: Seq[TermsAgg])
+      size: Option[Int], sort: Seq[(String, Boolean)], aggs: Seq[Agg])
 
   /** Parse `{"query": {...}}` (or a bare query object). Returns either a
     * plain query or a bool compound. */
@@ -75,18 +84,36 @@ object EsDsl {
       case a: JObject => a.obj
       case _ => Nil
     }).map {
-      case (name, body) => (body \ "terms") match {
-        case t: JObject =>
-          val field = (t \ "field") match {
-            case JString(f) => f
-            case _ => throw new IllegalArgumentException(
-              s"ES DSL: terms aggregation $name needs a field")
-          }
-          val sz = (t \ "size") match { case JInt(n) => n.toInt; case _ => 10 }
-          TermsAgg(name, field, sz)
-        case _ => throw new IllegalArgumentException(
-          s"ES DSL: only terms aggregations are supported (agg $name)")
-      }
+      case (name, body) =>
+        def fieldOf(o: JValue, what: String): String = (o \ "field") match {
+          case JString(f) => f
+          case _ => throw new IllegalArgumentException(
+            s"ES DSL: $what aggregation $name needs a field")
+        }
+        (body \ "terms", body \ "date_histogram") match {
+          case (t: JObject, _) =>
+            val sz = (t \ "size") match { case JInt(n) => n.toInt; case _ => 10 }
+            TermsAgg(name, fieldOf(t, "terms"), sz)
+          case (_, dh: JObject) =>
+            // calendar_interval minute/hour/day/week/month/quarter/year —
+            // each maps 1:1 onto a Spark date_trunc unit
+            val interval = (dh \ "calendar_interval") match {
+              case JString(i) if calendarIntervals.contains(i) => i
+              case JString(i) => throw new IllegalArgumentException(
+                s"ES DSL: unsupported calendar_interval '$i'")
+              case _ => throw new IllegalArgumentException(
+                s"ES DSL: date_histogram $name needs calendar_interval")
+            }
+            DateHistogramAgg(name, fieldOf(dh, "date_histogram"), interval)
+          case _ =>
+            body match {
+              case JObject(List((kind, m: JObject))) if metricKinds.contains(kind) =>
+                MetricAgg(name, kind, fieldOf(m, kind))
+              case _ => throw new IllegalArgumentException(
+                s"ES DSL: unsupported aggregation $name (terms, date_histogram, " +
+                  s"${metricKinds.mkString("/")})")
+            }
+        }
     }
     Request(parse(json, analyzer), from, size, sort, aggs)
   }
@@ -105,6 +132,21 @@ object EsDsl {
         case "term" =>
           val (_, value, _) = fieldTextOp(body)
           Right(TsQuery.Term(value))
+        case "terms" =>
+          // {"terms": {"field": ["v1", "v2", ...]}} — any-of over exact
+          // terms (dsl.cpp's terms clause): the disjunction of Term leaves
+          body match {
+            case JObject(List((_, JArray(vs)))) =>
+              val terms = vs.map {
+                case JString(v) => TsQuery.Term(v)
+                case other => throw new IllegalArgumentException(
+                  s"ES DSL: terms values must be strings, got $other")
+              }
+              require(terms.nonEmpty, "ES DSL: empty terms clause")
+              Right(TsQuery.Or(terms))
+            case other =>
+              throw new IllegalArgumentException(s"ES DSL: bad terms clause $other")
+          }
         case "range" =>
           // {"field": {"gt"/"gte": ..., "lt"/"lte": ...}} (dsl.cpp:257) —
           // lexicographic over the analyzed tokens, like `term`

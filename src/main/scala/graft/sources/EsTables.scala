@@ -177,14 +177,42 @@ object EsTables {
     require(req.aggs.nonEmpty, "ES DSL: request has no aggs")
     val hits = hitsFor(spark, root, name, req.query, field, dict)
     val withSource = hits.join(table(spark, root, name), "_id")
-    req.aggs.map { a =>
-      withSource
-        .groupBy(get_json_object(col("_source"), s"$$.${a.field}").as("key"))
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"))
-        .orderBy(col("doc_count").desc, col("key"))
-        .limit(a.size)
-        .select(lit(a.name).as("agg"), col("key"), col("doc_count"))
-    }.reduce(_ unionByName _)
+    val out = req.aggs.map {
+      case EsDsl.TermsAgg(aName, aField, aSize) =>
+        withSource
+          .groupBy(get_json_object(col("_source"), s"$$.$aField").as("key"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"))
+          .orderBy(col("doc_count").desc, col("key"))
+          .limit(aSize)
+          .select(lit(aName).as("agg"), col("key"), col("doc_count"),
+            lit(null).cast("double").as("value"))
+      case EsDsl.DateHistogramAgg(aName, aField, interval) =>
+        // calendar_interval → date_trunc bucket; key rendered as the
+        // bucket-start ISO second (ES key_as_string shape)
+        withSource
+          .groupBy(date_trunc(interval,
+            to_timestamp(get_json_object(col("_source"), s"$$.$aField"))).as("k"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"))
+          .select(lit(aName).as("agg"),
+            date_format(col("k"), "yyyy-MM-dd'T'HH:mm:ss").as("key"),
+            col("doc_count"), lit(null).cast("double").as("value"))
+      case EsDsl.MetricAgg(aName, kind, aField) =>
+        val v = get_json_object(col("_source"), s"$$.$aField").cast("double")
+        val e = kind match {
+          case "min" => min(v)
+          case "max" => max(v)
+          case "avg" => avg(v)
+          case "sum" => sum(v)
+          case "value_count" => org.apache.spark.sql.functions.count(v).cast("double")
+          // exact here (matches the oracle); at corpus scale swap for
+          // approx_count_distinct — ES's cardinality is itself a HLL
+          case "cardinality" => countDistinct(v).cast("double")
+        }
+        withSource.agg(e.as("value"))
+          .select(lit(aName).as("agg"), lit(null).cast("string").as("key"),
+            lit(null).cast("long").as("doc_count"), col("value"))
+    }
+    out.reduce(_ unionByName _)
   }
 
   private def claimedSearch(spark: SparkSession, root: String, name: String,
