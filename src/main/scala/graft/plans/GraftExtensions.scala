@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => ClaimPkLookup(s))
     e.injectOptimizerRule(s => ClaimAnnDistanceRewrite(s))
     e.injectPlannerStrategy(s => StrictClaimCheck(s))
+    e.injectPlannerStrategy(s => RbacCheck(s))
     e.injectParser((_, delegate) => new graft.search.GraftSqlParser(delegate))
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
     graft.functions.QuantizationExpressions.functions.foreach(e.injectFunction)
@@ -122,6 +123,40 @@ case class StrictClaimCheck(spark: SparkSession)
                 "Fix the query/index or unset spark.graft.strictClaims.")))
         case _ => ()
       }))
+    }
+    Nil
+  }
+}
+
+/** RBAC enforcement — the reference's plan-time privilege check
+  * (optimizer/rbac.{h,cpp}) with its bypass-proofing contract
+  * (rbac/enf_disable_optimizer_bypass.test: disabling the optimizer must
+  * not skip enforcement). Two design consequences here:
+  *
+  *  - it is a planner STRATEGY, not an optimizer rule — strategies are
+  *    not subject to `spark.sql.optimizer.excludedRules`, and they see
+  *    the FINAL plan after every claim rewrite;
+  *  - a claim may have replaced the protected table's scan with
+  *    index-artifact reads, so scans under the index store are mapped
+  *    back to the SOURCE table root through the index catalogs before
+  *    the grant check — an index over a protected table is as protected
+  *    as the table.
+  *
+  * With no `SET ROLE` in the session the check is a no-op (superuser). */
+case class RbacCheck(spark: SparkSession)
+    extends org.apache.spark.sql.execution.SparkStrategy {
+  import graft.search.Rbac
+
+  override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    if (Rbac.active && Rbac.currentRole(spark).nonEmpty) {
+      plan.foreach {
+        case lr: LogicalRelation =>
+          PlanShapes.scanRoot(lr).foreach { root =>
+            val src = IndexCatalog.sourceRootOfArtifact(root).getOrElse(root)
+            Rbac.check(spark, src, src.split("/").lastOption.getOrElse(src))
+          }
+        case _ => ()
+      }
     }
     Nil
   }

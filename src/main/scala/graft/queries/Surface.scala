@@ -205,6 +205,30 @@ object Surface {
         |   WHERE ts_match(text, ts_all('stream vector'), 'whitespace')) AS n_all""".stripMargin)
   }
 
+  /** RBAC enforcement end-to-end (reference optimizer/rbac.{h,cpp};
+    * rbac corpus): a granted role reads the table, an ungranted one is
+    * denied at plan time — including through claimed index plans
+    * (RbacSpec covers the bypass-proofing). Role state is reset before
+    * returning so the session stays superuser for other entries. */
+  def rbacEnforced(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_rbac")
+    graft.search.Ddl.execute(s, "CREATE ROLE verify_reader")
+    graft.search.Ddl.execute(s, "GRANT SELECT ON graft_documents TO verify_reader")
+    graft.search.Ddl.execute(s, "SET ROLE verify_reader")
+    val (nAllowed, denied) =
+      try {
+        val n = s.table("graft_documents").count()
+        val d =
+          try { s.table("graft_orders_rbac").count(); false }
+          catch { case e: Exception =>
+            e.getMessage != null && e.getMessage.contains("permission denied") }
+        (n, d)
+      } finally graft.search.Ddl.execute(s, "RESET ROLE")
+    Seq((nAllowed, denied)).toDF("n_allowed", "denied")
+  }
+
   /** Term-dictionary enumeration composing with JOINs (reference
     * ts_dict_joins.test): each registered `<name>_termdict` view is an
     * independent relation, so an allowlist join, a cross-index join and a
@@ -908,6 +932,7 @@ object Surface {
     "ts_dict_joins" -> tsDictJoins,
     "ts_dict_compose" -> tsDictCompose,
     "ts_constructors" -> tsConstructors,
+    "rbac_enforced" -> rbacEnforced,
     "ts_sugar_preds" -> tsSugarPreds,
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
@@ -1116,6 +1141,8 @@ object Surface {
          |SELECT t.doc_id FROM toks t JOIN documents d USING (doc_id)
          |WHERE list_contains(ts, 'stream') AND NOT list_contains(ts, 'batch')
          |  AND d.n_chars > 100""".stripMargin,
+    "rbac_enforced" ->
+      """SELECT count(*) AS n_allowed, true AS denied FROM documents""",
     "ts_constructors" ->
       s"""$toks,
          |pos AS (SELECT doc_id,

@@ -83,6 +83,26 @@ object IndexCatalog {
   def unregisterFields(dir: String): Unit =
     fieldSide.filterInPlace((_, e) => e.dir != dir)
 
+  /** The protected SOURCE root an index-artifact path answers to, if any:
+    * the table root whose registered text / expression / PK / sidecar /
+    * IVF artifact contains `path`. RBAC maps claimed plans' artifact
+    * scans back through this — an index over a protected table is as
+    * protected as the table (graft.plans.RbacCheck). */
+  def sourceRootOfArtifact(path: String): Option[String] = {
+    CatalogStore.ensureLoaded()
+    def owns(dir: String) = path == dir || path.startsWith(dir + "/")
+    text.collectFirst { case ((root, _, _), e) if owns(e.segDir) => root }
+      .orElse(ExprIndexes.reg.collectFirst {
+        case ((root, _, _), (segDir, _)) if owns(segDir) => root })
+      .orElse(pk.collectFirst { case ((root, _), e) if owns(e.dir) => root })
+      .orElse(fieldSide.collectFirst { case (root, e) if owns(e.dir) => root })
+      .orElse(ann.collectFirst {
+        case ((root, _, _), e)
+            if owns(graft.index.IvfIndex.dirFor(e.cacheKey)) ||
+              path.contains("/" + e.cacheKey.replaceAll("[^A-Za-z0-9._-]+", "_") + "-ivf") =>
+          root })
+  }
+
   def registerText(tableRoot: String, column: String, analyzer: String,
       segDir: String, idCol: String, predicate: Option[String] = None): Unit = {
     val k = (tableRoot, column, analyzer)
@@ -231,6 +251,17 @@ object Ddl {
   private val describeRe = """(?is)\s*DESCRIBE\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
   private val refreshRe = """(?is)\s*REFRESH\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
   private val optRe = """(?s)(\w+)\s*=\s*'([^']*)'""".r
+  // RBAC verbs (reference optimizer/rbac.{h,cpp}; rbac test corpus) —
+  // roles, SELECT grants, membership, session current-role
+  private val createRoleRe = """(?is)\s*CREATE\s+ROLE\s+(\w+)\s*;?\s*""".r
+  private val dropRoleRe = """(?is)\s*DROP\s+ROLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val grantSelRe =
+    """(?is)\s*GRANT\s+SELECT\s+ON\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val revokeSelRe =
+    """(?is)\s*REVOKE\s+SELECT\s+ON\s+(\w+)\s+FROM\s+(\w+)\s*;?\s*""".r
+  private val grantRoleRe = """(?is)\s*GRANT\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val setRoleRe = """(?is)\s*SET\s+ROLE\s+(\w+)\s*;?\s*""".r
+  private val resetRoleRe = """(?is)\s*RESET\s+ROLE\s*;?\s*""".r
 
   /** Root path of the parquet scan a view wraps — the key every claim-rule
     * catalog lookup uses — iff the view is a BARE scan (modulo Projects).
@@ -301,6 +332,8 @@ object Ddl {
     case createExprRe(_*) | createRe(_*) | createVecRe(_*) | createPkRe(_*) |
         dropRe(_*) | showRe() | compactRe(_*) | describeRe(_*) | refreshRe(_*) |
         createDictRe(_*) | dropDictRe(_*) => true
+    case createRoleRe(_*) | dropRoleRe(_*) | grantSelRe(_*) | revokeSelRe(_*) |
+        grantRoleRe(_*) | setRoleRe(_*) | resetRoleRe() => true
     case _ => false
   }
 
@@ -793,6 +826,35 @@ object Ddl {
         case None =>
           throw new IllegalArgumentException(s"no such search index: $name")
       }
+    case createRoleRe(name) =>
+      Rbac.createRole(name)
+      result(spark, s"created role $name")
+    case dropRoleRe(name) =>
+      Rbac.dropRole(name)
+      result(spark, s"dropped role $name")
+    case grantSelRe(view, role) =>
+      val root = scanRootOf(spark, view).getOrElse(
+        throw new IllegalArgumentException(
+          s"GRANT SELECT: $view is not a registered bare-scan view"))
+      Rbac.grantSelect(root, role)
+      result(spark, s"granted SELECT on $view to $role")
+    case revokeSelRe(view, role) =>
+      val root = scanRootOf(spark, view).getOrElse(
+        throw new IllegalArgumentException(
+          s"REVOKE SELECT: $view is not a registered bare-scan view"))
+      Rbac.revokeSelect(root, role)
+      result(spark, s"revoked SELECT on $view from $role")
+    case grantRoleRe(granted, to) =>
+      Rbac.grantRole(granted, to)
+      result(spark, s"granted $granted to $to")
+    case setRoleRe(name) =>
+      if (!Rbac.exists(name)) throw new IllegalArgumentException(
+        s"""role "$name" does not exist""")
+      spark.conf.set(Rbac.RoleConf, name)
+      result(spark, s"role set to $name")
+    case resetRoleRe() =>
+      spark.conf.set(Rbac.RoleConf, "")
+      result(spark, "role reset")
     case other =>
       throw new IllegalArgumentException(s"unsupported DDL: $other")
   }
