@@ -44,8 +44,16 @@ import org.apache.spark.sql.functions._
   * segmented incremental path.
   */
 object FieldStore {
-  /** Manifest: which columns are indexed fields / included, and the id. */
-  final case class Manifest(idCol: String, fields: Seq[String], included: Seq[String])
+  /** Manifest: which columns are indexed fields / included, the id, and
+    * coherence fingerprints (`extras`): `segfp` pins the text index's
+    * segment list at sidecar-build time, `srcfp` the source files — the
+    * claim rules compare these before serving covered reads, because the
+    * sidecar rebuilds only on REFRESH while text segments / IVF vectors
+    * advance incrementally. A mismatched sidecar must fall back to the
+    * base-table join (correct, just not covered), never silently drop the
+    * newer docs. */
+  final case class Manifest(idCol: String, fields: Seq[String],
+      included: Seq[String], extras: Map[String, String] = Map.empty)
 
   private def manifestPath(dir: String) = s"$dir/_FIELDS"
 
@@ -57,8 +65,30 @@ object FieldStore {
     def row(k: String): Seq[String] = lines.collectFirst {
       case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=").split(",").filter(_.nonEmpty).toSeq
     }.getOrElse(Seq.empty)
-    Manifest(row("id").headOption.getOrElse("doc_id"), row("fields"), row("included"))
+    val extras = lines.collect {
+      case l if l.contains("=") &&
+          !Seq("id", "fields", "included").contains(l.takeWhile(_ != '=')) =>
+        l.takeWhile(_ != '=') -> l.dropWhile(_ != '=').drop(1)
+    }.toMap
+    Manifest(row("id").headOption.getOrElse("doc_id"), row("fields"),
+      row("included"), extras)
   }
+
+  /** Whether a TEXT-index sidecar still matches its index's segment list
+    * (streaming ingest appends segments; REFRESH re-syncs the sidecar). A
+    * pre-fingerprint manifest reads as coherent. */
+  def textCoherent(spark: SparkSession, dir: String): Boolean =
+    readManifest(spark, dir).extras.get("segfp").forall { fp =>
+      fp == IndexStore.listSegments(spark, dir.stripSuffix("-fields")).mkString(",")
+    }
+
+  /** Whether a sidecar's recorded source fingerprint matches `current`
+    * (count:bytes:maxMtime of the source files). */
+  def sourceCoherent(spark: SparkSession, dir: String, current: Option[String]): Boolean =
+    (readManifest(spark, dir).extras.get("srcfp"), current) match {
+      case (Some(a), Some(b)) => a == b
+      case _ => true // no fingerprint on either side: legacy manifest
+    }
 
   /** Build (or rebuild) the field datasets + stored columnstore from the
     * source relation. One pass per field dataset plus one for the stored
@@ -67,7 +97,8 @@ object FieldStore {
     * manifest is written LAST (atomic rename): a crash mid-build leaves no
     * manifest, and the next CREATE rebuilds from scratch. */
   def build(spark: SparkSession, source: DataFrame, dir: String,
-      idCol: String, fields: Seq[String], included: Seq[String]): Unit = {
+      idCol: String, fields: Seq[String], included: Seq[String],
+      extras: Map[String, String] = Map.empty): Unit = {
     val fs = IndexStore.fsFor(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     if (fs.exists(p)) fs.delete(p, true)
@@ -85,8 +116,11 @@ object FieldStore {
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(s"$dir/stored")
     }
+    val extraLines = extras.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
     IndexStore.writeStringAtomic(spark, manifestPath(dir),
-      s"id=$idCol\nfields=${fields.mkString(",")}\nincluded=${included.mkString(",")}\n")
+      s"id=$idCol\nfields=${fields.mkString(",")}\nincluded=${included.mkString(",")}\n" +
+        (if (extras.isEmpty) "" else extraLines))
   }
 
   /** The `(v, doc_id)` dataset of one indexed field. */

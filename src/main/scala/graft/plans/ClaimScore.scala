@@ -212,7 +212,10 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
           // disappears from the top-k serve path entirely
           val lookup = IndexCatalog.lookupFields(root) match {
             case Some(fe) if neededScanCols.forall(c =>
-                c == entry.idCol || fe.included.contains(c)) =>
+                c == entry.idCol || fe.included.contains(c)) &&
+                // stale sidecar (text segments advanced since its build)
+                // → base join-back, never a silently-narrower columnstore
+                graft.index.FieldStore.textCoherent(spark, fe.dir) =>
               graft.index.FieldStore.stored(spark, fe.dir)
                 .withColumnRenamed("doc_id", entry.idCol)
             case _ => spark.read.parquet(root)

@@ -662,9 +662,21 @@ case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
                   // when every projected column is the id or an INCLUDE of
                   // the vector index's sidecar, the k-row join-back reads
                   // the narrow stored columnstore, never the base table
+                  // the ANN sidecar pins the SOURCE files at build (srcfp);
+                  // IVF refresh-append can add vectors without the sidecar —
+                  // a mismatch falls back to the base join (never narrower)
+                  val curFp = lr.relation match {
+                    case h: HadoopFsRelation =>
+                      val files = h.location.listFiles(Nil, Nil).flatMap(_.files)
+                      if (files.isEmpty) None
+                      else Some(s"${files.length}:${files.map(_.getLen).sum}:" +
+                        s"${files.map(_.getModificationTime).max}")
+                    case _ => None
+                  }
                   val lookup = IndexCatalog.lookupFields(root) match {
                     case Some(fe) if outAttrs.forall(a =>
-                        a.name == entry.idCol || fe.included.contains(a.name)) =>
+                        a.name == entry.idCol || fe.included.contains(a.name)) &&
+                        graft.index.FieldStore.sourceCoherent(spark, fe.dir, curFp) =>
                       graft.index.FieldStore.stored(spark, fe.dir)
                         .withColumnRenamed("doc_id", entry.idCol)
                     case _ => spark.read.parquet(root)
@@ -1147,6 +1159,11 @@ case class ClaimCoveredProjection(spark: SparkSession) extends Rule[LogicalPlan]
       case Some(e) if e.included.nonEmpty => e
       case _ => return None
     }
+    // coherence: the sidecar rebuilds only on REFRESH while the text index
+    // appends segments incrementally (streaming ingest) — a stale sidecar
+    // would silently drop the newer docs from covered reads. Fall back to
+    // the base-table path instead (one manifest read, driver metadata).
+    if (!graft.index.FieldStore.textCoherent(spark, entry.dir)) return None
     val coveredNames = (entry.included :+ entry.idCol).toSet
     val covered: Map[org.apache.spark.sql.catalyst.expressions.ExprId, AttributeReference] =
       lr.output.collect {

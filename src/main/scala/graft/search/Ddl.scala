@@ -552,7 +552,10 @@ object Ddl {
       // column-pruned pass over the source per covered column family
       if (fieldsWanted)
         graft.index.FieldStore.build(spark, spark.table(view), fieldsDir,
-          idCol, fieldCols, includeCols)
+          idCol, fieldCols, includeCols,
+          // coherence pin: the claim rules serve covered reads only while
+          // the text index's segment list still matches this fingerprint
+          Map("segfp" -> IndexStore.listSegments(spark, fastDir).mkString(",")))
       // the claim-rule catalog: any ts_match / facet over (this scan root,
       // this column, this analyzer) now resolves to the segments just built
       scanRootOf(spark, view).foreach { root =>
@@ -607,7 +610,8 @@ object Ddl {
       IndexCatalog.registerAnn(root, embCol, metric, entry)
       if (includeCols.nonEmpty) {
         graft.index.FieldStore.build(spark, spark.table(view), vecFieldsDir,
-          idCol, Seq.empty, includeCols)
+          idCol, Seq.empty, includeCols,
+          sourceFingerprint(spark, view).map("srcfp" -> _).toMap)
         IndexCatalog.registerFields(root,
           IndexCatalog.FieldsEntry(vecFieldsDir, idCol, Seq.empty, includeCols))
       }
@@ -770,7 +774,8 @@ object Ddl {
           if (added > 0 && graft.index.FieldStore.exists(spark, sidecar)) {
             val m = graft.index.FieldStore.readManifest(spark, sidecar)
             graft.index.FieldStore.build(spark, spark.table(e.view), sidecar,
-              m.idCol, m.fields, m.included)
+              m.idCol, m.fields, m.included,
+              Map("segfp" -> IndexStore.listSegments(spark, e.dir).mkString(",")))
             spark.catalog.refreshByPath(sidecar)
           }
           writeSourceFp(spark, e.dir, e.view)

@@ -166,4 +166,31 @@ class CoveredIndexSpec extends AnyFunSuite {
       .select("doc_id", "lang").collect().map(_.toSeq).sortBy(_.head.toString)
     assert(df.collect().map(_.toSeq).sortBy(_.head.toString).toSeq == want.toSeq)
   }
+
+  test("a sidecar gone stale behind segment appends falls back to the base table") {
+    ensure()
+    val base = Tables.documents(spark, TestSpark.sfDir).inputFiles.toSet
+    val q = () => spark.sql(
+      """SELECT doc_id, lang FROM graft_documents
+        |WHERE ts_match(text, 'vector', 'whitespace') AND lang = 'en'""".stripMargin)
+    assert((q().inputFiles.toSet & base).isEmpty, "covered before the append")
+    // simulate the streaming two-leg ingest: a segment lands in the text
+    // index while the sidecar stays as built
+    val ss = spark
+    import ss.implicits._
+    val dir = graft.index.IndexStore.dirFor(key, "text", "whitespace")
+    val extra = Seq((900000L, "vector stream extra en")).toDF("doc_id", "text")
+    graft.index.IndexStore.appendSegment(
+      graft.index.InvertedIndex.build(extra, "doc_id", "text", "whitespace"), dir)
+    spark.catalog.refreshByPath(dir)
+    val after = q()
+    assert((after.inputFiles.toSet & base).nonEmpty,
+      "a stale sidecar must fall back to the base join, not drop newer docs")
+    // results still correct (the phantom doc is not in the base table)
+    val want = bruteMatched("vector").filter(col("lang") === "en")
+      .select("doc_id", "lang").collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(after.collect().map(_.toSeq).sortBy(_.head.toString).toSeq == want.toSeq)
+    // clean slate for any later test using this key
+    graft.search.Ddl.execute(spark, "DROP SEARCH INDEX docs_coverspec_idx")
+  }
 }
