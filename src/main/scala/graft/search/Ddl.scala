@@ -250,6 +250,11 @@ object Ddl {
   private val compactRe = """(?is)\s*COMPACT\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
   private val describeRe = """(?is)\s*DESCRIBE\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
   private val refreshRe = """(?is)\s*REFRESH\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
+  // the reference's own spelling: every sqllogic file forces index
+  // visibility with `VACUUM (REFRESH_TABLE) t` — refreshes EVERY index
+  // registered over that view (ts_dict.test:37, maintenance surface)
+  private val vacuumRe =
+    """(?is)\s*VACUUM\s*\(\s*REFRESH_TABLE\s*\)\s+(\w+)\s*;?\s*""".r
   private val optRe = """(?s)(\w+)\s*=\s*'([^']*)'""".r
   // RBAC verbs (reference optimizer/rbac.{h,cpp}; rbac test corpus) —
   // roles, SELECT grants, membership, session current-role
@@ -333,7 +338,7 @@ object Ddl {
         dropRe(_*) | showRe() | compactRe(_*) | describeRe(_*) | refreshRe(_*) |
         createDictRe(_*) | dropDictRe(_*) => true
     case createRoleRe(_*) | dropRoleRe(_*) | grantSelRe(_*) | revokeSelRe(_*) |
-        grantRoleRe(_*) | setRoleRe(_*) | resetRoleRe() => true
+        grantRoleRe(_*) | setRoleRe(_*) | resetRoleRe() | vacuumRe(_*) => true
     case _ => false
   }
 
@@ -831,6 +836,13 @@ object Ddl {
         case None =>
           throw new IllegalArgumentException(s"no such search index: $name")
       }
+    case vacuumRe(view) =>
+      val names = catalog.toSeq.collect {
+        case (n, e) if e.view.equalsIgnoreCase(view) => n }.sorted
+      if (names.isEmpty) throw new IllegalArgumentException(
+        s"VACUUM (REFRESH_TABLE): no search/vector/secondary index on $view")
+      names.foreach(n => executeParsed(spark, s"REFRESH SEARCH INDEX $n"))
+      result(spark, s"vacuumed $view (${names.size} indexes refreshed)")
     case createRoleRe(name) =>
       Rbac.createRole(name)
       result(spark, s"created role $name")

@@ -229,6 +229,26 @@ class DdlSpec extends AnyFunSuite {
     spark.sql("DROP SEARCH INDEX refresh_idx")
   }
 
+  test("VACUUM (REFRESH_TABLE) refreshes every index on the view") {
+    val docs = Tables.documents(spark, dir)
+    import org.apache.spark.sql.functions.col
+    try Ddl.execute(spark, "DROP SEARCH INDEX vac_idx")
+    catch { case _: IllegalArgumentException => () }
+    docs.filter(col("doc_id") < 30).createOrReplaceTempView("vac_docs")
+    spark.sql("CREATE SEARCH INDEX vac_idx ON vac_docs (text) " +
+      "WITH (id = 'doc_id', analyzer = 'whitespace', key = 'vacuum-spec')")
+    docs.filter(col("doc_id") < 60).createOrReplaceTempView("vac_docs")
+    // the reference's spelling (ts_dict.test:37): forces index visibility
+    val msg = spark.sql("VACUUM (REFRESH_TABLE) vac_docs").head().getString(0)
+    assert(msg == "vacuumed vac_docs (1 indexes refreshed)", msg)
+    val stats = spark.sql("DESCRIBE SEARCH INDEX vac_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stats("num_segments") == "2", "vacuum must have appended the delta")
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark, "VACUUM (REFRESH_TABLE) never_indexed_view"))
+    spark.sql("DROP SEARCH INDEX vac_idx")
+  }
+
   test("REFRESH is idempotent when the source holds zero-token docs") {
     import org.apache.spark.sql.functions.{col, lit, when}
     try Ddl.execute(spark, "DROP SEARCH INDEX zt_refresh_idx")
