@@ -76,19 +76,23 @@ object FieldStore {
 
   /** Whether a TEXT-index sidecar still matches its index's segment list
     * (streaming ingest appends segments; REFRESH re-syncs the sidecar). A
-    * pre-fingerprint manifest reads as coherent. */
+    * pre-fingerprint manifest reads as coherent; a MISSING manifest (e.g.
+    * the sidecar is mid-rebuild — its own build queries plan through the
+    * claim rules) reads as incoherent, quietly falling back to base. */
   def textCoherent(spark: SparkSession, dir: String): Boolean =
-    readManifest(spark, dir).extras.get("segfp").forall { fp =>
-      fp == IndexStore.listSegments(spark, dir.stripSuffix("-fields")).mkString(",")
-    }
+    exists(spark, dir) &&
+      readManifest(spark, dir).extras.get("segfp").forall { fp =>
+        fp == IndexStore.listSegments(spark, dir.stripSuffix("-fields")).mkString(",")
+      }
 
   /** Whether a sidecar's recorded source fingerprint matches `current`
     * (count:bytes:maxMtime of the source files). */
   def sourceCoherent(spark: SparkSession, dir: String, current: Option[String]): Boolean =
-    (readManifest(spark, dir).extras.get("srcfp"), current) match {
-      case (Some(a), Some(b)) => a == b
-      case _ => true // no fingerprint on either side: legacy manifest
-    }
+    exists(spark, dir) &&
+      ((readManifest(spark, dir).extras.get("srcfp"), current) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => true // no fingerprint on either side: legacy manifest
+      })
 
   /** Build (or rebuild) the field datasets + stored columnstore from the
     * source relation. One pass per field dataset plus one for the stored

@@ -149,11 +149,38 @@ case class RbacCheck(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
     if (Rbac.active && Rbac.currentRole(spark).nonEmpty) {
-      plan.foreach {
+      // COLUMN-grant precision only at the TRUE planner root (the
+      // ReturnAnswer wrapper): there, a scan attr counts as used when any
+      // operator references it or it escapes in the output — `count(*)`
+      // uses none (PG: passes with any column privilege). planLater
+      // subtree invocations see un-pruned relations (an Aggregate's bare
+      // child claims every column), so they enforce the table-level gate
+      // only — the root invocation has already charged the precise
+      // column check for every relation in the query.
+      val (atRoot, inner) = plan match {
+        case org.apache.spark.sql.catalyst.plans.logical.ReturnAnswer(p) => (true, p)
+        case p => (false, p)
+      }
+      // leaves excluded: LogicalRelation.expressions is its own output
+      // attribute list, which would mark every column as used
+      val used = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        inner.collect { case n if n.children.nonEmpty =>
+          n.expressions.flatMap(_.references) }.flatten) ++
+        inner.outputSet
+      inner.foreach {
         case lr: LogicalRelation =>
           PlanShapes.scanRoot(lr).foreach { root =>
-            val src = IndexCatalog.sourceRootOfArtifact(root).getOrElse(root)
-            Rbac.check(spark, src, src.split("/").lastOption.getOrElse(src))
+            // an index artifact counts as reading the SOURCE columns it
+            // materializes (postings reveal the indexed column; the
+            // covering sidecar carries source columns verbatim)
+            val (src, usedCols) = IndexCatalog.sourceOfArtifact(root) match {
+              case Some((s, cols)) => (s, if (atRoot) cols else Set.empty[String])
+              case None =>
+                (root,
+                  if (atRoot) lr.output.filter(used.contains).map(_.name).toSet
+                  else Set.empty[String])
+            }
+            Rbac.check(spark, src, src.split("/").lastOption.getOrElse(src), usedCols)
           }
         case _ => ()
       }

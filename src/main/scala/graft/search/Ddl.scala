@@ -88,19 +88,40 @@ object IndexCatalog {
     * IVF artifact contains `path`. RBAC maps claimed plans' artifact
     * scans back through this — an index over a protected table is as
     * protected as the table (graft.plans.RbacCheck). */
-  def sourceRootOfArtifact(path: String): Option[String] = {
+  def sourceRootOfArtifact(path: String): Option[String] =
+    sourceOfArtifact(path).map(_._1)
+
+  /** `(source root, source columns the artifact materializes)` for an
+    * index-artifact path. The column set feeds RBAC's COLUMN grants: a
+    * text index's postings reveal the indexed column's content, so the
+    * scan counts as reading that column (plus the id it joins back on);
+    * the covering sidecar's stored/field datasets carry source columns
+    * verbatim. `Set("*")` marks artifacts whose provenance is an
+    * arbitrary expression (expression-key indexes) — only a table-level
+    * grant covers those. */
+  def sourceOfArtifact(path: String): Option[(String, Set[String])] = {
     CatalogStore.ensureLoaded()
     def owns(dir: String) = path == dir || path.startsWith(dir + "/")
-    text.collectFirst { case ((root, _, _), e) if owns(e.segDir) => root }
+    text.collectFirst {
+      case ((root, c, _), e) if owns(e.segDir) => (root, Set(c, e.idCol)) }
       .orElse(ExprIndexes.reg.collectFirst {
-        case ((root, _, _), (segDir, _)) if owns(segDir) => root })
-      .orElse(pk.collectFirst { case ((root, _), e) if owns(e.dir) => root })
-      .orElse(fieldSide.collectFirst { case (root, e) if owns(e.dir) => root })
+        case ((root, _, _), (segDir, _)) if owns(segDir) => (root, Set("*")) })
+      .orElse(pk.collectFirst {
+        case ((root, c), e) if owns(e.dir) => (root, Set(c)) })
+      .orElse(fieldSide.collectFirst {
+        case (root, e) if owns(e.dir) =>
+          val cols =
+            if (path.contains("/stored")) e.included.toSet + e.idCol
+            else "/field=(\\w+)".r.findFirstMatchIn(path) match {
+              case Some(m) => Set(m.group(1), e.idCol)
+              case None => e.fields.toSet ++ e.included.toSet + e.idCol
+            }
+          (root, cols) })
       .orElse(ann.collectFirst {
         case ((root, _, _), e)
             if owns(graft.index.IvfIndex.dirFor(e.cacheKey)) ||
               path.contains("/" + e.cacheKey.replaceAll("[^A-Za-z0-9._-]+", "_") + "-ivf") =>
-          root })
+          (root, Set(e.embCol, e.idCol)) })
   }
 
   def registerText(tableRoot: String, column: String, analyzer: String,
@@ -261,9 +282,9 @@ object Ddl {
   private val createRoleRe = """(?is)\s*CREATE\s+ROLE\s+(\w+)\s*;?\s*""".r
   private val dropRoleRe = """(?is)\s*DROP\s+ROLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val grantSelRe =
-    """(?is)\s*GRANT\s+SELECT\s+ON\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+    """(?is)\s*GRANT\s+SELECT\s*(?:\(\s*([\w\s,]+?)\s*\))?\s+ON\s+(\w+)\s+TO\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?(?:\s+GRANTED\s+BY\s+(\w+))?\s*;?\s*""".r
   private val revokeSelRe =
-    """(?is)\s*REVOKE\s+SELECT\s+ON\s+(\w+)\s+FROM\s+(\w+)\s*;?\s*""".r
+    """(?is)\s*REVOKE\s+SELECT\s*(?:\(\s*([\w\s,]+?)\s*\))?\s+ON\s+(\w+)\s+FROM\s+(\w+)\s*;?\s*""".r
   private val grantRoleRe = """(?is)\s*GRANT\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val setRoleRe = """(?is)\s*SET\s+ROLE\s+(\w+)\s*;?\s*""".r
   private val resetRoleRe = """(?is)\s*RESET\s+ROLE\s*;?\s*""".r
@@ -849,17 +870,24 @@ object Ddl {
     case dropRoleRe(name) =>
       Rbac.dropRole(name)
       result(spark, s"dropped role $name")
-    case grantSelRe(view, role) =>
+    case grantSelRe(colsRaw, view, role, withGo, grantedBy) =>
       val root = scanRootOf(spark, view).getOrElse(
         throw new IllegalArgumentException(
           s"GRANT SELECT: $view is not a registered bare-scan view"))
-      Rbac.grantSelect(root, role)
-      result(spark, s"granted SELECT on $view to $role")
-    case revokeSelRe(view, role) =>
+      val cols = Option(colsRaw)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      Rbac.grantSelect(spark, root, role, cols,
+        grantOption = withGo != null, grantedBy = Option(grantedBy))
+      result(spark, s"granted SELECT" +
+        cols.map(c => s" (${c.mkString(",")})").getOrElse("") +
+        s" on $view to $role")
+    case revokeSelRe(colsRaw, view, role) =>
       val root = scanRootOf(spark, view).getOrElse(
         throw new IllegalArgumentException(
           s"REVOKE SELECT: $view is not a registered bare-scan view"))
-      Rbac.revokeSelect(root, role)
+      val cols = Option(colsRaw)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      Rbac.revokeSelect(root, role, cols)
       result(spark, s"revoked SELECT on $view from $role")
     case grantRoleRe(granted, to) =>
       Rbac.grantRole(granted, to)

@@ -31,11 +31,16 @@ object Rbac {
     * ROLE writes it; being session conf, it is naturally session-scoped. */
   val RoleConf = "spark.graft.role"
 
+  /** One SELECT grant: `columns` None = whole table, Some = just those
+    * columns (PG column privileges); `grantOption` allows re-granting
+    * (WITH GRANT OPTION). */
+  final case class Grant(columns: Option[Set[String]], grantOption: Boolean)
+
   private[search] val roles = TrieMap.empty[String, Boolean]
   /** role → roles it is a member of (direct edges). */
   private[search] val memberOf = TrieMap.empty[String, Set[String]]
-  /** scan root → roles granted SELECT. */
-  private[search] val grants = TrieMap.empty[String, Set[String]]
+  /** scan root → role → grant. */
+  private[search] val grants = TrieMap.empty[String, Map[String, Grant]]
 
   def createRole(name: String): Unit = roles.put(name.toLowerCase, true)
 
@@ -44,18 +49,80 @@ object Rbac {
     roles.remove(n)
     memberOf.remove(n)
     memberOf.transform((_, s) => s - n)
-    grants.transform((_, s) => s - n)
+    grants.transform((_, m) => m - n)
   }
 
   def exists(name: String): Boolean = roles.contains(name.toLowerCase)
 
-  def grantSelect(root: String, role: String): Unit = {
-    require(exists(role), s"role $role does not exist")
-    grants.updateWith(root)(s => Some(s.getOrElse(Set.empty) + role.toLowerCase))
+  private def merge(a: Grant, b: Grant): Grant = Grant(
+    columns = (a.columns, b.columns) match {
+      case (None, _) | (_, None) => None // table-level subsumes
+      case (Some(x), Some(y)) => Some(x ++ y)
+    },
+    grantOption = a.grantOption || b.grantOption)
+
+  /** Whether `role` (with memberships) may CONFER this privilege — holds a
+    * covering grant WITH GRANT OPTION (PG: grant option required to
+    * re-grant). Superuser (None) always may. */
+  private def mayGrant(root: String, role: Option[String],
+      columns: Option[Set[String]]): Boolean = role match {
+    case None => true
+    case Some(r) =>
+      val eff = effective(r)
+      val held = grants.getOrElse(root, Map.empty)
+        .filter { case (g, gr) => eff.contains(g) && gr.grantOption }
+      held.values.exists(gr => gr.columns.isEmpty ||
+        columns.exists(cs => cs.subsetOf(gr.columns.get)))
   }
 
-  def revokeSelect(root: String, role: String): Unit =
-    grants.updateWith(root)(_.map(_ - role.toLowerCase))
+  /** `GRANT SELECT [(cols)] ON root TO role [WITH GRANT OPTION]
+    * [GRANTED BY by]` with the PG authorization rules: a non-superuser
+    * issuer needs a covering grant option; `GRANTED BY r` additionally
+    * requires the issuer to be (a member of) r, and the grant is then
+    * attributed to r's authority (r needs the grant option). */
+  def grantSelect(spark: SparkSession, root: String, role: String,
+      columns: Option[Set[String]] = None, grantOption: Boolean = false,
+      grantedBy: Option[String] = None): Unit = {
+    require(exists(role), s"role $role does not exist")
+    val issuer = currentRole(spark)
+    grantedBy.foreach { by =>
+      require(exists(by), s"role $by does not exist")
+      // PG: you may only attribute a grant to a role whose privileges you
+      // inherit (the reference's membership rule — and the SAME rule for
+      // table and column paths, gb_column_granted_by_membership.test)
+      issuer.foreach { r =>
+        require(effective(r).contains(by.toLowerCase),
+          s"must be member of role $by")
+      }
+      require(mayGrant(root, Some(by.toLowerCase), columns),
+        s"role $by lacks the grant option on this table")
+    }
+    if (grantedBy.isEmpty)
+      require(mayGrant(root, issuer, columns), "permission denied to grant")
+    val g = Grant(columns.map(_.map(_.toLowerCase)), grantOption)
+    grants.updateWith(root) { m =>
+      val cur = m.getOrElse(Map.empty)
+      Some(cur.updated(role.toLowerCase,
+        cur.get(role.toLowerCase).map(merge(_, g)).getOrElse(g)))
+    }
+  }
+
+  def revokeSelect(root: String, role: String,
+      columns: Option[Set[String]] = None): Unit =
+    grants.updateWith(root)(_.map { m =>
+      (columns, m.get(role.toLowerCase)) match {
+        case (None, _) => m - role.toLowerCase
+        case (Some(cs), Some(g)) =>
+          g.columns match {
+            case Some(held) =>
+              val left = held -- cs.map(_.toLowerCase)
+              if (left.isEmpty) m - role.toLowerCase
+              else m.updated(role.toLowerCase, g.copy(columns = Some(left)))
+            case None => m // table-level grant: column revoke is a no-op (PG)
+          }
+        case _ => m
+      }
+    })
 
   def grantRole(granted: String, to: String): Unit = {
     require(exists(granted), s"role $granted does not exist")
@@ -83,17 +150,30 @@ object Rbac {
   def currentRole(spark: SparkSession): Option[String] =
     Option(spark.conf.get(RoleConf, "")).map(_.trim.toLowerCase).filter(_.nonEmpty)
 
-  /** Check one scan root against the session's current role; throws the
-    * reference's "permission denied" on failure. No current role =
-    * superuser = allowed. A root with no grant row is deny-by-default for
-    * a set role — but only once RBAC is in use at all. */
-  def check(spark: SparkSession, root: String, tableLabel: String): Unit =
+  /** Check one scan root (and the column set the plan actually reads)
+    * against the session's current role; throws the reference's
+    * "permission denied" on failure. No current role = superuser =
+    * allowed. A root with no grant row is deny-by-default for a set role.
+    * Column grants allow the scan iff every read column is covered by the
+    * union of the effective roles' column sets (a table-level grant
+    * covers everything). */
+  def check(spark: SparkSession, root: String, tableLabel: String,
+      usedColumns: Set[String] = Set.empty): Unit =
     currentRole(spark).foreach { role =>
       val eff = effective(role)
-      val ok = grants.getOrElse(root, Set.empty).exists(eff.contains)
-      if (!ok) throw new org.apache.spark.sql.AnalysisException(
+      val held = grants.getOrElse(root, Map.empty)
+        .collect { case (g, gr) if eff.contains(g) => gr }
+      def deny(): Nothing = throw new org.apache.spark.sql.AnalysisException(
         "USER_RAISED_EXCEPTION",
-        Map("errorMessage" -> s"permission denied for table $tableLabel (role $role)"))
+        Map("errorMessage" -> (s"permission denied for table $tableLabel (role $role" +
+          (if (usedColumns.nonEmpty) s"; columns ${usedColumns.toSeq.sorted.mkString(",")}"
+           else "") + ")")))
+      if (held.isEmpty) deny()
+      if (!held.exists(_.columns.isEmpty)) {
+        val allowedCols = held.flatMap(_.columns).flatten.toSet
+        // PG: count(*) (no column read) passes with any column privilege
+        if (!usedColumns.map(_.toLowerCase).subsetOf(allowedCols)) deny()
+      }
     }
 
   /** Test hook. */

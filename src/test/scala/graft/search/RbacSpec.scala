@@ -72,6 +72,59 @@ class RbacSpec extends AnyFunSuite {
     sql("REVOKE SELECT ON graft_documents FROM searcher")
   }
 
+  test("column grants: only the granted columns are readable; count(*) passes") {
+    Tables.documents(spark, TestSpark.sfDir)
+      .createOrReplaceTempView("graft_documents")
+    sql("CREATE ROLE colreader")
+    sql("GRANT SELECT (lang, doc_id) ON graft_documents TO colreader")
+    withRole("colreader") {
+      assert(spark.sql("SELECT doc_id, lang FROM graft_documents").count() > 0,
+        "granted columns must be readable")
+      // .collect(), not .count(): a count over an ungranted projection
+      // prunes the column away entirely — nothing is read, so it passes
+      // (same reason count(*) passes). Materializing the VALUES is denied.
+      assert(denied(spark.sql("SELECT text FROM graft_documents").collect()),
+        "an ungranted column must be denied")
+      assert(denied(spark.sql(
+        "SELECT doc_id FROM graft_documents WHERE n_chars > 100").count()),
+        "a filter column is a read too")
+      // PG: count(*) passes with any column privilege on the table
+      assert(spark.sql("SELECT count(*) FROM graft_documents").head().getLong(0) > 0)
+    }
+    sql("REVOKE SELECT (lang) ON graft_documents FROM colreader")
+    withRole("colreader") {
+      assert(denied(spark.sql("SELECT lang FROM graft_documents").collect()),
+        "column revoke must close that column")
+      assert(spark.sql("SELECT doc_id FROM graft_documents").collect().length > 0)
+    }
+  }
+
+  test("GRANTED BY requires membership; granting requires the grant option") {
+    Tables.orders(spark, TestSpark.sfDir).createOrReplaceTempView("graft_orders")
+    sql("CREATE ROLE gb_mop"); sql("CREATE ROLE gb_ved"); sql("CREATE ROLE gb_cc")
+    sql("GRANT SELECT ON graft_orders TO gb_mop WITH GRANT OPTION")
+    // a non-member may not attribute a grant to gb_mop (the reference's
+    // membership rule, gb_column_granted_by_membership.test — same rule
+    // for table and column paths)
+    withRole("gb_ved") {
+      val e1 = intercept[Exception](
+        sql("GRANT SELECT ON graft_orders TO gb_cc GRANTED BY gb_mop"))
+      assert(e1.getMessage.contains("must be member of role"), e1.getMessage)
+      val e2 = intercept[Exception](
+        sql("GRANT SELECT (o_orderkey) ON graft_orders TO gb_cc GRANTED BY gb_mop"))
+      assert(e2.getMessage.contains("must be member of role"), e2.getMessage)
+      // and granting directly without holding the grant option is denied
+      val e3 = intercept[Exception](
+        sql("GRANT SELECT ON graft_orders TO gb_cc"))
+      assert(e3.getMessage.contains("permission denied to grant"), e3.getMessage)
+    }
+    // the holder of the grant option may confer
+    withRole("gb_mop") {
+      sql("GRANT SELECT ON graft_orders TO gb_ved")
+    }
+    assert(withRole("gb_ved")(spark.table("graft_orders").count()) > 0)
+  }
+
   test("SET ROLE on an unknown role fails; superuser (no role) unrestricted") {
     assertThrows[IllegalArgumentException](sql("SET ROLE no_such_role"))
     Tables.documents(spark, TestSpark.sfDir)
