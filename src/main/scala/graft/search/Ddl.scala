@@ -282,9 +282,15 @@ object Ddl {
   private val createRoleRe = """(?is)\s*CREATE\s+ROLE\s+(\w+)\s*;?\s*""".r
   private val dropRoleRe = """(?is)\s*DROP\s+ROLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val grantSelRe =
-    """(?is)\s*GRANT\s+SELECT\s*(?:\(\s*([\w\s,]+?)\s*\))?\s+ON\s+(\w+)\s+TO\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?(?:\s+GRANTED\s+BY\s+(\w+))?\s*;?\s*""".r
+    """(?is)\s*GRANT\s+SELECT\s*(?:\(\s*([\w\s,]+?)\s*\))?\s+ON\s+(\w+|'[^']+')\s+TO\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?(?:\s+GRANTED\s+BY\s+(\w+))?\s*;?\s*""".r
   private val revokeSelRe =
-    """(?is)\s*REVOKE\s+SELECT\s*(?:\(\s*([\w\s,]+?)\s*\))?\s+ON\s+(\w+)\s+FROM\s+(\w+)\s*;?\s*""".r
+    """(?is)\s*REVOKE\s+SELECT\s*(?:\(\s*([\w\s,]+?)\s*\))?\s+ON\s+(\w+|'[^']+')\s+FROM\s+(\w+)\s*;?\s*""".r
+  // write privileges (INSERT/UPDATE/DELETE[, ...]) on a view or a quoted
+  // table path — enforced by the DML surface (Rbac.checkWrite)
+  private val grantWriteRe =
+    """(?is)\s*GRANT\s+([\w\s,]+?)\s+ON\s+(\w+|'[^']+')\s+TO\s+(\w+)\s*;?\s*""".r
+  private val revokeWriteRe =
+    """(?is)\s*REVOKE\s+([\w\s,]+?)\s+ON\s+(\w+|'[^']+')\s+FROM\s+(\w+)\s*;?\s*""".r
   private val grantRoleRe = """(?is)\s*GRANT\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val setRoleRe = """(?is)\s*SET\s+ROLE\s+(\w+)\s*;?\s*""".r
   private val resetRoleRe = """(?is)\s*RESET\s+ROLE\s*;?\s*""".r
@@ -359,6 +365,7 @@ object Ddl {
         dropRe(_*) | showRe() | compactRe(_*) | describeRe(_*) | refreshRe(_*) |
         createDictRe(_*) | dropDictRe(_*) => true
     case createRoleRe(_*) | dropRoleRe(_*) | grantSelRe(_*) | revokeSelRe(_*) |
+        grantWriteRe(_*) | revokeWriteRe(_*) |
         grantRoleRe(_*) | setRoleRe(_*) | resetRoleRe() | vacuumRe(_*) => true
     case _ => false
   }
@@ -871,9 +878,7 @@ object Ddl {
       Rbac.dropRole(name)
       result(spark, s"dropped role $name")
     case grantSelRe(colsRaw, view, role, withGo, grantedBy) =>
-      val root = scanRootOf(spark, view).getOrElse(
-        throw new IllegalArgumentException(
-          s"GRANT SELECT: $view is not a registered bare-scan view"))
+      val root = writeTargetRoot(spark, view)
       val cols = Option(colsRaw)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       Rbac.grantSelect(spark, root, role, cols,
@@ -882,13 +887,23 @@ object Ddl {
         cols.map(c => s" (${c.mkString(",")})").getOrElse("") +
         s" on $view to $role")
     case revokeSelRe(colsRaw, view, role) =>
-      val root = scanRootOf(spark, view).getOrElse(
-        throw new IllegalArgumentException(
-          s"REVOKE SELECT: $view is not a registered bare-scan view"))
+      val root = writeTargetRoot(spark, view)
       val cols = Option(colsRaw)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       Rbac.revokeSelect(root, role, cols)
       result(spark, s"revoked SELECT on $view from $role")
+    case grantWriteRe(privsRaw, target, role)
+        if privsRaw.split(",").map(_.trim.toLowerCase).toSet
+          .subsetOf(Set("insert", "update", "delete")) =>
+      val privs = privsRaw.split(",").map(_.trim.toLowerCase).toSet
+      Rbac.grantWrite(writeTargetRoot(spark, target), role, privs)
+      result(spark, s"granted ${privs.mkString(",")} on $target to $role")
+    case revokeWriteRe(privsRaw, target, role)
+        if privsRaw.split(",").map(_.trim.toLowerCase).toSet
+          .subsetOf(Set("insert", "update", "delete")) =>
+      val privs = privsRaw.split(",").map(_.trim.toLowerCase).toSet
+      Rbac.revokeWrite(writeTargetRoot(spark, target), role, privs)
+      result(spark, s"revoked ${privs.mkString(",")} on $target from $role")
     case grantRoleRe(granted, to) =>
       Rbac.grantRole(granted, to)
       result(spark, s"granted $granted to $to")
@@ -903,6 +918,16 @@ object Ddl {
     case other =>
       throw new IllegalArgumentException(s"unsupported DDL: $other")
   }
+
+  /** Root a write grant binds to: a quoted literal path verbatim (the
+    * Iceberg DML surface is path-addressed), else a registered view's
+    * scan root. */
+  private def writeTargetRoot(spark: SparkSession, target: String): String =
+    if (target.startsWith("'")) target.stripPrefix("'").stripSuffix("'")
+    else scanRootOf(spark, target).getOrElse(
+      throw new IllegalArgumentException(
+        s"GRANT/REVOKE: $target is not a registered bare-scan view " +
+          "(quote a table path for the path-addressed DML surface)"))
 
   private def result(spark: SparkSession, msg: String): DataFrame = {
     import spark.implicits._

@@ -130,6 +130,54 @@ object Rbac {
     memberOf.updateWith(to.toLowerCase)(s => Some(s.getOrElse(Set.empty) + granted.toLowerCase))
   }
 
+  /** root → role → write privileges held ("insert"/"update"/"delete").
+    * Write enforcement hooks sit on the DML surface itself (the reference's
+    * EnforceTablePrivilege hooks on insert/update/delete,
+    * rbac/div_enforcement.test; MERGE requires the privilege matching each
+    * WHEN action it performs, enf_merge_privilege.test). */
+  private[search] val writeGrants = TrieMap.empty[String, Map[String, Set[String]]]
+
+  def grantWrite(root: String, role: String, privs: Set[String]): Unit = {
+    require(exists(role), s"role $role does not exist")
+    require(privs.subsetOf(Set("insert", "update", "delete")),
+      s"unknown write privilege in $privs")
+    writeGrants.updateWith(root) { m =>
+      val cur = m.getOrElse(Map.empty)
+      Some(cur.updated(role.toLowerCase,
+        cur.getOrElse(role.toLowerCase, Set.empty) ++ privs))
+    }
+  }
+
+  def revokeWrite(root: String, role: String, privs: Set[String]): Unit =
+    writeGrants.updateWith(root)(_.map { m =>
+      m.get(role.toLowerCase) match {
+        case Some(held) =>
+          val left = held -- privs
+          if (left.isEmpty) m - role.toLowerCase
+          else m.updated(role.toLowerCase, left)
+        case None => m
+      }
+    })
+
+  /** Enforce one write action against the session role; superuser (no
+    * role) passes. Called from the DML entry points, not the planner —
+    * writes are library verbs here, and hooking the verb is the analogue
+    * of the reference enforcing before the physical insert/update/delete
+    * operators run. */
+  def checkWrite(spark: SparkSession, root: String, priv: String,
+      tableLabel: String = ""): Unit =
+    currentRole(spark).foreach { role =>
+      val eff = effective(role)
+      val ok = writeGrants.getOrElse(resolveKey(writeGrants.keys, root), Map.empty)
+        .exists { case (g, privs) => eff.contains(g) && privs.contains(priv) }
+      if (!ok) throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          (s"permission denied for table " +
+            (if (tableLabel.nonEmpty) tableLabel else root.split("/").last) +
+            s" (role $role lacks $priv)")))
+    }
+
   /** The role set `role` effectively holds: itself + transitive memberships. */
   private def effective(role: String): Set[String] = {
     val seen = scala.collection.mutable.Set(role)
@@ -157,11 +205,19 @@ object Rbac {
     * Column grants allow the scan iff every read column is covered by the
     * union of the effective roles' column sets (a table-level grant
     * covers everything). */
+  /** The grant key a scan path answers to: itself, or the longest granted
+    * ancestor directory — an Iceberg table's per-file scan roots resolve
+    * to the table dir the grant was issued on. */
+  private def resolveKey(keys: Iterable[String], root: String): String =
+    if (keys.exists(_ == root)) root
+    else keys.filter(k => root.startsWith(k + "/"))
+      .maxByOption(_.length).getOrElse(root)
+
   def check(spark: SparkSession, root: String, tableLabel: String,
       usedColumns: Set[String] = Set.empty): Unit =
     currentRole(spark).foreach { role =>
       val eff = effective(role)
-      val held = grants.getOrElse(root, Map.empty)
+      val held = grants.getOrElse(resolveKey(grants.keys, root), Map.empty)
         .collect { case (g, gr) if eff.contains(g) => gr }
       def deny(): Nothing = throw new org.apache.spark.sql.AnalysisException(
         "USER_RAISED_EXCEPTION",
@@ -178,6 +234,6 @@ object Rbac {
 
   /** Test hook. */
   private[graft] def reset(): Unit = {
-    roles.clear(); memberOf.clear(); grants.clear()
+    roles.clear(); memberOf.clear(); grants.clear(); writeGrants.clear()
   }
 }

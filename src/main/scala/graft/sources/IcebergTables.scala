@@ -377,12 +377,21 @@ object IcebergTables {
   }
 
   /** Commit `df` as a new append snapshot; returns the new snapshot id. */
-  def append(df: DataFrame, tableDir: String): Long =
+  def append(df: DataFrame, tableDir: String): Long = {
+    // write enforcement at the DML verb — the reference's
+    // EnforceTablePrivilege insert hook (rbac/div_enforcement.test)
+    graft.search.Rbac.checkWrite(df.sparkSession, tableDir, "insert")
     commit(df.sparkSession, tableDir, Some(df), createPartitionBy = None, dropValues = None)
+  }
 
   /** Drop a whole partition (file-level delete — the new snapshot's
     * manifest simply omits the partition's files; no data rewritten). */
-  def dropPartition(spark: SparkSession, tableDir: String, value: Any): Long =
+  def dropPartition(spark: SparkSession, tableDir: String, value: Any): Long = {
+    graft.search.Rbac.checkWrite(spark, tableDir, "delete")
+    dropPartition0(spark, tableDir, value)
+  }
+
+  private def dropPartition0(spark: SparkSession, tableDir: String, value: Any): Long =
     commit(spark, tableDir, newData = None, createPartitionBy = None,
       dropValues = Some(Seq(value)))
 
@@ -398,6 +407,7 @@ object IcebergTables {
     * to the pre-delete snapshot still sees the rows. */
   def deleteWhere(spark: SparkSession, tableDir: String,
       pred: org.apache.spark.sql.Column): DataFrame = {
+    graft.search.Rbac.checkWrite(spark, tableDir, "delete")
     import org.apache.spark.sql.functions.col
     val (_, meta) = currentMeta(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
@@ -437,6 +447,7 @@ object IcebergTables {
   def updateWhere(spark: SparkSession, tableDir: String,
       pred: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    graft.search.Rbac.checkWrite(spark, tableDir, "update")
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val (_, meta) = currentMeta(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
@@ -479,6 +490,9 @@ object IcebergTables {
     * behavior on a partitioned fixture). */
   def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
       keyCol: String): Long = {
+    // PG INSERT ... ON CONFLICT DO UPDATE needs both privileges
+    graft.search.Rbac.checkWrite(spark, tableDir, "insert")
+    graft.search.Rbac.checkWrite(spark, tableDir, "update")
     import org.apache.spark.sql.functions.col
     val (_, meta) = currentMeta(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
@@ -515,6 +529,7 @@ object IcebergTables {
     * already present — a pure append commit (no rewrite at any scale). */
   def insertIgnore(spark: SparkSession, tableDir: String, rows: DataFrame,
       keyCol: String): Long = {
+    graft.search.Rbac.checkWrite(spark, tableDir, "insert")
     import org.apache.spark.sql.functions.col
     val (_, meta) = currentMeta(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no iceberg table at $tableDir"))
@@ -545,6 +560,12 @@ object IcebergTables {
       updateSet: Map[String, Column] = Map.empty,
       updateCond: Option[Column] = None,
       insert: Boolean = true): Long = {
+    // MERGE needs the write privilege matching each WHEN action it
+    // performs (reference enf_merge_privilege.test) — a SELECT-only role
+    // cannot smuggle writes through a merge
+    if (deleteCond.nonEmpty) graft.search.Rbac.checkWrite(spark, tableDir, "delete")
+    if (updateSet.nonEmpty) graft.search.Rbac.checkWrite(spark, tableDir, "update")
+    if (insert) graft.search.Rbac.checkWrite(spark, tableDir, "insert")
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     val (_, meta) = currentMeta(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no iceberg table at $tableDir"))

@@ -125,6 +125,57 @@ class RbacSpec extends AnyFunSuite {
     assert(withRole("gb_ved")(spark.table("graft_orders").count()) > 0)
   }
 
+  test("write privileges gate the DML surface; MERGE needs each WHEN action's privilege") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sources.IcebergTables
+    val table = sys.props("java.io.tmpdir") + "/graft-rbac-dml-table"
+    val docs = Tables.documents(spark, TestSpark.sfDir).limit(20)
+    IcebergTables.createOrReplace(docs, table)
+    sql("CREATE ROLE dml_writer")
+    // the DML's SOURCE rows scan the documents table — reading it under
+    // the role needs SELECT (PG: MERGE requires SELECT on the source)
+    Tables.documents(spark, TestSpark.sfDir)
+      .createOrReplaceTempView("graft_documents")
+    sql("GRANT SELECT ON graft_documents TO dml_writer")
+    // ... and the merge/delete paths read the TARGET table too
+    sql(s"GRANT SELECT ON '$table' TO dml_writer")
+    val newRows = docs.withColumn("doc_id", col("doc_id") + 10000)
+    def deniedWrite(f: => Any): Boolean =
+      try { f; false }
+      catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("permission denied") }
+    withRole("dml_writer") {
+      assert(deniedWrite(IcebergTables.append(newRows, table)),
+        "insert must be denied without the privilege")
+      assert(deniedWrite(IcebergTables.deleteWhere(spark, table, col("doc_id") < 5)),
+        "delete must be denied")
+      assert(deniedWrite(IcebergTables.updateWhere(spark, table,
+        col("doc_id") < 5, Map("lang" -> lit("xx")))), "update must be denied")
+      // MERGE with only an insert clause still needs insert
+      assert(deniedWrite(IcebergTables.merge(spark, table, newRows, "doc_id")),
+        "merge insert clause must be denied")
+    }
+    sql(s"GRANT INSERT ON '$table' TO dml_writer")
+    withRole("dml_writer") {
+      IcebergTables.append(newRows.limit(1), table)
+      // merge with update clause: insert alone is not enough
+      assert(deniedWrite(IcebergTables.merge(spark, table, newRows, "doc_id",
+        updateSet = Map("lang" -> lit("yy")))),
+        "merge update clause needs the update privilege")
+    }
+    sql(s"GRANT UPDATE, DELETE ON '$table' TO dml_writer")
+    withRole("dml_writer") {
+      IcebergTables.merge(spark, table, newRows.limit(2), "doc_id",
+        deleteCond = Some(col("src_n_chars") < 0),
+        updateSet = Map("lang" -> lit("yy")))
+    }
+    sql(s"REVOKE INSERT ON '$table' FROM dml_writer")
+    withRole("dml_writer") {
+      assert(deniedWrite(IcebergTables.append(newRows.limit(1), table)),
+        "revoked insert must close the append path")
+    }
+  }
+
   test("SET ROLE on an unknown role fails; superuser (no role) unrestricted") {
     assertThrows[IllegalArgumentException](sql("SET ROLE no_such_role"))
     Tables.documents(spark, TestSpark.sfDir)
