@@ -383,6 +383,34 @@ object IndexStore {
       .map(_.dropDuplicates("doc_id", "max_seg"))
   }
 
+  /** Exact live-doc count from segment metadata ALONE — the reference's
+    * "count answered from reader metadata" fast path
+    * (inverted_index_count_variants.test: `Output: row-count only`). None
+    * when tombstones exist (their accounting lives in a deletes dataset,
+    * not metadata) or the index has no segments — callers fall back to the
+    * normal scan. Cost: one tiny meta.json read per segment, driver-side. */
+  def metaNumDocs(spark: SparkSession, dir: String): Option[Long] = {
+    val segs = listSegments(spark, dir)
+    if (segs.isEmpty) return None
+    val hasDeletes =
+      (exists(spark, s"$dir/_DELETES") &&
+        readString(spark, s"$dir/_DELETES").trim.nonEmpty) ||
+        deleteGens(spark, dir).nonEmpty
+    if (hasDeletes) None
+    else Some(segs.map { s =>
+      """"numDocs":(\d+)""".r
+        .findFirstMatchIn(readString(spark, s"$dir/$s/meta.json"))
+        .get.group(1).toLong
+    }.sum)
+  }
+
+  /** Whether this index carries tombstones (deleted docs) — metadata-only
+    * answers must then account for them or bail. */
+  def hasDeletes(spark: SparkSession, dir: String): Boolean =
+    (exists(spark, s"$dir/_DELETES") &&
+      readString(spark, s"$dir/_DELETES").trim.nonEmpty) ||
+      deleteGens(spark, dir).nonEmpty
+
   /** Live segments per the manifest (source of truth — compacted-away
     * segment dirs may still exist on disk until [[cleanup]]). */
   def listSegments(spark: SparkSession, dir: String): Seq[String] =

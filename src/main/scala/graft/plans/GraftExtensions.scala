@@ -22,6 +22,8 @@ import graft.search.IndexCatalog
   * name is special-cased here. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(s => ClaimCountOnly(s))
+    e.injectOptimizerRule(s => StatsPrune(s))
     e.injectOptimizerRule(s => ClaimCoveredProjection(s))
     e.injectOptimizerRule(s => ClaimTsMatch(s))
     e.injectOptimizerRule(s => PushdownTsDictAggregate(s))

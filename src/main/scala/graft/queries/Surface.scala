@@ -229,6 +229,62 @@ object Surface {
     Seq((nAllowed, denied)).toDF("n_allowed", "denied")
   }
 
+  /** The extended role-model surface (reference rbac corpus: xog_* owner/
+    * grant matrices, xmb_* membership semantics): PUBLIC pseudo-role,
+    * NOINHERIT attribute + chain break, ADMIN OPTION on membership,
+    * GRANT ALL, and pg_has_role introspection — each leg is a live
+    * enforcement decision rendered as a row; the oracle pins the PG truth
+    * table. */
+  def rbacModel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SqlSurface.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("rbm_docs")
+    def ddl(q: String) = graft.search.Ddl.execute(s, q)
+    def can(role: String)(body: => Any): Boolean = {
+      ddl(s"SET ROLE $role")
+      try { body; true }
+      catch { case _: Exception => false }
+      finally ddl("RESET ROLE")
+    }
+    ddl("CREATE ROLE rbm_any")
+    ddl("CREATE ROLE rbm_ni NOINHERIT")
+    ddl("CREATE ROLE rbm_group")
+    ddl("GRANT rbm_group TO rbm_ni")
+    ddl("GRANT SELECT ON rbm_docs TO public")
+    val pubRead = can("rbm_any")(s.table("rbm_docs").count())
+    ddl("REVOKE SELECT ON rbm_docs FROM public")
+    val pubRevoked = can("rbm_any")(s.table("rbm_docs").count())
+    ddl("GRANT SELECT ON rbm_docs TO rbm_group")
+    val niAuto = can("rbm_ni")(s.table("rbm_docs").count())
+    val niMember = graft.search.Rbac.hasRole("rbm_ni", "rbm_group", "member")
+    val niUsage = graft.search.Rbac.hasRole("rbm_ni", "rbm_group", "usage")
+    ddl("CREATE ROLE rbm_bob")
+    ddl("CREATE ROLE rbm_alice")
+    val grantNoAdmin = can("rbm_bob")(ddl("GRANT rbm_group TO rbm_alice"))
+    ddl("GRANT rbm_group TO rbm_bob WITH ADMIN OPTION")
+    val grantWithAdmin = can("rbm_bob")(ddl("GRANT rbm_group TO rbm_alice"))
+    ddl("CREATE ROLE rbm_all")
+    ddl("GRANT ALL ON rbm_docs TO rbm_all")
+    val root = s.table("rbm_docs").queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.head.toString.stripPrefix("file:")
+    }.get
+    val allSelect = can("rbm_all")(s.table("rbm_docs").count())
+    val allInsert = can("rbm_all")(graft.search.Rbac.checkWrite(s, root, "insert"))
+    Seq(
+      ("public_grant_read", pubRead),
+      ("public_revoked_read", pubRevoked),
+      ("noinherit_auto_use", niAuto),
+      ("noinherit_is_member", niMember),
+      ("noinherit_has_usage", niUsage),
+      ("grant_role_no_admin", grantNoAdmin),
+      ("grant_role_with_admin", grantWithAdmin),
+      ("grant_all_select", allSelect),
+      ("grant_all_insert", allInsert)
+    ).toDF("leg", "allowed")
+  }
+
   /** Term-dictionary enumeration composing with JOINs (reference
     * ts_dict_joins.test): each registered `<name>_termdict` view is an
     * independent relation, so an allowlist join, a cross-index join and a
@@ -888,8 +944,65 @@ object Surface {
              |WHERE o_orderkey IN (${mm.getLong(0)}, ${mm.getLong(1)})""".stripMargin)
   }
 
+  /** Count-only fast paths (reference inverted_index_count_variants.test /
+    * inverted_index_count_filter_modes.test): the bare-scan leg is answered
+    * from segment METADATA (ClaimCountOnly leg 1 — zero table or index data
+    * read), the ts_match leg counts the postings drive with no base-table
+    * scan (leg 2). count(1)/count(NULL) exercise the PG count semantics the
+    * reference pins. Plan shapes are asserted in StatsRulesSpec; values
+    * here against the DuckDB oracle. */
+  def idxCountFast(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql("""SELECT 'all' AS leg, count(*) AS n, count(1) AS n_const,
+            |       count(NULL) AS n_null
+            |FROM graft_documents
+            |UNION ALL
+            |SELECT 'match' AS leg, count(*) AS n, count(1) AS n_const,
+            |       count(NULL) AS n_null
+            |FROM graft_documents WHERE ts_match(text, 'hash', 'whitespace')
+            |""".stripMargin)
+  }
+
+  /** Zone-statistics propagation (reference search_table_stats_propagation
+    * .test): an impossible range folds the scan to EMPTY at plan time, an
+    * always-true range is reduced to IS NOT NULL, and a selective range
+    * prunes files by zone [min,max] before any task is scheduled. Uses the
+    * same key-sorted 8-file orders fixture + secondary index as
+    * pk_point_lookup. */
+  def statsPruneFold(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val root = sys.props("java.io.tmpdir") + "/graft-pk-" +
+      dir.replaceAll("[^A-Za-z0-9._-]+", "_") + "/orders"
+    if (!new java.io.File(root + "/_SUCCESS").exists())
+      Tables.orders(s, dir).repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(root)
+    s.read.parquet(root).createOrReplaceTempView("graft_orders_pk")
+    graft.search.Ddl.execute(s,
+      s"CREATE SECONDARY INDEX orders_pk_idx ON graft_orders_pk (o_orderkey) " +
+        s"WITH (key = '$dir-orders-pk')")
+    val mm = s.read.parquet(root)
+      .agg(fmin("o_orderkey"), fmax("o_orderkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    s.sql(s"""SELECT 'below_min' AS leg, count(*) AS n, sum(o_custkey) AS s
+             |FROM graft_orders_pk WHERE o_orderkey < $lo
+             |UNION ALL
+             |SELECT 'above_max' AS leg, count(*) AS n, sum(o_custkey) AS s
+             |FROM graft_orders_pk WHERE o_orderkey > $hi
+             |UNION ALL
+             |SELECT 'always_true' AS leg, count(*) AS n, sum(o_custkey) AS s
+             |FROM graft_orders_pk WHERE o_orderkey >= $lo
+             |UNION ALL
+             |SELECT 'range_pruned' AS leg, count(*) AS n, sum(o_custkey) AS s
+             |FROM graft_orders_pk WHERE o_orderkey <= $lo + 100
+             |""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pk_point_lookup" -> pkPointLookup,
+    "idx_count_fast" -> idxCountFast,
+    "stats_prune_fold" -> statsPruneFold,
     "ts_claimed_bm25_topk" -> tsClaimedBm25TopK,
     "ts_claimed_union_scorers" -> tsClaimedUnionScorers,
     "ts_claimed_bm25_score" -> tsClaimedBm25Score,
@@ -933,6 +1046,7 @@ object Surface {
     "ts_dict_compose" -> tsDictCompose,
     "ts_constructors" -> tsConstructors,
     "rbac_enforced" -> rbacEnforced,
+    "rbac_model" -> rbacModel,
     "ts_sugar_preds" -> tsSugarPreds,
     "ts_sql_match" -> tsSqlMatch,
     "vec_sql_surface" -> vecSqlSurface,
@@ -955,6 +1069,32 @@ object Surface {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
         |   OR o_orderkey = (SELECT max(o_orderkey) FROM orders)""".stripMargin,
+    "idx_count_fast" ->
+      s"""$toks
+         |SELECT 'all' AS leg, count(*) AS n, count(1) AS n_const,
+         |       count(NULL) AS n_null
+         |FROM documents
+         |UNION ALL
+         |SELECT 'match' AS leg, count(*) AS n, count(1) AS n_const,
+         |       count(NULL) AS n_null
+         |FROM toks WHERE list_contains(ts, 'hash')""".stripMargin,
+    "stats_prune_fold" ->
+      """SELECT 'below_min' AS leg, count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS s
+        |FROM orders WHERE o_orderkey < (SELECT min(o_orderkey) FROM orders)
+        |UNION ALL
+        |SELECT 'above_max' AS leg, count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS s
+        |FROM orders WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders)
+        |UNION ALL
+        |SELECT 'always_true' AS leg, count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS s
+        |FROM orders WHERE o_orderkey >= (SELECT min(o_orderkey) FROM orders)
+        |UNION ALL
+        |SELECT 'range_pruned' AS leg, count(*) AS n,
+        |       CAST(sum(o_custkey) AS BIGINT) AS s
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT min(o_orderkey) FROM orders) + 100""".stripMargin,
     "ts_claimed_bm25_topk" ->
       s"""${Search.scoringCtes}
          |SELECT doc_id FROM scored WHERE score > 0
@@ -1143,6 +1283,17 @@ object Surface {
          |  AND d.n_chars > 100""".stripMargin,
     "rbac_enforced" ->
       """SELECT count(*) AS n_allowed, true AS denied FROM documents""",
+    "rbac_model" ->
+      """SELECT * FROM (VALUES
+        |  ('public_grant_read', true),
+        |  ('public_revoked_read', false),
+        |  ('noinherit_auto_use', false),
+        |  ('noinherit_is_member', true),
+        |  ('noinherit_has_usage', false),
+        |  ('grant_role_no_admin', false),
+        |  ('grant_role_with_admin', true),
+        |  ('grant_all_select', true),
+        |  ('grant_all_insert', true)) AS t(leg, allowed)""".stripMargin,
     "ts_constructors" ->
       s"""$toks,
          |pos AS (SELECT doc_id,

@@ -144,6 +144,14 @@ object IndexCatalog {
     text.get((tableRoot, column, analyzer))
   }
 
+  /** Every text index registered over `tableRoot` — lets the count-only
+    * fast path (ClaimCountOnly) find ANY full index whose segment metadata
+    * can answer `count(*)` over the bare table. */
+  def textEntriesFor(tableRoot: String): Seq[TextEntry] = {
+    CatalogStore.ensureLoaded()
+    text.collect { case ((r, _, _), e) if r == tableRoot => e }.toSeq
+  }
+
   def unregisterText(segDir: String): Unit =
     text.filterInPlace((_, e) => e.segDir != segDir)
 
@@ -279,8 +287,15 @@ object Ddl {
   private val optRe = """(?s)(\w+)\s*=\s*'([^']*)'""".r
   // RBAC verbs (reference optimizer/rbac.{h,cpp}; rbac test corpus) —
   // roles, SELECT grants, membership, session current-role
-  private val createRoleRe = """(?is)\s*CREATE\s+ROLE\s+(\w+)\s*;?\s*""".r
+  private val createRoleRe =
+    """(?is)\s*CREATE\s+ROLE\s+(\w+)(?:\s+(NOINHERIT|INHERIT))?\s*;?\s*""".r
   private val dropRoleRe = """(?is)\s*DROP\s+ROLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  // GRANT/REVOKE ALL [PRIVILEGES]: SELECT + the write triple in one verb
+  // (reference xog_m_grant_all_revoke_all.test)
+  private val grantAllRe =
+    """(?is)\s*GRANT\s+ALL(?:\s+PRIVILEGES)?\s+ON\s+(\w+|'[^']+')\s+TO\s+(\w+)\s*;?\s*""".r
+  private val revokeAllRe =
+    """(?is)\s*REVOKE\s+ALL(?:\s+PRIVILEGES)?\s+ON\s+(\w+|'[^']+')\s+FROM\s+(\w+)\s*;?\s*""".r
   private val grantSelRe =
     """(?is)\s*GRANT\s+SELECT\s*(?:\(\s*([\w\s,]+?)\s*\))?\s+ON\s+(\w+|'[^']+')\s+TO\s+(\w+)(\s+WITH\s+GRANT\s+OPTION)?(?:\s+GRANTED\s+BY\s+(\w+))?\s*;?\s*""".r
   private val revokeSelRe =
@@ -291,7 +306,10 @@ object Ddl {
     """(?is)\s*GRANT\s+([\w\s,]+?)\s+ON\s+(\w+|'[^']+')\s+TO\s+(\w+)\s*;?\s*""".r
   private val revokeWriteRe =
     """(?is)\s*REVOKE\s+([\w\s,]+?)\s+ON\s+(\w+|'[^']+')\s+FROM\s+(\w+)\s*;?\s*""".r
-  private val grantRoleRe = """(?is)\s*GRANT\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val grantRoleRe =
+    """(?is)\s*GRANT\s+(\w+)\s+TO\s+(\w+)(\s+WITH\s+ADMIN\s+OPTION)?\s*;?\s*""".r
+  private val revokeRoleRe =
+    """(?is)\s*REVOKE\s+(\w+)\s+FROM\s+(\w+)\s*;?\s*""".r
   private val setRoleRe = """(?is)\s*SET\s+ROLE\s+(\w+)\s*;?\s*""".r
   private val resetRoleRe = """(?is)\s*RESET\s+ROLE\s*;?\s*""".r
 
@@ -365,8 +383,10 @@ object Ddl {
         dropRe(_*) | showRe() | compactRe(_*) | describeRe(_*) | refreshRe(_*) |
         createDictRe(_*) | dropDictRe(_*) => true
     case createRoleRe(_*) | dropRoleRe(_*) | grantSelRe(_*) | revokeSelRe(_*) |
+        grantAllRe(_*) | revokeAllRe(_*) |
         grantWriteRe(_*) | revokeWriteRe(_*) |
-        grantRoleRe(_*) | setRoleRe(_*) | resetRoleRe() | vacuumRe(_*) => true
+        grantRoleRe(_*) | revokeRoleRe(_*) | setRoleRe(_*) | resetRoleRe() |
+        vacuumRe(_*) => true
     case _ => false
   }
 
@@ -871,8 +891,9 @@ object Ddl {
         s"VACUUM (REFRESH_TABLE): no search/vector/secondary index on $view")
       names.foreach(n => executeParsed(spark, s"REFRESH SEARCH INDEX $n"))
       result(spark, s"vacuumed $view (${names.size} indexes refreshed)")
-    case createRoleRe(name) =>
-      Rbac.createRole(name)
+    case createRoleRe(name, attr) =>
+      Rbac.createRole(name,
+        inherit = attr == null || !attr.equalsIgnoreCase("NOINHERIT"))
       result(spark, s"created role $name")
     case dropRoleRe(name) =>
       Rbac.dropRole(name)
@@ -904,12 +925,29 @@ object Ddl {
       val privs = privsRaw.split(",").map(_.trim.toLowerCase).toSet
       Rbac.revokeWrite(writeTargetRoot(spark, target), role, privs)
       result(spark, s"revoked ${privs.mkString(",")} on $target from $role")
-    case grantRoleRe(granted, to) =>
-      Rbac.grantRole(granted, to)
+    case grantAllRe(target, role) =>
+      val root = writeTargetRoot(spark, target)
+      Rbac.grantSelect(spark, root, role)
+      Rbac.grantWrite(root, role, Set("insert", "update", "delete"))
+      result(spark, s"granted ALL on $target to $role")
+    case revokeAllRe(target, role) =>
+      val root = writeTargetRoot(spark, target)
+      Rbac.revokeSelect(root, role)
+      Rbac.revokeWrite(root, role, Set("insert", "update", "delete"))
+      result(spark, s"revoked ALL on $target from $role")
+    case grantRoleRe(granted, to, admin) =>
+      Rbac.grantRole(spark, granted, to, admin = admin != null)
       result(spark, s"granted $granted to $to")
+    case revokeRoleRe(granted, from) =>
+      if (!Rbac.exists(granted)) throw new IllegalArgumentException(
+        s"""role "$granted" does not exist""")
+      Rbac.revokeRole(granted, from)
+      result(spark, s"revoked $granted from $from")
     case setRoleRe(name) =>
       if (!Rbac.exists(name)) throw new IllegalArgumentException(
         s"""role "$name" does not exist""")
+      if (!Rbac.maySetRole(spark, name)) throw new IllegalArgumentException(
+        s"""permission denied to set role "$name"""")
       spark.conf.set(Rbac.RoleConf, name)
       result(spark, s"role set to $name")
     case resetRoleRe() =>

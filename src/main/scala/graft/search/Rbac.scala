@@ -36,23 +36,39 @@ object Rbac {
     * (WITH GRANT OPTION). */
   final case class Grant(columns: Option[Set[String]], grantOption: Boolean)
 
+  /** PUBLIC pseudo-role: every role implicitly holds its grants, it always
+    * exists and can never be dropped (PG semantics; the reference corpus'
+    * xog_f_revoke_public_vs_role.test distinguishes PUBLIC grants from
+    * direct ones — revoking one never removes the other). */
+  val Public = "public"
+
+  /** name → INHERIT attribute (PG CREATE ROLE [NO]INHERIT): a NOINHERIT
+    * role does not automatically use the privileges of roles it belongs
+    * to — and breaks inheritance CHAINS passing through it
+    * (xmb_inherit_override_not_transitive.test) — though SET ROLE to a
+    * membership remains allowed. */
   private[search] val roles = TrieMap.empty[String, Boolean]
-  /** role → roles it is a member of (direct edges). */
-  private[search] val memberOf = TrieMap.empty[String, Set[String]]
+  /** role → (role it is a member of → ADMIN OPTION on that edge). */
+  private[search] val memberOf = TrieMap.empty[String, Map[String, Boolean]]
   /** scan root → role → grant. */
   private[search] val grants = TrieMap.empty[String, Map[String, Grant]]
 
-  def createRole(name: String): Unit = roles.put(name.toLowerCase, true)
+  def createRole(name: String, inherit: Boolean = true): Unit =
+    roles.put(name.toLowerCase, inherit)
 
   def dropRole(name: String): Unit = {
     val n = name.toLowerCase
+    require(n != Public, "cannot drop role public")
     roles.remove(n)
     memberOf.remove(n)
     memberOf.transform((_, s) => s - n)
     grants.transform((_, m) => m - n)
   }
 
-  def exists(name: String): Boolean = roles.contains(name.toLowerCase)
+  def exists(name: String): Boolean =
+    name.toLowerCase == Public || roles.contains(name.toLowerCase)
+
+  private def inherits(role: String): Boolean = roles.getOrElse(role, true)
 
   private def merge(a: Grant, b: Grant): Grant = Grant(
     columns = (a.columns, b.columns) match {
@@ -124,11 +140,35 @@ object Rbac {
       }
     })
 
-  def grantRole(granted: String, to: String): Unit = {
+  /** `GRANT granted TO to [WITH ADMIN OPTION]`. A non-superuser issuer must
+    * hold the ADMIN OPTION on `granted` (directly or through membership) —
+    * PG's authorization rule for conferring membership
+    * (xmb_set_admin_membership.test, xmb_edge_option_combos.test). */
+  def grantRole(spark: SparkSession, granted: String, to: String,
+      admin: Boolean = false): Unit = {
     require(exists(granted), s"role $granted does not exist")
     require(exists(to), s"role $to does not exist")
-    memberOf.updateWith(to.toLowerCase)(s => Some(s.getOrElse(Set.empty) + granted.toLowerCase))
+    currentRole(spark).foreach { issuer =>
+      require(hasAdminOn(issuer, granted.toLowerCase),
+        s"must have admin option on role $granted")
+    }
+    memberOf.updateWith(to.toLowerCase) { s =>
+      val cur = s.getOrElse(Map.empty)
+      // admin once granted is sticky under a plain re-grant (PG keeps it)
+      Some(cur.updated(granted.toLowerCase,
+        admin || cur.getOrElse(granted.toLowerCase, false)))
+    }
   }
+
+  def revokeRole(granted: String, from: String): Unit =
+    memberOf.updateWith(from.toLowerCase)(_.map(_ - granted.toLowerCase))
+
+  /** Whether `role` holds the ADMIN OPTION on `granted`: some role it is
+    * a member of (membership closure — admin rides membership, not
+    * inheritance) carries an admin edge to `granted`. */
+  private def hasAdminOn(role: String, granted: String): Boolean =
+    (membershipClosure(role) + role).exists(r =>
+      memberOf.getOrElse(r, Map.empty).getOrElse(granted, false))
 
   /** root → role → write privileges held ("insert"/"update"/"delete").
     * Write enforcement hooks sit on the DML surface itself (the reference's
@@ -178,18 +218,63 @@ object Rbac {
             s" (role $role lacks $priv)")))
     }
 
-  /** The role set `role` effectively holds: itself + transitive memberships. */
+  /** The role set whose PRIVILEGES `role` effectively holds: itself, PUBLIC
+    * (whose grants apply to everyone), and transitive memberships reached
+    * through INHERIT roles only — a NOINHERIT role neither starts nor
+    * relays automatic privilege use (PG pre-16 role-attribute semantics;
+    * SET ROLE remains the explicit escape hatch). */
   private def effective(role: String): Set[String] = {
     val seen = scala.collection.mutable.Set(role)
+    val queue = scala.collection.mutable.Queue.empty[String]
+    if (inherits(role)) queue.enqueue(role)
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      memberOf.getOrElse(r, Map.empty).keys.foreach { m =>
+        if (seen.add(m) && inherits(m)) queue.enqueue(m)
+      }
+    }
+    seen.toSet + Public
+  }
+
+  /** Pure MEMBERSHIP closure (ignores INHERIT): what `SET ROLE` may switch
+    * to and what `pg_has_role(..., 'member')` reports. */
+  private def membershipClosure(role: String): Set[String] = {
+    val seen = scala.collection.mutable.Set.empty[String]
     val queue = scala.collection.mutable.Queue(role)
     while (queue.nonEmpty) {
       val r = queue.dequeue()
-      memberOf.getOrElse(r, Set.empty).foreach { m =>
+      memberOf.getOrElse(r, Map.empty).keys.foreach { m =>
         if (seen.add(m)) queue.enqueue(m)
       }
     }
     seen.toSet
   }
+
+  /** `pg_has_role(role, target, mode)` — mode `member`: target reachable
+    * through membership regardless of INHERIT; mode `usage`: target's
+    * privileges are usable without SET ROLE (inheritance path). A role
+    * always has both on itself. */
+  def hasRole(role: String, target: String, mode: String): Boolean = {
+    val (r, t) = (role.toLowerCase, target.toLowerCase)
+    require(exists(r), s"role $role does not exist")
+    require(exists(t), s"role $target does not exist")
+    mode.toLowerCase match {
+      case "member" => r == t || membershipClosure(r).contains(t)
+      case "usage" => r == t || effective(r).contains(t)
+      case other => throw new IllegalArgumentException(
+        s"pg_has_role: unknown privilege '$other' (member|usage)")
+    }
+  }
+
+  /** Whether the session may `SET ROLE name`: superuser always; otherwise
+    * the current role must be (a member of) the target (PG). */
+  def maySetRole(spark: SparkSession, name: String): Boolean =
+    currentRole(spark) match {
+      case None => true
+      case Some(r) =>
+        val t = name.toLowerCase
+        r == t || membershipClosure(r).contains(t)
+    }
 
   /** Whether any access restriction exists at all — the zero-cost fast
     * path for sessions that never touch RBAC. */

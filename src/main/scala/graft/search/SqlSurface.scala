@@ -21,6 +21,14 @@ object SqlSurface {
 
   def registerAll(spark: SparkSession): Unit = if (registered.add(spark)) {
     VectorFunctions.registerSql(spark)
+    // pg_has_role(role, target, 'member'|'usage') — PG's membership
+    // introspection over the RBAC role graph (rbac corpus
+    // xmb_has_role_matrix_diamond.test): member = reachable through
+    // membership regardless of INHERIT, usage = privileges usable without
+    // SET ROLE (inheritance path)
+    spark.udf.register("pg_has_role",
+      (role: String, target: String, mode: String) =>
+        Rbac.hasRole(role, target, mode))
     spark.udf.register("ts_match",
       (text: String, query: String, dict: String) =>
         if (text == null) None else {

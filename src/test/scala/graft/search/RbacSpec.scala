@@ -182,4 +182,122 @@ class RbacSpec extends AnyFunSuite {
       .createOrReplaceTempView("graft_documents")
     assert(spark.table("graft_documents").count() > 0)
   }
+
+  test("PUBLIC grants apply to every role; revoking a direct grant leaves them") {
+    Tables.documents(spark, TestSpark.sfDir)
+      .createOrReplaceTempView("x_pub_docs")
+    sql("CREATE ROLE x_pub_a")
+    sql("CREATE ROLE x_pub_b")
+    assert(withRole("x_pub_a")(denied(spark.table("x_pub_docs").count())))
+    sql("GRANT SELECT ON x_pub_docs TO public")
+    assert(withRole("x_pub_a")(spark.table("x_pub_docs").count()) > 0)
+    assert(withRole("x_pub_b")(spark.table("x_pub_docs").count()) > 0)
+    // a direct grant and the PUBLIC grant are independent rows
+    // (xog_f_revoke_public_vs_role.test)
+    sql("GRANT SELECT ON x_pub_docs TO x_pub_a")
+    sql("REVOKE SELECT ON x_pub_docs FROM x_pub_a")
+    assert(withRole("x_pub_a")(spark.table("x_pub_docs").count()) > 0,
+      "PUBLIC grant must survive revoking the direct grant")
+    sql("REVOKE SELECT ON x_pub_docs FROM public")
+    assert(withRole("x_pub_a")(denied(spark.table("x_pub_docs").count())))
+    assertThrows[Exception](sql("DROP ROLE public"))
+  }
+
+  test("NOINHERIT blocks automatic privilege use; SET ROLE is the escape hatch") {
+    Tables.documents(spark, TestSpark.sfDir)
+      .createOrReplaceTempView("x_ni_docs")
+    sql("CREATE ROLE x_ni_member NOINHERIT")
+    sql("CREATE ROLE x_ni_group")
+    sql("GRANT x_ni_group TO x_ni_member")
+    sql("GRANT SELECT ON x_ni_docs TO x_ni_group")
+    assert(withRole("x_ni_member")(denied(spark.table("x_ni_docs").count())),
+      "a NOINHERIT role must not use the group's privileges automatically")
+    // membership still authorizes SET ROLE — privileges then apply
+    sql("SET ROLE x_ni_member")
+    try {
+      sql("SET ROLE x_ni_group")
+      assert(spark.table("x_ni_docs").count() > 0)
+    } finally sql("RESET ROLE")
+    // a non-member cannot SET ROLE into the group
+    sql("CREATE ROLE x_ni_outsider")
+    sql("SET ROLE x_ni_outsider")
+    try assertThrows[IllegalArgumentException](sql("SET ROLE x_ni_group"))
+    finally sql("RESET ROLE")
+  }
+
+  test("an intermediate NOINHERIT role breaks the inheritance chain") {
+    Tables.documents(spark, TestSpark.sfDir)
+      .createOrReplaceTempView("x_chain_docs")
+    sql("CREATE ROLE x_chain_a")           // INHERIT (default)
+    sql("CREATE ROLE x_chain_b NOINHERIT") // breaks the chain
+    sql("CREATE ROLE x_chain_c")
+    sql("GRANT x_chain_b TO x_chain_a")
+    sql("GRANT x_chain_c TO x_chain_b")
+    sql("GRANT SELECT ON x_chain_docs TO x_chain_c")
+    assert(withRole("x_chain_a")(denied(spark.table("x_chain_docs").count())),
+      "c's privileges must not flow through the NOINHERIT middle role")
+    // but a grant directly ON the middle role's level does reach a
+    sql("GRANT SELECT ON x_chain_docs TO x_chain_b")
+    assert(withRole("x_chain_a")(spark.table("x_chain_docs").count()) > 0,
+      "a inherits b's own grants; only the chain PAST b is broken")
+  }
+
+  test("conferring membership requires the ADMIN OPTION") {
+    graft.search.SqlSurface.registerAll(spark)
+    sql("CREATE ROLE x_adm_group")
+    sql("CREATE ROLE x_adm_bob")
+    sql("CREATE ROLE x_adm_alice")
+    sql("SET ROLE x_adm_bob")
+    try assertThrows[Exception](sql("GRANT x_adm_group TO x_adm_alice"))
+    finally sql("RESET ROLE")
+    sql("GRANT x_adm_group TO x_adm_bob WITH ADMIN OPTION")
+    sql("SET ROLE x_adm_bob")
+    try sql("GRANT x_adm_group TO x_adm_alice") finally sql("RESET ROLE")
+    assert(spark.sql(
+      "SELECT pg_has_role('x_adm_alice', 'x_adm_group', 'member') AS ok")
+      .head().getBoolean(0))
+    // REVOKE removes the edge again
+    sql("REVOKE x_adm_group FROM x_adm_alice")
+    assert(!spark.sql(
+      "SELECT pg_has_role('x_adm_alice', 'x_adm_group', 'member') AS ok")
+      .head().getBoolean(0))
+  }
+
+  test("GRANT ALL opens select + the write triple; REVOKE ALL closes both") {
+    Tables.documents(spark, TestSpark.sfDir)
+      .createOrReplaceTempView("x_all_docs")
+    val root = spark.table("x_all_docs").queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.head.toString.stripPrefix("file:")
+    }.get
+    sql("CREATE ROLE x_all_writer")
+    sql("GRANT ALL PRIVILEGES ON x_all_docs TO x_all_writer")
+    withRole("x_all_writer") {
+      assert(spark.table("x_all_docs").count() > 0)
+      Rbac.checkWrite(spark, root, "insert")
+      Rbac.checkWrite(spark, root, "update")
+      Rbac.checkWrite(spark, root, "delete")
+    }
+    sql("REVOKE ALL ON x_all_docs FROM x_all_writer")
+    withRole("x_all_writer") {
+      assert(denied(spark.table("x_all_docs").count()))
+      assert(denied(Rbac.checkWrite(spark, root, "insert")))
+    }
+  }
+
+  test("pg_has_role distinguishes member from usage on a NOINHERIT edge") {
+    graft.search.SqlSurface.registerAll(spark)
+    sql("CREATE ROLE x_phr_ni NOINHERIT")
+    sql("CREATE ROLE x_phr_g")
+    sql("GRANT x_phr_g TO x_phr_ni")
+    val r = spark.sql(
+      """SELECT pg_has_role('x_phr_ni', 'x_phr_g', 'member') AS m,
+        |       pg_has_role('x_phr_ni', 'x_phr_g', 'usage') AS u,
+        |       pg_has_role('x_phr_g', 'x_phr_ni', 'member') AS rev""".stripMargin)
+      .head()
+    assert(r.getBoolean(0), "membership holds regardless of INHERIT")
+    assert(!r.getBoolean(1), "usage must NOT hold for a NOINHERIT member")
+    assert(!r.getBoolean(2), "membership is directional")
+  }
 }
