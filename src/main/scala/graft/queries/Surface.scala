@@ -154,6 +154,41 @@ object Surface {
         |  AND lang = 'en' AND n_chars >= 200""".stripMargin)
   }
 
+  /** Complex-typed INCLUDE columns (reference inverted_index_struct_include
+    * .test, inverted_index_array_include.test, struct_projection_pushdown):
+    * a STRUCT and an ARRAY column ride the covering columnstore verbatim —
+    * parquet nests natively, so the stored store round-trips NULL parents,
+    * NULL fields, and NULL arrays — and a covered query projects nested
+    * fields/elements with the base table never read (CoveredIndexSpec
+    * asserts inputFiles). */
+  def tsCoveredComplex(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    val root = sys.props("java.io.tmpdir") + "/graft-complex-" +
+      dir.replaceAll("[^A-Za-z0-9._-]+", "_") + "/docs"
+    if (!new java.io.File(root + "/_SUCCESS").exists())
+      Tables.documents(s, dir)
+        .withColumn("payload",
+          when(col("doc_id") % 7 === 0, lit(null)).otherwise(struct(
+            when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("lang")).as("name"),
+            when(col("doc_id") % 3 === 0, lit(null).cast("long"))
+              .otherwise(col("n_chars")).as("score"))))
+        .withColumn("tags",
+          when(col("doc_id") % 11 === 0, lit(null))
+            .otherwise(slice(
+              filter(split(col("text"), "\\s+"), t => t =!= ""), 1, 3)))
+        .write.mode("overwrite").parquet(root)
+    s.read.parquet(root).createOrReplaceTempView("graft_docs_complex")
+    graft.search.Ddl.execute(s,
+      s"""CREATE SEARCH INDEX docs_complex_idx ON graft_docs_complex (text)
+         |WITH (id = 'doc_id', analyzer = 'whitespace', key = '$dir-docs-complex')
+         |INCLUDE (payload, tags)""".stripMargin)
+    s.sql(
+      """SELECT doc_id, payload.name AS pname, payload.score AS pscore,
+        |       CAST(size(tags) AS BIGINT) AS n_tags, element_at(tags, 1) AS tag0
+        |FROM graft_docs_complex
+        |WHERE ts_match(text, 'hash', 'whitespace')""".stripMargin)
+  }
+
   /** Typed-field pushdown with a NON-covered projection (`length(text)`
     * needs the base table): the equality conjunct on the indexed `lang`
     * field claims into a field-dataset Term seek semi-joined with the text
@@ -832,6 +867,32 @@ object Surface {
             |WHERE bm25(text, 'vector dup query', 'whitespace') >= 1.5""".stripMargin)
   }
 
+  /** A CTE whose body is a CLAIMED index query, referenced more than once
+    * in the same statement (reference inverted_index_cte_multiref.test,
+    * issues #962/#753: a scored top-k CTE read by both the main query and
+    * a scalar subquery over the same CTE, and a ts_match CTE consumed
+    * twice through UNION ALL). Exercises the claim rules composing with
+    * WithCTE / CTERelationRef plan nodes and scalar subqueries — each
+    * reference must resolve the SAME claimed drive, never a stub. */
+  def tsClaimedCteMultiref(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql(
+      """WITH lex AS (
+        |  SELECT doc_id, bm25(text, 'vector dup query', 'whitespace') AS s
+        |  FROM graft_documents
+        |  ORDER BY s DESC LIMIT 10),
+        |c AS (SELECT doc_id FROM graft_documents
+        |      WHERE ts_match(text, 'hash join', 'whitespace'))
+        |SELECT 'norm' AS leg, doc_id,
+        |  CAST(round(s / nullif((SELECT max(s) FROM lex), 0) * 10000) AS BIGINT) AS v
+        |FROM lex
+        |UNION ALL
+        |SELECT 'dup' AS leg, doc_id, CAST(count(*) AS BIGINT) AS v
+        |FROM (SELECT doc_id FROM c UNION ALL SELECT doc_id FROM c)
+        |GROUP BY doc_id""".stripMargin)
+  }
+
   /** Second scorer through the same SQL claim path. */
   def tsClaimedTfidfTopK(s: SparkSession, dir: String): DataFrame = {
     SqlSurface.registerAll(s)
@@ -1005,6 +1066,7 @@ object Surface {
     "stats_prune_fold" -> statsPruneFold,
     "ts_claimed_bm25_topk" -> tsClaimedBm25TopK,
     "ts_claimed_union_scorers" -> tsClaimedUnionScorers,
+    "ts_claimed_cte_multiref" -> tsClaimedCteMultiref,
     "ts_claimed_bm25_score" -> tsClaimedBm25Score,
     "ts_claimed_bm25_minscore" -> tsClaimedBm25MinScore,
     "ts_claimed_tfidf_topk" -> tsClaimedTfidfTopK,
@@ -1041,6 +1103,7 @@ object Surface {
     "ts_claimed_match" -> tsClaimedMatch,
     "ts_partial_index" -> tsPartialIndex,
     "ts_covered_projection" -> tsCoveredProjection,
+    "ts_covered_complex" -> tsCoveredComplex,
     "ts_field_pushdown" -> tsFieldPushdown,
     "ts_dict_joins" -> tsDictJoins,
     "ts_dict_compose" -> tsDictCompose,
@@ -1069,6 +1132,21 @@ object Surface {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
         |   OR o_orderkey = (SELECT max(o_orderkey) FROM orders)""".stripMargin,
+    "ts_covered_complex" ->
+      s"""$toks
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 7 = 0 OR d.doc_id % 5 = 0 THEN NULL
+         |       ELSE d.lang END AS pname,
+         |  CASE WHEN d.doc_id % 7 = 0 OR d.doc_id % 3 = 0 THEN NULL
+         |       ELSE d.n_chars END AS pscore,
+         |  CASE WHEN d.doc_id % 11 = 0 THEN NULL
+         |       ELSE least(len(list_filter(string_split_regex(d.text, '\\s+'),
+         |                                  x -> x <> '')), 3) END AS n_tags,
+         |  CASE WHEN d.doc_id % 11 = 0 THEN NULL
+         |       ELSE list_filter(string_split_regex(d.text, '\\s+'),
+         |                        x -> x <> '')[1] END AS tag0
+         |FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+         |WHERE list_contains(t.ts, 'hash')""".stripMargin,
     "idx_count_fast" ->
       s"""$toks
          |SELECT 'all' AS leg, count(*) AS n, count(1) AS n_const,
@@ -1112,6 +1190,19 @@ object Surface {
       s"""${Search.scoringCtes}
          |SELECT doc_id FROM tscored WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_claimed_cte_multiref" ->
+      s"""${Search.scoringCtes},
+         |lex AS (SELECT doc_id, score AS s FROM scored WHERE score > 0
+         |        ORDER BY score DESC, doc_id LIMIT 10),
+         |c AS (SELECT doc_id FROM toks
+         |      WHERE list_contains(ts, 'hash') AND list_contains(ts, 'join'))
+         |SELECT 'norm' AS leg, doc_id,
+         |  CAST(round(s / nullif((SELECT max(s) FROM lex), 0) * 10000) AS BIGINT) AS v
+         |FROM lex
+         |UNION ALL
+         |SELECT 'dup' AS leg, doc_id, CAST(count(*) AS BIGINT) AS v
+         |FROM (SELECT doc_id FROM c UNION ALL SELECT doc_id FROM c)
+         |GROUP BY doc_id""".stripMargin,
     "ts_claimed_union_scorers" ->
       s"""${Search.scoringCtes}
          |SELECT doc_id, 'bm25' AS leg FROM (

@@ -377,6 +377,33 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(df.count() == 20)
   }
 
+  test("a CTE referenced twice claims in every reference (cte_multiref)") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """WITH lex AS (
+        |  SELECT doc_id, bm25(text, 'vector dup query', 'whitespace') AS s
+        |  FROM graft_documents ORDER BY s DESC LIMIT 10),
+        |c AS (SELECT doc_id FROM graft_documents
+        |      WHERE ts_match(text, 'hash join', 'whitespace'))
+        |SELECT 'norm' AS leg, doc_id,
+        |  s / nullif((SELECT max(s) FROM lex), 0) AS v FROM lex
+        |UNION ALL
+        |SELECT 'dup' AS leg, doc_id, CAST(count(*) AS DOUBLE) AS v
+        |FROM (SELECT doc_id FROM c UNION ALL SELECT doc_id FROM c)
+        |GROUP BY doc_id""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "bm25").isEmpty,
+      s"the scored CTE must claim through WithCTE + scalar subquery:\n$optimized")
+    assert(udfsIn(optimized, "ts_match").isEmpty,
+      s"the ts_match CTE must claim through both UNION references:\n$optimized")
+    // both legs execute: 10 scored rows + the dedup'd match groups
+    val legs = df.groupBy("leg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(legs("norm") == 10 && legs("dup") > 0)
+  }
+
   test("claimed plan returns exactly the row-eval result") {
     val spark = TestSpark.spark
     val ws = WhitespaceAnalyzer(lowercase = true)

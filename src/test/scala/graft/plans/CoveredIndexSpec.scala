@@ -167,6 +167,45 @@ class CoveredIndexSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).sortBy(_.head.toString).toSeq == want.toSeq)
   }
 
+  test("complex INCLUDE columns (struct/array) are covered, nulls round-trip") {
+    SqlSurface.registerAll(spark)
+    val root = sys.props("java.io.tmpdir") + "/graft-coverspec-complex/docs"
+    Tables.documents(spark, TestSpark.sfDir)
+      .withColumn("payload",
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(struct(
+          when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("lang")).as("name"),
+          when(col("doc_id") % 3 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars")).as("score"))))
+      .withColumn("tags",
+        when(col("doc_id") % 11 === 0, lit(null))
+          .otherwise(slice(filter(split(col("text"), "\\s+"), t => t =!= ""), 1, 3)))
+      .write.mode("overwrite").parquet(root)
+    spark.read.parquet(root).createOrReplaceTempView("coverspec_complex")
+    graft.search.Ddl.execute(spark,
+      s"""CREATE SEARCH INDEX coverspec_complex_idx ON coverspec_complex (text)
+         |WITH (id = 'doc_id', analyzer = 'whitespace', key = 'coverspec-complex')
+         |INCLUDE (payload, tags)""".stripMargin)
+    val df = spark.sql(
+      """SELECT doc_id, payload, payload.name AS pname, tags
+        |FROM coverspec_complex
+        |WHERE ts_match(text, 'vector', 'whitespace')""".stripMargin)
+    val base = spark.read.parquet(root).inputFiles.toSet
+    assert((df.inputFiles.toSet & base).isEmpty,
+      "complex covered projection must not touch the base parquet")
+    val want = spark.read.parquet(root)
+      .filter(array_contains(
+        filter(split(lower(col("text")), "\\s+"), t => t =!= ""), "vector"))
+      .select(col("doc_id"), col("payload"), col("payload.name").as("pname"), col("tags"))
+      .collect().map(_.toString).sorted
+    val got = df.collect().map(_.toString).sorted
+    assert(want.nonEmpty && got.sameElements(want))
+    // the null shapes all occur in the fixture (parent, field, array)
+    val all = spark.table("coverspec_complex")
+    assert(all.filter(col("payload").isNull).count() > 0)
+    assert(all.filter(col("payload").isNotNull && col("payload.name").isNull).count() > 0)
+    assert(all.filter(col("tags").isNull).count() > 0)
+  }
+
   test("a sidecar gone stale behind segment appends falls back to the base table") {
     ensure()
     val base = Tables.documents(spark, TestSpark.sfDir).inputFiles.toSet
