@@ -102,7 +102,8 @@ object FieldStore {
     * manifest, and the next CREATE rebuilds from scratch. */
   def build(spark: SparkSession, source: DataFrame, dir: String,
       idCol: String, fields: Seq[String], included: Seq[String],
-      extras: Map[String, String] = Map.empty): Unit = {
+      extras: Map[String, String] = Map.empty,
+      ndvCols: Seq[String] = Nil): Unit = {
     val fs = IndexStore.fsFor(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     if (fs.exists(p)) fs.delete(p, true)
@@ -119,13 +120,99 @@ object FieldStore {
         .repartitionByRange(col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(s"$dir/stored")
+      writeColStats(spark, dir, included, ndvCols)
     }
-    val extraLines = extras.toSeq.sortBy(_._1)
+    val extraLines = (extras ++ (if (ndvCols.nonEmpty)
+        Map("ndv" -> ndvCols.mkString(",")) else Map.empty))
+      .toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
     IndexStore.writeStringAtomic(spark, manifestPath(dir),
       s"id=$idCol\nfields=${fields.mkString(",")}\nincluded=${included.mkString(",")}\n" +
-        (if (extras.isEmpty) "" else extraLines))
+        (if (extras.isEmpty && ndvCols.isEmpty) "" else extraLines))
   }
+
+  /** Per-INCLUDE-column statistics from ONE aggregation pass over the just-
+    * written stored columnstore — the Spark analogue of the reference's
+    * per-column `hyperloglog` option (inverted_index_hyperloglog_option
+    * .test: NDV tracked per segment, unioned at scan time, exposed to the
+    * optimizer as approx_unique). Our sidecar rebuilds wholly at
+    * CREATE/REFRESH, so one pass over the final dataset is the equivalent
+    * of the reference's segment union. min/max/null-count are recorded for
+    * every atomic column regardless (the reference does the same);
+    * approx_unique only for the opted-in `ndvCols`. */
+  private def writeColStats(spark: SparkSession, dir: String,
+      included: Seq[String], ndvCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType, StringType, TimestampType}
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | BooleanType | DateType | TimestampType => true
+      case _ => false
+    }
+    val st = spark.read.parquet(s"$dir/stored")
+    val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column](
+      count(lit(1)).cast("long").as("rc"))
+    val legs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    included.foreach { c =>
+      val dt = st.schema(c).dataType
+      aggs += sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"nulls__$c")
+      legs += (("nulls", c))
+      if (dt.isInstanceOf[NumericType]) {
+        aggs += min(col(c)).cast("string").as(s"min__$c")
+        aggs += max(col(c)).cast("string").as(s"max__$c")
+        legs += (("min", c)); legs += (("max", c))
+      }
+      if (ndvCols.contains(c) && atomic(dt)) {
+        aggs += approx_count_distinct(col(c)).cast("long").as(s"ndv__$c")
+        legs += (("ndv", c))
+      }
+    }
+    val r = st.agg(aggs.head, aggs.drop(1).toSeq: _*).head()
+    val lines = ("rowcount=" + r.getLong(0)) +: legs.zipWithIndex.map {
+      case ((kind, c), i) =>
+        s"$kind.$c=${if (r.isNullAt(i + 1)) "" else r.get(i + 1).toString}"
+    }.toSeq
+    IndexStore.writeStringAtomic(spark, s"$dir/_COLSTATS",
+      lines.mkString("", "\n", "\n"))
+  }
+
+  /** Parsed `_COLSTATS`: (rowCount, stat-kind → column → value). */
+  def colStats(spark: SparkSession, dir: String): Option[(Long, Map[String, String])] =
+    if (!IndexStore.exists(spark, s"$dir/_COLSTATS")) None
+    else {
+      val lines = IndexStore.readString(spark, s"$dir/_COLSTATS")
+        .split("\n").filter(_.contains("="))
+      val m = lines.map(l =>
+        l.takeWhile(_ != '=') -> l.dropWhile(_ != '=').drop(1)).toMap
+      m.get("rowcount").map(rc => (rc.toLong, m - "rowcount"))
+    }
+
+  /** Register the stored columnstore as a catalog table carrying its
+    * statistics, so Spark's cost-based optimizer sees rowCount + per-column
+    * NDV/null-count/min-max for join-order and broadcast decisions — the
+    * "exposed to the optimizer" leg of the reference's hyperloglog option
+    * and of search_table_stats_propagation.test. */
+  def registerStatsTable(spark: SparkSession, dir: String, name: String): Unit =
+    colStats(spark, dir).foreach { case (rc, stats) =>
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"CREATE TABLE $name USING parquet OPTIONS (path '$dir/stored')")
+      val byCol = stats.toSeq.groupBy(_._1.split("\\.", 2)(1))
+      val colStatsMap = byCol.flatMap { case (c, kvs) =>
+        val kinds = kvs.map { case (k, v) => k.split("\\.", 2)(0) -> v }.toMap
+        def nonEmpty(k: String) = kinds.get(k).filter(_.nonEmpty)
+        val cs = CatalogColumnStat(
+          distinctCount = nonEmpty("ndv").map(BigInt(_)),
+          min = nonEmpty("min"),
+          max = nonEmpty("max"),
+          nullCount = nonEmpty("nulls").map(BigInt(_)))
+        Some(c -> cs)
+      }
+      val bytes = IndexStore.fsFor(spark, dir)
+        .getContentSummary(new org.apache.hadoop.fs.Path(s"$dir/stored")).getLength
+      spark.sessionState.catalog.alterTableStats(TableIdentifier(name),
+        Some(CatalogStatistics(sizeInBytes = BigInt(bytes),
+          rowCount = Some(BigInt(rc)), colStats = colStatsMap)))
+    }
 
   /** The `(v, doc_id)` dataset of one indexed field. */
   def field(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -154,6 +154,42 @@ object Surface {
         |  AND lang = 'en' AND n_chars >= 200""".stripMargin)
   }
 
+  /** Per-column statistics from the covering store (reference
+    * inverted_index_hyperloglog_option.test + the stats half of
+    * search_table_stats_propagation.test): `hyperloglog = 'cols'` opts
+    * INCLUDE columns into NDV tracking; DESCRIBE surfaces approx_unique /
+    * min / max / null-count / rowcount, and the same statistics are
+    * registered on the stored-table catalog entry for the CBO. Exact legs
+    * are oracle-checked against DuckDB; NDV legs (approximate by design)
+    * are range-checked, mirroring the reference's BETWEEN assertions. */
+  def idxStatsNdv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SqlSurface.registerAll(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+    graft.search.Ddl.execute(s,
+      s"""CREATE SEARCH INDEX docs_hll_idx ON graft_documents (text)
+         |WITH (id = 'doc_id', analyzer = 'whitespace', key = '$dir-documents-hll',
+         |      hyperloglog = 'lang, n_chars')
+         |INCLUDE (lang, source, n_chars)""".stripMargin)
+    val rows = graft.search.Ddl
+      .execute(s, "DESCRIBE SEARCH INDEX docs_hll_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val docs = Tables.documents(s, dir)
+    val exactLang = docs.select("lang").distinct().count()
+    val exactNChars = docs.select("n_chars").distinct().count()
+    def inBand(approx: Long, exact: Long): Long =
+      if (approx >= math.max(1L, exact / 2) && approx <= exact * 2) 1L else 0L
+    Seq(
+      ("rowcount", rows("stored_rowcount").toLong),
+      ("min_n_chars", rows("min.n_chars").toLong),
+      ("max_n_chars", rows("max.n_chars").toLong),
+      ("nulls_lang", rows("nulls.lang").toLong),
+      ("ndv_lang_ok", inBand(rows("approx_unique.lang").toLong, exactLang)),
+      ("ndv_nchars_ok", inBand(rows("approx_unique.n_chars").toLong, exactNChars)),
+      ("ndv_source_absent", if (rows.contains("approx_unique.source")) 0L else 1L)
+    ).toDF("leg", "v")
+  }
+
   /** Complex-typed INCLUDE columns (reference inverted_index_struct_include
     * .test, inverted_index_array_include.test, struct_projection_pushdown):
     * a STRUCT and an ARRAY column ride the covering columnstore verbatim —
@@ -1104,6 +1140,7 @@ object Surface {
     "ts_partial_index" -> tsPartialIndex,
     "ts_covered_projection" -> tsCoveredProjection,
     "ts_covered_complex" -> tsCoveredComplex,
+    "idx_stats_ndv" -> idxStatsNdv,
     "ts_field_pushdown" -> tsFieldPushdown,
     "ts_dict_joins" -> tsDictJoins,
     "ts_dict_compose" -> tsDictCompose,
@@ -1147,6 +1184,15 @@ object Surface {
          |                        x -> x <> '')[1] END AS tag0
          |FROM documents d JOIN toks t ON d.doc_id = t.doc_id
          |WHERE list_contains(t.ts, 'hash')""".stripMargin,
+    "idx_stats_ndv" ->
+      """SELECT 'rowcount' AS leg, count(*) AS v FROM documents
+        |UNION ALL SELECT 'min_n_chars', min(n_chars) FROM documents
+        |UNION ALL SELECT 'max_n_chars', max(n_chars) FROM documents
+        |UNION ALL SELECT 'nulls_lang',
+        |  count(*) FILTER (WHERE lang IS NULL) FROM documents
+        |UNION ALL SELECT 'ndv_lang_ok', 1
+        |UNION ALL SELECT 'ndv_nchars_ok', 1
+        |UNION ALL SELECT 'ndv_source_absent', 1""".stripMargin,
     "idx_count_fast" ->
       s"""$toks
          |SELECT 'all' AS leg, count(*) AS n, count(1) AS n_const,

@@ -567,6 +567,9 @@ object Ddl {
         if (sessionReady.putIfAbsent(name, true).isEmpty) {
           IndexStore.registerViews(spark, fastDir, name)
           IndexStore.registerStatsTables(spark, fastDir, name)
+          if (fieldsWanted)
+            graft.index.FieldStore.registerStatsTable(spark, fieldsDir,
+              s"${name}_stored_tbl")
         }
         // the claim-catalog slot may be vacant even when the artifact is
         // durable (e.g. this index's registration was refused while a FULL
@@ -603,12 +606,20 @@ object Ddl {
       IndexStore.registerStatsTables(spark, dir, name) // CBO sees the manifest stats
       // typed-field postings + INCLUDE columnstore sidecar: one linear
       // column-pruned pass over the source per covered column family
-      if (fieldsWanted)
+      if (fieldsWanted) {
         graft.index.FieldStore.build(spark, spark.table(view), fieldsDir,
           idCol, fieldCols, includeCols,
           // coherence pin: the claim rules serve covered reads only while
           // the text index's segment list still matches this fingerprint
-          Map("segfp" -> IndexStore.listSegments(spark, fastDir).mkString(",")))
+          Map("segfp" -> IndexStore.listSegments(spark, fastDir).mkString(",")),
+          // per-column hyperloglog option: NDV tracked for these INCLUDE
+          // columns and exposed to the CBO (reference
+          // inverted_index_hyperloglog_option.test)
+          ndvCols = opts.get("hyperloglog").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+        graft.index.FieldStore.registerStatsTable(spark, fieldsDir,
+          s"${name}_stored_tbl")
+      }
       // the claim-rule catalog: any ts_match / facet over (this scan root,
       // this column, this analyzer) now resolves to the segments just built
       scanRootOf(spark, view).foreach { root =>
@@ -828,7 +839,13 @@ object Ddl {
             val m = graft.index.FieldStore.readManifest(spark, sidecar)
             graft.index.FieldStore.build(spark, spark.table(e.view), sidecar,
               m.idCol, m.fields, m.included,
-              Map("segfp" -> IndexStore.listSegments(spark, e.dir).mkString(",")))
+              Map("segfp" -> IndexStore.listSegments(spark, e.dir).mkString(",")),
+              // the NDV opt-in rides the manifest, so REFRESH re-tracks the
+              // same columns' statistics the CREATE declared
+              ndvCols = m.extras.get("ndv").toSeq
+                .flatMap(_.split(",")).filter(_.nonEmpty))
+            graft.index.FieldStore.registerStatsTable(spark, sidecar,
+              s"${name}_stored_tbl")
             spark.catalog.refreshByPath(sidecar)
           }
           writeSourceFp(spark, e.dir, e.view)
@@ -877,8 +894,19 @@ object Ddl {
           val sidecar =
             if (graft.index.FieldStore.exists(spark, e.dir + "-fields")) {
               val m = graft.index.FieldStore.readManifest(spark, e.dir + "-fields")
+              // per-column statistics (approx_unique only for the
+              // hyperloglog-opted columns — reference stats(col) surface)
+              val cstats = graft.index.FieldStore
+                .colStats(spark, e.dir + "-fields").toSeq
+                .flatMap { case (rc, stats) =>
+                  ("stored_rowcount" -> rc.toString) +:
+                    stats.toSeq.sortBy(_._1).map { case (k, v) =>
+                      (if (k.startsWith("ndv."))
+                        "approx_unique." + k.stripPrefix("ndv.") else k) -> v
+                    }
+                }
               Seq("indexed_fields" -> m.fields.mkString(","),
-                "included_columns" -> m.included.mkString(","))
+                "included_columns" -> m.included.mkString(",")) ++ cstats
             } else Seq.empty
           (base ++ stats ++ sidecar ++ staleness).toDF("stat", "value")
         case None =>

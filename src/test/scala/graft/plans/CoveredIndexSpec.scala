@@ -167,6 +167,43 @@ class CoveredIndexSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).sortBy(_.head.toString).toSeq == want.toSeq)
   }
 
+  test("hyperloglog option: NDV + min/max stats surfaced and fed to the CBO") {
+    SqlSurface.registerAll(spark)
+    Tables.documents(spark, TestSpark.sfDir)
+      .createOrReplaceTempView("graft_documents")
+    graft.search.Ddl.execute(spark,
+      s"""CREATE SEARCH INDEX coverspec_hll_idx ON graft_documents (text)
+         |WITH (id = 'doc_id', analyzer = 'whitespace', key = 'coverspec-hll',
+         |      hyperloglog = 'lang, n_chars')
+         |INCLUDE (lang, source, n_chars)""".stripMargin)
+    val rows = graft.search.Ddl
+      .execute(spark, "DESCRIBE SEARCH INDEX coverspec_hll_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val trueLang = docs.select("lang").distinct().count()
+    val trueMin = docs.agg(min("n_chars")).head().getLong(0)
+    // opted-in columns carry approx_unique, within HLL tolerance
+    val ndvLang = rows("approx_unique.lang").toLong
+    assert(ndvLang >= 1 && ndvLang <= trueLang * 2,
+      s"approx_unique.lang=$ndvLang vs true $trueLang")
+    assert(rows.contains("approx_unique.n_chars"))
+    // the un-opted column has min/max-free string stats only — never NDV
+    assert(!rows.contains("approx_unique.source"),
+      "hyperloglog is per-column opt-in")
+    // exact stats regardless of the option
+    assert(rows("min.n_chars").toLong == trueMin)
+    assert(rows("stored_rowcount").toLong == docs.count())
+    assert(rows("nulls.lang").toLong == 0)
+    // the CBO sees the same statistics on the registered stored table
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("coverspec_hll_idx_stored_tbl"))
+    val cs = meta.stats.get.colStats
+    assert(meta.stats.get.rowCount.get.toLong == docs.count())
+    assert(cs("lang").distinctCount.isDefined &&
+      cs("source").distinctCount.isEmpty)
+    assert(cs("n_chars").min.get.toLong == trueMin)
+  }
+
   test("complex INCLUDE columns (struct/array) are covered, nulls round-trip") {
     SqlSurface.registerAll(spark)
     val root = sys.props("java.io.tmpdir") + "/graft-coverspec-complex/docs"
