@@ -209,7 +209,7 @@ object IndexStore {
 
   /** Append a new segment (streaming ingest / incremental refresh). */
   def appendSegment(idx: InvertedIndex, dir: String,
-      docIds: Option[DataFrame] = None): Int = {
+      docIds: Option[DataFrame] = None): Int = Metrics.timed(dir, "commit") {
     val spark = idx.postings.sparkSession
     val existing = listSegments(spark, dir)
     val next = existing.map(_.stripPrefix("seg=").toInt).foldLeft(-1)(math.max) + 1
@@ -480,7 +480,7 @@ object IndexStore {
     * atomically repoint the manifest at it, and leave the old segment dirs
     * in place — readers holding lazy plans over them stay valid; call
     * [[cleanup]] when no reader can still reference them. */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit = Metrics.timed(dir, "consolidation") {
     val merged = load(spark, dir)
     val next = listSegments(spark, dir)
       .map(_.stripPrefix("seg=").toInt).foldLeft(-1)(math.max) + 1
@@ -533,7 +533,7 @@ object IndexStore {
 
   /** Delete segment directories no longer referenced by the manifest. Safe
     * to run any time no reader holds plans over pre-compaction segments. */
-  def cleanup(spark: SparkSession, dir: String): Int = {
+  def cleanup(spark: SparkSession, dir: String): Int = Metrics.timed(dir, "cleanup") {
     val live = listSegments(spark, dir).toSet
     val f = fs(spark, dir)
     val base = new Path(dir)

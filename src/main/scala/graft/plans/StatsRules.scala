@@ -327,21 +327,25 @@ case class StatsPrune(spark: SparkSession) extends Rule[LogicalPlan] {
                 newConds = Some(cur.map(c => if (c eq p) IsNotNull(attr) else c))
               }
             }
-            // file-level zone pruning (sound with unknown files retained)
-            val passing = liveZones.filter { z =>
-              op match {
-                case "<" => cmp(m.keyType, zMin(z), v) < 0
-                case "<=" => cmp(m.keyType, zMin(z), v) <= 0
-                case ">" => cmp(m.keyType, zMax(z), v) > 0
-                case ">=" => cmp(m.keyType, zMax(z), v) >= 0
-                case "=" => cmp(m.keyType, zMin(z), v) <= 0 && cmp(m.keyType, v, zMax(z)) <= 0
-              }
-            }.map(z => PkIndex.pathKey(z.file)).toSet
-            val cand = liveByKey.collect {
-              case (k, f) if passing(k) || unknown(k) => f
-            }.toSeq
-            if (cand.size < bestCandidates.map(_.size).getOrElse(live.length))
-              bestCandidates = Some(cand)
+            // file-level zone pruning (sound with unknown files retained).
+            // Equality point shapes are ClaimPkLookup's claim — pruning
+            // them here would shadow its PrunedPkFileIndex swap (and its
+            // selectivity policy); this rule prunes RANGES only.
+            if (op != "=") {
+              val passing = liveZones.filter { z =>
+                op match {
+                  case "<" => cmp(m.keyType, zMin(z), v) < 0
+                  case "<=" => cmp(m.keyType, zMin(z), v) <= 0
+                  case ">" => cmp(m.keyType, zMax(z), v) > 0
+                  case ">=" => cmp(m.keyType, zMax(z), v) >= 0
+                }
+              }.map(z => PkIndex.pathKey(z.file)).toSet
+              val cand = liveByKey.collect {
+                case (k, f) if passing(k) || unknown(k) => f
+              }.toSeq
+              if (cand.size < bestCandidates.map(_.size).getOrElse(live.length))
+                bestCandidates = Some(cand)
+            }
           }
         }
       }

@@ -134,6 +134,27 @@ object QueryLang {
     IndexStore.load(s, delDir).term("vector")
   }
 
+  /** Facets reflect deletes (reference ts_dict_deletes.test /
+    * ts_dict_where_deletes.test / ts_dict_deletes_matrix.test): after a
+    * DELETE the term dictionary's df/ctf must exclude tombstoned docs —
+    * IndexStore.load re-derives the dictionary from live postings whenever
+    * tombstones exist, so every facet consumer gets post-delete counts with
+    * no rebuild. Shares the deltest index (docs 0-9 deleted). */
+  def tsDictDeletes(s: SparkSession, dir: String): DataFrame = {
+    val delDir = IndexStore.defaultRoot + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]+", "_") + s"-deltest-v${IndexStore.FormatVersion}"
+    if (IndexStore.listSegments(s, delDir).isEmpty) {
+      IndexStore.appendSegment(
+        graft.index.InvertedIndex.build(
+          Tables.documents(s, dir), "doc_id", "text", "whitespace"), delDir)
+      IndexStore.delete(s, delDir, (0L until 10L).toSeq)
+    }
+    IndexStore.load(s, delDir).termDict
+      .filter(col("term").startsWith("st"))
+      .select(col("term"), col("df").cast("bigint").as("docs"),
+        col("ctf").cast("bigint").as("freq"))
+  }
+
   /** Raw-term (keyword) column index over a SECOND table — the reference's
     * non-tokenized opclass (`label` bare column, inverted_index.h:59-69):
     * events.event_type indexed whole-value, facet read from the term dict. */
@@ -163,6 +184,7 @@ object QueryLang {
     "ts_slop_phrase" -> tsSlopPhrase,
     "kw_index_facet" -> kwIndexFacet,
     "ts_deletes" -> tsDeletes,
+    "ts_dict_deletes" -> tsDictDeletes,
     "ts_websearch" -> tsWebsearch,
     "ts_plainto" -> tsPlainto,
     "ts_to_tsquery" -> tsToTsquery,
@@ -205,6 +227,13 @@ object QueryLang {
       s"""$toks
          |SELECT doc_id FROM toks
          |WHERE doc_id >= 10 AND list_contains(ts, 'vector')""".stripMargin,
+    "ts_dict_deletes" ->
+      s"""$toks
+         |SELECT t AS term, count(DISTINCT doc_id) AS docs,
+         |       count(*) AS freq
+         |FROM (SELECT doc_id, unnest(ts) AS t FROM toks WHERE doc_id >= 10)
+         |WHERE t LIKE 'st%'
+         |GROUP BY t""".stripMargin,
     "ts_websearch" ->
       s"""$toks
          |SELECT doc_id FROM toks

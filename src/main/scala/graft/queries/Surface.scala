@@ -154,6 +154,31 @@ object Surface {
         |  AND lang = 'en' AND n_chars >= 200""".stripMargin)
   }
 
+  /** Per-index metrics rows (reference sdb_metrics system table,
+    * inverted_index_sdb_metrics.test): durable gauges (num_docs /
+    * num_live_docs / num_segments / num_files / index_size) re-derived
+    * from segment metadata, session maintenance counters (commit /
+    * consolidation / cleanup counts, failures, avg timings) from the
+    * Metrics registry. Deterministic gauges are oracle-exact; environment-
+    * dependent ones are sanity-banded like the reference's slt:ignore. */
+  def idxMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    val m = graft.search.Ddl.execute(s, "SHOW SEARCH METRICS docs_claim_idx")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(
+      ("num_docs", m("num_docs")),
+      ("num_live_docs", m("num_live_docs")),
+      ("num_segments_ok", if (m("num_segments") >= 1) 1L else 0L),
+      ("num_files_ok", if (m("num_files") >= m("num_segments")) 1L else 0L),
+      ("index_size_ok", if (m("index_size") > 0) 1L else 0L),
+      ("no_failures",
+        if (m("num_failed_commits") + m("num_failed_consolidations") +
+          m("num_failed_cleanups") == 0) 1L else 0L)
+    ).toDF("metric", "value")
+  }
+
   /** Per-column statistics from the covering store (reference
     * inverted_index_hyperloglog_option.test + the stats half of
     * search_table_stats_propagation.test): `hyperloglog = 'cols'` opts
@@ -1141,6 +1166,7 @@ object Surface {
     "ts_covered_projection" -> tsCoveredProjection,
     "ts_covered_complex" -> tsCoveredComplex,
     "idx_stats_ndv" -> idxStatsNdv,
+    "idx_metrics" -> idxMetrics,
     "ts_field_pushdown" -> tsFieldPushdown,
     "ts_dict_joins" -> tsDictJoins,
     "ts_dict_compose" -> tsDictCompose,
@@ -1184,6 +1210,13 @@ object Surface {
          |                        x -> x <> '')[1] END AS tag0
          |FROM documents d JOIN toks t ON d.doc_id = t.doc_id
          |WHERE list_contains(t.ts, 'hash')""".stripMargin,
+    "idx_metrics" ->
+      """SELECT 'num_docs' AS metric, count(*) AS value FROM documents
+        |UNION ALL SELECT 'num_live_docs', count(*) FROM documents
+        |UNION ALL SELECT 'num_segments_ok', 1
+        |UNION ALL SELECT 'num_files_ok', 1
+        |UNION ALL SELECT 'index_size_ok', 1
+        |UNION ALL SELECT 'no_failures', 1""".stripMargin,
     "idx_stats_ndv" ->
       """SELECT 'rowcount' AS leg, count(*) AS v FROM documents
         |UNION ALL SELECT 'min_n_chars', min(n_chars) FROM documents

@@ -278,6 +278,8 @@ object Ddl {
   private val showRe = """(?is)\s*SHOW\s+SEARCH\s+INDEXES\s*""".r
   private val compactRe = """(?is)\s*COMPACT\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
   private val describeRe = """(?is)\s*DESCRIBE\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
+  private val showMetricsRe =
+    """(?is)\s*SHOW\s+SEARCH\s+METRICS\s+(\w+)\s*;?\s*""".r
   private val refreshRe = """(?is)\s*REFRESH\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
   // the reference's own spelling: every sqllogic file forces index
   // visibility with `VACUUM (REFRESH_TABLE) t` — refreshes EVERY index
@@ -381,7 +383,7 @@ object Ddl {
   def handles(sql: String): Boolean = sql match {
     case createExprRe(_*) | createRe(_*) | createVecRe(_*) | createPkRe(_*) |
         dropRe(_*) | showRe() | compactRe(_*) | describeRe(_*) | refreshRe(_*) |
-        createDictRe(_*) | dropDictRe(_*) => true
+        showMetricsRe(_*) | createDictRe(_*) | dropDictRe(_*) => true
     case createRoleRe(_*) | dropRoleRe(_*) | grantSelRe(_*) | revokeSelRe(_*) |
         grantAllRe(_*) | revokeAllRe(_*) |
         grantWriteRe(_*) | revokeWriteRe(_*) |
@@ -909,6 +911,55 @@ object Ddl {
                 "included_columns" -> m.included.mkString(",")) ++ cstats
             } else Seq.empty
           (base ++ stats ++ sidecar ++ staleness).toDF("stat", "value")
+        case None =>
+          throw new IllegalArgumentException(s"no such search index: $name")
+      }
+    case showMetricsRe(name) =>
+      // the reference's per-index sdb_metrics rows
+      // (inverted_index_sdb_metrics.test): durable gauges re-derived from
+      // index metadata (num_docs includes tombstoned docs, num_live_docs
+      // excludes them — irs::directory_reader semantics), session counters
+      // from the Metrics registry (zeroed at JVM start, like the
+      // reference's in-memory registry). num_buffered_docs has no analogue
+      // here: every ingest leg commits a segment, there is no
+      // uncommitted RAM buffer.
+      catalog.get(name) match {
+        case Some(e) =>
+          import spark.implicits._
+          val segs = IndexStore.listSegments(spark, e.dir)
+          val raw = segs.map { s =>
+            """"numDocs":(\d+)""".r
+              .findFirstMatchIn(IndexStore.readString(spark, s"${e.dir}/$s/meta.json"))
+              .map(_.group(1).toLong).getOrElse(0L)
+          }.sum
+          val live = if (segs.isEmpty) 0L else IndexStore.load(spark, e.dir).numDocs
+          val fsys = new org.apache.hadoop.fs.Path(e.dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val (nFiles, bytes) = segs.foldLeft((0L, 0L)) { case ((n, b), s) =>
+            val st = fsys.listStatus(new org.apache.hadoop.fs.Path(s"${e.dir}/$s"))
+            val files = st.filterNot(_.isDirectory)
+            val nested = st.filter(_.isDirectory).flatMap(d =>
+              fsys.listStatus(d.getPath).filterNot(_.isDirectory))
+            (n + files.length + nested.length,
+              b + (files ++ nested).map(_.getLen).sum)
+          }
+          def c(kind: String) = graft.index.Metrics.counter(e.dir, kind)
+          Seq(
+            "avg_cleanup_time_ms" -> c("cleanup").avgMs,
+            "avg_commit_time_ms" -> c("commit").avgMs,
+            "avg_consolidation_time_ms" -> c("consolidation").avgMs,
+            "index_size" -> bytes,
+            "num_cleanups" -> c("cleanup").n,
+            "num_commits" -> c("commit").n,
+            "num_consolidations" -> c("consolidation").n,
+            "num_docs" -> raw,
+            "num_failed_cleanups" -> c("cleanup").failed,
+            "num_failed_commits" -> c("commit").failed,
+            "num_failed_consolidations" -> c("consolidation").failed,
+            "num_files" -> nFiles,
+            "num_live_docs" -> live,
+            "num_segments" -> segs.size.toLong
+          ).toDF("metric", "value")
         case None =>
           throw new IllegalArgumentException(s"no such search index: $name")
       }
