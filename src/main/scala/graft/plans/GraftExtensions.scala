@@ -1035,10 +1035,19 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def claim(f: Filter, cond: Expression, child: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{IsNotNull, Not}
     val parts = conjuncts(cond)
     val claimable = parts.flatMap { p =>
+      // `NOT <text pred>` claims as an ANTI-join against the same drive
+      // (the reference's Not filter node, filter_optimizer_negation.test);
+      // double negation is already gone — Catalyst's BooleanSimplification
+      // runs before this batch
+      val (inner, negated) = p match {
+        case Not(i) => (i, true)
+        case other => (other, false)
+      }
       for {
-        (arg, dict, build) <- asTsMatch(p)
+        (arg, dict, build) <- asTsMatch(inner)
         (segDir, docId, partialPred) <- arg match {
           case attr: AttributeReference => indexedScanOf(child, attr, dict)
           case e => exprIndexOf(child, e, dict).map { case (d, id) => (d, id, None) }
@@ -1052,9 +1061,13 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
         // conjuncts (it stays in the residual, so semantics are unchanged;
         // the sound syntactic case of PG's predicate-implication test).
         // Without it the semi-join would silently drop out-of-predicate rows.
-        if partialPred.forall(ps =>
-          parts.exists(c => bareSql(c).equalsIgnoreCase(ps)))
-      } yield (p, build, dict, segDir, docId)
+        // A NEGATED claim needs a FULL index outright: docs outside a
+        // partial predicate are absent from the drive and an anti-join
+        // would wrongly keep them even when they match.
+        if (!negated && partialPred.forall(ps =>
+          parts.exists(c => bareSql(c).equalsIgnoreCase(ps)))) ||
+          (negated && partialPred.isEmpty)
+      } yield (p, build, dict, segDir, docId, negated, arg)
     }
     if (claimable.isEmpty) return f
 
@@ -1078,16 +1091,19 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
       } yield (p, attr, mkPred, entry, idAttr)
     }
 
-    val joined = claimable.foldLeft(child) { case (acc, (_, build, dict, segDir, docId)) =>
-      val idx = graft.index.IndexStore.load(spark, segDir)
-      val parsed = build(graft.analysis.AnalyzerRegistry.get(dict))
-      val matched = graft.search.TsQueryExec.matching(idx, parsed)
-      // optimizedPlan, NOT analyzed: the injected subtree skips the earlier
-      // optimizer batches, so e.g. a Deduplicate (from .distinct()) would
-      // otherwise reach physical planning unreplaced and fail the query
-      val mPlan = matched.queryExecution.optimizedPlan
-      val rightId = mPlan.output.find(_.name == "doc_id").get
-      Join(acc, mPlan, LeftSemi, Some(EqualTo(docId, rightId)), JoinHint.NONE)
+    val joined = claimable.foldLeft(child) {
+      case (acc, (_, build, dict, segDir, docId, negated, _)) =>
+        val idx = graft.index.IndexStore.load(spark, segDir)
+        val parsed = build(graft.analysis.AnalyzerRegistry.get(dict))
+        val matched = graft.search.TsQueryExec.matching(idx, parsed)
+        // optimizedPlan, NOT analyzed: the injected subtree skips the earlier
+        // optimizer batches, so e.g. a Deduplicate (from .distinct()) would
+        // otherwise reach physical planning unreplaced and fail the query
+        val mPlan = matched.queryExecution.optimizedPlan
+        val rightId = mPlan.output.find(_.name == "doc_id").get
+        Join(acc, mPlan,
+          if (negated) org.apache.spark.sql.catalyst.plans.LeftAnti else LeftSemi,
+          Some(EqualTo(docId, rightId)), JoinHint.NONE)
     }
     val joinedAll = fieldClaimable.foldLeft(joined) {
       case (acc, (_, attr, mkPred, entry, idAttr)) =>
@@ -1097,7 +1113,13 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
           Some(FieldDrives.idEq(idAttr, rightId)), JoinHint.NONE)
     }
     val claimedSet = textClaimed ++ fieldClaimable.map(_._1)
-    parts.filterNot(claimedSet).reduceOption(CAnd(_, _))
+    // a negated claim keeps PG NULL semantics via a residual null guard:
+    // `NOT ts_match(t, …)` is NULL (row dropped) for NULL t, but a NULL-t
+    // row is absent from the drive and the anti-join would keep it
+    val nullGuards = claimable.collect {
+      case (_, _, _, _, _, true, arg) => IsNotNull(arg): Expression
+    }
+    (parts.filterNot(claimedSet) ++ nullGuards).reduceOption(CAnd(_, _))
       .map(Filter(_, joinedAll)).getOrElse(joinedAll)
   }
 

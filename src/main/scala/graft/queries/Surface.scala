@@ -928,6 +928,21 @@ object Surface {
             |WHERE bm25(text, 'vector dup query', 'whitespace') >= 1.5""".stripMargin)
   }
 
+  /** Negated text predicates claim as ANTI-joins (reference Not filter
+    * node inside IRESEARCH_SCAN, filter_optimizer_negation.test): `NOT
+    * ts_match(...)` drives from the same postings set with the join
+    * flipped to LeftAnti plus a residual IS NOT NULL guard (PG NULL
+    * semantics: NOT over NULL text is NULL → row dropped). Composes with
+    * positive claims in the same WHERE. */
+  def tsClaimedNot(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql(
+      """SELECT doc_id FROM graft_documents
+        |WHERE ts_match(text, 'stream', 'whitespace')
+        |  AND NOT ts_match(text, 'vector', 'whitespace')""".stripMargin)
+  }
+
   /** A CTE whose body is a CLAIMED index query, referenced more than once
     * in the same statement (reference inverted_index_cte_multiref.test,
     * issues #962/#753: a scored top-k CTE read by both the main query and
@@ -1128,6 +1143,7 @@ object Surface {
     "ts_claimed_bm25_topk" -> tsClaimedBm25TopK,
     "ts_claimed_union_scorers" -> tsClaimedUnionScorers,
     "ts_claimed_cte_multiref" -> tsClaimedCteMultiref,
+    "ts_claimed_not" -> tsClaimedNot,
     "ts_claimed_bm25_score" -> tsClaimedBm25Score,
     "ts_claimed_bm25_minscore" -> tsClaimedBm25MinScore,
     "ts_claimed_tfidf_topk" -> tsClaimedTfidfTopK,
@@ -1269,6 +1285,11 @@ object Surface {
       s"""${Search.scoringCtes}
          |SELECT doc_id FROM tscored WHERE score > 0
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "ts_claimed_not" ->
+      s"""$toks
+         |SELECT doc_id FROM toks
+         |WHERE list_contains(ts, 'stream')
+         |  AND NOT list_contains(ts, 'vector')""".stripMargin,
     "ts_claimed_cte_multiref" ->
       s"""${Search.scoringCtes},
          |lex AS (SELECT doc_id, score AS s FROM scored WHERE score > 0

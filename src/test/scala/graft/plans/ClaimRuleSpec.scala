@@ -377,6 +377,56 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(df.count() == 20)
   }
 
+  test("NOT ts_match claims as an anti-join with PG null semantics") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT doc_id FROM graft_documents
+        |WHERE ts_match(text, 'stream', 'whitespace')
+        |  AND NOT ts_match(text, 'vector', 'whitespace')""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "ts_match").isEmpty,
+      s"both the positive and the negated predicate must claim:\n$optimized")
+    val antiJoins = optimized.collect {
+      case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j }
+    assert(antiJoins.nonEmpty, s"negation must become LeftAnti:\n$optimized")
+    // result identical to row-eval truth, including null-text exclusion
+    import org.apache.spark.sql.functions._
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val want = graft.Tables.documents(spark, TestSpark.sfDir)
+      .filter(array_contains(toks, "stream") && !array_contains(toks, "vector"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty)
+    assert(df.collect().map(_.getLong(0)).toSet == want)
+
+    // standalone negation (no positive conjunct) also claims; a NULL-text
+    // row must NOT surface through the anti-join
+    spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(when(col("doc_id") === 0, lit(null)).otherwise(col("text")).as("text"),
+        col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite")
+      .parquet(sys.props("java.io.tmpdir") + "/graft-notnull/docs")
+    spark.read.parquet(sys.props("java.io.tmpdir") + "/graft-notnull/docs")
+      .createOrReplaceTempView("notnull_docs")
+    try graft.search.Ddl.execute(spark, "DROP SEARCH INDEX notnull_idx")
+    catch { case _: Exception => () }
+    graft.search.Ddl.execute(spark,
+      s"""CREATE SEARCH INDEX notnull_idx ON notnull_docs (text)
+         |WITH (id = 'doc_id', analyzer = 'whitespace', key = 'claimspec-notnull')""".stripMargin)
+    val neg = spark.sql(
+      """SELECT doc_id FROM notnull_docs
+        |WHERE NOT ts_match(text, 'vector', 'whitespace')""".stripMargin)
+    assert(udfsIn(neg.queryExecution.optimizedPlan, "ts_match").isEmpty)
+    val got = neg.collect().map(_.getLong(0)).toSet
+    assert(!got.contains(0L), "NULL text must not pass NOT ts_match (PG semantics)")
+    val wantNeg = spark.table("notnull_docs")
+      .filter(col("text").isNotNull &&
+        !array_contains(filter(split(lower(col("text")), "\\s+"), t => t =!= ""), "vector"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == wantNeg)
+  }
+
   test("a CTE referenced twice claims in every reference (cte_multiref)") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
