@@ -1037,20 +1037,21 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
   private def claim(f: Filter, cond: Expression, child: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{IsNotNull, Not}
     val parts = conjuncts(cond)
-    val claimable = parts.flatMap { p =>
-      // `NOT <text pred>` claims as an ANTI-join against the same drive
-      // (the reference's Not filter node, filter_optimizer_negation.test);
-      // double negation is already gone — Catalyst's BooleanSimplification
-      // runs before this batch
-      val (inner, negated) = p match {
-        case Not(i) => (i, true)
-        case other => (other, false)
-      }
+
+    def disjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        disjuncts(l) ++ disjuncts(r)
+      case other => Seq(other)
+    }
+    /** One claimable leaf: drive ingredients + the scan id it joins on. */
+    def leafOf(e: Expression, requireFull: Boolean): Option[
+        ((String, String, graft.analysis.Analyzer => graft.search.TsQuery),
+          AttributeReference, Expression)] =
       for {
-        (arg, dict, build) <- asTsMatch(inner)
+        (arg, dict, build) <- asTsMatch(e)
         (segDir, docId, partialPred) <- arg match {
           case attr: AttributeReference => indexedScanOf(child, attr, dict)
-          case e => exprIndexOf(child, e, dict).map { case (d, id) => (d, id, None) }
+          case ex => exprIndexOf(child, ex, dict).map { case (d, id) => (d, id, None) }
         }
         // the scan's id must still be visible at the filter for the
         // semi-join to be well-formed (it always is for the plain
@@ -1060,14 +1061,39 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
         // indexed subset — the predicate must appear verbatim among the
         // conjuncts (it stays in the residual, so semantics are unchanged;
         // the sound syntactic case of PG's predicate-implication test).
-        // Without it the semi-join would silently drop out-of-predicate rows.
-        // A NEGATED claim needs a FULL index outright: docs outside a
-        // partial predicate are absent from the drive and an anti-join
-        // would wrongly keep them even when they match.
-        if (!negated && partialPred.forall(ps =>
+        // A NEGATED or OR-leaf claim needs a FULL index outright: docs
+        // outside a partial predicate are absent from the drive, so an
+        // anti-join would wrongly keep them and a union drive would
+        // wrongly drop rows matched only through the partial leaf.
+        if (!requireFull && partialPred.forall(ps =>
           parts.exists(c => bareSql(c).equalsIgnoreCase(ps)))) ||
-          (negated && partialPred.isEmpty)
-      } yield (p, build, dict, segDir, docId, negated, arg)
+          (requireFull && partialPred.isEmpty)
+      } yield ((segDir, dict, build), docId, arg)
+
+    // each conjunct classifies as: a single positive text claim; `NOT
+    // <claim>` (anti-join, filter_optimizer_negation.test); or an OR whose
+    // EVERY disjunct is a positive full-index claim on the SAME scan — the
+    // reference's Or filter node (search_filter_builder.cpp irs::Or): the
+    // union of the leaf drives is exact for OR because a row passes iff
+    // some leaf is TRUE, and every true leaf's doc is in its drive.
+    val claimable = parts.flatMap { p =>
+      p match {
+        case Not(i) =>
+          leafOf(i, requireFull = true).map { case (leg, docId, arg) =>
+            (p, Seq(leg), docId, true, Seq(arg)) }
+        case _ =>
+          val ds = disjuncts(p)
+          if (ds.size == 1)
+            leafOf(p, requireFull = false).map { case (leg, docId, arg) =>
+              (p, Seq(leg), docId, false, Seq(arg)) }
+          else {
+            val leaves = ds.map(d => leafOf(d, requireFull = true))
+            for {
+              ls <- Some(leaves.flatten) if ls.size == ds.size
+              docIds = ls.map(_._2).distinct if docIds.size == 1
+            } yield (p, ls.map(_._1), docIds.head, false, ls.map(_._3))
+          }
+      }
     }
     if (claimable.isEmpty) return f
 
@@ -1092,10 +1118,14 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     val joined = claimable.foldLeft(child) {
-      case (acc, (_, build, dict, segDir, docId, negated, _)) =>
-        val idx = graft.index.IndexStore.load(spark, segDir)
-        val parsed = build(graft.analysis.AnalyzerRegistry.get(dict))
-        val matched = graft.search.TsQueryExec.matching(idx, parsed)
+      case (acc, (_, legs, docId, negated, _)) =>
+        // one drive per leg; an OR conjunct unions its legs' drives (semi/
+        // anti joins are duplicate-insensitive, so no distinct needed)
+        val matched = legs.map { case (segDir, dict, build) =>
+          val idx = graft.index.IndexStore.load(spark, segDir)
+          val parsed = build(graft.analysis.AnalyzerRegistry.get(dict))
+          graft.search.TsQueryExec.matching(idx, parsed).select("doc_id")
+        }.reduce(_ unionByName _)
         // optimizedPlan, NOT analyzed: the injected subtree skips the earlier
         // optimizer batches, so e.g. a Deduplicate (from .distinct()) would
         // otherwise reach physical planning unreplaced and fail the query
@@ -1117,7 +1147,7 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
     // `NOT ts_match(t, …)` is NULL (row dropped) for NULL t, but a NULL-t
     // row is absent from the drive and the anti-join would keep it
     val nullGuards = claimable.collect {
-      case (_, _, _, _, _, true, arg) => IsNotNull(arg): Expression
+      case (_, _, _, true, args) => IsNotNull(args.head): Expression
     }
     (parts.filterNot(claimedSet) ++ nullGuards).reduceOption(CAnd(_, _))
       .map(Filter(_, joinedAll)).getOrElse(joinedAll)

@@ -943,6 +943,22 @@ object Surface {
         |  AND NOT ts_match(text, 'vector', 'whitespace')""".stripMargin)
   }
 
+  /** A disjunction of claimable text predicates claims as ONE union drive
+    * (the reference's Or filter node, search_filter_builder.cpp irs::Or,
+    * filter_optimizer_boolean.test): the union of the leaf drives is exact
+    * for OR — a row passes iff some leaf is TRUE, and every true leaf's
+    * doc is in its drive — so no null guard is needed and the residual
+    * n_chars conjunct stays on the join-back. */
+  def tsClaimedOr(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql(
+      """SELECT doc_id FROM graft_documents
+        |WHERE (ts_match(text, 'stream', 'whitespace')
+        |       OR ts_match(text, 'vector', 'whitespace'))
+        |  AND n_chars > 100""".stripMargin)
+  }
+
   /** A CTE whose body is a CLAIMED index query, referenced more than once
     * in the same statement (reference inverted_index_cte_multiref.test,
     * issues #962/#753: a scored top-k CTE read by both the main query and
@@ -1144,6 +1160,7 @@ object Surface {
     "ts_claimed_union_scorers" -> tsClaimedUnionScorers,
     "ts_claimed_cte_multiref" -> tsClaimedCteMultiref,
     "ts_claimed_not" -> tsClaimedNot,
+    "ts_claimed_or" -> tsClaimedOr,
     "ts_claimed_bm25_score" -> tsClaimedBm25Score,
     "ts_claimed_bm25_minscore" -> tsClaimedBm25MinScore,
     "ts_claimed_tfidf_topk" -> tsClaimedTfidfTopK,
@@ -1290,6 +1307,11 @@ object Surface {
          |SELECT doc_id FROM toks
          |WHERE list_contains(ts, 'stream')
          |  AND NOT list_contains(ts, 'vector')""".stripMargin,
+    "ts_claimed_or" ->
+      s"""$toks
+         |SELECT t.doc_id FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+         |WHERE (list_contains(t.ts, 'stream') OR list_contains(t.ts, 'vector'))
+         |  AND d.n_chars > 100""".stripMargin,
     "ts_claimed_cte_multiref" ->
       s"""${Search.scoringCtes},
          |lex AS (SELECT doc_id, score AS s FROM scored WHERE score > 0

@@ -377,6 +377,42 @@ class ClaimRuleSpec extends AnyFunSuite {
     assert(df.count() == 20)
   }
 
+  test("OR of claimable text predicates claims as one union drive") {
+    val spark = TestSpark.spark
+    SqlSurface.registerAll(spark)
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT doc_id FROM graft_documents
+        |WHERE (ts_match(text, 'stream', 'whitespace')
+        |       OR ts_match(text, 'vector', 'whitespace'))
+        |  AND n_chars > 100""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(udfsIn(optimized, "ts_match").isEmpty,
+      s"the whole disjunction must claim:\n$optimized")
+    assert(optimized.collect {
+      case j: Join if j.joinType == LeftSemi => j }.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val want = graft.Tables.documents(spark, TestSpark.sfDir)
+      .filter((array_contains(toks, "stream") || array_contains(toks, "vector")) &&
+        col("n_chars") > 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty)
+    assert(df.collect().map(_.getLong(0)).toSet == want)
+
+    // a disjunction with an UNCLAIMABLE leaf must fall back whole — OR
+    // cannot claim partially
+    val mixed = spark.sql(
+      """SELECT doc_id FROM graft_documents
+        |WHERE ts_match(text, 'stream', 'whitespace') OR n_chars < 50""".stripMargin)
+    assert(udfsIn(mixed.queryExecution.optimizedPlan, "ts_match").nonEmpty,
+      "a mixed OR must keep the row-eval filter")
+    val wantMixed = graft.Tables.documents(spark, TestSpark.sfDir)
+      .filter(array_contains(toks, "stream") || col("n_chars") < 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mixed.collect().map(_.getLong(0)).toSet == wantMixed)
+  }
+
   test("NOT ts_match claims as an anti-join with PG null semantics") {
     val spark = TestSpark.spark
     SqlSurface.registerAll(spark)
