@@ -174,6 +174,22 @@ object FieldStore {
       lines.mkString("", "\n", "\n"))
   }
 
+  /** Re-derive `_COLSTATS` from the current stored dataset (the VACUUM
+    * (RECOMPUTE_STATS_TABLE) leg — the reference runs ANALYZE on the
+    * backing store tables). Returns false when there is no sidecar or no
+    * INCLUDE columnstore to profile. */
+  def recomputeStats(spark: SparkSession, dir: String): Boolean =
+    if (!exists(spark, dir)) false
+    else {
+      val m = readManifest(spark, dir)
+      if (m.included.isEmpty) false
+      else {
+        writeColStats(spark, dir, m.included,
+          m.extras.get("ndv").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
+        true
+      }
+    }
+
   /** Parsed `_COLSTATS`: (rowCount, stat-kind → column → value). */
   def colStats(spark: SparkSession, dir: String): Option[(Long, Map[String, String])] =
     if (!IndexStore.exists(spark, s"$dir/_COLSTATS")) None

@@ -286,6 +286,17 @@ object Ddl {
   // registered over that view (ts_dict.test:37, maintenance surface)
   private val vacuumRe =
     """(?is)\s*VACUUM\s*\(\s*REFRESH_TABLE\s*\)\s+(\w+)\s*;?\s*""".r
+  // the rest of the reference's VACUUM extension-option matrix
+  // (vacuum_options.test): REFRESH_/COMPACT_ × INDEX/TABLE/ALL, plus
+  // RECOMPUTE_STATS_TABLE (re-derives the covering-store column statistics
+  // and re-registers the CBO table stats). Two extension options in one
+  // VACUUM are a parser-level rejection, as in the reference.
+  private val vacuumOptRe =
+    """(?is)\s*VACUUM\s*\(\s*(REFRESH_INDEX|COMPACT_INDEX|COMPACT_TABLE|RECOMPUTE_STATS_TABLE)\s*\)\s+(\w+)\s*;?\s*""".r
+  private val vacuumAllRe =
+    """(?is)\s*VACUUM\s*\(\s*(REFRESH_ALL|COMPACT_ALL)\s*\)\s*;?\s*""".r
+  private val vacuumBadRe =
+    """(?is)\s*VACUUM\s*\(\s*\w+\s*,\s*\w+.*?\)\s*.*""".r
   private val optRe = """(?s)(\w+)\s*=\s*'([^']*)'""".r
   // RBAC verbs (reference optimizer/rbac.{h,cpp}; rbac test corpus) —
   // roles, SELECT grants, membership, session current-role
@@ -388,7 +399,7 @@ object Ddl {
         grantAllRe(_*) | revokeAllRe(_*) |
         grantWriteRe(_*) | revokeWriteRe(_*) |
         grantRoleRe(_*) | revokeRoleRe(_*) | setRoleRe(_*) | resetRoleRe() |
-        vacuumRe(_*) => true
+        vacuumRe(_*) | vacuumOptRe(_*) | vacuumAllRe(_*) | vacuumBadRe() => true
     case _ => false
   }
 
@@ -970,6 +981,62 @@ object Ddl {
         s"VACUUM (REFRESH_TABLE): no search/vector/secondary index on $view")
       names.foreach(n => executeParsed(spark, s"REFRESH SEARCH INDEX $n"))
       result(spark, s"vacuumed $view (${names.size} indexes refreshed)")
+    case vacuumBadRe() =>
+      throw new IllegalArgumentException(
+        "VACUUM: at most one extension option per statement " +
+          "(REFRESH_*|COMPACT_*|RECOMPUTE_STATS_*)")
+    case vacuumOptRe(opt, target) =>
+      def textIndexesOn(view: String): Seq[String] = catalog.toSeq.collect {
+        case (n, e) if e.view.equalsIgnoreCase(view) &&
+          !e.analyzer.startsWith("vector:") && e.analyzer != "secondary" => n
+      }.sorted
+      opt.toUpperCase match {
+        case "REFRESH_INDEX" =>
+          executeParsed(spark, s"REFRESH SEARCH INDEX $target")
+          result(spark, s"vacuumed index $target (refreshed)")
+        case "COMPACT_INDEX" =>
+          executeParsed(spark, s"COMPACT SEARCH INDEX $target")
+          result(spark, s"vacuumed index $target (compacted)")
+        case "COMPACT_TABLE" =>
+          val names = textIndexesOn(target)
+          if (names.isEmpty) throw new IllegalArgumentException(
+            s"VACUUM (COMPACT_TABLE): no compactable search index on $target")
+          names.foreach(n => executeParsed(spark, s"COMPACT SEARCH INDEX $n"))
+          result(spark, s"vacuumed $target (${names.size} indexes compacted)")
+        case "RECOMPUTE_STATS_TABLE" =>
+          // the reference's ANALYZE-the-backing-store leg: re-derive the
+          // covering store's column statistics and re-register the CBO
+          // table stats for every sidecar on this view
+          val done = catalog.toSeq.collect {
+            case (n, e) if e.view.equalsIgnoreCase(target) &&
+              graft.index.FieldStore.recomputeStats(spark, e.dir + "-fields") =>
+              graft.index.FieldStore.registerStatsTable(spark,
+                e.dir + "-fields", s"${n}_stored_tbl")
+              n
+          }
+          if (done.isEmpty) throw new IllegalArgumentException(
+            s"VACUUM (RECOMPUTE_STATS_TABLE): no INCLUDE columnstore on $target")
+          result(spark, s"vacuumed $target (${done.size} stat sets recomputed)")
+      }
+    case vacuumAllRe(opt) =>
+      val all = catalog.keys.toSeq.sorted
+      if (all.isEmpty) throw new IllegalArgumentException(
+        s"VACUUM ($opt): no indexes registered")
+      val verb = if (opt.equalsIgnoreCase("REFRESH_ALL")) "REFRESH" else "COMPACT"
+      val touched = all.filter { n =>
+        val e = catalog(n)
+        val compactable = !e.analyzer.startsWith("vector:") && e.analyzer != "secondary"
+        // instance-wide verbs only touch indexes whose source view resolves
+        // in THIS session — the persisted catalog may carry rows from other
+        // sessions' fixtures (their artifacts stay valid; their views are
+        // simply not registered here)
+        val resolvable =
+          try { spark.table(e.view); true } catch { case _: Exception => false }
+        if (resolvable && (verb == "REFRESH" || compactable)) {
+          executeParsed(spark, s"$verb SEARCH INDEX $n"); true
+        } else false
+      }
+      result(spark, s"vacuumed ${touched.size} indexes ($verb)")
     case createRoleRe(name, attr) =>
       Rbac.createRole(name,
         inherit = attr == null || !attr.equalsIgnoreCase("NOINHERIT"))

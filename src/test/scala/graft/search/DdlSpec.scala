@@ -249,6 +249,43 @@ class DdlSpec extends AnyFunSuite {
     spark.sql("DROP SEARCH INDEX vac_idx")
   }
 
+  test("VACUUM extension-option matrix: INDEX/TABLE/ALL verbs + stats recompute") {
+    val docs = Tables.documents(spark, dir)
+    import org.apache.spark.sql.functions.col
+    try Ddl.execute(spark, "DROP SEARCH INDEX vacopt_idx")
+    catch { case _: IllegalArgumentException => () }
+    docs.filter(col("doc_id") < 30).createOrReplaceTempView("vacopt_docs")
+    spark.sql("CREATE SEARCH INDEX vacopt_idx ON vacopt_docs (text) " +
+      "WITH (id = 'doc_id', analyzer = 'whitespace', key = 'vacuumopt-spec', " +
+      "hyperloglog = 'lang') INCLUDE (lang, n_chars)")
+    // grow to 2 segments, then compact back to 1 through the VACUUM spelling
+    docs.filter(col("doc_id") < 60).createOrReplaceTempView("vacopt_docs")
+    spark.sql("VACUUM (REFRESH_INDEX) vacopt_idx")
+    def seg(): String = spark.sql("DESCRIBE SEARCH INDEX vacopt_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap.apply("num_segments")
+    assert(seg() == "2")
+    val cMsg = spark.sql("VACUUM (COMPACT_TABLE) vacopt_docs").head().getString(0)
+    assert(cMsg.contains("compacted"), cMsg)
+    assert(seg() == "1")
+    spark.sql("VACUUM (COMPACT_INDEX) vacopt_idx") // idempotent no-op path
+    // stats recompute re-profiles the covering store after the refresh
+    val sMsg = spark.sql("VACUUM (RECOMPUTE_STATS_TABLE) vacopt_docs")
+      .head().getString(0)
+    assert(sMsg.contains("stat sets recomputed"), sMsg)
+    val d = spark.sql("DESCRIBE SEARCH INDEX vacopt_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("stored_rowcount").toLong == 60)
+    assert(d.contains("approx_unique.lang") && !d.contains("approx_unique.n_chars"))
+    // two extension options in one statement: parser-level rejection
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark, "VACUUM (REFRESH_INDEX, COMPACT_INDEX) vacopt_idx"))
+    // instance-wide verb succeeds and reports a count
+    val aMsg = spark.sql("VACUUM (REFRESH_ALL)").head().getString(0)
+    assert(aMsg.matches("vacuumed \\d+ indexes \\(REFRESH\\)"), aMsg)
+    spark.sql("DROP SEARCH INDEX vacopt_idx")
+  }
+
   test("REFRESH is idempotent when the source holds zero-token docs") {
     import org.apache.spark.sql.functions.{col, lit, when}
     try Ddl.execute(spark, "DROP SEARCH INDEX zt_refresh_idx")
