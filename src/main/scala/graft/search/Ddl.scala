@@ -1032,9 +1032,15 @@ object Ddl {
         // simply not registered here)
         val resolvable =
           try { spark.table(e.view); true } catch { case _: Exception => false }
-        if (resolvable && (verb == "REFRESH" || compactable)) {
-          executeParsed(spark, s"$verb SEARCH INDEX $n"); true
-        } else false
+        // skip-and-continue: an instance-wide sweep that dies on the first
+        // broken index (a fixture view over deleted files, a mid-rebuild
+        // sidecar) could never heal the rest — count successes, log the
+        // rest (the vacuumdb model)
+        resolvable && (verb == "REFRESH" || compactable) &&
+          (try { executeParsed(spark, s"$verb SEARCH INDEX $n"); true }
+           catch { case e: Exception =>
+             System.err.println(s"[graft] VACUUM ($opt): skipping $n: ${e.getMessage}")
+             false })
       }
       result(spark, s"vacuumed ${touched.size} indexes ($verb)")
     case createRoleRe(name, attr) =>
