@@ -148,26 +148,37 @@ case class ClaimCountOnly(spark: SparkSession) extends Rule[LogicalPlan] {
           case h: HadoopFsRelation => h
           case _ => return agg
         }
-        val parts = conjuncts(cond)
-        val claims = parts.map { p =>
+        def disjuncts(e: Expression): Seq[Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+            disjuncts(l) ++ disjuncts(r)
+          case other => Seq(other)
+        }
+        def leafDrive(e: Expression): Option[org.apache.spark.sql.DataFrame] =
           for {
-            (arg, dict, build) <- asTsMatch(p)
+            (arg, dict, build) <- asTsMatch(e)
             attr <- Some(arg).collect { case a: AttributeReference => a }
             if PlanShapes.isColumnOf(lr, attr, attr.name)
-            e <- IndexCatalog.lookupText(root, attr.name, dict)
+            e2 <- IndexCatalog.lookupText(root, attr.name, dict)
             // a PARTIAL index covers a subset; its residual predicate would
             // need base rows — bail to the ordinary claim path
-            if e.predicate.isEmpty
-            if indexFresh(spark, e.segDir, rel)
-          } yield (e.segDir, dict, build)
+            if e2.predicate.isEmpty
+            if indexFresh(spark, e2.segDir, rel)
+          } yield {
+            val idx = IndexStore.load(spark, e2.segDir)
+            graft.search.TsQueryExec
+              .matching(idx, build(graft.analysis.AnalyzerRegistry.get(dict)))
+              .select("doc_id")
+          }
+        // each conjunct: a claimable leaf, or an OR whose every disjunct is
+        // one — the OR counts through the UNION of its leaf drives
+        val parts = conjuncts(cond)
+        val claims = parts.map { p =>
+          val legs = disjuncts(p).map(leafDrive)
+          if (legs.exists(_.isEmpty)) None
+          else Some(legs.flatten.reduce(_ unionByName _))
         }
         if (claims.isEmpty || claims.exists(_.isEmpty)) return agg
         val drive = claims.flatten
-          .map { case (segDir, dict, build) =>
-            val idx = IndexStore.load(spark, segDir)
-            graft.search.TsQueryExec
-              .matching(idx, build(graft.analysis.AnalyzerRegistry.get(dict)))
-          }
           // conjunct intersection on postings-sized doc_id sets
           .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
           .select("doc_id").distinct()

@@ -54,6 +54,20 @@ class StatsRulesSpec extends AnyFunSuite {
     assert(df.head().getLong(0) == want && want > 0)
   }
 
+  test("count(*) over an OR of text predicates counts the union drive") {
+    ensureDocsIndex()
+    val df = spark.sql(
+      """SELECT count(*) AS n FROM graft_documents
+        |WHERE ts_match(text, 'hash', 'whitespace')
+        |   OR ts_match(text, 'stream', 'whitespace')""".stripMargin)
+    assert(!scansOf(df).exists(_.contains("documents.parquet")),
+      "the OR count must not scan the corpus")
+    val want = Tables.documents(spark, TestSpark.sfDir)
+      .filter(array_contains(split(lower(col("text")), "\\s+"), "hash") ||
+        array_contains(split(lower(col("text")), "\\s+"), "stream")).count()
+    assert(df.head().getLong(0) == want && want > 0)
+  }
+
   test("a residual non-text conjunct bails the count fast path (claim still fires)") {
     ensureDocsIndex()
     val df = spark.sql(
