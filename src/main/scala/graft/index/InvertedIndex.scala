@@ -172,16 +172,36 @@ final case class InvertedIndex(
   /** Regex over terms — ts_regexp. */
   def regexp(pattern: String): DataFrame = docsForTerms(expandTerms(col("term").rlike(pattern)))
 
-  /** Levenshtein fuzzy match — ts_levenshtein (max expansions guarded by the
-    * term dictionary size, cf. levenshtein_max_terms.test). */
-  def fuzzy(t: String, maxDist: Int): DataFrame = {
+  /** Levenshtein fuzzy match — ts_levenshtein. `maxTerms` caps the
+    * dictionary expansion to the CLOSEST terms (the reference's
+    * `sdb_levenshtein_max_terms` session knob, default 64, 0 = uncapped —
+    * levenshtein_max_terms.test): survivors are ranked by similarity
+    * `1 - dist/max(len)`, exact match first, term as the deterministic
+    * tie-break. The cap bounds the postings union a sloppy probe can fan
+    * into on a 100 TB-scale dictionary. */
+  def fuzzy(t: String, maxDist: Int, maxTerms: Int = -1): DataFrame = {
+    // the session knob (`SET spark.graft.levenshteinMaxTerms = N`) is the
+    // reference's SET sdb_levenshtein_max_terms; an explicit arg overrides
+    val cap =
+      if (maxTerms >= 0) maxTerms
+      else termDict.sparkSession.conf
+        .get("spark.graft.levenshteinMaxTerms", "64").toInt
     // length band first: |len(term) - len(t)| <= maxDist is a necessary
     // condition for edit distance <= maxDist, is pushable/codegen-cheap, and
     // prunes the dict scan before any DP runs; the thresholded levenshtein
     // (Spark 3.5+ three-arg form) then early-exits rows that blow the band
     val band = abs(length(col("term")) - lit(t.length)) <= maxDist
     val dist = levenshtein(col("term"), lit(t), maxDist)
-    docsForTerms(expandTerms(band && dist >= 0 && dist <= maxDist))
+    val expanded = termDict.filter(band && dist >= 0 && dist <= maxDist)
+    val capped =
+      if (cap <= 0) expanded.select(col("term"))
+      else expanded
+        .withColumn("__sim", lit(1.0) - dist.cast("double") /
+          greatest(length(col("term")), lit(t.length)).cast("double"))
+        .orderBy(col("__sim").desc, col("term"))
+        .limit(cap)
+        .select(col("term"))
+    docsForTerms(capped)
   }
 
   /** Term range — ts_between / ts_lt / ts_gt family. */

@@ -273,4 +273,28 @@ class IndexSpec extends AnyFunSuite {
     assert(ids(rotated.phrase(Seq("hash", "join"))) == ids(whole.phrase(Seq("hash", "join"))))
     assert(rotated.sumDl == whole.sumDl)
   }
+
+  test("levenshtein max-terms caps expansion to the closest terms") {
+    // the reference's fixture (levenshtein_max_terms.test): 13 one-word
+    // docs, all within distance 1 of 'cat'
+    val s = spark
+    import s.implicits._
+    val words = Seq("cat", "bat", "rat", "hat", "mat", "cab", "can", "cap",
+      "car", "cot", "cut", "cats", "act")
+    val wdocs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val widx = InvertedIndex.build(wdocs, "doc_id", "text", "whitespace")
+    // 'cats' is within dist 1; 'act' is dist 2 — 12 match uncapped
+    assert(ids(widx.fuzzy("cat", 1, maxTerms = 0)).size == 12)
+    // default session cap (64) leaves all of them
+    assert(ids(widx.fuzzy("cat", 1)).size == 12)
+    // a cap of 5 keeps the 5 closest terms → 5 docs (one doc per word)
+    assert(ids(widx.fuzzy("cat", 1, maxTerms = 5)).size == 5)
+    // cap 1: the exact match wins outright (similarity 1.0 beats 1 - 1/3)
+    assert(ids(widx.fuzzy("cat", 1, maxTerms = 1)) == Set(0L))
+    // the session knob drives the default
+    spark.conf.set("spark.graft.levenshteinMaxTerms", "5")
+    try assert(ids(widx.fuzzy("cat", 1)).size == 5)
+    finally spark.conf.unset("spark.graft.levenshteinMaxTerms")
+  }
 }
