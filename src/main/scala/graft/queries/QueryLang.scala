@@ -155,6 +155,31 @@ object QueryLang {
         col("ctf").cast("bigint").as("freq"))
   }
 
+  /** Search over RAW TEXT FILES through the read_text source (reference
+    * inverted_index_read_text.test: DuckDB's read_text built-in feeding a
+    * view-backed inverted index — one row per file, FileRowNumber PK).
+    * The fixture path is FIXED so the DuckDB oracle reads the same bytes
+    * through its own read_text; the slug projection keeps assertions
+    * path-stable, as the reference test does. */
+  def readTextIndex(s: SparkSession, dir: String): DataFrame = {
+    // literal /tmp (not java.io.tmpdir): the DuckDB oracle reads the SAME
+    // files through its own read_text and oracle SQL is static text
+    val root = "/tmp/graft-readtext"
+    new java.io.File(root).mkdirs()
+    def put(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/$name"), text)
+    put("alpha.md", "inverted index primer\nthe inverted index maps terms to posting lists\n")
+    put("bravo.md", "bm25 ranking explained\nscores combine term frequency with document length\n")
+    put("charlie.md", "analyzers normalize text\ntokens lowercase before the index build\n")
+    val docs = graft.sources.TextFiles.readTextDocs(s, s"$root/*.md")
+    val idx = IndexStore.ensure(s, docs, "readtext-fixed",
+      "doc_id", "content", "whitespace")
+    idx.term("index").join(docs, "doc_id")
+      .select(regexp_extract(col("filename"), "([a-z]+)\\.md$", 1).as("slug"),
+        col("size"))
+  }
+
   /** Raw-term (keyword) column index over a SECOND table — the reference's
     * non-tokenized opclass (`label` bare column, inverted_index.h:59-69):
     * events.event_type indexed whole-value, facet read from the term dict. */
@@ -185,6 +210,7 @@ object QueryLang {
     "kw_index_facet" -> kwIndexFacet,
     "ts_deletes" -> tsDeletes,
     "ts_dict_deletes" -> tsDictDeletes,
+    "read_text_index" -> readTextIndex,
     "ts_websearch" -> tsWebsearch,
     "ts_plainto" -> tsPlainto,
     "ts_to_tsquery" -> tsToTsquery,
@@ -234,6 +260,13 @@ object QueryLang {
          |FROM (SELECT doc_id, unnest(ts) AS t FROM toks WHERE doc_id >= 10)
          |WHERE t LIKE 'st%'
          |GROUP BY t""".stripMargin,
+    "read_text_index" ->
+      """SELECT regexp_extract(filename, '([a-z]+)\.md$', 1) AS slug,
+        |       size
+        |FROM read_text('/tmp/graft-readtext/*.md')
+        |WHERE list_contains(
+        |  list_filter(string_split_regex(lower(content), '\s+'), x -> x <> ''),
+        |  'index')""".stripMargin,
     "ts_websearch" ->
       s"""$toks
          |SELECT doc_id FROM toks
