@@ -275,6 +275,21 @@ object Ddl {
   private val dropDictRe =
     """(?is)\s*DROP\s+TEXT\s+SEARCH\s+DICTIONARY\s+(\w+)\s*;?\s*""".r
   private val dropRe = """(?is)\s*DROP\s+(?:SEARCH|VECTOR|SECONDARY)\s+INDEX\s+(\w+)\s*""".r
+  // DDL modifier spellings (reference ddl corpus: IF NOT EXISTS / OR
+  // REPLACE / IF EXISTS on index + dictionary statements) — each rewrites
+  // to the base verb after an existence check
+  private val createIdxIneRe =
+    """(?is)\s*CREATE\s+(SEARCH|VECTOR|SECONDARY)\s+INDEX\s+IF\s+NOT\s+EXISTS\s+(\w+)\s+(.*)""".r
+  private val createIdxOrReplaceRe =
+    """(?is)\s*CREATE\s+OR\s+REPLACE\s+(SEARCH|VECTOR|SECONDARY)\s+INDEX\s+(\w+)\s+(.*)""".r
+  private val dropIdxIfeRe =
+    """(?is)\s*DROP\s+(SEARCH|VECTOR|SECONDARY)\s+INDEX\s+IF\s+EXISTS\s+(\w+)\s*;?\s*""".r
+  private val createDictIneRe =
+    """(?is)\s*CREATE\s+TEXT\s+SEARCH\s+DICTIONARY\s+IF\s+NOT\s+EXISTS\s+(\w+)\s*\((.*)\)\s*;?\s*""".r
+  private val createDictOrReplaceRe =
+    """(?is)\s*CREATE\s+OR\s+REPLACE\s+TEXT\s+SEARCH\s+DICTIONARY\s+(\w+)\s*\((.*)\)\s*;?\s*""".r
+  private val dropDictIfeRe =
+    """(?is)\s*DROP\s+TEXT\s+SEARCH\s+DICTIONARY\s+IF\s+EXISTS\s+(\w+)\s*;?\s*""".r
   private val showRe = """(?is)\s*SHOW\s+SEARCH\s+INDEXES\s*""".r
   private val compactRe = """(?is)\s*COMPACT\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
   private val describeRe = """(?is)\s*DESCRIBE\s+SEARCH\s+INDEX\s+(\w+)\s*""".r
@@ -394,7 +409,9 @@ object Ddl {
   def handles(sql: String): Boolean = sql match {
     case createExprRe(_*) | createRe(_*) | createVecRe(_*) | createPkRe(_*) |
         dropRe(_*) | showRe() | compactRe(_*) | describeRe(_*) | refreshRe(_*) |
-        showMetricsRe(_*) | createDictRe(_*) | dropDictRe(_*) => true
+        showMetricsRe(_*) | createDictRe(_*) | dropDictRe(_*) |
+        createIdxIneRe(_*) | createIdxOrReplaceRe(_*) | dropIdxIfeRe(_*) |
+        createDictIneRe(_*) | createDictOrReplaceRe(_*) | dropDictIfeRe(_*) => true
     case createRoleRe(_*) | dropRoleRe(_*) | grantSelRe(_*) | revokeSelRe(_*) |
         grantAllRe(_*) | revokeAllRe(_*) |
         grantWriteRe(_*) | revokeWriteRe(_*) |
@@ -480,6 +497,29 @@ object Ddl {
   }
 
   private def executeParsed(spark: SparkSession, sql: String): DataFrame = sql match {
+    case createIdxIneRe(kind, name, rest) =>
+      if (catalog.contains(name))
+        result(spark, s"index $name already exists, skipped")
+      else executeParsed(spark, s"CREATE ${kind.toUpperCase} INDEX $name $rest")
+    case createIdxOrReplaceRe(kind, name, rest) =>
+      if (catalog.contains(name))
+        executeParsed(spark, s"DROP ${kind.toUpperCase} INDEX $name")
+      executeParsed(spark, s"CREATE ${kind.toUpperCase} INDEX $name $rest")
+    case dropIdxIfeRe(kind, name) =>
+      if (!catalog.contains(name))
+        result(spark, s"index $name does not exist, skipped")
+      else executeParsed(spark, s"DROP ${kind.toUpperCase} INDEX $name")
+    case createDictIneRe(name, optsStr) =>
+      if (graft.analysis.AnalyzerRegistry.exists(name))
+        result(spark, s"dictionary $name already exists, skipped")
+      else executeParsed(spark, s"CREATE TEXT SEARCH DICTIONARY $name($optsStr)")
+    case createDictOrReplaceRe(name, optsStr) =>
+      graft.analysis.AnalyzerRegistry.unregister(name)
+      executeParsed(spark, s"CREATE TEXT SEARCH DICTIONARY $name($optsStr)")
+    case dropDictIfeRe(name) =>
+      if (!graft.analysis.AnalyzerRegistry.exists(name))
+        result(spark, s"dictionary $name does not exist, skipped")
+      else executeParsed(spark, s"DROP TEXT SEARCH DICTIONARY $name")
     case createDictRe(name, optsStr) =>
       // the reference's CREATE TEXT SEARCH DICTIONARY
       // (server/pg/commands/create_tsdictionary.cpp; 21-file corpus under

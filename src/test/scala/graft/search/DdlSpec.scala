@@ -426,6 +426,44 @@ class DdlSpec extends AnyFunSuite {
     Ddl.execute(spark, "DROP SEARCH INDEX stale_idx")
   }
 
+  test("IF NOT EXISTS / OR REPLACE / IF EXISTS modifier spellings") {
+    val docs = Tables.documents(spark, dir)
+    docs.limit(20).createOrReplaceTempView("ddlmod_docs")
+    try Ddl.execute(spark, "DROP SEARCH INDEX ddlmod_idx")
+    catch { case _: Exception => () }
+    // IF NOT EXISTS: create once, second is a skip
+    val create = "ON ddlmod_docs (text) WITH (id = 'doc_id', " +
+      "analyzer = 'whitespace', key = 'ddlmod-spec')"
+    Ddl.execute(spark, s"CREATE SEARCH INDEX IF NOT EXISTS ddlmod_idx $create")
+    val skip = Ddl.execute(spark,
+      s"CREATE SEARCH INDEX IF NOT EXISTS ddlmod_idx $create").head().getString(0)
+    assert(skip.contains("already exists"))
+    // OR REPLACE drops + recreates (a fresh build, not the fast path)
+    Ddl.execute(spark, s"CREATE OR REPLACE SEARCH INDEX ddlmod_idx $create")
+    assert(spark.sql("SHOW SEARCH INDEXES").collect()
+      .exists(_.getString(0) == "ddlmod_idx"))
+    // DROP IF EXISTS: once real, once a skip — never an error
+    Ddl.execute(spark, "DROP SEARCH INDEX IF EXISTS ddlmod_idx")
+    val dskip = Ddl.execute(spark, "DROP SEARCH INDEX IF EXISTS ddlmod_idx")
+      .head().getString(0)
+    assert(dskip.contains("does not exist"))
+    // dictionary spellings
+    Ddl.execute(spark,
+      "CREATE TEXT SEARCH DICTIONARY IF NOT EXISTS ddlmod_dict(template = 'keyword')")
+    val dictSkip = Ddl.execute(spark,
+      "CREATE TEXT SEARCH DICTIONARY IF NOT EXISTS ddlmod_dict(template = 'keyword')")
+      .head().getString(0)
+    assert(dictSkip.contains("already exists"))
+    Ddl.execute(spark,
+      "CREATE OR REPLACE TEXT SEARCH DICTIONARY ddlmod_dict(template = 'text', case = 'lower')")
+    assert(graft.analysis.AnalyzerRegistry.get("ddlmod_dict")
+      .tokens("Foo Bar") == Seq("foo", "bar"))
+    Ddl.execute(spark, "DROP TEXT SEARCH DICTIONARY IF EXISTS ddlmod_dict")
+    val ddskip = Ddl.execute(spark,
+      "DROP TEXT SEARCH DICTIONARY IF EXISTS ddlmod_dict").head().getString(0)
+    assert(ddskip.contains("does not exist"))
+  }
+
   test("malformed statements fail loudly") {
     intercept[IllegalArgumentException](
       Ddl.execute(spark, "CREATE SEARCH INDEX x ON v (c) WITH (analyzer = 'a')"))
