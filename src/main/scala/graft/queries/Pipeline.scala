@@ -171,8 +171,33 @@ object Pipeline {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Quality-WEIGHTED deterministic sampling — the data-mixing primitive
+    * behind quality/temperature sampling in LLM corpus construction: each
+    * doc keeps with probability proportional to a quality weight, with NO
+    * RNG state — the accept draw is a pure function of the doc id (first
+    * four md5 hex chars → uniform u16), so the sample is reproducible on
+    * any cluster at any parallelism, survives retries/speculation, and the
+    * oracle recomputes it exactly. One linear pass, no shuffle before the
+    * tiny per-lang aggregate. */
+  def pipelineWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "lang", "n_chars",
+        "md5(concat('wsample:', cast(doc_id as string))) AS h")
+      .selectExpr("doc_id", "lang", "n_chars",
+        "(instr('0123456789abcdef', substring(h,1,1))-1)*4096 + " +
+          "(instr('0123456789abcdef', substring(h,2,1))-1)*256 + " +
+          "(instr('0123456789abcdef', substring(h,3,1))-1)*16 + " +
+          "(instr('0123456789abcdef', substring(h,4,1))-1) AS u16",
+        "least(1.0, n_chars / 2000.0) AS w")
+      .filter(col("u16") < col("w") * 65536)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split" -> sampleSplit,
+    "pipeline_weighted_sample" -> pipelineWeightedSample,
     "sample_stratified" -> sampleStratified,
     "ta_contamination" -> taContamination,
     "pipeline_curate" -> pipelineCurate,
@@ -187,6 +212,18 @@ object Pipeline {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipeline_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |  md5(concat('wsample:', CAST(doc_id AS VARCHAR))) AS h FROM documents),
+        |u AS (SELECT lang, n_chars,
+        |  (instr('0123456789abcdef', substring(h,1,1))-1)*4096 +
+        |  (instr('0123456789abcdef', substring(h,2,1))-1)*256 +
+        |  (instr('0123456789abcdef', substring(h,3,1))-1)*16 +
+        |  (instr('0123456789abcdef', substring(h,4,1))-1) AS u16,
+        |  least(1.0, n_chars / 2000.0) AS w FROM t)
+        |SELECT lang, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM u WHERE u16 < w * 65536 GROUP BY lang""".stripMargin,
     "sample_split" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5('split:' || doc_id), 1, 4) < '0ccd' THEN 'val'
