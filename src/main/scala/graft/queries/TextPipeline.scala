@@ -252,7 +252,34 @@ object TextPipeline {
           emailRe, "<EMAIL>"), ipv4Re, "<IP>"), phoneRe, "<PHONE>")).as("masked_md5"))
   }
 
+  /** Bigram-rarity quality signal — the integer-only core of an n-gram LM
+    * perplexity proxy: docs whose bigrams are rare in the corpus read as
+    * low-quality/outlier text (boilerplate and fluent text share common
+    * bigrams). Corpus bigram counts are ONE map-side-combined aggregation;
+    * per-doc rarity is one join on the bigram key — both linear, both
+    * shuffle-partitioned by content keys, nothing driver-side. Integer
+    * counts only (no floating log-prob sums), so the result hashes
+    * identically across engines regardless of reduction order. */
+  def taBigramRarity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tok(col("text"))).as(Seq("pos", "w")))
+    val bg = docs
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w"), col("w2"))
+    val corpus = bg.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("cnt"))
+    bg.join(corpus, Seq("w", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .orderBy(col("n_rare").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bigram_rarity" -> taBigramRarity,
     "ts_offsets" -> tsOffsets,
     "ts_positions" -> tsPositions,
     "ts_highlight" -> tsHighlight,
@@ -270,6 +297,20 @@ object TextPipeline {
     """WITH toks AS (SELECT doc_id,
       |  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
       |  FROM documents)""".stripMargin
+
+  private val bigramRarityOracle =
+    s"""$toks,
+       |bg AS (SELECT doc_id,
+       |  unnest([{'w': ts[i], 'w2': ts[i+1]} FOR i IN range(1, len(ts))]) AS p
+       |  FROM toks WHERE len(ts) >= 2),
+       |bgf AS (SELECT doc_id, p.w AS w, p.w2 AS w2 FROM bg),
+       |corpus AS (SELECT w, w2, count(*) AS cnt FROM bgf GROUP BY w, w2)
+       |SELECT b.doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(CASE WHEN c.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+       |FROM bgf b JOIN corpus c USING (w, w2)
+       |GROUP BY b.doc_id
+       |ORDER BY n_rare DESC, b.doc_id
+       |LIMIT 20""".stripMargin
 
   private val stopwordsDuck =
     Analyzers.EnglishStopwords.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -340,6 +381,7 @@ object TextPipeline {
          |       ELSE 'es' END AS lang_pred
          |FROM hits""".stripMargin
     },
+    "ta_bigram_rarity" -> bigramRarityOracle,
     "ta_repetition" ->
       s"""$toks,
          |tokc AS (SELECT doc_id, t, count(*) AS c
