@@ -511,6 +511,51 @@ object Surface {
       .agg(count(lit(1)).cast("bigint").as("n_overlap"))
   }
 
+  /** TWO vector columns on ONE table, each with its own index and metric
+    * (reference inverted_index_multi_vector_ivf.test: one index, two ivf
+    * opclasses, per-column metric/dims/centroids). Spark-first shape: one
+    * CREATE VECTOR INDEX per column — the claim catalog keys on
+    * (root, column, metric), so both claims resolve independently against
+    * the same scan, each with its own centroid set and score mapping. Both
+    * legs must be EXACT (ball-bound probes), pinned by per-column brute
+    * force. */
+  def vecMultiColumn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SqlSurface.registerAll(s)
+    val root = sys.props("java.io.tmpdir") + "/graft-mvec-" +
+      dir.replaceAll("[^A-Za-z0-9._-]+", "_") + "/emb"
+    if (!new java.io.File(root + "/_SUCCESS").exists())
+      Tables.embeddings(s, dir)
+        .withColumn("emb2", slice(reverse(col("embedding")), 1, 16))
+        .write.mode("overwrite").parquet(root)
+    val tbl = s.read.parquet(root)
+    tbl.createOrReplaceTempView("graft_emb_multi")
+    graft.search.Ddl.execute(s,
+      s"""CREATE VECTOR INDEX mvec_a ON graft_emb_multi (embedding)
+         |WITH (id = 'vec_id', metric = 'l2', key = '$dir-mvec-a')""".stripMargin)
+    graft.search.Ddl.execute(s,
+      s"""CREATE VECTOR INDEX mvec_b ON graft_emb_multi (emb2)
+         |WITH (id = 'vec_id', metric = 'cosine', key = '$dir-mvec-b')""".stripMargin)
+    val q0 = tbl.filter(col("vec_id") === 0)
+      .select(col("embedding"), col("emb2")).head()
+    val (qa, qb) = (q0.getSeq[Float](0), q0.getSeq[Float](1))
+    import graft.functions.VectorFunctions.{cosineDistance, l2SqrDistance}
+    def overlap(leg: String, claimed: DataFrame, exact: DataFrame) =
+      claimed.join(exact, "vec_id")
+        .agg(count(lit(1)).cast("bigint").as("n_overlap"))
+        .select(lit(leg).as("leg"), col("n_overlap"))
+    val claimedA = tbl.orderBy(call_udf("ann_l2", col("embedding"), typedlit(qa)))
+      .limit(10).select(col("vec_id"))
+    val exactA = tbl.withColumn("d", l2SqrDistance(col("embedding"), typedlit(qa)))
+      .orderBy(col("d"), col("vec_id")).limit(10).select(col("vec_id"))
+    val claimedB = tbl.orderBy(call_udf("ann_cosine", col("emb2"), typedlit(qb)))
+      .limit(10).select(col("vec_id"))
+    val exactB = tbl.withColumn("d", cosineDistance(col("emb2"), typedlit(qb)))
+      .orderBy(col("d"), col("vec_id")).limit(10).select(col("vec_id"))
+    overlap("a_l2", claimedA, exactA)
+      .unionByName(overlap("b_cosine", claimedB, exactB))
+  }
+
   /** Cosine ANN claimed from `ORDER BY ann_cosine(...) LIMIT k`: the index
     * stores unit-normalized copies (1 − cos = ‖q̂−v̂‖²/2 on the sphere), so
     * the L2 ball-bound probe is exact for cosine order — per-metric score
@@ -1172,6 +1217,7 @@ object Surface {
     "ts_expr_claim" -> tsExprClaim,
     "idx_relation_sql" -> idxRelationSql,
     "vec_claimed_ann" -> vecClaimedAnn,
+    "vec_multi_column" -> vecMultiColumn,
     "vec_claimed_cosine" -> vecClaimedCosine,
     "vec_claimed_ip" -> vecClaimedIp,
     "vec_ann_range" -> vecAnnRange,
@@ -1369,6 +1415,9 @@ object Surface {
          |SELECT d.term, d.df, p.doc_id
          |FROM dict d JOIN (SELECT DISTINCT doc_id, term FROM tok) p USING (term)""".stripMargin,
     "vec_claimed_ann" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
+    "vec_multi_column" ->
+      """SELECT 'a_l2' AS leg, CAST(10 AS BIGINT) AS n_overlap
+        |UNION ALL SELECT 'b_cosine', CAST(10 AS BIGINT)""".stripMargin,
     "vec_claimed_cosine" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
     "vec_claimed_ip" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
     "vec_ann_range" ->
