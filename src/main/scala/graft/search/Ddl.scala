@@ -577,6 +577,11 @@ object Ddl {
     case createRe(name, view, textCol, optsStr, fieldsRaw, includeRaw, whereRaw) =>
       val opts = optRe.findAllMatchIn(optsStr)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+      // unknown options are a loud error, not a silent ignore (reference
+      // inverted_index_options.test) — a typo'd option must not produce an
+      // index that silently lacks the intended behavior
+      checkOpts("CREATE SEARCH INDEX", opts,
+        Set("id", "analyzer", "key", "segment_docs_max", "hyperloglog"))
       val idCol = opts.getOrElse("id",
         throw new IllegalArgumentException("CREATE SEARCH INDEX requires WITH (id = '...')"))
       val analyzer = opts.getOrElse("analyzer", "whitespace")
@@ -689,6 +694,7 @@ object Ddl {
     case createVecRe(name, view, embCol, optsStr, includeRaw) =>
       val opts = optRe.findAllMatchIn(optsStr)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+      checkOpts("CREATE VECTOR INDEX", opts, Set("id", "metric", "key", "lists"))
       val idCol = opts.getOrElse("id",
         throw new IllegalArgumentException("CREATE VECTOR INDEX requires WITH (id = '...')"))
       val metric = opts.getOrElse("metric", "l2")
@@ -1148,6 +1154,16 @@ object Ddl {
     case other =>
       throw new IllegalArgumentException(s"unsupported DDL: $other")
   }
+
+  /** Unknown WITH(...) options are a loud error (reference
+    * inverted_index_options.test) — names the typo and the supported set. */
+  private def checkOpts(kind: String, opts: Map[String, String],
+      allowed: Set[String]): Unit =
+    (opts.keySet -- allowed).toSeq.sorted.headOption.foreach { bad =>
+      throw new IllegalArgumentException(
+        s"$kind: unknown option '$bad' " +
+          s"(supported: ${allowed.toSeq.sorted.mkString(", ")})")
+    }
 
   /** Root a write grant binds to: a quoted literal path verbatim (the
     * Iceberg DML surface is path-addressed), else a registered view's

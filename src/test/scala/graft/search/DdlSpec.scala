@@ -471,5 +471,14 @@ class DdlSpec extends AnyFunSuite {
       Ddl.execute(spark, "DROP SEARCH INDEX never_created"))
     intercept[IllegalArgumentException](
       Ddl.execute(spark, "ALTER SEARCH INDEX x"))
+    // unknown options error loudly with the supported set named
+    // (reference inverted_index_options.test)
+    val e = intercept[IllegalArgumentException](
+      Ddl.execute(spark,
+        "CREATE SEARCH INDEX x ON v (c) WITH (id = 'i', analyzr = 'w')"))
+    assert(e.getMessage.contains("analyzr") && e.getMessage.contains("analyzer"))
+    intercept[IllegalArgumentException](
+      Ddl.execute(spark,
+        "CREATE VECTOR INDEX x ON v (c) WITH (id = 'i', metrik = 'l2')"))
   }
 }
