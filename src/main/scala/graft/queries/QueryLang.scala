@@ -155,6 +155,26 @@ object QueryLang {
         col("ctf").cast("bigint").as("freq"))
   }
 
+  /** ES term-level query clauses (dsl.cpp: prefix / wildcard / regexp /
+    * fuzzy) — each translated to the matching TsQuery leaf: ES `*`/`?`
+    * wildcard syntax maps to the automaton walk's LIKE-style pattern, ES
+    * regexp is whole-term anchored, fuzziness AUTO follows the ES length
+    * ladder. */
+  def esDslTermLevel(s: SparkSession, dir: String): DataFrame = {
+    def leg(json: String, tag: String): DataFrame =
+      (EsDsl.parse(json, ws) match {
+        case Right(q) => TsQueryExec.matching(idx(s, dir), q)
+        case Left(b) => TsQueryExec.compound(idx(s, dir),
+          b.must, b.mustNot, b.should, b.minShouldMatch)
+      }).select(lit(tag).as("leg"), col("doc_id"))
+    leg("""{"query": {"prefix": {"text": "sc"}}}""", "prefix")
+      .unionByName(leg("""{"query": {"wildcard": {"text": "s*t"}}}""", "wildcard"))
+      .unionByName(leg("""{"query": {"regexp": {"text": "va..e"}}}""", "regexp"))
+      .unionByName(leg(
+        """{"query": {"fuzzy": {"text": {"value": "qery", "fuzziness": 1}}}}""",
+        "fuzzy"))
+  }
+
   /** Search over RAW TEXT FILES through the read_text source (reference
     * inverted_index_read_text.test: DuckDB's read_text built-in feeding a
     * view-backed inverted index — one row per file, FileRowNumber PK).
@@ -211,6 +231,7 @@ object QueryLang {
     "ts_deletes" -> tsDeletes,
     "ts_dict_deletes" -> tsDictDeletes,
     "read_text_index" -> readTextIndex,
+    "es_dsl_term_level" -> esDslTermLevel,
     "ts_websearch" -> tsWebsearch,
     "ts_plainto" -> tsPlainto,
     "ts_to_tsquery" -> tsToTsquery,
@@ -260,6 +281,19 @@ object QueryLang {
          |FROM (SELECT doc_id, unnest(ts) AS t FROM toks WHERE doc_id >= 10)
          |WHERE t LIKE 'st%'
          |GROUP BY t""".stripMargin,
+    "es_dsl_term_level" ->
+      s"""$toks
+         |SELECT 'prefix' AS leg, doc_id FROM toks
+         |WHERE len(list_filter(ts, t -> t LIKE 'sc%')) > 0
+         |UNION ALL
+         |SELECT 'wildcard', doc_id FROM toks
+         |WHERE len(list_filter(ts, t -> t LIKE 's%t')) > 0
+         |UNION ALL
+         |SELECT 'regexp', doc_id FROM toks
+         |WHERE len(list_filter(ts, t -> regexp_matches(t, '^va..e$$'))) > 0
+         |UNION ALL
+         |SELECT 'fuzzy', doc_id FROM toks
+         |WHERE len(list_filter(ts, t -> levenshtein(t, 'qery') <= 1)) > 0""".stripMargin,
     "read_text_index" ->
       """SELECT regexp_extract(filename, '([a-z]+)\.md$', 1) AS slug,
         |       size

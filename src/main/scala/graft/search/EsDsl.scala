@@ -132,6 +132,36 @@ object EsDsl {
         case "term" =>
           val (_, value, _) = fieldTextOp(body)
           Right(TsQuery.Term(value))
+        case "prefix" =>
+          // {"prefix": {"field": "va"}} — dsl.cpp's prefix clause →
+          // the index's term-range prefix walk
+          val (_, value, _) = fieldTextOp(body)
+          Right(TsQuery.Prefix(value))
+        case "wildcard" =>
+          // ES wildcard syntax (`*` any run, `?` one char) → the internal
+          // LIKE-style pattern the automaton walk consumes
+          val (_, value, _) = fieldTextOp(body)
+          Right(TsQuery.Wildcard(value.replace('*', '%').replace('?', '_')))
+        case "regexp" =>
+          // ES regexp is WHOLE-TERM anchored (Lucene semantics)
+          val (_, value, _) = fieldTextOp(body)
+          Right(TsQuery.Regexp("^" + value + "$"))
+        case "fuzzy" =>
+          // {"fuzzy": {"field": {"value": v, "fuzziness": n|"AUTO"}}};
+          // AUTO = ES's length ladder (0 for <3 chars, 1 to 5, else 2)
+          val (_, value, _) = fieldTextOp(body)
+          val fz = body match {
+            case JObject(List((_, o: JObject))) => (o \ "fuzziness") match {
+              case JInt(n) => n.toInt
+              case JString("AUTO") | JNothing =>
+                if (value.length < 3) 0 else if (value.length <= 5) 1 else 2
+              case JString(s) => s.toInt
+              case other => throw new IllegalArgumentException(
+                s"ES DSL: bad fuzziness $other")
+            }
+            case _ => if (value.length < 3) 0 else if (value.length <= 5) 1 else 2
+          }
+          Right(if (fz == 0) TsQuery.Term(value) else TsQuery.Fuzzy(value, fz))
         case "terms" =>
           // {"terms": {"field": ["v1", "v2", ...]}} — any-of over exact
           // terms (dsl.cpp's terms clause): the disjunction of Term leaves
