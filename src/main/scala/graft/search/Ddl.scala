@@ -581,7 +581,8 @@ object Ddl {
       // inverted_index_options.test) — a typo'd option must not produce an
       // index that silently lacks the intended behavior
       checkOpts("CREATE SEARCH INDEX", opts,
-        Set("id", "analyzer", "key", "segment_docs_max", "hyperloglog"))
+        Set("id", "analyzer", "key", "segment_docs_max", "hyperloglog",
+          "compression"))
       val idCol = opts.getOrElse("id",
         throw new IllegalArgumentException("CREATE SEARCH INDEX requires WITH (id = '...')"))
       val analyzer = opts.getOrElse("analyzer", "whitespace")
@@ -643,6 +644,10 @@ object Ddl {
         }
         return result(spark, s"created $name")
       }
+      // segment compression codec persists BEFORE the first segment write
+      // so the backfill itself honors it (reference compression option)
+      opts.get("compression").foreach(c =>
+        IndexStore.setCompression(spark, fastDir, c))
       // the predicate is a WHERE filter on the backfill scan — Catalyst
       // pushes it into the parquet read (the reference shows it as a
       // Column Filter in the backfill SEQ_SCAN, inverted_index_partial.test)
@@ -950,6 +955,8 @@ object Ddl {
           val staleness =
             if (e.analyzer == "secondary") Seq.empty  // PK zones self-report via fresh()
             else stalenessRows(spark, e.dir, e.view)
+          val compression = IndexStore.segmentCompression(spark, e.dir)
+            .map("compression" -> _).toSeq
           val sidecar =
             if (graft.index.FieldStore.exists(spark, e.dir + "-fields")) {
               val m = graft.index.FieldStore.readManifest(spark, e.dir + "-fields")
@@ -967,7 +974,8 @@ object Ddl {
               Seq("indexed_fields" -> m.fields.mkString(","),
                 "included_columns" -> m.included.mkString(",")) ++ cstats
             } else Seq.empty
-          (base ++ stats ++ sidecar ++ staleness).toDF("stat", "value")
+          (base ++ stats ++ sidecar ++ compression ++ staleness)
+            .toDF("stat", "value")
         case None =>
           throw new IllegalArgumentException(s"no such search index: $name")
       }

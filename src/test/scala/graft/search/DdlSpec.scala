@@ -464,6 +464,40 @@ class DdlSpec extends AnyFunSuite {
     assert(ddskip.contains("does not exist"))
   }
 
+  test("compression option: segments write the requested codec, maintenance inherits it") {
+    val docs = Tables.documents(spark, dir)
+    import org.apache.spark.sql.functions.col
+    try Ddl.execute(spark, "DROP SEARCH INDEX zstd_idx")
+    catch { case _: Exception => () }
+    docs.filter(col("doc_id") < 30).createOrReplaceTempView("zstd_docs")
+    spark.sql("CREATE SEARCH INDEX zstd_idx ON zstd_docs (text) " +
+      "WITH (id = 'doc_id', analyzer = 'whitespace', key = 'zstd-spec', " +
+      "compression = 'zstd')")
+    val d = spark.sql("DESCRIBE SEARCH INDEX zstd_idx")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("compression") == "zstd")
+    val idxDir = graft.index.IndexStore.dirFor("zstd-spec", "text", "whitespace")
+    def codecFiles(): Array[java.io.File] = {
+      def walk(f: java.io.File): Array[java.io.File] =
+        if (f.isDirectory) f.listFiles().flatMap(walk) else Array(f)
+      walk(new java.io.File(idxDir)).filter(_.getName.endsWith(".parquet"))
+    }
+    assert(codecFiles().nonEmpty &&
+      codecFiles().forall(_.getName.contains("zstd")),
+      "every segment parquet must carry the zstd codec")
+    // REFRESH (new segment) and COMPACT (merged segment) inherit the codec
+    docs.filter(col("doc_id") < 60).createOrReplaceTempView("zstd_docs")
+    spark.sql("REFRESH SEARCH INDEX zstd_idx")
+    spark.sql("COMPACT SEARCH INDEX zstd_idx")
+    assert(codecFiles().forall(_.getName.contains("zstd")),
+      "maintenance writers must inherit the codec")
+    // and the index still answers correctly through the codec
+    graft.search.SqlSurface.registerAll(spark)
+    assert(spark.sql("SELECT count(*) FROM zstd_docs " +
+      "WHERE ts_match(text, 'vector', 'whitespace')").head().getLong(0) > 0)
+    spark.sql("DROP SEARCH INDEX zstd_idx")
+  }
+
   test("malformed statements fail loudly") {
     intercept[IllegalArgumentException](
       Ddl.execute(spark, "CREATE SEARCH INDEX x ON v (c) WITH (analyzer = 'a')"))
