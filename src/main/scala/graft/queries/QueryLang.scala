@@ -155,6 +155,26 @@ object QueryLang {
         col("ctf").cast("bigint").as("freq"))
   }
 
+  /** The headline option surface (reference headline.test): the
+    * ts_highlight POSTINGS overload with StartSel/StopSel, the MaxWords
+    * window starting at the first hit, and the no-hit fallback — legs
+    * mirror the ported sqllogic goldens; full matrix incl. error paths in
+    * headline.test. */
+  def tsHeadline(s: SparkSession, dir: String): DataFrame = {
+    graft.search.SqlSurface.registerAll(s)
+    s.sql(
+      """SELECT 'basic' AS leg,
+        |       ts_highlight('the quick brown fox jumps', array(4, 9)) AS h
+        |UNION ALL SELECT 'delims',
+        |  ts_highlight_opts('the quick brown fox', array(4, 9),
+        |                    'StartSel=[, StopSel=]')
+        |UNION ALL SELECT 'window',
+        |  ts_highlight_opts('a b c d e f g h i j', array(8, 9), 'MaxWords=3')
+        |UNION ALL SELECT 'fallback',
+        |  ts_highlight_opts('one two three four five six', array(),
+        |                    'MaxWords=3')""".stripMargin)
+  }
+
   /** ES term-level query clauses (dsl.cpp: prefix / wildcard / regexp /
     * fuzzy) — each translated to the matching TsQuery leaf: ES `*`/`?`
     * wildcard syntax maps to the automaton walk's LIKE-style pattern, ES
@@ -232,6 +252,7 @@ object QueryLang {
     "ts_dict_deletes" -> tsDictDeletes,
     "read_text_index" -> readTextIndex,
     "es_dsl_term_level" -> esDslTermLevel,
+    "ts_headline" -> tsHeadline,
     "ts_websearch" -> tsWebsearch,
     "ts_plainto" -> tsPlainto,
     "ts_to_tsquery" -> tsToTsquery,
@@ -281,6 +302,12 @@ object QueryLang {
          |FROM (SELECT doc_id, unnest(ts) AS t FROM toks WHERE doc_id >= 10)
          |WHERE t LIKE 'st%'
          |GROUP BY t""".stripMargin,
+    "ts_headline" ->
+      """SELECT * FROM (VALUES
+        |  ('basic', 'the <b>quick</b> brown fox jumps'),
+        |  ('delims', 'the [quick] brown fox'),
+        |  ('window', '<b>e</b> f g'),
+        |  ('fallback', 'one two three')) AS t(leg, h)""".stripMargin,
     "es_dsl_term_level" ->
       s"""$toks
          |SELECT 'prefix' AS leg, doc_id FROM toks

@@ -29,6 +29,14 @@ object SqlSurface {
     spark.udf.register("pg_has_role",
       (role: String, target: String, mode: String) =>
         Rbac.hasRole(role, target, mode))
+    // ts_highlight POSTINGS overload (headline.test): offsets are the
+    // [start, end) pairs ts_offsets emits; options is the PG headline
+    // option string. 2-arg form = default options.
+    spark.udf.register("ts_highlight",
+      (text: String, offsets: Seq[Int]) => Headline.render(text, offsets, ""))
+    spark.udf.register("ts_highlight_opts",
+      (text: String, offsets: Seq[Int], options: String) =>
+        Headline.render(text, offsets, options))
     spark.udf.register("ts_match",
       (text: String, query: String, dict: String) =>
         if (text == null) None else {
