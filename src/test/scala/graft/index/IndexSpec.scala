@@ -294,7 +294,18 @@ class IndexSpec extends AnyFunSuite {
     assert(ids(widx.fuzzy("cat", 1, maxTerms = 1)) == Set(0L))
     // the session knob drives the default
     spark.conf.set("spark.graft.levenshteinMaxTerms", "5")
-    try assert(ids(widx.fuzzy("cat", 1)).size == 5)
-    finally spark.conf.unset("spark.graft.levenshteinMaxTerms")
+    try {
+      assert(ids(widx.fuzzy("cat", 1)).size == 5)
+      // DICTIONARY ENUMERATION is exempt from the cap (reference
+      // levenshtein_max_terms.test: "the automaton walk visits every
+      // accepted term either way and truncating the list would just
+      // return a wrong answer") — the termdict expansion path the
+      // ts_dict fuzzy probes ride never routes through the capped fuzzy
+      spark.conf.set("spark.graft.levenshteinMaxTerms", "1")
+      val dictTerms = widx.expandTerms(
+        abs(length(col("term")) - lit(3)) <= 1 &&
+          levenshtein(col("term"), lit("cat"), 1).between(0, 1)).count()
+      assert(dictTerms == 12, s"dict enumeration must stay uncapped: $dictTerms")
+    } finally spark.conf.unset("spark.graft.levenshteinMaxTerms")
   }
 }
