@@ -29,6 +29,18 @@ object SqlSurface {
     spark.udf.register("pg_has_role",
       (role: String, target: String, mode: String) =>
         Rbac.hasRole(role, target, mode))
+    // pg regexp_match (any/pg/simple/regexp.test): first match as an array
+    // — capture groups when the pattern has them, else the full match;
+    // NULL when nothing matches (PG returns NULL, not an empty array)
+    spark.udf.register("regexp_match",
+      (s: String, p: String) =>
+        if (s == null || p == null) null
+        else {
+          val m = java.util.regex.Pattern.compile(p).matcher(s)
+          if (!m.find()) null
+          else if (m.groupCount() == 0) Seq(m.group(0))
+          else (1 to m.groupCount()).map(g => m.group(g))
+        })
     // ts_highlight POSTINGS overload (headline.test): offsets are the
     // [start, end) pairs ts_offsets emits; options is the PG headline
     // option string. 2-arg form = default options.
