@@ -409,6 +409,20 @@ object Surface {
         |)""".stripMargin)
   }
 
+  /** ARRAY-form dictionary aggregates (reference ts_dict_array_agg.test /
+    * ts_dict_list.test: `ts_dict_agg(col)` returns the term list as an
+    * array) — the termdict views make this plain SQL: collect_list over
+    * the dictionary slice, sorted for determinism, rendered as a joined
+    * string for hash-stable compare. Dictionary-sized input only. */
+  def tsDictArrays(s: SparkSession, dir: String): DataFrame = {
+    SqlSurface.registerAll(s)
+    ensureDocsIndex(s, dir)
+    s.sql(
+      """SELECT array_join(sort_array(collect_list(term)), ',') AS terms,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM docs_claim_idx_termdict WHERE term LIKE 'ba%'""".stripMargin)
+  }
+
   /** Boolean composition over dictionary enumerations (reference
     * ts_dict_compose.test): OR → UNION, AND → INTERSECT, NOT → EXCEPT,
     * arbitrary scalars as outer filters — all over the dictionary views,
@@ -1248,6 +1262,7 @@ object Surface {
     "idx_metrics" -> idxMetrics,
     "ts_field_pushdown" -> tsFieldPushdown,
     "ts_dict_joins" -> tsDictJoins,
+    "ts_dict_arrays" -> tsDictArrays,
     "ts_dict_compose" -> tsDictCompose,
     "ts_constructors" -> tsConstructors,
     "rbac_enforced" -> rbacEnforced,
@@ -1583,6 +1598,12 @@ object Surface {
          |   WHERE list_contains(ts, 'stream') OR list_contains(ts, 'vector')) AS n_any,
          |  (SELECT count(*) FROM toks
          |   WHERE list_contains(ts, 'stream') AND list_contains(ts, 'vector')) AS n_all""".stripMargin,
+    "ts_dict_arrays" ->
+      s"""$toks,
+         |d AS (SELECT DISTINCT t FROM (SELECT unnest(ts) AS t FROM toks)
+         |      WHERE t LIKE 'ba%')
+         |SELECT array_to_string(list_sort(list(t)), ',') AS terms,
+         |       count(*) AS n FROM d""".stripMargin,
     "ts_dict_joins" ->
       s"""$toks,
          |dict AS (SELECT t AS term, count(DISTINCT doc_id) AS df
