@@ -55,6 +55,19 @@ object GraftSession {
     .config("spark.ui.enabled", "false")
   }
 
+  /** The session database is `public` (the pg default schema): unqualified
+    * relation names — catalog tables, index relations, native tables alike —
+    * all land in and resolve against one namespace, exactly pg's
+    * search_path=public. Set at session birth so nothing ever straddles two
+    * databases mid-session. */
+  def ensurePublicDb(spark: SparkSession): Unit =
+    graft.catalog.ObjectCatalog.internal.withValue(true) {
+      if (spark.catalog.currentDatabase != "public") {
+        spark.sql("CREATE DATABASE IF NOT EXISTS public")
+        spark.catalog.setCurrentDatabase("public")
+      }
+    }
+
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
     val spark = configure(
       SparkSession.builder()
@@ -63,6 +76,7 @@ object GraftSession {
         .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensurePublicDb(spark)
     spark
   }
 
@@ -72,6 +86,7 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     hookObservedMetrics(spark)
+    ensurePublicDb(spark)
     spark
   }
 }

@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Search.all ++ Vectors.all ++ DedupQueries.all ++
       QueryLang.all ++ TextPipeline.all ++ Pipeline.all ++ Extras.all ++
-      Surface.all ++ Storage.all ++ StreamGate.all ++ Tpch.all
+      Surface.all ++ Storage.all ++ StreamGate.all ++ Tpch.all ++
+      CatalogQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Search.oracles ++ Vectors.oracles ++ DedupQueries.oracles ++
       QueryLang.oracles ++ TextPipeline.oracles ++ Pipeline.oracles ++ Extras.oracles ++
-      Surface.oracles ++ Storage.oracles ++ StreamGate.oracles ++ Tpch.oracles
+      Surface.oracles ++ Storage.oracles ++ StreamGate.oracles ++ Tpch.oracles ++
+      CatalogQueries.oracles
 }

@@ -1,0 +1,989 @@
+package graft.catalog
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import ObjectCatalog.{ColumnDef, FunctionDef, SequenceDef, TableDef, ViewDef}
+
+/** The pg-flavored catalog DDL/DML surface, regex-dispatched like the
+  * search DDL ([[graft.search.Ddl]]) and wired into the session parser, so
+  * `spark.sql("CREATE TABLE t (id SERIAL PRIMARY KEY, ...)")` is first-class
+  * statement text (reference: server/pg/commands/ — the pg grammar the
+  * ddl/txn/settings corpora drive).
+  *
+  * What is intercepted (everything else delegates to Spark untouched):
+  *  - pg-style CREATE/DROP TABLE|VIEW|SCHEMA|SEQUENCE|FUNCTION (a CREATE
+  *    TABLE carrying `USING` is Spark-native and NOT ours)
+  *  - INSERT/UPDATE/DELETE/TRUNCATE targeting a CATALOG table (the same
+  *    statements against Spark-native tables stay native)
+  *  - ALTER TABLE ADD/DROP/RENAME COLUMN, RENAME TO on catalog tables
+  *  - BEGIN/COMMIT/ROLLBACK transaction blocks ([[Txn]])
+  *  - SET/SHOW/RESET of UNDOTTED variable names ([[SessionVars]]); dotted
+  *    spark confs stay native
+  *
+  * DML on catalog tables is distributed Spark under the hood: inserts are
+  * one staged parquet write (sequence DEFAULTs block-allocated, one counter
+  * IO per batch), constraint checks are aggregates/anti-joins on the
+  * cluster, and UPDATE/DELETE rewrite only the files whose rows matched
+  * ([[TableStore.rewriteMatching]]). Nothing loops rows on the driver.
+  */
+object CatalogDdl {
+
+  // ---- statement shapes ----------------------------------------------------
+
+  private val ident = """[A-Za-z_][A-Za-z0-9_]*"""
+  private val qname = s"""(?:$ident\\.)?$ident|"[^"]+"(?:\\."[^"]+")?"""
+
+  private val createSchemaRe =
+    """(?is)^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val dropSchemaRe =
+    """(?is)^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*(CASCADE|RESTRICT)?\s*;?\s*$""".r
+  private val createTableRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(""" + qname + """)\s*\((.*)\)\s*;?\s*$""").r
+  private val ctasRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(""" + qname + """)\s+AS\s+(SELECT\b.*|VALUES\b.*|WITH\b.*)$""").r
+  private val dropTableRe =
+    ("""(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(""" + qname + """)\s*(CASCADE|RESTRICT)?\s*;?\s*$""").r
+  private val createViewRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(""" + qname + """)\s+AS\s+(.*)$""").r
+  private val dropViewRe =
+    ("""(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(""" + qname + """)\s*(CASCADE|RESTRICT)?\s*;?\s*$""").r
+  private val createSeqRe =
+    ("""(?is)^\s*CREATE\s+SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?(""" + qname + """)\s*(.*?)\s*;?\s*$""").r
+  private val dropSeqRe =
+    ("""(?is)^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?(""" + qname + """)\s*(CASCADE|RESTRICT)?\s*;?\s*$""").r
+  private val createFnRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+(""" + qname + """)\s*\(\s*\)\s+AS\s+\((.*)\)\s*;?\s*$""").r
+  private val dropFnRe =
+    ("""(?is)^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?(""" + qname + """)(?:\s*\(\s*\))?\s*(CASCADE|RESTRICT)?\s*;?\s*$""").r
+  private val insertRe =
+    ("""(?is)^\s*INSERT\s+(OR\s+REPLACE\s+|OR\s+IGNORE\s+)?INTO\s+(""" + qname +
+      """)\s*(BY\s+NAME\s+|BY\s+POSITION\s+)?(\([^)]*\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*|TABLE\b.*|\(\s*SELECT\b.*)$""").r
+  /** Trailing `ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET ... [WHERE p]`
+    * peeled off the insert source (the reference's insert corpus:
+    * site_docs/sql/statements/insert/do_update_*, conflict_target*,
+    * do_nothing*, insert_or_replace*). */
+  private val onConflictRe =
+    """(?is)^(.*?)\s+ON\s+CONFLICT\s*(\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+(.*?))(\s+WHERE\s+(.*?))?\s*;?\s*$""".r
+  private val updateRe =
+    ("""(?is)^\s*UPDATE\s+(""" + qname + """)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""").r
+  private val deleteRe =
+    ("""(?is)^\s*DELETE\s+FROM\s+(""" + qname + """)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""").r
+  private val truncateRe =
+    ("""(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(""" + qname + """)\s*;?\s*$""").r
+  private val alterAddCheckRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + qname + """)\s+ADD\s+(?:CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+)?CHECK\s*\((.*)\)\s*;?\s*$""").r
+  private val alterAddKeyRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + qname + """)\s+ADD\s+(PRIMARY\s+KEY|UNIQUE)\s*\(\s*"?([A-Za-z_][A-Za-z0-9_]*)"?\s*\)\s*;?\s*$""").r
+  private val alterAddColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + qname + """)\s+ADD\s+(?:COLUMN\s+)?(.*?)\s*;?\s*$""").r
+  private val alterDropColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + qname + """)\s+DROP\s+(?:COLUMN\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val alterRenameColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + qname + """)\s+RENAME\s+(?:COLUMN\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val alterRenameRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + qname + """)\s+RENAME\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val alterSeqRe =
+    ("""(?is)^\s*ALTER\s+SEQUENCE\s+(""" + qname + """)\s+RESTART(?:\s+WITH\s+(-?\d+))?\s*;?\s*$""").r
+
+  private val beginRe = """(?is)^\s*(BEGIN|START\s+TRANSACTION)\b.*$""".r
+  private val commitRe =
+    """(?is)^\s*(COMMIT|END)(\s+(WORK|TRANSACTION))?(\s+AND\s+(NO\s+)?CHAIN)?\s*;?\s*$""".r
+  private val rollbackRe =
+    """(?is)^\s*(ROLLBACK|ABORT)(\s+(WORK|TRANSACTION))?(\s+AND\s+(NO\s+)?CHAIN)?\s*;?\s*$""".r
+
+  // undotted names only — `SET spark.sql.x=y` and `SET ROLE ...` stay out
+  private val setVarRe =
+    """(?is)^\s*SET\s+(LOCAL\s+)?(?!ROLE\b|SESSION\b)([A-Za-z_][A-Za-z0-9_]*)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*$""".r
+  private val showVarRe =
+    """(?is)^\s*SHOW\s+(?!ROLE\b|DATABASES\b|TABLES\b|TABLE\b|VIEWS\b|FUNCTIONS\b|COLUMNS\b|PARTITIONS\b|CREATE\b|TBLPROPERTIES\b|SEARCH\b|ALL\b|CATALOGS\b|NAMESPACES\b|SCHEMAS\b)([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val resetVarRe =
+    """(?is)^\s*RESET\s+(?!ROLE\b)([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+
+  def isTxnEnd(sql: String): Boolean = sql match {
+    case commitRe(_*) | rollbackRe(_*) => true
+    case _ => false
+  }
+
+  /** True when this statement is ours. Catalog-table DML is ours only when
+    * the target IS a catalog table — the same text against a Spark-native
+    * table stays native. */
+  def handles(sql: String): Boolean =
+    !ObjectCatalog.internal.value && (sql match {
+      case createSchemaRe(_*) | dropSchemaRe(_*) | createSeqRe(_*) |
+          dropSeqRe(_*) | alterSeqRe(_*) | createFnRe(_*) |
+          beginRe(_*) | commitRe(_*) | rollbackRe(_*) |
+          setVarRe(_*) | showVarRe(_*) | resetVarRe(_*) => true
+      case createTableRe(_, _, _) =>
+        // a Spark-native CREATE TABLE (USING/PARTITIONED BY/TBLPROPERTIES/
+        // STORED AS after the column list) is not ours
+        val up = sql.toUpperCase(Locale.ROOT)
+        !up.contains(" USING ") && !up.contains("PARTITIONED BY") &&
+          !up.contains("TBLPROPERTIES") && !up.contains("STORED AS")
+      case ctasRe(_*) =>
+        val up = sql.toUpperCase(Locale.ROOT)
+        !up.contains(" USING ") && !up.contains("PARTITIONED BY") &&
+          !up.contains("TBLPROPERTIES") && !up.contains("STORED AS")
+      // explicit CASCADE/RESTRICT is pg grammar Spark cannot parse — ours
+      // even when the target does not (or no longer) exist
+      case dropTableRe(_, n, mode) =>
+        mode != null || ObjectCatalog.table(n).isDefined
+      case createViewRe(_*) => true // TEMPORARY/TEMP spellings don't match this shape
+      case dropViewRe(_, n, mode) =>
+        mode != null || ObjectCatalog.get(n).exists(_.kind == "view")
+      case dropFnRe(_, n, mode) =>
+        mode != null || ObjectCatalog.get(n).exists(_.kind == "function")
+      case insertRe(_, n, _, _, _) => ObjectCatalog.table(n).isDefined
+      case updateRe(n, _, _) => ObjectCatalog.table(n).isDefined
+      case deleteRe(n, _) => ObjectCatalog.table(n).isDefined
+      case truncateRe(n) => ObjectCatalog.table(n).isDefined
+      case alterAddCheckRe(n, _, _) => ObjectCatalog.table(n).isDefined
+      case alterAddKeyRe(n, _, _) => ObjectCatalog.table(n).isDefined
+      case alterAddColRe(n, _) => ObjectCatalog.table(n).isDefined
+      case alterDropColRe(n, _) => ObjectCatalog.table(n).isDefined
+      case alterRenameColRe(n, _, _) => ObjectCatalog.table(n).isDefined
+      case alterRenameRe(n, _) => ObjectCatalog.table(n).isDefined
+      case _ => false
+    })
+
+  /** Statements that return a count row (the sqllogic `statement count N`
+    * contract). */
+  def isDml(sql: String): Boolean = sql match {
+    case insertRe(_*) | updateRe(_*) | deleteRe(_*) => true
+    case _ => false
+  }
+
+  /** SHOW <var> output column (the pg contract: named after the variable). */
+  def showVarName(sql: String): Option[String] = sql match {
+    case showVarRe(n) => Some(n.toLowerCase)
+    case _ => None
+  }
+
+  // ---- execution -----------------------------------------------------------
+
+  def execute(spark: SparkSession, sql: String): DataFrame = {
+    ObjectCatalog.ensureSession(spark)
+    registerFunctions(spark)
+    try executeParsed(spark, sql)
+    catch { case e: Throwable => Txn.statementFailed(); throw e }
+  }
+
+  private def executeParsed(spark: SparkSession, sql: String): DataFrame = sql match {
+    case beginRe(_) => result(spark, Txn.begin(spark))
+    case commitRe(_, _, _, andChain, noChain) =>
+      txnEnd(spark, andChain != null && noChain == null, Txn.commit(spark))
+    case rollbackRe(_, _, _, andChain, noChain) =>
+      txnEnd(spark, andChain != null && noChain == null, Txn.rollback(spark))
+
+    case createSchemaRe(ine, name) =>
+      result(spark, ObjectCatalog.createSchema(spark, name, ine != null))
+    case dropSchemaRe(ife, name, mode) =>
+      val dropped = ObjectCatalog.dropSchema(spark, name,
+        cascade = mode != null && mode.equalsIgnoreCase("CASCADE"),
+        ifExists = ife != null, retireTable)
+      result(spark, s"dropped schema $name (${dropped.size} objects)")
+
+    case createTableRe(ine, name, colsRaw) =>
+      createTable(spark, name, colsRaw, ine != null)
+    case ctasRe(ine, name, query) =>
+      createTableAs(spark, name, query, ine != null)
+    case dropTableRe(ife, name, mode) =>
+      val dropped = ObjectCatalog.drop(spark, name, "table",
+        cascade = mode != null && mode.equalsIgnoreCase("CASCADE"),
+        ifExists = ife != null, retireTable)
+      result(spark, s"dropped ${dropped.mkString(", ")}")
+
+    case createViewRe(orRepl, name, body) => createView(spark, name, body.trim, orRepl != null)
+    case dropViewRe(ife, name, mode) =>
+      val dropped = ObjectCatalog.drop(spark, name, "view",
+        cascade = mode != null && mode.equalsIgnoreCase("CASCADE"),
+        ifExists = ife != null, retireTable)
+      result(spark, s"dropped ${dropped.mkString(", ")}")
+
+    case createSeqRe(ine, name, opts) => createSequence(spark, name, opts, ine != null)
+    case dropSeqRe(ife, name, mode) =>
+      val dropped = ObjectCatalog.drop(spark, name, "sequence",
+        cascade = mode != null && mode.equalsIgnoreCase("CASCADE"),
+        ifExists = ife != null, retireTable)
+      result(spark, s"dropped ${dropped.mkString(", ")}")
+    case alterSeqRe(name, restartWith) =>
+      val s = ObjectCatalog.sequence(name).getOrElse(throw analysisErr(
+        s"""sequence "$name" does not exist"""))
+      val v = Option(restartWith).map(_.toLong).getOrElse(s.start)
+      SequenceOps.setval(s, v - s.inc) // next nextval returns v
+      result(spark, s"sequence ${s.qname} restarted at $v")
+
+    case createFnRe(orRepl, name, body) => createFunction(spark, name, body.trim, orRepl != null)
+    case dropFnRe(ife, name, mode) =>
+      val dropped = ObjectCatalog.drop(spark, name, "function",
+        cascade = mode != null && mode.equalsIgnoreCase("CASCADE"),
+        ifExists = ife != null, retireTable)
+      result(spark, s"dropped ${dropped.mkString(", ")}")
+
+    case insertRe(mod, name, byMode, colList, source) =>
+      insert(spark, name, colList, source, Option(mod), Option(byMode))
+    case updateRe(name, sets, where) => update(spark, name, sets, Option(where))
+    case deleteRe(name, where) => delete(spark, name, Option(where))
+    case truncateRe(name) =>
+      val t = tableOf(name)
+      Txn.touchTable(t.qname, t.dir)
+      TableStore.overwrite(spark, t.dir,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sparkSchema(t)))
+      refresh(spark, t)
+      result(spark, s"truncated ${t.qname}")
+
+    case alterAddCheckRe(name, cname, checkExpr) =>
+      alterAddCheck(spark, name, Option(cname), checkExpr)
+    case alterAddKeyRe(name, kind, keyCol) =>
+      alterAddKey(spark, name, kind, keyCol)
+    case alterAddColRe(name, colDef) => alterAddColumn(spark, name, colDef)
+    case alterDropColRe(name, colName) => alterDropColumn(spark, name, colName)
+    case alterRenameColRe(name, from, to) => alterRenameColumn(spark, name, from, to)
+    case alterRenameRe(name, to) => alterRenameTable(spark, name, to)
+
+    case setVarRe(local, name, value) =>
+      val v = stripQuotes(value.trim)
+      val prev = SessionVars.set(spark, name, v)
+      if (local != null) Txn.localVarSet(name.toLowerCase, prev)
+      result(spark, "SET")
+    case showVarRe(name) =>
+      val v = SessionVars.get(spark, name).getOrElse(
+        throw analysisErr(s"""unrecognized configuration parameter "$name""""))
+      spark.createDataFrame(
+        java.util.List.of(Row(v)),
+        StructType(Seq(StructField(name.toLowerCase, StringType, nullable = false))))
+    case resetVarRe(name) =>
+      SessionVars.reset(spark, name); result(spark, "RESET")
+
+    case other => throw new IllegalArgumentException(
+      s"CatalogDdl cannot execute: ${other.take(120)}")
+  }
+
+  /** `COMMIT/ROLLBACK [AND [NO] CHAIN]` (any/pg/txn/chain.test): CHAIN ends
+    * the block then immediately opens a new one; outside a block it is an
+    * error (pg: no characteristics to carry over). */
+  private def txnEnd(spark: SparkSession, chain: Boolean,
+      doEnd: => String): DataFrame = {
+    if (chain && !Txn.active) throw analysisErr(
+      "COMMIT AND CHAIN can only be used in transaction blocks")
+    val msg = doEnd
+    if (chain) Txn.begin(spark)
+    result(spark, msg)
+  }
+
+  private def retireTable(t: TableDef): Unit =
+    if (!Txn.tableDropped(t.dir)) TableStore.destroy(t.dir)
+
+  private def tableOf(name: String): TableDef =
+    ObjectCatalog.table(name).getOrElse(throw analysisErr(
+      s"""relation "$name" does not exist"""))
+
+  private def refresh(spark: SparkSession, t: TableDef): Unit = {
+    // REFRESH TABLE alone leaves the shared path-keyed file-status cache
+    // stale: a rewrite that retired files would then serve dead paths to
+    // the NEXT statement's spark.read of current/ (FILE_NOT_EXIST)
+    spark.catalog.refreshByPath(s"${t.dir}/current")
+    ObjectCatalog.internalSql(spark, s"REFRESH TABLE ${t.qname}")
+  }
+
+  private def analysisErr(msg: String) =
+    new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+
+  private def result(spark: SparkSession, msg: String): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(Row(msg)),
+      StructType(Seq(StructField("result", StringType, nullable = false))))
+
+  private def countResult(spark: SparkSession, n: Long): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(Row(java.lang.Long.valueOf(n))),
+      StructType(Seq(StructField("count", LongType, nullable = false))))
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && s.startsWith("'") && s.endsWith("'"))
+      s.substring(1, s.length - 1).replace("''", "'")
+    else s
+
+  // ---- CREATE TABLE --------------------------------------------------------
+
+  /** pg type -> (spark DDL type, serial?). */
+  private def mapType(pgType: String): (String, Boolean) = {
+    val t = pgType.trim.toUpperCase(Locale.ROOT).replaceAll("\\s+", " ")
+    t match {
+      case "SERIAL" => ("INT", true)
+      case "BIGSERIAL" | "SERIAL8" => ("BIGINT", true)
+      case "SMALLSERIAL" => ("SMALLINT", true)
+      case "INT" | "INTEGER" | "INT4" => ("INT", false)
+      case "BIGINT" | "INT8" => ("BIGINT", false)
+      case "SMALLINT" | "INT2" => ("SMALLINT", false)
+      case "TEXT" => ("STRING", false)
+      case v if v.startsWith("VARCHAR") || v.startsWith("CHARACTER VARYING") => ("STRING", false)
+      case v if v.startsWith("CHAR") || v.startsWith("BPCHAR") => ("STRING", false)
+      case "DOUBLE PRECISION" | "FLOAT8" | "DOUBLE" => ("DOUBLE", false)
+      case "REAL" | "FLOAT4" | "FLOAT" => ("FLOAT", false)
+      case "BOOLEAN" | "BOOL" => ("BOOLEAN", false)
+      case "DATE" => ("DATE", false)
+      case v if v.startsWith("TIMESTAMP") => ("TIMESTAMP", false)
+      case v if v.startsWith("NUMERIC") || v.startsWith("DECIMAL") =>
+        val m = """(?:NUMERIC|DECIMAL)\s*(\(\s*\d+\s*(?:,\s*\d+\s*)?\))?""".r
+          .findFirstMatchIn(v)
+        (m.flatMap(x => Option(x.group(1))).map(p => s"DECIMAL$p")
+          .getOrElse("DECIMAL(38,18)"), false)
+      case "BYTEA" | "BINARY" => ("BINARY", false)
+      case other => throw analysisErr(s"""type "$other" does not exist""")
+    }
+  }
+
+  /** Split a parenthesized body on top-level commas. */
+  private[catalog] def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** One `name TYPE [constraints...]` column definition. Type tokens are
+    * greedy up to the first constraint keyword so multi-word pg types
+    * (DOUBLE PRECISION, TIMESTAMP WITH TIME ZONE) parse. */
+  private def parseColumn(defn: String): ColumnDef = {
+    val constraintKw = Set("NOT", "NULL", "PRIMARY", "UNIQUE", "DEFAULT", "REFERENCES", "CHECK")
+    val mName = s"""(?s)^\\s*("?[A-Za-z_][A-Za-z0-9_]*"?)\\s+(.*)$$""".r
+    defn match {
+      case mName(rawName, rest) =>
+        val name = rawName.stripPrefix("\"").stripSuffix("\"").toLowerCase
+        // greedily take type tokens until a constraint keyword
+        val tokens = rest.split("\\s+").toSeq
+        var typeEnd = 0
+        var parenOpen = false
+        while (typeEnd < tokens.length && {
+          val up = tokens(typeEnd).toUpperCase(Locale.ROOT)
+          val isKw = constraintKw.contains(up.takeWhile(_.isLetter)) &&
+            !(typeEnd == 0) // first token is always type
+          if (up.contains("(") && !up.contains(")")) parenOpen = true
+          if (up.contains(")")) parenOpen = false
+          !isKw || parenOpen
+        }) typeEnd += 1
+        val typeText = tokens.take(typeEnd).mkString(" ")
+        val constraintText = tokens.drop(typeEnd).mkString(" ")
+        val (sparkType, serial) = mapType(typeText)
+        var c = ColumnDef(name, sparkType, serial = serial)
+        val up = constraintText.toUpperCase(Locale.ROOT)
+        if (up.matches("(?s).*NOT\\s+NULL.*")) c = c.copy(notNull = true)
+        if (up.matches("(?s).*PRIMARY\\s+KEY.*")) c = c.copy(primaryKey = true, notNull = true)
+        if (up.matches("(?s).*\\bUNIQUE\\b.*")) c = c.copy(unique = true)
+        val dm = """(?is)DEFAULT\s+(.*?)(?:\s+(?:NOT|NULL|PRIMARY|UNIQUE|REFERENCES|CHECK)\b.*)?$""".r
+        dm.findFirstMatchIn(constraintText).foreach(m => c = c.copy(default = Some(m.group(1).trim)))
+        c
+      case _ => throw analysisErr(s"cannot parse column definition: $defn")
+    }
+  }
+
+  private def sparkSchema(t: TableDef): StructType =
+    StructType.fromDDL(ObjectCatalog.sparkSchemaDdl(t.columns))
+
+  /** The balanced-paren prefix of a greedy `CHECK \((.*)\)` capture — cuts
+    * where the opening paren's match closes, so trailing constraint text
+    * with its own parens cannot leak into the expression. */
+  private def balanced(s: String): String = {
+    var depth = 0; var i = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => if (depth == 0) return s.substring(0, i) else depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** pg auto-name: `<table>_<first referenced column>_check`. */
+  private def autoCheckName(tname: String, colNames: Seq[String],
+      checkExpr: String): String = {
+    val ids = """[A-Za-z_][A-Za-z0-9_]*""".r.findAllIn(checkExpr)
+      .map(_.toLowerCase).toSeq
+    ids.find(colNames.contains) match {
+      case Some(c) => s"${tname}_${c}_check"
+      case None => s"${tname}_check"
+    }
+  }
+
+  /** Rows violating a CHECK: pg passes TRUE and NULL, fails only FALSE. */
+  private def checkViolations(df: DataFrame, checkExpr: String): Long =
+    df.filter(expr(checkExpr) <=> lit(false)).limit(1).count()
+
+  private def enforceChecks(t: TableDef, df: DataFrame): Unit =
+    t.checks.foreach { case (cname, e) =>
+      if (checkViolations(df, e) > 0) throw analysisErr(
+        s"""new row for relation "${t.qname}" violates check constraint "$cname"""")
+    }
+
+  private def alterAddCheck(spark: SparkSession, name: String,
+      cname: Option[String], checkRaw: String): DataFrame = {
+    val t = tableOf(name)
+    val e = balanced(checkRaw)
+    val autoName = cname.map(_.toLowerCase)
+      .getOrElse(autoCheckName(t.name, t.columns.map(_.name), e))
+    // existing rows must satisfy the new check or nothing is added (pg)
+    val cur = TableStore.read(spark, t.dir, sparkSchema(t))
+    if (checkViolations(cur, e) > 0) throw analysisErr(
+      s"""check constraint "$autoName" of relation "${t.qname}" is violated by some row""")
+    ObjectCatalog.updateTable(spark, t.copy(checks = t.checks :+ ((autoName, e))))
+    result(spark, s"added check $autoName to ${t.qname}")
+  }
+
+  /** `ALTER TABLE t ADD PRIMARY KEY (c) | ADD UNIQUE (c)`
+    * (alter_add_pk_unique.test): existing rows must already be unique
+    * (and non-null for a PK) or nothing is added. */
+  private def alterAddKey(spark: SparkSession, name: String, kind: String,
+      keyCol: String): DataFrame = {
+    val t = tableOf(name)
+    val cn = keyCol.toLowerCase
+    val cd = t.columns.find(_.name == cn).getOrElse(throw analysisErr(
+      s"""column "$cn" of relation "${t.qname}" does not exist"""))
+    val isPk = kind.toUpperCase(Locale.ROOT).startsWith("PRIMARY")
+    val cur = TableStore.read(spark, t.dir, sparkSchema(t))
+    if (isPk && cur.filter(col(cn).isNull).limit(1).count() > 0) throw analysisErr(
+      s"""column "$cn" of relation "${t.qname}" contains null values""")
+    if (cur.groupBy(col(cn)).count().filter(col("count") > 1).limit(1).count() > 0)
+      throw analysisErr(
+        s"""could not create unique index "${t.name}_${cn}_key": duplicate key value""")
+    val newCd =
+      if (isPk) cd.copy(primaryKey = true, notNull = true) else cd.copy(unique = true)
+    ObjectCatalog.updateTable(spark,
+      t.copy(columns = t.columns.map(c => if (c.name == cn) newCd else c)))
+    result(spark, s"added ${kind.toLowerCase} on ${t.qname}($cn)")
+  }
+
+  private def createTable(spark: SparkSession, name: String, colsRaw: String,
+      ifNotExists: Boolean): DataFrame = {
+    val q = ObjectCatalog.qualify(name)
+    if (ObjectCatalog.get(q).isDefined) {
+      if (ifNotExists) return result(spark, s"relation $q already exists, skipped")
+      throw analysisErr(s"""relation "$q" already exists""")
+    }
+    val Array(schema, tname) = q.split("\\.", 2)
+    val parts = splitTop(colsRaw)
+    // table-level constraints: PRIMARY KEY (col), UNIQUE (col), CHECK (expr)
+    val (tableConstraints, colDefs) = parts.partition(p =>
+      p.toUpperCase(Locale.ROOT).matches("(?s)^(PRIMARY\\s+KEY|UNIQUE|CHECK|CONSTRAINT)\\b.*"))
+    var cols = colDefs.map(parseColumn)
+    val checks = Seq.newBuilder[(String, String)]
+    // column-level CHECK (expr) rides the constraint tail of its column
+    colDefs.zip(cols).foreach { case (defn, c) =>
+      """(?is)\bCHECK\s*\((.*)\)""".r.findFirstMatchIn(defn).foreach { m =>
+        checks += ((s"${tname}_${c.name}_check", balanced(m.group(1))))
+      }
+    }
+    tableConstraints.foreach { tc =>
+      val up = tc.toUpperCase(Locale.ROOT)
+      if (up.startsWith("CHECK") || up.contains(" CHECK")) {
+        val m = """(?is)CHECK\s*\((.*)\)""".r.findFirstMatchIn(tc).getOrElse(
+          throw analysisErr(s"cannot parse CHECK constraint: $tc"))
+        val e = balanced(m.group(1))
+        val named = """(?is)^CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+          .findFirstMatchIn(tc).map(_.group(1).toLowerCase)
+        checks += ((named.getOrElse(autoCheckName(tname, cols.map(_.name), e)), e))
+      } else {
+        val colM = """\(\s*"?([A-Za-z_][A-Za-z0-9_]*)"?\s*\)""".r.findFirstMatchIn(tc)
+        colM.foreach { m =>
+          val cn = m.group(1).toLowerCase
+          cols = cols.map { c =>
+            if (c.name != cn) c
+            else if (up.startsWith("PRIMARY")) c.copy(primaryKey = true, notNull = true)
+            else if (up.startsWith("UNIQUE")) c.copy(unique = true)
+            else c
+          }
+        }
+      }
+    }
+    val dir = ObjectCatalog.dataDir(schema, tname)
+    val t = TableDef(schema, tname, dir, cols, checks.result())
+    // SERIAL columns get an implicit owned sequence <table>_<col>_seq
+    val withSeqDefaults = t.copy(columns = cols.map { c =>
+      if (c.serial && c.default.isEmpty)
+        c.copy(default = Some(s"nextval('$schema.${tname}_${c.name}_seq')"))
+      else c
+    })
+    ObjectCatalog.put(spark, withSeqDefaults)
+    Txn.tableCreated(dir)
+    cols.filter(_.serial).foreach { c =>
+      val seqName = s"${tname}_${c.name}_seq"
+      ObjectCatalog.put(spark, SequenceDef(schema, seqName,
+        ObjectCatalog.seqFile(schema, seqName), 1L, 1L, None, None,
+        cycle = false, ownedBy = Some(t.qname)))
+    }
+    result(spark, s"created table ${t.qname}")
+  }
+
+  private def createTableAs(spark: SparkSession, name: String, query: String,
+      ifNotExists: Boolean): DataFrame = {
+    val q = ObjectCatalog.qualify(name)
+    if (ObjectCatalog.get(q).isDefined) {
+      if (ifNotExists) return result(spark, s"relation $q already exists, skipped")
+      throw analysisErr(s"""relation "$q" already exists""")
+    }
+    ObjectCatalog.ensureSession(spark)
+    val df = ObjectCatalog.internal.withValue(true) { spark.sql(query) }
+    val Array(schema, tname) = q.split("\\.", 2)
+    val cols = df.schema.fields.map(f =>
+      ColumnDef(f.name.toLowerCase, f.dataType.sql)).toSeq
+    val dir = ObjectCatalog.dataDir(schema, tname)
+    val t = TableDef(schema, tname, dir, cols)
+    TableStore.create(dir)
+    TableStore.overwrite(spark, dir, df.toDF(cols.map(_.name): _*))
+    ObjectCatalog.put(spark, t)
+    Txn.tableCreated(dir)
+    refresh(spark, t)
+    result(spark, s"created table ${t.qname} (${df.count()} rows)")
+  }
+
+  // ---- sequences -----------------------------------------------------------
+
+  /** `CREATE SEQUENCE name [START [WITH] n] [INCREMENT [BY] n]
+    * [MINVALUE n | NO MINVALUE] [MAXVALUE n | NO MAXVALUE] [CYCLE|NO CYCLE]`
+    * (the create_sequence docs corpus' full option surface). */
+  private def createSequence(spark: SparkSession, name: String, opts: String,
+      ifNotExists: Boolean): DataFrame = {
+    val q = ObjectCatalog.qualify(name)
+    if (ObjectCatalog.get(q).isDefined) {
+      if (ifNotExists) return result(spark, s"relation $q already exists, skipped")
+      throw analysisErr(s"""relation "$q" already exists""")
+    }
+    val Array(schema, sname) = q.split("\\.", 2)
+    val up = opts.toUpperCase(Locale.ROOT)
+    def num(re: String): Option[Long] =
+      re.r.findFirstMatchIn(up).map(_.group(1).toLong)
+    val inc = num("""INCREMENT\s+(?:BY\s+)?(-?\d+)""").getOrElse(1L)
+    val minV = if (up.contains("NO MINVALUE")) None else num("""MINVALUE\s+(-?\d+)""")
+    val maxV = if (up.contains("NO MAXVALUE")) None else num("""MAXVALUE\s+(-?\d+)""")
+    val start = num("""START\s+(?:WITH\s+)?(-?\d+)""").getOrElse(
+      if (inc > 0) minV.getOrElse(1L) else maxV.getOrElse(-1L))
+    val cycle = up.matches("(?s).*(?<!NO )\\bCYCLE\\b.*")
+    val s = SequenceDef(schema, sname, ObjectCatalog.seqFile(schema, sname),
+      start, inc, minV, maxV, cycle, ownedBy = None)
+    ObjectCatalog.put(spark, s)
+    result(spark, s"created sequence $q")
+  }
+
+  // ---- views / functions ---------------------------------------------------
+
+  /** Catalog objects a SQL body references (dependency edges). */
+  private def depsOf(spark: SparkSession, body: String): Seq[String] = {
+    val plan =
+      try spark.sessionState.sqlParser.parseQuery(body)
+      catch { case _: Exception => spark.sessionState.sqlParser.parsePlan(body) }
+    val rels = plan.collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.mkString(".")
+    }
+    val seqRefs = """(?i)(?:nextval|currval|setval)\s*\(\s*'([^']+)'""".r
+      .findAllMatchIn(body).map(_.group(1)).toSeq
+    (rels ++ seqRefs).map(ObjectCatalog.qualify)
+      .filter(ObjectCatalog.objects.contains).distinct
+  }
+
+  private def createView(spark: SparkSession, name: String, body: String,
+      orReplace: Boolean): DataFrame = {
+    val q = ObjectCatalog.qualify(name)
+    val Array(schema, vname) = q.split("\\.", 2)
+    ObjectCatalog.ensureSession(spark)
+    val deps = depsOf(spark, body)
+    ObjectCatalog.put(spark, ViewDef(schema, vname, body, deps), orReplace)
+    result(spark, s"created view $q")
+  }
+
+  private def createFunction(spark: SparkSession, name: String, body: String,
+      orReplace: Boolean): DataFrame = {
+    val q = ObjectCatalog.qualify(name)
+    val Array(schema, fname) = q.split("\\.", 2)
+    ObjectCatalog.ensureSession(spark)
+    val deps = depsOf(spark, body)
+    // infer the scalar return type by analyzing the body as a subquery
+    val returns = ObjectCatalog.internal.withValue(true) {
+      spark.sql(s"SELECT ($body) AS v").schema.head.dataType.sql
+    }
+    ObjectCatalog.put(spark, FunctionDef(schema, fname, s"($body)", returns, deps), orReplace)
+    result(spark, s"created function $q")
+  }
+
+  // ---- DML -----------------------------------------------------------------
+
+  private sealed trait Conflict
+  private case object DoNothing extends Conflict
+  /** SET assignments (EXCLUDED.c references allowed) + optional WHERE. */
+  private case class DoUpdate(sets: Seq[(ColumnDef, String)],
+      where: Option[String]) extends Conflict
+
+  /** Apply defaults + casts + constraint checks, then append — with the
+    * reference insert corpus' full modifier surface: BY NAME/POSITION,
+    * INSERT OR REPLACE/IGNORE, and ON CONFLICT [(target)] DO NOTHING |
+    * DO UPDATE SET ... [WHERE] (EXCLUDED.* in the SET exprs). */
+  private def insert(spark: SparkSession, name: String, colList: String,
+      sourceRaw: String, modifier: Option[String],
+      byMode: Option[String]): DataFrame = {
+    val t = tableOf(name)
+    graft.search.Rbac.checkWrite(spark, s"${t.dir}/current", "insert", t.qname)
+
+    // peel a trailing ON CONFLICT clause off the source text
+    val (sourceTxt, trailing, conflictTarget): (String, Option[Conflict], Option[String]) =
+      sourceRaw match {
+        case onConflictRe(src, _, target, action, setClause, _, wherePred) =>
+          val spec =
+            if (action.toUpperCase(Locale.ROOT).startsWith("NOTHING"))
+              DoNothing
+            else DoUpdate(parseSets(t, setClause), Option(wherePred))
+          (src, Some(spec), Option(target).map(_.trim).filter(_.nonEmpty))
+        case other => (other, None, None)
+      }
+    val conflict: Option[Conflict] = modifier.map(_.trim.toUpperCase(Locale.ROOT)) match {
+      case Some(m) if m.startsWith("OR REPLACE") =>
+        // replace every non-key column with the incoming value
+        Some(DoUpdate(t.columns.filterNot(c => c.primaryKey || c.unique)
+          .map(c => (c, s"EXCLUDED.${c.name}")), None))
+      case Some(m) if m.startsWith("OR IGNORE") => Some(DoNothing)
+      case _ => trailing
+    }
+
+    val src = ObjectCatalog.internal.withValue(true) {
+      val s0 = sourceTxt.trim.stripSuffix(";").trim
+      val text =
+        if (s0.toUpperCase(Locale.ROOT).startsWith("TABLE"))
+          s"SELECT * FROM ${s0.drop(5).trim}"
+        else if (s0.startsWith("(") && s0.endsWith(")")) s0.drop(1).dropRight(1)
+        else s0
+      spark.sql(text)
+    }
+    val byName = byMode.exists(_.trim.toUpperCase(Locale.ROOT).startsWith("BY NAME"))
+    val targetCols: Seq[String] = Option(colList) match {
+      case Some(cl) =>
+        splitTop(cl.trim.stripPrefix("(").stripSuffix(")")).map(c =>
+          c.stripPrefix("\"").stripSuffix("\"").toLowerCase)
+      case None if byName => src.schema.fieldNames.map(_.toLowerCase).toSeq
+      case None => t.columns.take(src.schema.length).map(_.name)
+    }
+    if (targetCols.length != src.schema.length) throw analysisErr(
+      s"INSERT has ${src.schema.length} expressions but ${targetCols.length} target columns")
+    val unknown = targetCols.filterNot(c => t.columns.exists(_.name == c))
+    if (unknown.nonEmpty) throw analysisErr(
+      s"""column "${unknown.head}" of relation "${t.qname}" does not exist""")
+
+    // positional rename, then add missing columns from defaults
+    var df = src.toDF(targetCols: _*)
+    // stable per-batch ordinal for block-allocated sequence defaults
+    df = df.withColumn("__ord", monotonically_increasing_id())
+    val missing = t.columns.filterNot(c => targetCols.contains(c.name))
+    val needSeq = missing.filter(_.default.exists(d =>
+      ObjectCatalog.defaultSequenceRef(d).isDefined))
+    val nRows = if (needSeq.nonEmpty) df.count() else 0L
+    missing.foreach { c =>
+      c.default match {
+        case Some(d) => ObjectCatalog.defaultSequenceRef(d) match {
+          case Some(seqQ) =>
+            ObjectCatalog.sequence(seqQ) match {
+              case Some(s) if nRows > 0 =>
+                val first = SequenceOps.nextBlock(s, nRows)
+                val w = org.apache.spark.sql.expressions.Window.orderBy(col("__ord"))
+                df = df.withColumn(c.name,
+                  (row_number().over(w).cast("long") + lit(first - 1))
+                    .cast(c.sparkType))
+              case Some(_) => df = df.withColumn(c.name, lit(null).cast(c.sparkType))
+              case None => throw analysisErr(
+                s"""sequence "${seqQ}" does not exist""")
+            }
+          case None => df = df.withColumn(c.name, expr(d).cast(c.sparkType))
+        }
+        case None => df = df.withColumn(c.name, lit(null).cast(c.sparkType))
+      }
+    }
+    df = df.select(t.columns.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+
+    // NOT NULL and CHECK hold regardless of conflict handling
+    t.columns.filter(_.notNull).foreach { c =>
+      if (df.filter(col(c.name).isNull).limit(1).count() > 0) throw analysisErr(
+        s"""null value in column "${c.name}" of relation "${t.qname}" violates not-null constraint""")
+    }
+    enforceChecks(t, df)
+
+    Txn.touchTable(t.qname, t.dir)
+    val n = conflict match {
+      case None =>
+        // plain insert: any key clash is the pg duplicate-key error
+        t.columns.filter(c => c.primaryKey || c.unique).foreach { c =>
+          val dupIn = df.groupBy(col(c.name)).count()
+            .filter(col("count") > 1).limit(1).count()
+          val existing = TableStore.read(spark, t.dir, sparkSchema(t))
+          val clash = df.join(existing, Seq(c.name), "left_semi").limit(1).count()
+          if (dupIn > 0 || clash > 0) throw analysisErr(
+            s"""duplicate key value violates unique constraint "${t.name}_${c.name}_key"""")
+        }
+        val inserted = df.count()
+        TableStore.append(spark, t.dir, df)
+        inserted
+      case Some(spec) => resolveConflicts(spark, t, df, spec, conflictTarget)
+    }
+    refresh(spark, t)
+    countResult(spark, n)
+  }
+
+  private def parseSets(t: TableDef, setClause: String): Seq[(ColumnDef, String)] =
+    splitTop(setClause).map { a =>
+      val i = a.indexOf('=')
+      if (i < 0) throw analysisErr(s"cannot parse SET clause: $a")
+      val cn = a.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"").toLowerCase
+      val cd = t.columns.find(_.name == cn).getOrElse(throw analysisErr(
+        s"""column "$cn" of relation "${t.qname}" does not exist"""))
+      (cd, a.substring(i + 1).trim)
+    }
+
+  /** ON CONFLICT resolution: the conflict key's incoming values drive a
+    * file-pruned rewrite of the existing side (UPDATE legs), then the
+    * non-conflicting remainder appends. The incoming batch is the small
+    * side — its keys broadcast as an IN-set, the pg/DuckDB upsert shape. */
+  private def resolveConflicts(spark: SparkSession, t: TableDef,
+      incoming: DataFrame, spec: Conflict,
+      conflictTarget: Option[String]): Long = {
+    val keys: Seq[String] = conflictTarget match {
+      case Some(cols) => splitTop(cols).map(_.stripPrefix("\"").stripSuffix("\"").toLowerCase)
+      case None =>
+        val pk = t.columns.filter(_.primaryKey).map(_.name)
+        val u = if (pk.nonEmpty) pk else t.columns.filter(_.unique).map(_.name)
+        if (u.isEmpty) throw analysisErr(
+          "there is no unique or exclusion constraint matching the ON CONFLICT specification")
+        u
+    }
+    val schema = sparkSchema(t)
+    val existing = TableStore.read(spark, t.dir, schema)
+    // eager checkpoints cut lineage back to the pre-image file set: the
+    // rewrite below RETIRES those files, and anything still lazily
+    // referencing them (the insert remainder, a self-referencing INSERT
+    // SELECT) would otherwise read dead paths after the commit
+    val batch = (spec match {
+      // pg: DO UPDATE cannot affect one row twice; DO NOTHING keeps the first
+      case DoUpdate(_, _) =>
+        if (incoming.groupBy(keys.map(col): _*).count()
+            .filter(col("count") > 1).limit(1).count() > 0)
+          throw analysisErr(
+            "ON CONFLICT DO UPDATE command cannot affect row a second time")
+        incoming
+      case DoNothing => incoming.dropDuplicates(keys)
+    }).localCheckpoint(true)
+    val toInsert = batch.join(existing, keys, "left_anti")
+      .select(t.columns.map(c => col(c.name)): _*)
+      .localCheckpoint(true)
+    val updated: Long = spec match {
+      case DoNothing => 0L
+      case DoUpdate(sets, wherePred) =>
+        val conflicting = batch.join(existing, keys, "left_semi")
+        val nConflicting = conflicting.count()
+        val excRef0 = """(?i)\bEXCLUDED\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+        // single-column keys prune to the touched files via an IN-set of
+        // the batch's keys (collected: the batch is the broadcast side);
+        // composite keys fall back to a full-table remap
+        val pred: Column =
+          if (keys.length == 1) {
+            val vals = conflicting.select(keys.head).distinct().collect()
+              .map(_.get(0)).toSeq
+            if (vals.isEmpty) lit(false) else col(keys.head).isin(vals: _*)
+          } else if (nConflicting == 0) lit(false) else lit(true)
+        val exc = batch.select(
+          (keys.map(col) ++
+            t.columns.map(c => col(c.name).as(s"__exc_${c.name}"))): _*)
+        val excRef = """(?i)\bEXCLUDED\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+        // pg counts only rows the (possibly WHERE-gated) update touches —
+        // computed BEFORE the rewrite (the pre-image files move on commit)
+        val nUpdated = wherePred match {
+          case None => nConflicting
+          case Some(w) =>
+            val rewritten = excRef0.replaceAllIn(w, m => s"__exc_${m.group(1).toLowerCase}")
+            existing.join(broadcast(exc), keys, "inner")
+              .filter(expr(rewritten)).count()
+        }
+        if (nConflicting > 0) TableStore.rewriteMatching(spark, t.dir, schema, pred,
+          touched => {
+            var out = touched.join(broadcast(exc), keys, "left")
+            val isConflict = col(s"__exc_${keys.head}").isNotNull
+            val gate = wherePred.map { w =>
+              val rw = excRef.replaceAllIn(w, m => s"__exc_${m.group(1).toLowerCase}")
+              isConflict && expr(rw)
+            }.getOrElse(isConflict)
+            sets.foreach { case (cd, e) =>
+              val rewritten = excRef.replaceAllIn(e, m => s"__exc_${m.group(1).toLowerCase}")
+              out = out.withColumn(cd.name,
+                when(gate, expr(rewritten).cast(cd.sparkType)).otherwise(col(cd.name)))
+            }
+            out.select(t.columns.map(c => col(c.name)): _*)
+          })
+        nUpdated
+    }
+    val inserted = toInsert.count()
+    if (inserted > 0) TableStore.append(spark, t.dir, toInsert)
+    inserted + updated
+  }
+
+  private def update(spark: SparkSession, name: String, sets: String,
+      where: Option[String]): DataFrame = {
+    val t = tableOf(name)
+    graft.search.Rbac.checkWrite(spark, s"${t.dir}/current", "update", t.qname)
+    val pred = where.map(expr).getOrElse(lit(true))
+    val assignments = splitTop(sets).map { a =>
+      val i = a.indexOf('=')
+      if (i < 0) throw analysisErr(s"cannot parse SET clause: $a")
+      val cn = a.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"").toLowerCase
+      val cd = t.columns.find(_.name == cn).getOrElse(throw analysisErr(
+        s"""column "$cn" of relation "${t.qname}" does not exist"""))
+      (cd, a.substring(i + 1).trim)
+    }
+    Txn.touchTable(t.qname, t.dir)
+    val (affected, _) = TableStore.rewriteMatching(spark, t.dir, sparkSchema(t), pred,
+      touched => {
+        var out = touched
+        assignments.foreach { case (cd, e) =>
+          out = out.withColumn(cd.name,
+            when(pred, expr(e).cast(cd.sparkType)).otherwise(col(cd.name)))
+        }
+        val bad = assignments.map(_._1).filter(_.notNull)
+        bad.foreach { cd =>
+          if (out.filter(col(cd.name).isNull).limit(1).count() > 0) throw analysisErr(
+            s"""null value in column "${cd.name}" of relation "${t.qname}" violates not-null constraint""")
+        }
+        val post = out.select(t.columns.map(c => col(c.name)): _*)
+        enforceChecks(t, post)
+        post
+      })
+    refresh(spark, t)
+    countResult(spark, affected)
+  }
+
+  private def delete(spark: SparkSession, name: String,
+      where: Option[String]): DataFrame = {
+    val t = tableOf(name)
+    graft.search.Rbac.checkWrite(spark, s"${t.dir}/current", "delete", t.qname)
+    val pred = where.map(expr).getOrElse(lit(true))
+    Txn.touchTable(t.qname, t.dir)
+    val (affected, _) = TableStore.rewriteMatching(spark, t.dir, sparkSchema(t), pred,
+      touched => touched.filter(!pred))
+    refresh(spark, t)
+    countResult(spark, affected)
+  }
+
+  // ---- ALTER TABLE ---------------------------------------------------------
+
+  private def alterAddColumn(spark: SparkSession, name: String,
+      colDefRaw: String): DataFrame = {
+    val t = tableOf(name)
+    val c = parseColumn(colDefRaw)
+    if (t.columns.exists(_.name == c.name)) throw analysisErr(
+      s"""column "${c.name}" of relation "${t.qname}" already exists""")
+    val cur = TableStore.read(spark, t.dir, sparkSchema(t))
+    // pg fills existing rows in heap order: sequence defaults assign in
+    // insertion order, keyed by (file, row) — live files are named in
+    // commit-then-part order precisely so this sort IS insertion order
+    // (Spark's scan otherwise orders splits by size, not name)
+    var filled = cur.withColumn("__ord",
+      struct(col("_metadata.file_path"), col("_metadata.row_index")))
+    c.default match {
+      case Some(d) => ObjectCatalog.defaultSequenceRef(d) match {
+        case Some(seqQ) =>
+          val s = ObjectCatalog.sequence(seqQ).getOrElse(throw analysisErr(
+            s"""sequence "$seqQ" does not exist"""))
+          val n = filled.count()
+          if (n > 0) {
+            val first = SequenceOps.nextBlock(s, n)
+            val w = org.apache.spark.sql.expressions.Window.orderBy(col("__ord"))
+            filled = filled.withColumn(c.name,
+              (row_number().over(w).cast("long") + lit(first - 1)).cast(c.sparkType))
+          } else filled = filled.withColumn(c.name, lit(null).cast(c.sparkType))
+        case None => filled = filled.withColumn(c.name, expr(d).cast(c.sparkType))
+      }
+      case None => filled = filled.withColumn(c.name, lit(null).cast(c.sparkType))
+    }
+    val newT = t.copy(columns = t.columns :+ c)
+    Txn.touchTable(t.qname, t.dir)
+    TableStore.overwrite(spark, t.dir,
+      filled.select(newT.columns.map(cc => col(cc.name)): _*))
+    ObjectCatalog.updateTable(spark, newT)
+    result(spark, s"added column ${c.name} to ${t.qname}")
+  }
+
+  private def alterDropColumn(spark: SparkSession, name: String,
+      colName: String): DataFrame = {
+    val t = tableOf(name)
+    val cn = colName.toLowerCase
+    if (!t.columns.exists(_.name == cn)) throw analysisErr(
+      s"""column "$cn" of relation "${t.qname}" does not exist""")
+    val newT = t.copy(columns = t.columns.filterNot(_.name == cn))
+    val cur = TableStore.read(spark, t.dir, sparkSchema(t))
+    Txn.touchTable(t.qname, t.dir)
+    TableStore.overwrite(spark, t.dir,
+      cur.select(newT.columns.map(c => col(c.name)): _*))
+    ObjectCatalog.updateTable(spark, newT)
+    result(spark, s"dropped column $cn from ${t.qname}")
+  }
+
+  private def alterRenameColumn(spark: SparkSession, name: String,
+      from: String, to: String): DataFrame = {
+    val t = tableOf(name)
+    val f = from.toLowerCase; val tn = to.toLowerCase
+    if (!t.columns.exists(_.name == f)) throw analysisErr(
+      s"""column "$f" of relation "${t.qname}" does not exist""")
+    val cur = TableStore.read(spark, t.dir, sparkSchema(t))
+    val newT = t.copy(columns = t.columns.map(c =>
+      if (c.name == f) c.copy(name = tn) else c))
+    Txn.touchTable(t.qname, t.dir)
+    TableStore.overwrite(spark, t.dir, cur.withColumnRenamed(f, tn))
+    ObjectCatalog.updateTable(spark, newT)
+    result(spark, s"renamed column $f to $tn")
+  }
+
+  private def alterRenameTable(spark: SparkSession, name: String,
+      to: String): DataFrame = {
+    val t = tableOf(name)
+    val newT = t.copy(name = to.toLowerCase)
+    if (ObjectCatalog.get(newT.qname).isDefined) throw analysisErr(
+      s"""relation "${newT.qname}" already exists""")
+    ObjectCatalog.internalSql(spark, s"DROP TABLE IF EXISTS ${t.qname}")
+    ObjectCatalog.objects.remove(t.qname)
+    ObjectCatalog.put(spark, newT)
+    result(spark, s"renamed ${t.qname} to ${newT.qname}")
+  }
+
+  // ---- SQL functions -------------------------------------------------------
+
+  private val fnReady =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** nextval/currval/setval as SQL text (single-row use; bulk inserts use
+    * the block path). Registered once per session. */
+  def registerFunctions(spark: SparkSession): Unit = if (fnReady.add(spark)) {
+    def seqOf(n: String): SequenceDef =
+      ObjectCatalog.sequence(n).getOrElse(throw analysisErr(
+        s"""relation "$n" does not exist"""))
+    spark.udf.register("nextval", (n: String) => SequenceOps.nextval(seqOf(n)))
+    spark.udf.register("currval", (n: String) => SequenceOps.currval(seqOf(n)))
+    spark.udf.register("setval", (n: String, v: Long) => SequenceOps.setval(seqOf(n), v))
+    SysCatalog.registerFunctions(spark)
+  }
+}

@@ -1,0 +1,507 @@
+package graft.catalog
+
+import java.util.UUID
+
+import scala.collection.concurrent.TrieMap
+import scala.util.DynamicVariable
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The durable object catalog: schemas, tables, views, sequences and SQL
+  * functions with a pg-style dependency graph, so DROP ... RESTRICT/CASCADE
+  * and crash recovery behave as the reference corpus demands
+  * (tests/sqllogic/any/pg/ddl/drop_cascade_*.test — 12 files — and
+  * tests/sqllogic/recovery/catalog_*.test; reference implementation:
+  * server/catalog/ — the dependency edges rebuilt at catalog load).
+  *
+  * Spark-first shape: objects REGISTER INTO the Spark session catalog
+  * (databases, external parquet tables, permanent views, SQL UDFs) so name
+  * resolution, view inlining and scan planning are all native Catalyst —
+  * this layer owns only what Spark's catalog lacks: durability across
+  * sessions, the dependency graph, column defaults/constraints, and
+  * sequences. State persists as one JSON snapshot under an atomic rename
+  * (same pattern as the index CatalogStore); a fresh session lazily
+  * replays it, which IS the recovery semantics the corpus tests.
+  *
+  * Dependency modes:
+  *  - "normal": dependent is dropped by CASCADE, blocks RESTRICT
+  *    (view -> relation, function -> relation)
+  *  - "default": a column DEFAULT references a sequence — CASCADE strips
+  *    the default (the table survives), RESTRICT is blocked
+  *    (drop_cascade_cross_schema.test: ids become NULL after the
+  *    sequence's schema is cascade-dropped)
+  *  - owned sequences (SERIAL): dropped together with their table, like
+  *    pg's auto dependency
+  */
+object ObjectCatalog {
+
+  final case class ColumnDef(name: String, sparkType: String,
+      notNull: Boolean = false, primaryKey: Boolean = false,
+      unique: Boolean = false, default: Option[String] = None,
+      serial: Boolean = false)
+
+  sealed trait ObjDef {
+    def schema: String; def name: String; def kind: String
+    def qname: String = s"$schema.$name"
+  }
+  /** `checks`: named CHECK constraints (pg auto-name `<table>_<col>_check`),
+    * validated on ADD against existing rows and on every INSERT/UPDATE. */
+  final case class TableDef(schema: String, name: String, dir: String,
+      columns: Seq[ColumnDef],
+      checks: Seq[(String, String)] = Nil) extends ObjDef { def kind = "table" }
+  final case class ViewDef(schema: String, name: String, sql: String,
+      deps: Seq[String]) extends ObjDef { def kind = "view" }
+  final case class SequenceDef(schema: String, name: String, file: String,
+      start: Long, inc: Long, minV: Option[Long], maxV: Option[Long],
+      cycle: Boolean, ownedBy: Option[String]) extends ObjDef { def kind = "sequence" }
+  final case class FunctionDef(schema: String, name: String, body: String,
+      returns: String, deps: Seq[String]) extends ObjDef { def kind = "function" }
+
+  private val mapper = new ObjectMapper()
+
+  // ---- state ---------------------------------------------------------------
+
+  private[catalog] val schemas = TrieMap.empty[String, Boolean] // name -> ()
+  private[catalog] val objects = TrieMap.empty[String, ObjDef]  // qname -> def
+  /** Bumped on every mutation; SysCatalog and session-resync key off it. */
+  @volatile private[catalog] var versionCounter: Long = 0L
+  @volatile private var loadedOnce = false
+
+  /** Sessions that have replayed the catalog (registration is per-session). */
+  private val sessionReady =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Long]())
+
+  /** Internal statements must bypass the GraftSqlParser interception. */
+  val internal = new DynamicVariable[Boolean](false)
+
+  @volatile private[graft] var baseDirOverride: Option[String] = None
+  private def baseDir: String = baseDirOverride.getOrElse(sys.env.getOrElse(
+    "GRAFT_CATALOG_DIR", sys.props("java.io.tmpdir") + "/graft-objects"))
+  private def statePath = new Path(baseDir, "_OBJECTS/objects.json")
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  def dataDir(schema: String, name: String): String =
+    s"$baseDir/data/$schema.$name-${UUID.randomUUID().toString.take(8)}"
+  def seqFile(schema: String, name: String): String =
+    s"$baseDir/seq/$schema.$name-${UUID.randomUUID().toString.take(8)}.json"
+
+  // ---- name resolution -----------------------------------------------------
+
+  /** Lowercase, strip quotes, default schema `public` (pg search_path). */
+  def qualify(raw: String): String = {
+    val parts = raw.trim.split("\\.").map(_.trim.stripPrefix("\"").stripSuffix("\"").toLowerCase)
+    parts match {
+      case Array(n) => s"public.$n"
+      case Array(s, n) => s"$s.$n"
+      case _ => raw.toLowerCase
+    }
+  }
+
+  def get(raw: String): Option[ObjDef] = { ensureLoaded(); objects.get(qualify(raw)) }
+  def table(raw: String): Option[TableDef] =
+    get(raw).collect { case t: TableDef => t }
+  def sequence(raw: String): Option[SequenceDef] =
+    get(raw).collect { case s: SequenceDef => s }
+  def schemaExists(name: String): Boolean =
+    { ensureLoaded(); val n = name.toLowerCase; n == "public" || schemas.contains(n) }
+
+  // ---- dependency graph ----------------------------------------------------
+
+  /** Direct dependents of `q`: (dependent object, mode). */
+  private def dependentsOf(q: String): Seq[(ObjDef, String)] =
+    objects.values.toSeq.flatMap {
+      case v: ViewDef if v.deps.contains(q) => Seq((v, "normal"))
+      case f: FunctionDef if f.deps.contains(q) => Seq((f, "normal"))
+      case t: TableDef if t.columns.exists(_.default.exists(d =>
+          defaultSequenceRef(d).contains(q))) => Seq((t, "default"))
+      case s: SequenceDef if s.ownedBy.contains(q) => Seq((s, "owned"))
+      case _ => Seq.empty
+    }
+
+  /** The sequence qname a DEFAULT expression references, if any. */
+  def defaultSequenceRef(default: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)nextval\\s*\\(\\s*'([^']+)'\\s*\\)").matcher(default)
+    if (m.find()) Some(qualify(m.group(1))) else None
+  }
+
+  /** Plan a drop: objects to remove (in dependency order, dependents first)
+    * and tables whose sequence DEFAULTs must be stripped. Throws the pg
+    * dependency error when RESTRICT would be violated. */
+  private def dropPlan(roots: Seq[String], cascade: Boolean,
+      rootKind: String, rootName: String): (Seq[String], Seq[(String, String)]) = {
+    val toDrop = scala.collection.mutable.LinkedHashSet.empty[String]
+    val stripDefaults = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val queue = scala.collection.mutable.Queue.empty[String]
+    roots.foreach { r => toDrop += r; queue += r }
+    var blocked = false
+    while (queue.nonEmpty) {
+      val q = queue.dequeue()
+      dependentsOf(q).foreach {
+        case (dep, "owned") =>
+          if (!toDrop.contains(dep.qname)) { toDrop += dep.qname; queue += dep.qname }
+        case (dep, "default") if !toDrop.contains(dep.qname) =>
+          if (cascade) stripDefaults += ((dep.qname, q)) else blocked = true
+        case (dep, _) =>
+          if (!toDrop.contains(dep.qname)) {
+            if (cascade) { toDrop += dep.qname; queue += dep.qname }
+            else blocked = true
+          }
+      }
+    }
+    if (blocked) throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION",
+      Map("errorMessage" ->
+        s"cannot drop $rootKind $rootName because other objects depend on it. HINT: Use DROP ... CASCADE to drop the dependent objects too."))
+    (toDrop.toSeq.reverse, stripDefaults.toSeq)
+  }
+
+  // ---- mutations (called by CatalogDdl; each persists + registers) ---------
+
+  def createSchema(spark: SparkSession, name: String, ifNotExists: Boolean): String = {
+    ensureSession(spark)
+    val n = name.toLowerCase
+    if (schemaExists(n)) {
+      if (ifNotExists) return s"schema $n already exists, skipped"
+      throw err(s"""schema "$n" already exists""")
+    }
+    schemas.put(n, true)
+    registerSchema(spark, n)
+    mutated(spark)
+    s"created schema $n"
+  }
+
+  def put(spark: SparkSession, obj: ObjDef, orReplace: Boolean = false): Unit = {
+    ensureSession(spark)
+    if (!schemaExists(obj.schema)) throw err(s"""schema "${obj.schema}" does not exist""")
+    objects.get(obj.qname).foreach { existing =>
+      if (!orReplace) throw err(s"""relation "${obj.qname}" already exists""")
+      if (existing.kind != obj.kind) throw err(
+        s"""cannot replace ${existing.kind} "${obj.qname}" with a ${obj.kind}""")
+    }
+    objects.put(obj.qname, obj)
+    register(spark, obj)
+    mutated(spark)
+  }
+
+  /** DROP with RESTRICT/CASCADE. Returns dropped qnames (dependents first).
+    * Physical table data is passed to `retire` instead of deleted inline so
+    * an open transaction can restore it on rollback. */
+  def drop(spark: SparkSession, raw: String, kind: String, cascade: Boolean,
+      ifExists: Boolean, retire: TableDef => Unit): Seq[String] = {
+    ensureSession(spark)
+    val q = qualify(raw)
+    objects.get(q) match {
+      case None =>
+        if (ifExists) Seq.empty
+        else throw err(s"""$kind "$raw" does not exist""")
+      case Some(obj) =>
+        if (obj.kind != kind) throw err(
+          s""""$raw" is not a $kind. HINT: Use DROP ${obj.kind.toUpperCase}.""")
+        val (toDrop, strips) = dropPlan(Seq(q), cascade, kind, raw)
+        applyDrop(spark, toDrop, strips, retire)
+        toDrop
+    }
+  }
+
+  def dropSchema(spark: SparkSession, name: String, cascade: Boolean,
+      ifExists: Boolean, retire: TableDef => Unit): Seq[String] = {
+    ensureSession(spark)
+    val n = name.toLowerCase
+    if (!schemas.contains(n)) {
+      if (ifExists) return Seq.empty
+      throw err(s"""schema "$name" does not exist""")
+    }
+    val members = objects.values.toSeq.filter(_.schema == n).map(_.qname)
+    if (members.nonEmpty && !cascade) throw err(
+      s"cannot drop schema $name because other objects depend on it. " +
+        "HINT: Use DROP ... CASCADE to drop the dependent objects too.")
+    val (toDrop, strips) = dropPlan(members, cascade = true, "schema", name)
+    applyDrop(spark, toDrop, strips, retire)
+    schemas.remove(n)
+    internalSql(spark, s"DROP DATABASE IF EXISTS $n CASCADE")
+    mutated(spark)
+    toDrop
+  }
+
+  private def applyDrop(spark: SparkSession, toDrop: Seq[String],
+      strips: Seq[(String, String)], retire: TableDef => Unit): Unit = {
+    toDrop.foreach { dq =>
+      objects.remove(dq).foreach {
+        case t: TableDef =>
+          internalSql(spark, s"DROP TABLE IF EXISTS $dq")
+          retire(t)
+        case _: ViewDef => internalSql(spark, s"DROP VIEW IF EXISTS $dq")
+        case f: FunctionDef =>
+          internalSql(spark, s"DROP TEMPORARY FUNCTION IF EXISTS ${f.name}")
+        case _: SequenceDef => () // counter file stays until vacuum
+      }
+    }
+    // CASCADE strips DEFAULTs that referenced a dropped sequence; the
+    // table itself survives with the column now defaulting to NULL
+    strips.foreach { case (tableQ, seqQ) =>
+      objects.get(tableQ).collect { case t: TableDef =>
+        objects.put(tableQ, t.copy(columns = t.columns.map { c =>
+          if (c.default.exists(d => defaultSequenceRef(d).contains(seqQ)))
+            c.copy(default = None, serial = false)
+          else c
+        }))
+      }
+    }
+    mutated(spark)
+  }
+
+  /** Replace a table definition in place (ALTER TABLE, default strips). */
+  def updateTable(spark: SparkSession, t: TableDef): Unit = {
+    objects.put(t.qname, t)
+    // re-point the session table at the (possibly re-typed) definition
+    internalSql(spark, s"DROP TABLE IF EXISTS ${t.qname}")
+    register(spark, t)
+    mutated(spark)
+  }
+
+  private def err(msg: String) = new org.apache.spark.sql.AnalysisException(
+    "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+
+  // ---- persistence ---------------------------------------------------------
+
+  private def mutated(spark: SparkSession): Unit = synchronized {
+    versionCounter += 1
+    sessionReady.put(spark, versionCounter)
+    persist()
+  }
+
+  private def persist(): Unit = {
+    val root = mapper.createObjectNode()
+    val sArr = root.putArray("schemas"); schemas.keys.toSeq.sorted.foreach(sArr.add)
+    val oArr = root.putArray("objects")
+    objects.values.toSeq.sortBy(_.qname).foreach(o => oArr.add(toJson(o)))
+    val p = statePath
+    val f = fs(p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".objects.${UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    f.rename(tmp, p)
+  }
+
+  private def toJson(o: ObjDef): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("kind", o.kind); n.put("schema", o.schema); n.put("name", o.name)
+    o match {
+      case t: TableDef =>
+        n.put("dir", t.dir)
+        val cols = n.putArray("columns")
+        t.columns.foreach { c =>
+          val cn = mapper.createObjectNode()
+          cn.put("name", c.name); cn.put("type", c.sparkType)
+          cn.put("notNull", c.notNull); cn.put("pk", c.primaryKey)
+          cn.put("unique", c.unique); cn.put("serial", c.serial)
+          c.default.foreach(cn.put("default", _))
+          cols.add(cn)
+        }
+        val chks = n.putArray("checks")
+        t.checks.foreach { case (cname, e) =>
+          val cn = mapper.createObjectNode()
+          cn.put("name", cname); cn.put("expr", e); chks.add(cn)
+        }
+      case v: ViewDef =>
+        n.put("sql", v.sql)
+        val d = n.putArray("deps"); v.deps.foreach(d.add)
+      case s: SequenceDef =>
+        n.put("file", s.file); n.put("start", s.start); n.put("inc", s.inc)
+        s.minV.foreach(n.put("min", _)); s.maxV.foreach(n.put("max", _))
+        n.put("cycle", s.cycle); s.ownedBy.foreach(n.put("ownedBy", _))
+      case fd: FunctionDef =>
+        n.put("body", fd.body); n.put("returns", fd.returns)
+        val d = n.putArray("deps"); fd.deps.foreach(d.add)
+    }
+    n
+  }
+
+  private def fromJson(n: com.fasterxml.jackson.databind.JsonNode): ObjDef = {
+    val schema = n.get("schema").asText(); val name = n.get("name").asText()
+    n.get("kind").asText() match {
+      case "table" =>
+        val cols = scala.collection.mutable.ArrayBuffer.empty[ColumnDef]
+        val it = n.get("columns").elements()
+        while (it.hasNext) {
+          val c = it.next()
+          cols += ColumnDef(c.get("name").asText(), c.get("type").asText(),
+            c.get("notNull").asBoolean(), c.get("pk").asBoolean(),
+            c.get("unique").asBoolean(),
+            Option(c.get("default")).map(_.asText()),
+            c.get("serial").asBoolean())
+        }
+        val checks = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        Option(n.get("checks")).foreach { a =>
+          val ci = a.elements()
+          while (ci.hasNext) {
+            val c = ci.next()
+            checks += ((c.get("name").asText(), c.get("expr").asText()))
+          }
+        }
+        TableDef(schema, name, n.get("dir").asText(), cols.toSeq, checks.toSeq)
+      case "view" =>
+        ViewDef(schema, name, n.get("sql").asText(), jarr(n, "deps"))
+      case "sequence" =>
+        SequenceDef(schema, name, n.get("file").asText(), n.get("start").asLong(),
+          n.get("inc").asLong(), Option(n.get("min")).map(_.asLong()),
+          Option(n.get("max")).map(_.asLong()), n.get("cycle").asBoolean(),
+          Option(n.get("ownedBy")).map(_.asText()))
+      case "function" =>
+        FunctionDef(schema, name, n.get("body").asText(),
+          n.get("returns").asText(), jarr(n, "deps"))
+    }
+  }
+
+  private def jarr(n: com.fasterxml.jackson.databind.JsonNode, k: String): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    Option(n.get(k)).foreach { a =>
+      val it = a.elements(); while (it.hasNext) b += it.next().asText()
+    }
+    b.result()
+  }
+
+  def ensureLoaded(): Unit = if (!loadedOnce) synchronized {
+    if (!loadedOnce) {
+      try {
+        val p = statePath
+        val f = fs(p)
+        if (f.exists(p)) {
+          val in = f.open(p)
+          val root = try mapper.readTree(in.readAllBytes()) finally in.close()
+          jarr(root, "schemas").foreach(schemas.put(_, true))
+          val it = root.get("objects").elements()
+          while (it.hasNext) {
+            val o = fromJson(it.next())
+            objects.put(o.qname, o)
+            o match { case t: TableDef => TableStore.repair(t.dir); case _ => () }
+          }
+        }
+      } catch { case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"object catalog load failed, starting empty: $e")
+      }
+      loadedOnce = true
+    }
+  }
+
+  /** Test hook: forget in-JVM state and reload from disk, as a fresh
+    * process would — the recovery corpus's restart step. */
+  private[graft] def reset(): Unit = synchronized {
+    schemas.clear(); objects.clear(); loadedOnce = false
+    sessionReady.clear()
+    versionCounter += 1
+  }
+
+  /** The recovery corpus's crash+restart step (its `connection after_crash`
+    * records): drop every session registration this layer made, wipe the
+    * in-JVM state, and leave the durable snapshot as the only truth — the
+    * next statement replays it lazily, exactly like a new process. */
+  def simulateRestart(spark: SparkSession): Unit = synchronized {
+    objects.values.foreach {
+      case t: TableDef => internalSql(spark, s"DROP TABLE IF EXISTS ${t.qname}")
+      case v: ViewDef => internalSql(spark, s"DROP VIEW IF EXISTS ${v.qname}")
+      case f: FunctionDef =>
+        internalSql(spark, s"DROP TEMPORARY FUNCTION IF EXISTS ${f.name}")
+      case _: SequenceDef => ()
+    }
+    schemas.keys.foreach(sc =>
+      internalSql(spark, s"DROP DATABASE IF EXISTS $sc CASCADE"))
+    reset()
+    Txn.reset()
+    SessionVars.resetAll()
+  }
+
+  // ---- spark session registration -----------------------------------------
+
+  def internalSql(spark: SparkSession, sql: String): Unit =
+    internal.withValue(true) { spark.sql(sql).collect() }
+
+  def sparkSchemaDdl(cols: Seq[ColumnDef]): String =
+    cols.map(c => s"${c.name} ${c.sparkType}").mkString(", ")
+
+  private def registerSchema(spark: SparkSession, n: String): Unit =
+    internalSql(spark, s"CREATE DATABASE IF NOT EXISTS $n")
+
+  private def register(spark: SparkSession, o: ObjDef): Unit = o match {
+    case t: TableDef =>
+      TableStore.create(t.dir)
+      internalSql(spark,
+        s"CREATE TABLE IF NOT EXISTS ${t.qname} (${sparkSchemaDdl(t.columns)}) " +
+          s"USING parquet LOCATION '${t.dir}/current'")
+      internalSql(spark, s"REFRESH TABLE ${t.qname}")
+    case v: ViewDef =>
+      internalSql(spark, s"CREATE OR REPLACE VIEW ${v.qname} AS ${v.sql}")
+    case f: FunctionDef =>
+      internalSql(spark,
+        s"CREATE OR REPLACE TEMPORARY FUNCTION ${f.name}() RETURNS ${f.returns} RETURN ${f.body}")
+    case _: SequenceDef => ()
+  }
+
+  /** Replay the durable catalog into this session (idempotent, lazy): the
+    * recovery behavior — a fresh session sees every schema/table/view/
+    * function without any DDL re-run. Views register after their
+    * dependencies (topological order). */
+  def ensureSession(spark: SparkSession): Unit = {
+    ensureLoaded()
+    val ready = sessionReady.get(spark)
+    if (ready != null && ready == versionCounter) return
+    synchronized {
+      graft.GraftSession.ensurePublicDb(spark)
+      schemas.keys.foreach(registerSchema(spark, _))
+      val (views, rest) = objects.values.toSeq.partition(_.kind == "view")
+      rest.foreach(register(spark, _))
+      // views in dependency order: repeatedly register those whose deps are done
+      var pending = views.collect { case v: ViewDef => v }
+      var done = rest.map(_.qname).toSet
+      var progressed = true
+      while (pending.nonEmpty && progressed) {
+        val (ok, rem) = pending.partition(_.deps.forall(d =>
+          done.contains(d) || !objects.contains(d)))
+        progressed = ok.nonEmpty
+        ok.foreach { v => register(spark, v); done += v.qname }
+        pending = rem
+      }
+      pending.foreach(register(spark, _)) // cycles shouldn't happen; best-effort
+      sessionReady.put(spark, versionCounter)
+    }
+  }
+
+  /** Snapshot/restore for transaction undo (catalog state is metadata-
+    * sized, so a wholesale copy is cheap and exact). */
+  def snapshot(): (Map[String, Boolean], Map[String, ObjDef]) =
+    (schemas.toMap, objects.toMap)
+
+  /** Restore an older catalog state (transaction rollback). Session cleanup
+    * is OBJECT-precise: only relations this layer registered are dropped
+    * and replayed — a whole-database drop would take down native tables
+    * (index relations etc.) sharing the `public` namespace. */
+  def restore(spark: SparkSession,
+      snap: (Map[String, Boolean], Map[String, ObjDef])): Unit = synchronized {
+    val oldObjects = objects.values.toSeq
+    val oldSchemas = schemas.keys.toSet
+    schemas.clear(); snap._1.foreach { case (k, v) => schemas.put(k, v) }
+    objects.clear(); snap._2.foreach { case (k, v) => objects.put(k, v) }
+    persist()
+    oldObjects.foreach {
+      case t: TableDef => internalSql(spark, s"DROP TABLE IF EXISTS ${t.qname}")
+      case v: ViewDef => internalSql(spark, s"DROP VIEW IF EXISTS ${v.qname}")
+      case f: FunctionDef =>
+        internalSql(spark, s"DROP TEMPORARY FUNCTION IF EXISTS ${f.name}")
+      case _: SequenceDef => ()
+    }
+    (oldSchemas -- snap._1.keySet).foreach(s =>
+      internalSql(spark, s"DROP DATABASE IF EXISTS $s CASCADE"))
+    versionCounter += 1
+    sessionReady.remove(spark)
+    ensureSession(spark)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.catalog
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+
+/** pg-style session variables: `SET name [=|TO] value`, `SET LOCAL ...`,
+  * `SHOW name`, `RESET name` (reference corpus any/pg/settings/ *.test,
+  * sdb/pg/settings — the `sdb_*` engine knobs arrive through this surface,
+  * e.g. `SET sdb_levenshtein_max_terms = 5`).
+  *
+  * Engine knobs map onto the spark conf they control (so `SET
+  * sdb_levenshtein_max_terms` really changes the fuzzy-expansion cap);
+  * everything else is a plain session variable. Spark's own `SET
+  * spark.*=...` keys are NOT intercepted — dotted keys stay native.
+  */
+object SessionVars {
+
+  /** sdb knob -> spark conf key (the reference spelling on the left). */
+  private[catalog] val knobMap: Map[String, String] = Map(
+    "sdb_levenshtein_max_terms" -> "spark.graft.levenshteinMaxTerms",
+    "sdb_strict_claims" -> "spark.graft.strictClaims")
+
+  private val vars = TrieMap.empty[String, String]
+  @volatile private[catalog] var varsVersion: Long = 0L
+
+  def get(spark: SparkSession, name: String): Option[String] = {
+    val n = name.toLowerCase
+    knobMap.get(n) match {
+      case Some(conf) => spark.conf.getOption(conf)
+      case None => vars.get(n)
+    }
+  }
+
+  /** Returns the previous value (for SET LOCAL undo). */
+  def set(spark: SparkSession, name: String, value: String): Option[String] = {
+    val n = name.toLowerCase
+    val prev = get(spark, n)
+    knobMap.get(n) match {
+      case Some(conf) => spark.conf.set(conf, value)
+      case None => vars.put(n, value)
+    }
+    varsVersion += 1
+    prev
+  }
+
+  def reset(spark: SparkSession, name: String): Unit = {
+    val n = name.toLowerCase
+    knobMap.get(n) match {
+      case Some(conf) => spark.conf.unset(conf)
+      case None => vars.remove(n)
+    }
+    varsVersion += 1
+  }
+
+  private[catalog] def restore(spark: SparkSession, name: String,
+      prev: Option[String]): Unit = prev match {
+    case Some(v) => set(spark, name, v)
+    case None => reset(spark, name)
+  }
+
+  /** All plain variables + materialized knob values, for pg_settings. */
+  def all(spark: SparkSession): Seq[(String, String)] =
+    (vars.toSeq ++ knobMap.toSeq.flatMap { case (n, conf) =>
+      spark.conf.getOption(conf).map(n -> _)
+    }).sortBy(_._1)
+
+  private[graft] def resetAll(): Unit = { vars.clear(); varsVersion += 1 }
+}

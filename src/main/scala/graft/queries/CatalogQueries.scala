@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-gated entries for the durable object catalog
+  * (graft.catalog.ObjectCatalog / CatalogDdl / Txn / SysCatalog): pg-style
+  * CREATE/DROP with dependency-tracked CASCADE, sequences + SERIAL,
+  * catalog-table DML, transaction blocks, and pg_catalog introspection —
+  * the reference's any/pg/ddl, any/pg/txn, any/pg/system and
+  * create_sequence corpora as oracle-checked single entries.
+  *
+  * Every entry rebuilds its schema from scratch (DROP SCHEMA ... CASCADE
+  * first), so runs are idempotent under the verify/bench harness's
+  * multiple executions. Where the entry transforms REAL testdata
+  * (documents.parquet) the DuckDB oracle recomputes the same final state
+  * relationally; pure-catalog legs pin hand-derived pg goldens as VALUES
+  * (the same goldens the ported sqllogic corpus asserts statement by
+  * statement).
+  */
+object CatalogQueries {
+
+  private def sql(s: SparkSession, q: String): DataFrame = s.sql(q)
+
+  /** DDL lifecycle: dependency graph, RESTRICT/CASCADE, SERIAL sequences,
+    * DEFAULT-strip on cascade — results as (leg, val) booleans/values. */
+  def catalogDdl(s: SparkSession, dir: String): DataFrame = {
+    sql(s, "DROP SCHEMA IF EXISTS gcat CASCADE")
+    sql(s, "CREATE SCHEMA gcat")
+    sql(s, "CREATE TABLE gcat.dash (id SERIAL PRIMARY KEY, name TEXT)")
+    sql(s, "INSERT INTO gcat.dash (name) VALUES ('a'), ('b')")
+    sql(s, "CREATE TABLE gcat.audit (id BIGINT DEFAULT nextval('gcat.dash_id_seq'), payload TEXT)")
+    sql(s, "INSERT INTO gcat.audit (payload) VALUES ('first')")
+    sql(s, "CREATE VIEW gcat.v AS SELECT id, name FROM gcat.dash")
+
+    val restrictRefused =
+      try { sql(s, "DROP TABLE gcat.dash"); false }
+      catch { case e: Exception => e.getMessage.contains("depend on it") }
+    val dataSurvived = sql(s, "SELECT count(*) FROM gcat.dash").head().getLong(0)
+    sql(s, "DROP TABLE gcat.dash CASCADE") // drops view + owned seq, strips audit default
+    sql(s, "INSERT INTO gcat.audit (payload) VALUES ('after')")
+    val viewGone =
+      try { sql(s, "SELECT * FROM gcat.v"); false }
+      catch { case _: Exception => true }
+
+    val auditRows = sql(s,
+      "SELECT coalesce(cast(id AS STRING), 'NULL') AS id, payload FROM gcat.audit")
+      .collect().map(r => r.getString(1) -> r.getString(0)).toMap
+    import s.implicits._
+    Seq(
+      ("restrict_refused", restrictRefused.toString),
+      ("rows_survive_refused_drop", dataSurvived.toString),
+      ("view_cascade_dropped", viewGone.toString),
+      ("audit_serial_id", auditRows("first")),   // 3: continued after dash's 1,2
+      ("audit_default_stripped", auditRows("after"))) // NULL after cascade strip
+      .toDF("leg", "val").orderBy("leg")
+  }
+
+  /** Catalog-table DML over REAL testdata: CTAS from documents.parquet,
+    * file-pruned UPDATE/DELETE, final aggregate the DuckDB oracle
+    * recomputes relationally. */
+  def catalogDml(s: SparkSession, dir: String): DataFrame = {
+    sql(s, "DROP SCHEMA IF EXISTS gdml CASCADE")
+    sql(s, "CREATE SCHEMA gdml")
+    graft.Tables.documents(s, dir).selectExpr("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("gdml_src")
+    sql(s, "CREATE TABLE gdml.docs AS SELECT doc_id, lang, n_chars FROM gdml_src WHERE doc_id < 300")
+    sql(s, "UPDATE gdml.docs SET n_chars = n_chars + 1000 WHERE doc_id % 10 = 0")
+    sql(s, "DELETE FROM gdml.docs WHERE doc_id % 7 = 0")
+    sql(s, """SELECT count(*) AS n, sum(n_chars) AS total
+             |FROM gdml.docs""".stripMargin)
+      .selectExpr("n", "cast(total AS BIGINT) AS total")
+  }
+
+  /** Transaction blocks over a catalog table seeded from testdata: a
+    * rolled-back delete leaves no trace, a committed one sticks. */
+  def catalogTxn(s: SparkSession, dir: String): DataFrame = {
+    sql(s, "DROP SCHEMA IF EXISTS gtxn CASCADE")
+    sql(s, "CREATE SCHEMA gtxn")
+    graft.Tables.documents(s, dir).selectExpr("doc_id", "n_chars")
+      .createOrReplaceTempView("gtxn_src")
+    sql(s, "CREATE TABLE gtxn.docs AS SELECT doc_id, n_chars FROM gtxn_src WHERE doc_id < 400")
+    sql(s, "BEGIN")
+    sql(s, "DELETE FROM gtxn.docs WHERE doc_id % 2 = 0")
+    sql(s, "ROLLBACK")
+    sql(s, "BEGIN")
+    sql(s, "DELETE FROM gtxn.docs WHERE doc_id % 5 = 0")
+    sql(s, "UPDATE gtxn.docs SET n_chars = 0 WHERE doc_id % 3 = 0")
+    sql(s, "COMMIT")
+    sql(s, """SELECT count(*) AS n, sum(n_chars) AS total FROM gtxn.docs""")
+      .selectExpr("n", "cast(total AS BIGINT) AS total")
+  }
+
+  /** pg_catalog introspection: pg_namespace/pg_tables/pg_views/pg_sequences
+    * reflect the catalog; dropped schemas vanish. */
+  def sysCatalogs(s: SparkSession, dir: String): DataFrame = {
+    sql(s, "DROP SCHEMA IF EXISTS gsys CASCADE")
+    sql(s, "CREATE SCHEMA gsys")
+    sql(s, "CREATE TABLE gsys.widgets (id INT, v TEXT)")
+    sql(s, "CREATE VIEW gsys.widget_ids AS SELECT id FROM gsys.widgets")
+    sql(s, "CREATE SEQUENCE gsys.widget_seq START 42 INCREMENT BY 2")
+    graft.catalog.SysCatalog.ensureFresh(s)
+    sql(s,
+      """SELECT 'table' AS kind, tablename AS name FROM pg_tables WHERE schemaname = 'gsys'
+        |UNION ALL
+        |SELECT 'view' AS kind, viewname AS name FROM pg_views WHERE schemaname = 'gsys'
+        |UNION ALL
+        |SELECT 'sequence' AS kind, sequencename AS name FROM pg_sequences WHERE schemaname = 'gsys'
+        |UNION ALL
+        |SELECT 'namespace' AS kind, nspname AS name FROM pg_namespace WHERE nspname = 'gsys'
+        |ORDER BY kind, name""".stripMargin)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_ddl" -> catalogDdl,
+    "catalog_dml" -> catalogDml,
+    "catalog_txn" -> catalogTxn,
+    "sys_catalogs" -> sysCatalogs)
+
+  val oracles: Map[String, String] = Map(
+    "catalog_ddl" ->
+      """SELECT * FROM (VALUES
+        |  ('audit_default_stripped', 'NULL'),
+        |  ('audit_serial_id', '3'),
+        |  ('restrict_refused', 'true'),
+        |  ('rows_survive_refused_drop', '2'),
+        |  ('view_cascade_dropped', 'true')) AS t(leg, val)""".stripMargin,
+    "catalog_dml" ->
+      """SELECT count(*) AS n,
+        |  cast(sum(n_chars + CASE WHEN doc_id % 10 = 0 THEN 1000 ELSE 0 END) AS BIGINT) AS total
+        |FROM documents WHERE doc_id < 300 AND doc_id % 7 <> 0""".stripMargin,
+    "catalog_txn" ->
+      """SELECT count(*) AS n,
+        |  cast(sum(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS total
+        |FROM documents WHERE doc_id < 400 AND doc_id % 5 <> 0""".stripMargin,
+    "sys_catalogs" ->
+      """SELECT * FROM (VALUES
+        |  ('namespace', 'gsys'),
+        |  ('sequence', 'widget_seq'),
+        |  ('table', 'widgets'),
+        |  ('view', 'widget_ids')) AS t(kind, name) ORDER BY kind, name""".stripMargin)
+}

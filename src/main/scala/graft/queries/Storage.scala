@@ -74,8 +74,11 @@ object Storage {
   def saveBucketed(df: DataFrame, name: String, buckets: Int, key: String): Unit = {
     val s = df.sparkSession
     if (!s.catalog.tableExists(name)) {
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      val p = new org.apache.hadoop.fs.Path(wh, name)
+      // defaultTablePath honors the CURRENT database (public ->
+      // <warehouse>/public.db/<name>), not the bare warehouse root
+      val p = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(name)))
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
     df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(name)

@@ -17,17 +17,32 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   * and every other parser entry point — delegates to the Spark parser
   * untouched. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  /** Shared front half of both plan entry points: the transaction-abort
+    * gate (pg 25P02 — every statement but COMMIT/ROLLBACK is refused while
+    * a block is aborted), then lazy catalog replay so a FRESH session's
+    * very first `SELECT ... FROM t` resolves durable catalog objects (the
+    * recovery corpus' restart step), then graft statement dispatch. */
+  private def dispatch(sqlText: String): Option[LogicalPlan] = {
+    graft.catalog.Txn.gate(sqlText)
+    if (!graft.catalog.ObjectCatalog.internal.value)
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .foreach(graft.catalog.ObjectCatalog.ensureSession)
+    if (Ddl.handles(sqlText)) Some(GraftDdlCommand(sqlText))
+    else if (graft.catalog.CatalogDdl.handles(sqlText))
+      Some(GraftCatalogCommand(sqlText))
+    else None
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    if (Ddl.handles(sqlText)) GraftDdlCommand(sqlText)
-    else delegate.parsePlan(sqlText)
+    dispatch(sqlText).getOrElse(delegate.parsePlan(sqlText))
 
   // the interface DEFAULT drops the ParameterContext on the floor (it just
   // calls parsePlan), so named/positional parameters MUST forward to the
   // delegate's real override or spark.sql(text, args) stops binding
   override def parsePlanWithParameters(sqlText: String,
       parameterContext: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    if (Ddl.handles(sqlText)) GraftDdlCommand(sqlText)
-    else delegate.parsePlanWithParameters(sqlText, parameterContext)
+    dispatch(sqlText).getOrElse(
+      delegate.parsePlanWithParameters(sqlText, parameterContext))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -63,4 +78,25 @@ case class GraftDdlCommand(sql: String) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] =
     Ddl.execute(spark, sql).collect().toSeq
+}
+
+/** Catalog DDL/DML/txn statements as eagerly-executed leaf commands — the
+  * same two-surface pattern as [[GraftDdlCommand]]. Output shape is fixed
+  * at parse time: DML returns a `count` row (the sqllogic `statement count`
+  * contract), SHOW <var> returns one column named after the variable,
+  * everything else one `result` string. */
+case class GraftCatalogCommand(sql: String) extends LeafRunnableCommand {
+  import graft.catalog.CatalogDdl
+
+  override val output: Seq[Attribute] =
+    if (CatalogDdl.isDml(sql))
+      Seq(AttributeReference("count", org.apache.spark.sql.types.LongType,
+        nullable = false)())
+    else CatalogDdl.showVarName(sql) match {
+      case Some(n) => Seq(AttributeReference(n, StringType, nullable = false)())
+      case None => Seq(AttributeReference("result", StringType, nullable = false)())
+    }
+
+  override def run(spark: SparkSession): Seq[Row] =
+    CatalogDdl.execute(spark, sql).collect().toSeq
 }

@@ -317,6 +317,25 @@ object Rbac {
       }
     }
 
+  /** Introspection rows for the pg_roles system view (name, inherit). */
+  def roleRows: Seq[(String, Boolean)] = roles.toSeq.sortBy(_._1)
+
+  /** Introspection rows for pg_auth_members (member, role, admin_option). */
+  def membershipRows: Seq[(String, String, Boolean)] =
+    memberOf.toSeq.flatMap { case (m, of) =>
+      of.toSeq.map { case (r, admin) => (m, r, admin) }
+    }.sorted
+
+  /** Bumped on any role-graph mutation; system views key freshness off it.
+    * Size-derived rather than a counter threaded through every mutator: a
+    * revoke+grant pair that restores identical sizes can momentarily read
+    * stale in pg_roles, which the corpus never observes (reads always
+    * follow a size-changing mutation). */
+  def stateVersion: Long =
+    roles.size.toLong * 1000003L + memberOf.valuesIterator.map(_.size).sum * 4093L +
+      grants.valuesIterator.map(_.size).sum * 31L +
+      writeGrants.valuesIterator.map(_.size).sum * 7L
+
   /** Test hook. */
   private[graft] def reset(): Unit = {
     roles.clear(); memberOf.clear(); grants.clear(); writeGrants.clear()

@@ -49,9 +49,12 @@ object SqlLogic {
 
   sealed trait Rec { def line: Int }
   final case class Statement(sql: String, expectError: Option[String],
-      line: Int) extends Rec
+      line: Int, expectCount: Option[Long] = None) extends Rec
   final case class Query(sql: String, expected: Seq[String],
       planExpect: Seq[String], line: Int) extends Rec
+  /** The recovery corpus' crash+restart step (`connection after_crash`):
+    * wipe every in-JVM catalog registration and reload from disk. */
+  final case class Restart(line: Int) extends Rec
 
   final case class Failure(file: String, line: Int, message: String) {
     override def toString: String = s"$file:$line — $message"
@@ -73,14 +76,20 @@ object SqlLogic {
     while (i < lines.length) {
       val l = lines(i).trim
       if (l.isEmpty || l.startsWith("#")) { i += 1 }
+      else if (l == "restart") { recs += Restart(i + 1); i += 1 }
       else if (l.startsWith("expect-plan ")) {
         pendingPlan += l.stripPrefix("expect-plan ").trim; i += 1
-      } else if (l == "statement ok" || l.startsWith("statement error")) {
+      } else if (l == "statement ok" || l.startsWith("statement error") ||
+          l.startsWith("statement count ")) {
         val expectErr =
-          if (l == "statement ok") None
+          if (!l.startsWith("statement error")) None
           else Some(l.stripPrefix("statement error").trim)
+        val expectCount =
+          if (l.startsWith("statement count "))
+            Some(l.stripPrefix("statement count ").trim.toLong)
+          else None
         val (sql, j) = collectSql(i + 1)
-        recs += Statement(sql, expectErr, i + 1)
+        recs += Statement(sql, expectErr, i + 1, expectCount)
         i = j
       } else if (l == "query" || l.startsWith("query ")) {
         val (sql, j) = collectSql(i + 1)
@@ -113,9 +122,18 @@ object SqlLogic {
 
   private def execute(spark: SparkSession, sql: String): DataFrame = {
     graft.search.SqlSurface.registerAll(spark)
-    if (graft.search.Ddl.handles(sql))
-      graft.search.Ddl.execute(spark, sql)
-    else spark.sql(sql)
+    graft.catalog.CatalogDdl.registerFunctions(spark)
+    graft.catalog.SysCatalog.ensureFresh(spark)
+    try {
+      if (graft.search.Ddl.handles(sql))
+        graft.search.Ddl.execute(spark, sql)
+      else spark.sql(sql) // CatalogDdl statements dispatch via the parser
+    } catch { case e: Throwable =>
+      // a failed statement aborts an open transaction block (pg 25P02);
+      // this runner is the reference corpus' connection choke point
+      graft.catalog.Txn.statementFailed()
+      throw e
+    }
   }
 
   private def planHaystack(df: DataFrame): String = {
@@ -135,11 +153,19 @@ object SqlLogic {
       testdata: String): Seq[Failure] = {
     val fails = ArrayBuffer.empty[Failure]
     parse(content.replace("$TESTDATA", testdata)).foreach {
-      case Statement(sql, None, line) =>
-        try execute(spark, sql).collect()
-        catch { case e: Exception =>
+      case Restart(_) =>
+        graft.catalog.ObjectCatalog.simulateRestart(spark)
+      case Statement(sql, None, line, expectCount) =>
+        try {
+          val rows = execute(spark, sql).collect()
+          expectCount.foreach { want =>
+            val got = rows.headOption.map(_.getLong(0)).getOrElse(-1L)
+            if (got != want)
+              fails += Failure(name, line, s"expected count $want, got $got")
+          }
+        } catch { case e: Exception =>
           fails += Failure(name, line, s"statement failed: ${e.getMessage}") }
-      case Statement(sql, Some(substr), line) =>
+      case Statement(sql, Some(substr), line, _) =>
         try {
           execute(spark, sql).collect()
           fails += Failure(name, line, "expected an error, statement succeeded")
@@ -179,15 +205,19 @@ object SqlLogic {
     var i = 0
     while (i < lines.length) {
       val l = lines(i).trim
-      if (l == "statement ok" || l.startsWith("statement error")) {
+      if (l == "statement ok" || l.startsWith("statement error") ||
+          l.startsWith("statement count ")) {
         out += lines(i); i += 1
         val sqlB = ArrayBuffer.empty[String]
         while (i < lines.length && lines(i).trim.nonEmpty) {
           sqlB += lines(i); out += lines(i); i += 1
         }
-        if (l == "statement ok")
+        if (!l.startsWith("statement error"))
           execute(spark,
             sqlB.mkString("\n").replace("$TESTDATA", testdata)).collect()
+      } else if (l == "restart") {
+        out += lines(i); i += 1
+        graft.catalog.ObjectCatalog.simulateRestart(spark)
       } else if (l == "query" || l.startsWith("query ")) {
         out += lines(i); i += 1
         val sqlB = ArrayBuffer.empty[String]
