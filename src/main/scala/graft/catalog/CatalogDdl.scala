@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-import ObjectCatalog.{ColumnDef, FunctionDef, SequenceDef, TableDef, ViewDef}
+import ObjectCatalog.{ColumnDef, EnumDef, FunctionDef, SequenceDef, TableDef, ViewDef}
 
 /** The pg-flavored catalog DDL/DML surface, regex-dispatched like the
   * search DDL ([[graft.search.Ddl]]) and wired into the session parser, so
@@ -55,6 +55,10 @@ object CatalogDdl {
     ("""(?is)^\s*CREATE\s+SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?(""" + qname + """)\s*(.*?)\s*;?\s*$""").r
   private val dropSeqRe =
     ("""(?is)^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?(""" + qname + """)\s*(CASCADE|RESTRICT)?\s*;?\s*$""").r
+  private val createTypeRe =
+    ("""(?is)^\s*CREATE\s+TYPE\s+(""" + qname + """)\s+AS\s+ENUM\s*\(([^)]*)\)\s*;?\s*$""").r
+  private val dropTypeRe =
+    ("""(?is)^\s*DROP\s+TYPE\s+(IF\s+EXISTS\s+)?(""" + qname + """)\s*(CASCADE|RESTRICT)?\s*;?\s*$""").r
   private val createFnRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+(""" + qname + """)\s*\(\s*\)\s+AS\s+\((.*)\)\s*;?\s*$""").r
   private val dropFnRe =
@@ -89,6 +93,14 @@ object CatalogDdl {
   private val alterSeqRe =
     ("""(?is)^\s*ALTER\s+SEQUENCE\s+(""" + qname + """)\s+RESTART(?:\s+WITH\s+(-?\d+))?\s*;?\s*$""").r
 
+  private val commentRe =
+    ("""(?is)^\s*COMMENT\s+ON\s+(TABLE|VIEW|COLUMN|SEQUENCE|TYPE|INDEX|SCHEMA|FUNCTION|MACRO\s+TABLE|MACRO)\s+(""" +
+      qname + """(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*$""").r
+  private val exportDbRe =
+    """(?is)^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+  private val importDbRe =
+    """(?is)^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$""".r
+
   private val beginRe = """(?is)^\s*(BEGIN|START\s+TRANSACTION)\b.*$""".r
   private val commitRe =
     """(?is)^\s*(COMMIT|END)(\s+(WORK|TRANSACTION))?(\s+AND\s+(NO\s+)?CHAIN)?\s*;?\s*$""".r
@@ -115,6 +127,8 @@ object CatalogDdl {
     !ObjectCatalog.internal.value && (sql match {
       case createSchemaRe(_*) | dropSchemaRe(_*) | createSeqRe(_*) |
           dropSeqRe(_*) | alterSeqRe(_*) | createFnRe(_*) |
+          createTypeRe(_*) | dropTypeRe(_*) |
+          commentRe(_*) | exportDbRe(_*) | importDbRe(_*) |
           beginRe(_*) | commitRe(_*) | rollbackRe(_*) |
           setVarRe(_*) | showVarRe(_*) | resetVarRe(_*) => true
       case createTableRe(_, _, _) =>
@@ -216,6 +230,21 @@ object CatalogDdl {
       SequenceOps.setval(s, v - s.inc) // next nextval returns v
       result(spark, s"sequence ${s.qname} restarted at $v")
 
+    case createTypeRe(name, labels) => createEnum(spark, name, labels)
+    case dropTypeRe(ife, name, mode) =>
+      val dropped = ObjectCatalog.drop(spark, name, "type",
+        cascade = mode != null && mode.equalsIgnoreCase("CASCADE"),
+        ifExists = ife != null, retireTable)
+      result(spark, s"dropped ${dropped.mkString(", ")}")
+
+    case commentRe(objType, target, text) => commentOn(spark, objType, target, text)
+    case exportDbRe(dir, opts) =>
+      val o = Option(opts).map(parseCopyOpts).getOrElse(Map.empty)
+      result(spark, ExportImport.exportDatabase(spark, dir,
+        o.getOrElse("format", "parquet"), o.getOrElse("delimiter", ",")))
+    case importDbRe(dir) =>
+      result(spark, ExportImport.importDatabase(spark, dir))
+
     case createFnRe(orRepl, name, body) => createFunction(spark, name, body.trim, orRepl != null)
     case dropFnRe(ife, name, mode) =>
       val dropped = ObjectCatalog.drop(spark, name, "function",
@@ -310,10 +339,10 @@ object CatalogDdl {
 
   // ---- CREATE TABLE --------------------------------------------------------
 
-  /** pg type -> (spark DDL type, serial?). */
-  private def mapType(pgType: String): (String, Boolean) = {
+  /** pg type -> (spark DDL type, serial?, enum qname?). */
+  private def mapType(pgType: String): (String, Boolean, Option[String]) = {
     val t = pgType.trim.toUpperCase(Locale.ROOT).replaceAll("\\s+", " ")
-    t match {
+    val (st, serial) = t match {
       case "SERIAL" => ("INT", true)
       case "BIGSERIAL" | "SERIAL8" => ("BIGINT", true)
       case "SMALLSERIAL" => ("SMALLINT", true)
@@ -334,8 +363,20 @@ object CatalogDdl {
         (m.flatMap(x => Option(x.group(1))).map(p => s"DECIMAL$p")
           .getOrElse("DECIMAL(38,18)"), false)
       case "BYTEA" | "BINARY" => ("BINARY", false)
-      case other => throw analysisErr(s"""type "$other" does not exist""")
+      case other => ObjectCatalog.enum(pgType.trim) match {
+        // enum columns store the LABEL; declaration order rides the field
+        // metadata into the EnumOrder optimizer rule
+        case Some(_) => ("STRING", false)
+        case None =>
+          // any valid Spark DDL type (STRING, ARRAY<...>, ...) passes
+          // through — CTAS-derived tables re-import with their own types
+          try { StructType.fromDDL(s"x ${pgType.trim}"); (pgType.trim, false) }
+          catch { case _: Exception => throw analysisErr(
+            s"""type "${other.toLowerCase(Locale.ROOT)}" does not exist""") }
+      }
     }
+    val enumQ = ObjectCatalog.enum(pgType.trim).map(_.qname)
+    (st, serial, enumQ)
   }
 
   /** Split a parenthesized body on top-level commas. */
@@ -363,7 +404,8 @@ object CatalogDdl {
     * greedy up to the first constraint keyword so multi-word pg types
     * (DOUBLE PRECISION, TIMESTAMP WITH TIME ZONE) parse. */
   private def parseColumn(defn: String): ColumnDef = {
-    val constraintKw = Set("NOT", "NULL", "PRIMARY", "UNIQUE", "DEFAULT", "REFERENCES", "CHECK")
+    val constraintKw = Set("NOT", "NULL", "PRIMARY", "UNIQUE", "DEFAULT",
+      "REFERENCES", "CHECK", "GENERATED")
     val mName = s"""(?s)^\\s*("?[A-Za-z_][A-Za-z0-9_]*"?)\\s+(.*)$$""".r
     defn match {
       case mName(rawName, rest) =>
@@ -382,14 +424,28 @@ object CatalogDdl {
         }) typeEnd += 1
         val typeText = tokens.take(typeEnd).mkString(" ")
         val constraintText = tokens.drop(typeEnd).mkString(" ")
-        val (sparkType, serial) = mapType(typeText)
-        var c = ColumnDef(name, sparkType, serial = serial)
+        val (sparkType, serial, enumQ) = mapType(typeText)
+        var c = ColumnDef(name, sparkType, serial = serial, enumType = enumQ)
         val up = constraintText.toUpperCase(Locale.ROOT)
         if (up.matches("(?s).*NOT\\s+NULL.*")) c = c.copy(notNull = true)
         if (up.matches("(?s).*PRIMARY\\s+KEY.*")) c = c.copy(primaryKey = true, notNull = true)
         if (up.matches("(?s).*\\bUNIQUE\\b.*")) c = c.copy(unique = true)
-        val dm = """(?is)DEFAULT\s+(.*?)(?:\s+(?:NOT|NULL|PRIMARY|UNIQUE|REFERENCES|CHECK)\b.*)?$""".r
+        // pg: multiple DEFAULT clauses on one column are an error
+        if ("""(?is)\bDEFAULT\b""".r.findAllIn(constraintText).size > 1)
+          throw analysisErr(
+            s"""multiple default values specified for column "$name"""")
+        if (up.matches("(?s).*GENERATED\\s+BY\\s+DEFAULT.*"))
+          throw analysisErr(
+            "for a generated column, GENERATED ALWAYS must be specified")
+        val gm = """(?is)GENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*STORED""".r
+        gm.findFirstMatchIn(constraintText).foreach { m =>
+          c = c.copy(generated = Some(balanced(m.group(1))))
+        }
+        val dm = """(?is)DEFAULT\s+(.*?)(?:\s+(?:NOT|NULL|PRIMARY|UNIQUE|REFERENCES|CHECK|GENERATED)\b.*)?$""".r
         dm.findFirstMatchIn(constraintText).foreach(m => c = c.copy(default = Some(m.group(1).trim)))
+        if (c.generated.isDefined && c.default.isDefined)
+          throw analysisErr(
+            s"""both default and generation expression specified for column "$name"""")
         c
       case _ => throw analysisErr(s"cannot parse column definition: $defn")
     }
@@ -517,6 +573,18 @@ object CatalogDdl {
         }
       }
     }
+    // pg: a generated column cannot reference another generated column
+    val genCols = cols.filter(_.generated.isDefined).map(_.name).toSet
+    cols.foreach { c =>
+      c.generated.foreach { g =>
+        val refs = """[A-Za-z_][A-Za-z0-9_]*""".r.findAllIn(g)
+          .map(_.toLowerCase).toSet
+        (refs & genCols).headOption.foreach { bad =>
+          throw analysisErr(
+            s"""cannot use generated column "$bad" in column generation expression""")
+        }
+      }
+    }
     val dir = ObjectCatalog.dataDir(schema, tname)
     val t = TableDef(schema, tname, dir, cols, checks.result())
     // SERIAL columns get an implicit owned sequence <table>_<col>_seq
@@ -584,6 +652,91 @@ object CatalogDdl {
       start, inc, minV, maxV, cycle, ownedBy = None)
     ObjectCatalog.put(spark, s)
     result(spark, s"created sequence $q")
+  }
+
+  /** `CREATE TYPE name AS ENUM ('a', 'b', ...)` (any/pg/ddl/enum.test):
+    * duplicate labels refused, empty enums allowed, labels compare by
+    * declaration order (the EnumOrder optimizer rule). */
+  private def createEnum(spark: SparkSession, name: String,
+      labelsRaw: String): DataFrame = {
+    val q = ObjectCatalog.qualify(name)
+    if (ObjectCatalog.get(q).isDefined) throw analysisErr(
+      s"""type "${q.split("\\.").last}" already exists""")
+    val labels = splitTop(labelsRaw).map(stripQuotes)
+    val dup = labels.diff(labels.distinct).headOption
+    dup.foreach(d => throw analysisErr(
+      s"""enum label "$d" used more than once"""))
+    val Array(schema, tn) = q.split("\\.", 2)
+    ObjectCatalog.put(spark, EnumDef(schema, tn, labels))
+    result(spark, s"created type $q")
+  }
+
+  /** Enum columns admit only declared labels (or NULL) — pg's
+    * "invalid input value for enum" on INSERT and UPDATE alike. */
+  private def enforceEnums(t: TableDef, df: DataFrame): Unit =
+    t.columns.filter(_.enumType.isDefined).foreach { c =>
+      ObjectCatalog.enum(c.enumType.get).foreach { en =>
+        val badPred =
+          if (en.labels.isEmpty) col(c.name).isNotNull
+          else col(c.name).isNotNull && !col(c.name).isin(en.labels: _*)
+        val bad = df.filter(badPred).select(col(c.name)).limit(1).collect()
+        if (bad.nonEmpty) throw analysisErr(
+          s"""invalid input value for enum ${en.name}: "${bad.head.getString(0)}"""")
+      }
+    }
+
+  /** `(FORMAT csv, DELIMITER '|')`-style option lists. */
+  private def parseCopyOpts(opts: String): Map[String, String] =
+    splitTop(opts).map { o =>
+      val parts = o.trim.split("\\s+", 2)
+      val v = if (parts.length > 1) stripQuotes(parts(1).trim) else "true"
+      parts(0).toLowerCase(Locale.ROOT) -> v.toLowerCase(Locale.ROOT)
+    }.toMap
+
+  /** `COMMENT ON <kind> <name> IS 'text'|NULL`
+    * (site_docs/sql/statements/comment_on): text lands in pg_description;
+    * IS NULL clears. COLUMN targets take `table.column`. The target must
+    * exist — indexes resolve through the search-DDL catalog. */
+  private def commentOn(spark: SparkSession, objType: String, target: String,
+      textRaw: String): DataFrame = {
+    val kind = objType.trim.toUpperCase(Locale.ROOT).replaceAll("\\s+", " ")
+    val text = if (textRaw.equalsIgnoreCase("NULL")) None else Some(stripQuotes(textRaw))
+    val key = kind match {
+      case "COLUMN" =>
+        val parts = target.split("\\.")
+        val (tbl, col) = (parts.dropRight(1).mkString("."), parts.last.toLowerCase)
+        val t = tableOf(tbl)
+        if (!t.columns.exists(_.name == col)) throw analysisErr(
+          s"""column "$col" of relation "${t.qname}" does not exist""")
+        s"column:${t.qname}.$col"
+      case "TABLE" => s"table:${tableOf(target).qname}"
+      case "VIEW" =>
+        val q = ObjectCatalog.qualify(target)
+        if (!ObjectCatalog.get(q).exists(_.kind == "view")) throw analysisErr(
+          s"""view "$target" does not exist""")
+        s"view:$q"
+      case "SEQUENCE" =>
+        val q = ObjectCatalog.qualify(target)
+        if (!ObjectCatalog.get(q).exists(_.kind == "sequence")) throw analysisErr(
+          s"""sequence "$target" does not exist""")
+        s"sequence:$q"
+      case "TYPE" =>
+        val q = ObjectCatalog.qualify(target)
+        if (!ObjectCatalog.get(q).exists(_.kind == "type")) throw analysisErr(
+          s"""type "$target" does not exist""")
+        s"type:$q"
+      case "SCHEMA" =>
+        if (!ObjectCatalog.schemaExists(target)) throw analysisErr(
+          s"""schema "$target" does not exist""")
+        s"schema:${target.toLowerCase(Locale.ROOT)}"
+      case "FUNCTION" | "MACRO" | "MACRO TABLE" =>
+        val q = ObjectCatalog.qualify(target)
+        s"function:$q" // macros may live outside the object catalog
+      case "INDEX" => s"index:${target.toLowerCase(Locale.ROOT)}"
+      case other => throw analysisErr(s"COMMENT ON $other is not supported")
+    }
+    ObjectCatalog.setComment(spark, key, text)
+    result(spark, "COMMENT")
   }
 
   // ---- views / functions ---------------------------------------------------
@@ -687,6 +840,9 @@ object CatalogDdl {
     val unknown = targetCols.filterNot(c => t.columns.exists(_.name == c))
     if (unknown.nonEmpty) throw analysisErr(
       s"""column "${unknown.head}" of relation "${t.qname}" does not exist""")
+    targetCols.find(c => t.columns.exists(tc => tc.name == c && tc.generated.isDefined))
+      .foreach(g => throw analysisErr(
+        s"""cannot insert a non-DEFAULT value into column "$g" because it is a generated column"""))
 
     // positional rename, then add missing columns from defaults
     var df = src.toDF(targetCols: _*)
@@ -716,6 +872,10 @@ object CatalogDdl {
         case None => df = df.withColumn(c.name, lit(null).cast(c.sparkType))
       }
     }
+    // generated columns compute from the row's other values (pg STORED)
+    t.columns.filter(_.generated.isDefined).foreach { c =>
+      df = df.withColumn(c.name, expr(c.generated.get).cast(c.sparkType))
+    }
     df = df.select(t.columns.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
 
     // NOT NULL and CHECK hold regardless of conflict handling
@@ -724,6 +884,7 @@ object CatalogDdl {
         s"""null value in column "${c.name}" of relation "${t.qname}" violates not-null constraint""")
     }
     enforceChecks(t, df)
+    enforceEnums(t, df)
 
     Txn.touchTable(t.qname, t.dir)
     val n = conflict match {
@@ -852,7 +1013,24 @@ object CatalogDdl {
       val cn = a.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"").toLowerCase
       val cd = t.columns.find(_.name == cn).getOrElse(throw analysisErr(
         s"""column "$cn" of relation "${t.qname}" does not exist"""))
+      if (cd.generated.isDefined) throw analysisErr(
+        s"""column "$cn" can only be updated to DEFAULT because it is a generated column""")
       (cd, a.substring(i + 1).trim)
+    }
+    // an UPDATE that moves a key column must leave the WHOLE table unique
+    // (any/pg/simple/update_pk.test) — validated on the post-image BEFORE
+    // any file is rewritten, so a refused update leaves no trace
+    if (assignments.exists { case (cd, _) => cd.primaryKey || cd.unique }) {
+      var post = TableStore.read(spark, t.dir, sparkSchema(t))
+      assignments.foreach { case (cd, e) =>
+        post = post.withColumn(cd.name,
+          when(pred, expr(e).cast(cd.sparkType)).otherwise(col(cd.name)))
+      }
+      t.columns.filter(c => c.primaryKey || c.unique).foreach { c =>
+        if (post.groupBy(col(c.name)).count()
+            .filter(col("count") > 1).limit(1).count() > 0) throw analysisErr(
+          s"""duplicate key value violates unique constraint "${t.name}_${c.name}_key"""")
+      }
     }
     Txn.touchTable(t.qname, t.dir)
     val (affected, _) = TableStore.rewriteMatching(spark, t.dir, sparkSchema(t), pred,
@@ -867,8 +1045,13 @@ object CatalogDdl {
           if (out.filter(col(cd.name).isNull).limit(1).count() > 0) throw analysisErr(
             s"""null value in column "${cd.name}" of relation "${t.qname}" violates not-null constraint""")
         }
+        // generated columns recompute from the (possibly updated) inputs
+        t.columns.filter(_.generated.isDefined).foreach { cd =>
+          out = out.withColumn(cd.name, expr(cd.generated.get).cast(cd.sparkType))
+        }
         val post = out.select(t.columns.map(c => col(c.name)): _*)
         enforceChecks(t, post)
+        enforceEnums(t, post)
         post
       })
     refresh(spark, t)
@@ -902,7 +1085,9 @@ object CatalogDdl {
     // (Spark's scan otherwise orders splits by size, not name)
     var filled = cur.withColumn("__ord",
       struct(col("_metadata.file_path"), col("_metadata.row_index")))
-    c.default match {
+    if (c.generated.isDefined)
+      filled = filled.withColumn(c.name, expr(c.generated.get).cast(c.sparkType))
+    else c.default match {
       case Some(d) => ObjectCatalog.defaultSequenceRef(d) match {
         case Some(seqQ) =>
           val s = ObjectCatalog.sequence(seqQ).getOrElse(throw analysisErr(

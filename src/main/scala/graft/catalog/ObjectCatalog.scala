@@ -41,7 +41,8 @@ object ObjectCatalog {
   final case class ColumnDef(name: String, sparkType: String,
       notNull: Boolean = false, primaryKey: Boolean = false,
       unique: Boolean = false, default: Option[String] = None,
-      serial: Boolean = false)
+      serial: Boolean = false, enumType: Option[String] = None,
+      generated: Option[String] = None)
 
   sealed trait ObjDef {
     def schema: String; def name: String; def kind: String
@@ -59,6 +60,9 @@ object ObjectCatalog {
       cycle: Boolean, ownedBy: Option[String]) extends ObjDef { def kind = "sequence" }
   final case class FunctionDef(schema: String, name: String, body: String,
       returns: String, deps: Seq[String]) extends ObjDef { def kind = "function" }
+  /** pg CREATE TYPE ... AS ENUM: labels compare by DECLARATION order. */
+  final case class EnumDef(schema: String, name: String,
+      labels: Seq[String]) extends ObjDef { def kind = "type" }
 
   private val mapper = new ObjectMapper()
 
@@ -66,6 +70,9 @@ object ObjectCatalog {
 
   private[catalog] val schemas = TrieMap.empty[String, Boolean] // name -> ()
   private[catalog] val objects = TrieMap.empty[String, ObjDef]  // qname -> def
+  /** COMMENT ON storage: "<objtype>:<qname>[.column]" -> text (pg
+    * pg_description; site_docs/sql/statements/comment_on). */
+  private[catalog] val comments = TrieMap.empty[String, String]
   /** Bumped on every mutation; SysCatalog and session-resync key off it. */
   @volatile private[catalog] var versionCounter: Long = 0L
   @volatile private var loadedOnce = false
@@ -107,6 +114,8 @@ object ObjectCatalog {
     get(raw).collect { case t: TableDef => t }
   def sequence(raw: String): Option[SequenceDef] =
     get(raw).collect { case s: SequenceDef => s }
+  def enum(raw: String): Option[EnumDef] =
+    get(raw).collect { case e: EnumDef => e }
   def schemaExists(name: String): Boolean =
     { ensureLoaded(); val n = name.toLowerCase; n == "public" || schemas.contains(n) }
 
@@ -120,6 +129,8 @@ object ObjectCatalog {
       case t: TableDef if t.columns.exists(_.default.exists(d =>
           defaultSequenceRef(d).contains(q))) => Seq((t, "default"))
       case s: SequenceDef if s.ownedBy.contains(q) => Seq((s, "owned"))
+      case t: TableDef if t.columns.exists(_.enumType.contains(q)) =>
+        Seq((t, "column"))
       case _ => Seq.empty
     }
 
@@ -130,13 +141,18 @@ object ObjectCatalog {
     if (m.find()) Some(qualify(m.group(1))) else None
   }
 
-  /** Plan a drop: objects to remove (in dependency order, dependents first)
-    * and tables whose sequence DEFAULTs must be stripped. Throws the pg
-    * dependency error when RESTRICT would be violated. */
+  /** Plan a drop: objects to remove (in dependency order, dependents first),
+    * tables whose sequence DEFAULTs must be stripped, and tables whose
+    * enum-typed COLUMNS must be dropped (pg DROP TYPE ... CASCADE drops the
+    * dependent columns, the table survives —
+    * drop_cascade_column_type.test). Throws the pg dependency error when
+    * RESTRICT would be violated. */
   private def dropPlan(roots: Seq[String], cascade: Boolean,
-      rootKind: String, rootName: String): (Seq[String], Seq[(String, String)]) = {
+      rootKind: String, rootName: String)
+      : (Seq[String], Seq[(String, String)], Seq[(String, String)]) = {
     val toDrop = scala.collection.mutable.LinkedHashSet.empty[String]
     val stripDefaults = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val stripColumns = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val queue = scala.collection.mutable.Queue.empty[String]
     roots.foreach { r => toDrop += r; queue += r }
     var blocked = false
@@ -147,6 +163,8 @@ object ObjectCatalog {
           if (!toDrop.contains(dep.qname)) { toDrop += dep.qname; queue += dep.qname }
         case (dep, "default") if !toDrop.contains(dep.qname) =>
           if (cascade) stripDefaults += ((dep.qname, q)) else blocked = true
+        case (dep, "column") if !toDrop.contains(dep.qname) =>
+          if (cascade) stripColumns += ((dep.qname, q)) else blocked = true
         case (dep, _) =>
           if (!toDrop.contains(dep.qname)) {
             if (cascade) { toDrop += dep.qname; queue += dep.qname }
@@ -158,7 +176,7 @@ object ObjectCatalog {
       "USER_RAISED_EXCEPTION",
       Map("errorMessage" ->
         s"cannot drop $rootKind $rootName because other objects depend on it. HINT: Use DROP ... CASCADE to drop the dependent objects too."))
-    (toDrop.toSeq.reverse, stripDefaults.toSeq)
+    (toDrop.toSeq.reverse, stripDefaults.toSeq, stripColumns.toSeq)
   }
 
   // ---- mutations (called by CatalogDdl; each persists + registers) ---------
@@ -203,8 +221,8 @@ object ObjectCatalog {
       case Some(obj) =>
         if (obj.kind != kind) throw err(
           s""""$raw" is not a $kind. HINT: Use DROP ${obj.kind.toUpperCase}.""")
-        val (toDrop, strips) = dropPlan(Seq(q), cascade, kind, raw)
-        applyDrop(spark, toDrop, strips, retire)
+        val (toDrop, strips, colStrips) = dropPlan(Seq(q), cascade, kind, raw)
+        applyDrop(spark, toDrop, strips, colStrips, retire)
         toDrop
     }
   }
@@ -221,8 +239,8 @@ object ObjectCatalog {
     if (members.nonEmpty && !cascade) throw err(
       s"cannot drop schema $name because other objects depend on it. " +
         "HINT: Use DROP ... CASCADE to drop the dependent objects too.")
-    val (toDrop, strips) = dropPlan(members, cascade = true, "schema", name)
-    applyDrop(spark, toDrop, strips, retire)
+    val (toDrop, strips, colStrips) = dropPlan(members, cascade = true, "schema", name)
+    applyDrop(spark, toDrop, strips, colStrips, retire)
     schemas.remove(n)
     internalSql(spark, s"DROP DATABASE IF EXISTS $n CASCADE")
     mutated(spark)
@@ -230,7 +248,8 @@ object ObjectCatalog {
   }
 
   private def applyDrop(spark: SparkSession, toDrop: Seq[String],
-      strips: Seq[(String, String)], retire: TableDef => Unit): Unit = {
+      strips: Seq[(String, String)], colStrips: Seq[(String, String)],
+      retire: TableDef => Unit): Unit = {
     toDrop.foreach { dq =>
       objects.remove(dq).foreach {
         case t: TableDef =>
@@ -239,7 +258,7 @@ object ObjectCatalog {
         case _: ViewDef => internalSql(spark, s"DROP VIEW IF EXISTS $dq")
         case f: FunctionDef =>
           internalSql(spark, s"DROP TEMPORARY FUNCTION IF EXISTS ${f.name}")
-        case _: SequenceDef => () // counter file stays until vacuum
+        case _: SequenceDef | _: EnumDef => () // counter file stays until vacuum
       }
     }
     // CASCADE strips DEFAULTs that referenced a dropped sequence; the
@@ -251,6 +270,22 @@ object ObjectCatalog {
             c.copy(default = None, serial = false)
           else c
         }))
+      }
+    }
+    // pg DROP TYPE ... CASCADE drops the dependent COLUMNS: rewrite the
+    // table definition AND its data without them (the table survives)
+    colStrips.foreach { case (tableQ, enumQ) =>
+      objects.get(tableQ).collect { case t: TableDef =>
+        val kept = t.columns.filterNot(_.enumType.contains(enumQ))
+        val newT = t.copy(columns = kept)
+        val cur = TableStore.read(spark, t.dir,
+          org.apache.spark.sql.types.StructType.fromDDL(sparkSchemaDdl(t.columns)))
+        TableStore.overwrite(spark, t.dir,
+          cur.select(kept.map(c => org.apache.spark.sql.functions.col(c.name)): _*))
+        objects.put(tableQ, newT)
+        internalSql(spark, s"DROP TABLE IF EXISTS $tableQ")
+        register(spark, newT)
+        internalSql(spark, s"REFRESH TABLE $tableQ")
       }
     }
     mutated(spark)
@@ -281,6 +316,8 @@ object ObjectCatalog {
     val sArr = root.putArray("schemas"); schemas.keys.toSeq.sorted.foreach(sArr.add)
     val oArr = root.putArray("objects")
     objects.values.toSeq.sortBy(_.qname).foreach(o => oArr.add(toJson(o)))
+    val cObj = root.putObject("comments")
+    comments.toSeq.sortBy(_._1).foreach { case (k, v) => cObj.put(k, v) }
     val p = statePath
     val f = fs(p)
     f.mkdirs(p.getParent)
@@ -304,6 +341,8 @@ object ObjectCatalog {
           cn.put("notNull", c.notNull); cn.put("pk", c.primaryKey)
           cn.put("unique", c.unique); cn.put("serial", c.serial)
           c.default.foreach(cn.put("default", _))
+          c.enumType.foreach(cn.put("enumType", _))
+          c.generated.foreach(cn.put("generated", _))
           cols.add(cn)
         }
         val chks = n.putArray("checks")
@@ -321,6 +360,8 @@ object ObjectCatalog {
       case fd: FunctionDef =>
         n.put("body", fd.body); n.put("returns", fd.returns)
         val d = n.putArray("deps"); fd.deps.foreach(d.add)
+      case e: EnumDef =>
+        val l = n.putArray("labels"); e.labels.foreach(l.add)
     }
     n
   }
@@ -337,7 +378,9 @@ object ObjectCatalog {
             c.get("notNull").asBoolean(), c.get("pk").asBoolean(),
             c.get("unique").asBoolean(),
             Option(c.get("default")).map(_.asText()),
-            c.get("serial").asBoolean())
+            c.get("serial").asBoolean(),
+            Option(c.get("enumType")).map(_.asText()),
+            Option(c.get("generated")).map(_.asText()))
         }
         val checks = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         Option(n.get("checks")).foreach { a =>
@@ -358,6 +401,7 @@ object ObjectCatalog {
       case "function" =>
         FunctionDef(schema, name, n.get("body").asText(),
           n.get("returns").asText(), jarr(n, "deps"))
+      case "type" => EnumDef(schema, name, jarr(n, "labels"))
     }
   }
 
@@ -378,6 +422,13 @@ object ObjectCatalog {
           val in = f.open(p)
           val root = try mapper.readTree(in.readAllBytes()) finally in.close()
           jarr(root, "schemas").foreach(schemas.put(_, true))
+          Option(root.get("comments")).foreach { c =>
+            val fields = c.fields()
+            while (fields.hasNext) {
+              val e = fields.next()
+              comments.put(e.getKey, e.getValue.asText())
+            }
+          }
           val it = root.get("objects").elements()
           while (it.hasNext) {
             val o = fromJson(it.next())
@@ -396,7 +447,7 @@ object ObjectCatalog {
   /** Test hook: forget in-JVM state and reload from disk, as a fresh
     * process would — the recovery corpus's restart step. */
   private[graft] def reset(): Unit = synchronized {
-    schemas.clear(); objects.clear(); loadedOnce = false
+    schemas.clear(); objects.clear(); comments.clear(); loadedOnce = false
     sessionReady.clear()
     versionCounter += 1
   }
@@ -411,7 +462,7 @@ object ObjectCatalog {
       case v: ViewDef => internalSql(spark, s"DROP VIEW IF EXISTS ${v.qname}")
       case f: FunctionDef =>
         internalSql(spark, s"DROP TEMPORARY FUNCTION IF EXISTS ${f.name}")
-      case _: SequenceDef => ()
+      case _: SequenceDef | _: EnumDef => ()
     }
     schemas.keys.foreach(sc =>
       internalSql(spark, s"DROP DATABASE IF EXISTS $sc CASCADE"))
@@ -434,7 +485,27 @@ object ObjectCatalog {
   private def register(spark: SparkSession, o: ObjDef): Unit = o match {
     case t: TableDef =>
       TableStore.create(t.dir)
-      internalSql(spark,
+      if (t.columns.exists(_.enumType.isDefined)) {
+        // the Catalog API path: CREATE TABLE SQL text cannot attach field
+        // metadata, and the enum-order optimizer rule reads declaration
+        // order from AttributeReference.metadata (graft.enum.labels)
+        internal.withValue(true) {
+          if (!spark.catalog.tableExists(t.qname)) {
+            import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+            val fields = t.columns.map { c =>
+              val base = StructType.fromDDL(s"${c.name} ${c.sparkType}").head
+              c.enumType.flatMap(enum) match {
+                case Some(e) => base.copy(metadata = new MetadataBuilder()
+                  .putString("graft.enum", e.qname)
+                  .putStringArray("graft.enum.labels", e.labels.toArray).build())
+                case None => base
+              }
+            }
+            spark.catalog.createTable(t.qname, "parquet",
+              StructType(fields), Map("path" -> s"${t.dir}/current"))
+          }
+        }
+      } else internalSql(spark,
         s"CREATE TABLE IF NOT EXISTS ${t.qname} (${sparkSchemaDdl(t.columns)}) " +
           s"USING parquet LOCATION '${t.dir}/current'")
       internalSql(spark, s"REFRESH TABLE ${t.qname}")
@@ -443,7 +514,7 @@ object ObjectCatalog {
     case f: FunctionDef =>
       internalSql(spark,
         s"CREATE OR REPLACE TEMPORARY FUNCTION ${f.name}() RETURNS ${f.returns} RETURN ${f.body}")
-    case _: SequenceDef => ()
+    case _: SequenceDef | _: EnumDef => ()
   }
 
   /** Replay the durable catalog into this session (idempotent, lazy): the
@@ -475,6 +546,14 @@ object ObjectCatalog {
     }
   }
 
+  def setComment(spark: SparkSession, key: String, text: Option[String]): Unit = {
+    text match {
+      case Some(t) => comments.put(key, t)
+      case None => comments.remove(key)
+    }
+    mutated(spark)
+  }
+
   /** Snapshot/restore for transaction undo (catalog state is metadata-
     * sized, so a wholesale copy is cheap and exact). */
   def snapshot(): (Map[String, Boolean], Map[String, ObjDef]) =
@@ -496,7 +575,7 @@ object ObjectCatalog {
       case v: ViewDef => internalSql(spark, s"DROP VIEW IF EXISTS ${v.qname}")
       case f: FunctionDef =>
         internalSql(spark, s"DROP TEMPORARY FUNCTION IF EXISTS ${f.name}")
-      case _: SequenceDef => ()
+      case _: SequenceDef | _: EnumDef => ()
     }
     (oldSchemas -- snap._1.keySet).foreach(s =>
       internalSql(spark, s"DROP DATABASE IF EXISTS $s CASCADE"))

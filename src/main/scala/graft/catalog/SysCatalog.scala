@@ -97,6 +97,25 @@ object SysCatalog {
         StructField("admin_option", BooleanType, false))),
       graft.search.Rbac.membershipRows.map { case (m, r, a) => Row(m, r, a) })
 
+    mkView(spark, "pg_description",
+      StructType(Seq(
+        StructField("objtype", StringType, false),
+        StructField("objname", StringType, false),
+        StructField("description", StringType, false))),
+      ObjectCatalog.comments.toSeq.sorted.map { case (k, v) =>
+        val Array(kind, name) = k.split(":", 2)
+        Row(kind, name, v)
+      })
+
+    mkView(spark, "pg_type",
+      StructType(Seq(
+        StructField("typname", StringType, false),
+        StructField("typcategory", StringType, false),
+        StructField("enumlabels", ArrayType(StringType), true))),
+      objs.collect { case e: ObjectCatalog.EnumDef =>
+        Row(e.name, "E", e.labels)
+      })
+
     mkView(spark, "pg_constraint",
       StructType(Seq(
         StructField("conname", StringType, false),

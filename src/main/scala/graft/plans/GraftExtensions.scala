@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => ClaimScoreFilter(s))
     e.injectOptimizerRule(s => ClaimPkLookup(s))
     e.injectOptimizerRule(s => ClaimAnnDistanceRewrite(s))
+    e.injectOptimizerRule(s => EnumOrder(s))
     e.injectPlannerStrategy(s => StrictClaimCheck(s))
     e.injectPlannerStrategy(s => RbacCheck(s))
     e.injectParser((_, delegate) => new graft.search.GraftSqlParser(delegate))

@@ -110,10 +110,26 @@ object CatalogQueries {
         |ORDER BY kind, name""".stripMargin)
   }
 
+  /** Enum declaration-order semantics (any/pg/ddl/enum.test): ORDER BY an
+    * enum column follows declaration, and a range predicate over labels
+    * compiles to a pushable IN-set (the EnumOrder rule). */
+  def catalogEnum(s: SparkSession, dir: String): DataFrame = {
+    sql(s, "DROP SCHEMA IF EXISTS genum CASCADE")
+    sql(s, "DROP TYPE IF EXISTS genum_sev CASCADE")
+    sql(s, "CREATE TYPE genum_sev AS ENUM ('low', 'medium', 'high', 'critical')")
+    sql(s, "CREATE SCHEMA genum")
+    sql(s, "CREATE TABLE genum.alerts (id INT, sev genum_sev)")
+    sql(s, "INSERT INTO genum.alerts VALUES (1,'high'),(2,'low'),(3,'critical'),(4,'medium'),(5,'low'),(6,NULL)")
+    sql(s,
+      """SELECT id, sev FROM genum.alerts
+        |WHERE sev > 'low' ORDER BY sev DESC, id""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_ddl" -> catalogDdl,
     "catalog_dml" -> catalogDml,
     "catalog_txn" -> catalogTxn,
+    "catalog_enum" -> catalogEnum,
     "sys_catalogs" -> sysCatalogs)
 
   val oracles: Map[String, String] = Map(
@@ -132,6 +148,11 @@ object CatalogQueries {
       """SELECT count(*) AS n,
         |  cast(sum(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS total
         |FROM documents WHERE doc_id < 400 AND doc_id % 5 <> 0""".stripMargin,
+    "catalog_enum" ->
+      """SELECT * FROM (VALUES
+        |  (3, 'critical'),
+        |  (1, 'high'),
+        |  (4, 'medium')) AS t(id, sev)""".stripMargin,
     "sys_catalogs" ->
       """SELECT * FROM (VALUES
         |  ('namespace', 'gsys'),

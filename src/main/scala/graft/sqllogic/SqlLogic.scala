@@ -120,14 +120,35 @@ object SqlLogic {
     df.columns.mkString("\t") +:
       df.collect().toSeq.map(_.toSeq.map(format).mkString("\t"))
 
+  /** Top-level ';' split (quote-aware) — the pg simple-protocol
+    * multi-statement form (`BEGIN; SELECT 1; COMMIT;`,
+    * any/pg/simple/multi_statement.test). The last statement's result is
+    * the record's result. */
+  private def splitStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var inStr = false; var start = 0; var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == ';') { out += sql.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += sql.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   private def execute(spark: SparkSession, sql: String): DataFrame = {
     graft.search.SqlSurface.registerAll(spark)
     graft.catalog.CatalogDdl.registerFunctions(spark)
     graft.catalog.SysCatalog.ensureFresh(spark)
     try {
-      if (graft.search.Ddl.handles(sql))
-        graft.search.Ddl.execute(spark, sql)
-      else spark.sql(sql) // CatalogDdl statements dispatch via the parser
+      val stmts = splitStatements(sql)
+      stmts.map { s =>
+        if (graft.search.Ddl.handles(s))
+          graft.search.Ddl.execute(spark, s)
+        else spark.sql(s) // CatalogDdl statements dispatch via the parser
+      }.last
     } catch { case e: Throwable =>
       // a failed statement aborts an open transaction block (pg 25P02);
       // this runner is the reference corpus' connection choke point

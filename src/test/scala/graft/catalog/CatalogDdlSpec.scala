@@ -9,14 +9,7 @@ import graft.TestSpark
   * recovery — the behaviors the reference's ddl/txn/recovery corpora pin. */
 class CatalogDdlSpec extends AnyFunSuite {
 
-  private lazy val spark = {
-    val s = TestSpark.spark
-    ObjectCatalog.baseDirOverride = Some(
-      java.nio.file.Files.createTempDirectory("graft-objtest").toString)
-    ObjectCatalog.reset()
-    Txn.reset()
-    s
-  }
+  private lazy val spark = TestSpark.spark // catalog dir isolated by TestSpark
 
   private def sql(q: String) = spark.sql(q).collect()
 
@@ -255,6 +248,30 @@ class CatalogDdlSpec extends AnyFunSuite {
     assert(sql("SELECT * FROM cds_alter").head.schema.fieldNames.toSeq == Seq("s"))
     sql("DROP TABLE cds_alter CASCADE")
     sql("DROP SEQUENCE cds_alter_seq")
+  }
+
+  test("enum range predicates compile to a pushable IN-set (EnumOrder)") {
+    sql("DROP TYPE IF EXISTS cds_mood CASCADE")
+    sql("CREATE TYPE cds_mood AS ENUM ('sad', 'ok', 'happy')")
+    sql("CREATE TABLE cds_moods (id INT, m cds_mood)")
+    sql("INSERT INTO cds_moods VALUES (1,'sad'),(2,'ok'),(3,'happy')")
+    val df = spark.sql("SELECT id FROM cds_moods WHERE m > 'sad'")
+    // the rewrite is a string IN-set, not an ordinal computation — the
+    // predicate must reach the parquet scan as a pushed filter
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("IN (ok,happy)") || optimized.contains("m IN"),
+      s"expected membership rewrite in:\n$optimized")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [") &&
+      physical.contains("In(m"), s"enum IN-set not pushed:\n$physical")
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    // enum-to-enum comparison compares positions
+    sql("INSERT INTO cds_moods VALUES (4,'sad')")
+    assert(spark.sql(
+      "SELECT count(*) FROM cds_moods a JOIN cds_moods b ON a.id < b.id AND a.m < b.m")
+      .head().getLong(0) == 3) // (1,2),(1,3),(2,3): sad<ok, sad<happy, ok<happy
+    sql("DROP TABLE cds_moods CASCADE")
+    sql("DROP TYPE cds_mood")
   }
 
   test("CTAS and function dependency tracking") {
