@@ -93,6 +93,12 @@ object CatalogDdl {
   private val alterSeqRe =
     ("""(?is)^\s*ALTER\s+SEQUENCE\s+(""" + qname + """)\s+RESTART(?:\s+WITH\s+(-?\d+))?\s*;?\s*$""").r
 
+  private val copyQueryToRe =
+    """(?is)^\s*COPY\s*\((.*)\)\s*TO\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+  private val copyTableToRe =
+    ("""(?is)^\s*COPY\s+(""" + qname + """)\s+TO\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""").r
+  private val copyFromRe =
+    ("""(?is)^\s*COPY\s+(""" + qname + """)\s+FROM\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""").r
   private val commentRe =
     ("""(?is)^\s*COMMENT\s+ON\s+(TABLE|VIEW|COLUMN|SEQUENCE|TYPE|INDEX|SCHEMA|FUNCTION|MACRO\s+TABLE|MACRO)\s+(""" +
       qname + """(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*$""").r
@@ -129,6 +135,7 @@ object CatalogDdl {
           dropSeqRe(_*) | alterSeqRe(_*) | createFnRe(_*) |
           createTypeRe(_*) | dropTypeRe(_*) |
           commentRe(_*) | exportDbRe(_*) | importDbRe(_*) |
+          copyQueryToRe(_*) | copyTableToRe(_*) | copyFromRe(_*) |
           beginRe(_*) | commitRe(_*) | rollbackRe(_*) |
           setVarRe(_*) | showVarRe(_*) | resetVarRe(_*) => true
       case createTableRe(_, _, _) =>
@@ -166,7 +173,8 @@ object CatalogDdl {
   /** Statements that return a count row (the sqllogic `statement count N`
     * contract). */
   def isDml(sql: String): Boolean = sql match {
-    case insertRe(_*) | updateRe(_*) | deleteRe(_*) => true
+    case insertRe(_*) | updateRe(_*) | deleteRe(_*) |
+        copyQueryToRe(_*) | copyTableToRe(_*) | copyFromRe(_*) => true
     case _ => false
   }
 
@@ -236,6 +244,12 @@ object CatalogDdl {
         cascade = mode != null && mode.equalsIgnoreCase("CASCADE"),
         ifExists = ife != null, retireTable)
       result(spark, s"dropped ${dropped.mkString(", ")}")
+
+    case copyQueryToRe(query, path, opts) =>
+      copyTo(spark, Left(query), path, Option(opts))
+    case copyTableToRe(name, path, opts) =>
+      copyTo(spark, Right(name), path, Option(opts))
+    case copyFromRe(name, path, opts) => copyFrom(spark, name, path, Option(opts))
 
     case commentRe(objType, target, text) => commentOn(spark, objType, target, text)
     case exportDbRe(dir, opts) =>
@@ -692,6 +706,99 @@ object CatalogDdl {
       val v = if (parts.length > 1) stripQuotes(parts(1).trim) else "true"
       parts(0).toLowerCase(Locale.ROOT) -> v.toLowerCase(Locale.ROOT)
     }.toMap
+
+  private def formatOf(path: String, opts: Map[String, String]): String =
+    opts.get("format").map(_.toLowerCase(Locale.ROOT)).getOrElse {
+      val p = path.toLowerCase(Locale.ROOT)
+      if (p.endsWith(".parquet")) "parquet"
+      else if (p.endsWith(".json") || p.endsWith(".ndjson")) "json"
+      else "csv"
+    }
+
+  /** `COPY (query)|table TO 'path' [(FORMAT f, HEADER, DELIMITER 'c',
+    * PARTITION_BY (cols))]` (data_import_and_export corpus). A file-typed
+    * target becomes exactly ONE file at that path (the DuckDB contract —
+    * staged distributed write, then an atomic move of the single part);
+    * PARTITION_BY writes Spark's native hive layout, which read_parquet's
+    * hive_partitioning then rediscovers. */
+  private def copyTo(spark: SparkSession, source: Either[String, String],
+      path: String, optsRaw: Option[String]): DataFrame = {
+    val o = optsRaw.map(parseCopyOpts).getOrElse(Map.empty)
+    val df = ObjectCatalog.internal.withValue(true) {
+      source match {
+        case Left(q) => spark.sql(q)
+        case Right(t) => spark.sql(s"SELECT * FROM $t")
+      }
+    }
+    val fmt = formatOf(path, o)
+    val header = o.get("header").forall(v => v == "true" || v == "1")
+    val delim = o.getOrElse("delimiter", o.getOrElse("delim", ","))
+    val partitionBy = o.get("partition_by").toSeq.flatMap(v =>
+      splitTop(v.stripPrefix("(").stripSuffix(")")).map(_.trim.toLowerCase(Locale.ROOT)))
+    val n = df.count()
+    def writer(d: org.apache.spark.sql.DataFrameWriter[Row]) = fmt match {
+      case "csv" => d.option("header", header.toString).option("delimiter", delim)
+      case _ => d
+    }
+    if (partitionBy.nonEmpty) {
+      writer(df.write.mode("overwrite").partitionBy(partitionBy: _*))
+        .format(fmt).save(path)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(path + s".__tmp${java.util.UUID.randomUUID().toString.take(8)}")
+      writer(df.coalesce(1).write.mode("overwrite")).format(fmt).save(tmp.toString)
+      val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-")).getOrElse(
+          throw new IllegalStateException(s"no part file under $tmp"))
+      val target = new org.apache.hadoop.fs.Path(path)
+      fs.mkdirs(target.getParent)
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.rename(part, target)
+      fs.delete(tmp, true)
+    }
+    countResult(spark, n)
+  }
+
+  /** `COPY table FROM 'path' [(opts)]`: the pg bulk-load verb — reads the
+    * file(s) distributed, then appends through the same constraint checks
+    * an INSERT takes. */
+  private def copyFrom(spark: SparkSession, name: String, path: String,
+      optsRaw: Option[String]): DataFrame = {
+    val t = tableOf(name)
+    graft.search.Rbac.checkWrite(spark, s"${t.dir}/current", "insert", t.qname)
+    val o = optsRaw.map(parseCopyOpts).getOrElse(Map.empty)
+    val schema = sparkSchema(t)
+    val header = o.get("header").forall(v => v == "true" || v == "1")
+    val delim = o.getOrElse("delimiter", o.getOrElse("delim", ","))
+    val df0 = formatOf(path, o) match {
+      case "parquet" => spark.read.schema(schema).parquet(path)
+      case "json" => spark.read.schema(schema).json(path)
+      case _ => spark.read.schema(schema)
+        .option("header", header.toString).option("delimiter", delim).csv(path)
+    }
+    var df = df0.select(t.columns.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+    t.columns.filter(_.generated.isDefined).foreach { c =>
+      df = df.withColumn(c.name, expr(c.generated.get).cast(c.sparkType))
+    }
+    t.columns.filter(_.notNull).foreach { c =>
+      if (df.filter(col(c.name).isNull).limit(1).count() > 0) throw analysisErr(
+        s"""null value in column "${c.name}" of relation "${t.qname}" violates not-null constraint""")
+    }
+    enforceChecks(t, df)
+    enforceEnums(t, df)
+    t.columns.filter(c => c.primaryKey || c.unique).foreach { c =>
+      val dupIn = df.groupBy(col(c.name)).count().filter(col("count") > 1).limit(1).count()
+      val clash = df.join(TableStore.read(spark, t.dir, schema), Seq(c.name), "left_semi")
+        .limit(1).count()
+      if (dupIn > 0 || clash > 0) throw analysisErr(
+        s"""duplicate key value violates unique constraint "${t.name}_${c.name}_key"""")
+    }
+    Txn.touchTable(t.qname, t.dir)
+    val n = df.count()
+    TableStore.append(spark, t.dir, df)
+    refresh(spark, t)
+    countResult(spark, n)
+  }
 
   /** `COMMENT ON <kind> <name> IS 'text'|NULL`
     * (site_docs/sql/statements/comment_on): text lands in pg_description;

@@ -560,27 +560,43 @@ object ObjectCatalog {
     (schemas.toMap, objects.toMap)
 
   /** Restore an older catalog state (transaction rollback). Session cleanup
-    * is OBJECT-precise: only relations this layer registered are dropped
-    * and replayed — a whole-database drop would take down native tables
-    * (index relations etc.) sharing the `public` namespace. */
+    * is OBJECT-precise and DIFF-based: only relations whose definition
+    * actually changed across the rollback are dropped/re-registered — an
+    * unchanged external table keeps its registration (its location did not
+    * move; the data plane rolled back underneath it and a REFRESH suffices).
+    * A whole-database drop would take down native tables (index relations
+    * etc.) sharing the `public` namespace, and re-registering everything
+    * made every small-transaction rollback O(catalog). */
   def restore(spark: SparkSession,
       snap: (Map[String, Boolean], Map[String, ObjDef])): Unit = synchronized {
-    val oldObjects = objects.values.toSeq
+    val oldObjects = objects.toMap
     val oldSchemas = schemas.keys.toSet
     schemas.clear(); snap._1.foreach { case (k, v) => schemas.put(k, v) }
     objects.clear(); snap._2.foreach { case (k, v) => objects.put(k, v) }
     persist()
-    oldObjects.foreach {
-      case t: TableDef => internalSql(spark, s"DROP TABLE IF EXISTS ${t.qname}")
-      case v: ViewDef => internalSql(spark, s"DROP VIEW IF EXISTS ${v.qname}")
-      case f: FunctionDef =>
-        internalSql(spark, s"DROP TEMPORARY FUNCTION IF EXISTS ${f.name}")
-      case _: SequenceDef | _: EnumDef => ()
+    val changed = (oldObjects.keySet ++ snap._2.keySet).filter(q =>
+      oldObjects.get(q) != snap._2.get(q))
+    changed.foreach { q =>
+      oldObjects.get(q).foreach {
+        case t: TableDef => internalSql(spark, s"DROP TABLE IF EXISTS ${t.qname}")
+        case v: ViewDef => internalSql(spark, s"DROP VIEW IF EXISTS ${v.qname}")
+        case f: FunctionDef =>
+          internalSql(spark, s"DROP TEMPORARY FUNCTION IF EXISTS ${f.name}")
+        case _: SequenceDef | _: EnumDef => ()
+      }
+      snap._2.get(q).foreach(register(spark, _))
+    }
+    // surviving tables' data may have rolled back underneath Spark's caches
+    snap._2.valuesIterator.foreach {
+      case t: TableDef if !changed.contains(t.qname) =>
+        spark.catalog.refreshByPath(s"${t.dir}/current")
+        internalSql(spark, s"REFRESH TABLE ${t.qname}")
+      case _ => ()
     }
     (oldSchemas -- snap._1.keySet).foreach(s =>
       internalSql(spark, s"DROP DATABASE IF EXISTS $s CASCADE"))
+    (snap._1.keySet -- oldSchemas).foreach(registerSchema(spark, _))
     versionCounter += 1
-    sessionReady.remove(spark)
-    ensureSession(spark)
+    sessionReady.put(spark, versionCounter)
   }
 }

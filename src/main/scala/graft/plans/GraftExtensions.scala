@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(s => StrictClaimCheck(s))
     e.injectPlannerStrategy(s => RbacCheck(s))
     e.injectParser((_, delegate) => new graft.search.GraftSqlParser(delegate))
+    graft.sources.ReadTvfs.functions.foreach(e.injectTableFunction)
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
     graft.functions.QuantizationExpressions.functions.foreach(e.injectFunction)
     graft.functions.GeoWkb.functions.foreach(e.injectFunction)

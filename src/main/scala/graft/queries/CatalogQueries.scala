@@ -125,7 +125,26 @@ object CatalogQueries {
         |WHERE sev > 'low' ORDER BY sev DESC, id""".stripMargin)
   }
 
+  /** COPY ... TO (FORMAT parquet, PARTITION_BY) + the read_parquet table
+    * function with hive_partitioning: the partitioned write round-trips
+    * through partition discovery and the partition column prunes the read
+    * (data_import_and_export/partitioning corpus). */
+  def copyPartitioned(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.documents(s, dir).selectExpr("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("gcopy_src")
+    val out = sys.props("java.io.tmpdir") + "/graft-copy-part-" +
+      dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    sql(s, s"COPY (SELECT doc_id, lang, n_chars FROM gcopy_src WHERE doc_id < 600) " +
+      s"TO '$out' (FORMAT parquet, PARTITION_BY (lang))")
+    sql(s,
+      s"""SELECT lang, count(*) AS n, cast(sum(n_chars) AS BIGINT) AS chars
+         |FROM read_parquet('$out/*/*.parquet', hive_partitioning => true)
+         |WHERE lang IN ('en', 'de')
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "copy_partitioned" -> copyPartitioned,
     "catalog_ddl" -> catalogDdl,
     "catalog_dml" -> catalogDml,
     "catalog_txn" -> catalogTxn,
@@ -133,6 +152,10 @@ object CatalogQueries {
     "sys_catalogs" -> sysCatalogs)
 
   val oracles: Map[String, String] = Map(
+    "copy_partitioned" ->
+      """SELECT lang, count(*) AS n, cast(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id < 600 AND lang IN ('en', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "catalog_ddl" ->
       """SELECT * FROM (VALUES
         |  ('audit_default_stripped', 'NULL'),

@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, NamedArgumentExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** DuckDB-style file-reading table functions as REAL Spark TVFs —
+  * `SELECT * FROM read_parquet('dir/ *.parquet', hive_partitioning =>
+  * true)` — registered through SparkSessionExtensions.injectTableFunction
+  * (reference surface: the read_csv/read_parquet/read_json functions the
+  * data_import_and_export and file_formats corpora drive;
+  * third_party/duckdb's table functions).
+  *
+  * Each call builds the analyzed plan of the corresponding distributed
+  * Spark read, so everything downstream is a native FileSourceScan:
+  * pushdown, pruning and partition discovery all apply. Options:
+  *
+  *  - `hive_partitioning` (read_parquet/read_csv): treat `key=value` path
+  *    segments as partition columns — implemented by handing Spark the
+  *    glob's static prefix as `basePath`, its native partition-discovery
+  *    root.
+  *  - `union_by_name` (all): per-file schemas merged by column NAME
+  *    (parquet: mergeSchema; csv: per-file header reads unioned with
+  *    allowMissingColumns). Without it, csv reads take the FIRST file's
+  *    column set, as DuckDB does (combining_schemas.test).
+  *  - `header`, `delim`/`delimiter`, `all_varchar` (read_csv).
+  *
+  * `$TESTDATA`-style absolute paths only — these TVFs read storage the
+  * caller can already reach; no credential indirection.
+  */
+object ReadTvfs {
+
+  private def str(e: Expression): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"read_* path/option must be a literal, got $other")
+  }
+
+  private def args(exprs: Seq[Expression]): (Seq[String], Map[String, String]) = {
+    val paths = Seq.newBuilder[String]
+    val opts = Map.newBuilder[String, String]
+    exprs.foreach {
+      case NamedArgumentExpression(key, value) =>
+        opts += (key.toLowerCase -> str(value))
+      case e => paths += str(e)
+    }
+    (paths.result(), opts.result())
+  }
+
+  private def bool(opts: Map[String, String], key: String): Boolean =
+    opts.get(key).exists(v => v.equalsIgnoreCase("true") || v == "1")
+
+  /** The static (glob-free) prefix of a path — Spark's basePath for
+    * hive-partition discovery under a wildcard. */
+  private def globBase(path: String): String = {
+    val segs = path.split("/")
+    val firstGlob = segs.indexWhere(s => s.exists("*?[{".contains(_)))
+    if (firstGlob < 0) path else segs.take(firstGlob).mkString("/")
+  }
+
+  private def listFiles(spark: SparkSession, pattern: String): Seq[String] = {
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = fs.globStatus(p)
+    if (matches == null || matches.isEmpty) throw new IllegalArgumentException(
+      s"""no files found that match the pattern "$pattern"""")
+    matches.map(_.getPath.toString).toSeq.sorted
+  }
+
+  private def readParquet(spark: SparkSession, paths: Seq[String],
+      opts: Map[String, String]): DataFrame = {
+    var r = spark.read
+    if (bool(opts, "hive_partitioning"))
+      r = r.option("basePath", globBase(paths.head))
+    if (bool(opts, "union_by_name")) r = r.option("mergeSchema", "true")
+    r.parquet(paths: _*)
+  }
+
+  private def readCsv(spark: SparkSession, paths: Seq[String],
+      opts: Map[String, String]): DataFrame = {
+    val header = opts.get("header").forall(v => v.equalsIgnoreCase("true") || v == "1")
+    val delim = opts.getOrElse("delim", opts.getOrElse("delimiter", ","))
+    def readOne(p: String): DataFrame = {
+      var r = spark.read.option("header", header.toString).option("delimiter", delim)
+      r = if (bool(opts, "all_varchar")) r else r.option("inferSchema", "true")
+      if (bool(opts, "hive_partitioning")) r = r.option("basePath", globBase(paths.head))
+      r.csv(p)
+    }
+    val files = paths.flatMap(listFiles(spark, _))
+    if (bool(opts, "union_by_name"))
+      files.map(readOne).reduce(_.unionByName(_, allowMissingColumns = true))
+    else if (files.length == 1) readOne(files.head)
+    else {
+      // DuckDB default: the FIRST file's column set wins; later files
+      // contribute the columns they share (by name), extras dropped
+      val first = readOne(files.head)
+      val cols = first.columns.toSeq
+      files.tail.map(readOne).foldLeft(first) { (acc, df) =>
+        val have = df.columns.toSet
+        acc.unionByName(df.select(cols.filter(have.contains)
+          .map(org.apache.spark.sql.functions.col): _*), allowMissingColumns = true)
+      }.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    }
+  }
+
+  private def readJson(spark: SparkSession, paths: Seq[String],
+      opts: Map[String, String]): DataFrame = {
+    var r = spark.read
+    if (opts.get("format").exists(_.equalsIgnoreCase("array")))
+      r = r.option("multiLine", "true")
+    r.json(paths: _*)
+  }
+
+  private def tvf(name: String,
+      f: (SparkSession, Seq[String], Map[String, String]) => DataFrame)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = {
+    (FunctionIdentifier(name),
+      new ExpressionInfo(ReadTvfs.getClass.getCanonicalName, name),
+      (exprs: Seq[Expression]) => {
+        val spark = SparkSession.active
+        val (paths, opts) = args(exprs)
+        require(paths.nonEmpty, s"$name needs at least one path")
+        f(spark, paths, opts).queryExecution.analyzed
+      })
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
+    Seq(
+      tvf("read_parquet", readParquet),
+      tvf("read_csv", readCsv),
+      tvf("read_csv_auto", readCsv),
+      tvf("read_json", readJson),
+      tvf("read_json_auto", readJson))
+}
