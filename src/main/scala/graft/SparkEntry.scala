@@ -20,7 +20,7 @@ object SparkEntry {
     Relational.all ++ Search.all ++ Vectors.all ++ DedupQueries.all ++
       QueryLang.all ++ TextPipeline.all ++ Pipeline.all ++ Extras.all ++
       Surface.all ++ Storage.all ++ StreamGate.all ++ Tpch.all ++
-      CatalogQueries.all ++ SearchCookbook.all
+      CatalogQueries.all ++ SearchCookbook.all ++ DialectQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
     Relational.oracles ++ Search.oracles ++ Vectors.oracles ++ DedupQueries.oracles ++
       QueryLang.oracles ++ TextPipeline.oracles ++ Pipeline.oracles ++ Extras.oracles ++
       Surface.oracles ++ Storage.oracles ++ StreamGate.oracles ++ Tpch.oracles ++
-      CatalogQueries.oracles ++ SearchCookbook.oracles
+      CatalogQueries.oracles ++ SearchCookbook.oracles ++ DialectQueries.oracles
 }

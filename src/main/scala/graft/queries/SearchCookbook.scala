@@ -109,11 +109,42 @@ object SearchCookbook {
         |FROM cand ORDER BY shared DESC, doc_id LIMIT 10""".stripMargin)
   }
 
+  /** Autocomplete (cookbook autocomplete.test): prefix suggestions with
+    * usage counts read STRAIGHT from a keyword index's term dictionary —
+    * whole-value terms, `LIKE 'pre%'` prefix band, df as the frequency
+    * rank. The dictionary is byte-ordered on term, so at scale the prefix
+    * probe is a range scan, never a corpus pass. */
+  def searchAutocomplete(s: SparkSession, dir: String): DataFrame = {
+    val dict = graft.index.IndexStore.ensure(s, Tables.documents(s, dir),
+      s"$dir-docsrc", "doc_id", "source", "keyword",
+      withPositions = false).termDict
+    dict.where(col("term").like("src1%"))
+      .select(col("term").as("suggestion"), col("df").cast("bigint").as("searches"))
+      .orderBy(desc("searches"), asc("suggestion")).limit(5)
+  }
+
+  /** Spell correction (cookbook spell-correction.test): candidate terms
+    * within Levenshtein 2 of the typo, ranked by the reference's
+    * similarity = 1 − dist/len(query), popularity (df) tie-break — a pure
+    * dictionary probe (the fuzzy automaton's SQL-visible form). */
+  def searchSpellCorrect(s: SparkSession, dir: String): DataFrame = {
+    ensureIdx(s, dir)
+    s.sql(
+      """SELECT term AS suggestion,
+        |       CAST(round((1.0 - levenshtein(term, 'par') / 3.0) * 1000) AS BIGINT) AS similarity_q,
+        |       CAST(df AS BIGINT) AS searches
+        |FROM graft_idx_termdict
+        |WHERE levenshtein(term, 'par') <= 2
+        |ORDER BY similarity_q DESC, searches DESC, suggestion LIMIT 5""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_rrf" -> searchRrf,
     "search_significant_terms" -> searchSignificantTerms,
     "search_decay" -> searchDecay,
-    "search_mlt" -> searchMlt)
+    "search_mlt" -> searchMlt,
+    "search_autocomplete" -> searchAutocomplete,
+    "search_spell_correct" -> searchSpellCorrect)
 
   private val toks =
     """WITH toks AS (SELECT doc_id,
@@ -121,6 +152,19 @@ object SearchCookbook {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "search_autocomplete" ->
+      """SELECT source AS suggestion, count(*) AS searches
+        |FROM documents WHERE source LIKE 'src1%'
+        |GROUP BY source ORDER BY searches DESC, suggestion LIMIT 5""".stripMargin,
+    "search_spell_correct" ->
+      s"""$toks,
+         |dict AS (SELECT unnest(ts) AS term, doc_id FROM toks),
+         |d AS (SELECT term, count(DISTINCT doc_id) AS df FROM dict GROUP BY term)
+         |SELECT term AS suggestion,
+         |       CAST(round((1.0 - levenshtein(term, 'par') / 3.0) * 1000) AS BIGINT) AS similarity_q,
+         |       CAST(df AS BIGINT) AS searches
+         |FROM d WHERE levenshtein(term, 'par') <= 2
+         |ORDER BY similarity_q DESC, searches DESC, suggestion LIMIT 5""".stripMargin,
     "search_rrf" ->
       s"""${Search.scoringCtes},
          |b AS (SELECT doc_id, RANK() OVER (ORDER BY round(score * 10000) DESC, doc_id) AS rnk

@@ -30,6 +30,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (Ddl.handles(sqlText)) Some(GraftDdlCommand(sqlText))
     else if (graft.catalog.CatalogDdl.handles(sqlText))
       Some(GraftCatalogCommand(sqlText))
+    else if (graft.catalog.DuckStatements.handles(sqlText))
+      // `this` as the re-parse target so a rewritten/prepared statement
+      // re-enters the full dispatch chain (a prepared PIVOT works)
+      Some(graft.catalog.DuckStatements.plan(
+        org.apache.spark.sql.SparkSession.active, this, sqlText))
     else None
   }
 

@@ -126,11 +126,36 @@ object ReadTvfs {
       })
   }
 
+  /** `query('SELECT ..')` / `query_table('name')` — the reference's
+    * dynamic-SQL table functions (cookbook/sql_features/
+    * query_and_query_table_functions.test). `query` routes the literal
+    * back through the FULL session parser (dialect statements like a
+    * dynamically-built UNPIVOT compose), `query_table` resolves the named
+    * relation — both purely at plan time, so downstream optimization sees
+    * an ordinary subquery. */
+  private def queryTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "query(sql) takes exactly one argument")
+    SparkSession.active.sessionState.sqlParser.parsePlan(str(exprs.head))
+  }
+
+  private def queryTableTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "query_table(name) takes exactly one argument")
+    org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+      str(exprs.head).split("\\.").toSeq)
+  }
+
+  private def planTvf(name: String, f: Seq[Expression] => LogicalPlan)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(ReadTvfs.getClass.getCanonicalName, name), f)
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
     Seq(
       tvf("read_parquet", readParquet),
       tvf("read_csv", readCsv),
       tvf("read_csv_auto", readCsv),
       tvf("read_json", readJson),
-      tvf("read_json_auto", readJson))
+      tvf("read_json_auto", readJson),
+      planTvf("query", queryTvf),
+      planTvf("query_table", queryTableTvf))
 }
