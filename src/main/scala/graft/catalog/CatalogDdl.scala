@@ -144,10 +144,10 @@ object CatalogDdl {
         val up = sql.toUpperCase(Locale.ROOT)
         !up.contains(" USING ") && !up.contains("PARTITIONED BY") &&
           !up.contains("TBLPROPERTIES") && !up.contains("STORED AS")
-      case ctasRe(_*) =>
-        val up = sql.toUpperCase(Locale.ROOT)
-        !up.contains(" USING ") && !up.contains("PARTITIONED BY") &&
-          !up.contains("TBLPROPERTIES") && !up.contains("STORED AS")
+      // ctasRe requires AS directly after the table name, so USING/
+      // PARTITIONED BY can only appear inside the query text (e.g.
+      // JOIN ... USING (id)) — never a Spark-native table clause
+      case ctasRe(_*) => true
       // explicit CASCADE/RESTRICT is pg grammar Spark cannot parse — ours
       // even when the target does not (or no longer) exist
       case dropTableRe(_, n, mode) =>
@@ -535,7 +535,9 @@ object CatalogDdl {
     val cur = TableStore.read(spark, t.dir, sparkSchema(t))
     if (isPk && cur.filter(col(cn).isNull).limit(1).count() > 0) throw analysisErr(
       s"""column "$cn" of relation "${t.qname}" contains null values""")
-    if (cur.groupBy(col(cn)).count().filter(col("count") > 1).limit(1).count() > 0)
+    // pg: NULLs are never equal under UNIQUE — exclude them from the check
+    if (cur.filter(col(cn).isNotNull)
+        .groupBy(col(cn)).count().filter(col("count") > 1).limit(1).count() > 0)
       throw analysisErr(
         s"""could not create unique index "${t.name}_${cn}_key": duplicate key value""")
     val newCd =
@@ -787,7 +789,10 @@ object CatalogDdl {
     enforceChecks(t, df)
     enforceEnums(t, df)
     t.columns.filter(c => c.primaryKey || c.unique).foreach { c =>
-      val dupIn = df.groupBy(col(c.name)).count().filter(col("count") > 1).limit(1).count()
+      // pg UNIQUE admits any number of NULLs (NULL <> NULL); the semi join
+      // already skips null keys, the group check must too
+      val dupIn = df.filter(col(c.name).isNotNull)
+        .groupBy(col(c.name)).count().filter(col("count") > 1).limit(1).count()
       val clash = df.join(TableStore.read(spark, t.dir, schema), Seq(c.name), "left_semi")
         .limit(1).count()
       if (dupIn > 0 || clash > 0) throw analysisErr(
@@ -966,10 +971,8 @@ object CatalogDdl {
             ObjectCatalog.sequence(seqQ) match {
               case Some(s) if nRows > 0 =>
                 val first = SequenceOps.nextBlock(s, nRows)
-                val w = org.apache.spark.sql.expressions.Window.orderBy(col("__ord"))
-                df = df.withColumn(c.name,
-                  (row_number().over(w).cast("long") + lit(first - 1))
-                    .cast(c.sparkType))
+                df = SequenceOps.assignBlock(df, "__ord", c.name,
+                  first, s.inc, c.sparkType)
               case Some(_) => df = df.withColumn(c.name, lit(null).cast(c.sparkType))
               case None => throw analysisErr(
                 s"""sequence "${seqQ}" does not exist""")
@@ -998,8 +1001,8 @@ object CatalogDdl {
       case None =>
         // plain insert: any key clash is the pg duplicate-key error
         t.columns.filter(c => c.primaryKey || c.unique).foreach { c =>
-          val dupIn = df.groupBy(col(c.name)).count()
-            .filter(col("count") > 1).limit(1).count()
+          val dupIn = df.filter(col(c.name).isNotNull).groupBy(col(c.name))
+            .count().filter(col("count") > 1).limit(1).count()
           val existing = TableStore.read(spark, t.dir, sparkSchema(t))
           val clash = df.join(existing, Seq(c.name), "left_semi").limit(1).count()
           if (dupIn > 0 || clash > 0) throw analysisErr(
@@ -1049,7 +1052,10 @@ object CatalogDdl {
     val batch = (spec match {
       // pg: DO UPDATE cannot affect one row twice; DO NOTHING keeps the first
       case DoUpdate(_, _) =>
-        if (incoming.groupBy(keys.map(col): _*).count()
+        // rows with a NULL key never conflict (pg), so duplicate NULL
+        // groups in the batch are plain inserts, not double-updates
+        if (incoming.filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
+            .groupBy(keys.map(col): _*).count()
             .filter(col("count") > 1).limit(1).count() > 0)
           throw analysisErr(
             "ON CONFLICT DO UPDATE command cannot affect row a second time")
@@ -1134,7 +1140,7 @@ object CatalogDdl {
           when(pred, expr(e).cast(cd.sparkType)).otherwise(col(cd.name)))
       }
       t.columns.filter(c => c.primaryKey || c.unique).foreach { c =>
-        if (post.groupBy(col(c.name)).count()
+        if (post.filter(col(c.name).isNotNull).groupBy(col(c.name)).count()
             .filter(col("count") > 1).limit(1).count() > 0) throw analysisErr(
           s"""duplicate key value violates unique constraint "${t.name}_${c.name}_key"""")
       }
@@ -1202,9 +1208,8 @@ object CatalogDdl {
           val n = filled.count()
           if (n > 0) {
             val first = SequenceOps.nextBlock(s, n)
-            val w = org.apache.spark.sql.expressions.Window.orderBy(col("__ord"))
-            filled = filled.withColumn(c.name,
-              (row_number().over(w).cast("long") + lit(first - 1)).cast(c.sparkType))
+            filled = SequenceOps.assignBlock(filled, "__ord", c.name,
+              first, s.inc, c.sparkType)
           } else filled = filled.withColumn(c.name, lit(null).cast(c.sparkType))
         case None => filled = filled.withColumn(c.name, expr(d).cast(c.sparkType))
       }

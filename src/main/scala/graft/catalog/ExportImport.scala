@@ -28,14 +28,22 @@ object ExportImport {
   private def columnDdl(c: ColumnDef): String = {
     val base = c.enumType.map(e => s"${c.name} ${e.split("\\.").last}")
       .getOrElse(s"${c.name} ${c.sparkType}")
+    // the serial spelling must round-trip the column's width: SERIAL is
+    // INT — re-importing a BIGSERIAL as SERIAL would silently retype the
+    // column to INT over INT64 parquet data
     val serialBase =
-      if (c.serial) s"${c.name} SERIAL"
+      if (c.serial) c.sparkType.toUpperCase(java.util.Locale.ROOT) match {
+        case "BIGINT" => s"${c.name} BIGSERIAL"
+        case "SMALLINT" => s"${c.name} SMALLSERIAL"
+        case _ => s"${c.name} SERIAL"
+      }
       else base
     serialBase +
       (if (c.primaryKey) " PRIMARY KEY" else "") +
       (if (c.notNull && !c.primaryKey) " NOT NULL" else "") +
       (if (c.unique && !c.primaryKey) " UNIQUE" else "") +
-      c.default.filter(_ => !c.serial).map(d => s" DEFAULT $d").getOrElse("")
+      c.default.filter(_ => !c.serial).map(d => s" DEFAULT $d").getOrElse("") +
+      c.generated.map(g => s" GENERATED ALWAYS AS ($g) STORED").getOrElse("")
   }
 
   /** The CREATE statement that would recreate `o` (dependency-ordered by

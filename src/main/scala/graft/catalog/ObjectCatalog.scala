@@ -584,8 +584,24 @@ object ObjectCatalog {
           internalSql(spark, s"DROP TEMPORARY FUNCTION IF EXISTS ${f.name}")
         case _: SequenceDef | _: EnumDef => ()
       }
-      snap._2.get(q).foreach(register(spark, _))
     }
+    // re-register tables/functions first, then views in dependency order:
+    // Spark analyzes a permanent view eagerly, so rolling back a
+    // DROP ... CASCADE must restore the base table before its views
+    val toRegister = changed.toSeq.flatMap(snap._2.get)
+    val (viewDefs, restDefs) = toRegister.partition(_.kind == "view")
+    restDefs.foreach(register(spark, _))
+    var pendingV = viewDefs.collect { case v: ViewDef => v }
+    var doneV = snap._2.keySet -- viewDefs.map(_.qname)
+    var progressedV = true
+    while (pendingV.nonEmpty && progressedV) {
+      val (ok, rem) = pendingV.partition(_.deps.forall(d =>
+        doneV.contains(d) || !snap._2.contains(d)))
+      progressedV = ok.nonEmpty
+      ok.foreach { v => register(spark, v); doneV += v.qname }
+      pendingV = rem
+    }
+    pendingV.foreach(register(spark, _))
     // surviving tables' data may have rolled back underneath Spark's caches
     snap._2.valuesIterator.foreach {
       case t: TableDef if !changed.contains(t.qname) =>

@@ -60,18 +60,41 @@ object SequenceOps {
   def nextval(s: SequenceDef): Long = nextBlock(s, 1)
 
   /** Reserve `n` consecutive steps, returning the FIRST value — the bulk
-    * allocation a distributed INSERT uses (one counter IO per batch). */
+    * allocation a distributed INSERT uses (one counter IO per batch).
+    * Closed-form (BigInt): O(1) regardless of block size, so reserving a
+    * billion ids costs the same one metadata IO as reserving one. */
   def nextBlock(s: SequenceDef, n: Long): Long = lock(s.file).synchronized {
     require(n >= 1, "sequence block must be >= 1")
     val (minV, maxV) = bounds(s)
-    var v = lastValue(s.file) match {
+    val first = lastValue(s.file) match {
       case None => s.start
       case Some(last) => step(s, last, minV, maxV)
     }
-    val first = v
-    var i = 1L
-    while (i < n) { v = step(s, v, minV, maxV); i += 1 }
-    writeLast(s.file, v)
+    val last =
+      if (n == 1) first
+      else {
+        val inc = BigInt(s.inc)
+        val end = BigInt(first) + inc * (n - 1)
+        val inRange = if (s.inc > 0) end <= BigInt(maxV) else end >= BigInt(minV)
+        if (inRange) end.toLong
+        else if (!s.cycle) throw new IllegalStateException(
+          if (s.inc > 0)
+            s"""nextval: reached maximum value of sequence "${s.name}" ($maxV)"""
+          else
+            s"""nextval: reached minimum value of sequence "${s.name}" ($minV)""")
+        else {
+          // CYCLE: values to the boundary from `first`, then whole cycles of
+          // C values restarting at the boundary — position the last value
+          // by modular arithmetic instead of stepping n times
+          val (edge, home) = if (s.inc > 0) (BigInt(maxV), BigInt(minV))
+                             else (BigInt(minV), BigInt(maxV))
+          val headCount = ((edge - BigInt(first)) / inc + 1) // first..edge
+          val cycleCount = (edge - home) / inc + 1
+          val rem = (BigInt(n) - headCount - 1).mod(cycleCount)
+          (home + rem * inc).toLong
+        }
+      }
+    writeLast(s.file, last)
     first
   }
 
@@ -86,6 +109,27 @@ object SequenceOps {
       else throw new IllegalStateException(
         s"""nextval: reached minimum value of sequence "${s.name}" ($minV)""")
     } else next
+  }
+
+  /** Assign the reserved block's values (`first`, `first+inc`, ...) to the
+    * rows of `df` in `ordCol` order as column `outName` — distributed: a
+    * range sort plus RDD `zipWithIndex` (per-partition counts then local
+    * offsets, two jobs total), never a global single-partition window, so
+    * a 100 TB insert batch assigns ids at full parallelism. */
+  def assignBlock(df: org.apache.spark.sql.DataFrame, ordCol: String,
+      outName: String, first: Long, inc: Long,
+      castTo: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val sorted = df.sort(col(ordCol))
+    val schema = sorted.schema
+    val withIdx = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      SRow.fromSeq(r.toSeq :+ (first + i * inc))
+    }
+    val raw = spark.createDataFrame(withIdx,
+      schema.add("__seq_raw", org.apache.spark.sql.types.LongType))
+    raw.withColumn(outName, col("__seq_raw").cast(castTo)).drop("__seq_raw")
   }
 
   /** pg currval: the last value THIS sequence handed out; error before the
