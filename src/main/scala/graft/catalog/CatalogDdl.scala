@@ -1260,6 +1260,7 @@ object CatalogDdl {
     if (ObjectCatalog.get(newT.qname).isDefined) throw analysisErr(
       s"""relation "${newT.qname}" already exists""")
     ObjectCatalog.internalSql(spark, s"DROP TABLE IF EXISTS ${t.qname}")
+    ObjectCatalog.recObj(t.qname)
     ObjectCatalog.objects.remove(t.qname)
     ObjectCatalog.put(spark, newT)
     result(spark, s"renamed ${t.qname} to ${newT.qname}")

@@ -188,6 +188,7 @@ object ObjectCatalog {
       if (ifNotExists) return s"schema $n already exists, skipped"
       throw err(s"""schema "$n" already exists""")
     }
+    recSchema(n)
     schemas.put(n, true)
     registerSchema(spark, n)
     mutated(spark)
@@ -202,6 +203,7 @@ object ObjectCatalog {
       if (existing.kind != obj.kind) throw err(
         s"""cannot replace ${existing.kind} "${obj.qname}" with a ${obj.kind}""")
     }
+    recObj(obj.qname)
     objects.put(obj.qname, obj)
     register(spark, obj)
     mutated(spark)
@@ -241,6 +243,7 @@ object ObjectCatalog {
         "HINT: Use DROP ... CASCADE to drop the dependent objects too.")
     val (toDrop, strips, colStrips) = dropPlan(members, cascade = true, "schema", name)
     applyDrop(spark, toDrop, strips, colStrips, retire)
+    recSchema(n)
     schemas.remove(n)
     internalSql(spark, s"DROP DATABASE IF EXISTS $n CASCADE")
     mutated(spark)
@@ -251,6 +254,7 @@ object ObjectCatalog {
       strips: Seq[(String, String)], colStrips: Seq[(String, String)],
       retire: TableDef => Unit): Unit = {
     toDrop.foreach { dq =>
+      recObj(dq)
       objects.remove(dq).foreach {
         case t: TableDef =>
           internalSql(spark, s"DROP TABLE IF EXISTS $dq")
@@ -265,6 +269,7 @@ object ObjectCatalog {
     // table itself survives with the column now defaulting to NULL
     strips.foreach { case (tableQ, seqQ) =>
       objects.get(tableQ).collect { case t: TableDef =>
+        recObj(tableQ)
         objects.put(tableQ, t.copy(columns = t.columns.map { c =>
           if (c.default.exists(d => defaultSequenceRef(d).contains(seqQ)))
             c.copy(default = None, serial = false)
@@ -276,6 +281,7 @@ object ObjectCatalog {
     // table definition AND its data without them (the table survives)
     colStrips.foreach { case (tableQ, enumQ) =>
       objects.get(tableQ).collect { case t: TableDef =>
+        recObj(tableQ)
         val kept = t.columns.filterNot(_.enumType.contains(enumQ))
         val newT = t.copy(columns = kept)
         val cur = TableStore.read(spark, t.dir,
@@ -293,6 +299,7 @@ object ObjectCatalog {
 
   /** Replace a table definition in place (ALTER TABLE, default strips). */
   def updateTable(spark: SparkSession, t: TableDef): Unit = {
+    recObj(t.qname)
     objects.put(t.qname, t)
     // re-point the session table at the (possibly re-typed) definition
     internalSql(spark, s"DROP TABLE IF EXISTS ${t.qname}")
@@ -304,6 +311,14 @@ object ObjectCatalog {
     "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
 
   // ---- persistence ---------------------------------------------------------
+
+  /** First-touch pre-image capture for the active session's transaction
+    * block (no-ops outside one) — rollback then undoes exactly the keys
+    * this txn wrote, never other sessions' concurrent DDL. */
+  private[catalog] def recObj(q: String): Unit =
+    Txn.catalogObjectTouched(q, objects.get(q))
+  private def recSchema(n: String): Unit =
+    Txn.catalogSchemaTouched(n, schemas.get(n))
 
   private def mutated(spark: SparkSession): Unit = synchronized {
     versionCounter += 1
@@ -559,6 +574,26 @@ object ObjectCatalog {
   def snapshot(): (Map[String, Boolean], Map[String, ObjDef]) =
     (schemas.toMap, objects.toMap)
 
+  /** The CURRENT catalog overlaid with a transaction's first-touch
+    * pre-images: the rollback target that undoes exactly this txn's DDL
+    * while keeping everything other sessions committed meanwhile — a
+    * wholesale BEGIN-time snapshot would clobber their objects too. */
+  def overlayUndo(objUndo: Seq[(String, Option[ObjDef])],
+      schemaUndo: Seq[(String, Option[Boolean])])
+      : (Map[String, Boolean], Map[String, ObjDef]) = synchronized {
+    var s = schemas.toMap
+    schemaUndo.foreach {
+      case (n, Some(v)) => s = s.updated(n, v)
+      case (n, None) => s = s - n
+    }
+    var o = objects.toMap
+    objUndo.foreach {
+      case (q, Some(d)) => o = o.updated(q, d)
+      case (q, None) => o = o - q
+    }
+    (s, o)
+  }
+
   /** Restore an older catalog state (transaction rollback). Session cleanup
     * is OBJECT-precise and DIFF-based: only relations whose definition
     * actually changed across the rollback are dropped/re-registered — an
@@ -568,7 +603,8 @@ object ObjectCatalog {
     * etc.) sharing the `public` namespace, and re-registering everything
     * made every small-transaction rollback O(catalog). */
   def restore(spark: SparkSession,
-      snap: (Map[String, Boolean], Map[String, ObjDef])): Unit = synchronized {
+      snap: (Map[String, Boolean], Map[String, ObjDef]),
+      refreshOnly: Option[Set[String]] = None): Unit = synchronized {
     val oldObjects = objects.toMap
     val oldSchemas = schemas.keys.toSet
     schemas.clear(); snap._1.foreach { case (k, v) => schemas.put(k, v) }
@@ -602,9 +638,12 @@ object ObjectCatalog {
       pendingV = rem
     }
     pendingV.foreach(register(spark, _))
-    // surviving tables' data may have rolled back underneath Spark's caches
+    // surviving tables' data may have rolled back underneath Spark's caches;
+    // `refreshOnly` limits this to the tables the txn actually touched so a
+    // small rollback stays O(its own footprint), not O(catalog)
     snap._2.valuesIterator.foreach {
-      case t: TableDef if !changed.contains(t.qname) =>
+      case t: TableDef if !changed.contains(t.qname) &&
+          refreshOnly.forall(_.contains(t.qname)) =>
         spark.catalog.refreshByPath(s"${t.dir}/current")
         internalSql(spark, s"REFRESH TABLE ${t.qname}")
       case _ => ()

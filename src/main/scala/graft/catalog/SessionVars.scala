@@ -13,6 +13,11 @@ import org.apache.spark.sql.SparkSession
   * sdb_levenshtein_max_terms` really changes the fuzzy-expansion cap);
   * everything else is a plain session variable. Spark's own `SET
   * spark.*=...` keys are NOT intercepted — dotted keys stay native.
+  *
+  * Variables are PER SparkSession (pg scope = per connection), held in a
+  * weak-keyed map so two concurrent sessions' SETs never interleave and a
+  * dropped session garbage-collects its variables. Knob values already
+  * live in the session's own RuntimeConfig.
   */
 object SessionVars {
 
@@ -21,14 +26,23 @@ object SessionVars {
     "sdb_levenshtein_max_terms" -> "spark.graft.levenshteinMaxTerms",
     "sdb_strict_claims" -> "spark.graft.strictClaims")
 
-  private val vars = TrieMap.empty[String, String]
+  private val varsBySession =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, TrieMap[String, String]]())
   @volatile private[catalog] var varsVersion: Long = 0L
+
+  private def vars(spark: SparkSession): TrieMap[String, String] =
+    varsBySession.synchronized {
+      var m = varsBySession.get(spark)
+      if (m == null) { m = TrieMap.empty[String, String]; varsBySession.put(spark, m) }
+      m
+    }
 
   def get(spark: SparkSession, name: String): Option[String] = {
     val n = name.toLowerCase
     knobMap.get(n) match {
       case Some(conf) => spark.conf.getOption(conf)
-      case None => vars.get(n)
+      case None => vars(spark).get(n)
     }
   }
 
@@ -38,7 +52,7 @@ object SessionVars {
     val prev = get(spark, n)
     knobMap.get(n) match {
       case Some(conf) => spark.conf.set(conf, value)
-      case None => vars.put(n, value)
+      case None => vars(spark).put(n, value)
     }
     varsVersion += 1
     prev
@@ -48,7 +62,7 @@ object SessionVars {
     val n = name.toLowerCase
     knobMap.get(n) match {
       case Some(conf) => spark.conf.unset(conf)
-      case None => vars.remove(n)
+      case None => vars(spark).remove(n)
     }
     varsVersion += 1
   }
@@ -61,9 +75,13 @@ object SessionVars {
 
   /** All plain variables + materialized knob values, for pg_settings. */
   def all(spark: SparkSession): Seq[(String, String)] =
-    (vars.toSeq ++ knobMap.toSeq.flatMap { case (n, conf) =>
+    (vars(spark).toSeq ++ knobMap.toSeq.flatMap { case (n, conf) =>
       spark.conf.getOption(conf).map(n -> _)
     }).sortBy(_._1)
 
-  private[graft] def resetAll(): Unit = { vars.clear(); varsVersion += 1 }
+  private[graft] def resetAll(): Unit = varsBySession.synchronized {
+    val it = varsBySession.values().iterator()
+    while (it.hasNext) it.next().clear()
+    varsVersion += 1
+  }
 }

@@ -19,6 +19,13 @@ import org.apache.spark.sql.SparkSession
   *    back nextval leaves a gap.
   *  - SET LOCAL changes revert at block end, commit or abort.
   *
+  * Transaction state is PER SparkSession (the pg scope is per connection,
+  * server/network/pg/pg_wire_session.h): two sessions in one JVM hold
+  * independent blocks with no cross-talk. State lives in a weak-keyed map
+  * so a dropped session garbage-collects its block. Call sites that lack
+  * an explicit session (the mutation hooks below) resolve the active
+  * session Spark pins to the executing thread.
+  *
   * Statement failures are observed at the SQL choke points (CatalogDdl and
   * the sqllogic runner both report into [[statementFailed]]); the
   * parser-level [[gate]] then enforces the aborted state for every
@@ -32,7 +39,11 @@ object Txn {
   case object Aborted extends State
 
   private final class Ctx(val spark: SparkSession) {
-    val catalogSnap = ObjectCatalog.snapshot()
+    /** First-touch catalog pre-images (qname -> def before this txn's
+      * first write; None = did not exist). Undoing ONLY these keys keeps
+      * a concurrent session's committed DDL intact across our rollback. */
+    val objUndo = scala.collection.mutable.LinkedHashMap.empty[String, Option[ObjectCatalog.ObjDef]]
+    val schemaUndo = scala.collection.mutable.LinkedHashMap.empty[String, Option[Boolean]]
     /** table qname -> (dir, data version at first touch) */
     val tableVersions = scala.collection.mutable.LinkedHashMap.empty[String, (String, Long)]
     /** dirs of tables created in this txn (destroyed on rollback) */
@@ -43,76 +54,125 @@ object Txn {
     val localVars = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
   }
 
-  @volatile private var state: State = Idle
-  @volatile private var ctx: Ctx = _
+  private final class SessState {
+    @volatile var state: State = Idle
+    @volatile var ctx: Ctx = _
+  }
 
-  def current: State = state
-  def active: Boolean = state != Idle
+  private val states =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SessState]())
 
-  def begin(spark: SparkSession): String = state match {
-    case Idle =>
-      ctx = new Ctx(spark); state = Active; "BEGIN"
-    case _ =>
-      // pg: WARNING, the block continues
-      "WARNING: there is already a transaction in progress"
+  private def stateOf(spark: SparkSession): SessState =
+    states.synchronized {
+      var s = states.get(spark)
+      if (s == null) { s = new SessState; states.put(spark, s) }
+      s
+    }
+
+  /** The session whose statement is executing on this thread. The hooks
+    * below fire inside SparkSession.sql / CatalogDdl.execute, where Spark
+    * has pinned the active session to the thread. */
+  private def running: Option[SessState] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(stateOf)
+
+  def current: State = running.map(_.state).getOrElse(Idle)
+  def active: Boolean = current != Idle
+  def currentFor(spark: SparkSession): State = stateOf(spark).state
+
+  def begin(spark: SparkSession): String = {
+    val s = stateOf(spark)
+    s.state match {
+      case Idle =>
+        s.ctx = new Ctx(spark); s.state = Active; "BEGIN"
+      case _ =>
+        // pg: WARNING, the block continues
+        "WARNING: there is already a transaction in progress"
+    }
   }
 
   /** Record a table's data version before its FIRST mutation in this block. */
-  def touchTable(qname: String, dir: String): Unit =
-    if (state == Active && !ctx.tableVersions.contains(qname))
-      ctx.tableVersions.put(qname, (dir, TableStore.version(dir)))
+  def touchTable(qname: String, dir: String): Unit = running.foreach { s =>
+    if (s.state == Active && !s.ctx.tableVersions.contains(qname))
+      s.ctx.tableVersions.put(qname, (dir, TableStore.version(dir)))
+  }
 
-  def tableCreated(dir: String): Unit =
-    if (state == Active) ctx.createdDirs += dir
+  def tableCreated(dir: String): Unit = running.foreach { s =>
+    if (s.state == Active) s.ctx.createdDirs += dir
+  }
 
   /** A DROP inside a block defers physical deletion to COMMIT; outside a
     * block the caller deletes immediately. Returns true when deferred. */
-  def tableDropped(dir: String): Boolean = {
-    if (state == Active) { ctx.droppedDirs += dir; true } else false
+  def tableDropped(dir: String): Boolean = running.exists { s =>
+    if (s.state == Active) { s.ctx.droppedDirs += dir; true } else false
   }
 
   def localVarSet(name: String, previous: Option[String]): Unit =
-    if (state == Active && !ctx.localVars.contains(name))
-      ctx.localVars.put(name, previous)
+    running.foreach { s =>
+      if (s.state == Active && !s.ctx.localVars.contains(name))
+        s.ctx.localVars.put(name, previous)
+    }
+
+  /** Catalog pre-image hooks (called by ObjectCatalog before map writes). */
+  private[catalog] def catalogObjectTouched(q: String,
+      pre: Option[ObjectCatalog.ObjDef]): Unit = running.foreach { s =>
+    if (s.state == Active && !s.ctx.objUndo.contains(q)) s.ctx.objUndo.put(q, pre)
+  }
+  private[catalog] def catalogSchemaTouched(n: String,
+      pre: Option[Boolean]): Unit = running.foreach { s =>
+    if (s.state == Active && !s.ctx.schemaUndo.contains(n)) s.ctx.schemaUndo.put(n, pre)
+  }
 
   /** Mark the open block failed (25P02 until COMMIT/ROLLBACK). */
-  def statementFailed(): Unit = if (state == Active) state = Aborted
+  def statementFailed(): Unit = running.foreach { s =>
+    if (s.state == Active) s.state = Aborted
+  }
 
   /** Refuse any statement but COMMIT/ROLLBACK while aborted — called from
     * the session parser, so it covers every spark.sql text. */
   def gate(sqlText: String): Unit =
-    if (state == Aborted && !ObjectCatalog.internal.value &&
+    if (current == Aborted && !ObjectCatalog.internal.value &&
         !CatalogDdl.isTxnEnd(sqlText))
       throw new org.apache.spark.sql.AnalysisException(
         "USER_RAISED_EXCEPTION",
         Map("errorMessage" ->
           "current transaction is aborted, commands ignored until end of transaction block"))
 
-  def commit(spark: SparkSession): String = state match {
-    case Idle => "WARNING: there is no transaction in progress"
-    case Aborted => rollback(spark); "ROLLBACK" // pg converts COMMIT of an aborted block
-    case Active =>
-      val c = ctx
-      c.droppedDirs.foreach(TableStore.destroy) // deferred physical deletes
-      restoreLocals(spark, c)
-      state = Idle; ctx = null
-      "COMMIT"
+  def commit(spark: SparkSession): String = {
+    val s = stateOf(spark)
+    s.state match {
+      case Idle => "WARNING: there is no transaction in progress"
+      case Aborted => rollback(spark); "ROLLBACK" // pg converts COMMIT of an aborted block
+      case Active =>
+        val c = s.ctx
+        c.droppedDirs.foreach(TableStore.destroy) // deferred physical deletes
+        restoreLocals(spark, c)
+        s.state = Idle; s.ctx = null
+        "COMMIT"
+    }
   }
 
-  def rollback(spark: SparkSession): String = state match {
-    case Idle => "WARNING: there is no transaction in progress"
-    case _ =>
-      val c = ctx
-      state = Idle; ctx = null
-      // data first (while the old defs still reference the dirs), then catalog
-      c.tableVersions.values.foreach { case (dir, v) =>
-        TableStore.rollbackTo(dir, v)
-        c.spark.catalog.refreshByPath(s"$dir/current")
-      }
-      c.createdDirs.foreach(TableStore.destroy)
-      ObjectCatalog.restore(c.spark, c.catalogSnap)
-      restoreLocals(spark, c)
-      "ROLLBACK"
+  def rollback(spark: SparkSession): String = {
+    val s = stateOf(spark)
+    s.state match {
+      case Idle => "WARNING: there is no transaction in progress"
+      case _ =>
+        val c = s.ctx
+        s.state = Idle; s.ctx = null
+        // data first (while the old defs still reference the dirs), then catalog
+        c.tableVersions.values.foreach { case (dir, v) =>
+          TableStore.rollbackTo(dir, v)
+          c.spark.catalog.refreshByPath(s"$dir/current")
+        }
+        c.createdDirs.foreach(TableStore.destroy)
+        if (c.objUndo.nonEmpty || c.schemaUndo.nonEmpty || c.tableVersions.nonEmpty)
+          ObjectCatalog.restore(c.spark,
+            ObjectCatalog.overlayUndo(c.objUndo.toSeq, c.schemaUndo.toSeq),
+            refreshOnly = Some(c.tableVersions.keySet.toSet))
+        restoreLocals(spark, c)
+        "ROLLBACK"
+    }
   }
 
   private def restoreLocals(spark: SparkSession, c: Ctx): Unit =
@@ -121,5 +181,7 @@ object Txn {
     }
 
   /** Test hook. */
-  private[graft] def reset(): Unit = { state = Idle; ctx = null }
+  private[graft] def reset(): Unit = running.foreach { s =>
+    s.state = Idle; s.ctx = null
+  }
 }
