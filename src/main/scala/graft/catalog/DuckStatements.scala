@@ -168,9 +168,19 @@ object DuckStatements {
           (acc, vs) => acc.flatMap(row => vs.map(v => row :+ v))
         }
       else {
+        // capped enumeration: pivot output columns are driver-sized by
+        // construction, so past the cap the pivot column is almost surely
+        // mis-typed (an id, a timestamp) — fail fast with a named error
+        // instead of shuffling the full distinct set of a 100 TB table
+        val cap = spark.conf.getOption("spark.graft.pivotMaxValues")
+          .map(_.toInt).getOrElse(10000)
         val rows = spark.sql(
           s"SELECT DISTINCT ${onCols.mkString(", ")} FROM $src ORDER BY ${onCols.mkString(", ")}")
-          .collect()
+          .limit(cap + 1).collect()
+        if (rows.length > cap) throw new IllegalArgumentException(
+          s"PIVOT ON ${onCols.mkString(", ")} exceeds $cap distinct values " +
+            "(spark.graft.pivotMaxValues); pivot columns must be low-cardinality " +
+            "— add an IN (...) list or pivot a categorical column")
         rows.toSeq.map(_.toSeq.map {
           case null => "NULL"
           case s: String => "'" + s.replace("'", "''") + "'"

@@ -24,10 +24,16 @@ import org.apache.spark.sql.functions._
   * the histogram; the exact median reads the cumulative counts — no
   * buffer-every-value percentile aggregate anywhere (the first cut used
   * exact `percentile` + `countDistinct`, whose Expand + object aggregate
-  * benched 12 s at sf0.1 — ~40× this shape). The per-column cumulative
-  * window sorts each column's distinct values on one partition: fine while
-  * histograms are value-bounded; at petabyte near-unique columns you'd swap
-  * the median (only) for the sketch the reference itself uses.
+  * benched 12 s at sf0.1 — ~40× this shape). The cumulative count is
+  * TWO-LEVEL: distinct values range-bucket into ≤1024 coarse buckets per
+  * column (floor over the column's min..max — long→double is monotone, so
+  * bucketing preserves value order), bucket subtotals cumulate in a
+  * metadata-sized window (≤1024 rows/column), and the within-bucket
+  * cumulative window partitions by (column, bucket) — so a near-unique
+  * doc_id-like column spreads its distinct values over 1024 partitions
+  * instead of sorting them all on one. Exactness is unchanged: bucket
+  * order aligns with value order, so the summed cumulative is identical
+  * to a single global window.
   */
 object Summarize {
 
@@ -76,15 +82,32 @@ object Summarize {
 
     // exact percentile_cont(0.5) from cumulative histogram counts: the two
     // ordered positions floor/ceil of 0.5*(n-1), linearly interpolated —
-    // integer unit values keep the arithmetic float-exact in any engine
-    val byVal = Window.partitionBy(col("cname")).orderBy(col("vnum"))
-    val whole = Window.partitionBy(col("cname"))
-    val marked = hist
-      .filter(col("vnum").isNotNull)
+    // integer unit values keep the arithmetic float-exact in any engine.
+    // Cumulation is two-level (see header): coarse range buckets bound
+    // every window partition, so no column funnels through one task.
+    val nBuckets = 1024
+    val hv = hist.filter(col("vnum").isNotNull)
       .select(col("cname"), col("vnum"), col("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(byVal))
+    val colRange = hv.groupBy(col("cname")).agg(
+      min(col("vnum")).as("minv"), max(col("vnum")).as("maxv"),
+      sum(col("cnt")).as("n")) // one row per profiled column — broadcasts
+    val bucketed = hv.join(broadcast(colRange), Seq("cname"))
+      .withColumn("bucket", floor(
+        (col("vnum").cast("double") - col("minv").cast("double")) /
+          greatest((col("maxv").cast("double") - col("minv").cast("double"))
+            / nBuckets, lit(1.0))).cast("long"))
+    val bucketCum = bucketed
+      .groupBy(col("cname"), col("bucket")).agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("bprev",
+        sum(col("bcnt")).over(
+          Window.partitionBy(col("cname")).orderBy(col("bucket"))) - col("bcnt"))
+      .select(col("cname"), col("bucket"), col("bprev"))
+    val inBucket = Window.partitionBy(col("cname"), col("bucket"))
+      .orderBy(col("vnum"))
+    val marked = bucketed
+      .join(broadcast(bucketCum), Seq("cname", "bucket")) // ≤1024 rows/col
+      .withColumn("cum", col("bprev") + sum(col("cnt")).over(inBucket))
       .withColumn("prev", col("cum") - col("cnt"))
-      .withColumn("n", sum(col("cnt")).over(whole))
       .withColumn("k_lo", expr("(n - 1) DIV 2"))
       .withColumn("k_hi", expr("n DIV 2"))
     val median = marked

@@ -35,6 +35,21 @@ class SummarizeSpec extends AnyFunSuite {
     assert(t.isNullAt(7) && t.isNullAt(8))
   }
 
+  test("two-level bucketed median is exact on a near-unique column") {
+    val spark = TestSpark.spark
+    // 100001 distinct values 0..100000 -> spread over ~1024 buckets; the
+    // exact interpolated median of 0..100000 is 50000
+    val df = spark.range(0, 100001).toDF("v")
+    val row = Summarize.summarize(df,
+      Seq(ColSpec("v", "int", "bigint"))).collect().head
+    assert(row.getLong(4) == 100001L) // ndist exact
+    assert(row.getDouble(8) == 50000.0)
+    // even count: median of 0..99999 interpolates to 49999.5
+    val row2 = Summarize.summarize(spark.range(0, 100000).toDF("v"),
+      Seq(ColSpec("v", "int", "bigint"))).collect().head
+    assert(row2.getDouble(8) == 49999.5)
+  }
+
   test("plan is histogram-shaped: no Expand, no object (buffer-all) aggregate") {
     val spark = TestSpark.spark
     val df = Summarize.summarize(
