@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => ClaimPkLookup(s))
     e.injectOptimizerRule(s => ClaimAnnDistanceRewrite(s))
     e.injectOptimizerRule(s => EnumOrder(s))
+    e.injectResolutionRule(s => ResolveInformationSchema(s))
     e.injectPlannerStrategy(s => StrictClaimCheck(s))
     e.injectPlannerStrategy(s => RbacCheck(s))
     e.injectParser((_, delegate) => new graft.search.GraftSqlParser(delegate))
@@ -42,6 +43,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.QuantizationExpressions.functions.foreach(e.injectFunction)
     graft.functions.GeoWkb.functions.foreach(e.injectFunction)
   }
+}
+
+/** Resolves `information_schema.<view>` relations into analyzer-time
+  * LocalRelation snapshots of catalog/RBAC metadata (the reference ships
+  * information_schema as a pg module, server/pg/information_schema/).
+  * Materializing at resolution means the views are always current with
+  * zero registration or refresh machinery; pg's own information_schema is
+  * likewise a set of catalog-heap projections. Only fires on the exact
+  * two-part `information_schema.x` name, so no real table can collide
+  * (Spark reserves no such database by default). */
+case class ResolveInformationSchema(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("information_schema") =>
+        graft.catalog.InfoSchema
+          .relation(spark, u.multipartIdentifier(1).toLowerCase)
+          .getOrElse(u)
+    }
 }
 
 /** Opt-in strict stub surface — the reference's `SearchStubFn` behavior

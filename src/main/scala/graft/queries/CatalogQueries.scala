@@ -143,7 +143,30 @@ object CatalogQueries {
          |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** information_schema over DDL'd state: tables/columns/constraints and a
+    * role grant all surface through the SQL-standard views (reference
+    * server/pg/information_schema/; rbac corpus cp_information_schema). */
+  def infoSchema(s: SparkSession, dir: String): DataFrame = {
+    sql(s, "DROP SCHEMA IF EXISTS ginfo CASCADE")
+    sql(s, "CREATE SCHEMA ginfo")
+    sql(s, "CREATE TABLE ginfo.parts (pid BIGINT PRIMARY KEY, sku TEXT UNIQUE, " +
+      "qty INT, CONSTRAINT ginfo_qty_ck CHECK (qty >= 0))")
+    sql(s, "CREATE VIEW ginfo.skus AS SELECT sku FROM ginfo.parts")
+    sql(s,
+      """SELECT 'table' AS kind, table_name AS name, table_type AS detail
+        |FROM information_schema.tables WHERE table_schema = 'ginfo'
+        |UNION ALL
+        |SELECT 'column' AS kind, column_name AS name,
+        |       concat(cast(ordinal_position AS STRING), ':', data_type, ':', is_nullable) AS detail
+        |FROM information_schema.columns WHERE table_schema = 'ginfo'
+        |UNION ALL
+        |SELECT 'constraint' AS kind, constraint_name AS name, constraint_type AS detail
+        |FROM information_schema.table_constraints WHERE table_schema = 'ginfo'
+        |ORDER BY kind, name""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "info_schema" -> infoSchema,
     "copy_partitioned" -> copyPartitioned,
     "catalog_ddl" -> catalogDdl,
     "catalog_dml" -> catalogDml,
@@ -176,6 +199,17 @@ object CatalogQueries {
         |  (3, 'critical'),
         |  (1, 'high'),
         |  (4, 'medium')) AS t(id, sev)""".stripMargin,
+    "info_schema" ->
+      """SELECT * FROM (VALUES
+        |  ('column', 'pid', '1:bigint:NO'),
+        |  ('column', 'qty', '3:integer:YES'),
+        |  ('column', 'sku', '2:text:YES'),
+        |  ('constraint', 'ginfo_qty_ck', 'CHECK'),
+        |  ('constraint', 'parts_pkey', 'PRIMARY KEY'),
+        |  ('constraint', 'parts_sku_key', 'UNIQUE'),
+        |  ('table', 'parts', 'BASE TABLE'),
+        |  ('table', 'skus', 'VIEW')) AS t(kind, name, detail)
+        |ORDER BY kind, name""".stripMargin,
     "sys_catalogs" ->
       """SELECT * FROM (VALUES
         |  ('namespace', 'gsys'),

@@ -326,6 +326,25 @@ object Rbac {
       of.toSeq.map { case (r, admin) => (m, r, admin) }
     }.sorted
 
+  /** Introspection rows for information_schema privilege views:
+    * (scan root, grantee, granted columns or None=table, grant option). */
+  def selectGrantRows: Seq[(String, String, Option[Set[String]], Boolean)] =
+    grants.toSeq.flatMap { case (root, m) =>
+      m.toSeq.map { case (role, g) => (root, role, g.columns, g.grantOption) }
+    }.sortBy(r => (r._1, r._2))
+
+  /** (scan root, grantee, write privilege) rows. */
+  def writeGrantRows: Seq[(String, String, String)] =
+    writeGrants.toSeq.flatMap { case (root, m) =>
+      m.toSeq.flatMap { case (role, ps) => ps.toSeq.map(p => (root, role, p)) }
+    }.sorted
+
+  /** information_schema.enabled_roles: the session role plus its usable
+    * (INHERIT-respecting) closure; empty when running as superuser. */
+  def enabledRolesOf(spark: SparkSession): Seq[String] =
+    currentRole(spark).toSeq
+      .flatMap(r => effective(r) - Public).distinct.sorted
+
   /** Bumped on any role-graph mutation; system views key freshness off it.
     * Size-derived rather than a counter threaded through every mutator: a
     * revoke+grant pair that restores identical sizes can momentarily read
