@@ -107,19 +107,45 @@ object CatalogDdl {
   private val importDbRe =
     """(?is)^\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*$""".r
 
-  private val beginRe = """(?is)^\s*(BEGIN|START\s+TRANSACTION)\b.*$""".r
+  private val beginRe = """(?is)^\s*(BEGIN|START\s+TRANSACTION)\b(.*?)\s*;?\s*$""".r
+  // SET TRANSACTION / SET SESSION CHARACTERISTICS AS TRANSACTION take the
+  // same transaction_mode list as BEGIN (isolation level, READ ONLY/WRITE,
+  // [NOT] DEFERRABLE — any/pg/txn/variables.test, deferrable.test)
+  private val setTxnRe =
+    """(?is)^\s*SET\s+TRANSACTION\s+(.+?)\s*;?\s*$""".r
+  private val setSessionCharRe =
+    """(?is)^\s*SET\s+SESSION\s+CHARACTERISTICS\s+AS\s+TRANSACTION\s+(.+?)\s*;?\s*$""".r
+  private val isoLevelRe =
+    """(?is).*\bISOLATION\s+LEVEL\s+(READ\s+UNCOMMITTED|READ\s+COMMITTED|REPEATABLE\s+READ|SERIALIZABLE)\b.*""".r
   private val commitRe =
     """(?is)^\s*(COMMIT|END)(\s+(WORK|TRANSACTION))?(\s+AND\s+(NO\s+)?CHAIN)?\s*;?\s*$""".r
   private val rollbackRe =
     """(?is)^\s*(ROLLBACK|ABORT)(\s+(WORK|TRANSACTION))?(\s+AND\s+(NO\s+)?CHAIN)?\s*;?\s*$""".r
 
-  // undotted names only — `SET spark.sql.x=y` and `SET ROLE ...` stay out
+  // undotted names only — `SET spark.sql.x=y` and `SET ROLE ...` stay out;
+  // SET SESSION <name> is the pg spelling of plain SET (scopes.test)
   private val setVarRe =
-    """(?is)^\s*SET\s+(LOCAL\s+)?(?!ROLE\b|SESSION\b)([A-Za-z_][A-Za-z0-9_]*)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*$""".r
+    """(?is)^\s*SET\s+(LOCAL\s+|SESSION\s+)?(?!ROLE\b|CHARACTERISTICS\b|TRANSACTION\s)([A-Za-z_][A-Za-z0-9_]*)\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*$""".r
   private val showVarRe =
     """(?is)^\s*SHOW\s+(?!ROLE\b|DATABASES\b|TABLES\b|TABLE\b|VIEWS\b|FUNCTIONS\b|COLUMNS\b|PARTITIONS\b|CREATE\b|TBLPROPERTIES\b|SEARCH\b|ALL\b|CATALOGS\b|NAMESPACES\b|SCHEMAS\b)([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val resetVarRe =
     """(?is)^\s*RESET\s+(?!ROLE\b)([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val resetAllRe = """(?is)^\s*RESET\s+ALL\s*;?\s*$""".r
+  // pg multi-word RESET aliases (settings/reset_aliases.test)
+  private val resetTimeZoneRe = """(?is)^\s*RESET\s+TIME\s+ZONE\s*;?\s*$""".r
+  private val resetSessAuthRe =
+    """(?is)^\s*RESET\s+SESSION\s+AUTHORIZATION\s*;?\s*$""".r
+  private val resetTxnIsoRe =
+    """(?is)^\s*RESET\s+TRANSACTION\s+ISOLATION\s+LEVEL\s*;?\s*$""".r
+  // DISCARD <target>: pooled drivers' between-checkout reset; with no temp
+  // tables or session sequences every variant collapses to DEALLOCATE ALL
+  // (settings/discard.test — the reference documents the same collapse)
+  private val discardRe = """(?is)^\s*DISCARD\s+(\w+)\s*;?\s*$""".r
+  // pg set_config(name, value, is_local) in its standalone SELECT form —
+  // a SESSION function, so it executes driver-side at dispatch (a UDF
+  // closure would not survive task serialization with its session intact)
+  private val setConfigRe =
+    """(?is)^\s*SELECT\s+set_config\(\s*'([^']*)'\s*,\s*'([^']*)'\s*,\s*(true|false)\s*\)(?:\s+AS\s+\w+)?\s*;?\s*$""".r
 
   def isTxnEnd(sql: String): Boolean = sql match {
     case commitRe(_*) | rollbackRe(_*) => true
@@ -137,6 +163,10 @@ object CatalogDdl {
           commentRe(_*) | exportDbRe(_*) | importDbRe(_*) |
           copyQueryToRe(_*) | copyTableToRe(_*) | copyFromRe(_*) |
           beginRe(_*) | commitRe(_*) | rollbackRe(_*) |
+          setTxnRe(_*) | setSessionCharRe(_*) | discardRe(_*) |
+          setConfigRe(_*) |
+          resetAllRe(_*) | resetTimeZoneRe(_*) | resetSessAuthRe(_*) |
+          resetTxnIsoRe(_*) |
           setVarRe(_*) | showVarRe(_*) | resetVarRe(_*) => true
       case createTableRe(_, _, _) =>
         // a Spark-native CREATE TABLE (USING/PARTITIONED BY/TBLPROPERTIES/
@@ -194,7 +224,8 @@ object CatalogDdl {
   }
 
   private def executeParsed(spark: SparkSession, sql: String): DataFrame = sql match {
-    case beginRe(_) => result(spark, Txn.begin(spark))
+    case beginRe(_, opts) =>
+      result(spark, Txn.begin(spark, parseIsolation(opts)))
     case commitRe(_, _, _, andChain, noChain) =>
       txnEnd(spark, andChain != null && noChain == null, Txn.commit(spark))
     case rollbackRe(_, _, _, andChain, noChain) =>
@@ -287,22 +318,113 @@ object CatalogDdl {
     case alterRenameColRe(name, from, to) => alterRenameColumn(spark, name, from, to)
     case alterRenameRe(name, to) => alterRenameTable(spark, name, to)
 
-    case setVarRe(local, name, value) =>
-      val v = stripQuotes(value.trim)
-      val prev = SessionVars.set(spark, name, v)
-      if (local != null) Txn.localVarSet(name.toLowerCase, prev)
+    case setTxnRe(modes) =>
+      // outside a block pg warns and ignores; inside, the level freezes
+      // after the first data statement (variables.test #14)
+      parseIsolation(modes).foreach(Txn.setIsolation(spark, _))
+      result(spark, "SET")
+    case setSessionCharRe(modes) =>
+      // changes the session DEFAULT (transactionally, like plain SET);
+      // the open block's own level is untouched (variables.test #8)
+      parseIsolation(modes).foreach { lvl =>
+        val prev = SessionVars.set(spark, "default_transaction_isolation", lvl)
+        Txn.sessionVarSet("default_transaction_isolation", prev)
+      }
+      result(spark, "SET")
+    case setConfigRe(name, value, isLocal) =>
+      val n = name.toLowerCase
+      val local = isLocal.equalsIgnoreCase("true")
+      val prev = SessionVars.set(spark, n, value)
+      if (local) Txn.localVarSet(n, prev) else Txn.sessionVarSet(n, prev)
+      spark.createDataFrame(
+        java.util.List.of(Row(value)),
+        StructType(Seq(StructField("set_config", StringType, nullable = false))))
+    case discardRe(target) =>
+      target.toUpperCase(Locale.ROOT) match {
+        case "ALL" | "PLANS" | "SEQUENCES" | "TEMP" | "TEMPORARY" =>
+          DuckStatements.runDeallocate("all")
+          result(spark, s"DISCARD ${target.toUpperCase(Locale.ROOT)}")
+        case other => throw analysisErr(
+          s"""syntax error at or near "$other"""")
+      }
+    case resetAllRe() =>
+      SessionVars.resetSession(spark); result(spark, "RESET")
+    case resetTimeZoneRe() =>
+      SessionVars.reset(spark, "timezone"); result(spark, "RESET")
+    case resetSessAuthRe() =>
+      SessionVars.reset(spark, "session_authorization"); result(spark, "RESET")
+    case resetTxnIsoRe() => throw analysisErr(
+      """parameter "transaction_isolation" cannot be reset""")
+    case setVarRe(scope, name, value) =>
+      val n = name.toLowerCase
+      val local = scope != null && scope.trim.equalsIgnoreCase("LOCAL")
+      if (local && !Txn.active) throw analysisErr(
+        "SET LOCAL can only be used in transaction blocks")
+      if (value.trim.equalsIgnoreCase("DEFAULT")) {
+        val prev = SessionVars.get(spark, n)
+        SessionVars.reset(spark, n)
+        if (local) Txn.localVarSet(n, prev) else Txn.sessionVarSet(n, prev)
+        return result(spark, "SET")
+      }
+      val v =
+        if (n == "search_path") normalizeSearchPath(value.trim)
+        else stripQuotes(value.trim)
+      if (n == "transaction_isolation") {
+        // alias of SET TRANSACTION ISOLATION LEVEL when a block is open;
+        // outside one, pg silently ignores the write
+        if (Txn.active) Txn.setIsolation(spark, validIsolation(v))
+      } else {
+        if (n == "default_transaction_isolation") validIsolation(v)
+        val prev = SessionVars.set(spark, n, v)
+        if (local) Txn.localVarSet(n, prev)
+        else Txn.sessionVarSet(n, prev) // transactional plain SET
+      }
       result(spark, "SET")
     case showVarRe(name) =>
-      val v = SessionVars.get(spark, name).getOrElse(
-        throw analysisErr(s"""unrecognized configuration parameter "$name""""))
+      val n = name.toLowerCase
+      val v =
+        if (n == "transaction_isolation")
+          Txn.isolationLevel(spark).getOrElse(
+            SessionVars.get(spark, "default_transaction_isolation")
+              .getOrElse("read committed"))
+        else SessionVars.get(spark, n).getOrElse(
+          throw analysisErr(s"""unrecognized configuration parameter "$name""""))
       spark.createDataFrame(
         java.util.List.of(Row(v)),
-        StructType(Seq(StructField(name.toLowerCase, StringType, nullable = false))))
+        StructType(Seq(StructField(n, StringType, nullable = false))))
     case resetVarRe(name) =>
       SessionVars.reset(spark, name); result(spark, "RESET")
 
     case other => throw new IllegalArgumentException(
       s"CatalogDdl cannot execute: ${other.take(120)}")
+  }
+
+  /** pg search_path rendering: identifiers fold to lowercase unless
+    * double-quoted (quoted items keep their quotes verbatim); items join
+    * with ", " (settings/show.test pins this normalization). */
+  private def normalizeSearchPath(raw: String): String =
+    splitTop(raw).map(_.trim).filter(_.nonEmpty).map { item =>
+      if (item.startsWith("\"") && item.endsWith("\"")) item
+      else stripQuotes(item).toLowerCase(Locale.ROOT)
+    }.mkString(", ")
+
+  /** Extract + validate an ISOLATION LEVEL from a transaction_mode list
+    * (the rest of the list — READ ONLY/WRITE, [NOT] DEFERRABLE — is
+    * accepted and ignored, as the reference's parser does). */
+  private def parseIsolation(modes: String): Option[String] = modes match {
+    case isoLevelRe(lvl) =>
+      Some(validIsolation(lvl.toLowerCase(Locale.ROOT).replaceAll("\\s+", " ")))
+    case _ => None
+  }
+
+  /** Only pg's two supported-by-the-reference levels pass (variables.test
+    * #7: serializable is rejected with a HINT naming the valid values). */
+  private def validIsolation(lvl: String): String = {
+    val n = lvl.toLowerCase(Locale.ROOT).trim.replaceAll("\\s+", " ")
+    if (n != "read committed" && n != "repeatable read") throw analysisErr(
+      s"""transaction isolation level "$n" is not supported. """ +
+        "HINT: Available values: repeatable read, read committed.")
+    n
   }
 
   /** `COMMIT/ROLLBACK [AND [NO] CHAIN]` (any/pg/txn/chain.test): CHAIN ends

@@ -38,11 +38,21 @@ object SessionVars {
       m
     }
 
+  /** Built-in parameters with pg's defaults: SHOW works before any SET,
+    * and RESET returns here (variables/scopes corpus). */
+  private val defaults: Map[String, String] = Map(
+    "default_transaction_isolation" -> "read committed",
+    "search_path" -> "\"$user\", public",
+    "application_name" -> "",
+    "client_encoding" -> "UTF8",
+    "default_transaction_read_only" -> "off",
+    "in_hot_standby" -> "off")
+
   def get(spark: SparkSession, name: String): Option[String] = {
     val n = name.toLowerCase
     knobMap.get(n) match {
       case Some(conf) => spark.conf.getOption(conf)
-      case None => vars(spark).get(n)
+      case None => vars(spark).get(n).orElse(defaults.get(n))
     }
   }
 
@@ -78,6 +88,14 @@ object SessionVars {
     (vars(spark).toSeq ++ knobMap.toSeq.flatMap { case (n, conf) =>
       spark.conf.getOption(conf).map(n -> _)
     }).sortBy(_._1)
+
+  /** pg RESET ALL: clear every variable of THIS session (defaults and
+    * knob confs revert to their unset readings). */
+  def resetSession(spark: SparkSession): Unit = {
+    vars(spark).clear()
+    knobMap.valuesIterator.foreach(spark.conf.unset)
+    varsVersion += 1
+  }
 
   private[graft] def resetAll(): Unit = varsBySession.synchronized {
     val it = varsBySession.values().iterator()

@@ -50,8 +50,18 @@ object Txn {
     val createdDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     /** dirs of tables dropped in this txn (deleted only on commit) */
     val droppedDirs = scala.collection.mutable.ArrayBuffer.empty[String]
-    /** SET LOCAL undo: name -> previous value (None = was unset) */
+    /** SET LOCAL undo: name -> previous value (None = was unset);
+      * applied at block end, COMMIT or ROLLBACK (pg SET LOCAL). */
     val localVars = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
+    /** plain/SESSION SET undo: applied on ROLLBACK only (pg GUCs are
+      * transactional — a rolled-back SET never happened, a committed one
+      * sticks; any/pg/settings/scopes.test). */
+    val sessionVars = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
+    /** This block's isolation level, resolved at BEGIN from the BEGIN
+      * options or default_transaction_isolation; changeable until the
+      * first data statement runs (any/pg/txn/variables.test #14). */
+    var isolation: String = "read committed"
+    var hasRead: Boolean = false
   }
 
   private final class SessState {
@@ -81,16 +91,53 @@ object Txn {
   def active: Boolean = current != Idle
   def currentFor(spark: SparkSession): State = stateOf(spark).state
 
-  def begin(spark: SparkSession): String = {
+  def begin(spark: SparkSession,
+      isolation: Option[String] = None): String = {
     val s = stateOf(spark)
     s.state match {
       case Idle =>
-        s.ctx = new Ctx(spark); s.state = Active; "BEGIN"
+        s.ctx = new Ctx(spark)
+        s.ctx.isolation = isolation.getOrElse(
+          SessionVars.get(spark, "default_transaction_isolation")
+            .getOrElse("read committed"))
+        s.state = Active; "BEGIN"
       case _ =>
         // pg: WARNING, the block continues
         "WARNING: there is already a transaction in progress"
     }
   }
+
+  /** The open block's isolation level (None outside a block). */
+  def isolationLevel(spark: SparkSession): Option[String] = {
+    val s = stateOf(spark)
+    if (s.state == Idle) None else Some(s.ctx.isolation)
+  }
+
+  /** `SET TRANSACTION ISOLATION LEVEL` inside a block: allowed until the
+    * first data statement; after one, only a no-op re-set of the same
+    * level passes (the reference's must-be-called-before-any-query rule). */
+  def setIsolation(spark: SparkSession, level: String): Unit = {
+    val s = stateOf(spark)
+    if (s.state != Idle) {
+      if (s.ctx.hasRead && s.ctx.isolation != level)
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            "SET TRANSACTION ISOLATION LEVEL must be called before any query"))
+      s.ctx.isolation = level
+    } // outside a block: pg warns and ignores
+  }
+
+  private val controlStmtRe =
+    """(?is)^\s*(SET|SHOW|RESET|BEGIN|START|COMMIT|END|ROLLBACK|ABORT|PREPARE|DEALLOCATE)\b.*""".r
+
+  /** Called from the parser on every statement: data statements inside a
+    * block freeze its isolation level. */
+  private def noteStatement(sqlText: String): Unit =
+    if (!ObjectCatalog.internal.value) running.foreach { s =>
+      if (s.state == Active && !controlStmtRe.pattern.matcher(sqlText).matches())
+        s.ctx.hasRead = true
+    }
 
   /** Record a table's data version before its FIRST mutation in this block. */
   def touchTable(qname: String, dir: String): Unit = running.foreach { s =>
@@ -109,10 +156,32 @@ object Txn {
   }
 
   def localVarSet(name: String, previous: Option[String]): Unit =
-    running.foreach { s =>
-      if (s.state == Active && !s.ctx.localVars.contains(name))
-        s.ctx.localVars.put(name, previous)
-    }
+    running.foreach(localVarSetIn(_, name, previous))
+
+  /** Explicit-session variant (set_config captures its session — a task
+    * thread has no active-session binding to resolve through). */
+  def localVarSetFor(spark: SparkSession, name: String,
+      previous: Option[String]): Unit =
+    localVarSetIn(stateOf(spark), name, previous)
+
+  private def localVarSetIn(s: SessState, name: String,
+      previous: Option[String]): Unit =
+    if (s.state == Active && !s.ctx.localVars.contains(name))
+      s.ctx.localVars.put(name, previous)
+
+  /** Plain SET inside a block: transactional (undone by ROLLBACK only). */
+  def sessionVarSet(name: String, previous: Option[String]): Unit =
+    running.foreach(sessionVarSetIn(_, name, previous))
+
+  def sessionVarSetFor(spark: SparkSession, name: String,
+      previous: Option[String]): Unit =
+    sessionVarSetIn(stateOf(spark), name, previous)
+
+  private def sessionVarSetIn(s: SessState, name: String,
+      previous: Option[String]): Unit =
+    if (s.state == Active && !s.ctx.sessionVars.contains(name) &&
+        !s.ctx.localVars.contains(name))
+      s.ctx.sessionVars.put(name, previous)
 
   /** Catalog pre-image hooks (called by ObjectCatalog before map writes). */
   private[catalog] def catalogObjectTouched(q: String,
@@ -131,13 +200,15 @@ object Txn {
 
   /** Refuse any statement but COMMIT/ROLLBACK while aborted — called from
     * the session parser, so it covers every spark.sql text. */
-  def gate(sqlText: String): Unit =
+  def gate(sqlText: String): Unit = {
+    noteStatement(sqlText)
     if (current == Aborted && !ObjectCatalog.internal.value &&
         !CatalogDdl.isTxnEnd(sqlText))
       throw new org.apache.spark.sql.AnalysisException(
         "USER_RAISED_EXCEPTION",
         Map("errorMessage" ->
           "current transaction is aborted, commands ignored until end of transaction block"))
+  }
 
   def commit(spark: SparkSession): String = {
     val s = stateOf(spark)
@@ -170,6 +241,10 @@ object Txn {
           ObjectCatalog.restore(c.spark,
             ObjectCatalog.overlayUndo(c.objUndo.toSeq, c.schemaUndo.toSeq),
             refreshOnly = Some(c.tableVersions.keySet.toSet))
+        // plain SETs are transactional: a rolled-back SET never happened
+        c.sessionVars.foreach { case (name, prev) =>
+          SessionVars.restore(spark, name, prev)
+        }
         restoreLocals(spark, c)
         "ROLLBACK"
     }

@@ -55,6 +55,14 @@ object SqlLogic {
   /** The recovery corpus' crash+restart step (`connection after_crash`):
     * wipe every in-JVM catalog registration and reload from disk. */
   final case class Restart(line: Int) extends Rec
+  /** `connection <name> [user=u password=p]` — switch the executing
+    * session, as the reference's multi-connection corpus does (291 files:
+    * txn visibility, rbac per-user enforcement). Each name lazily maps to
+    * its own SparkSession (`newSession()` — shared catalog + data, private
+    * txn/var/role state, mirroring pg's shared-server/per-connection
+    * split); `user=` sets that session's role, modelling authentication. */
+  final case class Connection(name: String, user: Option[String],
+      line: Int) extends Rec
 
   final case class Failure(file: String, line: Int, message: String) {
     override def toString: String = s"$file:$line — $message"
@@ -77,6 +85,12 @@ object SqlLogic {
       val l = lines(i).trim
       if (l.isEmpty || l.startsWith("#")) { i += 1 }
       else if (l == "restart") { recs += Restart(i + 1); i += 1 }
+      else if (l.startsWith("connection ")) {
+        val parts = l.stripPrefix("connection ").trim.split("\\s+")
+        val user = parts.drop(1).collectFirst {
+          case p if p.startsWith("user=") => p.stripPrefix("user=") }
+        recs += Connection(parts(0), user, i + 1); i += 1
+      }
       else if (l.startsWith("expect-plan ")) {
         pendingPlan += l.stripPrefix("expect-plan ").trim; i += 1
       } else if (l == "statement ok" || l.startsWith("statement error") ||
@@ -173,12 +187,29 @@ object SqlLogic {
   def run(spark: SparkSession, name: String, content: String,
       testdata: String): Seq[Failure] = {
     val fails = ArrayBuffer.empty[Failure]
+    val sessions = scala.collection.mutable.Map("default" -> spark)
+    var cur = spark
+    def connect(cname: String, user: Option[String]): Unit = {
+      cur = sessions.getOrElseUpdate(cname, {
+        val s = spark.newSession()
+        graft.search.SqlSurface.registerAll(s)
+        graft.catalog.CatalogDdl.registerFunctions(s)
+        s
+      })
+      // authentication: the connection runs AS this role (pg session
+      // authorization); absent user= the connection is the superuser
+      user match {
+        case Some(u) => cur.conf.set(graft.search.Rbac.RoleConf, u.toLowerCase)
+        case None => ()
+      }
+    }
     parse(content.replace("$TESTDATA", testdata)).foreach {
+      case Connection(cname, user, _) => connect(cname, user)
       case Restart(_) =>
-        graft.catalog.ObjectCatalog.simulateRestart(spark)
+        graft.catalog.ObjectCatalog.simulateRestart(cur)
       case Statement(sql, None, line, expectCount) =>
         try {
-          val rows = execute(spark, sql).collect()
+          val rows = execute(cur, sql).collect()
           expectCount.foreach { want =>
             val got = rows.headOption.map(_.getLong(0)).getOrElse(-1L)
             if (got != want)
@@ -188,7 +219,7 @@ object SqlLogic {
           fails += Failure(name, line, s"statement failed: ${e.getMessage}") }
       case Statement(sql, Some(substr), line, _) =>
         try {
-          execute(spark, sql).collect()
+          execute(cur, sql).collect()
           fails += Failure(name, line, "expected an error, statement succeeded")
         } catch { case e: Exception =>
           // match against the whole cause chain: Spark wraps UDF and task
@@ -202,7 +233,7 @@ object SqlLogic {
         }
       case Query(sql, expected, planExpect, line) =>
         try {
-          val df = execute(spark, sql)
+          val df = execute(cur, sql)
           val got = rows(df)
           if (got != expected)
             fails += Failure(name, line,
@@ -224,6 +255,8 @@ object SqlLogic {
     val out = ArrayBuffer.empty[String]
     val lines = content.split("\n", -1)
     var i = 0
+    val sessions = scala.collection.mutable.Map("default" -> spark)
+    var cur = spark
     while (i < lines.length) {
       val l = lines(i).trim
       if (l == "statement ok" || l.startsWith("statement error") ||
@@ -234,11 +267,27 @@ object SqlLogic {
           sqlB += lines(i); out += lines(i); i += 1
         }
         if (!l.startsWith("statement error"))
-          execute(spark,
+          execute(cur,
             sqlB.mkString("\n").replace("$TESTDATA", testdata)).collect()
+        else
+          try execute(cur,
+            sqlB.mkString("\n").replace("$TESTDATA", testdata)).collect()
+          catch { case _: Exception => () }
       } else if (l == "restart") {
         out += lines(i); i += 1
-        graft.catalog.ObjectCatalog.simulateRestart(spark)
+        graft.catalog.ObjectCatalog.simulateRestart(cur)
+      } else if (l.startsWith("connection ")) {
+        out += lines(i); i += 1
+        val parts = l.stripPrefix("connection ").trim.split("\\s+")
+        cur = sessions.getOrElseUpdate(parts(0), {
+          val s = spark.newSession()
+          graft.search.SqlSurface.registerAll(s)
+          graft.catalog.CatalogDdl.registerFunctions(s)
+          s
+        })
+        parts.drop(1).collectFirst {
+          case p if p.startsWith("user=") => p.stripPrefix("user=") }
+          .foreach(u => cur.conf.set(graft.search.Rbac.RoleConf, u.toLowerCase))
       } else if (l == "query" || l.startsWith("query ")) {
         out += lines(i); i += 1
         val sqlB = ArrayBuffer.empty[String]
@@ -251,7 +300,7 @@ object SqlLogic {
           while (i < lines.length && lines(i).nonEmpty) i += 1
         }
         out += "----"
-        out ++= rows(execute(spark,
+        out ++= rows(execute(cur,
           sqlB.mkString("\n").replace("$TESTDATA", testdata)))
       } else { out += lines(i); i += 1 }
     }
