@@ -208,6 +208,20 @@ object CatalogDdl {
     case _ => false
   }
 
+  /** RETURNING column names of a DML statement, if it carries the clause —
+    * the command's output schema is fixed at parse time, so the names are
+    * derived textually (alias after AS, else the identifier/expression). */
+  def returningCols(sql: String): Option[Seq[String]] = sql match {
+    case returningRe(_, cols) =>
+      Some(splitTop(cols).map { item =>
+        val t = item.trim
+        val asIdx = "(?i)\\s+AS\\s+".r.findAllMatchIn(t).toSeq.lastOption
+        asIdx.map(m => t.substring(m.end).trim.stripPrefix("\"").stripSuffix("\""))
+          .getOrElse(t.stripPrefix("\"").stripSuffix("\""))
+      })
+    case _ => None
+  }
+
   /** SHOW <var> output column (the pg contract: named after the variable). */
   def showVarName(sql: String): Option[String] = sql match {
     case showVarRe(n) => Some(n.toLowerCase)
@@ -216,12 +230,30 @@ object CatalogDdl {
 
   // ---- execution -----------------------------------------------------------
 
+  // `... RETURNING <col list>` tail of a DML statement. The column-list
+  // charset excludes quotes so a RETURNING inside a string literal never
+  // strips (pg RETURNING takes projections; complex exprs go through the
+  // expression parser after the split).
+  private val returningRe =
+    """(?is)^(\s*(?:INSERT|UPDATE|DELETE)\b.*?)\s+RETURNING\s+([\w\s,\*\"\.\(\)\+\-]+?)\s*;?\s*$""".r
+
   def execute(spark: SparkSession, sql: String): DataFrame = {
     ObjectCatalog.ensureSession(spark)
     registerFunctions(spark)
-    try executeParsed(spark, sql)
+    try {
+      sql match {
+        case returningRe(core, cols) =>
+          returningCtx.withValue(Some(cols)) { executeParsed(spark, core) }
+        case _ => executeParsed(spark, sql)
+      }
+    }
     catch { case e: Throwable => Txn.statementFailed(); throw e }
   }
+
+  /** RETURNING projection for the DML statement currently executing
+    * (pg INSERT/UPDATE/DELETE ... RETURNING; sdb/pg/dml/returning.test). */
+  private val returningCtx =
+    new scala.util.DynamicVariable[Option[String]](None)
 
   private def executeParsed(spark: SparkSession, sql: String): DataFrame = sql match {
     case beginRe(_, opts) =>
@@ -303,11 +335,15 @@ object CatalogDdl {
     case deleteRe(name, where) => delete(spark, name, Option(where))
     case truncateRe(name) =>
       val t = tableOf(name)
-      Txn.touchTable(t.qname, t.dir)
-      TableStore.overwrite(spark, t.dir,
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sparkSchema(t)))
-      refresh(spark, t)
-      result(spark, s"truncated ${t.qname}")
+      // pg: TRUNCATE needs only the TRUNCATE privilege, never SELECT
+      graft.search.Rbac.checkWrite(spark, s"${t.dir}/current", "truncate", t.qname)
+      ObjectCatalog.internal.withValue(true) {
+        Txn.touchTable(t.qname, t.dir)
+        TableStore.overwrite(spark, t.dir,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sparkSchema(t)))
+        refresh(spark, t)
+        result(spark, s"truncated ${t.qname}")
+      }
 
     case alterAddCheckRe(name, cname, checkExpr) =>
       alterAddCheck(spark, name, Option(cname), checkExpr)
@@ -1133,10 +1169,16 @@ object CatalogDdl {
         val inserted = df.count()
         TableStore.append(spark, t.dir, df)
         inserted
-      case Some(spec) => resolveConflicts(spark, t, df, spec, conflictTarget)
+      case Some(spec) =>
+        if (returningCtx.value.isDefined) throw analysisErr(
+          "RETURNING with ON CONFLICT is not supported")
+        resolveConflicts(spark, t, df, spec, conflictTarget)
     }
     refresh(spark, t)
-    countResult(spark, n)
+    returningCtx.value match {
+      case Some(cols) => df.selectExpr(splitTop(cols).map(_.trim): _*)
+      case None => countResult(spark, n)
+    }
   }
 
   private def parseSets(t: TableDef, setClause: String): Seq[(ColumnDef, String)] =
@@ -1237,10 +1279,40 @@ object CatalogDdl {
     inserted + updated
   }
 
+  /** pg selectedCols rule (ExecCheckOneRelPerms): DELETE/UPDATE need
+    * SELECT only for the columns the statement actually READS — the WHERE
+    * predicate, SET right-hand sides, and the RETURNING list. A blind
+    * DELETE or constant UPDATE needs only its write privilege
+    * (any/pg/rbac/enf_dml_select_when_read.test). */
+  private def checkReadCols(spark: SparkSession, t: TableDef,
+      exprs: Seq[String]): Unit = {
+    val names = t.columns.map(_.name).toSet
+    val read = exprs.flatMap { e =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(e).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.name.toLowerCase
+        }
+    }.toSet.intersect(names)
+    if (read.nonEmpty)
+      graft.search.Rbac.check(spark, s"${t.dir}/current", t.qname, read)
+  }
+
   private def update(spark: SparkSession, name: String, sets: String,
       where: Option[String]): DataFrame = {
     val t = tableOf(name)
     graft.search.Rbac.checkWrite(spark, s"${t.dir}/current", "update", t.qname)
+    checkReadCols(spark, t,
+      where.toSeq ++ splitTop(sets).map { a =>
+        val i = a.indexOf('='); if (i < 0) a else a.substring(i + 1)
+      } ++ returningCtx.value.toSeq.flatMap(splitTop(_)))
+    // permissions are charged above (pg ExecCheckPermissions-once); the
+    // rewrite's internal scans run unguarded
+    ObjectCatalog.internal.withValue(true) { updateBody(spark, t, sets, where) }
+  }
+
+  private def updateBody(spark: SparkSession, t: TableDef, sets: String,
+      where: Option[String]): DataFrame = {
     val pred = where.map(expr).getOrElse(lit(true))
     val assignments = splitTop(sets).map { a =>
       val i = a.indexOf('=')
@@ -1268,6 +1340,18 @@ object CatalogDdl {
       }
     }
     Txn.touchTable(t.qname, t.dir)
+    // RETURNING reports the POST-image of matched rows; materialized
+    // (eager checkpoint) BEFORE the rewrite retires their files
+    val returned = returningCtx.value.map { cols =>
+      var post = TableStore.read(spark, t.dir, sparkSchema(t)).filter(pred)
+      assignments.foreach { case (cd, e) =>
+        post = post.withColumn(cd.name, expr(e).cast(cd.sparkType))
+      }
+      t.columns.filter(_.generated.isDefined).foreach { cd =>
+        post = post.withColumn(cd.name, expr(cd.generated.get).cast(cd.sparkType))
+      }
+      post.selectExpr(splitTop(cols).map(_.trim): _*).localCheckpoint(true)
+    }
     val (affected, _) = TableStore.rewriteMatching(spark, t.dir, sparkSchema(t), pred,
       touched => {
         var out = touched
@@ -1290,19 +1374,29 @@ object CatalogDdl {
         post
       })
     refresh(spark, t)
-    countResult(spark, affected)
+    returned.getOrElse(countResult(spark, affected))
   }
 
   private def delete(spark: SparkSession, name: String,
       where: Option[String]): DataFrame = {
     val t = tableOf(name)
     graft.search.Rbac.checkWrite(spark, s"${t.dir}/current", "delete", t.qname)
-    val pred = where.map(expr).getOrElse(lit(true))
-    Txn.touchTable(t.qname, t.dir)
-    val (affected, _) = TableStore.rewriteMatching(spark, t.dir, sparkSchema(t), pred,
-      touched => touched.filter(!pred))
-    refresh(spark, t)
-    countResult(spark, affected)
+    checkReadCols(spark, t,
+      where.toSeq ++ returningCtx.value.toSeq.flatMap(splitTop(_)))
+    ObjectCatalog.internal.withValue(true) {
+      val pred = where.map(expr).getOrElse(lit(true))
+      Txn.touchTable(t.qname, t.dir)
+      // RETURNING reports the deleted rows' pre-image, materialized before
+      // the rewrite retires their files
+      val returned = returningCtx.value.map { cols =>
+        TableStore.read(spark, t.dir, sparkSchema(t)).filter(pred)
+          .selectExpr(splitTop(cols).map(_.trim): _*).localCheckpoint(true)
+      }
+      val (affected, _) = TableStore.rewriteMatching(spark, t.dir, sparkSchema(t), pred,
+        touched => touched.filter(!pred))
+      refresh(spark, t)
+      returned.getOrElse(countResult(spark, affected))
+    }
   }
 
   // ---- ALTER TABLE ---------------------------------------------------------

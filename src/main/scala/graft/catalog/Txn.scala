@@ -198,6 +198,14 @@ object Txn {
     if (s.state == Active) s.state = Aborted
   }
 
+  /** Session-explicit variant: the sqllogic runner reports a failure for
+    * the session it executed on (the thread's active-session binding is
+    * already unwound by the time the exception reaches it). */
+  def statementFailedFor(spark: SparkSession): Unit = {
+    val s = stateOf(spark)
+    if (s.state == Active) s.state = Aborted
+  }
+
   /** Refuse any statement but COMMIT/ROLLBACK while aborted — called from
     * the session parser, so it covers every spark.sql text. */
   def gate(sqlText: String): Unit = {

@@ -174,7 +174,12 @@ case class RbacCheck(spark: SparkSession)
   import graft.search.Rbac
 
   override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    if (Rbac.active && Rbac.currentRole(spark).nonEmpty) {
+    // engine-internal reads (DML rewrite machinery, catalog maintenance)
+    // are authorized by the statement-level privilege checks, not the
+    // scan gate — pg likewise charges DML table permissions once, at
+    // ExecCheckPermissions, not per internal heap access
+    if (!graft.catalog.ObjectCatalog.internal.value &&
+        Rbac.active && Rbac.currentRole(spark).nonEmpty) {
       // COLUMN-grant precision only at the TRUE planner root (the
       // ReturnAnswer wrapper): there, a scan attr counts as used when any
       // operator references it or it escapes in the output — `count(*)`

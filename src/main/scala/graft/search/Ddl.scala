@@ -315,8 +315,10 @@ object Ddl {
   private val optRe = """(?s)(\w+)\s*=\s*'([^']*)'""".r
   // RBAC verbs (reference optimizer/rbac.{h,cpp}; rbac test corpus) —
   // roles, SELECT grants, membership, session current-role
+  // role attribute list: [NO]INHERIT plus the pg attributes that parse
+  // but carry no behavior here (LOGIN/PASSWORD — no wire auth layer)
   private val createRoleRe =
-    """(?is)\s*CREATE\s+ROLE\s+(\w+)(?:\s+(NOINHERIT|INHERIT))?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+ROLE\s+(\w+)((?:\s+(?:NOINHERIT|INHERIT|LOGIN|NOLOGIN|SUPERUSER|NOSUPERUSER|CREATEDB|NOCREATEDB|CREATEROLE|NOCREATEROLE|PASSWORD\s+'[^']*'))*)\s*;?\s*""".r
   private val dropRoleRe = """(?is)\s*DROP\s+ROLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   // GRANT/REVOKE ALL [PRIVILEGES]: SELECT + the write triple in one verb
   // (reference xog_m_grant_all_revoke_all.test)
@@ -1099,7 +1101,7 @@ object Ddl {
       result(spark, s"vacuumed ${touched.size} indexes ($verb)")
     case createRoleRe(name, attr) =>
       Rbac.createRole(name,
-        inherit = attr == null || !attr.equalsIgnoreCase("NOINHERIT"))
+        inherit = attr == null || !attr.toUpperCase.contains("NOINHERIT"))
       result(spark, s"created role $name")
     case dropRoleRe(name) =>
       Rbac.dropRole(name)
@@ -1121,25 +1123,25 @@ object Ddl {
       result(spark, s"revoked SELECT on $view from $role")
     case grantWriteRe(privsRaw, target, role)
         if privsRaw.split(",").map(_.trim.toLowerCase).toSet
-          .subsetOf(Set("insert", "update", "delete")) =>
+          .subsetOf(Set("insert", "update", "delete", "truncate")) =>
       val privs = privsRaw.split(",").map(_.trim.toLowerCase).toSet
       Rbac.grantWrite(writeTargetRoot(spark, target), role, privs)
       result(spark, s"granted ${privs.mkString(",")} on $target to $role")
     case revokeWriteRe(privsRaw, target, role)
         if privsRaw.split(",").map(_.trim.toLowerCase).toSet
-          .subsetOf(Set("insert", "update", "delete")) =>
+          .subsetOf(Set("insert", "update", "delete", "truncate")) =>
       val privs = privsRaw.split(",").map(_.trim.toLowerCase).toSet
       Rbac.revokeWrite(writeTargetRoot(spark, target), role, privs)
       result(spark, s"revoked ${privs.mkString(",")} on $target from $role")
     case grantAllRe(target, role) =>
       val root = writeTargetRoot(spark, target)
       Rbac.grantSelect(spark, root, role)
-      Rbac.grantWrite(root, role, Set("insert", "update", "delete"))
+      Rbac.grantWrite(root, role, Set("insert", "update", "delete", "truncate"))
       result(spark, s"granted ALL on $target to $role")
     case revokeAllRe(target, role) =>
       val root = writeTargetRoot(spark, target)
       Rbac.revokeSelect(root, role)
-      Rbac.revokeWrite(root, role, Set("insert", "update", "delete"))
+      Rbac.revokeWrite(root, role, Set("insert", "update", "delete", "truncate"))
       result(spark, s"revoked ALL on $target from $role")
     case grantRoleRe(granted, to, admin) =>
       Rbac.grantRole(spark, granted, to, admin = admin != null)

@@ -94,14 +94,27 @@ case class GraftCatalogCommand(sql: String) extends LeafRunnableCommand {
   import graft.catalog.CatalogDdl
 
   override val output: Seq[Attribute] =
-    if (CatalogDdl.isDml(sql))
-      Seq(AttributeReference("count", org.apache.spark.sql.types.LongType,
-        nullable = false)())
-    else CatalogDdl.showVarName(sql) match {
-      case Some(n) => Seq(AttributeReference(n, StringType, nullable = false)())
-      case None => Seq(AttributeReference("result", StringType, nullable = false)())
+    CatalogDdl.returningCols(sql) match {
+      // RETURNING projects typed values; the command's schema is fixed at
+      // parse time, so values render as strings (the pg text protocol
+      // shape) under the clause's column names
+      case Some(cols) =>
+        cols.map(c => AttributeReference(c, StringType, nullable = true)())
+      case None if CatalogDdl.isDml(sql) =>
+        Seq(AttributeReference("count", org.apache.spark.sql.types.LongType,
+          nullable = false)())
+      case None => CatalogDdl.showVarName(sql) match {
+        case Some(n) => Seq(AttributeReference(n, StringType, nullable = false)())
+        case None => Seq(AttributeReference("result", StringType, nullable = false)())
+      }
     }
 
-  override def run(spark: SparkSession): Seq[Row] =
-    CatalogDdl.execute(spark, sql).collect().toSeq
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = CatalogDdl.execute(spark, sql)
+    if (CatalogDdl.returningCols(sql).isDefined) {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.map(c => col(s"`$c`").cast("string")): _*)
+        .collect().toSeq
+    } else df.collect().toSeq
+  }
 }

@@ -179,7 +179,7 @@ object Rbac {
 
   def grantWrite(root: String, role: String, privs: Set[String]): Unit = {
     require(exists(role), s"role $role does not exist")
-    require(privs.subsetOf(Set("insert", "update", "delete")),
+    require(privs.subsetOf(Set("insert", "update", "delete", "truncate")),
       s"unknown write privilege in $privs")
     writeGrants.updateWith(root) { m =>
       val cur = m.getOrElse(Map.empty)

@@ -55,12 +55,14 @@ object SqlLogic {
   /** The recovery corpus' crash+restart step (`connection after_crash`):
     * wipe every in-JVM catalog registration and reload from disk. */
   final case class Restart(line: Int) extends Rec
-  /** `connection <name> [user=u password=p]` — switch the executing
-    * session, as the reference's multi-connection corpus does (291 files:
-    * txn visibility, rbac per-user enforcement). Each name lazily maps to
-    * its own SparkSession (`newSession()` — shared catalog + data, private
-    * txn/var/role state, mirroring pg's shared-server/per-connection
-    * split); `user=` sets that session's role, modelling authentication. */
+  /** `connection <name> [user=u password=p]` — run the NEXT record on the
+    * named session, as the reference's multi-connection corpus does (291
+    * files: txn visibility, rbac per-user enforcement; the directive is
+    * repeated before every record it applies to — per-record scope, like
+    * sqllogictest-rs). Each name lazily maps to its own SparkSession
+    * (`newSession()` — shared catalog + data, private txn/var/role state,
+    * mirroring pg's shared-server/per-connection split); `user=` sets that
+    * session's role, modelling authentication. */
   final case class Connection(name: String, user: Option[String],
       line: Int) extends Rec
 
@@ -166,7 +168,7 @@ object SqlLogic {
     } catch { case e: Throwable =>
       // a failed statement aborts an open transaction block (pg 25P02);
       // this runner is the reference corpus' connection choke point
-      graft.catalog.Txn.statementFailed()
+      graft.catalog.Txn.statementFailedFor(spark)
       throw e
     }
   }
@@ -188,9 +190,9 @@ object SqlLogic {
       testdata: String): Seq[Failure] = {
     val fails = ArrayBuffer.empty[Failure]
     val sessions = scala.collection.mutable.Map("default" -> spark)
-    var cur = spark
+    var next = spark // session for the NEXT record; reverts to default after
     def connect(cname: String, user: Option[String]): Unit = {
-      cur = sessions.getOrElseUpdate(cname, {
+      next = sessions.getOrElseUpdate(cname, {
         val s = spark.newSession()
         graft.search.SqlSurface.registerAll(s)
         graft.catalog.CatalogDdl.registerFunctions(s)
@@ -199,17 +201,18 @@ object SqlLogic {
       // authentication: the connection runs AS this role (pg session
       // authorization); absent user= the connection is the superuser
       user match {
-        case Some(u) => cur.conf.set(graft.search.Rbac.RoleConf, u.toLowerCase)
+        case Some(u) => next.conf.set(graft.search.Rbac.RoleConf, u.toLowerCase)
         case None => ()
       }
     }
+    def take(): SparkSession = { val s = next; next = spark; s }
     parse(content.replace("$TESTDATA", testdata)).foreach {
       case Connection(cname, user, _) => connect(cname, user)
       case Restart(_) =>
-        graft.catalog.ObjectCatalog.simulateRestart(cur)
+        graft.catalog.ObjectCatalog.simulateRestart(take())
       case Statement(sql, None, line, expectCount) =>
         try {
-          val rows = execute(cur, sql).collect()
+          val rows = execute(take(), sql).collect()
           expectCount.foreach { want =>
             val got = rows.headOption.map(_.getLong(0)).getOrElse(-1L)
             if (got != want)
@@ -219,7 +222,7 @@ object SqlLogic {
           fails += Failure(name, line, s"statement failed: ${e.getMessage}") }
       case Statement(sql, Some(substr), line, _) =>
         try {
-          execute(cur, sql).collect()
+          execute(take(), sql).collect()
           fails += Failure(name, line, "expected an error, statement succeeded")
         } catch { case e: Exception =>
           // match against the whole cause chain: Spark wraps UDF and task
@@ -233,7 +236,7 @@ object SqlLogic {
         }
       case Query(sql, expected, planExpect, line) =>
         try {
-          val df = execute(cur, sql)
+          val df = execute(take(), sql)
           val got = rows(df)
           if (got != expected)
             fails += Failure(name, line,
@@ -256,7 +259,8 @@ object SqlLogic {
     val lines = content.split("\n", -1)
     var i = 0
     val sessions = scala.collection.mutable.Map("default" -> spark)
-    var cur = spark
+    var next = spark
+    def take(): SparkSession = { val s = next; next = spark; s }
     while (i < lines.length) {
       val l = lines(i).trim
       if (l == "statement ok" || l.startsWith("statement error") ||
@@ -267,19 +271,19 @@ object SqlLogic {
           sqlB += lines(i); out += lines(i); i += 1
         }
         if (!l.startsWith("statement error"))
-          execute(cur,
+          execute(take(),
             sqlB.mkString("\n").replace("$TESTDATA", testdata)).collect()
         else
-          try execute(cur,
+          try execute(take(),
             sqlB.mkString("\n").replace("$TESTDATA", testdata)).collect()
           catch { case _: Exception => () }
       } else if (l == "restart") {
         out += lines(i); i += 1
-        graft.catalog.ObjectCatalog.simulateRestart(cur)
+        graft.catalog.ObjectCatalog.simulateRestart(take())
       } else if (l.startsWith("connection ")) {
         out += lines(i); i += 1
         val parts = l.stripPrefix("connection ").trim.split("\\s+")
-        cur = sessions.getOrElseUpdate(parts(0), {
+        next = sessions.getOrElseUpdate(parts(0), {
           val s = spark.newSession()
           graft.search.SqlSurface.registerAll(s)
           graft.catalog.CatalogDdl.registerFunctions(s)
@@ -287,7 +291,7 @@ object SqlLogic {
         })
         parts.drop(1).collectFirst {
           case p if p.startsWith("user=") => p.stripPrefix("user=") }
-          .foreach(u => cur.conf.set(graft.search.Rbac.RoleConf, u.toLowerCase))
+          .foreach(u => next.conf.set(graft.search.Rbac.RoleConf, u.toLowerCase))
       } else if (l == "query" || l.startsWith("query ")) {
         out += lines(i); i += 1
         val sqlB = ArrayBuffer.empty[String]
@@ -300,7 +304,7 @@ object SqlLogic {
           while (i < lines.length && lines(i).nonEmpty) i += 1
         }
         out += "----"
-        out ++= rows(execute(cur,
+        out ++= rows(execute(take(),
           sqlB.mkString("\n").replace("$TESTDATA", testdata)))
       } else { out += lines(i); i += 1 }
     }
