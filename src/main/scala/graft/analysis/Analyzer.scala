@@ -602,9 +602,23 @@ object Analyzers {
 object AnalyzerRegistry {
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, Analyzer]()
 
+  /** Which schema a user dictionary was created in (pg catalogs scope
+    * dictionaries per schema; opclass_name_resolution.test depends on a
+    * dictionary NOT resolving once search_path moves off its schema).
+    * Built-ins registered below have no entry → treated as pg_catalog,
+    * visible everywhere. */
+  private val dictSchema = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def register(name: String, analyzer: Analyzer): Unit = registry.put(name, analyzer)
-  def unregister(name: String): Boolean = registry.remove(name) != null
+  def unregister(name: String): Boolean = {
+    dictSchema.remove(name)
+    registry.remove(name) != null
+  }
   def exists(name: String): Boolean = registry.containsKey(name)
+  def recordSchema(name: String, schema: String): Unit =
+    dictSchema.put(name, schema.toLowerCase(Locale.ROOT))
+  def schemaOf(name: String): String =
+    Option(dictSchema.get(name)).getOrElse("pg_catalog")
   def get(name: String): Analyzer = {
     val a = registry.get(name)
     require(a != null, s"unknown text search dictionary: $name")

@@ -514,6 +514,16 @@ object CatalogDdl {
   /** pg type -> (spark DDL type, serial?, enum qname?). */
   private def mapType(pgType: String): (String, Boolean, Option[String]) = {
     val t = pgType.trim.toUpperCase(Locale.ROOT).replaceAll("\\s+", " ")
+    // pg array spellings: INT[], FLOAT[3] (fixed-size hints drop — Spark
+    // arrays are unsized; the reference's own pg layer treats FLOAT[3] as
+    // FLOAT[] plus a length check at index-validation time)
+    val arrRe = """^(.*?)\s*\[\s*\d*\s*\]$""".r
+    t match {
+      case arrRe(base) =>
+        val (el, _, _) = mapType(base)
+        return (s"ARRAY<$el>", false, None)
+      case _ => ()
+    }
     val (st, serial) = t match {
       case "SERIAL" => ("INT", true)
       case "BIGSERIAL" | "SERIAL8" => ("BIGINT", true)

@@ -83,6 +83,18 @@ object SessionVars {
     case None => reset(spark, name)
   }
 
+  /** The schemas a bare name resolves against, in order — the session's
+    * search_path with `"$user"` skipped (no per-user schemas here) and
+    * pg_catalog implicitly first, as pg does. */
+  def searchPathSchemas(spark: SparkSession): Seq[String] =
+    "pg_catalog" +: get(spark, "search_path").getOrElse("public")
+      .split(",").iterator.map(_.trim.stripPrefix("\"").stripSuffix("\"").toLowerCase)
+      .filter(s => s.nonEmpty && s != "$user").toSeq
+
+  /** pg CURRENT_SCHEMA: the first concrete schema on search_path. */
+  def currentSchema(spark: SparkSession): String =
+    searchPathSchemas(spark).find(_ != "pg_catalog").getOrElse("public")
+
   /** All plain variables + materialized knob values, for pg_settings. */
   def all(spark: SparkSession): Seq[(String, String)] =
     (vars(spark).toSeq ++ knobMap.toSeq.flatMap { case (n, conf) =>

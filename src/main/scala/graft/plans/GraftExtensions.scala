@@ -42,6 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
     graft.functions.QuantizationExpressions.functions.foreach(e.injectFunction)
     graft.functions.GeoWkb.functions.foreach(e.injectFunction)
+    // DuckDB's array constructor spelling (the reference corpus writes
+    // `array_value(x, y, z)` for vector expressions) — a pure alias of
+    // Spark's CreateArray, codegen'd like the builtin
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("array_value"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.CreateArray].getName,
+        "array_value"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.CreateArray(args)))
   }
 }
 

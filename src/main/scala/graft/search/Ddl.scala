@@ -533,6 +533,10 @@ object Ddl {
         throw new IllegalArgumentException(
           """CREATE TEXT SEARCH DICTIONARY: required parameter "template" was not found"""))
       graft.analysis.AnalyzerRegistry.create(name, template, opts - "template")
+      // dictionaries are schema-scoped objects in the reference's catalog;
+      // bare-opclass resolution (PgIndexDdl) honors the creating schema
+      graft.analysis.AnalyzerRegistry.recordSchema(name,
+        graft.catalog.SessionVars.currentSchema(spark))
       result(spark, s"created dictionary $name")
     case dropDictRe(name) =>
       if (!graft.analysis.AnalyzerRegistry.unregister(name))
@@ -1031,10 +1035,15 @@ object Ddl {
           throw new IllegalArgumentException(s"no such search index: $name")
       }
     case vacuumRe(view) =>
+      // pg-spelled indexes build lazily (created on empty tables, data
+      // arrives later); VACUUM is the visibility point, so retry deferred
+      // builds first — they register engine indexes picked up just below
+      PgIndexDdl.onVacuum(spark, view)
       val names = catalog.toSeq.collect {
         case (n, e) if e.view.equalsIgnoreCase(view) => n }.sorted
-      if (names.isEmpty) throw new IllegalArgumentException(
-        s"VACUUM (REFRESH_TABLE): no search/vector/secondary index on $view")
+      if (names.isEmpty && !PgIndexDdl.hasSpecsFor(view))
+        throw new IllegalArgumentException(
+          s"VACUUM (REFRESH_TABLE): no search/vector/secondary index on $view")
       names.foreach(n => executeParsed(spark, s"REFRESH SEARCH INDEX $n"))
       result(spark, s"vacuumed $view (${names.size} indexes refreshed)")
     case vacuumBadRe() =>

@@ -22,12 +22,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * a block is aborted), then lazy catalog replay so a FRESH session's
     * very first `SELECT ... FROM t` resolves durable catalog objects (the
     * recovery corpus' restart step), then graft statement dispatch. */
-  private def dispatch(sqlText: String): Option[LogicalPlan] = {
+  private def dispatch(sqlText0: String): Option[LogicalPlan] = {
+    // pg expression spellings ([..] lists, ::T[n], <-> distances) rewrite
+    // to Spark SQL text first, so both graft statements and plain Spark
+    // SQL accept them (PgDialect is a no-op when none are present)
+    val sqlText = PgDialect.rewrite(sqlText0)
     graft.catalog.Txn.gate(sqlText)
     if (!graft.catalog.ObjectCatalog.internal.value)
       org.apache.spark.sql.SparkSession.getActiveSession
         .foreach(graft.catalog.ObjectCatalog.ensureSession)
     if (Ddl.handles(sqlText)) Some(GraftDdlCommand(sqlText))
+    else if (PgIndexDdl.handles(sqlText)) Some(GraftPgIndexCommand(sqlText))
     else if (graft.catalog.CatalogDdl.handles(sqlText))
       Some(GraftCatalogCommand(sqlText))
     else if (graft.catalog.DuckStatements.handles(sqlText))
@@ -39,7 +44,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    dispatch(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    dispatch(sqlText).getOrElse(delegate.parsePlan(PgDialect.rewrite(sqlText)))
 
   // the interface DEFAULT drops the ParameterContext on the floor (it just
   // calls parsePlan), so named/positional parameters MUST forward to the
@@ -47,7 +52,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlanWithParameters(sqlText: String,
       parameterContext: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
     dispatch(sqlText).getOrElse(
-      delegate.parsePlanWithParameters(sqlText, parameterContext))
+      delegate.parsePlanWithParameters(PgDialect.rewrite(sqlText),
+        parameterContext))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -83,6 +89,16 @@ case class GraftDdlCommand(sql: String) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] =
     Ddl.execute(spark, sql).collect().toSeq
+}
+
+/** pg-spelled index DDL (`CREATE INDEX ... USING inverted(...)` /
+  * `DROP INDEX`) as an eager leaf command — same pattern as
+  * [[GraftDdlCommand]]. */
+case class GraftPgIndexCommand(sql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    PgIndexDdl.execute(spark, sql).collect().toSeq
 }
 
 /** Catalog DDL/DML/txn statements as eagerly-executed leaf commands — the

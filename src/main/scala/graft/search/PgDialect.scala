@@ -1,0 +1,397 @@
+package graft.search
+
+import scala.collection.mutable.ArrayBuffer
+
+/** pg/DuckDB EXPRESSION spellings the reference's SQL surface accepts
+  * inside otherwise-ordinary statements, rewritten to Spark SQL text
+  * before parsing (reference surface: the vector corpus —
+  * tests/sqllogic/sdb/pg/index/vector_*.test writes
+  * `ORDER BY emb <-> [1, 2, 3]::FLOAT[3] LIMIT 1` — and DuckDB's bracket
+  * list constructor, site_docs/sql/data_types/list):
+  *
+  *  - `[e1, e2, ...]` in expression position → `array(e1, e2, ...)`.
+  *    A `[` directly after an identifier / `)` / `]` / string is a
+  *    SUBSCRIPT and is left alone (`arr[0]`, `map['k']` keep Spark's
+  *    meaning) — the same previous-token disambiguation DuckDB's lexer
+  *    uses.
+  *  - `::T[n]` / `::T[]` → `::ARRAY<T'>` (fixed-size hints drop; Spark
+  *    arrays are unsized — the same collapse CatalogDdl applies to
+  *    column types). Scalar `::T` casts pass through untouched: Spark 4
+  *    parses `expr::type` natively.
+  *  - the pgvector distance operators become the claimable distance
+  *    functions: `a <-> b` → `ann_l2(a, b)`, `a <=> b` → `ann_cosine`,
+  *    `a <#> b` → `ann_ip` — so `ORDER BY a <-> q LIMIT k` hits
+  *    ClaimAnnTopK exactly like the spelled-out form. DEVIATION: Spark's
+  *    own `<=>` (null-safe equality) is shadowed in SQL text — this
+  *    dialect is pg-flavored, where that spelling is cosine distance and
+  *    null-safe equality is `IS NOT DISTINCT FROM` (which Spark also
+  *    parses).
+  *
+  * Everything is token-level and quote-aware: single-quoted strings
+  * (with `''` escapes), double-quoted identifiers, line and block
+  * comments pass through byte-identical, so a tsquery literal containing
+  * `<->` adjacency is never touched.
+  */
+object PgDialect {
+
+  /** Cheap trigger — rewriting tokenizes, so skip statements that cannot
+    * contain any of the spellings. `[` alone is common in Spark SQL
+    * (subscripts), but the tokenizer pass is only O(n) and subscripts
+    * come out byte-identical. */
+  private val castArrayRe = """::\s*\w+\s*\[""".r
+
+  def needed(sql: String): Boolean = {
+    (sql.indexOf('[') >= 0 &&
+      (hasLiteralBracket(sql) || castArrayRe.findFirstIn(sql).isDefined)) ||
+      sql.contains("<->") || sql.contains("<=>") || sql.contains("<#>")
+  }
+
+  def rewrite(sql: String): String = {
+    if (!needed(sql)) return sql
+    val toks = lex(sql)
+    val afterCasts = rewriteCastTypes(toks)
+    val afterLists = rewriteBracketLists(afterCasts)
+    val afterOps = rewriteDistanceOps(afterLists)
+    afterOps.map(_.text).mkString
+  }
+
+  // ---- lexer ---------------------------------------------------------------
+
+  sealed trait Kind
+  case object WS extends Kind
+  case object STR extends Kind      // '...' (with '' escapes)
+  case object QIDENT extends Kind   // "..."
+  case object COMMENT extends Kind  // -- ... or /* ... */
+  case object NUM extends Kind
+  case object IDENT extends Kind
+  case object LPAREN extends Kind
+  case object RPAREN extends Kind
+  case object LBRACK extends Kind
+  case object RBRACK extends Kind
+  case object COMMA extends Kind
+  case object DCOLON extends Kind   // ::
+  case object DIST extends Kind     // <-> <=> <#>
+  case object OP extends Kind       // everything else operator-ish
+  final case class Tok(kind: Kind, text: String)
+
+  private val multiOps = Seq("<->", "<=>", "<#>", "::", "||", "<=", ">=",
+    "<>", "!=", "->>", "->", "**", "//")
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) {
+        val j = { var k = i; while (k < n && s.charAt(k).isWhitespace) k += 1; k }
+        out += Tok(WS, s.substring(i, j)); i = j
+      } else if (c == '\'') {
+        var j = i + 1
+        var closed = false
+        while (!closed && j < n) {
+          if (s.charAt(j) == '\'') {
+            if (j + 1 < n && s.charAt(j + 1) == '\'') j += 2
+            else { closed = true; j += 1 }
+          } else j += 1
+        }
+        out += Tok(STR, s.substring(i, j)); i = j
+      } else if (c == '"') {
+        var j = i + 1
+        while (j < n && s.charAt(j) != '"') j += 1
+        if (j < n) j += 1
+        out += Tok(QIDENT, s.substring(i, j)); i = j
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        var j = i
+        while (j < n && s.charAt(j) != '\n') j += 1
+        out += Tok(COMMENT, s.substring(i, j)); i = j
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        var j = i + 2
+        while (j + 1 < n && !(s.charAt(j) == '*' && s.charAt(j + 1) == '/')) j += 1
+        j = math.min(n, j + 2)
+        out += Tok(COMMENT, s.substring(i, j)); i = j
+      } else if (c.isDigit ||
+          (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        var j = i
+        while (j < n && (s.charAt(j).isDigit || s.charAt(j) == '.')) j += 1
+        // exponent
+        if (j < n && (s.charAt(j) == 'e' || s.charAt(j) == 'E') && {
+          val k = if (j + 1 < n && (s.charAt(j + 1) == '+' || s.charAt(j + 1) == '-')) j + 2 else j + 1
+          k < n && s.charAt(k).isDigit
+        }) {
+          j += 1
+          if (s.charAt(j) == '+' || s.charAt(j) == '-') j += 1
+          while (j < n && s.charAt(j).isDigit) j += 1
+        }
+        out += Tok(NUM, s.substring(i, j)); i = j
+      } else if (c.isLetter || c == '_' || c == '$') {
+        var j = i
+        while (j < n && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_' || s.charAt(j) == '$')) j += 1
+        out += Tok(IDENT, s.substring(i, j)); i = j
+      } else multiOps.find(op => s.startsWith(op, i)) match {
+        case Some(op) =>
+          val kind = op match {
+            case "<->" | "<=>" | "<#>" => DIST
+            case "::" => DCOLON
+            case _ => OP
+          }
+          out += Tok(kind, op); i += op.length
+        case None =>
+          val kind = c match {
+            case '(' => LPAREN
+            case ')' => RPAREN
+            case '[' => LBRACK
+            case ']' => RBRACK
+            case ',' => COMMA
+            case _ => OP
+          }
+          out += Tok(kind, c.toString); i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Pre-tokenizer peek used by [[needed]]: is there any `[` in literal
+    * position outside quotes/comments? Mirrors the token rule cheaply. */
+  private def hasLiteralBracket(sql: String): Boolean =
+    lex(sql).foldLeft((false, Option.empty[Tok])) {
+      case ((found, prev), t) =>
+        val f = found || (t.kind == LBRACK && isLiteralContext(prev))
+        val p = t.kind match { case WS | COMMENT => prev; case _ => Some(t) }
+        (f, p)
+    }._1
+
+  /** SQL keywords an expression can directly follow — a `[` after one of
+    * these is a list literal, not a subscript of the keyword. */
+  private val exprKeywords = Set(
+    "SELECT", "WHERE", "VALUES", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
+    "BY", "ON", "IN", "HAVING", "RETURNING", "SET", "DISTINCT", "ALL",
+    "CASE", "END", "BETWEEN", "LIKE", "ILIKE", "IS", "UNION", "EXCEPT",
+    "INTERSECT", "OVER", "PARTITION", "ROW", "ARRAY_CONTAINS", "COALESCE")
+
+  /** `[` after one of these starts a list literal; after an identifier /
+    * closing bracket / string it's a subscript. */
+  private def isLiteralContext(prev: Option[Tok]): Boolean = prev match {
+    case None => true
+    case Some(t) => t.kind match {
+      case IDENT if exprKeywords.contains(t.text.toUpperCase) => true
+      case IDENT | QIDENT | RPAREN | RBRACK | STR | NUM => false
+      case _ => true
+    }
+  }
+
+  // ---- pass 1: ::T[n] → ::ARRAY<T> ------------------------------------------
+
+  private def mapScalar(t: String): String = t.toUpperCase match {
+    case "INT" | "INTEGER" | "INT4" => "INT"
+    case "BIGINT" | "INT8" => "BIGINT"
+    case "SMALLINT" | "INT2" => "SMALLINT"
+    case "FLOAT" | "FLOAT4" | "REAL" => "FLOAT"
+    case "DOUBLE" | "FLOAT8" => "DOUBLE"
+    case "VARCHAR" | "TEXT" => "STRING"
+    case "BOOLEAN" | "BOOL" => "BOOLEAN"
+    case other => other
+  }
+
+  private def rewriteCastTypes(toks: Vector[Tok]): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    def peekAt(from: Int): Int = { // next non-ws/comment index, or -1
+      var k = from
+      while (k < toks.length && (toks(k).kind == WS || toks(k).kind == COMMENT)) k += 1
+      if (k < toks.length) k else -1
+    }
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == DCOLON) {
+        val ti = peekAt(i + 1)
+        if (ti >= 0 && toks(ti).kind == IDENT) {
+          val bi = peekAt(ti + 1)
+          if (bi >= 0 && toks(bi).kind == LBRACK) {
+            // optional size NUM then ]
+            val si = peekAt(bi + 1)
+            val ci = if (si >= 0 && toks(si).kind == NUM) peekAt(si + 1) else si
+            if (ci >= 0 && toks(ci).kind == RBRACK) {
+              out += Tok(DCOLON, "::")
+              out += Tok(IDENT, s"ARRAY<${mapScalar(toks(ti).text)}>")
+              i = ci + 1
+            } else { out += t; i += 1 }
+          } else { out += t; i += 1 }
+        } else { out += t; i += 1 }
+      } else { out += t; i += 1 }
+    }
+    out.result()
+  }
+
+  // ---- pass 2: bracket lists → array(...) ------------------------------------
+
+  private def rewriteBracketLists(toks: Vector[Tok]): Vector[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    var prev: Option[Tok] = None
+    val stack = ArrayBuffer.empty[Boolean] // true = literal bracket
+    toks.foreach { t =>
+      t.kind match {
+        case LBRACK if isLiteralContext(prev) =>
+          stack += true
+          out += Tok(IDENT, "array"); out += Tok(LPAREN, "(")
+        case LBRACK =>
+          stack += false; out += t
+        case RBRACK if stack.nonEmpty && stack.last =>
+          stack.remove(stack.length - 1); out += Tok(RPAREN, ")")
+        case RBRACK =>
+          if (stack.nonEmpty) stack.remove(stack.length - 1)
+          out += t
+        case _ => out += t
+      }
+      prev = t.kind match { case WS | COMMENT => prev; case _ => Some(t) }
+    }
+    out.toVector
+  }
+
+  // ---- pass 3: distance operators → function calls ----------------------------
+
+  private def distFn(op: String): String = op match {
+    case "<->" => "ann_l2"
+    case "<=>" => "ann_cosine"
+    case _ => "ann_ip"
+  }
+
+  private def rewriteDistanceOps(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var idx = toks.indexWhere(_.kind == DIST)
+    var guard = 0
+    while (idx >= 0 && guard < 64) {
+      toks = rewriteOneDist(toks, idx)
+      idx = toks.indexWhere(_.kind == DIST)
+      guard += 1
+    }
+    toks
+  }
+
+  private def skipWsF(toks: Vector[Tok], from: Int): Int = {
+    var k = from
+    while (k < toks.length && (toks(k).kind == WS || toks(k).kind == COMMENT)) k += 1
+    k
+  }
+  private def skipWsB(toks: Vector[Tok], from: Int): Int = {
+    var k = from
+    while (k >= 0 && (toks(k).kind == WS || toks(k).kind == COMMENT)) k -= 1
+    k
+  }
+
+  /** End index (exclusive) of the operand starting at `start`. */
+  private def operandEnd(toks: Vector[Tok], start: Int): Int = {
+    var i = skipWsF(toks, start)
+    if (i >= toks.length) return i
+    // primary
+    toks(i).kind match {
+      case IDENT | QIDENT =>
+        i += 1
+        // dotted name
+        var go = true
+        while (go) {
+          val d = skipWsF(toks, i)
+          if (d < toks.length && toks(d).kind == OP && toks(d).text == "." ) {
+            val nm = skipWsF(toks, d + 1)
+            if (nm < toks.length && (toks(nm).kind == IDENT || toks(nm).kind == QIDENT)) i = nm + 1
+            else go = false
+          } else go = false
+        }
+        // call parens
+        val p = skipWsF(toks, i)
+        if (p < toks.length && toks(p).kind == LPAREN) i = matchF(toks, p) + 1
+      case NUM | STR => i += 1
+      case LPAREN => i = matchF(toks, i) + 1
+      case OP if toks(i).text == "-" || toks(i).text == "+" =>
+        return operandEnd(toks, i + 1)
+      case _ => return i // give up: leave text as-is downstream
+    }
+    // postfix chain
+    var go = true
+    while (go) {
+      val k = skipWsF(toks, i)
+      if (k < toks.length) toks(k).kind match {
+        case DCOLON =>
+          val tn = skipWsF(toks, k + 1)
+          if (tn < toks.length && toks(tn).kind == IDENT) i = tn + 1 else go = false
+        case LBRACK => i = matchF(toks, k) + 1
+        case _ => go = false
+      } else go = false
+    }
+    i
+  }
+
+  /** Start index of the operand ending at `end` (inclusive scan backwards). */
+  private def operandStart(toks: Vector[Tok], end: Int): Int = {
+    var i = skipWsB(toks, end)
+    if (i < 0) return 0
+    def primaryBack(j0: Int): Int = {
+      var j = j0
+      toks(j).kind match {
+        case RPAREN | RBRACK =>
+          j = matchB(toks, j)
+          // call? identifier before the open paren
+          val nm = skipWsB(toks, j - 1)
+          if (nm >= 0 && (toks(nm).kind == IDENT || toks(nm).kind == QIDENT)) nm
+          else j
+        case IDENT | QIDENT | NUM | STR => j
+        case _ => j
+      }
+    }
+    var start = primaryBack(i)
+    // leading chains: `a.b`, `x::T` — the token before start
+    var go = true
+    while (go) {
+      val d = skipWsB(toks, start - 1)
+      if (d >= 0 && (toks(d).kind == DCOLON ||
+          (toks(d).kind == OP && toks(d).text == "."))) {
+        val p = skipWsB(toks, d - 1)
+        if (p >= 0) { start = primaryBack(p); }
+        else go = false
+      } else go = false
+    }
+    start
+  }
+
+  private def matchF(toks: Vector[Tok], open: Int): Int = {
+    var depth = 0; var i = open
+    while (i < toks.length) {
+      toks(i).kind match {
+        case LPAREN | LBRACK => depth += 1
+        case RPAREN | RBRACK =>
+          depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    toks.length - 1
+  }
+  private def matchB(toks: Vector[Tok], close: Int): Int = {
+    var depth = 0; var i = close
+    while (i >= 0) {
+      toks(i).kind match {
+        case RPAREN | RBRACK => depth += 1
+        case LPAREN | LBRACK =>
+          depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i -= 1
+    }
+    0
+  }
+
+  private def rewriteOneDist(toks: Vector[Tok], opIdx: Int): Vector[Tok] = {
+    val fn = distFn(toks(opIdx).text)
+    val lStart = operandStart(toks, opIdx - 1)
+    val rEnd = operandEnd(toks, opIdx + 1)
+    val left = toks.slice(lStart, skipWsB(toks, opIdx - 1) + 1)
+    val right = toks.slice(skipWsF(toks, opIdx + 1), rEnd)
+    if (left.isEmpty || right.isEmpty)
+      // cannot parse — demote the token so the loop terminates; Spark will
+      // report the original syntax error
+      return toks.updated(opIdx, Tok(OP, toks(opIdx).text))
+    val call = Vector(Tok(IDENT, fn), Tok(LPAREN, "(")) ++ left ++
+      Vector(Tok(COMMA, ", ")) ++ right :+ Tok(RPAREN, ")")
+    toks.take(lStart) ++ call ++ toks.drop(rEnd)
+  }
+}

@@ -1,0 +1,358 @@
+package graft.search
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The reference's pg-native index spelling —
+  * `CREATE INDEX n ON t USING inverted(pk, body en, (a || b) kw, emb ivf
+  * (metric = 'l2'), plain) INCLUDE (c)` — translated onto this engine's
+  * SEARCH/VECTOR index verbs (reference surface: the 225-file
+  * tests/sqllogic/sdb/pg/index corpus; opclass grammar in
+  * server/pg/commands/create_index.cpp).
+  *
+  * Opclass NAME RESOLUTION follows the reference exactly
+  * (tests/sqllogic/sdb/pg/index/opclass_name_resolution.test):
+  *  - a BARE name resolves against the text search dictionaries first —
+  *    a user dictionary shadows a built-in opclass name ('ivf',
+  *    'included');
+  *  - the PARENS form `name(...)` selects the BUILT-IN opclass only
+  *    ('ivf' → vector, 'included' → covering store); a non-built-in name
+  *    with parens is an error;
+  *  - a bare built-in name with no shadowing dictionary errors with a
+  *    hint about the options form.
+  *
+  * Structural translation:
+  *  - the index NAME is registered as a SQL relation over the source
+  *    table (the reference's index-as-relation surface: `SELECT ... FROM
+  *    docs_idx`); Spark's column pruning supplies the covering-read
+  *    behavior natively, so the relation is the full table;
+  *  - each tokenizer item delegates to CREATE SEARCH INDEX (per column —
+  *    claims key off (scan root, column, analyzer), so multi-column
+  *    indexes become one engine index per column);
+  *  - `ivf(...)` delegates to CREATE VECTOR INDEX;
+  *  - bare non-id columns become typed FIELDS; `included(...)` columns
+  *    and the trailing INCLUDE clause become the covering columnstore.
+  *
+  * Builds are LAZY where the underlying machinery needs data the table
+  * doesn't have yet (the corpus creates indexes on empty tables, then
+  * INSERTs, then forces visibility with `VACUUM (REFRESH_TABLE)`): a
+  * delegation that fails at CREATE time is recorded and retried by the
+  * VACUUM hook — mirroring the reference's own build-on-vacuum
+  * lifecycle. Query RESULTS never depend on a build having happened
+  * (the relation view is the table); builds only enable claimed plans.
+  */
+object PgIndexDdl {
+
+  /** One opclass-resolved item of the parenthesized index list. */
+  private sealed trait Item
+  private final case class IdCol(col: String) extends Item
+  private final case class FieldCol(col: String) extends Item
+  private final case class Tokenized(target: String, isExpr: Boolean,
+      dict: String) extends Item
+  private final case class Vector(target: String, isExpr: Boolean,
+      opts: Map[String, String]) extends Item
+  /** `included(...)` opclass — covering-store member. Expression members
+    * are legal (opclass_name_resolution.test) and carried by the
+    * relation view alone; only plain columns join the INCLUDE sidecar. */
+  private final case class Included(col: String, isExpr: Boolean) extends Item
+
+  private final case class Spec(name: String, table: String, idCol: String,
+      items: Seq[Item], include: Seq[String], deferred: Seq[String])
+
+  /** name -> spec; `deferred` holds the delegated DDL statements whose
+    * build failed at CREATE time (retried on VACUUM). */
+  private val registry = TrieMap.empty[String, Spec]
+
+  private val headRe =
+    """(?is)\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+(?:\.\w+)?)\s+USING\s+inverted\s*\(.*""".r
+  private val dropRe =
+    """(?is)\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+
+  def handles(sql: String): Boolean = sql match {
+    case headRe(_*) => true
+    case dropRe(_, name) => registry.contains(name.toLowerCase) ||
+      sql.matches("""(?is)\s*DROP\s+INDEX\s+IF\s+EXISTS\s+\w+\s*;?\s*""")
+    case _ => false
+  }
+
+  /** Split on top-level commas (parens-aware, quote-aware). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Extract the balanced `(...)` starting at `open`; returns (inside, end)
+    * where end is the index AFTER the closing paren. */
+  private def balanced(s: String, open: Int): (String, Int) = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(open + 1, i), i + 1)
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+  }
+
+  private def pgTypeName(dt: DataType): String = dt match {
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case ShortType => "SMALLINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case StringType => "VARCHAR"
+    case BinaryType => "BLOB"
+    case ArrayType(e, _) => pgTypeName(e) + "[]"
+    case other => other.sql
+  }
+
+  private def typeOf(spark: SparkSession, table: String, expr: String): DataType =
+    spark.table(table).selectExpr(expr).schema.head.dataType
+
+  private val builtins = Set("ivf", "included")
+
+  /** A user dictionary is visible when its creating schema is on the
+    * session's search_path (built-ins live in pg_catalog — always
+    * visible). */
+  private def dictVisible(spark: SparkSession, name: String): Boolean =
+    graft.analysis.AnalyzerRegistry.exists(name) &&
+      graft.catalog.SessionVars.searchPathSchemas(spark)
+        .contains(graft.analysis.AnalyzerRegistry.schemaOf(name))
+
+  /** Resolve one item: `col`, `col opname`, `col opname(opts)`, `(expr)`
+    * variants. */
+  private def resolveItem(spark: SparkSession, table: String,
+      raw: String): Item = {
+    val (target, isExpr, rest) =
+      if (raw.startsWith("(")) {
+        val (inside, end) = balanced(raw, 0)
+        (inside.trim, true, raw.substring(end).trim)
+      } else {
+        val m = """^(\w+)(.*)$""".r.findFirstMatchIn(raw).getOrElse(
+          throw new IllegalArgumentException(s"cannot parse index item: $raw"))
+        (m.group(1), false, m.group(2).trim)
+      }
+    def requireTokenizable(dict: String): Item = {
+      val dt = typeOf(spark, table, target)
+      val ok = dt match {
+        case StringType | BinaryType => true
+        case ArrayType(StringType | BinaryType, _) => true
+        case _ => false
+      }
+      if (!ok) throw new IllegalArgumentException(
+        s"Column '$target' uses a tokenizer; must be VARCHAR, BLOB, or a " +
+          s"LIST/ARRAY of VARCHAR/BLOB (got ${pgTypeName(dt)})")
+      Tokenized(target, isExpr, dict)
+    }
+    if (rest.isEmpty) {
+      if (isExpr)
+        // a bare indexed expression defaults to the default dictionary
+        // (reference: `USING inverted(id, (a + b))` — verbatim keyword)
+        requireTokenizable("keyword")
+      else IdCol(target) // classified to id/field by the caller
+    } else {
+      val m = """^(\w+)\s*(\(.*\))?\s*$""".r.findFirstMatchIn(rest).getOrElse(
+        throw new IllegalArgumentException(s"cannot parse opclass in: $raw"))
+      val opname = m.group(1).toLowerCase
+      val parens = Option(m.group(2))
+      parens match {
+        case Some(p) =>
+          // parens select the BUILT-IN opclass, dictionaries cannot shadow
+          opname match {
+            case "ivf" =>
+              val opts = """(\w+)\s*=\s*'([^']*)'""".r.findAllMatchIn(p)
+                .map(x => x.group(1).toLowerCase -> x.group(2)).toMap ++
+                """(\w+)\s*=\s*(\d+|true|false)""".r.findAllMatchIn(p)
+                  .map(x => x.group(1).toLowerCase -> x.group(2)).toMap
+              val dt = typeOf(spark, table, target)
+              dt match {
+                case ArrayType(FloatType | DoubleType, _) => ()
+                case other => throw new IllegalArgumentException(
+                  s"Column '$target' must be ARRAY(FLOAT, N) to use the " +
+                    s"'ivf' opclass, not ${pgTypeName(other)}")
+              }
+              Vector(target, isExpr, opts)
+            case "included" => Included(target, isExpr)
+            case other => throw new IllegalArgumentException(
+              s"Unknown built-in opclass '$other' on '$target' " +
+                "(known: included, ivf)")
+          }
+        case None =>
+          // bare name: the schema-visible user dictionary wins — even over
+          // a built-in opclass name ('ivf', 'included' can be shadowed)
+          if (dictVisible(spark, opname)) requireTokenizable(opname)
+          else {
+            val colDesc = if (isExpr) s"($target)" else target
+            val schema = graft.catalog.SessionVars.currentSchema(spark)
+            val base = s"Unknown opclass '$opname' on column '$colDesc': " +
+              s"no text dictionary by that name in schema '$schema'"
+            if (builtins.contains(opname))
+              throw new IllegalArgumentException(base +
+                s"\nHINT: '$opname' is a built-in opclass; use the options " +
+                s"form '$opname (...)'")
+            else throw new IllegalArgumentException(base)
+          }
+      }
+    }
+  }
+
+  private def quote(s: String): String = s.replace("'", "''")
+
+  /** The delegated engine-DDL statements for a spec (built lazily). */
+  private def delegations(spec: Spec): Seq[String] = {
+    val fieldCols = spec.items.collect { case FieldCol(c) => c }
+    val includeCols =
+      (spec.items.collect { case Included(c, false) => c } ++ spec.include).distinct
+    val tokenized = spec.items.collect { case t: Tokenized => t }
+    val vectors = spec.items.collect { case v: Vector => v }
+    val tokDdl = tokenized.zipWithIndex.map { case (t, i) =>
+      val sub = if (tokenized.length == 1) spec.name else s"${spec.name}__$i"
+      if (t.isExpr)
+        s"CREATE OR REPLACE SEARCH INDEX $sub ON ${spec.table} ((${t.target})) " +
+          s"WITH (id = '${spec.idCol}', analyzer = '${t.dict}', " +
+          s"key = 'pg-${spec.name}-$i')"
+      else {
+        val sidecar =
+          (if (fieldCols.nonEmpty) s" FIELDS (${fieldCols.mkString(", ")})" else "") +
+            (if (includeCols.nonEmpty) s" INCLUDE (${includeCols.mkString(", ")})" else "")
+        // the sidecar clauses ride on the FIRST tokenized column only
+        val side = if (i == 0) sidecar else ""
+        s"CREATE OR REPLACE SEARCH INDEX $sub ON ${spec.table} (${t.target}) " +
+          s"WITH (id = '${spec.idCol}', analyzer = '${t.dict}', " +
+          s"key = 'pg-${spec.name}-$i')" + side
+      }
+    }
+    val vecDdl = vectors.zipWithIndex.flatMap { case (v, i) =>
+      if (v.isExpr) Nil // exact distances via the relation view; no IVF over exprs
+      else {
+        val metric = v.opts.getOrElse("metric", "l2")
+        val sub =
+          if (tokenized.isEmpty && vectors.length == 1) spec.name
+          else s"${spec.name}__v$i"
+        Seq(s"CREATE OR REPLACE VECTOR INDEX $sub ON ${spec.table} (${v.target}) " +
+          s"WITH (id = '${spec.idCol}', metric = '${quote(metric)}', " +
+          s"key = 'pg-${spec.name}-v$i')")
+      }
+    }
+    tokDdl ++ vecDdl
+  }
+
+  def execute(spark: SparkSession, sql: String): DataFrame = sql match {
+    case headRe(ine, name, table) =>
+      val open = sql.toLowerCase.indexOf("inverted")
+      val (itemsRaw, after) = balanced(sql, sql.indexOf('(', open))
+      val tail = sql.substring(after)
+      val includeRe = """(?is)\s*INCLUDE\s*\(([^)]*)\)""".r
+      val include = includeRe.findFirstMatchIn(tail).toSeq
+        .flatMap(_.group(1).split(",")).map(_.trim).filter(_.nonEmpty)
+      if (registry.contains(name.toLowerCase) && ine != null)
+        return result(spark, s"index $name already exists, skipped")
+      if (registry.contains(name.toLowerCase))
+        throw new IllegalArgumentException(s"""index "$name" already exists""")
+      val items0 = splitTop(itemsRaw).map(resolveItem(spark, table, _))
+      // id classification: the bare column matching the table's PRIMARY KEY
+      // is the doc id; other bare columns are typed fields. Without a
+      // catalog PK, the FIRST bare column is the id (the corpus' layout).
+      val pk = graft.catalog.ObjectCatalog.table(table)
+        .flatMap(_.columns.find(_.primaryKey)).map(_.name.toLowerCase)
+      val bare = items0.collect { case IdCol(c) => c }
+      val idCol = pk.filter(p => bare.exists(_.equalsIgnoreCase(p)))
+        .orElse(pk)
+        .orElse(bare.headOption)
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot determine the id column for index $name on $table " +
+            "(no PRIMARY KEY and no bare id column in the index list)"))
+      val sawId = bare.exists(_.equalsIgnoreCase(idCol))
+      var idTaken = false
+      val items = items0.map {
+        case IdCol(c) if sawId && c.equalsIgnoreCase(idCol) && !idTaken =>
+          idTaken = true; IdCol(c)
+        case IdCol(c) => FieldCol(c)
+        case other => other
+      }
+      var spec = Spec(name.toLowerCase, table, idCol, items, include, Nil)
+      // the index-as-relation surface: the index NAME is a SQL view of its
+      // table (column pruning = covering behavior)
+      spark.table(table).createOrReplaceTempView(name)
+      val deferred = delegations(spec).filter { ddl =>
+        try { Ddl.execute(spark, ddl); false }
+        catch { case _: Exception => true } // retried on VACUUM
+      }
+      spec = spec.copy(deferred = deferred)
+      registry.put(name.toLowerCase, spec)
+      result(spark, s"created index $name")
+    case dropRe(ife, name) =>
+      registry.remove(name.toLowerCase) match {
+        case Some(spec) =>
+          delegations(spec).foreach { ddl =>
+            val sub = ddl.split("\\s+")(5) // CREATE OR REPLACE <KIND> INDEX <sub>
+            val kind = if (ddl.contains("VECTOR INDEX")) "VECTOR" else "SEARCH"
+            try Ddl.execute(spark, s"DROP $kind INDEX IF EXISTS $sub")
+            catch { case _: Exception => () }
+          }
+          spark.catalog.dropTempView(name)
+          result(spark, s"dropped index $name")
+        case None if ife != null =>
+          result(spark, s"index $name does not exist, skipped")
+        case None =>
+          throw new IllegalArgumentException(s"""index "$name" does not exist""")
+      }
+  }
+
+  /** VACUUM (REFRESH_TABLE) hook: retry deferred builds for this table,
+    * then refresh the relation view (a catalog table's view may have been
+    * re-registered by DML). */
+  def onVacuum(spark: SparkSession, table: String): Unit = {
+    registry.values.filter(_.table.equalsIgnoreCase(table)).foreach { spec =>
+      spark.table(spec.table).createOrReplaceTempView(spec.name)
+      if (spec.deferred.nonEmpty) {
+        val still = spec.deferred.filter { ddl =>
+          try { Ddl.execute(spark, ddl); false }
+          catch { case _: Exception => true }
+        }
+        registry.put(spec.name, spec.copy(deferred = still))
+      }
+    }
+  }
+
+  def hasSpecsFor(table: String): Boolean =
+    registry.values.exists(_.table.equalsIgnoreCase(table))
+
+  /** Engine-index names created on behalf of pg-spelled indexes over this
+    * table (so VACUUM refresh can target them). */
+  def enginesFor(table: String): Seq[String] =
+    registry.values.filter(_.table.equalsIgnoreCase(table)).toSeq.flatMap {
+      spec => delegations(spec).map(_.split("\\s+")(5))
+    }
+
+  private def result(spark: SparkSession, msg: String): DataFrame = {
+    import spark.implicits._
+    Seq(msg).toDF("result")
+  }
+
+  /** Test hook. */
+  private[graft] def reset(): Unit = registry.clear()
+}

@@ -144,6 +144,40 @@ object ReadTvfs {
       str(exprs.head).split("\\.").toSeq)
   }
 
+  /** pg's `generate_series(start, stop [, step])` — inclusive endpoints.
+    * Integer-literal calls plan as a native `Range` (distributed splits, no
+    * materialized array: `generate_series(1, 1e9)` is 32 partitions of
+    * arithmetic, not one 8 GB array row); anything else — expressions,
+    * timestamps with interval steps — re-renders through
+    * `explode(sequence(...))`, which Spark evaluates per-row.
+    * (reference surface: pg's SRF, used pervasively by
+    * tests/sqllogic/sdb/pg/any/simple/ — basic_dml.test:61, ctas.test:10.) */
+  private def generateSeriesTvf(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 2 || exprs.length == 3,
+      "generate_series(start, stop[, step]) takes 2 or 3 arguments")
+    val intLits = exprs.flatMap {
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case _ => None
+    }
+    if (intLits.length == exprs.length) {
+      val (start, stop) = (intLits(0), intLits(1))
+      val step = intLits.lift(2).getOrElse(1L)
+      require(step != 0, "generate_series step must not be zero")
+      // pg includes the stop endpoint when the step lands on it
+      val range = org.apache.spark.sql.catalyst.plans.logical.Range(
+        start, stop + (if (step > 0) 1 else -1), step, None)
+      val out = org.apache.spark.sql.catalyst.expressions.Alias(
+        range.output.head, "generate_series")()
+      org.apache.spark.sql.catalyst.plans.logical.Project(Seq(out), range)
+    } else {
+      val argSql = exprs.map(_.sql).mkString(", ")
+      SparkSession.active.sessionState.sqlParser.parsePlan(
+        s"SELECT explode(sequence($argSql)) AS generate_series")
+    }
+  }
+
   private def planTvf(name: String, f: Seq[Expression] => LogicalPlan)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier(name),
@@ -157,5 +191,6 @@ object ReadTvfs {
       tvf("read_json", readJson),
       tvf("read_json_auto", readJson),
       planTvf("query", queryTvf),
-      planTvf("query_table", queryTableTvf))
+      planTvf("query_table", queryTableTvf),
+      planTvf("generate_series", generateSeriesTvf))
 }

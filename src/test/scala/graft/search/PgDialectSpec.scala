@@ -1,0 +1,53 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PgDialectSpec extends AnyFunSuite {
+  private def rw(s: String) = PgDialect.rewrite(s)
+
+  test("bracket list literals become array(...)") {
+    assert(rw("SELECT * FROM t WHERE x = [1, 2, 3]") ==
+      "SELECT * FROM t WHERE x = array(1, 2, 3)")
+    assert(rw("INSERT INTO t VALUES (1, [1, 2, 3])") ==
+      "INSERT INTO t VALUES (1, array(1, 2, 3))")
+    assert(rw("VALUES ([[1,2],[3,4]])") == "VALUES (array(array(1,2),array(3,4)))")
+  }
+
+  test("subscripts are left alone") {
+    assert(rw("SELECT arr[0], m['k'] FROM t WHERE arr[1] > [2][0]") ==
+      "SELECT arr[0], m['k'] FROM t WHERE arr[1] > array(2)[0]")
+    assert(rw("SELECT f(x)[2]") == "SELECT f(x)[2]")
+  }
+
+  test("array casts collapse the size hint") {
+    assert(rw("SELECT [1, 2]::FLOAT[2]") == "SELECT array(1, 2)::ARRAY<FLOAT>")
+    assert(rw("SELECT x::INT[] FROM t") == "SELECT x::ARRAY<INT> FROM t")
+    assert(rw("SELECT x::VARCHAR[3]") == "SELECT x::ARRAY<STRING>")
+    // scalar casts untouched
+    assert(rw("SELECT 1::DOUBLE <-> [1]::FLOAT[1]") ==
+      "SELECT ann_l2(1::DOUBLE, array(1)::ARRAY<FLOAT>)")
+  }
+
+  test("distance operators become claimable calls") {
+    assert(rw("SELECT id FROM t ORDER BY emb <-> [1, 2, 3]::FLOAT[3] LIMIT 1") ==
+      "SELECT id FROM t ORDER BY ann_l2(emb, array(1, 2, 3)::ARRAY<FLOAT>) LIMIT 1")
+    assert(rw("SELECT a <=> b FROM t") == "SELECT ann_cosine(a, b) FROM t")
+    assert(rw("SELECT t.emb <#> q(1) FROM t") == "SELECT ann_ip(t.emb, q(1)) FROM t")
+    assert(rw("SELECT array_value(x, y, z) <-> [1]::FLOAT[1] AS d") ==
+      "SELECT ann_l2(array_value(x, y, z), array(1)::ARRAY<FLOAT>) AS d")
+    // comparison after the call keeps its place
+    assert(rw("WHERE a <-> b < 0.5") == "WHERE ann_l2(a, b) < 0.5")
+  }
+
+  test("strings and comments are never rewritten") {
+    assert(rw("SELECT ts_match(c, 'a <-> b', 'ws')") ==
+      "SELECT ts_match(c, 'a <-> b', 'ws')")
+    assert(rw("SELECT 1 -- x <-> y\n, [2]") == "SELECT 1 -- x <-> y\n, array(2)")
+    assert(rw("SELECT '[1,2]'") == "SELECT '[1,2]'")
+  }
+
+  test("rewrite is idempotent") {
+    val once = rw("SELECT emb <-> [1, 2]::FLOAT[2] FROM t")
+    assert(rw(once) == once)
+  }
+}
