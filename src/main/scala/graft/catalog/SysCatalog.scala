@@ -76,6 +76,34 @@ object SysCatalog {
           SequenceOps.lastValue(s.file).map(java.lang.Long.valueOf).orNull)
       })
 
+    // pg_class + pg_index: enough of pg's relation catalog for the index
+    // corpus' introspection join (`pg_index.indexrelid = pg_class.oid`,
+    // sdb/pg/index/basic.test). oids are stable name hashes — pg's are
+    // allocation-order ints, but no test depends on the values, only on
+    // the join lining up.
+    def oid(qname: String): Long =
+      (scala.util.hashing.MurmurHash3.stringHash(qname) & 0x7fffffffL) + 16384L
+    val pgIdx = graft.search.PgIndexDdl.catalogRows
+    val classRows =
+      objs.collect {
+        case t: TableDef => Row(oid(t.qname), t.name, "r")
+        case v: ViewDef => Row(oid(v.qname), v.name, "v")
+        case s: SequenceDef => Row(oid(s.qname), s.name, "S")
+      } ++ pgIdx.map { case (idxName, _) => Row(oid(s"idx:$idxName"), idxName, "i") }
+    mkView(spark, "pg_class",
+      StructType(Seq(
+        StructField("oid", LongType, false),
+        StructField("relname", StringType, false),
+        StructField("relkind", StringType, false))),
+      classRows)
+    mkView(spark, "pg_index",
+      StructType(Seq(
+        StructField("indexrelid", LongType, false),
+        StructField("indrelid", LongType, false))),
+      pgIdx.map { case (idxName, table) =>
+        Row(oid(s"idx:$idxName"), oid(ObjectCatalog.qualify(table)))
+      })
+
     mkView(spark, "pg_proc_graft",
       StructType(Seq(
         StructField("schemaname", StringType, false),

@@ -1041,9 +1041,14 @@ object Ddl {
       PgIndexDdl.onVacuum(spark, view)
       val names = catalog.toSeq.collect {
         case (n, e) if e.view.equalsIgnoreCase(view) => n }.sorted
-      if (names.isEmpty && !PgIndexDdl.hasSpecsFor(view))
-        throw new IllegalArgumentException(
-          s"VACUUM (REFRESH_TABLE): no search/vector/secondary index on $view")
+      if (names.isEmpty && !PgIndexDdl.hasSpecsFor(view)) {
+        // pg semantics (index corpus basic.test): VACUUM of an EXISTING
+        // relation with no indexes is a no-op, an unknown relation errors
+        val exists =
+          try spark.catalog.tableExists(view) catch { case _: Exception => false }
+        if (!exists) throw new IllegalArgumentException(
+          s"""relation "$view" does not exist""")
+      }
       names.foreach(n => executeParsed(spark, s"REFRESH SEARCH INDEX $n"))
       result(spark, s"vacuumed $view (${names.size} indexes refreshed)")
     case vacuumBadRe() =>

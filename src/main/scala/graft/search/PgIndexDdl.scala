@@ -221,8 +221,12 @@ object PgIndexDdl {
 
   private def quote(s: String): String = s.replace("'", "''")
 
-  /** The delegated engine-DDL statements for a spec (built lazily). */
+  /** The delegated engine-DDL statements for a spec (built lazily).
+    * An id-less spec delegates nothing — the relation view is the whole
+    * surface (the engine's index machinery keys refresh/deletes off a
+    * document id). */
   private def delegations(spec: Spec): Seq[String] = {
+    if (spec.idCol.isEmpty) return Nil
     val fieldCols = spec.items.collect { case FieldCol(c) => c }
     val includeCols =
       (spec.items.collect { case Included(c, false) => c } ++ spec.include).distinct
@@ -279,12 +283,12 @@ object PgIndexDdl {
       val pk = graft.catalog.ObjectCatalog.table(table)
         .flatMap(_.columns.find(_.primaryKey)).map(_.name.toLowerCase)
       val bare = items0.collect { case IdCol(c) => c }
+      // no PK and no bare column → id-less index: the relation view alone
+      // carries the surface (queries are exact row-eval; no claimed plans)
       val idCol = pk.filter(p => bare.exists(_.equalsIgnoreCase(p)))
         .orElse(pk)
         .orElse(bare.headOption)
-        .getOrElse(throw new IllegalArgumentException(
-          s"cannot determine the id column for index $name on $table " +
-            "(no PRIMARY KEY and no bare id column in the index list)"))
+        .getOrElse("")
       val sawId = bare.exists(_.equalsIgnoreCase(idCol))
       var idTaken = false
       val items = items0.map {
