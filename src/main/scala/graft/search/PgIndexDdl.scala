@@ -357,6 +357,10 @@ object PgIndexDdl {
     Seq(msg).toDF("result")
   }
 
+  /** (index name, table) pairs for the pg_class/pg_index catalog views. */
+  def catalogRows: Seq[(String, String)] =
+    registry.values.map(s => (s.name, s.table)).toSeq
+
   /** Test hook. */
   private[graft] def reset(): Unit = registry.clear()
 }
