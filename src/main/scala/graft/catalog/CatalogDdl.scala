@@ -212,12 +212,24 @@ object CatalogDdl {
     * the command's output schema is fixed at parse time, so the names are
     * derived textually (alias after AS, else the identifier/expression). */
   def returningCols(sql: String): Option[Seq[String]] = sql match {
-    case returningRe(_, cols) =>
-      Some(splitTop(cols).map { item =>
+    case returningRe(core, cols) =>
+      // `RETURNING *` (or `t.*`) expands against the target table's column
+      // list at parse time — the command schema is fixed here, and
+      // execution's selectExpr("*") produces all table columns
+      lazy val targetCols: Seq[String] = {
+        val tgt = """(?is)^\s*(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM)\s+("?[\w\.]+"?)"""
+          .r.findFirstMatchIn(core).map(_.group(1).replace("\"", ""))
+        tgt.flatMap(ObjectCatalog.table(_)).map(_.columns.map(_.name))
+          .getOrElse(Seq("*"))
+      }
+      Some(splitTop(cols).flatMap { item =>
         val t = item.trim
-        val asIdx = "(?i)\\s+AS\\s+".r.findAllMatchIn(t).toSeq.lastOption
-        asIdx.map(m => t.substring(m.end).trim.stripPrefix("\"").stripSuffix("\""))
-          .getOrElse(t.stripPrefix("\"").stripSuffix("\""))
+        if (t == "*" || t.matches("""(?s)"?[\w]+"?\.\*""")) targetCols
+        else {
+          val asIdx = "(?i)\\s+AS\\s+".r.findAllMatchIn(t).toSeq.lastOption
+          Seq(asIdx.map(m => t.substring(m.end).trim.stripPrefix("\"").stripSuffix("\""))
+            .getOrElse(t.stripPrefix("\"").stripSuffix("\"")))
+        }
       })
     case _ => None
   }
@@ -243,7 +255,12 @@ object CatalogDdl {
     try {
       sql match {
         case returningRe(core, cols) =>
-          returningCtx.withValue(Some(cols)) { executeParsed(spark, core) }
+          // `t.*` → `*`: the execution projections run over the bare
+          // post/pre-image frame, which has no `t` alias to qualify by
+          val norm = splitTop(cols).map { c =>
+            if (c.trim.matches("""(?s)"?[\w]+"?\.\*""")) "*" else c
+          }.mkString(", ")
+          returningCtx.withValue(Some(norm)) { executeParsed(spark, core) }
         case _ => executeParsed(spark, sql)
       }
     }
@@ -1297,15 +1314,43 @@ object CatalogDdl {
   private def checkReadCols(spark: SparkSession, t: TableDef,
       exprs: Seq[String]): Unit = {
     val names = t.columns.map(_.name).toSet
-    val read = exprs.flatMap { e =>
-      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-        .parseExpression(e).collect {
-          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            ua.name.toLowerCase
-        }
-    }.toSet.intersect(names)
+    // `RETURNING *` reads every column of the target (pg charges SELECT on
+    // the whole row); a bare star is not parseable as an expression
+    val (stars, exprs1) = exprs.map(_.trim).partition(_ == "*")
+    val parsed = exprs1.map { e =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(e)
+    }
+    val read = (parsed.flatMap(_.collect {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        ua.name.toLowerCase
+    }).toSet ++ (if (stars.nonEmpty) names else Set.empty)).intersect(names)
     if (read.nonEmpty)
       graft.search.Rbac.check(spark, s"${t.dir}/current", t.qname, read)
+    // pg charges SELECT on EVERY relation in the statement's range table —
+    // a WHERE/SET/RETURNING scalar subquery reading another table needs
+    // SELECT there too, even though the DML body then runs under the
+    // internal (unguarded) rewrite (ExecCheckPermissions walks all RTEs)
+    parsed.foreach { ex =>
+      ex.foreach {
+        case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          val subAttrs = sq.plan.collectWithSubqueries { case n =>
+            n.expressions.flatMap(_.collect {
+              case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                ua.name.toLowerCase
+            })
+          }.flatten.toSet
+          sq.plan.collectWithSubqueries {
+            case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+              r.multipartIdentifier.mkString(".")
+          }.foreach { ref =>
+            ObjectCatalog.table(ref).filter(_.qname != t.qname).foreach { ft =>
+              val used = subAttrs.intersect(ft.columns.map(_.name).toSet)
+              graft.search.Rbac.check(spark, s"${ft.dir}/current", ft.qname, used)
+            }
+          }
+        case _ => ()
+      }
+    }
   }
 
   private def update(spark: SparkSession, name: String, sets: String,

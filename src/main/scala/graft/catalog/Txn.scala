@@ -249,11 +249,14 @@ object Txn {
           ObjectCatalog.restore(c.spark,
             ObjectCatalog.overlayUndo(c.objUndo.toSeq, c.schemaUndo.toSeq),
             refreshOnly = Some(c.tableVersions.keySet.toSet))
-        // plain SETs are transactional: a rolled-back SET never happened
+        // undo runs inner-to-outer: SET LOCAL undo first, then the plain-SET
+        // pre-images — so when a variable was plain-SET and then SET LOCAL'd
+        // in the same block, the session-level pre-image wins (pg reverts
+        // ALL GUC changes on rollback)
+        restoreLocals(spark, c)
         c.sessionVars.foreach { case (name, prev) =>
           SessionVars.restore(spark, name, prev)
         }
-        restoreLocals(spark, c)
         "ROLLBACK"
     }
   }

@@ -1135,17 +1135,25 @@ object Ddl {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       Rbac.revokeSelect(root, role, cols)
       result(spark, s"revoked SELECT on $view from $role")
+    // a mixed list (`GRANT UPDATE, SELECT, DELETE ON t TO r`) splits into
+    // its select and write halves — pg grants each privilege independently
     case grantWriteRe(privsRaw, target, role)
         if privsRaw.split(",").map(_.trim.toLowerCase).toSet
-          .subsetOf(Set("insert", "update", "delete", "truncate")) =>
+          .subsetOf(Set("select", "insert", "update", "delete", "truncate")) =>
       val privs = privsRaw.split(",").map(_.trim.toLowerCase).toSet
-      Rbac.grantWrite(writeTargetRoot(spark, target), role, privs)
+      val root = writeTargetRoot(spark, target)
+      if (privs.contains("select")) Rbac.grantSelect(spark, root, role)
+      val writes = privs - "select"
+      if (writes.nonEmpty) Rbac.grantWrite(root, role, writes)
       result(spark, s"granted ${privs.mkString(",")} on $target to $role")
     case revokeWriteRe(privsRaw, target, role)
         if privsRaw.split(",").map(_.trim.toLowerCase).toSet
-          .subsetOf(Set("insert", "update", "delete", "truncate")) =>
+          .subsetOf(Set("select", "insert", "update", "delete", "truncate")) =>
       val privs = privsRaw.split(",").map(_.trim.toLowerCase).toSet
-      Rbac.revokeWrite(writeTargetRoot(spark, target), role, privs)
+      val root = writeTargetRoot(spark, target)
+      if (privs.contains("select")) Rbac.revokeSelect(root, role)
+      val writes = privs - "select"
+      if (writes.nonEmpty) Rbac.revokeWrite(root, role, writes)
       result(spark, s"revoked ${privs.mkString(",")} on $target from $role")
     case grantAllRe(target, role) =>
       val root = writeTargetRoot(spark, target)

@@ -380,7 +380,19 @@ object PgDialect {
     0
   }
 
+  /** The `<=>` spelling is pg-flavored cosine distance here, but it is ALSO
+    * Spark's null-safe equality — a global rewrite would silently change
+    * ported Spark SQL. The session flag opts back into Spark's meaning
+    * (`SET spark.graft.pgDialectCosineEq=false`); `<->`/`<#>` have no Spark
+    * meaning and always rewrite. */
+  private def cosineEqEnabled: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.pgDialectCosineEq", "true") != "false"
+    catch { case _: Exception => true }
+
   private def rewriteOneDist(toks: Vector[Tok], opIdx: Int): Vector[Tok] = {
+    if (toks(opIdx).text == "<=>" && !cosineEqEnabled)
+      return toks.updated(opIdx, Tok(OP, "<=>"))
     val fn = distFn(toks(opIdx).text)
     val lStart = operandStart(toks, opIdx - 1)
     val rEnd = operandEnd(toks, opIdx + 1)

@@ -50,4 +50,23 @@ class PgDialectSpec extends AnyFunSuite {
     val once = rw("SELECT emb <-> [1, 2]::FLOAT[2] FROM t")
     assert(rw(once) == once)
   }
+
+  test("<=> keeps Spark's null-safe equality when the flag is off") {
+    val spark = graft.TestSpark.spark
+    spark.conf.set("spark.graft.pgDialectCosineEq", "false")
+    try {
+      import spark.implicits._
+      // end-to-end through the session parser: int operands, no vectors
+      val out = Seq((1, 1), (2, 3)).toDF("a", "b")
+      out.createOrReplaceTempView("pgd_nse")
+      val rows = spark.sql("SELECT a <=> b AS eq FROM pgd_nse ORDER BY a")
+        .collect().map(_.getBoolean(0)).toSeq
+      assert(rows == Seq(true, false))
+      // the other two spellings still rewrite under the flag
+      assert(rw("SELECT a <-> b FROM t") == "SELECT ann_l2(a, b) FROM t")
+    } finally {
+      spark.conf.unset("spark.graft.pgDialectCosineEq")
+      spark.catalog.dropTempView("pgd_nse")
+    }
+  }
 }
