@@ -37,7 +37,10 @@ final case class WhitespaceAnalyzer(lowercase: Boolean = false) extends Analyzer
 final case class SegmentationAnalyzer(lowercase: Boolean = true) extends Analyzer {
   def apply(t: String): Seq[String] = {
     val s = if (lowercase) t.toLowerCase(Locale.ROOT) else t
-    s.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+    // underscore is UAX#29 ExtendNumLet: it JOINS words, so
+    // 'percent_not_contain' is ONE term (term_ops.test depends on the
+    // ICU behavior — a ts_like with a literal-escaped `\_` must hit it)
+    s.split("[^\\p{L}\\p{N}_]+").toSeq.filter(_.nonEmpty)
   }
 }
 
@@ -768,6 +771,16 @@ object AnalyzerRegistry {
         accentFold = opt("accent", "false") != "true",
         stopwords = if (opt("stopwords", "none") == "english") Analyzers.EnglishStopwords else Set.empty,
         stemming = opt("stemming", "true") == "true")
+      case "wildcard" =>
+        // ngram-accelerated LIKE dispatch (reference ByWildcardNgram,
+        // term_ops.test): this engine evaluates LIKE exactly on the
+        // relation view, so only the TOKENIZATION is observable — the
+        // ngramsize shapes the index layout, not results
+        options.get("tokenizer_template") match {
+          case Some("delimiter") =>
+            DelimiterAnalyzer(opt("tokenizer_delimiter", " "))
+          case _ => WhitespaceAnalyzer()
+        }
       case other => throw new IllegalArgumentException(s"unknown analyzer template: $other")
     }
     a

@@ -502,7 +502,17 @@ object CatalogDdl {
   private def refresh(spark: SparkSession, t: TableDef): Unit = {
     // REFRESH TABLE alone leaves the shared path-keyed file-status cache
     // stale: a rewrite that retired files would then serve dead paths to
-    // the NEXT statement's spark.read of current/ (FILE_NOT_EXIST)
+    // the NEXT statement's spark.read of current/ (FILE_NOT_EXIST).
+    // EVERY session's caches are refreshed, not only the writer's — a
+    // READ COMMITTED reader on another connection must see this commit on
+    // its next statement (vector_search_isolation.test), and relation
+    // caches are per-session
+    ObjectCatalog.knownSessions.foreach { s =>
+      // refreshTable, not refreshByPath: the relation cache is keyed by
+      // identifier, and path-prefix matching misses on scheme differences
+      try s.catalog.refreshTable(t.qname)
+      catch { case _: Exception => () }
+    }
     spark.catalog.refreshByPath(s"${t.dir}/current")
     ObjectCatalog.internalSql(spark, s"REFRESH TABLE ${t.qname}")
   }

@@ -85,6 +85,16 @@ object ObjectCatalog {
   /** Internal statements must bypass the GraftSqlParser interception. */
   val internal = new DynamicVariable[Boolean](false)
 
+  /** Every session that has replayed the catalog — so a committed write can
+    * invalidate ALL sessions' relation/file-status caches, not only the
+    * writer's (pg READ COMMITTED: another connection's next statement sees
+    * the commit; a stale per-session listing would serve dead paths). */
+  private[catalog] def knownSessions: Seq[SparkSession] =
+    sessionReady.synchronized {
+      import scala.jdk.CollectionConverters._
+      sessionReady.keySet.asScala.toSeq
+    }
+
   @volatile private[graft] var baseDirOverride: Option[String] = None
   private def baseDir: String = baseDirOverride.getOrElse(sys.env.getOrElse(
     "GRAFT_CATALOG_DIR", sys.props("java.io.tmpdir") + "/graft-objects"))
@@ -112,6 +122,17 @@ object ObjectCatalog {
   def get(raw: String): Option[ObjDef] = { ensureLoaded(); objects.get(qualify(raw)) }
   def table(raw: String): Option[TableDef] =
     get(raw).collect { case t: TableDef => t }
+  /** The catalog table whose data directory's `current/` is `path`
+    * (scheme-insensitive) — how the snapshot-read rule maps a resolved
+    * file scan back to its TableStore for REPEATABLE READ pinning. */
+  def tableByCurrentPath(path: String): Option[TableDef] = {
+    ensureLoaded()
+    val p = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    objects.values.collectFirst {
+      case t: TableDef
+        if new org.apache.hadoop.fs.Path(s"${t.dir}/current").toUri.getPath == p => t
+    }
+  }
   def sequence(raw: String): Option[SequenceDef] =
     get(raw).collect { case s: SequenceDef => s }
   def enum(raw: String): Option[EnumDef] =

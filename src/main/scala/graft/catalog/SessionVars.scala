@@ -24,7 +24,10 @@ object SessionVars {
   /** sdb knob -> spark conf key (the reference spelling on the left). */
   private[catalog] val knobMap: Map[String, String] = Map(
     "sdb_levenshtein_max_terms" -> "spark.graft.levenshteinMaxTerms",
-    "sdb_strict_claims" -> "spark.graft.strictClaims")
+    "sdb_strict_claims" -> "spark.graft.strictClaims",
+    // pg/duck `SET TimeZone` rides on Spark's session zone (rendering and
+    // NTZ↔instant conversions)
+    "timezone" -> "spark.sql.session.timeZone")
 
   private val varsBySession =
     java.util.Collections.synchronizedMap(

@@ -25,7 +25,8 @@ object SysCatalog {
 
   private def stamp(spark: SparkSession): Long =
     ObjectCatalog.versionCounter * 1000003L ^
-      graft.search.Rbac.stateVersion * 31L ^ SessionVars.varsVersion
+      graft.search.Rbac.stateVersion * 31L ^ SessionVars.varsVersion ^
+      graft.search.PgIndexDdl.stateVersion * 131L
 
   def ensureFresh(spark: SparkSession): Unit = {
     val v = stamp(spark)
@@ -84,24 +85,42 @@ object SysCatalog {
     def oid(qname: String): Long =
       (scala.util.hashing.MurmurHash3.stringHash(qname) & 0x7fffffffL) + 16384L
     val pgIdx = graft.search.PgIndexDdl.catalogRows
+    // access methods: this engine's two index families (the reloptions
+    // corpus joins pg_class.relam -> pg_am; inverted_index_options.test)
+    val amOid = Map("inverted" -> 9001L, "secondary" -> 9002L)
+    mkView(spark, "pg_am",
+      StructType(Seq(
+        StructField("oid", LongType, false),
+        StructField("amname", StringType, false))),
+      amOid.toSeq.sortBy(_._2).map { case (n, o) => Row(o, n) })
     val classRows =
       objs.collect {
-        case t: TableDef => Row(oid(t.qname), t.name, "r")
-        case v: ViewDef => Row(oid(v.qname), v.name, "v")
-        case s: SequenceDef => Row(oid(s.qname), s.name, "S")
-      } ++ pgIdx.map { case (idxName, _) => Row(oid(s"idx:$idxName"), idxName, "i") }
+        case t: TableDef => Row(oid(t.qname), t.name, "r", null, null)
+        case v: ViewDef => Row(oid(v.qname), v.name, "v", null, null)
+        case s: SequenceDef => Row(oid(s.qname), s.name, "S", null, null)
+      } ++ pgIdx.map { r =>
+        Row(oid(s"idx:${r.name}"), r.name, "i",
+          java.lang.Long.valueOf(amOid(r.am)), r.reloptions)
+      }
     mkView(spark, "pg_class",
       StructType(Seq(
         StructField("oid", LongType, false),
         StructField("relname", StringType, false),
-        StructField("relkind", StringType, false))),
+        StructField("relkind", StringType, false),
+        StructField("relam", LongType, true),
+        StructField("reloptions", StringType, true))),
       classRows)
+    // indisunique/indisvalid render as pg's text bools (`t`/`f`) — the
+    // corpus reads them as output cells, never as predicates
     mkView(spark, "pg_index",
       StructType(Seq(
         StructField("indexrelid", LongType, false),
-        StructField("indrelid", LongType, false))),
-      pgIdx.map { case (idxName, table) =>
-        Row(oid(s"idx:$idxName"), oid(ObjectCatalog.qualify(table)))
+        StructField("indrelid", LongType, false),
+        StructField("indisunique", StringType, false),
+        StructField("indisvalid", StringType, false))),
+      pgIdx.map { r =>
+        Row(oid(s"idx:${r.name}"), oid(ObjectCatalog.qualify(r.table)),
+          if (r.unique) "t" else "f", "t")
       })
 
     mkView(spark, "pg_proc_graft",

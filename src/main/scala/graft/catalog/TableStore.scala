@@ -212,6 +212,41 @@ object TableStore {
     (affected, commit(dir, staged, names))
   }
 
+  /** The file set AS OF commit `target`, without touching the live state:
+    * start from current/ and walk the logs above `target` in reverse,
+    * dropping their additions and re-including their retirees (which still
+    * sit under _RETIRED/<n>/). This is the REPEATABLE READ snapshot scan —
+    * a reader pinned at version v keeps a consistent file list while
+    * writers commit past it (pg's MVCC snapshot; file-granularity here).
+    * O(commits since target), metadata only. */
+  def filesAt(dir: String, target: Long): Seq[String] = {
+    val cur = currentDir(dir)
+    val f = fs(cur)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (f.exists(cur))
+      f.listStatus(cur).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .foreach(p => live.put(p.getName, p.toString))
+    var n = version(dir)
+    while (n > target) {
+      val (added, retired, _) = readLog(dir, n)
+      added.foreach(live.remove)
+      retired.foreach { name =>
+        live.put(name, new Path(retiredDir(dir, n), name).toString)
+      }
+      n -= 1
+    }
+    live.values.toSeq.sorted
+  }
+
+  /** Snapshot scan at a pinned version (see [[filesAt]]). */
+  def readAt(spark: SparkSession, dir: String, schema: StructType,
+      target: Long): DataFrame = {
+    val files = filesAt(dir, target)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
   /** Undo every commit newer than `target` (transaction rollback): delete
     * what they added, restore what they retired. */
   def rollbackTo(dir: String, target: Long): Unit = {

@@ -57,6 +57,14 @@ object Txn {
       * transactional — a rolled-back SET never happened, a committed one
       * sticks; any/pg/settings/scopes.test). */
     val sessionVars = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
+    /** REPEATABLE READ pins: resolution-time snapshots keyed by kind
+      * ("tablever:<dir>" -> java.lang.Long version, "idxrel:<name>" ->
+      * table qname String, "analyzer:<name>" -> Analyzer). First touch
+      * inside an RR/SERIALIZABLE block records the live state; later
+      * touches in the SAME block reuse it even after another session's
+      * committed DDL/DML (pg snapshot semantics, resolved at analysis
+      * time on the driver). Discarded with the ctx at block end. */
+    val pins = scala.collection.mutable.HashMap.empty[String, AnyRef]
     /** This block's isolation level, resolved at BEGIN from the BEGIN
       * options or default_transaction_isolation; changeable until the
       * first data statement runs (any/pg/txn/variables.test #14). */
@@ -138,6 +146,30 @@ object Txn {
       if (s.state == Active && !controlStmtRe.pattern.matcher(sqlText).matches())
         s.ctx.hasRead = true
     }
+
+  /** Whether `spark` is inside an Active snapshot-isolated block
+    * (REPEATABLE READ or SERIALIZABLE — pg treats both as snapshot reads
+    * at this engine's granularity). */
+  def snapshotActive(spark: SparkSession): Boolean = {
+    val s = stateOf(spark)
+    s.state == Active && (s.ctx.isolation == "repeatable read" ||
+      s.ctx.isolation == "serializable")
+  }
+
+  /** First-touch snapshot pin: returns the pinned value for `key`,
+    * computing and recording it on first use. Only meaningful while
+    * [[snapshotActive]]; callers outside a snapshot block should not call. */
+  def pinned(spark: SparkSession, key: String, compute: => AnyRef): AnyRef = {
+    val s = stateOf(spark)
+    s.ctx.pins.getOrElseUpdate(key, compute)
+  }
+
+  /** A pinned value if present (no compute), for lookups that must not
+    * re-resolve dropped objects. */
+  def pinnedGet(spark: SparkSession, key: String): Option[AnyRef] = {
+    val s = stateOf(spark)
+    if (s.state != Active) None else s.ctx.pins.get(key)
+  }
 
   /** Record a table's data version before its FIRST mutation in this block. */
   def touchTable(qname: String, dir: String): Unit = running.foreach { s =>

@@ -251,6 +251,36 @@ final case class InvertedIndex(
     chained.select(col("doc_id"))
   }
 
+  /** Phrase whose final slot is a PREFIX match (ES match_phrase_prefix):
+    * the last step of the position chain runs against the UNION of
+    * positions of every prefix-expanded term, merged per doc with one
+    * groupBy — distributed end to end, so unlike Lucene no max_expansions
+    * cap is needed (the expansion never leaves the executors). `init`
+    * empty degenerates to [[prefix]]. */
+  def phrasePrefix(init: Seq[String], prefix: String): DataFrame = {
+    if (init.isEmpty) return this.prefix(prefix)
+    val lastPos = postings
+      .join(broadcast(expandTerms(prefixPred(prefix))), "term")
+      .groupBy(col("doc_id"))
+      .agg(flatten(collect_list(col("positions"))).as("next_pos"))
+    val first = postingsFor(init.head)
+      .select(col("doc_id"), col("positions").as("chain"))
+    val chained = init.drop(1).foldLeft(first) { (acc, t) =>
+      val next = postingsFor(t)
+        .select(col("doc_id"), col("positions").as("next_pos"))
+      acc.join(next, "doc_id")
+        .withColumn("chain",
+          array_intersect(transform(col("chain"), p => p + 1), col("next_pos")))
+        .filter(size(col("chain")) > 0)
+        .select(col("doc_id"), col("chain"))
+    }
+    chained.join(lastPos, "doc_id")
+      .withColumn("chain",
+        array_intersect(transform(col("chain"), p => p + 1), col("next_pos")))
+      .filter(size(col("chain")) > 0)
+      .select(col("doc_id"))
+  }
+
   /** Sloppy phrase — ts_phrase with per-gap [min,max] position ranges
     * (/root/reference/libs/iresearch/include/iresearch/search/slop_phrase.hpp).
     * `gaps(i)` bounds the position delta between term i and term i+1

@@ -35,11 +35,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => ClaimAnnDistanceRewrite(s))
     e.injectOptimizerRule(s => EnumOrder(s))
     e.injectResolutionRule(s => ResolveInformationSchema(s))
+    e.injectResolutionRule(s => ResolveIndexRelation(s))
+    e.injectResolutionRule(s => PinSnapshotReads(s))
     e.injectPlannerStrategy(s => StrictClaimCheck(s))
     e.injectPlannerStrategy(s => RbacCheck(s))
     e.injectParser((_, delegate) => new graft.search.GraftSqlParser(delegate))
     graft.sources.ReadTvfs.functions.foreach(e.injectTableFunction)
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
+    // ts_offsets: the dictionary resolves at ANALYSIS time on the driver,
+    // pinning inside a REPEATABLE READ block (ts_offsets_isolation.test)
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("ts_offsets"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.TsOffsetsExpr].getName, "ts_offsets"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val dict = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"ts_offsets: dictionary argument must be a string literal, got $other")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        val analyzer =
+          if (graft.catalog.Txn.snapshotActive(spark))
+            graft.catalog.Txn.pinned(spark, s"analyzer:$dict",
+              graft.analysis.AnalyzerRegistry.get(dict))
+              .asInstanceOf[graft.analysis.Analyzer]
+          else graft.analysis.AnalyzerRegistry.get(dict)
+        graft.functions.TsOffsetsExpr(args(0), args(1), analyzer, dict)
+      }))
+    // pg `expr AT TIME ZONE 'z'` (PgDialect emits the call) and duck
+    // strptime — result types depend on operand/format typing
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("at_time_zone"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.AtTimeZone].getName, "at_time_zone"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.AtTimeZone(args(0), args(1))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("strptime"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.Strptime].getName, "strptime"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Strptime(args(0), args(1))))
+    // pg `{...}` / duck `[...]` list-text casts of string LITERALS
+    // (PgDialect emits the call; 2nd arg is the target type DDL)
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("from_pg_text"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.FromPgText].getName, "from_pg_text"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val ddl = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"from_pg_text: type argument must be a string literal, got $other")
+        }
+        graft.functions.FromPgText(args(0), ddl)
+      }))
     graft.functions.QuantizationExpressions.functions.foreach(e.injectFunction)
     graft.functions.GeoWkb.functions.foreach(e.injectFunction)
     // DuckDB's array constructor spelling (the reference corpus writes

@@ -39,10 +39,18 @@ object PgDialect {
     * (subscripts), but the tokenizer pass is only O(n) and subscripts
     * come out byte-identical. */
   private val castArrayRe = """::\s*\w+\s*\[""".r
+  private val castStructRe = """(?i)::\s*struct\s*\(""".r
+
+  private val atTimeZoneRe = """(?is)\bAT\s+TIME\s+ZONE\b""".r
+  private val castTsRe =
+    """(?is)::\s*(timestamptz?|text|int[248]|float[48]|bool)\b""".r
 
   def needed(sql: String): Boolean = {
     (sql.indexOf('[') >= 0 &&
       (hasLiteralBracket(sql) || castArrayRe.findFirstIn(sql).isDefined)) ||
+      castStructRe.findFirstIn(sql).isDefined ||
+      atTimeZoneRe.findFirstIn(sql).isDefined ||
+      castTsRe.findFirstIn(sql).isDefined ||
       sql.contains("<->") || sql.contains("<=>") || sql.contains("<#>")
   }
 
@@ -51,7 +59,8 @@ object PgDialect {
     val toks = lex(sql)
     val afterCasts = rewriteCastTypes(toks)
     val afterLists = rewriteBracketLists(afterCasts)
-    val afterOps = rewriteDistanceOps(afterLists)
+    val afterTz = rewriteAtTimeZone(afterLists)
+    val afterOps = rewriteDistanceOps(afterTz)
     afterOps.map(_.text).mkString
   }
 
@@ -190,37 +199,132 @@ object PgDialect {
     case "DOUBLE" | "FLOAT8" => "DOUBLE"
     case "VARCHAR" | "TEXT" => "STRING"
     case "BOOLEAN" | "BOOL" => "BOOLEAN"
+    case "TIMESTAMP" => "TIMESTAMP_NTZ" // pg TIMESTAMP is naive
+    case "TIMESTAMPTZ" => "TIMESTAMP"   // Spark TIMESTAMP is an instant
     case other => other
   }
 
+  /** Scalar-cast mapping for `::T` where pg's spelling differs from
+    * Spark's — null when the name needs no rewrite (left untouched, so
+    * arbitrary Spark types keep working). */
+  private def mapScalarCast(t: String): String = t.toUpperCase match {
+    case "TEXT" => "STRING"
+    case "INT4" => "INT"
+    case "INT8" => "BIGINT"
+    case "INT2" => "SMALLINT"
+    case "FLOAT4" => "FLOAT"
+    case "FLOAT8" => "DOUBLE"
+    case "BOOL" => "BOOLEAN"
+    case "TIMESTAMP" => "TIMESTAMP_NTZ"
+    case "TIMESTAMPTZ" => "TIMESTAMP"
+    case _ => null
+  }
+
   private def rewriteCastTypes(toks: Vector[Tok]): Vector[Tok] = {
-    val out = Vector.newBuilder[Tok]
+    val out = ArrayBuffer.empty[Tok]
     var i = 0
     def peekAt(from: Int): Int = { // next non-ws/comment index, or -1
       var k = from
       while (k < toks.length && (toks(k).kind == WS || toks(k).kind == COMMENT)) k += 1
       if (k < toks.length) k else -1
     }
+    /** Parse a pg type spelling at token index `k0`: a scalar name or
+      * `struct(name type, ...)`, followed by zero or more `[n]` groups
+      * (multi-dim nests ARRAY<>; size hints drop). Returns the Spark DDL
+      * text, the index after the type, and whether the type is compound
+      * (has brackets or struct) — scalar casts stay untouched. */
+    def parseTypeAt(k0: Int): Option[(String, Int, Boolean)] = {
+      if (k0 < 0 || k0 >= toks.length) return None
+      var base: String = null
+      var compound = false
+      var k = k0
+      if (toks(k).kind == IDENT && toks(k).text.equalsIgnoreCase("struct") && {
+        val p = peekAt(k + 1); p >= 0 && toks(p).kind == LPAREN
+      }) {
+        val p = peekAt(k + 1)
+        var fields = Vector.empty[String]
+        var j = peekAt(p + 1)
+        var bad = false; var done = false
+        while (!done && !bad) {
+          if (j >= 0 && toks(j).kind == RPAREN) done = true
+          else if (j >= 0 && (toks(j).kind == IDENT || toks(j).kind == QIDENT)) {
+            val fname = toks(j).text.stripPrefix("\"").stripSuffix("\"")
+            parseTypeAt(peekAt(j + 1)) match {
+              case Some((fddl, after, _)) =>
+                fields :+= s"$fname: $fddl"
+                val c = peekAt(after)
+                if (c >= 0 && toks(c).kind == COMMA) j = peekAt(c + 1)
+                else if (c >= 0 && toks(c).kind == RPAREN) { j = c; done = true }
+                else bad = true
+              case None => bad = true
+            }
+          } else bad = true
+        }
+        if (bad) return None
+        base = fields.mkString("STRUCT<", ", ", ">")
+        compound = true
+        k = j + 1
+      } else if (toks(k).kind == IDENT) {
+        base = mapScalar(toks(k).text)
+        k = k + 1
+      } else return None
+      var go = true
+      while (go) {
+        val b = peekAt(k)
+        if (b >= 0 && toks(b).kind == LBRACK) {
+          val si = peekAt(b + 1)
+          val ci = if (si >= 0 && toks(si).kind == NUM) peekAt(si + 1) else si
+          if (ci >= 0 && toks(ci).kind == RBRACK) {
+            base = s"ARRAY<$base>"; compound = true; k = ci + 1
+          } else go = false
+        } else go = false
+      }
+      Some((base, k, compound))
+    }
     while (i < toks.length) {
       val t = toks(i)
-      if (t.kind == DCOLON) {
+      if (t.kind == DCOLON && {
         val ti = peekAt(i + 1)
-        if (ti >= 0 && toks(ti).kind == IDENT) {
-          val bi = peekAt(ti + 1)
-          if (bi >= 0 && toks(bi).kind == LBRACK) {
-            // optional size NUM then ]
-            val si = peekAt(bi + 1)
-            val ci = if (si >= 0 && toks(si).kind == NUM) peekAt(si + 1) else si
-            if (ci >= 0 && toks(ci).kind == RBRACK) {
+        ti >= 0 && toks(ti).kind == IDENT &&
+          mapScalarCast(toks(ti).text) != null && {
+            val bi = peekAt(ti + 1); !(bi >= 0 && toks(bi).kind == LBRACK)
+          }
+      }) {
+        // pg scalar names Spark lacks: TEXT→STRING, INT4→INT, …; and the
+        // timestamp mapping (naive TIMESTAMP is Spark TIMESTAMP_NTZ,
+        // TIMESTAMPTZ is Spark TIMESTAMP, an instant)
+        val ti = peekAt(i + 1)
+        out += Tok(DCOLON, "::")
+        out += Tok(IDENT, mapScalarCast(toks(ti).text))
+        i = ti + 1
+      } else if (t.kind == DCOLON) {
+        parseTypeAt(peekAt(i + 1)) match {
+          case Some((ddl, after, true)) =>
+            // a STRING-LITERAL operand parses through from_pg_text (both
+            // pg `{...}` and duck `[...]` text); everything else keeps the
+            // plain Spark cast to the translated type
+            var last = out.length - 1
+            while (last >= 0 && (out(last).kind == WS || out(last).kind == COMMENT))
+              last -= 1
+            if (last >= 0 && out(last).kind == STR) {
+              val lit = out(last)
+              out.remove(last, out.length - last)
+              out += Tok(IDENT, "from_pg_text")
+              out += Tok(LPAREN, "(")
+              out += lit
+              out += Tok(COMMA, ", ")
+              out += Tok(STR, "'" + ddl.replace("'", "''") + "'")
+              out += Tok(RPAREN, ")")
+            } else {
               out += Tok(DCOLON, "::")
-              out += Tok(IDENT, s"ARRAY<${mapScalar(toks(ti).text)}>")
-              i = ci + 1
-            } else { out += t; i += 1 }
-          } else { out += t; i += 1 }
-        } else { out += t; i += 1 }
+              out += Tok(IDENT, ddl)
+            }
+            i = after
+          case _ => out += t; i += 1
+        }
       } else { out += t; i += 1 }
     }
-    out.result()
+    out.toVector
   }
 
   // ---- pass 2: bracket lists → array(...) ------------------------------------
@@ -246,6 +350,43 @@ object PgDialect {
       prev = t.kind match { case WS | COMMENT => prev; case _ => Some(t) }
     }
     out.toVector
+  }
+
+  // ---- pass: AT TIME ZONE → at_time_zone(expr, zone) --------------------------
+
+  /** `<operand> AT TIME ZONE <operand>` → `at_time_zone(l, r)` — the pg
+    * keyword form; direction (naive→instant vs instant→naive) resolves by
+    * operand type inside [[graft.functions.AtTimeZone]]. */
+  private def rewriteAtTimeZone(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    def findKeyword(): Int = toks.indices.find { k =>
+      toks(k).kind == IDENT && toks(k).text.equalsIgnoreCase("at") && {
+        val t1 = skipWsF(toks, k + 1)
+        t1 < toks.length && toks(t1).kind == IDENT &&
+          toks(t1).text.equalsIgnoreCase("time") && {
+            val t2 = skipWsF(toks, t1 + 1)
+            t2 < toks.length && toks(t2).kind == IDENT &&
+              toks(t2).text.equalsIgnoreCase("zone")
+          }
+      }
+    }.getOrElse(-1)
+    var at = findKeyword()
+    var guard = 0
+    while (at >= 0 && guard < 64) {
+      val t1 = skipWsF(toks, at + 1)
+      val t2 = skipWsF(toks, t1 + 1)
+      val lStart = operandStart(toks, at - 1)
+      val rEnd = operandEnd(toks, t2 + 1)
+      val left = toks.slice(lStart, skipWsB(toks, at - 1) + 1)
+      val right = toks.slice(skipWsF(toks, t2 + 1), rEnd)
+      if (left.isEmpty || right.isEmpty) return toks // malformed; let Spark error
+      val call = Vector(Tok(IDENT, "at_time_zone"), Tok(LPAREN, "(")) ++ left ++
+        Vector(Tok(COMMA, ", ")) ++ right :+ Tok(RPAREN, ")")
+      toks = toks.take(lStart) ++ call ++ toks.drop(rEnd)
+      at = findKeyword()
+      guard += 1
+    }
+    toks
   }
 
   // ---- pass 3: distance operators → function calls ----------------------------

@@ -59,20 +59,44 @@ object PgIndexDdl {
   private final case class Included(col: String, isExpr: Boolean) extends Item
 
   private final case class Spec(name: String, table: String, idCol: String,
-      items: Seq[Item], include: Seq[String], deferred: Seq[String])
+      items: Seq[Item], include: Seq[String], deferred: Seq[String],
+      predicate: Option[String] = None,
+      options: Map[String, String] = Map.empty)
+
+  /** Plain pg `CREATE [UNIQUE] INDEX n ON t(cols)` — the secondary
+    * (point-lookup) index spelling; surfaces through pg_class/pg_index
+    * with am 'secondary' (inverted_index_options.test). */
+  private final case class SecSpec(name: String, table: String,
+      cols: Seq[String], unique: Boolean)
 
   /** name -> spec; `deferred` holds the delegated DDL statements whose
     * build failed at CREATE time (retried on VACUUM). */
   private val registry = TrieMap.empty[String, Spec]
+  private val secRegistry = TrieMap.empty[String, SecSpec]
+
+  /** Bumped on every registry mutation so pg_class/pg_index views rebuild
+    * (SysCatalog.ensureFresh's freshness stamp). */
+  @volatile var stateVersion: Long = 0L
+  private def bump(): Unit = stateVersion += 1
 
   private val headRe =
     """(?is)\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+(?:\.\w+)?)\s+USING\s+inverted\s*\(.*""".r
+  private val plainRe =
+    """(?is)\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+(?:\.\w+)?)\s*\(([^)]*)\)\s*(WHERE\s+.+?)?\s*;?\s*""".r
   private val dropRe =
     """(?is)\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val alterRe =
+    """(?is)\s*ALTER\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s+(SET|RESET)\s*\((.*)\)\s*;?\s*""".r
+  private val alterTableOptsRe =
+    """(?is)\s*ALTER\s+TABLE\s+\w+(?:\.\w+)?\s+(SET|RESET)\s*\(.*\)\s*;?\s*""".r
 
   def handles(sql: String): Boolean = sql match {
     case headRe(_*) => true
+    case alterRe(_*) => true
+    case alterTableOptsRe(_*) => true
+    case plainRe(_*) => true
     case dropRe(_, name) => registry.contains(name.toLowerCase) ||
+      secRegistry.contains(name.toLowerCase) ||
       sql.matches("""(?is)\s*DROP\s+INDEX\s+IF\s+EXISTS\s+\w+\s*;?\s*""")
     case _ => false
   }
@@ -221,6 +245,90 @@ object PgIndexDdl {
 
   private def quote(s: String): String = s.replace("'", "''")
 
+  // ---- WITH(...) options (reference: inverted_index_options.test; the
+  // reloptions subset of server/pg/commands/create_index.cpp) -------------
+
+  /** Canonical render order — the golden reloptions list. */
+  private val optOrder = Seq("row_group_size", "norm_row_group_size",
+    "refresh_interval", "compaction_interval", "cleanup_interval_step",
+    "segment_memory_max", "segment_docs_max", "compaction_max_segments",
+    "compaction_max_segments_bytes", "compaction_floor_segment_bytes")
+  private val optDefaults: Map[String, String] = Map(
+    "row_group_size" -> "122880", "norm_row_group_size" -> "122880",
+    "refresh_interval" -> "1000", "compaction_interval" -> "1000",
+    "cleanup_interval_step" -> "1", "segment_memory_max" -> "268435456",
+    "segment_docs_max" -> "0", "compaction_max_segments" -> "10",
+    "compaction_max_segments_bytes" -> "5368709120",
+    "compaction_floor_segment_bytes" -> "2097152")
+  /** Structural options shape the indexed data: create-time only. */
+  private val optCreateOnly = Set("row_group_size", "norm_row_group_size",
+    "store_pk")
+  /** uint32-typed options reject > 2^32-1 on both paths. */
+  private val optU32 = Set("row_group_size", "norm_row_group_size",
+    "refresh_interval", "compaction_interval", "cleanup_interval_step",
+    "segment_docs_max", "compaction_max_segments")
+  /** interval 0 disables the background task; docs_max 0 = unlimited —
+    * every other numeric option treats stored 0 as the internal
+    * use-the-default sentinel, unreachable by explicit SET. */
+  private val optZeroOk = Set("refresh_interval", "compaction_interval",
+    "segment_docs_max")
+  /** Non-numeric (string) options. */
+  private val optString = Set("store_pk")
+
+  /** Parse `name = value, ...` items; validates names, literal-ness,
+    * zero/range rules. Returns name -> value text. */
+  private def parseOptions(raw: String): Seq[(String, String)] =
+    splitTop(raw).map { item =>
+      val m = """(?s)^\s*(\w+)\s*=\s*(.*)$""".r.findFirstMatchIn(item)
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot parse option: $item"))
+      val name = m.group(1).toLowerCase
+      val v = m.group(2).trim
+      if (!optDefaults.contains(name) && !optString.contains(name))
+        throw new IllegalArgumentException(
+          s"""unrecognized parameter "$name"""")
+      if (optString.contains(name)) {
+        val sm = """^'([^']*)'$""".r.findFirstMatchIn(v).getOrElse(
+          throw new IllegalArgumentException(
+            s"""invalid value for parameter "$name": "$v""""))
+        name -> sm.group(1)
+      } else {
+        val nm = """^(\d+)\s*(.*)$""".r.findFirstMatchIn(v).getOrElse(
+          throw new IllegalArgumentException(
+            s"""invalid value for parameter "$name": "$v""""))
+        if (nm.group(2).nonEmpty)
+          // pg's grammar rejects expressions: report the first stray token
+          throw new IllegalArgumentException(
+            s"""syntax error at or near "${nm.group(2).split("\\s+").head}"""")
+        val num = BigInt(nm.group(1))
+        if (num == 0 && !optZeroOk.contains(name))
+          throw new IllegalArgumentException(
+            s"""invalid value for parameter "$name": "0"""")
+        if (optU32.contains(name) && num > 0xFFFFFFFFL)
+          throw new IllegalArgumentException(
+            s"""value for option "$name" is out of range""")
+        if (num > Long.MaxValue)
+          throw new IllegalArgumentException(
+            s"""value for option "$name" is out of range""")
+        name -> nm.group(1)
+      }
+    }
+
+  /** Options always hold CONCRETE values: WITH / a session setting when
+    * set, else the built-in default (RESET re-resolves the same way). */
+  private def resolveOption(spark: SparkSession, name: String): String =
+    graft.catalog.SessionVars.get(spark, name).filter(_.matches("\\d+"))
+      .getOrElse(optDefaults(name))
+
+  private def resolvedOptions(spark: SparkSession,
+      explicit: Seq[(String, String)]): Map[String, String] = {
+    val ex = explicit.toMap
+    optOrder.map(n => n -> ex.getOrElse(n, resolveOption(spark, n))).toMap
+  }
+
+  private def renderOptions(opts: Map[String, String]): String =
+    optOrder.map(n => s"$n=${opts(n)}").mkString("{", ",", "}")
+
   /** The delegated engine-DDL statements for a spec (built lazily).
     * An id-less spec delegates nothing — the relation view is the whole
     * surface (the engine's index machinery keys refresh/deletes off a
@@ -242,15 +350,23 @@ object PgIndexDdl {
         val sidecar =
           (if (fieldCols.nonEmpty) s" FIELDS (${fieldCols.mkString(", ")})" else "") +
             (if (includeCols.nonEmpty) s" INCLUDE (${includeCols.mkString(", ")})" else "")
-        // the sidecar clauses ride on the FIRST tokenized column only
+        // the sidecar clauses ride on the FIRST tokenized column only;
+        // a partial predicate delegates too (the engine's SEARCH INDEX
+        // grammar has WHERE, with matching claim gating) — but not
+        // alongside sidecars, which the engine refuses on partial indexes
         val side = if (i == 0) sidecar else ""
+        val part = spec.predicate.filter(_ => side.isEmpty)
+          .map(p => s" WHERE $p").getOrElse("")
         s"CREATE OR REPLACE SEARCH INDEX $sub ON ${spec.table} (${t.target}) " +
           s"WITH (id = '${spec.idCol}', analyzer = '${t.dict}', " +
-          s"key = 'pg-${spec.name}-$i')" + side
+          s"key = 'pg-${spec.name}-$i')" + side + part
       }
     }
     val vecDdl = vectors.zipWithIndex.flatMap { case (v, i) =>
-      if (v.isExpr) Nil // exact distances via the relation view; no IVF over exprs
+      if (v.isExpr || spec.predicate.isDefined) Nil
+      // exact distances via the relation view; no IVF over exprs, and none
+      // over partial predicates (an unfiltered IVF would claim rows the
+      // partial index must exclude)
       else {
         val metric = v.opts.getOrElse("metric", "l2")
         val sub =
@@ -268,14 +384,41 @@ object PgIndexDdl {
     case headRe(ine, name, table) =>
       val open = sql.toLowerCase.indexOf("inverted")
       val (itemsRaw, after) = balanced(sql, sql.indexOf('(', open))
-      val tail = sql.substring(after)
-      val includeRe = """(?is)\s*INCLUDE\s*\(([^)]*)\)""".r
-      val include = includeRe.findFirstMatchIn(tail).toSeq
-        .flatMap(_.group(1).split(",")).map(_.trim).filter(_.nonEmpty)
+      // tail clauses, any order: WITH (opts), INCLUDE (cols), WHERE pred
+      var rest = sql.substring(after).trim.stripSuffix(";").trim
+      var withOpts = Seq.empty[(String, String)]
+      var include = Seq.empty[String]
+      var predicate: Option[String] = None
+      var scanning = true
+      while (scanning && rest.nonEmpty) {
+        val lower = rest.toLowerCase
+        if (lower.startsWith("with") &&
+            rest.indexOf('(') >= 0 && rest.substring(4).trim.startsWith("(")) {
+          val (inside, end) = balanced(rest, rest.indexOf('('))
+          withOpts = parseOptions(inside)
+          rest = rest.substring(end).trim
+        } else if (lower.startsWith("include") &&
+            rest.substring(7).trim.startsWith("(")) {
+          val (inside, end) = balanced(rest, rest.indexOf('('))
+          include = inside.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          rest = rest.substring(end).trim
+        } else if (lower.startsWith("where") &&
+            rest.length > 5 && rest.charAt(5).isWhitespace) {
+          predicate = Some(rest.substring(5).trim)
+          rest = ""
+        } else scanning = false
+      }
       if (registry.contains(name.toLowerCase) && ine != null)
         return result(spark, s"index $name already exists, skipped")
       if (registry.contains(name.toLowerCase))
         throw new IllegalArgumentException(s"""index "$name" already exists""")
+      // PG WHERE semantics: the predicate must type as boolean (NULL rows
+      // count as false — the relation view's WHERE supplies that)
+      predicate.foreach { p =>
+        val dt = typeOf(spark, table, p)
+        if (dt != BooleanType) throw new IllegalArgumentException(
+          s"argument of WHERE must be type boolean, not type ${pgTypeName(dt)}")
+      }
       val items0 = splitTop(itemsRaw).map(resolveItem(spark, table, _))
       // id classification: the bare column matching the table's PRIMARY KEY
       // is the doc id; other bare columns are typed fields. Without a
@@ -297,19 +440,77 @@ object PgIndexDdl {
         case IdCol(c) => FieldCol(c)
         case other => other
       }
-      var spec = Spec(name.toLowerCase, table, idCol, items, include, Nil)
+      var spec = Spec(name.toLowerCase, table, idCol, items, include, Nil,
+        predicate, resolvedOptions(spark, withOpts))
       // the index-as-relation surface: the index NAME is a SQL view of its
-      // table (column pruning = covering behavior)
-      spark.table(table).createOrReplaceTempView(name)
+      // table (column pruning = covering behavior); a PARTIAL index views
+      // only the predicate's rows — DML maintenance is definitional
+      relationView(spark, spec)
       val deferred = delegations(spec).filter { ddl =>
         try { Ddl.execute(spark, ddl); false }
         catch { case _: Exception => true } // retried on VACUUM
       }
       spec = spec.copy(deferred = deferred)
-      registry.put(name.toLowerCase, spec)
+      registry.put(name.toLowerCase, spec); bump()
+      result(spark, s"created index $name")
+    case alterTableOptsRe(_) =>
+      throw new IllegalArgumentException(
+        "this ALTER TABLE operation is not supported")
+    case alterRe(ife, name, verb, itemsRaw) =>
+      val n = name.toLowerCase
+      if (secRegistry.contains(n))
+        // the target type wins over option validation
+        throw new IllegalArgumentException(
+          s""""$name" is not an inverted index""")
+      registry.get(n) match {
+        case None if ife != null =>
+          result(spark, s"index $name does not exist, skipped")
+        case None =>
+          throw new IllegalArgumentException(
+            s"""index "$name" does not exist""")
+        case Some(spec) if verb.equalsIgnoreCase("SET") =>
+          val parsed = parseOptions(itemsRaw)
+          parsed.foreach { case (k, _) =>
+            if (optCreateOnly.contains(k)) throw new IllegalArgumentException(
+              s"""option "$k" cannot be changed with ALTER INDEX""")
+          }
+          registry.put(n, spec.copy(options = spec.options ++ parsed)); bump()
+          result(spark, s"altered index $name")
+        case Some(spec) =>
+          // RESET re-resolves the session value / built-in default,
+          // leaving the other options untouched
+          val names = splitTop(itemsRaw).map(_.trim.toLowerCase)
+          names.foreach { k =>
+            if (optCreateOnly.contains(k)) throw new IllegalArgumentException(
+              s"""option "$k" cannot be changed with ALTER INDEX""")
+            if (!optDefaults.contains(k)) throw new IllegalArgumentException(
+              s"""unrecognized parameter "$k"""")
+          }
+          val reset = names.map(k => k -> resolveOption(spark, k))
+          registry.put(n, spec.copy(options = spec.options ++ reset)); bump()
+          result(spark, s"altered index $name")
+      }
+    case plainRe(unique, ine, name, table, colsRaw, whereTail) =>
+      if (whereTail != null) throw new IllegalArgumentException(
+        "partial indexes are only supported for inverted indexes")
+      val n = name.toLowerCase
+      if ((secRegistry.contains(n) || registry.contains(n)) && ine != null)
+        return result(spark, s"index $name already exists, skipped")
+      if (secRegistry.contains(n) || registry.contains(n))
+        throw new IllegalArgumentException(s"""index "$name" already exists""")
+      val cols = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      secRegistry.put(n, SecSpec(n, table, cols, unique != null)); bump()
+      // delegate single-column form to the engine's point-lookup index
+      // (lazy — an empty table builds on first VACUUM like the rest)
+      if (cols.length == 1)
+        try Ddl.execute(spark,
+          s"CREATE SECONDARY INDEX $n ON $table (${cols.head})")
+        catch { case _: Exception => () }
       result(spark, s"created index $name")
     case dropRe(ife, name) =>
-      registry.remove(name.toLowerCase) match {
+      val n = name.toLowerCase
+      bump()
+      registry.remove(n) match {
         case Some(spec) =>
           delegations(spec).foreach { ddl =>
             val sub = ddl.split("\\s+")(5) // CREATE OR REPLACE <KIND> INDEX <sub>
@@ -319,11 +520,26 @@ object PgIndexDdl {
           }
           spark.catalog.dropTempView(name)
           result(spark, s"dropped index $name")
-        case None if ife != null =>
-          result(spark, s"index $name does not exist, skipped")
-        case None =>
-          throw new IllegalArgumentException(s"""index "$name" does not exist""")
+        case None => secRegistry.remove(n) match {
+          case Some(_) =>
+            try Ddl.execute(spark, s"DROP SECONDARY INDEX IF EXISTS $n")
+            catch { case _: Exception => () }
+            result(spark, s"dropped index $name")
+          case None if ife != null =>
+            result(spark, s"index $name does not exist, skipped")
+          case None =>
+            throw new IllegalArgumentException(
+              s"""index "$name" does not exist""")
+        }
       }
+  }
+
+  /** (Re)register the index-as-relation temp view: the table, filtered by
+    * the partial predicate when one exists. */
+  private def relationView(spark: SparkSession, spec: Spec): Unit = {
+    val base = spark.table(spec.table)
+    spec.predicate.fold(base)(p => base.where(p))
+      .createOrReplaceTempView(spec.name)
   }
 
   /** VACUUM (REFRESH_TABLE) hook: retry deferred builds for this table,
@@ -331,7 +547,7 @@ object PgIndexDdl {
     * re-registered by DML). */
   def onVacuum(spark: SparkSession, table: String): Unit = {
     registry.values.filter(_.table.equalsIgnoreCase(table)).foreach { spec =>
-      spark.table(spec.table).createOrReplaceTempView(spec.name)
+      relationView(spark, spec)
       if (spec.deferred.nonEmpty) {
         val still = spec.deferred.filter { ddl =>
           try { Ddl.execute(spark, ddl); false }
@@ -357,10 +573,29 @@ object PgIndexDdl {
     Seq(msg).toDF("result")
   }
 
-  /** (index name, table) pairs for the pg_class/pg_index catalog views. */
-  def catalogRows: Seq[(String, String)] =
-    registry.values.map(s => (s.name, s.table)).toSeq
+  /** One pg_class/pg_index/pg_am row set per index. */
+  final case class CatalogRow(name: String, table: String, am: String,
+      reloptions: String, unique: Boolean)
+
+  /** Rows for the pg catalog views: inverted indexes carry their resolved
+    * reloptions; plain (secondary) indexes render `{}` (the reference's
+    * pg_class shape, inverted_index_options.test). */
+  def catalogRows: Seq[CatalogRow] =
+    registry.values.map(s =>
+      CatalogRow(s.name, s.table, "inverted", renderOptions(s.options),
+        unique = false)).toSeq ++
+      secRegistry.values.map(s =>
+        CatalogRow(s.name, s.table, "secondary", "{}", s.unique)).toSeq
+
+  /** The relation an index name views — table plus the partial predicate —
+    * how a session that did NOT run the CREATE INDEX resolves the
+    * index-as-relation surface (the registry is JVM-shared; temp views are
+    * not). */
+  def relationFor(name: String): Option[(String, Option[String])] =
+    registry.get(name.toLowerCase).map(s => (s.table, s.predicate))
 
   /** Test hook. */
-  private[graft] def reset(): Unit = registry.clear()
+  private[graft] def reset(): Unit = {
+    registry.clear(); secRegistry.clear(); bump()
+  }
 }

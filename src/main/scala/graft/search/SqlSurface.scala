@@ -21,6 +21,15 @@ object SqlSurface {
 
   def registerAll(spark: SparkSession): Unit = if (registered.add(spark)) {
     VectorFunctions.registerSql(spark)
+    // duck/ICU local-time surface (collate_timezone.test): wall-clock in
+    // the session zone; TIME has no Spark type, so it renders as text
+    spark.udf.register("current_localtimestamp",
+      () => java.time.LocalDateTime.now(java.time.ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)))
+    spark.udf.register("current_localtime",
+      () => java.time.LocalTime.now(java.time.ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss")))
     // pg_has_role(role, target, 'member'|'usage') — PG's membership
     // introspection over the RBAC role graph (rbac corpus
     // xmb_has_role_matrix_diamond.test): member = reachable through

@@ -42,6 +42,11 @@ object TsQuery {
     * ngram_similarity_filter.hpp). */
   final case class NgramSim(q: String, minJaccard: Double, n: Int = 3) extends TsQuery
   final case class Phrase(terms: Seq[String]) extends TsQuery
+  /** Phrase whose LAST slot matches any term with the given prefix — the ES
+    * `match_phrase_prefix` clause (type-ahead). `init` may be empty (a bare
+    * prefix). Indexed matching merges the prefix-expanded postings into one
+    * position set per doc, so no driver-side expansion cap is needed. */
+  final case class PhrasePrefix(init: Seq[String], prefix: String) extends TsQuery
   /** Positional phrase with per-gap [min,max] distance bounds — `<N>` in
     * tsquery syntax, `##` in the reference's operator surface. */
   final case class PhraseGap(terms: Seq[String], gaps: Seq[(Int, Int)]) extends TsQuery
@@ -82,6 +87,7 @@ object TsQueryExec {
     case TsQuery.NgramSim(q, j, n) => idx.ngramSimilarity(q, j, n)
     case TsQuery.Phrase(ts) if ts.size == 1 => idx.term(ts.head)
     case TsQuery.Phrase(ts) => idx.phrase(ts)
+    case TsQuery.PhrasePrefix(init, p) => idx.phrasePrefix(init, p)
     case TsQuery.PhraseGap(ts, gaps) => idx.sloppyPhrase(ts, gaps)
     case TsQuery.SlopPhrase(ts, s) if ts.size == 1 => idx.term(ts.head)
     case TsQuery.SlopPhrase(ts, 0) => idx.phrase(ts)
@@ -194,14 +200,27 @@ object TsQueryExec {
     case TsQuery.Term(t) => toks.contains(t)
     case TsQuery.Prefix(p) => toks.exists(_.startsWith(p))
     case TsQuery.Wildcard(p) =>
-      // LIKE → anchored regex: escape regex metachars, then % → .*, _ → .
-      val re = p.flatMap {
-        case '%' => ".*"
-        case '_' => "."
-        case c if "\\.[]{}()*+-?^$|".contains(c) => "\\" + c
-        case c => c.toString
+      // LIKE → anchored regex: % → .*, _ → ., and a backslash escapes the
+      // NEXT char to a literal (`\_` matches an underscore — the same
+      // escape Spark's like() applies on the index path; term_ops.test)
+      val re = new StringBuilder
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        if (c == '\\' && i + 1 < p.length) {
+          re ++= java.util.regex.Pattern.quote(p.charAt(i + 1).toString)
+          i += 2
+        } else {
+          c match {
+            case '%' => re ++= ".*"
+            case '_' => re += '.'
+            case x if "\\.[]{}()*+-?^$|".contains(x) => re += '\\'; re += x
+            case x => re += x
+          }
+          i += 1
+        }
       }
-      val cp = java.util.regex.Pattern.compile("^" + re + "$")
+      val cp = java.util.regex.Pattern.compile("^" + re.result() + "$")
       toks.exists(t => cp.matcher(t).matches())
     case TsQuery.Regexp(r) =>
       // unanchored find — mirrors the dict-side `rlike`
@@ -225,6 +244,10 @@ object TsQueryExec {
         u > 0 && (tg & qg).size.toDouble / u >= j
       }
     case TsQuery.Phrase(ps) => ps.size <= toks.size && toks.sliding(ps.size).contains(ps)
+    case TsQuery.PhrasePrefix(init, p) =>
+      if (init.isEmpty) toks.exists(_.startsWith(p))
+      else init.size < toks.size && toks.sliding(init.size + 1).exists(w =>
+        w.init == init && w.last.startsWith(p))
     case TsQuery.PhraseGap(ts, gaps) =>
       val positions = ts.map(t => toks.zipWithIndex.collect { case (x, i) if x == t => i })
       gaps.zip(positions.drop(1)).foldLeft(positions.head) { case (chain, ((lo, hi), next)) =>

@@ -120,20 +120,21 @@ object EsTables {
       dict: String = "whitespace"): DataFrame = {
     val analyzer = AnalyzerRegistry.get(dict)
     val req = EsDsl.parseRequest(dslJson, analyzer)
-    applyPage(spark, root, name, hitsFor(spark, root, name, req.query, field, dict), req)
+    applyPage(spark, root, name, hitsFor(spark, root, name, req.clause, field, dict), req)
   }
 
   /** The unpaged hit set for a parsed query — shared by [[search]] (which
     * pages it) and [[aggs]] (ES aggregations run over ALL hits, ignoring
     * from/size). */
   private def hitsFor(spark: SparkSession, root: String, name: String,
-      parsed: Either[EsDsl.Bool, graft.search.TsQuery], field: String,
+      clause: EsDsl.Clause, field: String,
       dict: String): DataFrame =
     graft.search.ExprIndexes.lookup(
         dir(root, name), s"get_json_object(_source, '$$.$field')", dict) match {
-      case Some((segDir, idCol)) => claimedSearch(spark, root, name, segDir, idCol, parsed)
+      case Some((segDir, idCol)) =>
+        claimedSearch(spark, root, name, segDir, idCol, clause, field, dict)
       case None =>
-        rowEvalSearch(spark, root, name, parsed, AnalyzerRegistry.get(dict), field)
+        rowEvalSearch(spark, root, name, clause, AnalyzerRegistry.get(dict), field)
     }
 
   /** Request-level `sort`/`from`/`size` (dsl.cpp:434-456, 680-697): sort
@@ -173,9 +174,10 @@ object EsTables {
   def aggs(spark: SparkSession, root: String, name: String,
       dslJson: String, field: String = "text",
       dict: String = "whitespace"): DataFrame = {
-    val req = EsDsl.parseRequest(dslJson, AnalyzerRegistry.get(dict))
+    val analyzer = AnalyzerRegistry.get(dict)
+    val req = EsDsl.parseRequest(dslJson, analyzer)
     require(req.aggs.nonEmpty, "ES DSL: request has no aggs")
-    val hits = hitsFor(spark, root, name, req.query, field, dict)
+    val hits = hitsFor(spark, root, name, req.clause, field, dict)
     val withSource = hits.join(table(spark, root, name), "_id")
     val out = req.aggs.map {
       case EsDsl.TermsAgg(aName, aField, aSize) =>
@@ -196,6 +198,52 @@ object EsTables {
           .select(lit(aName).as("agg"),
             date_format(col("k"), "yyyy-MM-dd'T'HH:mm:ss").as("key"),
             col("doc_count"), lit(null).cast("double").as("value"))
+      case EsDsl.HistogramAgg(aName, aField, interval) =>
+        // fixed-width numeric buckets: key = floor(v / interval) * interval
+        // (ES histogram), empty buckets omitted (min_doc_count default 1
+        // behavior — bucket back-fill is presentation, not aggregation)
+        val v = get_json_object(col("_source"), s"$$.$aField").cast("double")
+        withSource.filter(v.isNotNull)
+          .groupBy((floor(v / interval) * interval).as("k"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"))
+          .orderBy(col("k"))
+          .select(lit(aName).as("agg"), col("k").cast("string").as("key"),
+            col("doc_count"), lit(null).cast("double").as("value"))
+      case EsDsl.FiltersAgg(aName, buckets) =>
+        // one named bucket per sub-query, counted over the request's hit
+        // set (ES filters agg) — each bucket is a residual row-eval over
+        // the already-reduced hits, so cost is |hits| × |buckets|
+        buckets.map { case (bName, bClause) =>
+          val m = udf((id: String, src: String) =>
+            evalClause(bClause, field, analyzer, id, src))
+          withSource.filter(m(col("_id"), col("_source")))
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"))
+            .select(lit(aName).as("agg"), lit(bName).as("key"),
+              col("doc_count"), lit(null).cast("double").as("value"))
+        }.reduce(_ unionByName _)
+      case EsDsl.TopHitsAgg(aName, sz, aSort) =>
+        // request-level top_hits: the top `size` hit _ids in sort order
+        // (key = _id, doc_count = 1-based rank). The reference has no
+        // sub-aggregation surface, so bucket-nested top_hits is out of
+        // scope — DEVIATION documented in EsDsl.
+        val types: Map[String, String] = mapping(spark, root, name).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val keys = aSort.map { case (f, asc) =>
+          val c =
+            if (f == "_id") col("_id")
+            else types.get(f) match {
+              case Some(t) if t == "bigint" || t == "double" =>
+                get_json_object(col("_source"), s"$$.$f").cast("double")
+              case _ => get_json_object(col("_source"), s"$$.$f")
+            }
+          if (asc) c.asc else c.desc
+        } :+ col("_id").asc
+        import org.apache.spark.sql.expressions.Window
+        withSource.orderBy(keys: _*).limit(sz)
+          .withColumn("doc_count",
+            row_number().over(Window.orderBy(keys: _*)).cast("long"))
+          .select(lit(aName).as("agg"), col("_id").as("key"),
+            col("doc_count"), lit(null).cast("double").as("value"))
       case EsDsl.MetricAgg(aName, kind, aField) =>
         val v = get_json_object(col("_source"), s"$$.$aField").cast("double")
         val e = kind match {
@@ -215,71 +263,99 @@ object EsTables {
     out.reduce(_ unionByName _)
   }
 
+  /** Doc-level clause evaluation over a raw `_source` — the row-eval
+    * fallback and the residual for non-indexed fields on the claimed path.
+    * Tokenizes each referenced field at most once per row; bools recurse
+    * with full counting semantics (dsl.cpp:326-349). */
+  private[sources] def evalClause(c: EsDsl.Clause, defaultField: String,
+      analyzer: graft.analysis.Analyzer, id: String, source: String): Boolean = {
+    lazy val json = JsonMethods.parse(source)
+    val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+    def toksOf(f: String): Seq[String] = cache.getOrElseUpdate(f,
+      (json \ f) match {
+        case JString(s) => analyzer.tokens(s)
+        case JNothing | JNull => Seq.empty
+        case v => analyzer.tokens(JsonMethods.compact(JsonMethods.render(v)))
+      })
+    def go(c: EsDsl.Clause): Boolean = c match {
+      case EsDsl.TokenClause(fOpt, q) =>
+        TsQueryExec.evalTokens(q, toksOf(fOpt.getOrElse(defaultField)))
+      case EsDsl.ExistsClause(f) => (json \ f) match {
+        case JNothing | JNull => false
+        case _ => true
+      }
+      case EsDsl.IdsClause(vs) => vs.contains(id)
+      case EsDsl.BoolClause(must, mustNot, should, msm) =>
+        must.forall(go) && !mustNot.exists(go) &&
+          (should.isEmpty || msm <= 0 || should.count(go) >= msm)
+    }
+    go(c)
+  }
+
+  /** The indexed path: clauses over the INDEXED field become postings
+    * matches combined with semi/anti joins + a minimum_should_match branch
+    * count; doc-level clauses (exists/ids) and other-field clauses stay
+    * DataFrame filters intersected the same way — the plan is LeftSemi
+    * joins against index segments, never a full `_source` tokenize-and-scan
+    * for the indexed branches. */
   private def claimedSearch(spark: SparkSession, root: String, name: String,
-      segDir: String, idCol: String,
-      parsed: Either[EsDsl.Bool, graft.search.TsQuery]): DataFrame = {
+      segDir: String, idCol: String, clause: EsDsl.Clause,
+      field: String, dict: String): DataFrame = {
     val idx = graft.index.IndexStore.load(spark, segDir)
-    def hits(q: graft.search.TsQuery): DataFrame =
-      TsQueryExec.matching(idx, q).select(col("doc_id"))
-    val matched: Option[DataFrame] = parsed match {
-      case Right(q) => Some(hits(q))
-      case Left(b) =>
-        // must branches intersect; should branches count toward the
-        // minimum_should_match floor; must_not anti-joins — the same
-        // counting semantics as the row-eval (dsl.cpp:326-349)
-        val mustDf = b.must.map(hits).reduceOption(
+    val analyzer = AnalyzerRegistry.get(dict)
+    val all = table(spark, root, name)
+    def allIds: DataFrame = all.select(col("_id").as("doc_id"))
+    def hits(c: EsDsl.Clause): DataFrame = c match {
+      case EsDsl.TokenClause(fOpt, q) if fOpt.forall(_ == field) =>
+        TsQueryExec.matching(idx, q).select(col("doc_id"))
+      case tc: EsDsl.TokenClause =>
+        // un-indexed field: row-eval residual over _source (multi_match's
+        // other legs)
+        val m = udf((id: String, src: String) =>
+          evalClause(tc, field, analyzer, id, src))
+        all.filter(m(col("_id"), col("_source"))).select(col("_id").as("doc_id"))
+      case EsDsl.ExistsClause(f) =>
+        all.filter(get_json_object(col("_source"), s"$$.$f").isNotNull)
+          .select(col("_id").as("doc_id"))
+      case EsDsl.IdsClause(vs) =>
+        all.filter(col("_id").isin(vs: _*)).select(col("_id").as("doc_id"))
+      case EsDsl.BoolClause(must, mustNot, should, msm) =>
+        val mustDf = must.map(hits).reduceOption(
           (a, c) => a.join(c, Seq("doc_id"), "left_semi"))
         val shouldDf =
-          if (b.should.isEmpty || b.minShouldMatch <= 0) None
-          else Some(b.should.zipWithIndex
+          if (should.isEmpty || msm <= 0) None
+          else Some(should.zipWithIndex
             .map { case (q, i) => hits(q).withColumn("_b", lit(i)) }
             .reduce(_ unionByName _)
             .groupBy(col("doc_id"))
             .agg(countDistinct(col("_b")).as("_nb"))
-            .filter(col("_nb") >= b.minShouldMatch)
+            .filter(col("_nb") >= msm)
             .select(col("doc_id")))
         val pos = (mustDf, shouldDf) match {
           case (Some(m), Some(s)) => Some(m.join(s, Seq("doc_id"), "left_semi"))
           case (m, s) => m.orElse(s)
         }
         pos.map { p =>
-          b.mustNot.map(hits).foldLeft(p)(
+          mustNot.map(hits).foldLeft(p)(
             (acc, n) => acc.join(n, Seq("doc_id"), "left_anti"))
-        }.orElse {
+        }.getOrElse {
           // no positive branch: match_all minus the must_nots
-          if (b.mustNot.isEmpty) None
-          else Some(b.mustNot.map(hits).foldLeft(
-            table(spark, root, name).select(col("_id").as("doc_id")))(
-            (acc, n) => acc.join(n, Seq("doc_id"), "left_anti")))
+          mustNot.map(hits).foldLeft(allIds)(
+            (acc, n) => acc.join(n, Seq("doc_id"), "left_anti"))
         }
     }
-    matched match {
-      case None => table(spark, root, name).select(col("_id")) // match_all
-      case Some(m) =>
-        table(spark, root, name)
-          .join(m.select(col("doc_id").as("__match_id")),
-            col("_id") === col("__match_id"), "left_semi")
-          .select(col("_id"))
-    }
+    all.join(hits(clause).select(col("doc_id").as("__match_id")),
+        col("_id") === col("__match_id"), "left_semi")
+      .select(col("_id"))
   }
 
   private def rowEvalSearch(spark: SparkSession, root: String, name: String,
-      parsed: Either[EsDsl.Bool, graft.search.TsQuery],
+      clause: EsDsl.Clause,
       analyzer: graft.analysis.Analyzer, field: String): DataFrame = {
-    // a top-level bool keeps full counting semantics: every must matches, no
-    // must_not matches, and >= minimum_should_match of the should branches
-    // match — counted per branch in the row-eval, exactly dsl.cpp:326-349
-    val pred: Seq[String] => Boolean = parsed match {
-      case Right(q) => toks => TsQueryExec.evalTokens(q, toks)
-      case Left(b) => toks =>
-        b.must.forall(TsQueryExec.evalTokens(_, toks)) &&
-          !b.mustNot.exists(TsQueryExec.evalTokens(_, toks)) &&
-          (b.should.isEmpty || b.minShouldMatch <= 0 ||
-            b.should.count(TsQueryExec.evalTokens(_, toks)) >= b.minShouldMatch)
-    }
-    val matches = udf((src: String) => pred(analyzer.tokens(src)))
+    val matches = udf((id: String, src: String) =>
+      evalClause(clause, field, analyzer, id, src))
     table(spark, root, name)
-      .filter(matches(get_json_object(col("_source"), s"$$.$field")))
+      .filter(matches(col("_id"), col("_source")))
       .select(col("_id"))
   }
 }

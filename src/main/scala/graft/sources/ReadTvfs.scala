@@ -192,5 +192,16 @@ object ReadTvfs {
       tvf("read_json_auto", readJson),
       planTvf("query", queryTvf),
       planTvf("query_table", queryTableTvf),
-      planTvf("generate_series", generateSeriesTvf))
+      planTvf("generate_series", generateSeriesTvf),
+      // introspection TVFs the duck-dialect corpus reads
+      // (collate_timezone.test): this engine's "extensions" are all
+      // statically linked — ICU collations/zones ride on the JVM+Spark
+      planTvf("duckdb_extensions", _ =>
+        SparkSession.active.sessionState.sqlParser.parsePlan(
+          """SELECT * FROM VALUES ('icu', true), ('parquet', true),
+            |('json', true) AS t(extension_name, loaded)""".stripMargin)),
+      planTvf("pragma_collations", _ =>
+        SparkSession.active.sessionState.sqlParser.parsePlan(
+          "SELECT explode(array('de', 'en', 'fr', 'es', 'it', 'ja', 'zh', " +
+            "'sv', 'da', 'fi', 'nb', 'tr', 'cs', 'pl', 'ru')) AS collname")))
 }
