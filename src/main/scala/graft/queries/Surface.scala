@@ -909,6 +909,86 @@ object Surface {
       """{"query": {"range": {"text": {"gte": "e", "lt": "g"}}}}""")
   }
 
+  /** Docs with heterogeneous fields — `title` missing on 3, `text` missing
+    * on 4 — for the field-aware ES clauses (multi_match/exists/ids). */
+  private val esRichDocs = Seq(
+    """{"index": {"_id": "1"}}""",
+    """{"title": "spark engine guide", "text": "good fast engine", "stars": 5}""",
+    """{"index": {"_id": "2"}}""",
+    """{"title": "tuning notes", "text": "bad slow engine", "stars": 1}""",
+    """{"index": {"_id": "3"}}""",
+    """{"text": "good spark enough", "stars": 4}""",
+    """{"index": {"_id": "4"}}""",
+    """{"title": "terrible spark", "stars": 2}""")
+
+  /** ES `multi_match` (best_fields): per-field analyzed match OR'd across
+    * the listed fields — doc 1 and 4 hit on title, 3 on text; `^boost`
+    * suffixes parse and are ignored (hit set only, no scoring). */
+  def esDslMultiMatch(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_mm", esRichDocs, overwrite = true)
+    EsTables.search(s, root, "reviews_mm",
+      """{"query": {"multi_match": {"query": "spark",
+        |  "fields": ["title^2", "text"]}}}""".stripMargin)
+      .orderBy(col("_id"))
+  }
+
+  /** ES `exists` + `ids` composed under bool: docs with a `title` field
+    * whose _id is in the given set (exists = JSON field presence; ids =
+    * the _mget body shape as a query clause, handlers.cpp:1280). */
+  def esDslExistsIds(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_ei", esRichDocs, overwrite = true)
+    EsTables.search(s, root, "reviews_ei",
+      """{"query": {"bool": {
+        |  "must": [{"ids": {"values": ["2", "3", "4"]}},
+        |           {"exists": {"field": "text"}}]}}}""".stripMargin)
+      .orderBy(col("_id"))
+  }
+
+  /** ES `match_phrase_prefix` over the CLAIMED path: the last slot runs
+    * against the union of prefix-expanded postings positions (type-ahead);
+    * 'good fa' matches 'good fast engine' but not 'good spark enough'. */
+  def esDslPhrasePrefix(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_pp", esRichDocs, overwrite = true)
+    EsTables.createIndex(s, root, "reviews_pp", "text", "whitespace")
+    EsTables.search(s, root, "reviews_pp",
+      """{"query": {"match_phrase_prefix": {"text": "good fa"}}}""")
+      .orderBy(col("_id"))
+  }
+
+  /** ES `histogram` aggregation: fixed-width numeric buckets
+    * (floor(v/interval)*interval), empty buckets omitted. */
+  def esDslHistogram(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_hist", esRichDocs, overwrite = true)
+    EsTables.aggs(s, root, "reviews_hist",
+      """{"query": {"match_all": {}},
+        |"aggs": {"by_stars": {"histogram": {"field": "stars", "interval": 2}}}}""".stripMargin)
+  }
+
+  /** ES `filters` aggregation: one named bucket per sub-query, counted
+    * over the request's hit set; plus request-level `top_hits` (top docs
+    * by sort — key = _id, doc_count = rank). */
+  def esDslFiltersTopHits(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_fth", esRichDocs, overwrite = true)
+    EsTables.aggs(s, root, "reviews_fth",
+      """{"query": {"match_all": {}},
+        |"aggs": {
+        |  "groups": {"filters": {"filters": {
+        |    "has_title": {"exists": {"field": "title"}},
+        |    "sparky": {"match": {"text": "spark"}}}}},
+        |  "best": {"top_hits": {"size": 2, "sort": [{"stars": "desc"}]}}}}""".stripMargin)
+      .orderBy(col("agg"), col("key"))
+  }
+
   /** The index as a SQL relation: query its parts directly (demo3's
     * `SELECT ... FROM imdb_fts_idx` pattern) — here a term-dict range scan
     * joined to postings for per-term document lists. */
@@ -1254,6 +1334,11 @@ object Surface {
     "es_dsl_aggs" -> esDslAggs,
     "es_dsl_terms_query" -> esDslTermsQuery,
     "es_dsl_date_metrics" -> esDslDateMetrics,
+    "es_dsl_multi_match" -> esDslMultiMatch,
+    "es_dsl_exists_ids" -> esDslExistsIds,
+    "es_dsl_phrase_prefix" -> esDslPhrasePrefix,
+    "es_dsl_histogram" -> esDslHistogram,
+    "es_dsl_filters_top_hits" -> esDslFiltersTopHits,
     "ts_claimed_match" -> tsClaimedMatch,
     "ts_partial_index" -> tsPartialIndex,
     "ts_covered_projection" -> tsCoveredProjection,
@@ -1531,6 +1616,30 @@ object Surface {
         |  ('uniq_stars', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 3.0),
         |  ('min_stars', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 1.0),
         |  ('max_stars', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 5.0))
+        |  AS t(agg, key, doc_count, value)""".stripMargin,
+    // 'spark' on title: 1, 4; on text: 3
+    "es_dsl_multi_match" ->
+      """SELECT * FROM (VALUES ('1'), ('3'), ('4')) AS t("_id")""",
+    // ids {2,3,4} AND has a text field (4 has none)
+    "es_dsl_exists_ids" ->
+      """SELECT * FROM (VALUES ('2'), ('3')) AS t("_id")""",
+    // 'good fa*' phrase-prefix: only 'good fast engine'
+    "es_dsl_phrase_prefix" -> """SELECT '1' AS "_id"""",
+    // stars {5,1,4,2} at interval 2 -> 0.0:1, 2.0:1, 4.0:2
+    "es_dsl_histogram" ->
+      """SELECT * FROM (VALUES
+        |  ('by_stars', '0.0', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('by_stars', '2.0', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('by_stars', '4.0', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)))
+        |  AS t(agg, key, doc_count, value)""".stripMargin,
+    // filters buckets: has_title {1,2,4}=3, sparky {3}=1; top_hits by
+    // stars desc: doc 1 (5) rank 1, doc 3 (4) rank 2
+    "es_dsl_filters_top_hits" ->
+      """SELECT * FROM (VALUES
+        |  ('best', '1', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('best', '3', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('groups', 'has_title', CAST(3 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('groups', 'sparky', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)))
         |  AS t(agg, key, doc_count, value)""".stripMargin,
     "ts_sugar_preds" -> {
       // same gram arithmetic as the engine's NgramSim leaf: distinct char

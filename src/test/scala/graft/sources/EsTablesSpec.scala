@@ -112,6 +112,86 @@ class EsTablesSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set("a1", "a2"))
   }
 
+  private val richDocs = Seq(
+    """{"index": {"_id": "b1"}}""",
+    """{"title": "fox handbook", "text": "quick brown fox"}""",
+    """{"index": {"_id": "b2"}}""",
+    """{"text": "lazy brown dog"}""",
+    """{"index": {"_id": "b3"}}""",
+    """{"title": "dog tales"}""")
+
+  test("multi_match / exists / ids / match_phrase_prefix, row-eval and claimed") {
+    val spark = TestSpark.spark
+    val root = sys.props("java.io.tmpdir") + s"/graft-es-mm-${System.nanoTime()}"
+    EsTables.bulk(spark, root, "t", richDocs, overwrite = true)
+    def hits(dsl: String): Set[String] =
+      EsTables.search(spark, root, "t", dsl).collect().map(_.getString(0)).toSet
+
+    // multi_match across title+text: 'fox' on title (b1) and text (b1)
+    assert(hits("""{"query": {"multi_match": {"query": "fox dog",
+                  |  "fields": ["title^3", "text"]}}}""".stripMargin)
+      == Set("b1", "b2", "b3"), "multi_match must OR per-field matches")
+    // operator=and within each field: no single field has both terms
+    assert(hits("""{"query": {"multi_match": {"query": "fox dog",
+                  |  "fields": ["title", "text"], "operator": "and"}}}""".stripMargin)
+      == Set.empty, "multi_match and-operator applies per field")
+    // type=phrase_prefix: 'quick br*' phrase only in b1's text
+    assert(hits("""{"query": {"multi_match": {"query": "quick br",
+                  |  "fields": ["title", "text"], "type": "phrase_prefix"}}}""".stripMargin)
+      == Set("b1"))
+
+    assert(hits("""{"query": {"exists": {"field": "title"}}}""")
+      == Set("b1", "b3"), "exists = JSON field presence")
+    assert(hits("""{"query": {"ids": {"values": ["b2", "b3", "zz"]}}}""")
+      == Set("b2", "b3"))
+    assert(hits("""{"query": {"bool": {
+                  |  "must": [{"exists": {"field": "text"}}],
+                  |  "must_not": [{"ids": {"values": ["b1"]}}]}}}""".stripMargin)
+      == Set("b2"), "doc-level clauses must compose under bool")
+
+    assert(hits("""{"query": {"match_phrase_prefix": {"text": "quick bro"}}}""")
+      == Set("b1"))
+    assert(hits("""{"query": {"match_phrase_prefix": {"text": "brown f"}}}""")
+      == Set("b1"), "prefix slot must respect the phrase position")
+    assert(hits("""{"query": {"match_phrase_prefix": {"text": "qui"}}}""")
+      == Set("b1"), "single-token input degenerates to a bare prefix")
+
+    // claimed path: index the text field, same results, exists/ids stay
+    // DataFrame filters intersected with the postings hits
+    EsTables.createIndex(spark, root, "t", "text", "whitespace")
+    assert(hits("""{"query": {"match_phrase_prefix": {"text": "quick bro"}}}""")
+      == Set("b1"), "claimed phrase-prefix must chain positions")
+    assert(hits("""{"query": {"match_phrase_prefix": {"text": "brown x"}}}""")
+      == Set.empty)
+    assert(hits("""{"query": {"bool": {
+                  |  "must": [{"term": {"text": "brown"}},
+                  |           {"exists": {"field": "title"}}]}}}""".stripMargin)
+      == Set("b1"), "postings hits must intersect doc-level clauses")
+  }
+
+  test("histogram / filters / top_hits aggregations") {
+    val spark = TestSpark.spark
+    val root = sys.props("java.io.tmpdir") + s"/graft-es-agg2-${System.nanoTime()}"
+    EsTables.bulk(spark, root, "t", Seq(
+      """{"index": {"_id": "c1"}}""", """{"text": "alpha", "n": 5}""",
+      """{"index": {"_id": "c2"}}""", """{"text": "alpha beta", "n": 12}""",
+      """{"index": {"_id": "c3"}}""", """{"text": "beta", "n": 14}"""),
+      overwrite = true)
+    val rows = EsTables.aggs(spark, root, "t",
+      """{"query": {"match_all": {}},
+        |"aggs": {
+        |  "by_n": {"histogram": {"field": "n", "interval": 10}},
+        |  "kinds": {"filters": {"filters": {
+        |    "alphas": {"match": {"text": "alpha"}},
+        |    "betas": {"match": {"text": "beta"}}}}},
+        |  "top": {"top_hits": {"size": 2, "sort": [{"n": "desc"}]}}}}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("by_n", "0.0", 1L), ("by_n", "10.0", 2L),
+      ("kinds", "alphas", 2L), ("kinds", "betas", 2L),
+      ("top", "c3", 1L), ("top", "c2", 2L)))
+  }
+
   test("bool minimum_should_match > 1 enforces per-branch counting") {
     val spark = TestSpark.spark
     val root = sys.props("java.io.tmpdir") + s"/graft-es-msm-${System.nanoTime()}"
