@@ -1,0 +1,484 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Full OGC geometry surface — the breadth of the reference's WKB parser
+  * (/root/reference/libs/geo/wkb.cpp: Point=1, LineString=2, Polygon=3,
+  * MultiPoint=4, MultiLineString=5, MultiPolygon=6, GeometryCollection=7,
+  * ParseLineString:321, ParseMultiPoint:352, ParseMultiLineString:376,
+  * ParseMultiPolygon, ParseGeometryCollection) re-expressed as a Scala ADT
+  * with WKT + WKB codecs and planar point-in-geometry containment.
+  *
+  * The reference backs geometry with S2 (spherical); this layer keeps the
+  * same planar even-odd containment the existing single-ring path uses
+  * (Geo.pointInPolygon), extended to holes / multipolygons / collections —
+  * DEVIATION: edges are planar segments, not geodesics (indistinguishable
+  * at the cell sizes the covering index produces).
+  *
+  * SQL surface (registered via GraftExtensions): `st_geomfromtext(wkt)` →
+  * WKB, `st_astext(wkb)` → WKT, `st_contains_geom(wkb, lon, lat)` →
+  * boolean, `st_distance_between(lon1,lat1,lon2,lat2)` /
+  * `st_distance_centroid(wkbA, wkbB)` → km (search.h:121-124 claim names).
+  * All are codegen'd static calls — no UDF in the scan path.
+  */
+object GeoGeom {
+
+  sealed trait Geom
+  final case class GPoint(x: Double, y: Double) extends Geom
+  final case class GLineString(pts: IndexedSeq[(Double, Double)]) extends Geom
+  /** rings.head = outer shell, rest = holes; rings are closed (first ==
+    * last vertex) as parsed — containment drops the duplicate implicitly. */
+  final case class GPolygon(rings: IndexedSeq[IndexedSeq[(Double, Double)]]) extends Geom
+  final case class GMultiPoint(pts: IndexedSeq[(Double, Double)]) extends Geom
+  final case class GMultiLineString(lines: IndexedSeq[IndexedSeq[(Double, Double)]]) extends Geom
+  final case class GMultiPolygon(polys: IndexedSeq[GPolygon]) extends Geom
+  final case class GCollection(geoms: IndexedSeq[Geom]) extends Geom
+
+  // ---------------------------------------------------------------- WKT
+
+  /** Parse any of the 7 WKT geometry kinds (case-insensitive tag, nested
+    * parens). Throws IllegalArgumentException on malformed text. */
+  def parseWkt(wkt: String): Geom = {
+    val s = wkt.trim
+    val i = s.indexOf('(')
+    require(i > 0 && s.endsWith(")"), s"WKT: malformed '$wkt'")
+    val tag = s.substring(0, i).trim.toUpperCase
+    val body = s.substring(i + 1, s.length - 1).trim
+    def coords(t: String): IndexedSeq[(Double, Double)] =
+      t.split(",").toIndexedSeq.map { p =>
+        val xy = p.trim.split("\\s+")
+        require(xy.length == 2, s"WKT: bad coordinate '$p'")
+        (xy(0).toDouble, xy(1).toDouble)
+      }
+    // split `(..),(..)` at depth-0 commas
+    def splitGroups(t: String): IndexedSeq[String] = {
+      val out = IndexedSeq.newBuilder[String]
+      var depth = 0; var start = 0
+      t.zipWithIndex.foreach { case (c, k) =>
+        c match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 => out += t.substring(start, k).trim; start = k + 1
+          case _ =>
+        }
+      }
+      out += t.substring(start).trim
+      out.result()
+    }
+    def inner(t: String): String = {
+      require(t.startsWith("(") && t.endsWith(")"), s"WKT: expected group, got '$t'")
+      t.substring(1, t.length - 1)
+    }
+    tag match {
+      case "POINT" =>
+        val Seq((x, y)) = coords(body).toSeq
+        GPoint(x, y)
+      case "LINESTRING" => GLineString(coords(body))
+      case "POLYGON" => GPolygon(splitGroups(body).map(g => coords(inner(g))))
+      case "MULTIPOINT" =>
+        // both spellings: MULTIPOINT(1 2, 3 4) and MULTIPOINT((1 2), (3 4))
+        GMultiPoint(splitGroups(body).map { g =>
+          val t = if (g.startsWith("(")) inner(g) else g
+          coords(t).head
+        })
+      case "MULTILINESTRING" =>
+        GMultiLineString(splitGroups(body).map(g => coords(inner(g))))
+      case "MULTIPOLYGON" =>
+        GMultiPolygon(splitGroups(body).map(g =>
+          GPolygon(splitGroups(inner(g)).map(r => coords(inner(r))))))
+      case "GEOMETRYCOLLECTION" =>
+        GCollection(splitGroups(body).map(parseWkt))
+      case other => throw new IllegalArgumentException(s"WKT: unknown tag '$other'")
+    }
+  }
+
+  def toWkt(g: Geom): String = {
+    def num(d: Double): String =
+      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    def pt(p: (Double, Double)): String = s"${num(p._1)} ${num(p._2)}"
+    def ring(r: Seq[(Double, Double)]): String = r.map(pt).mkString("(", ", ", ")")
+    g match {
+      case GPoint(x, y) => s"POINT(${num(x)} ${num(y)})"
+      case GLineString(ps) => s"LINESTRING${ring(ps)}"
+      case GPolygon(rs) => s"POLYGON${rs.map(ring).mkString("(", ", ", ")")}"
+      case GMultiPoint(ps) => s"MULTIPOINT${ps.map(p => s"(${pt(p)})").mkString("(", ", ", ")")}"
+      case GMultiLineString(ls) => s"MULTILINESTRING${ls.map(ring).mkString("(", ", ", ")")}"
+      case GMultiPolygon(ps) =>
+        s"MULTIPOLYGON${ps.map(p => p.rings.map(ring).mkString("(", ", ", ")")).mkString("(", ", ", ")")}"
+      case GCollection(gs) => s"GEOMETRYCOLLECTION(${gs.map(toWkt).mkString(", ")})"
+    }
+  }
+
+  // ---------------------------------------------------------------- WKB
+
+  /** NDR (little-endian) WKB, OGC 99-049 layout — the encode direction the
+    * reference emits (wkb.cpp writers). */
+  def toWkb(g: Geom): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def f64(d: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      var i = 0
+      while (i < 8) { out.write(((bits >> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def ring(r: Seq[(Double, Double)]): Unit = {
+      u32(r.size); r.foreach { case (x, y) => f64(x); f64(y) }
+    }
+    def write(g: Geom): Unit = {
+      out.write(1) // NDR
+      g match {
+        case GPoint(x, y) => u32(1); f64(x); f64(y)
+        case GLineString(ps) => u32(2); ring(ps)
+        case GPolygon(rs) => u32(3); u32(rs.size); rs.foreach(ring)
+        case GMultiPoint(ps) =>
+          u32(4); u32(ps.size); ps.foreach(p => write(GPoint(p._1, p._2)))
+        case GMultiLineString(ls) =>
+          u32(5); u32(ls.size); ls.foreach(l => write(GLineString(l)))
+        case GMultiPolygon(ps) => u32(6); u32(ps.size); ps.foreach(write)
+        case GCollection(gs) => u32(7); u32(gs.size); gs.foreach(write)
+      }
+    }
+    write(g)
+    out.toByteArray
+  }
+
+  /** Decode either byte order (wkb.cpp honors the per-geometry flag, so
+    * nested members may switch order mid-stream). */
+  def fromWkb(b: Array[Byte]): Geom = {
+    val buf = ByteBuffer.wrap(b)
+    def read(): Geom = {
+      val flag = buf.get()
+      require(flag == 0 || flag == 1, s"WKB: bad byte-order flag $flag")
+      buf.order(if (flag == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      val tpe = buf.getInt
+      def pts(): IndexedSeq[(Double, Double)] = {
+        val n = buf.getInt
+        require(n >= 0 && n <= (buf.remaining() / 16),
+          s"WKB: truncated vertex run ($n points, ${buf.remaining()} bytes left)")
+        (0 until n).map(_ => (buf.getDouble, buf.getDouble))
+      }
+      tpe match {
+        case 1 => GPoint(buf.getDouble, buf.getDouble)
+        case 2 => GLineString(pts())
+        case 3 =>
+          val nRings = buf.getInt
+          GPolygon((0 until nRings).map(_ => pts()))
+        case 4 =>
+          val n = buf.getInt
+          GMultiPoint((0 until n).map { _ =>
+            read() match {
+              case GPoint(x, y) => (x, y)
+              case other => throw new IllegalArgumentException(
+                s"WKB: MultiPoint member is not a Point: $other")
+            }
+          })
+        case 5 =>
+          val n = buf.getInt
+          GMultiLineString((0 until n).map { _ =>
+            read() match {
+              case GLineString(ps) => ps
+              case other => throw new IllegalArgumentException(
+                s"WKB: MultiLineString member is not a LineString: $other")
+            }
+          })
+        case 6 =>
+          val n = buf.getInt
+          GMultiPolygon((0 until n).map { _ =>
+            read() match {
+              case p: GPolygon => p
+              case other => throw new IllegalArgumentException(
+                s"WKB: MultiPolygon member is not a Polygon: $other")
+            }
+          })
+        case 7 =>
+          val n = buf.getInt
+          GCollection((0 until n).map(_ => read()))
+        case other => throw new IllegalArgumentException(s"WKB: unknown type $other")
+      }
+    }
+    val g = read()
+    g
+  }
+
+  // --------------------------------------------------------- containment
+
+  /** Even-odd ray crossing over one ring (same arithmetic as
+    * Geo.pointInPolygon; boundary points count as inside). */
+  private def inRing(ring: IndexedSeq[(Double, Double)], px: Double, py: Double): Boolean = {
+    var inside = false
+    var i = 0
+    val n = ring.size
+    var j = n - 1
+    while (i < n) {
+      val (xi, yi) = ring(i); val (xj, yj) = ring(j)
+      if (((yi > py) != (yj > py)) &&
+          (px < (xj - xi) * (py - yi) / (yj - yi) + xi)) inside = !inside
+      j = i; i += 1
+    }
+    inside
+  }
+
+  private def inPolygon(p: GPolygon, px: Double, py: Double): Boolean =
+    p.rings.nonEmpty && inRing(p.rings.head, px, py) &&
+      !p.rings.drop(1).exists(h => inRing(h, px, py))
+
+  /** Point-in-geometry: polygons test shell-minus-holes; multis/collections
+    * test any member; points/lines contain only their own vertices (zero
+    * measure — exact vertex equality, matching the reference's S2 contains
+    * on degenerate shapes). */
+  def contains(g: Geom, px: Double, py: Double): Boolean = g match {
+    case GPoint(x, y) => x == px && y == py
+    case GLineString(ps) => ps.contains((px, py))
+    case p: GPolygon => inPolygon(p, px, py)
+    case GMultiPoint(ps) => ps.contains((px, py))
+    case GMultiLineString(ls) => ls.exists(_.contains((px, py)))
+    case GMultiPolygon(ps) => ps.exists(inPolygon(_, px, py))
+    case GCollection(gs) => gs.exists(contains(_, px, py))
+  }
+
+  /** Static entry for codegen: containment against a WKB geometry. */
+  def containsWkb(wkb: Array[Byte], px: Double, py: Double): Boolean =
+    contains(fromWkb(wkb), px, py)
+
+  // ----------------------------------------------------------- centroid
+
+  /** Geometry centroid: area centroid for polygons (shoelace, holes
+    * subtract), length-weighted midpoint for lines, vertex mean for point
+    * sets; collections combine by the highest-dimension members present
+    * (matching S2's centroid convention: areas dominate lines dominate
+    * points). */
+  def centroid(g: Geom): (Double, Double) = {
+    // (weight, wx, wy) accumulators per dimension
+    def ringArea(r: IndexedSeq[(Double, Double)]): (Double, Double, Double) = {
+      var a = 0.0; var cx = 0.0; var cy = 0.0
+      var i = 0
+      val n = r.size
+      while (i < n) {
+        val (x1, y1) = r(i); val (x2, y2) = r((i + 1) % n)
+        val cross = x1 * y2 - x2 * y1
+        a += cross; cx += (x1 + x2) * cross; cy += (y1 + y2) * cross
+        i += 1
+      }
+      (a / 2.0, cx / 6.0, cy / 6.0)
+    }
+    def ptsMean0(ps: IndexedSeq[(Double, Double)]): (Double, Double) =
+      (ps.map(_._1).sum / ps.size, ps.map(_._2).sum / ps.size)
+    // shell mass positive, hole mass negative, each ring weighted by its
+    // own |area| regardless of input winding
+    def poly(p: GPolygon): (Double, Double, Double) =
+      p.rings.zipWithIndex.map { case (r, i) =>
+        val (a, sx, sy) = ringArea(r)
+        val (cx, cy) =
+          if (a == 0) ptsMean0(r) else (sx / a, sy / a)
+        val w = if (i == 0) math.abs(a) else -math.abs(a)
+        (w, cx * w, cy * w)
+      }.reduce((u, v) => (u._1 + v._1, u._2 + v._2, u._3 + v._3))
+    def line(ps: IndexedSeq[(Double, Double)]): (Double, Double, Double) = {
+      var len = 0.0; var cx = 0.0; var cy = 0.0
+      var i = 0
+      while (i < ps.size - 1) {
+        val (x1, y1) = ps(i); val (x2, y2) = ps(i + 1)
+        val l = math.hypot(x2 - x1, y2 - y1)
+        len += l; cx += (x1 + x2) / 2 * l; cy += (y1 + y2) / 2 * l
+        i += 1
+      }
+      (len, cx, cy)
+    }
+    def ptsMean(ps: IndexedSeq[(Double, Double)]): (Double, Double) =
+      (ps.map(_._1).sum / ps.size, ps.map(_._2).sum / ps.size)
+    g match {
+      case GPoint(x, y) => (x, y)
+      case GMultiPoint(ps) => ptsMean(ps)
+      case GLineString(ps) =>
+        val (l, cx, cy) = line(ps)
+        if (l == 0) ptsMean(ps) else (cx / l, cy / l)
+      case GMultiLineString(ls) =>
+        val (l, cx, cy) = ls.map(line).reduce(
+          (u, v) => (u._1 + v._1, u._2 + v._2, u._3 + v._3))
+        if (l == 0) ptsMean(ls.flatten) else (cx / l, cy / l)
+      case p: GPolygon =>
+        val (a, cx, cy) = poly(p)
+        if (a == 0) ptsMean(p.rings.head) else (cx / a, cy / a)
+      case GMultiPolygon(ps) =>
+        val (a, cx, cy) = ps.map(poly).reduce(
+          (u, v) => (u._1 + v._1, u._2 + v._2, u._3 + v._3))
+        if (a == 0) ptsMean(ps.flatMap(_.rings.headOption.getOrElse(IndexedSeq.empty)))
+        else (cx / a, cy / a)
+      case GCollection(gs0) =>
+        // flatten nested collections, then the highest dimension wins
+        def flat(g: Geom): Seq[Geom] = g match {
+          case GCollection(inner) => inner.flatMap(flat)
+          case other => Seq(other)
+        }
+        val gs = gs0.flatMap(flat)
+        val polys = gs.flatMap {
+          case p: GPolygon => Seq(p)
+          case GMultiPolygon(ps) => ps
+          case _ => Nil
+        }
+        if (polys.nonEmpty) centroid(GMultiPolygon(polys))
+        else {
+          val lines = gs.flatMap {
+            case GLineString(ps) => Seq(ps)
+            case GMultiLineString(ls) => ls
+            case _ => Nil
+          }
+          if (lines.nonEmpty) centroid(GMultiLineString(lines))
+          else {
+            val pts = gs.flatMap {
+              case GPoint(x, y) => Seq((x, y))
+              case GMultiPoint(ps) => ps
+              case _ => Nil
+            }
+            require(pts.nonEmpty, "centroid of empty collection")
+            ptsMean(pts)
+          }
+        }
+    }
+  }
+
+  /** Haversine km between two WKB geometries' centroids — the reference's
+    * ST_Distance_Centroid scalar (search.h:124; claimable as a
+    * GeoDistanceFilter when one side is an indexed column). */
+  def distanceCentroidKm(a: Array[Byte], b: Array[Byte]): Double = {
+    val (x1, y1) = centroid(fromWkb(a))
+    val (x2, y2) = centroid(fromWkb(b))
+    haversineKm(x1, y1, x2, y2)
+  }
+
+  def haversineKm(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1) / 2
+    val dLon = math.toRadians(lon2 - lon1) / 2
+    val a = math.sin(dLat) * math.sin(dLat) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.sin(dLon) * math.sin(dLon)
+    2.0 * Geo.EarthRadiusKm * math.asin(math.sqrt(a))
+  }
+
+  /** Static entries for codegen'd expressions. */
+  def geomFromText(wkt: UTF8String): Array[Byte] = toWkb(parseWkt(wkt.toString))
+  def asText(wkb: Array[Byte]): UTF8String = UTF8String.fromString(toWkt(fromWkb(wkb)))
+
+  def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("st_geomfromtext"),
+      new ExpressionInfo(classOf[GeomFromTextExpr].getName, "st_geomfromtext"),
+      (args: Seq[Expression]) => GeomFromTextExpr(args(0))),
+    (FunctionIdentifier("st_astext"),
+      new ExpressionInfo(classOf[GeomAsTextExpr].getName, "st_astext"),
+      (args: Seq[Expression]) => GeomAsTextExpr(args(0))),
+    (FunctionIdentifier("st_contains_geom"),
+      new ExpressionInfo(classOf[GeomContainsExpr].getName, "st_contains_geom"),
+      (args: Seq[Expression]) => GeomContainsExpr(args(0), args(1), args(2))),
+    (FunctionIdentifier("st_distance_centroid"),
+      new ExpressionInfo(classOf[GeomDistanceCentroidExpr].getName, "st_distance_centroid"),
+      (args: Seq[Expression]) => GeomDistanceCentroidExpr(args(0), args(1))),
+    // ST_Distance_Between(field, centroid, min, max, [incMin, [incMax]])
+    // → bool (search.cpp:222-243, kGeoInRange). Kilometres, like the rest
+    // of this layer. Composed from standard comparisons so the optimizer
+    // sees plain range predicates over the centroid distance.
+    (FunctionIdentifier("st_distance_between"),
+      new ExpressionInfo(classOf[GeomDistanceCentroidExpr].getName, "st_distance_between"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{And, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+        require(args.size >= 4 && args.size <= 6,
+          s"st_distance_between expects 4-6 arguments, got ${args.size}")
+        def flag(i: Int): Boolean = args.lift(i) match {
+          case None => true
+          case Some(Literal(v: Boolean, BooleanType)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"st_distance_between include flag must be a boolean literal, got $other")
+        }
+        val dist = GeomDistanceCentroidExpr(args(0), args(1))
+        val lo = if (flag(4)) GreaterThanOrEqual(dist, args(2)) else GreaterThan(dist, args(2))
+        val hi = if (flag(5)) LessThanOrEqual(dist, args(3)) else LessThan(dist, args(3))
+        And(lo, hi)
+      }))
+}
+
+/** st_geomfromtext(wkt) → NDR WKB (any of the 7 OGC kinds). */
+case class GeomFromTextExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_geomfromtext expects STRING, got ${child.dataType.simpleString}")
+  protected override def nullSafeEval(v: Any): Any =
+    GeoGeom.geomFromText(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GeoGeom.geomFromText($s);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_astext(wkb) → WKT. */
+case class GeomAsTextExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_astext expects BINARY, got ${child.dataType.simpleString}")
+  protected override def nullSafeEval(v: Any): Any =
+    GeoGeom.asText(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.GeoGeom.asText($b);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_contains_geom(wkb, lon, lat) — point-in-geometry with holes /
+  * multipolygons / collections. The geometry is usually a plan-time
+  * literal; per-row decode cost only applies to geometry COLUMNS. */
+case class GeomContainsExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == DoubleType &&
+        third.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_contains_geom expects (BINARY, DOUBLE, DOUBLE), got " +
+        s"${Seq(first, second, third).map(_.dataType.simpleString).mkString(", ")}")
+  protected override def nullSafeEval(g: Any, x: Any, y: Any): Any =
+    GeoGeom.containsWkb(g.asInstanceOf[Array[Byte]],
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, x, y) =>
+      s"${ev.value} = graft.functions.GeoGeom.containsWkb($g, $x, $y);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** st_distance_centroid(wkbA, wkbB) → haversine km between centroids
+  * (search.h:124). */
+case class GeomDistanceCentroidExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"st_distance_centroid expects (BINARY, BINARY), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoGeom.distanceCentroidKm(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GeoGeom.distanceCentroidKm($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -91,6 +91,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     graft.functions.QuantizationExpressions.functions.foreach(e.injectFunction)
     graft.functions.GeoWkb.functions.foreach(e.injectFunction)
+    graft.functions.GeoGeom.functions.foreach(e.injectFunction)
     // DuckDB's array constructor spelling (the reference corpus writes
     // `array_value(x, y, z)` for vector expressions) — a pure alias of
     // Spark's CreateArray, codegen'd like the builtin

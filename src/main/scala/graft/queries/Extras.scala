@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Geo, Inet, Sequences}
+import graft.functions.{Geo, GeoGeom, Inet, Sequences}
 
 /** Coverage for the remaining SURVEY §2 rows that are cheap in Spark but
   * must be proven, not assumed: approximate sketches (with quality gates),
@@ -191,6 +191,64 @@ object Extras {
     pts.withColumn("wkb", Geo.stAsWkb(col("lon"), col("lat")))
       .select(col("c_custkey"),
         Geo.stWkbX(col("wkb")).as("lon"), Geo.stWkbY(col("wkb")).as("lat"))
+  }
+
+  /** Full-breadth WKT↔WKB round-trip (libs/geo/wkb.cpp types 1-7):
+    * LineString / MultiPoint / MultiLineString / MultiPolygon-with-hole /
+    * GeometryCollection each parse, encode to OGC WKB, decode, and render
+    * back to the identical canonical WKT — inside codegen via the
+    * st_geomfromtext/st_astext expressions. */
+  def geoWkbKinds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shapes = Seq(
+      ("point", "POINT(30 10)"),
+      ("linestring", "LINESTRING(30 10, 10 30, 40 40)"),
+      ("polygon", "POLYGON((30 10, 40 40, 20 40, 10 20, 30 10))"),
+      ("polygon_hole",
+        "POLYGON((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))"),
+      ("multipoint", "MULTIPOINT((10 40), (40 30), (20 20), (30 10))"),
+      ("multilinestring",
+        "MULTILINESTRING((10 10, 20 20, 10 40), (40 40, 30 30, 40 20, 30 10))"),
+      ("multipolygon",
+        "MULTIPOLYGON(((30 20, 45 40, 10 40, 30 20)), ((15 5, 40 10, 10 20, 5 10, 15 5)))"),
+      ("collection",
+        "GEOMETRYCOLLECTION(POINT(40 10), LINESTRING(10 10, 20 20, 10 40))"))
+    shapes.toDF("kind", "wkt")
+      .select(col("kind"),
+        (call_function("st_astext",
+          call_function("st_geomfromtext", col("wkt"))) === col("wkt")).as("ok"))
+      .orderBy(col("kind"))
+  }
+
+  /** Point-in-MULTIPOLYGON with a hole: two disjoint shells, the first
+    * carrying a hole — the even-odd test runs per ring inside codegen
+    * (st_contains_geom with a plan-time WKB literal), shell-minus-holes
+    * semantics exactly as the oracle's per-ring crossing counts. */
+  def geoMultipolygonContains(s: SparkSession, dir: String): DataFrame = {
+    val mp = "MULTIPOLYGON(((-60 -30, 0 -30, 0 30, -60 30, -60 -30), " +
+      "(-40 -10, -20 -10, -20 10, -40 10, -40 -10)), " +
+      "((20 -20, 60 -20, 60 20, 20 20, 20 -20)))"
+    val wkb = lit(GeoGeom.toWkb(GeoGeom.parseWkt(mp)))
+    val pts = Tables.customer(s, dir)
+      .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
+      .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
+    pts.filter(call_function("st_contains_geom", wkb, col("lon"), col("lat")))
+      .select(col("c_custkey"))
+  }
+
+  /** ST_Distance_Between (search.cpp:222, kGeoInRange): customers whose
+    * haversine distance to the query centroid lies in [3000, 8000) km —
+    * the annulus predicate composes into plain range comparisons over
+    * st_distance_centroid, so Catalyst sees ordinary filters. */
+  def geoDistanceBetween(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(s, dir)
+      .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
+      .withColumn("lat", (col("c_custkey") * 7 % 170 - 85).cast("double") + 0.5)
+    pts.filter(call_function("st_distance_between",
+        call_function("st_aswkb", col("lon"), col("lat")),
+        call_function("st_geomfromtext", lit("POINT(0 0)")),
+        lit(3000.0), lit(8000.0), lit(true), lit(false)))
+      .select(col("c_custkey"))
   }
 
   /** GeoJSON surface: each point serialized to a GeoJSON Point and parsed
@@ -595,6 +653,9 @@ object Extras {
     "geo_polygon_contains" -> geoPolygonContains,
     "geo_polygon_cells" -> geoPolygonCells,
     "geo_wkb_roundtrip" -> geoWkbRoundtrip,
+    "geo_wkb_kinds" -> geoWkbKinds,
+    "geo_multipolygon_contains" -> geoMultipolygonContains,
+    "geo_distance_between" -> geoDistanceBetween,
     "geo_geojson" -> geoGeoJson,
     "ai_embed" -> aiEmbed)
 
@@ -912,6 +973,46 @@ object Extras {
       s"""WITH $lonLat
          |SELECT c_custkey, lon, lat FROM pts""".stripMargin,
     "geo_geojson" -> polygonOracle,
+    "geo_wkb_kinds" ->
+      """SELECT * FROM (VALUES
+        |  ('collection', true), ('linestring', true), ('multilinestring', true),
+        |  ('multipoint', true), ('multipolygon', true), ('point', true),
+        |  ('polygon', true), ('polygon_hole', true)) AS t(kind, ok)""".stripMargin,
+    // shell1 minus its hole, OR shell2 — per-ring even-odd crossing counts
+    // with the same half-plane arithmetic as GeoGeom.inRing
+    "geo_multipolygon_contains" ->
+      s"""WITH $lonLat,
+         |s1(x1, y1, x2, y2) AS (VALUES
+         |  (-60.0, -30.0, 0.0, -30.0), (0.0, -30.0, 0.0, 30.0),
+         |  (0.0, 30.0, -60.0, 30.0), (-60.0, 30.0, -60.0, -30.0)),
+         |h1(x1, y1, x2, y2) AS (VALUES
+         |  (-40.0, -10.0, -20.0, -10.0), (-20.0, -10.0, -20.0, 10.0),
+         |  (-20.0, 10.0, -40.0, 10.0), (-40.0, 10.0, -40.0, -10.0)),
+         |s2(x1, y1, x2, y2) AS (VALUES
+         |  (20.0, -20.0, 60.0, -20.0), (60.0, -20.0, 60.0, 20.0),
+         |  (60.0, 20.0, 20.0, 20.0), (20.0, 20.0, 20.0, -20.0)),
+         |c1 AS (SELECT c_custkey, count(*) AS n FROM pts, s1
+         |       WHERE ((y1 > lat) <> (y2 > lat))
+         |         AND lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+         |       GROUP BY c_custkey),
+         |ch AS (SELECT c_custkey, count(*) AS n FROM pts, h1
+         |       WHERE ((y1 > lat) <> (y2 > lat))
+         |         AND lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+         |       GROUP BY c_custkey),
+         |c2 AS (SELECT c_custkey, count(*) AS n FROM pts, s2
+         |       WHERE ((y1 > lat) <> (y2 > lat))
+         |         AND lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+         |       GROUP BY c_custkey)
+         |SELECT p.c_custkey FROM pts p
+         |LEFT JOIN c1 ON p.c_custkey = c1.c_custkey
+         |LEFT JOIN ch ON p.c_custkey = ch.c_custkey
+         |LEFT JOIN c2 ON p.c_custkey = c2.c_custkey
+         |WHERE (coalesce(c1.n, 0) % 2 = 1 AND coalesce(ch.n, 0) % 2 = 0)
+         |   OR coalesce(c2.n, 0) % 2 = 1""".stripMargin,
+    "geo_distance_between" ->
+      s"""WITH $lonLat
+         |SELECT c_custkey FROM pts
+         |WHERE $haversine >= 3000.0 AND $haversine < 8000.0""".stripMargin,
     "ai_embed" -> {
       val comps = (0 until 8).map { k =>
         val nibs = (0 until 4).map { j =>
