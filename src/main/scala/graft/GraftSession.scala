@@ -39,6 +39,7 @@ object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder = {
     // foreign-server dialects (Postgres ships with Spark; ClickHouse is ours)
     graft.sources.ClickHouseDialect.register()
+    graft.sources.DerbyTopNDialect.register()
     b
     // search-claim optimizer rule (graft.plans.ClaimTsMatch)
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")

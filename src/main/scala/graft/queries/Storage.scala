@@ -123,6 +123,19 @@ object Storage {
         max(col("s_name")).as("max_name"))
   }
 
+  /** TopN pushed INTO the foreign server (reference
+    * topn_optional_pgscan.test_slow): the DSv2 JDBC catalog negotiates
+    * `ORDER BY … FETCH FIRST k ROWS ONLY` into the remote SQL
+    * (DerbyTopNDialect), so the remote returns k rows instead of the whole
+    * table — JdbcTablesSpec asserts the PushedTopN in the scan. */
+  def jdbcTopNPushdown(s: SparkSession, dir: String): DataFrame = {
+    val dbDir = tmp("graft-derby", dir)
+    JdbcTables.seedCustomer(s, dir, dbDir)
+    JdbcTables.readCustomerTopN(s, dbDir, 10)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("bigint").as("bal_cents"))
+  }
+
   /** Foreign-server scan through embedded Derby (JdbcTables): seed once,
     * then a PARTITIONED jdbc read (8 parallel range-scans on c_custkey)
     * with the filter pushed into the remote SQL (PushedFilters on the
@@ -398,6 +411,7 @@ object Storage {
     "avro_roundtrip" -> avroRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
     "jdbc_foreign_scan" -> jdbcForeignScan,
+    "jdbc_topn_pushdown" -> jdbcTopNPushdown,
     "pgcopy_roundtrip" -> pgcopyRoundtrip,
     "q18_bucketed_join" -> q18BucketedJoin)
 
@@ -508,6 +522,10 @@ object Storage {
         |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM customer WHERE c_acctbal > 1000.0
         |GROUP BY 1""".stripMargin,
+    "jdbc_topn_pushdown" ->
+      """SELECT c_custkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
     "pgcopy_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n,
         |  CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,

@@ -66,4 +66,35 @@ object JdbcTables {
     spark.read.jdbc(url(dbDir), "customer_ext",
       columnName = "c_custkey", lowerBound = 0L, upperBound = maxKey + 1,
       numPartitions = numPartitions, connectionProperties = props())
+
+  /** TopN (ORDER BY … LIMIT k) pushed INTO the remote query — the
+    * reference's optional-pgscan TopN test
+    * (tests/sqllogic/sdb/pg/duckdb_postgres/topn_optional_pgscan.test_slow):
+    * the remote server sorts and returns k rows instead of streaming the
+    * whole table for a driver-side sort. Spark's V1 jdbc() relation never
+    * pushes sort/limit, so this path registers a DSv2 JDBCTableCatalog
+    * (the same engine postgres/mysql attachments would use) and lets the
+    * V2ScanRelation pushdown negotiate TopN — the scan's `pushedTopN`
+    * carries the ORDER BY, and at 100 TB-remote scale this is the
+    * difference between k rows and a full-table transfer per query. */
+  def topNCatalog(spark: SparkSession, dbDir: String, cat: String = "graft_jdbc"): Unit = {
+    DerbyTopNDialect.register() // FETCH FIRST pushdown (see that dialect's doc)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.url", url(dbDir))
+    spark.conf.set(s"spark.sql.catalog.$cat.driver",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    spark.conf.set(s"spark.sql.catalog.$cat.pushDownLimit", "true")
+  }
+
+  /** Top-k customers by balance through the DSv2 catalog; the plan must
+    * show a pushed TopN (asserted in JdbcTablesSpec). */
+  def readCustomerTopN(spark: SparkSession, dbDir: String, k: Int): DataFrame = {
+    topNCatalog(spark, dbDir)
+    // Derby folds unquoted identifiers to upper case; the V2 catalog
+    // quotes, so address the table by its stored (upper) name
+    spark.sql(
+      s"""SELECT c_custkey, c_acctbal FROM graft_jdbc.CUSTOMER_EXT
+         |ORDER BY c_acctbal DESC, c_custkey LIMIT $k""".stripMargin)
+  }
 }

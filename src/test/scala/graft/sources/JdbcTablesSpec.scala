@@ -34,4 +34,24 @@ class JdbcTablesSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(scan.collect().map(_.toSeq).toSet == want)
   }
+
+  test("ORDER BY + LIMIT pushes TopN into the remote query (DSv2)") {
+    val spark = TestSpark.spark
+    val dir = TestSpark.sfDir
+    val dbDir = sys.props("java.io.tmpdir") + "/graft-derby-spec"
+    JdbcTables.seedCustomer(spark, dir, dbDir)
+
+    val top = JdbcTables.readCustomerTopN(spark, dbDir, 10)
+    val explained = top.queryExecution.optimizedPlan.toString + "\n" +
+      top.queryExecution.executedPlan.toString
+    assert(explained.contains("PushedTopN") || explained.contains("pushedTopN"),
+      s"ORDER BY + LIMIT must reach the remote scan as TopN:\n$explained")
+
+    val want = Tables.customer(spark, dir)
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .select("c_custkey", "c_acctbal").limit(10)
+      .collect().map(_.toSeq)
+    assert(top.collect().map(_.toSeq).toSeq == want.toSeq,
+      "pushed TopN must return the same rows in the same order")
+  }
 }
