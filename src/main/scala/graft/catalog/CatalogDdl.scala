@@ -493,7 +493,12 @@ object CatalogDdl {
   }
 
   private def retireTable(t: TableDef): Unit =
-    if (!Txn.tableDropped(t.dir)) TableStore.destroy(t.dir)
+    // a REPEATABLE READ reader that already pinned this table keeps its
+    // snapshot across the drop (file removal deferred; the dir is orphaned
+    // and swept by maintenance — pg would have blocked the DROP on its
+    // lock until that reader committed)
+    if (!Txn.tableDropped(t.dir) &&
+        !Txn.anyActivePin(s"tablever:${t.dir}")) TableStore.destroy(t.dir)
 
   private def tableOf(name: String): TableDef =
     ObjectCatalog.table(name).getOrElse(throw analysisErr(

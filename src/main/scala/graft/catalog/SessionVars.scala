@@ -24,10 +24,35 @@ object SessionVars {
   /** sdb knob -> spark conf key (the reference spelling on the left). */
   private[catalog] val knobMap: Map[String, String] = Map(
     "sdb_levenshtein_max_terms" -> "spark.graft.levenshteinMaxTerms",
+    "sdb_scored_terms_limit" -> "spark.graft.scoredTermsLimit",
     "sdb_strict_claims" -> "spark.graft.strictClaims",
     // pg/duck `SET TimeZone` rides on Spark's session zone (rendering and
     // NTZ↔instant conversions)
     "timezone" -> "spark.sql.session.timeZone")
+
+  /** Knob defaults, pg-visible through SHOW before any SET and restored by
+    * RESET (config_variables.cpp:391-434: levenshtein_max_terms 64,
+    * scored_terms_limit 1024). */
+  private val knobDefaults: Map[String, String] = Map(
+    "sdb_levenshtein_max_terms" -> "64",
+    "sdb_scored_terms_limit" -> "1024",
+    "sdb_strict_claims" -> "false")
+
+  /** SET-time validation, pg's per-GUC check functions
+    * (config_variables.cpp: non-negative integers for the caps). */
+  private def validate(name: String, value: String): Unit = {
+    def bad(): Nothing = throw new IllegalArgumentException(
+      s"""invalid value for parameter "$name": "$value"""")
+    name match {
+      case "sdb_levenshtein_max_terms" | "sdb_scored_terms_limit" =>
+        val n = try value.trim.toInt catch { case _: NumberFormatException => bad() }
+        if (n < 0) bad()
+      case "sdb_strict_claims" =>
+        if (!Set("true", "false", "on", "off", "0", "1")
+          .contains(value.trim.toLowerCase)) bad()
+      case _ =>
+    }
+  }
 
   private val varsBySession =
     java.util.Collections.synchronizedMap(
@@ -54,7 +79,7 @@ object SessionVars {
   def get(spark: SparkSession, name: String): Option[String] = {
     val n = name.toLowerCase
     knobMap.get(n) match {
-      case Some(conf) => spark.conf.getOption(conf)
+      case Some(conf) => spark.conf.getOption(conf).orElse(knobDefaults.get(n))
       case None => vars(spark).get(n).orElse(defaults.get(n))
     }
   }
@@ -62,6 +87,7 @@ object SessionVars {
   /** Returns the previous value (for SET LOCAL undo). */
   def set(spark: SparkSession, name: String, value: String): Option[String] = {
     val n = name.toLowerCase
+    validate(n, value)
     val prev = get(spark, n)
     knobMap.get(n) match {
       case Some(conf) => spark.conf.set(conf, value)

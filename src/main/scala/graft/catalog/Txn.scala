@@ -171,6 +171,18 @@ object Txn {
     if (s.state != Active) None else s.ctx.pins.get(key)
   }
 
+  /** Whether ANY session's active snapshot block holds a pin under `key` —
+    * DROP TABLE defers the physical destroy while a pinned reader is alive
+    * (pg: the reader's snapshot keeps seeing the rows; pg's ACCESS
+    * EXCLUSIVE lock would block the drop instead — here the drop commits
+    * and only the file removal waits, inverted_index_isolation.test). */
+  def anyActivePin(key: String): Boolean =
+    states.synchronized {
+      import scala.jdk.CollectionConverters._
+      states.values.asScala.exists(s =>
+        s.state == Active && s.ctx.pins.contains(key))
+    }
+
   /** Record a table's data version before its FIRST mutation in this block. */
   def touchTable(qname: String, dir: String): Unit = running.foreach { s =>
     if (s.state == Active && !s.ctx.tableVersions.contains(qname))

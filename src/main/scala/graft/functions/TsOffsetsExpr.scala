@@ -58,7 +58,7 @@ object TsOffsetsExpr {
   def termsOf(q: TsQuery): Set[String] = q match {
     case TsQuery.Term(t) => Set(t)
     case TsQuery.Prefix(_) | TsQuery.Wildcard(_) | TsQuery.Regexp(_) |
-        TsQuery.TermRange(_, _, _, _) | TsQuery.Fuzzy(_, _) |
+        TsQuery.TermRange(_, _, _, _) | TsQuery.Fuzzy(_, _, _, _) |
         TsQuery.NgramSim(_, _, _) => Set.empty
     case TsQuery.Phrase(ts) => ts.toSet
     case TsQuery.PhraseGap(ts, _) => ts.toSet

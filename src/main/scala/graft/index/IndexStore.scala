@@ -117,14 +117,26 @@ object IndexStore {
       idCol: String, textCol: String, analyzerName: String,
       withPositions: Boolean = true): InvertedIndex = {
     val dir = dirFor(cacheKey, textCol, analyzerName)
+    def build(): Unit = {
+      val d = docs
+      val idx = InvertedIndex.build(d, idCol, textCol, analyzerName, withPositions)
+      writeSegment(idx, dir, 0, Some(d.select(col(idCol).as("doc_id"))))
+      writeStringAtomic(spark, s"$dir/_SEGMENTS", "seg=00000\n")
+    }
     jvmCache.getOrElseUpdate(dir, {
-      if (!exists(spark, s"$dir/_SEGMENTS")) {
-        val d = docs
-        val idx = InvertedIndex.build(d, idCol, textCol, analyzerName, withPositions)
-        writeSegment(idx, dir, 0, Some(d.select(col(idCol).as("doc_id"))))
-        writeStringAtomic(spark, s"$dir/_SEGMENTS", "seg=00000\n")
+      if (!exists(spark, s"$dir/_SEGMENTS")) build()
+      try load(spark, dir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          // a POISONED dir from an older build over an empty source
+          // (0-partition parquet write → fileless segment): rebuild once
+          val p = new Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+          build()
+          load(spark, dir)
       }
-      load(spark, dir)
     })
   }
 
@@ -163,17 +175,28 @@ object IndexStore {
     val spark = idx.postings.sparkSession
     val codec = segmentCompression(spark, dir)
     def w(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
-      val base = df.write.mode("overwrite")
+      // an EMPTY frame (index created before the table has rows — the pg
+      // corpus' CREATE INDEX → INSERT → VACUUM order) can plan 0
+      // partitions, and a 0-partition parquet write emits NO part files,
+      // so the next read of the segment dies with UNABLE_TO_INFER_SCHEMA
+      // and the index is poisoned forever. One empty partition writes a
+      // schema-bearing footer file instead.
+      val out = if (df.queryExecution.toRdd.getNumPartitions == 0)
+        df.repartition(1) else df
+      val base = out.write.mode("overwrite")
       codec.fold(base)(c => base.option("compression", c))
     }
-    w(idx.postings
-      .withColumn("bucket", bucketUdf(col("term")))
-      .repartition(col("bucket")))
-      .partitionBy("bucket").parquet(s"$seg/postings")
-    w(idx.termDict
-      .withColumn("bucket", bucketUdf(col("term")))
-      .repartition(col("bucket")))
-      .partitionBy("bucket").parquet(s"$seg/termdict")
+    // partitionBy writes NOTHING for empty data (no partition values → no
+    // dirs, not even a footer file) — an empty build keeps `bucket` as a
+    // plain data column so the dir stays readable; bucket pruning is
+    // irrelevant with zero rows
+    def wBucketed(df0: DataFrame, path: String): Unit = {
+      val df = df0.withColumn("bucket", bucketUdf(col("term")))
+      if (df.isEmpty) w(df).parquet(path)
+      else w(df.repartition(col("bucket"))).partitionBy("bucket").parquet(path)
+    }
+    wBucketed(idx.postings, s"$seg/postings")
+    wBucketed(idx.termDict, s"$seg/termdict")
     w(idx.docStats).parquet(s"$seg/docstats")
     // full doc-id manifest: includes zero-token (empty/stopword-only) docs,
     // which docstats cannot carry — REFRESH anti-joins against this so such

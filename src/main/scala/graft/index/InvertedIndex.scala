@@ -179,20 +179,37 @@ final case class InvertedIndex(
     * `1 - dist/max(len)`, exact match first, term as the deterministic
     * tie-break. The cap bounds the postings union a sloppy probe can fan
     * into on a 100 TB-scale dictionary. */
-  def fuzzy(t: String, maxDist: Int, maxTerms: Int = -1): DataFrame = {
+  def fuzzy(t: String, maxDist: Int, maxTerms: Int = -1,
+      transpositions: Boolean = true, prefix: String = ""): DataFrame = {
     // the session knob (`SET spark.graft.levenshteinMaxTerms = N`) is the
     // reference's SET sdb_levenshtein_max_terms; an explicit arg overrides
+    // read from the ACTIVE session, not termDict's: the loaded index is
+    // cached across sessions, and the knob is per-connection (the sqllogic
+    // runner SETs it on its own session clone)
     val cap =
       if (maxTerms >= 0) maxTerms
-      else termDict.sparkSession.conf
+      else org.apache.spark.sql.SparkSession.active.conf
         .get("spark.graft.levenshteinMaxTerms", "64").toInt
+    // an exact `prefix` (ts_levenshtein 4th arg) narrows the dict to a
+    // PUSHED term range first; the distance runs over the remainder
+    val base =
+      if (prefix.isEmpty) termDict
+      else termDict.filter(col("term").startsWith(prefix))
+    val term =
+      if (prefix.isEmpty) col("term")
+      else col("term").substr(lit(prefix.length + 1), length(col("term")))
     // length band first: |len(term) - len(t)| <= maxDist is a necessary
     // condition for edit distance <= maxDist, is pushable/codegen-cheap, and
-    // prunes the dict scan before any DP runs; the thresholded levenshtein
-    // (Spark 3.5+ three-arg form) then early-exits rows that blow the band
-    val band = abs(length(col("term")) - lit(t.length)) <= maxDist
-    val dist = levenshtein(col("term"), lit(t), maxDist)
-    val expanded = termDict.filter(band && dist >= 0 && dist <= maxDist)
+    // prunes the dict scan before any DP runs; the thresholded distance
+    // kernel (Spark's 3-arg levenshtein, or the OSA expression when
+    // transpositions are on — the reference DEFAULT, ts_common.hpp:242)
+    // then early-exits rows that blow the band
+    val band = abs(length(term) - lit(t.length)) <= maxDist
+    val dist =
+      if (transpositions)
+        graft.functions.TsDistances.osaDistance(term, lit(t), maxDist)
+      else levenshtein(term, lit(t), maxDist)
+    val expanded = base.filter(band && dist >= 0 && dist <= maxDist)
     val capped =
       if (cap <= 0) expanded.select(col("term"))
       else expanded

@@ -89,6 +89,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.FromPgText(args(0), ddl)
       }))
+    // ts_levenshtein(text[, dist[, transpositions[, prefix]]]) — variable
+    // arity with the reference's auto-distance ladder + validation
+    // (ts_levenshtein.cpp:34-76). Arguments must be constants (the
+    // reference binds them the same way); the result folds to the encoded
+    // TSQUERY literal at plan time.
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("ts_levenshtein"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.search.TsQueryCodec", "ts_levenshtein"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        require(args.nonEmpty && args.size <= 4,
+          s"ts_levenshtein expects 1-4 arguments, got ${args.size}")
+        def lit(i: Int): Option[Any] = args.lift(i).map {
+          case Literal(v, _) if v != null => v
+          case other => throw new IllegalArgumentException(
+            s"ts_levenshtein arguments must be constants, got $other")
+        }
+        val text = lit(0).map(_.toString).get
+        val dist = lit(1).map(_.toString.toInt).getOrElse(-1)
+        val trans = lit(2).map(_.toString.toBoolean).getOrElse(true)
+        val prefix = lit(3).map(_.toString).getOrElse("")
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+          graft.search.TsQueryCodec.levenshtein(text, dist, trans, prefix)),
+          org.apache.spark.sql.types.StringType)
+      }))
+    // ts_ngram(query[, threshold]) — 1-arg form defaults the similarity
+    // floor to 0.7 (ngram_match.test's "default threshold").
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("ts_ngram"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.search.TsQueryCodec", "ts_ngram"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        require(args.nonEmpty && args.size <= 2,
+          s"ts_ngram expects 1-2 arguments, got ${args.size}")
+        def lit(i: Int): Option[Any] = args.lift(i).map {
+          case Literal(v, _) if v != null => v
+          case other => throw new IllegalArgumentException(
+            s"ts_ngram arguments must be constants, got $other")
+        }
+        val q = lit(0).map(_.toString).get
+        val j = lit(1).map(_.toString.toDouble).getOrElse(0.7)
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+          graft.search.TsQueryCodec.ngram(q, j)),
+          org.apache.spark.sql.types.StringType)
+      }))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("osa_distance"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.OsaDistanceExpr].getName, "osa_distance"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.OsaDistanceExpr(args(0), args(1), args(2))))
     graft.functions.QuantizationExpressions.functions.foreach(e.injectFunction)
     graft.functions.GeoWkb.functions.foreach(e.injectFunction)
     graft.functions.GeoGeom.functions.foreach(e.injectFunction)

@@ -28,7 +28,26 @@ import graft.catalog.{ObjectCatalog, TableStore, Txn}
   * first use, so a concurrent DROP INDEX does not break the reader's
   * later statements (pg's catalog snapshot). */
 case class ResolveIndexRelation(spark: SparkSession) extends Rule[LogicalPlan] {
+  /** A dropped-but-pinned table: this block scanned it before another
+    * session's DROP TABLE committed, so its name keeps resolving to the
+    * pinned snapshot (files deferred by retireTable's anyActivePin check). */
+  private def pinnedDropped(name: String): Option[LogicalPlan] = {
+    if (!Txn.snapshotActive(spark)) return None
+    val qname = ObjectCatalog.qualify(name)
+    if (ObjectCatalog.table(qname).isDefined) return None // live: normal path
+    Txn.pinnedGet(spark, s"tabledef:${qname.toLowerCase}").map { pinned =>
+      val (t, v) = pinned.asInstanceOf[(graft.catalog.ObjectCatalog.TableDef, java.lang.Long)]
+      val schema = StructType.fromDDL(ObjectCatalog.sparkSchemaDdl(t.columns))
+      org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
+        TableStore.readAt(spark, t.dir, schema, v.longValue())
+          .queryExecution.analyzed)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation if u.multipartIdentifier.length <= 2 &&
+        pinnedDropped(u.multipartIdentifier.mkString(".").toLowerCase).isDefined =>
+      pinnedDropped(u.multipartIdentifier.mkString(".").toLowerCase).get
     case u: UnresolvedRelation if u.multipartIdentifier.length == 1 =>
       val name = u.multipartIdentifier.head.toLowerCase
       val key = s"idxrel:$name"
@@ -73,6 +92,10 @@ case class PinSnapshotReads(spark: SparkSession) extends Rule[LogicalPlan] {
             val v = Txn.pinned(spark, s"tablever:${t.dir}",
               java.lang.Long.valueOf(TableStore.version(t.dir)))
               .asInstanceOf[java.lang.Long].longValue()
+            // remember the TableDef too: a concurrent DROP TABLE removes
+            // the catalog object, and this block's later statements then
+            // resolve the bare name from this pin (ResolveIndexRelation)
+            Txn.pinned(spark, s"tabledef:${t.qname.toLowerCase}", (t, java.lang.Long.valueOf(v)))
             if (v == TableStore.version(t.dir)) lr // snapshot is the live set
             else {
               val schema = StructType.fromDDL(

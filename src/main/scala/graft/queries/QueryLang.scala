@@ -320,7 +320,7 @@ object QueryLang {
          |WHERE len(list_filter(ts, t -> regexp_matches(t, '^va..e$$'))) > 0
          |UNION ALL
          |SELECT 'fuzzy', doc_id FROM toks
-         |WHERE len(list_filter(ts, t -> levenshtein(t, 'qery') <= 1)) > 0""".stripMargin,
+         |WHERE len(list_filter(ts, t -> damerau_levenshtein(t, 'qery') <= 1)) > 0""".stripMargin,
     "read_text_index" ->
       """SELECT regexp_extract(filename, '([a-z]+)\.md$', 1) AS slug,
         |       size

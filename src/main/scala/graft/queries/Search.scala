@@ -403,7 +403,7 @@ object Search {
     "ts_levenshtein" ->
       s"""$toks
          |SELECT doc_id FROM toks
-         |WHERE len(list_filter(ts, t -> levenshtein(t, 'qery') <= 1)) > 0""".stripMargin,
+         |WHERE len(list_filter(ts, t -> damerau_levenshtein(t, 'qery') <= 1)) > 0""".stripMargin,
     "ts_between" ->
       s"""$toks
          |SELECT doc_id FROM toks

@@ -1655,7 +1655,7 @@ object Surface {
          |  (SELECT count(*) FROM toks
          |   WHERE ' ' || array_to_string(ts, ' ') || ' ' LIKE '% hash join %') AS n_phrase,
          |  (SELECT count(*) FROM toks
-         |   WHERE len(list_filter(ts, t -> levenshtein(t, 'qery') <= 1)) > 0) AS n_fuzzy,
+         |   WHERE len(list_filter(ts, t -> damerau_levenshtein(t, 'qery') <= 1)) > 0) AS n_fuzzy,
          |  (SELECT count(*) FROM toks
          |   WHERE len(list_filter(list_distinct(ts), t ->
          |     CAST(len(list_intersect($g, $qg)) AS DOUBLE) /
@@ -1702,7 +1702,7 @@ object Surface {
          |   WHERE len(list_filter(ts, t -> t >= 'window')) > 0) AS n_ge,
          |  (SELECT count(*) FROM toks
          |   WHERE len(list_filter(ts, t -> abs(len(t) - 4) <= 1
-         |     AND levenshtein(t, 'qery') <= 1)) > 0) AS n_fuzzy,
+         |     AND damerau_levenshtein(t, 'qery') <= 1)) > 0) AS n_fuzzy,
          |  (SELECT count(*) FROM toks
          |   WHERE list_contains(ts, 'stream') OR list_contains(ts, 'vector')) AS n_any,
          |  (SELECT count(*) FROM toks

@@ -68,6 +68,10 @@ object IndexCatalog {
       fields: Seq[String], included: Seq[String])
 
   private[search] val text = TrieMap.empty[(String, String, String), TextEntry]
+
+  /** Registered (root, column, analyzer) keys — diagnostics only. */
+  def debugTextKeys: Seq[String] =
+    text.keysIterator.map { case (r, c, a) => s"$r | $c | $a" }.toSeq
   private[search] val ann = TrieMap.empty[(String, String, String), AnnEntry]
   private[search] val pk = TrieMap.empty[(String, String), PkEntry]
   private[search] val fieldSide = TrieMap.empty[String, FieldsEntry]

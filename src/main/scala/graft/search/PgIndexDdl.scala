@@ -43,7 +43,7 @@ import org.apache.spark.sql.types._
   * lifecycle. Query RESULTS never depend on a build having happened
   * (the relation view is the table); builds only enable claimed plans.
   */
-object PgIndexDdl {
+object PgIndexDdl extends org.apache.spark.internal.Logging {
 
   /** One opclass-resolved item of the parenthesized index list. */
   private sealed trait Item
@@ -448,7 +448,11 @@ object PgIndexDdl {
       relationView(spark, spec)
       val deferred = delegations(spec).filter { ddl =>
         try { Ddl.execute(spark, ddl); false }
-        catch { case _: Exception => true } // retried on VACUUM
+        catch { case e: Exception => // retried on VACUUM
+          logWarning(s"deferring index build for ${spec.name}: " +
+            s"${e.getMessage} [$ddl]")
+          true
+        }
       }
       spec = spec.copy(deferred = deferred)
       registry.put(name.toLowerCase, spec); bump()
@@ -551,7 +555,11 @@ object PgIndexDdl {
       if (spec.deferred.nonEmpty) {
         val still = spec.deferred.filter { ddl =>
           try { Ddl.execute(spark, ddl); false }
-          catch { case _: Exception => true }
+          catch { case e: Exception =>
+            logWarning(s"deferred build for ${spec.name} still failing: " +
+              s"${e.getMessage} [$ddl]")
+            true
+          }
         }
         registry.put(spec.name, spec.copy(deferred = still))
       }

@@ -90,10 +90,10 @@ object SqlSurface {
     spark.udf.register("ts_starts_with", (p: String) => TsQueryCodec.startsWith(p))
     spark.udf.register("ts_like", (p: String) => TsQueryCodec.like(p))
     spark.udf.register("ts_regexp", (r: String) => TsQueryCodec.regexp(r))
-    spark.udf.register("ts_levenshtein",
-      (t: String, d: Int) => TsQueryCodec.levenshtein(t, d))
-    spark.udf.register("ts_ngram",
-      (q: String, j: Double) => TsQueryCodec.ngram(q, j))
+    // ts_levenshtein is injected in GraftExtensions (variable arity: 1-4
+    // args with the reference's auto-distance ladder and transpositions
+    // default — a plain UDF registration is single-arity)
+    // ts_ngram likewise injected in GraftExtensions (1-2 args, default 0.7)
     spark.udf.register("ts_phrase", (text: String) => TsQueryCodec.phrase(text))
     spark.udf.register("ts_any", (text: String) => TsQueryCodec.any(text))
     spark.udf.register("ts_all", (text: String) => TsQueryCodec.all(text))

@@ -36,8 +36,13 @@ object TsQuery {
   final case class TermRange(lo: Option[String], hi: Option[String],
       loInc: Boolean, hiInc: Boolean) extends TsQuery
   /** Edit-distance leaf — the reference's `ts_levenshtein` TSQUERY
-    * constructor (search.h:46; levenshtein_filter.hpp). */
-  final case class Fuzzy(t: String, maxDist: Int) extends TsQuery
+    * constructor (search.h:46; levenshtein_filter.hpp;
+    * ts_levenshtein.cpp:34-76). `transpositions` selects OSA/Damerau
+    * (adjacent swap costs 1) and defaults TRUE like the reference
+    * (ts_common.hpp:242); `prefix` must match exactly, with the distance
+    * computed over the remainder. */
+  final case class Fuzzy(t: String, maxDist: Int,
+      transpositions: Boolean = true, prefix: String = "") extends TsQuery
   /** Char-n-gram Jaccard leaf — `ts_ngram` (search.h:44;
     * ngram_similarity_filter.hpp). */
   final case class NgramSim(q: String, minJaccard: Double, n: Int = 3) extends TsQuery
@@ -83,7 +88,7 @@ object TsQueryExec {
     case TsQuery.Wildcard(p) => idx.wildcard(p)
     case TsQuery.Regexp(r) => idx.regexp(r)
     case TsQuery.TermRange(lo, hi, loInc, hiInc) => idx.range(lo, hi, loInc, hiInc)
-    case TsQuery.Fuzzy(t, d) => idx.fuzzy(t, d)
+    case TsQuery.Fuzzy(t, d, tr, p) => idx.fuzzy(t, d, transpositions = tr, prefix = p)
     case TsQuery.NgramSim(q, j, n) => idx.ngramSimilarity(q, j, n)
     case TsQuery.Phrase(ts) if ts.size == 1 => idx.term(ts.head)
     case TsQuery.Phrase(ts) => idx.phrase(ts)
@@ -230,9 +235,15 @@ object TsQueryExec {
       lo.forall(v => if (loInc) t >= v else t > v) &&
         hi.forall(v => if (hiInc) t <= v else t < v)
     }
-    case TsQuery.Fuzzy(t, d) =>
-      toks.exists(tok => math.abs(tok.length - t.length) <= d &&
-        levenshtein(tok, t) <= d)
+    case TsQuery.Fuzzy(t, d, tr, p) =>
+      toks.exists { tok0 =>
+        (p.isEmpty || tok0.startsWith(p)) && {
+          val tok = if (p.isEmpty) tok0 else tok0.substring(p.length)
+          math.abs(tok.length - t.length) <= d &&
+            (if (tr) graft.functions.TsDistances.osaStr(tok, t, d) >= 0
+             else levenshtein(tok, t) <= d)
+        }
+      }
     case TsQuery.NgramSim(q, j, n) =>
       // same gram/jaccard arithmetic as InvertedIndex.ngramSimilarity's
       // codegen'd dict-side expression (distinct grams on both sides;

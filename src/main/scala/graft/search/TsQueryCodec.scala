@@ -21,7 +21,22 @@ object TsQueryCodec {
   def startsWith(p: String): String = s"${Mark}S$Sep$p"
   def like(p: String): String = s"${Mark}L$Sep$p"
   def regexp(r: String): String = s"${Mark}R$Sep$r"
-  def levenshtein(t: String, maxD: Int): String = s"${Mark}F$Sep$maxD$Sep$t"
+  /** ts_levenshtein(text[, distance[, transpositions[, prefix]]]) —
+    * reference arg surface (ts_levenshtein.cpp:34-76): distance omitted →
+    * auto-ladder by term length (0 for ≤2 chars, 1 for 3-5, 2 for ≥6);
+    * distance 0-4, 0-3 when transpositions (the default) are on. */
+  def levenshtein(t: String, maxD: Int = -1, transpositions: Boolean = true,
+      prefix: String = ""): String = {
+    val d =
+      if (maxD == -1) { val n = t.length; if (n <= 2) 0 else if (n <= 5) 1 else 2 }
+      else maxD
+    if (d < 0 || d > 4) throw new IllegalArgumentException(
+      s"ts_levenshtein distance must be between 0 and 4, got $d")
+    if (transpositions && d > 3) throw new IllegalArgumentException(
+      s"ts_levenshtein distance must be between 0 and 3 when transpositions " +
+        s"is true, got $d")
+    s"${Mark}F$Sep$d$Sep${if (transpositions) 1 else 0}$Sep$prefix$Sep$t"
+  }
   def ngram(q: String, minJ: Double): String = s"${Mark}N$Sep$minJ$Sep$q"
   def phrase(text: String): String = s"${Mark}P${Sep}0$Sep$text"
   def any(text: String): String = s"${Mark}A$Sep$text"
@@ -45,7 +60,10 @@ object TsQueryCodec {
       case 'S' => TsQuery.Prefix(fields(1)(0))
       case 'L' => TsQuery.Wildcard(fields(1)(0))
       case 'R' => TsQuery.Regexp(fields(1)(0))
-      case 'F' => val f = fields(2); TsQuery.Fuzzy(f(1), f(0).toInt)
+      case 'F' =>
+        val f = fields(4)
+        if (f.length == 2) TsQuery.Fuzzy(f(1), f(0).toInt) // legacy 2-field form
+        else TsQuery.Fuzzy(f(3), f(0).toInt, f(1) == "1", f(2))
       case 'N' => val f = fields(2); TsQuery.NgramSim(f(1), f(0).toDouble)
       case 'P' =>
         val f = fields(2)

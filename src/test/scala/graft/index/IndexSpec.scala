@@ -284,10 +284,13 @@ class IndexSpec extends AnyFunSuite {
     val wdocs = words.zipWithIndex
       .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
     val widx = InvertedIndex.build(wdocs, "doc_id", "text", "whitespace")
-    // 'cats' is within dist 1; 'act' is dist 2 — 12 match uncapped
-    assert(ids(widx.fuzzy("cat", 1, maxTerms = 0)).size == 12)
+    // all 13 are within Damerau distance 1 — 'act' is one transposition,
+    // and transpositions default ON (reference ts_common.hpp:242); the
+    // plain-Levenshtein path (transpositions = false) excludes it
+    assert(ids(widx.fuzzy("cat", 1, maxTerms = 0)).size == 13)
+    assert(ids(widx.fuzzy("cat", 1, maxTerms = 0, transpositions = false)).size == 12)
     // default session cap (64) leaves all of them
-    assert(ids(widx.fuzzy("cat", 1)).size == 12)
+    assert(ids(widx.fuzzy("cat", 1)).size == 13)
     // a cap of 5 keeps the 5 closest terms → 5 docs (one doc per word)
     assert(ids(widx.fuzzy("cat", 1, maxTerms = 5)).size == 5)
     // cap 1: the exact match wins outright (similarity 1.0 beats 1 - 1/3)
