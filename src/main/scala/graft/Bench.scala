@@ -135,15 +135,23 @@ object Bench {
         // (r8 #6, r9) turned out to be single-run variance on a shared VM
         // (same entry measured 9.6/15.5/23.6 s across rounds with no code
         // change in the path).
+        // 4 cache-cold runs, first one untimed: the very first execution of
+        // each sf1 plan pays Janino codegen + C2 JIT for its hot loops — at
+        // sf1 that skew is NOT noise (measured: summarize 68/32/8.6 s,
+        // minhash 81/16.6/6.8 s across runs 1..3 — the r13 "regression" was
+        // this warmup landing in the median). The main pass warms up every
+        // entry untimed for the same reason; the spot block now matches.
+        // clearCache() before every run keeps the CACHE-cold honesty: timed
+        // runs still rebuild persisted intermediates from parquet each time.
         def coldMedian(n: String, dir: String): Double =
-          Seq.fill(3) {
+          Seq.fill(4) {
             spark.catalog.clearCache()
             System.gc()
             val t0 = System.nanoTime()
             SparkEntry.queries(n)(spark, dir).write.mode("overwrite")
               .format("noop").save()
             (System.nanoTime() - t0) / 1e9
-          }.sorted.apply(1)
+          }.drop(1).sorted.apply(1)
         val times = spot.filter(SparkEntry.queries.contains)
           .map(n => n -> coldMedian(n, sf1Dir))
         val searchTimes = searchSpot.filter(SparkEntry.queries.contains)
@@ -151,8 +159,17 @@ object Bench {
         spark.conf.set("spark.sql.shuffle.partitions", shufflePart)
         f""","sf1_spot":${(times ++ searchTimes).map { case (k, v) => f""""$k":$v%.3f""" }
           .mkString("{", ",", "}")},"sf1_gen_sec":$genS%.1f""" +
-          f""","sf1_index_build":$idxBuildS%.3f""" +
-          ""","sf1_note":"sf1 spot entries are MEDIAN OF 3 cold runs on a """ +
+          f""","sf1_index_build":$idxBuildS%.3f"""
+      }
+
+    // methodology note rides only in the FILE output — at ~700 chars it was
+    // the single largest contributor to the stdout line blowing the driver's
+    // 2000-char tail window (BENCH_r13 parsed: null)
+    val sf1Note: String =
+      if (sf1Spot.isEmpty) ""
+      else {
+        ""","sf1_note":"sf1 spot entries are MEDIAN OF 3 cache-cold runs """ +
+          """after one untimed codegen/JIT warmup run, on a """ +
           """clean cache with shuffle partitions scaled 10x with the data; """ +
           """approx_sketches carries an exact-percentile correctness gate """ +
           """(buffers all values; test-scale construct) that dominates its """ +
@@ -169,7 +186,7 @@ object Bench {
     val total = results.map(_._2).sum
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_ENTRIES.json"),
-      f"""{"sf":"$sfDir","total_sec":$total%.3f,"artifact_build":$builds$sf1Spot,"entries":${allQs.mkString("{", ",", "}")}}""")
+      f"""{"sf":"$sfDir","total_sec":$total%.3f,"artifact_build":$builds$sf1Spot$sf1Note,"entries":${allQs.mkString("{", ",", "}")}}""")
     // stdout: headline relational queries only (q01..q19) + totals; the
     // artifact-build and sf1-spot blocks ride along (both are tiny)
     val headline = results.filter(_._1.startsWith("q"))
@@ -184,7 +201,16 @@ object Bench {
     // Search-Benchmark-Game block (BASELINE.md row 1): COUNT/TOP_10/100/1000
     // per query class against the claimed index drive
     val sbg = graft.queries.SearchBench.block(spark, sfDir)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_entries":${results.size},"artifact_build":$builds$sf1Spot$tpchJson$sbg,"queries":$headline}""")
+    // Two stdout lines. The driver captures only the LAST 2000 chars of
+    // stdout and parses a JSON line out of that window (BENCH_r13: the
+    // single detail line grew past 2000 chars, its head got clipped, and
+    // `parsed` came back null). Line 1 is the full detail, field order
+    // chosen so the most diagnostic blocks (sbg, tpch, sf1_spot) sit at the
+    // END and survive in the tail window even when the head is clipped.
+    // Line 2 is a compact headline guaranteed to fit the window whole, so
+    // the driver's parser always finds one complete JSON line.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_entries":${results.size},"artifact_build":$builds,"queries":$headline$sbg$tpchJson$sf1Spot}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_entries":${results.size}$tpchJson,"queries":$headline}""")
     spark.stop()
   }
 }

@@ -64,10 +64,18 @@ object Summarize {
       }: _*)).as("m"))
       .select(col("m.cname"), col("m.ctype"), col("m.vnum"), col("m.vstr"))
 
-    // the one shuffle: per-column value histogram, combined map-side
+    // the one shuffle: per-column value histogram, combined map-side.
+    // PERSISTED: four downstream consumers read it (stats, colRange,
+    // bucketCum, marked) — without the persist each one re-runs the full
+    // melt+histogram over the source (measured at sf1: cold runs 68/32/8.6 s
+    // as the page cache warmed, vs ~8 s steady once the scan is cached).
+    // The histogram is NDV-sized (Σ per-column distincts), orders of
+    // magnitude below the melted input, so caching it is the 100 TB shape:
+    // one pass over the data, metadata-scale reuse after.
     val hist = melted
       .groupBy(col("cname"), col("ctype"), col("vnum"), col("vstr"))
       .agg(count(lit(1)).as("cnt"))
+      .persist()
 
     val isNullRow = col("vnum").isNull && col("vstr").isNull
     val stats = hist
