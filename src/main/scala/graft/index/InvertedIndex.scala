@@ -162,15 +162,31 @@ final case class InvertedIndex(
   /** SQL LIKE-style wildcard over terms (%, _) — ts_like. A literal prefix
     * before the first wildcard char becomes a pushable term range, same as
     * [[prefix]]. */
-  def wildcard(pattern: String): DataFrame = {
-    val litPrefix = pattern.takeWhile(c => c != '%' && c != '_' && c != '\\')
-    val pred = col("term").like(pattern)
-    docsForTerms(expandTerms(
-      if (litPrefix.isEmpty) pred else prefixPred(litPrefix) && pred))
-  }
+  def wildcard(pattern: String): DataFrame = docsForTerms(wildcardTerms(pattern))
 
   /** Regex over terms — ts_regexp. */
-  def regexp(pattern: String): DataFrame = docsForTerms(expandTerms(col("term").rlike(pattern)))
+  def regexp(pattern: String): DataFrame = docsForTerms(regexpTerms(pattern))
+
+  /** Dictionary expansions of the multi-term leaves as `(term)` frames —
+    * the scored MultiTermQuery form feeds [[bm25OverTerms]]; the boolean
+    * match form wraps them in [[docsForTerms]]. */
+  def prefixTerms(p: String): DataFrame = expandTerms(prefixPred(p))
+
+  def wildcardTerms(pattern: String): DataFrame = {
+    val litPrefix = pattern.takeWhile(c => c != '%' && c != '_' && c != '\\')
+    val pred = col("term").like(pattern)
+    expandTerms(if (litPrefix.isEmpty) pred else prefixPred(litPrefix) && pred)
+  }
+
+  def regexpTerms(pattern: String): DataFrame =
+    expandTerms(col("term").rlike(pattern))
+
+  def rangeTerms(lo: Option[String], hi: Option[String],
+      loInc: Boolean = true, hiInc: Boolean = true): DataFrame = {
+    val lower = lo.map(v => if (loInc) col("term") >= v else col("term") > v)
+    val upper = hi.map(v => if (hiInc) col("term") <= v else col("term") < v)
+    expandTerms((lower ++ upper).reduceOption(_ && _).getOrElse(lit(true)))
+  }
 
   /** Levenshtein fuzzy match — ts_levenshtein. `maxTerms` caps the
     * dictionary expansion to the CLOSEST terms (the reference's
@@ -180,6 +196,16 @@ final case class InvertedIndex(
     * tie-break. The cap bounds the postings union a sloppy probe can fan
     * into on a 100 TB-scale dictionary. */
   def fuzzy(t: String, maxDist: Int, maxTerms: Int = -1,
+      transpositions: Boolean = true, prefix: String = ""): DataFrame =
+    docsForTerms(
+      fuzzyTerms(t, maxDist, maxTerms, transpositions, prefix).select(col("term")))
+
+  /** Fuzzy dictionary expansion as `(term, w)` with w = the reference's
+    * similarity boost 1 − d/min(|term|,|target|)
+    * (levenshtein_filter.cpp:49-54,119-124) — also the rank key for the
+    * `maxTerms` cap (the reference's scored_terms_limit keeps the
+    * highest-boost terms). */
+  def fuzzyTerms(t: String, maxDist: Int, maxTerms: Int = -1,
       transpositions: Boolean = true, prefix: String = ""): DataFrame = {
     // the session knob (`SET spark.graft.levenshteinMaxTerms = N`) is the
     // reference's SET sdb_levenshtein_max_terms; an explicit arg overrides
@@ -210,24 +236,18 @@ final case class InvertedIndex(
         graft.functions.TsDistances.osaDistance(term, lit(t), maxDist)
       else levenshtein(term, lit(t), maxDist)
     val expanded = base.filter(band && dist >= 0 && dist <= maxDist)
+      .withColumn("w", lit(1.0) - dist.cast("double") /
+        greatest(least(length(term), lit(t.length)), lit(1)).cast("double"))
     val capped =
-      if (cap <= 0) expanded.select(col("term"))
-      else expanded
-        .withColumn("__sim", lit(1.0) - dist.cast("double") /
-          greatest(length(col("term")), lit(t.length)).cast("double"))
-        .orderBy(col("__sim").desc, col("term"))
-        .limit(cap)
-        .select(col("term"))
-    docsForTerms(capped)
+      if (cap <= 0) expanded
+      else expanded.orderBy(col("w").desc, col("term")).limit(cap)
+    capped.select(col("term"), col("w"))
   }
 
   /** Term range — ts_between / ts_lt / ts_gt family. */
   def range(lo: Option[String], hi: Option[String],
-      loInc: Boolean = true, hiInc: Boolean = true): DataFrame = {
-    val lower = lo.map(v => if (loInc) col("term") >= v else col("term") > v)
-    val upper = hi.map(v => if (hiInc) col("term") <= v else col("term") < v)
-    docsForTerms(expandTerms((lower ++ upper).reduceOption(_ && _).getOrElse(lit(true))))
-  }
+      loInc: Boolean = true, hiInc: Boolean = true): DataFrame =
+    docsForTerms(rangeTerms(lo, hi, loInc, hiInc))
 
   /** ts_ngram — n-gram similarity match (ts_ngram.cpp;
     * ngram_similarity_filter.hpp; demo3 §4): docs containing any term whose
@@ -406,6 +426,75 @@ final case class InvertedIndex(
       .select(col("doc_id"), col("_score"))
   }
 
+  /** BM25 over a DATA-DEPENDENT dictionary expansion — the reference's
+    * scored MultiTermQuery (multiterm_query.cpp:157-200): a doc matched by
+    * several expanded terms scores merge(w(term) × bm25-contribution(term)).
+    * Merge is Sum for prefix/range/wildcard/regexp (prefix_filter.cpp:77,
+    * range_filter.cpp:121, automaton_utils.cpp:227-228) and Max for fuzzy
+    * (levenshtein_filter.cpp:163-165), whose `w` carries the similarity
+    * boost from [[fuzzyTerms]]; other expansions default w = 1.
+    *
+    * Float determinism: the Sum merge collects each doc's (term,
+    * contribution) pairs, sorts by term, and folds in that fixed order — a
+    * plain groupBy sum would add doubles in shuffle arrival order. The
+    * per-doc pair count is bounded by the expansion size (itself capped for
+    * fuzzy), so the collected arrays stay small. The expansion is
+    * dict-filtered and broadcast; postings are touched once. */
+  def bm25OverTerms(expansion: DataFrame, mergeMax: Boolean = false,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreOverTerms(expansion, "bm25", mergeMax, k1, b)
+
+  /** [[bm25OverTerms]] generalized by scorer kernel — the reference scores
+    * ANY scorer over a multi-term expansion (TfIdfScore folds the same
+    * per-term boost, tfidf.cpp:89-95). bm25 and tfidf (the two the
+    * reference's index corpus pins with exact goldens) are supported;
+    * the collection-stats scorers (lm_*, indri, dfi) raise. */
+  def scoreOverTerms(expansion: DataFrame, scorer: String,
+      mergeMax: Boolean = false, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withW =
+      if (expansion.columns.contains("w")) expansion.select(col("term"), col("w"))
+      else expansion.select(col("term"), lit(1.0).as("w"))
+    val terms = withW.join(termDict.select(col("term"), col("df")), "term")
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val contrib = scorer match {
+      case "bm25" =>
+        val idf = log(lit(1.0) + (lit(numDocs.toDouble) - dfD + 0.5) / (dfD + 0.5))
+        idf * tfD * (k1 + 1.0) /
+          (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen").cast("double") / avgDl)) *
+          col("w")
+      case "tfidf" =>
+        sqrt(tfD) * log(lit(1.0) + (lit(numDocs.toDouble) + 1.0) / (dfD + 1.0)) * col("w")
+      case other => throw new IllegalArgumentException(
+        s"scorer $other does not support multi-term expansion scoring")
+    }
+    val matched = postings.join(broadcast(terms), "term")
+      .join(docStats.select(col("doc_id"), col("dlen")), "doc_id")
+      .select(col("doc_id"), col("term"), contrib.as("__c"))
+    val merged =
+      if (mergeMax) matched.groupBy(col("doc_id")).agg(max(col("__c")).as("_score"))
+      else matched.groupBy(col("doc_id"))
+        .agg(aggregate(array_sort(collect_list(struct(col("term"), col("__c")))),
+          lit(0.0), (acc, x) => acc + x.getField("__c")).as("_score"))
+    merged.filter(col("_score") > 0.0).select(col("doc_id"), col("_score"))
+  }
+
+  /** Scorer-name dispatch over the per-scorer term-bag kernels — one place
+    * for the reference's 9 registered scorers (search.cpp:142-173), used by
+    * both the SQL claim rules and the structured-query scoring tree. */
+  def scoredTerms(scorer: String, terms: Seq[String]): DataFrame = scorer match {
+    case "bm25" => bm25(terms)
+    case "tfidf" => tfidf(terms)
+    case "lm_dirichlet" => lmDirichlet(terms)
+    case "lm_jelinek_mercer" => lmJelinekMercer(terms)
+    case "indri_dirichlet" => indriDirichlet(terms)
+    case "dfi" => dfi(terms)
+    case "raw_tf" => rawTf(terms)
+    case "raw_dl" => rawDl(terms)
+    case "raw_boost" => rawBoost(terms)
+    case other => throw new IllegalArgumentException(s"unknown scorer $other")
+  }
+
   /** TFIDF scores — the reference's second scorer
     * (/root/reference/libs/iresearch/include/iresearch/search/tfidf.hpp,
     * registered at server/connector/functions/search.cpp:142-173):
@@ -419,8 +508,12 @@ final case class InvertedIndex(
       val i = distinct.indexOf(t)
       val tf = coalesce(col(s"${i}_tf").cast("double"), lit(0.0))
       val dfT = coalesce(col(s"${i}_df").cast("double"), lit(1.0))
-      val idf = lit(1.0) + log(lit(numDocs.toDouble) / (dfT + 1.0))
-      sqrt(tf) * idf * idf
+      // the reference's idf (tfidf.cpp:148-151): log1p((N+1)/(df+1)) —
+      // NOT Lucene-classic (1+ln(N/(df+1)))² (fixed r14 against the exact
+      // goldens of inverted_index_multiterm_score.test: ln5/ln3 on the
+      // 7-doc corpus)
+      val idf = log(lit(1.0) + (lit(numDocs.toDouble) + 1.0) / (dfT + 1.0))
+      sqrt(tf) * idf
     }
     scored
       .withColumn("_score", scoreCols.reduce(_ + _))

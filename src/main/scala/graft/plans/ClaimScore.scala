@@ -31,15 +31,29 @@ private[plans] object ScorerShapes {
     case _ => false
   }
 
+  /** A query argument that folds to a String at claim time: a literal, or
+    * a TSQUERY-constructor call tree over literals — `boost(ts_phrase(..),
+    * 2.0)` etc. are deterministic String→String functions that Catalyst
+    * does not constant-fold (ScalaUDF is never foldable), so the claim
+    * evaluates the closed subtree itself, exactly as the reference folds
+    * TSQUERY constants before its claim walk (FoldTSQueryConstants,
+    * ts_query.cpp:341). */
+  private def constStr(e: Expression): Option[String] = e match {
+    case Literal(q: UTF8String, _) => Option(q).map(_.toString)
+    case _ if e.dataType == org.apache.spark.sql.types.StringType &&
+        e.deterministic && e.references.isEmpty =>
+      Option(e.eval(null)).map(_.toString)
+    case _ => None
+  }
+
   /** `(textAttr, scorerName, query, dict)` iff `e` is a scorer stub over a
-    * plain column with literal query + dict (the reference folds TSQUERY
-    * constants before claiming the same way, ts_query.cpp:341). */
+    * plain column with a plan-time-constant query + literal dict. */
   def asScorer(e: Expression): Option[(AttributeReference, String, String, String)] =
     e match {
       case u: ScalaUDF if u.udfName.exists(names.contains) =>
         u.children match {
-          case Seq(a: AttributeReference, Literal(q: UTF8String, _), Literal(d: UTF8String, _)) =>
-            Some((a, u.udfName.get, q.toString, d.toString))
+          case Seq(a: AttributeReference, qe, Literal(d: UTF8String, _)) =>
+            constStr(qe).map(q => (a, u.udfName.get, q, d.toString))
           case _ => None
         }
       case _ => None
@@ -49,18 +63,22 @@ private[plans] object ScorerShapes {
     * per-scorer kernels already verified by the ts_*_topk entries. The
     * query string is a plain term bag through the index's analyzer. */
   def scored(idx: InvertedIndex, scorer: String, terms: Seq[String]): DataFrame =
-    scorer match {
-      case "bm25" => idx.bm25(terms)
-      case "tfidf" => idx.tfidf(terms)
-      case "lm_dirichlet" => idx.lmDirichlet(terms)
-      case "lm_jelinek_mercer" => idx.lmJelinekMercer(terms)
-      case "indri_dirichlet" => idx.indriDirichlet(terms)
-      case "dfi" => idx.dfi(terms)
-      case "raw_tf" => idx.rawTf(terms)
-      case "raw_dl" => idx.rawDl(terms)
-      case "raw_boost" => idx.rawBoost(terms)
-      case other => throw new IllegalArgumentException(s"unknown scorer $other")
-    }
+    idx.scoredTerms(scorer, terms)
+
+  /** Scores for a scorer + RAW query string. A plain string is the term-bag
+    * path through [[scored]]; a TSQUERY-codec string (ts_phrase / boost /
+    * ts_like / ts_levenshtein … constructors) decodes to the structured
+    * query and scores through the boost-folding tree — the reference's
+    * `BM25(...) WHERE body @@ (q ^ w)` surface (boost_score.test,
+    * inverted_index_multiterm_score.test). Multi-term leaves need a
+    * per-scorer expansion kernel (bm25/tfidf); others raise and the claim
+    * falls back, so the stub fails loudly rather than mis-scoring. */
+  def scoredQuery(idx: InvertedIndex, scorer: String, query: String,
+      dict: String): DataFrame =
+    if (graft.search.TsQueryCodec.isEncoded(query))
+      graft.search.TsQueryExec.scoredScorer(idx, scorer,
+        graft.search.TsQueryCodec.decode(query, AnalyzerRegistry.get(dict)))
+    else scored(idx, scorer, termsOf(query, dict))
 
   def termsOf(query: String, dict: String): Seq[String] =
     AnalyzerRegistry.get(dict).tokens(query)
@@ -194,8 +212,7 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
       outList: Seq[NamedExpression]): LogicalPlan = {
     {
       val idx = IndexStore.load(spark, entry.segDir)
-      val terms = ScorerShapes.termsOf(query, dict)
-      val topk = ScorerShapes.scored(idx, scorer, terms)
+      val topk = ScorerShapes.scoredQuery(idx, scorer, query, dict)
         .orderBy(col("_score").desc, col("doc_id"))
         .limit(k)
         .select(col("doc_id").as(entry.idCol), col("_score").as("__graft_score"))
@@ -263,13 +280,12 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
       idAttr: AttributeReference, scoreIds: Set[ExprId],
       outList: Seq[NamedExpression]): LogicalPlan = {
     val idx = IndexStore.load(spark, entry.segDir)
-    val terms = ScorerShapes.termsOf(query, dict)
     // fresh exprIds: the candidate tree's LeftSemi legs were built from the
     // SAME JVM-cached postings relation, so without re-instancing, identical
     // leaf exprIds would sit on both sides of the Inner join — hidden today
     // by the semi-join's output but fragile under later optimizer passes
     val scoredPlan = PlanShapes.freshRelationIds(
-      ScorerShapes.scored(idx, scorer, terms)
+      ScorerShapes.scoredQuery(idx, scorer, query, dict)
         .select(col("doc_id"), col("_score").as("__graft_score"))
         .queryExecution.optimizedPlan)
     val docId = scoredPlan.output.find(_.name == "doc_id").get
@@ -400,13 +416,15 @@ case class ClaimScoreFilter(spark: SparkSession) extends Rule[LogicalPlan] {
     val joined = claimable.foldLeft(child) {
       case (acc, (_, scorer, query, dict, c, strict, entry, idAttr)) =>
         val idx = IndexStore.load(spark, entry.segDir)
-        val terms = ScorerShapes.termsOf(query, dict)
         val matched = scorer match {
-          case "bm25" =>
-            val m = idx.bm25MinScore(terms, c)
+          // the WAND floor drives from per-term score upper bounds, which a
+          // structured (boost/phrase/automaton) tree does not expose — those
+          // score the folded tree and filter instead
+          case "bm25" if !graft.search.TsQueryCodec.isEncoded(query) =>
+            val m = idx.bm25MinScore(ScorerShapes.termsOf(query, dict), c)
             if (strict) m.filter(col("_score") > c) else m
           case other =>
-            ScorerShapes.scored(idx, other, terms)
+            ScorerShapes.scoredQuery(idx, other, query, dict)
               .filter(if (strict) col("_score") > c else col("_score") >= c)
         }
         val mPlan = matched.select(col("doc_id")).queryExecution.optimizedPlan

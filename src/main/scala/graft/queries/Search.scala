@@ -318,8 +318,9 @@ object Search {
 
   /** Shared scoring CTEs: identical FP expression trees to the Spark plans —
     * `scored` = BM25 (k1=1.2, b=0.75, Lucene idf), `tscored` = TFIDF
-    * (sqrt(tf) · (1 + ln(N/(df+1)))², norm-free), both over the query bag
-    * (vector, dup, query) with left-to-right partial addition. */
+    * (sqrt(tf) · ln(1+(N+1)/(df+1)), the reference's tfidf.cpp:148-151,
+    * norm-free default), both over the query bag (vector, dup, query) with
+    * left-to-right partial addition. */
   private[queries] val scoringCtes: String =
     s"""$toks,
        |dl AS (SELECT doc_id, len(ts) AS dlen FROM toks),
@@ -343,9 +344,9 @@ object Search {
        |  AS score
        |  FROM tfs t JOIN dl USING (doc_id), st, dfs),
        |tscored AS (SELECT doc_id,
-       |    sqrt(tf0) * (1.0 + ln(nd / (df0 + 1.0))) * (1.0 + ln(nd / (df0 + 1.0)))
-       |  + sqrt(tf1) * (1.0 + ln(nd / (df1 + 1.0))) * (1.0 + ln(nd / (df1 + 1.0)))
-       |  + sqrt(tf2) * (1.0 + ln(nd / (df2 + 1.0))) * (1.0 + ln(nd / (df2 + 1.0)))
+       |    sqrt(tf0) * ln(1.0 + (nd + 1.0) / (df0 + 1.0))
+       |  + sqrt(tf1) * ln(1.0 + (nd + 1.0) / (df1 + 1.0))
+       |  + sqrt(tf2) * ln(1.0 + (nd + 1.0) / (df2 + 1.0))
        |  AS score
        |  FROM tfs, st, dfs),
        |cfs AS (SELECT

@@ -105,6 +105,11 @@ object SqlSurface {
     spark.udf.register("ts_lt", (b: String) => TsQueryCodec.cmp("lt", b))
     spark.udf.register("boost", (q: String, w: Double) => TsQueryCodec.boost(q, w))
     spark.udf.register("slop", (q: String, n: Int) => TsQueryCodec.slop(q, n))
+    // TSQUERY combinators — the reference's `&&` / `||` / `!!` operators
+    // over TSQUERY values (search.h:82-91)
+    spark.udf.register("ts_or", (a: String, b: String) => TsQueryCodec.or(a, b))
+    spark.udf.register("ts_and", (a: String, b: String) => TsQueryCodec.and(a, b))
+    spark.udf.register("ts_not", (q: String) => TsQueryCodec.not(q))
     spark.udf.register("ts_tokenize_sql",
       (text: String, dict: String) => AnalyzerRegistry.get(dict).tokens(text))
     // pg's ts_lexize(dictionary, lexeme): the dictionary's output lexemes
@@ -211,7 +216,8 @@ object SqlSurface {
   val constructorNames: Set[String] =
     Set("ts_starts_with", "ts_like", "ts_regexp", "ts_levenshtein",
       "ts_ngram", "ts_phrase", "ts_any", "ts_all", "ts_between",
-      "ts_ge", "ts_gt", "ts_le", "ts_lt", "boost", "slop")
+      "ts_ge", "ts_gt", "ts_le", "ts_lt", "boost", "slop",
+      "ts_or", "ts_and", "ts_not")
 
   val sugarNames: Seq[String] =
     Seq("has_any_tokens", "has_all_tokens", "phrase_matches",

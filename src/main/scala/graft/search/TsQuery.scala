@@ -122,29 +122,43 @@ object TsQueryExec {
     *  - positional leaves (Phrase/SlopPhrase/PhraseGap): the sum of their
     *    terms' bm25 contributions over the leaf's MATCHING docs (the
     *    PhraseQuery shape);
-    *  - automaton leaves (Prefix/Fuzzy/TermRange/NgramSim): constant score
-    *    1.0 per matching doc (Lucene's MultiTermQuery constant-score
-    *    rewrite) — boost still scales it;
+    *  - multi-term leaves (Prefix/Wildcard/Regexp/TermRange): SUM of the
+    *    matched dictionary terms' bm25 contributions per doc
+    *    (MultiTermQuery Sum merge, automaton_utils.cpp:227-228,
+    *    prefix_filter.cpp:77);
+    *  - Fuzzy: MAX over matched terms of similarity × bm25 contribution
+    *    (levenshtein_filter.cpp:49-54,163-165);
+    *  - NgramSim/PhrasePrefix: constant score 1.0 per matching doc — boost
+    *    still scales it;
     *  - OR: full-outer sum; AND: inner sum with NOTs as anti-joins;
     *  - Boost(q, w): w × subtree score.
     * Returns (doc_id, _score); every operator stays a doc_id-keyed
     * join/agg over bucket-pruned postings — no corpus scan. */
-  def scoredBm25(idx: InvertedIndex, q: TsQuery): DataFrame = q match {
+  def scoredBm25(idx: InvertedIndex, q: TsQuery): DataFrame =
+    scoredScorer(idx, "bm25", q)
+
+  /** [[scoredBm25]] generalized by scorer — the reference folds boost and
+    * walks the same filter tree for every registered scorer (TfIdfScore
+    * carries boost identically, tfidf.cpp:89-95). Multi-term leaves need a
+    * per-scorer expansion kernel ([[InvertedIndex.scoreOverTerms]]: bm25 +
+    * tfidf); term/phrase legs dispatch through
+    * [[InvertedIndex.scoredTerms]]. */
+  def scoredScorer(idx: InvertedIndex, scorer: String, q: TsQuery): DataFrame = q match {
     case TsQuery.Boost(inner, w) =>
-      scoredBm25(idx, inner)
+      scoredScorer(idx, scorer, inner)
         .select(col("doc_id"), (col("_score") * w).as("_score"))
-    case TsQuery.Term(t) => idx.bm25(Seq(t))
+    case TsQuery.Term(t) => idx.scoredTerms(scorer, Seq(t))
     case p @ TsQuery.Phrase(ts) =>
-      matching(idx, p).join(idx.bm25(ts.distinct), "doc_id")
+      matching(idx, p).join(idx.scoredTerms(scorer, ts.distinct), "doc_id")
         .select(col("doc_id"), col("_score"))
     case p @ TsQuery.SlopPhrase(ts, _) =>
-      matching(idx, p).join(idx.bm25(ts.distinct), "doc_id")
+      matching(idx, p).join(idx.scoredTerms(scorer, ts.distinct), "doc_id")
         .select(col("doc_id"), col("_score"))
     case p @ TsQuery.PhraseGap(ts, _) =>
-      matching(idx, p).join(idx.bm25(ts.distinct), "doc_id")
+      matching(idx, p).join(idx.scoredTerms(scorer, ts.distinct), "doc_id")
         .select(col("doc_id"), col("_score"))
     case TsQuery.Or(qs) if qs.nonEmpty =>
-      qs.map(scoredBm25(idx, _)).reduce { (a, b) =>
+      qs.map(scoredScorer(idx, scorer, _)).reduce { (a, b) =>
         a.select(col("doc_id"), col("_score").as("s1"))
           .join(b.select(col("doc_id"), col("_score").as("s2")),
             Seq("doc_id"), "full_outer")
@@ -153,8 +167,8 @@ object TsQueryExec {
       }
     case TsQuery.And(qs) if qs.nonEmpty =>
       val (negs, poss) = qs.partition(_.isInstanceOf[TsQuery.Not])
-      require(poss.nonEmpty, "scoredBm25: pure-negative conjunction has no score")
-      val pos = poss.map(scoredBm25(idx, _)).reduce { (a, b) =>
+      require(poss.nonEmpty, "scoredScorer: pure-negative conjunction has no score")
+      val pos = poss.map(scoredScorer(idx, scorer, _)).reduce { (a, b) =>
         a.select(col("doc_id"), col("_score").as("s1"))
           .join(b.select(col("doc_id"), col("_score").as("s2")), Seq("doc_id"))
           .select(col("doc_id"), (col("s1") + col("s2")).as("_score"))
@@ -163,6 +177,15 @@ object TsQueryExec {
         acc.join(matching(idx, n.asInstanceOf[TsQuery.Not].q),
           Seq("doc_id"), "left_anti")
       }
+    case TsQuery.Prefix(p) => idx.scoreOverTerms(idx.prefixTerms(p), scorer)
+    case TsQuery.Wildcard(p) => idx.scoreOverTerms(idx.wildcardTerms(p), scorer)
+    case TsQuery.Regexp(r) => idx.scoreOverTerms(idx.regexpTerms(r), scorer)
+    case TsQuery.TermRange(lo, hi, loInc, hiInc) =>
+      idx.scoreOverTerms(idx.rangeTerms(lo, hi, loInc, hiInc), scorer)
+    case TsQuery.Fuzzy(t, d, tr, p) =>
+      idx.scoreOverTerms(
+        idx.fuzzyTerms(t, d, transpositions = tr, prefix = p), scorer,
+        mergeMax = true)
     case other =>
       matching(idx, other).select(col("doc_id"), lit(1.0).as("_score"))
   }

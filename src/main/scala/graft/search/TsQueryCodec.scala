@@ -48,6 +48,14 @@ object TsQueryCodec {
   def boost(inner: String, w: Double): String = s"${Mark}W$Sep$w$Sep$inner"
   def slop(inner: String, n: Int): String = s"${Mark}Y$Sep$n$Sep$inner"
 
+  /** TSQUERY combinators — the reference's `&&` / `||` / `!!` operators
+    * (search.h:82-91), spelled `ts_and`/`ts_or`/`ts_not` here. Binary forms
+    * length-prefix the first operand so two variable-length encoded inners
+    * need no escaping. */
+  def or(a: String, b: String): String = s"${Mark}O$Sep${a.length}$Sep$a$b"
+  def and(a: String, b: String): String = s"${Mark}D$Sep${a.length}$Sep$a$b"
+  def not(inner: String): String = s"${Mark}X$Sep$inner"
+
   /** Decode an encoded constructor string (see [[isEncoded]]). A plain
     * (un-marked) string decodes as the websearch dialect — so
     * `boost`/`slop` wrap either kind. */
@@ -81,6 +89,13 @@ object TsQueryCodec {
         case other => throw new IllegalArgumentException(s"bad ts cmp: ${other.mkString}")
       }
       case 'W' => val f = fields(2); TsQuery.Boost(decode(f(1), a), f(0).toDouble)
+      case 'O' =>
+        val f = fields(2); val n = f(0).toInt
+        TsQuery.Or(Seq(decode(f(1).substring(0, n), a), decode(f(1).substring(n), a)))
+      case 'D' =>
+        val f = fields(2); val n = f(0).toInt
+        TsQuery.And(Seq(decode(f(1).substring(0, n), a), decode(f(1).substring(n), a)))
+      case 'X' => TsQuery.Not(decode(body.substring(2), a))
       case 'Y' =>
         val f = fields(2)
         val n = f(0).toInt
