@@ -442,7 +442,7 @@ final case class InvertedIndex(
     * dict-filtered and broadcast; postings are touched once. */
   def bm25OverTerms(expansion: DataFrame, mergeMax: Boolean = false,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    scoreOverTerms(expansion, "bm25", mergeMax, k1, b)
+    scoreOverTerms(expansion, "bm25", mergeMax, Seq(k1, b))
 
   /** [[bm25OverTerms]] generalized by scorer kernel — the reference scores
     * ANY scorer over a multi-term expansion (TfIdfScore folds the same
@@ -450,7 +450,13 @@ final case class InvertedIndex(
     * reference's index corpus pins with exact goldens) are supported;
     * the collection-stats scorers (lm_*, indri, dfi) raise. */
   def scoreOverTerms(expansion: DataFrame, scorer: String,
-      mergeMax: Boolean = false, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      mergeMax: Boolean = false, params: Seq[Any] = Nil): DataFrame = {
+    def num(i: Int, d: Double): Double = params.lift(i) match {
+      case Some(n: Number) => n.doubleValue
+      case Some(other) => throw new IllegalArgumentException(
+        s"$scorer: parameter ${i + 1} must be numeric, got $other")
+      case None => d
+    }
     val withW =
       if (expansion.columns.contains("w")) expansion.select(col("term"), col("w"))
       else expansion.select(col("term"), lit(1.0).as("w"))
@@ -459,12 +465,17 @@ final case class InvertedIndex(
     val dfD = col("df").cast("double")
     val contrib = scorer match {
       case "bm25" =>
+        val k1 = num(0, 1.2); val b = num(1, 0.75)
         val idf = log(lit(1.0) + (lit(numDocs.toDouble) - dfD + 0.5) / (dfD + 0.5))
         idf * tfD * (k1 + 1.0) /
           (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen").cast("double") / avgDl)) *
           col("w")
       case "tfidf" =>
-        sqrt(tfD) * log(lit(1.0) + (lit(numDocs.toDouble) + 1.0) / (dfD + 1.0)) * col("w")
+        val base = sqrt(tfD) *
+          log(lit(1.0) + (lit(numDocs.toDouble) + 1.0) / (dfD + 1.0)) * col("w")
+        if (params.headOption.contains(true))
+          base / sqrt(col("dlen").cast("double"))
+        else base
       case other => throw new IllegalArgumentException(
         s"scorer $other does not support multi-term expansion scoring")
     }
@@ -482,17 +493,36 @@ final case class InvertedIndex(
   /** Scorer-name dispatch over the per-scorer term-bag kernels — one place
     * for the reference's 9 registered scorers (search.cpp:142-173), used by
     * both the SQL claim rules and the structured-query scoring tree. */
-  def scoredTerms(scorer: String, terms: Seq[String]): DataFrame = scorer match {
-    case "bm25" => bm25(terms)
-    case "tfidf" => tfidf(terms)
-    case "lm_dirichlet" => lmDirichlet(terms)
-    case "lm_jelinek_mercer" => lmJelinekMercer(terms)
-    case "indri_dirichlet" => indriDirichlet(terms)
-    case "dfi" => dfi(terms)
-    case "raw_tf" => rawTf(terms)
-    case "raw_dl" => rawDl(terms)
-    case "raw_boost" => rawBoost(terms)
-    case other => throw new IllegalArgumentException(s"unknown scorer $other")
+  def scoredTerms(scorer: String, terms: Seq[String],
+      params: Seq[Any] = Nil): DataFrame = {
+    def num(i: Int, d: Double): Double = params.lift(i) match {
+      case Some(n: Number) => n.doubleValue
+      case Some(other) => throw new IllegalArgumentException(
+        s"$scorer: parameter ${i + 1} must be numeric, got $other")
+      case None => d
+    }
+    scorer match {
+      case "bm25" => bm25(terms, k1 = num(0, 1.2), b = num(1, 0.75))
+      case "tfidf" => tfidf(terms, withNorms = params.headOption.exists {
+        case b: Boolean => b
+        case other => throw new IllegalArgumentException(
+          s"tfidf: with_norms must be boolean, got $other")
+      })
+      case "lm_dirichlet" => lmDirichlet(terms, mu = num(0, 2000.0))
+      case "lm_jelinek_mercer" | "lm_jm" =>
+        lmJelinekMercer(terms, lambda = num(0, 0.1))
+      case "indri_dirichlet" => indriDirichlet(terms, mu = num(0, 2000.0))
+      case "dfi" => dfi(terms, measure = params.headOption match {
+        case Some(s: String) => s
+        case Some(other) => throw new IllegalArgumentException(
+          s"dfi: measure must be a string, got $other")
+        case None => "standardized"
+      })
+      case "raw_tf" => rawTf(terms)
+      case "raw_dl" => rawDl(terms)
+      case "raw_boost" => rawBoost(terms)
+      case other => throw new IllegalArgumentException(s"unknown scorer $other")
+    }
   }
 
   /** TFIDF scores — the reference's second scorer
@@ -501,7 +531,7 @@ final case class InvertedIndex(
     * score = Σ sqrt(tf) * idf² with idf = 1 + ln(numDocs / (df + 1)),
     * norm-free (the reference's default). Shares the matched-postings drive
     * with bm25. */
-  def tfidf(terms: Seq[String]): DataFrame = {
+  def tfidf(terms: Seq[String], withNorms: Boolean = false): DataFrame = {
     val distinct = terms.distinct
     val scored = matchedTermStats(distinct)
     val scoreCols = terms.map { t =>
@@ -511,9 +541,12 @@ final case class InvertedIndex(
       // the reference's idf (tfidf.cpp:148-151): log1p((N+1)/(df+1)) —
       // NOT Lucene-classic (1+ln(N/(df+1)))² (fixed r14 against the exact
       // goldens of inverted_index_multiterm_score.test: ln5/ln3 on the
-      // 7-doc corpus)
+      // 7-doc corpus). with_norms (the optional BOOLEAN scorer arg,
+      // search.cpp:151; off by default, tfidf.hpp:38) divides each
+      // contribution by sqrt(norm) = sqrt(dlen) (tfidf.cpp:73-76).
       val idf = log(lit(1.0) + (lit(numDocs.toDouble) + 1.0) / (dfT + 1.0))
-      sqrt(tf) * idf
+      val base = sqrt(tf) * idf
+      if (withNorms) base / sqrt(col("dlen").cast("double")) else base
     }
     scored
       .withColumn("_score", scoreCols.reduce(_ + _))
@@ -528,6 +561,8 @@ final case class InvertedIndex(
     * only; a doc matching none of the terms scores nothing (the reference
     * also scores only index matches). */
   def lmDirichlet(terms: Seq[String], mu: Double = 2000.0): DataFrame = {
+    require(mu >= 0.0 && !mu.isInfinite && !mu.isNaN,
+      "lm_dirichlet: mu must be a non-negative finite value")
     val distinct = terms.distinct
     val scored = matchedTermStats(distinct)
     val sumDlD = sumDl.toDouble
@@ -535,18 +570,26 @@ final case class InvertedIndex(
       val i = distinct.indexOf(t)
       val tf = coalesce(col(s"${i}_tf").cast("double"), lit(0.0))
       val ctfT = coalesce(col(s"${i}_ctf").cast("double"), lit(1.0))
-      log(lit(1.0) + tf / (lit(mu) * (ctfT / sumDlD)))
+      // per-term score floors at ZERO (lm_dirichlet.cpp:57-68: r =
+      // log1p(tf·mu_p_inv) − log1p(dl/mu), clamped) — an unmatched term
+      // (tf=0) contributes exactly 0, and a long doc can never drive a
+      // matched term's contribution negative
+      greatest(
+        log(lit(1.0) + tf / (lit(mu) * (ctfT / sumDlD))) +
+          log(lit(mu) / (col("dlen").cast("double") + mu)),
+        lit(0.0))
     }
     scored
-      .withColumn("_score",
-        termScores.reduce(_ + _) +
-          lit(terms.size.toDouble) * log(lit(mu) / (col("dlen").cast("double") + mu)))
+      .withColumn("_score", termScores.reduce(_ + _))
       .select(col("doc_id"), col("_score"))
   }
 
-  /** LM-Jelinek-Mercer smoothing (lm_jelinek_mercer.hpp):
-    * score = Σ_t log(1 + ((1-λ)·tf/dlen) / (λ·p_c(t))). */
-  def lmJelinekMercer(terms: Seq[String], lambda: Double = 0.7): DataFrame = {
+  /** LM-Jelinek-Mercer smoothing (lm_jelinek_mercer.hpp:33-46):
+    * score = Σ_t log(1 + ((1-λ)·tf/dlen) / (λ·p_c(t))); the default λ is
+    * the reference's LAMBDA() = 0.1, λ ∈ (0, 1]. */
+  def lmJelinekMercer(terms: Seq[String], lambda: Double = 0.1): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0,
+      "lm_jelinek_mercer: lambda must be in (0, 1]")
     val distinct = terms.distinct
     val scored = matchedTermStats(distinct)
     val sumDlD = sumDl.toDouble
@@ -569,6 +612,8 @@ final case class InvertedIndex(
     * unlike lmDirichlet's rank-equivalent form, every query term contributes
     * its smoothed probability even at tf=0. */
   def indriDirichlet(terms: Seq[String], mu: Double = 2000.0): DataFrame = {
+    require(mu >= 0.0 && !mu.isInfinite && !mu.isNaN,
+      "indri_dirichlet: mu must be a non-negative finite value")
     val distinct = terms.distinct
     // Indri smoothing needs each term's GLOBAL ctf even for docs where the
     // term is absent (tf=0 still contributes log(μ·p_c/(dlen+μ))) — the
@@ -593,16 +638,27 @@ final case class InvertedIndex(
   /** DFI — divergence from independence (dfi.hpp): per term, expected tf
     * under independence e = dlen · ctf / sumDl; contribution
     * max(log2((tf+1)/(e+1)), 0) — only above-expectation terms score. */
-  def dfi(terms: Seq[String]): DataFrame = {
+  /** DFI — Divergence From Independence (dfi.hpp:30-49):
+    * expected = dl · (ttf_t + 1)/(ttf_field + 1); score = 0 when
+    * tf ≤ expected, else log2(measure(tf, expected) + 1) with the
+    * reference's three independence measures (`standardized` default,
+    * `saturated`, `chi_squared`). */
+  def dfi(terms: Seq[String], measure: String = "standardized"): DataFrame = {
     val distinct = terms.distinct
     val scored = matchedTermStats(distinct)
     val sumDlD = sumDl.toDouble
     val termScores = terms.map { t =>
       val i = distinct.indexOf(t)
       val tf = coalesce(col(s"${i}_tf").cast("double"), lit(0.0))
-      val ctfT = coalesce(col(s"${i}_ctf").cast("double"), lit(1.0))
-      val e = col("dlen").cast("double") * (ctfT / sumDlD)
-      greatest(log2((tf + 1.0) / (e + 1.0)), lit(0.0))
+      val ctfT = coalesce(col(s"${i}_ctf").cast("double"), lit(0.0))
+      val e = col("dlen").cast("double") * ((ctfT + 1.0) / (sumDlD + 1.0))
+      val m = measure match {
+        case "standardized" => (tf - e) / sqrt(e)
+        case "saturated"    => (tf - e) / e
+        case "chi_squared"  => (tf - e) * (tf - e) / e
+        case other => throw new IllegalArgumentException(s"dfi: invalid measure $other")
+      }
+      when(tf > e, log2(m + 1.0)).otherwise(lit(0.0))
     }
     scored.withColumn("_score", termScores.reduce(_ + _))
       .filter(col("_score") > 0.0)

@@ -46,14 +46,26 @@ private[plans] object ScorerShapes {
     case _ => None
   }
 
-  /** `(textAttr, scorerName, query, dict)` iff `e` is a scorer stub over a
-    * plain column with a plan-time-constant query + literal dict. */
-  def asScorer(e: Expression): Option[(AttributeReference, String, String, String)] =
+  /** `(textAttr, scorerName, query, dict, params)` iff `e` is a scorer stub
+    * over a plain column with a plan-time-constant query + literal dict.
+    * Trailing literal args are the reference's optional scorer parameters
+    * (search.cpp:142-173: bm25(k1, b), tfidf(with_norms), lm_jm(lambda),
+    * lm_dirichlet/indri_dirichlet(mu), dfi(measure)). */
+  def asScorer(e: Expression):
+      Option[(AttributeReference, String, String, String, Seq[Any])] =
     e match {
       case u: ScalaUDF if u.udfName.exists(names.contains) =>
         u.children match {
-          case Seq(a: AttributeReference, qe, Literal(d: UTF8String, _)) =>
-            constStr(qe).map(q => (a, u.udfName.get, q, d.toString))
+          case Seq(a: AttributeReference, qe, Literal(d: UTF8String, _), rest @ _*)
+              if rest.forall(_.isInstanceOf[Literal]) =>
+            val params = rest.map {
+              case Literal(s: UTF8String, _) => s.toString
+              // SQL fractional literals arrive as DecimalType — normalize to
+              // Double so the kernels' Number match sees them
+              case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+              case Literal(v, _) => v
+            }
+            constStr(qe).map(q => (a, u.udfName.get, q, d.toString, params))
           case _ => None
         }
       case _ => None
@@ -62,8 +74,9 @@ private[plans] object ScorerShapes {
   /** All-matched-docs scores `(doc_id, _score)` for a scorer name — the
     * per-scorer kernels already verified by the ts_*_topk entries. The
     * query string is a plain term bag through the index's analyzer. */
-  def scored(idx: InvertedIndex, scorer: String, terms: Seq[String]): DataFrame =
-    idx.scoredTerms(scorer, terms)
+  def scored(idx: InvertedIndex, scorer: String, terms: Seq[String],
+      params: Seq[Any] = Nil): DataFrame =
+    idx.scoredTerms(scorer, terms, params)
 
   /** Scores for a scorer + RAW query string. A plain string is the term-bag
     * path through [[scored]]; a TSQUERY-codec string (ts_phrase / boost /
@@ -74,11 +87,12 @@ private[plans] object ScorerShapes {
     * per-scorer expansion kernel (bm25/tfidf); others raise and the claim
     * falls back, so the stub fails loudly rather than mis-scoring. */
   def scoredQuery(idx: InvertedIndex, scorer: String, query: String,
-      dict: String): DataFrame =
+      dict: String, params: Seq[Any] = Nil): DataFrame =
     if (graft.search.TsQueryCodec.isEncoded(query))
       graft.search.TsQueryExec.scoredScorer(idx, scorer,
-        graft.search.TsQueryCodec.decode(query, AnalyzerRegistry.get(dict)))
-    else scored(idx, scorer, termsOf(query, dict))
+        graft.search.TsQueryCodec.decode(query, AnalyzerRegistry.get(dict)),
+        params)
+    else scored(idx, scorer, termsOf(query, dict), params)
 
   def termsOf(query: String, dict: String): Seq[String] =
     AnalyzerRegistry.get(dict).tokens(query)
@@ -154,15 +168,15 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
     for {
       // the sort key: a scorer call directly, or an attribute bound to a
       // scorer alias in P2
-      (textAttr, scorer, query, dict, scoreId) <- ScorerShapes.asScorer(order)
-          .map { case (a, n, q, d) => (a, n, q, d, None: Option[ExprId]) }
+      (textAttr, scorer, query, dict, params, scoreId) <- ScorerShapes.asScorer(order)
+          .map { case (a, n, q, d, ps) => (a, n, q, d, ps, None: Option[ExprId]) }
           .orElse(order match {
             case a: AttributeReference =>
               p2.flatMap(_.collectFirst {
                 case al @ Alias(u: ScalaUDF, _)
                     if al.exprId == a.exprId && ScorerShapes.asScorer(u).isDefined =>
-                  val (ta, n, q, d) = ScorerShapes.asScorer(u).get
-                  (ta, n, q, d, Some(al.exprId): Option[ExprId])
+                  val (ta, n, q, d, ps) = ScorerShapes.asScorer(u).get
+                  (ta, n, q, d, ps, Some(al.exprId): Option[ExprId])
               })
             case _ => None
           })
@@ -181,8 +195,9 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
       // semantically-same scorer call maps onto the single score column
       scoreIds = p2.map(_.collect {
         case al @ Alias(u: ScalaUDF, _)
-            if ScorerShapes.asScorer(u).exists { case (ta, n, q2, d2) =>
-              ta.semanticEquals(textAttr) && n == scorer && q2 == query && d2 == dict } =>
+            if ScorerShapes.asScorer(u).exists { case (ta, n, q2, d2, ps2) =>
+              ta.semanticEquals(textAttr) && n == scorer && q2 == query &&
+                d2 == dict && ps2 == params } =>
           al.exprId
       }.toSet).getOrElse(Set.empty[ExprId]) ++ scoreId
       // P2 may hold only the scan's own columns + aliases of THE scorer
@@ -199,20 +214,23 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
         PlanShapes.isColumnOf(lr, a, a.name) || scoreIds.contains(a.exprId))
     } yield candidate match {
       case Some(candTree) =>
-        claimFiltered(candTree, entry, scorer, query, dict, k, idAttr, scoreIds, outList)
-      case None => claimBare(entry, scorer, query, dict, k, root, refs, scoreIds, outList)
+        claimFiltered(candTree, entry, scorer, query, dict, params, k, idAttr,
+          scoreIds, outList)
+      case None =>
+        claimBare(entry, scorer, query, dict, params, k, root, refs, scoreIds,
+          outList)
     }
   }
 
   /** The original bare-scan drive: index top-k, then one late-materializing
     * join-back for any projected columns beyond the id. */
   private def claimBare(entry: IndexCatalog.TextEntry, scorer: String,
-      query: String, dict: String, k: Int, root: String,
+      query: String, dict: String, params: Seq[Any], k: Int, root: String,
       refs: Seq[Attribute], scoreIds: Set[ExprId],
       outList: Seq[NamedExpression]): LogicalPlan = {
     {
       val idx = IndexStore.load(spark, entry.segDir)
-      val topk = ScorerShapes.scoredQuery(idx, scorer, query, dict)
+      val topk = ScorerShapes.scoredQuery(idx, scorer, query, dict, params)
         .orderBy(col("_score").desc, col("doc_id"))
         .limit(k)
         .select(col("doc_id").as(entry.idCol), col("_score").as("__graft_score"))
@@ -276,7 +294,7 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
     * pruned scan; scan-column references flow through unchanged, so only
     * the score attribute needs substitution. */
   private def claimFiltered(candTree: LogicalPlan, entry: IndexCatalog.TextEntry,
-      scorer: String, query: String, dict: String, k: Int,
+      scorer: String, query: String, dict: String, params: Seq[Any], k: Int,
       idAttr: AttributeReference, scoreIds: Set[ExprId],
       outList: Seq[NamedExpression]): LogicalPlan = {
     val idx = IndexStore.load(spark, entry.segDir)
@@ -285,7 +303,7 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
     // leaf exprIds would sit on both sides of the Inner join — hidden today
     // by the semi-join's output but fragile under later optimizer passes
     val scoredPlan = PlanShapes.freshRelationIds(
-      ScorerShapes.scoredQuery(idx, scorer, query, dict)
+      ScorerShapes.scoredQuery(idx, scorer, query, dict, params)
         .select(col("doc_id"), col("_score").as("__graft_score"))
         .queryExecution.optimizedPlan)
     val docId = scoredPlan.output.find(_.name == "doc_id").get
@@ -406,25 +424,27 @@ case class ClaimScoreFilter(spark: SparkSession) extends Rule[LogicalPlan] {
     val claimable = parts.flatMap { p =>
       for {
         (u, c, strict) <- asThreshold(p)
-        (textAttr, scorer, query, dict) <- ScorerShapes.asScorer(u)
+        (textAttr, scorer, query, dict, params) <- ScorerShapes.asScorer(u)
         (_, _, entry, idAttr) <- ScorerShapes.indexedScanOf(child, textAttr, dict)
         if child.outputSet.contains(idAttr)
-      } yield (p, scorer, query, dict, c, strict, entry, idAttr)
+      } yield (p, scorer, query, dict, params, c, strict, entry, idAttr)
     }
     if (claimable.isEmpty) return fl
 
     val joined = claimable.foldLeft(child) {
-      case (acc, (_, scorer, query, dict, c, strict, entry, idAttr)) =>
+      case (acc, (_, scorer, query, dict, params, c, strict, entry, idAttr)) =>
         val idx = IndexStore.load(spark, entry.segDir)
         val matched = scorer match {
           // the WAND floor drives from per-term score upper bounds, which a
           // structured (boost/phrase/automaton) tree does not expose — those
-          // score the folded tree and filter instead
-          case "bm25" if !graft.search.TsQueryCodec.isEncoded(query) =>
+          // score the folded tree and filter instead (default-param bm25
+          // only: a non-default k1/b changes the per-term upper bounds)
+          case "bm25" if !graft.search.TsQueryCodec.isEncoded(query) &&
+              params.isEmpty =>
             val m = idx.bm25MinScore(ScorerShapes.termsOf(query, dict), c)
             if (strict) m.filter(col("_score") > c) else m
           case other =>
-            ScorerShapes.scoredQuery(idx, other, query, dict)
+            ScorerShapes.scoredQuery(idx, other, query, dict, params)
               .filter(if (strict) col("_score") > c else col("_score") >= c)
         }
         val mPlan = matched.select(col("doc_id")).queryExecution.optimizedPlan

@@ -89,6 +89,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.FromPgText(args(0), ddl)
       }))
+    // Scorer stubs with OPTIONAL trailing parameters — the reference
+    // registers every scorer as two overloads, bare and with its parameter
+    // list (search.cpp:142-173: bm25(k1, b), tfidf(with_norms),
+    // lm_jm(lambda), lm_dirichlet/indri_dirichlet(mu), dfi(measure)).
+    // spark.udf.register is single-arity, so each name injects a builder
+    // that constructs the ScalaUDF at whatever arity the call uses
+    // (3 = col/query/dict, +0-2 params); the claim rules read the extra
+    // literal children, the stub itself still always throws at row-eval.
+    graft.search.SqlSurface.scorerNames.foreach { n =>
+      e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(n),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.search.SqlSurface", n),
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(args.size >= 3 && args.size <= 5,
+            s"$n expects 3-5 arguments (col, query, dict[, params…]), got ${args.size}")
+          val fn: AnyRef = args.size match {
+            case 3 => (_: Any, _: Any, _: Any) =>
+              graft.search.SqlSurface.scorerStubThrow(n)
+            case 4 => (_: Any, _: Any, _: Any, _: Any) =>
+              graft.search.SqlSurface.scorerStubThrow(n)
+            case _ => (_: Any, _: Any, _: Any, _: Any, _: Any) =>
+              graft.search.SqlSurface.scorerStubThrow(n)
+          }
+          org.apache.spark.sql.catalyst.expressions.ScalaUDF(
+            fn, org.apache.spark.sql.types.DoubleType, args,
+            Nil, udfName = Some(n))
+        }))
+    }
     // ts_levenshtein(text[, dist[, transpositions[, prefix]]]) — variable
     // arity with the reference's auto-distance ladder + validation
     // (ts_levenshtein.cpp:34-76). Arguments must be constants (the

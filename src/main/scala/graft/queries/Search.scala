@@ -355,16 +355,19 @@ object Search {
        |  greatest(CAST(SUM(tf2) AS DOUBLE), 1.0) AS ctf2 FROM tfs),
        |sums AS (SELECT CAST(SUM(dlen) AS DOUBLE) AS sumdl FROM dl),
        |ldscored AS (SELECT t.doc_id,
-       |    ln(1.0 + tf0 / (2000.0 * (ctf0 / sumdl)))
-       |  + ln(1.0 + tf1 / (2000.0 * (ctf1 / sumdl)))
-       |  + ln(1.0 + tf2 / (2000.0 * (ctf2 / sumdl)))
-       |  + 3.0 * ln(2000.0 / (CAST(dlen AS DOUBLE) + 2000.0)) AS score,
+       |    greatest(ln(1.0 + tf0 / (2000.0 * (ctf0 / sumdl)))
+       |             + ln(2000.0 / (CAST(dlen AS DOUBLE) + 2000.0)), 0.0)
+       |  + greatest(ln(1.0 + tf1 / (2000.0 * (ctf1 / sumdl)))
+       |             + ln(2000.0 / (CAST(dlen AS DOUBLE) + 2000.0)), 0.0)
+       |  + greatest(ln(1.0 + tf2 / (2000.0 * (ctf2 / sumdl)))
+       |             + ln(2000.0 / (CAST(dlen AS DOUBLE) + 2000.0)), 0.0)
+       |  AS score,
        |  tf0 + tf1 + tf2 AS tfsum
        |  FROM tfs t JOIN dl USING (doc_id), cfs, sums),
        |jmscored AS (SELECT t.doc_id,
-       |    ln(1.0 + ((1.0 - 0.7) * tf0 / CAST(dlen AS DOUBLE)) / (0.7 * (ctf0 / sumdl)))
-       |  + ln(1.0 + ((1.0 - 0.7) * tf1 / CAST(dlen AS DOUBLE)) / (0.7 * (ctf1 / sumdl)))
-       |  + ln(1.0 + ((1.0 - 0.7) * tf2 / CAST(dlen AS DOUBLE)) / (0.7 * (ctf2 / sumdl)))
+       |    ln(1.0 + ((1.0 - 0.1) * tf0 / CAST(dlen AS DOUBLE)) / (0.1 * (ctf0 / sumdl)))
+       |  + ln(1.0 + ((1.0 - 0.1) * tf1 / CAST(dlen AS DOUBLE)) / (0.1 * (ctf1 / sumdl)))
+       |  + ln(1.0 + ((1.0 - 0.1) * tf2 / CAST(dlen AS DOUBLE)) / (0.1 * (ctf2 / sumdl)))
        |  AS score
        |  FROM tfs t JOIN dl USING (doc_id), cfs, sums),
        |inscored AS (SELECT t.doc_id,
@@ -374,9 +377,18 @@ object Search {
        |  AS score, tf0 + tf1 + tf2 AS tfsum
        |  FROM tfs t JOIN dl USING (doc_id), cfs, sums),
        |dfscored AS (SELECT t.doc_id,
-       |    greatest(log2((tf0 + 1.0) / (CAST(dlen AS DOUBLE) * (ctf0 / sumdl) + 1.0)), 0.0)
-       |  + greatest(log2((tf1 + 1.0) / (CAST(dlen AS DOUBLE) * (ctf1 / sumdl) + 1.0)), 0.0)
-       |  + greatest(log2((tf2 + 1.0) / (CAST(dlen AS DOUBLE) * (ctf2 / sumdl) + 1.0)), 0.0)
+       |    (CASE WHEN tf0 > CAST(dlen AS DOUBLE) * ((ctf0 + 1.0) / (sumdl + 1.0))
+       |     THEN log2((tf0 - CAST(dlen AS DOUBLE) * ((ctf0 + 1.0) / (sumdl + 1.0)))
+       |       / sqrt(CAST(dlen AS DOUBLE) * ((ctf0 + 1.0) / (sumdl + 1.0))) + 1.0)
+       |     ELSE 0.0 END)
+       |  + (CASE WHEN tf1 > CAST(dlen AS DOUBLE) * ((ctf1 + 1.0) / (sumdl + 1.0))
+       |     THEN log2((tf1 - CAST(dlen AS DOUBLE) * ((ctf1 + 1.0) / (sumdl + 1.0)))
+       |       / sqrt(CAST(dlen AS DOUBLE) * ((ctf1 + 1.0) / (sumdl + 1.0))) + 1.0)
+       |     ELSE 0.0 END)
+       |  + (CASE WHEN tf2 > CAST(dlen AS DOUBLE) * ((ctf2 + 1.0) / (sumdl + 1.0))
+       |     THEN log2((tf2 - CAST(dlen AS DOUBLE) * ((ctf2 + 1.0) / (sumdl + 1.0)))
+       |       / sqrt(CAST(dlen AS DOUBLE) * ((ctf2 + 1.0) / (sumdl + 1.0))) + 1.0)
+       |     ELSE 0.0 END)
        |  AS score
        |  FROM tfs t JOIN dl USING (doc_id), cfs, sums)""".stripMargin
 

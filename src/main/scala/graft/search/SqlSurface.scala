@@ -152,7 +152,10 @@ object SqlSurface {
     // the missing-index diagnosis — exactly the reference's SearchStubFn
     // surface (server/connector/functions/search.h:128-132; scorer misuse
     // error iresearch_plan.cpp:778-782).
-    scorerNames.foreach { n => spark.udf.register(n, scorerStub(n)) }
+    // scorers are NOT registered here: GraftExtensions injects them as
+    // variable-arity builders (3-5 args: col, query, dict[, params…] — the
+    // reference's optional scorer parameters, search.cpp:142-173); a runtime
+    // spark.udf.register would shadow the injected multi-arity form
     // Sugar predicates — the reference rewrites these to `col @@ ts_*(...)`
     // at filter-build (search.h:95-99 phrase_matches/ngram_matches/
     // levenshtein_matches/has_all_tokens/has_any_tokens). Here each is a
@@ -205,8 +208,8 @@ object SqlSurface {
   /** The scorer function names the claim rules recognize, mapping 1:1 to
     * the reference's registered scorers (search.cpp:142-173). */
   val scorerNames: Seq[String] =
-    Seq("bm25", "tfidf", "lm_dirichlet", "lm_jelinek_mercer", "indri_dirichlet",
-      "dfi", "raw_tf", "raw_dl", "raw_boost")
+    Seq("bm25", "tfidf", "lm_dirichlet", "lm_jelinek_mercer", "lm_jm",
+      "indri_dirichlet", "dfi", "raw_tf", "raw_dl", "raw_boost")
 
   /** Claimable sugar-predicate names (strict mode flags these too when they
     * survive unclaimed — they row-eval correctly, but a strict user asked
@@ -224,8 +227,11 @@ object SqlSurface {
       "phrase_slop_matches", "tsquery_match",
       "levenshtein_matches", "ngram_matches")
 
-  private def scorerStub(name: String): (String, String, String) => Double =
-    (_, _, _) => throw new UnsupportedOperationException(
+  /** The row-eval failure every scorer stub throws (scorers are claim-only,
+    * like the reference's SearchStubFn). Public so the GraftExtensions
+    * multi-arity builders share one message. */
+  def scorerStubThrow(name: String): Nothing =
+    throw new UnsupportedOperationException(
       s"$name(col, query, dict) is a search-scorer stub: it can only run " +
         "claimed against a search index over the scanned column. CREATE " +
         "SEARCH INDEX on the table (matching column and analyzer) and keep " +

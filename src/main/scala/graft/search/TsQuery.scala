@@ -143,22 +143,23 @@ object TsQueryExec {
     * per-scorer expansion kernel ([[InvertedIndex.scoreOverTerms]]: bm25 +
     * tfidf); term/phrase legs dispatch through
     * [[InvertedIndex.scoredTerms]]. */
-  def scoredScorer(idx: InvertedIndex, scorer: String, q: TsQuery): DataFrame = q match {
+  def scoredScorer(idx: InvertedIndex, scorer: String, q: TsQuery,
+      params: Seq[Any] = Nil): DataFrame = q match {
     case TsQuery.Boost(inner, w) =>
-      scoredScorer(idx, scorer, inner)
+      scoredScorer(idx, scorer, inner, params)
         .select(col("doc_id"), (col("_score") * w).as("_score"))
-    case TsQuery.Term(t) => idx.scoredTerms(scorer, Seq(t))
+    case TsQuery.Term(t) => idx.scoredTerms(scorer, Seq(t), params)
     case p @ TsQuery.Phrase(ts) =>
-      matching(idx, p).join(idx.scoredTerms(scorer, ts.distinct), "doc_id")
+      matching(idx, p).join(idx.scoredTerms(scorer, ts.distinct, params), "doc_id")
         .select(col("doc_id"), col("_score"))
     case p @ TsQuery.SlopPhrase(ts, _) =>
-      matching(idx, p).join(idx.scoredTerms(scorer, ts.distinct), "doc_id")
+      matching(idx, p).join(idx.scoredTerms(scorer, ts.distinct, params), "doc_id")
         .select(col("doc_id"), col("_score"))
     case p @ TsQuery.PhraseGap(ts, _) =>
-      matching(idx, p).join(idx.scoredTerms(scorer, ts.distinct), "doc_id")
+      matching(idx, p).join(idx.scoredTerms(scorer, ts.distinct, params), "doc_id")
         .select(col("doc_id"), col("_score"))
     case TsQuery.Or(qs) if qs.nonEmpty =>
-      qs.map(scoredScorer(idx, scorer, _)).reduce { (a, b) =>
+      qs.map(scoredScorer(idx, scorer, _, params)).reduce { (a, b) =>
         a.select(col("doc_id"), col("_score").as("s1"))
           .join(b.select(col("doc_id"), col("_score").as("s2")),
             Seq("doc_id"), "full_outer")
@@ -168,7 +169,7 @@ object TsQueryExec {
     case TsQuery.And(qs) if qs.nonEmpty =>
       val (negs, poss) = qs.partition(_.isInstanceOf[TsQuery.Not])
       require(poss.nonEmpty, "scoredScorer: pure-negative conjunction has no score")
-      val pos = poss.map(scoredScorer(idx, scorer, _)).reduce { (a, b) =>
+      val pos = poss.map(scoredScorer(idx, scorer, _, params)).reduce { (a, b) =>
         a.select(col("doc_id"), col("_score").as("s1"))
           .join(b.select(col("doc_id"), col("_score").as("s2")), Seq("doc_id"))
           .select(col("doc_id"), (col("s1") + col("s2")).as("_score"))
@@ -177,15 +178,19 @@ object TsQueryExec {
         acc.join(matching(idx, n.asInstanceOf[TsQuery.Not].q),
           Seq("doc_id"), "left_anti")
       }
-    case TsQuery.Prefix(p) => idx.scoreOverTerms(idx.prefixTerms(p), scorer)
-    case TsQuery.Wildcard(p) => idx.scoreOverTerms(idx.wildcardTerms(p), scorer)
-    case TsQuery.Regexp(r) => idx.scoreOverTerms(idx.regexpTerms(r), scorer)
+    case TsQuery.Prefix(p) =>
+      idx.scoreOverTerms(idx.prefixTerms(p), scorer, params = params)
+    case TsQuery.Wildcard(p) =>
+      idx.scoreOverTerms(idx.wildcardTerms(p), scorer, params = params)
+    case TsQuery.Regexp(r) =>
+      idx.scoreOverTerms(idx.regexpTerms(r), scorer, params = params)
     case TsQuery.TermRange(lo, hi, loInc, hiInc) =>
-      idx.scoreOverTerms(idx.rangeTerms(lo, hi, loInc, hiInc), scorer)
+      idx.scoreOverTerms(idx.rangeTerms(lo, hi, loInc, hiInc), scorer,
+        params = params)
     case TsQuery.Fuzzy(t, d, tr, p) =>
       idx.scoreOverTerms(
         idx.fuzzyTerms(t, d, transpositions = tr, prefix = p), scorer,
-        mergeMax = true)
+        mergeMax = true, params = params)
     case other =>
       matching(idx, other).select(col("doc_id"), lit(1.0).as("_score"))
   }
