@@ -97,6 +97,53 @@ private[plans] object ScorerShapes {
   def termsOf(query: String, dict: String): Seq[String] =
     AnalyzerRegistry.get(dict).tokens(query)
 
+  /** Resolves the sorted input to its underlying indexed scan. Accepted
+    * shapes (the reference claims Sort/TopN over an already-claimed filter
+    * tree, iresearch_plan.cpp:870-885):
+    *   - Project-only chain over the scan → (lr, root, None): the bare fast
+    *     path, no candidate restriction needed;
+    *   - a stack of row-REDUCING-only layers — Filter (with no scorer stub
+    *     left in the condition: threshold forms claim via ClaimScoreFilter
+    *     on an earlier fixpoint pass) and LeftSemi/LeftAnti joins (the
+    *     shapes ClaimTsMatch leaves behind) — over Projects over the scan
+    *     → (lr, root, Some(subtree)): the top-k must drive over the
+    *     restricted candidate set.
+    * Anything else (row-adding or row-altering: other join types,
+    * Aggregate, Window, Generate, Limit, …) bails the claim — the rewrite
+    * would not preserve the query's semantics. */
+  def candidateScan(plan: LogicalPlan):
+      Option[(LogicalRelation, String, Option[LogicalPlan])] = {
+    @annotation.tailrec
+    def walk(p: LogicalPlan, reduced: Boolean): Option[(LogicalRelation, Boolean)] =
+      p match {
+        case Filter(cond, child) if !ScorerShapes.containsScorerStub(cond) =>
+          walk(child, reduced = true)
+        case Join(l, _, LeftSemi | LeftAnti, _, _) => walk(l, reduced = true)
+        case Project(_, child) => walk(child, reduced)
+        case lr: LogicalRelation => Some((lr, reduced))
+        case _ => None
+      }
+    walk(plan, reduced = false).flatMap { case (lr, reduced) =>
+      PlanShapes.scanRoot(lr).map(r => (lr, r, if (reduced) Some(plan) else None))
+    }
+  }
+
+  /** The candidate subtree with the scan's id column threaded through any
+    * column-pruning Projects, so the claim can join candidates to scored
+    * postings even when the query never selected the id. */
+  def widenWithId(plan: LogicalPlan, idAttr: AttributeReference): LogicalPlan =
+    plan match {
+      case Project(list, child) =>
+        val c = widenWithId(child, idAttr)
+        if (list.exists(_.exprId == idAttr.exprId)) Project(list, c)
+        else Project(list :+ idAttr, c)
+      case Filter(cond, child) => Filter(cond, widenWithId(child, idAttr))
+      case j @ Join(l, _, LeftSemi | LeftAnti, _, _) =>
+        j.copy(left = widenWithId(l, idAttr))
+      case other => other
+    }
+
+
   /** The indexed scan producing `textAttr` (exprId provenance) + its
     * catalog entry and id attribute — the same resolution ClaimTsMatch
     * uses. */
@@ -182,7 +229,7 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
           })
       // the sorted input: the bare indexed scan (fast path) or a stack of
       // row-reducing layers over it (the composed filter + top-k claim)
-      (lr, root, candidate) <- candidateScan(scanPlan)
+      (lr, root, candidate) <- ScorerShapes.candidateScan(scanPlan)
       if PlanShapes.isColumnOf(lr, textAttr, textAttr.name)
       entry <- IndexCatalog.lookupText(root, textAttr.name, dict)
       // partial indexes never drive scorer top-k (see indexedScanOf)
@@ -308,7 +355,7 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
         .queryExecution.optimizedPlan)
     val docId = scoredPlan.output.find(_.name == "doc_id").get
     val scoreAttr = scoredPlan.output.find(_.name == "__graft_score").get
-    val joined = Join(widenWithId(candTree, idAttr), scoredPlan, Inner,
+    val joined = Join(ScorerShapes.widenWithId(candTree, idAttr), scoredPlan, Inner,
       Some(EqualTo(idAttr, docId)), JoinHint.NONE)
     // ties break by doc id — the same deterministic refinement as the bare
     // path; matched-docs-only semantics (can return < k rows, see scaladoc)
@@ -329,51 +376,6 @@ case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
     Project(newList, limited)
   }
 
-  /** Resolves the sorted input to its underlying indexed scan. Accepted
-    * shapes (the reference claims Sort/TopN over an already-claimed filter
-    * tree, iresearch_plan.cpp:870-885):
-    *   - Project-only chain over the scan → (lr, root, None): the bare fast
-    *     path, no candidate restriction needed;
-    *   - a stack of row-REDUCING-only layers — Filter (with no scorer stub
-    *     left in the condition: threshold forms claim via ClaimScoreFilter
-    *     on an earlier fixpoint pass) and LeftSemi/LeftAnti joins (the
-    *     shapes ClaimTsMatch leaves behind) — over Projects over the scan
-    *     → (lr, root, Some(subtree)): the top-k must drive over the
-    *     restricted candidate set.
-    * Anything else (row-adding or row-altering: other join types,
-    * Aggregate, Window, Generate, Limit, …) bails the claim — the rewrite
-    * would not preserve the query's semantics. */
-  private def candidateScan(plan: LogicalPlan):
-      Option[(LogicalRelation, String, Option[LogicalPlan])] = {
-    @annotation.tailrec
-    def walk(p: LogicalPlan, reduced: Boolean): Option[(LogicalRelation, Boolean)] =
-      p match {
-        case Filter(cond, child) if !ScorerShapes.containsScorerStub(cond) =>
-          walk(child, reduced = true)
-        case Join(l, _, LeftSemi | LeftAnti, _, _) => walk(l, reduced = true)
-        case Project(_, child) => walk(child, reduced)
-        case lr: LogicalRelation => Some((lr, reduced))
-        case _ => None
-      }
-    walk(plan, reduced = false).flatMap { case (lr, reduced) =>
-      PlanShapes.scanRoot(lr).map(r => (lr, r, if (reduced) Some(plan) else None))
-    }
-  }
-
-  /** The candidate subtree with the scan's id column threaded through any
-    * column-pruning Projects, so the claim can join candidates to scored
-    * postings even when the query never selected the id. */
-  private def widenWithId(plan: LogicalPlan, idAttr: AttributeReference): LogicalPlan =
-    plan match {
-      case Project(list, child) =>
-        val c = widenWithId(child, idAttr)
-        if (list.exists(_.exprId == idAttr.exprId)) Project(list, c)
-        else Project(list :+ idAttr, c)
-      case Filter(cond, child) => Filter(cond, widenWithId(child, idAttr))
-      case j @ Join(l, _, LeftSemi | LeftAnti, _, _) =>
-        j.copy(left = widenWithId(l, idAttr))
-      case other => other
-    }
 }
 
 /** Claims score-threshold WHERE conjuncts — `bm25(col, 'q', 'dict') >= c`
@@ -454,5 +456,100 @@ case class ClaimScoreFilter(spark: SparkSession) extends Rule[LogicalPlan] {
     val claimedSet = claimable.map(_._1).toSet
     parts.filterNot(claimedSet).reduceOption(CAnd(_, _))
       .map(Filter(_, joined)).getOrElse(joined)
+  }
+}
+
+/** Claims scorer calls in a SELECT list whose sort (if any) is NOT the
+  * score — the reference's "scan-order hint" shape (score_alias_dedup.test:
+  * `SELECT kostya, BM25(...) AS s1 ... ORDER BY kostya DESC LIMIT 2` keeps
+  * the limit in TOP_N; the scan still computes the virtual score column).
+  * ClaimScoreTopK runs first in the batch, so any score-ordered top-k has
+  * already been claimed when this rule sees the plan; what remains here is
+  * a Project with scorer aliases over [Filters/semi-joins over] an indexed
+  * scan. The rewrite joins the candidate rows LEFT OUTER to the scored
+  * postings and substitutes `coalesce(_score, 0.0)` — SQL-faithful: every
+  * surviving row keeps its score (0 for docs matching the filters but not
+  * the scorer's query), and the enclosing Sort/Limit plan stays intact.
+  *
+  * Reference restriction enforced here too: ONE scorer call shape per
+  * index scan (score_alias_dedup.test's "Only one scorer function is
+  * allowed per inverted index") — duplicate ALIASES of the same call are
+  * fine (they share the single score column), different scorers or
+  * different parameters are an error, with UNION as the documented
+  * workaround. */
+case class ClaimScoreProject(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case pj @ Project(list, child)
+        if list.exists(e => ScorerShapes.containsScorerStub(e)) =>
+      // scorer calls may sit anywhere inside the projection expressions
+      // (CollapseProject folds `s > 0 AS has_score` over `bm25(..) AS s`
+      // into one Project), so collect and substitute SUBTREES, not aliases
+      val calls = list.flatMap(_.collect {
+        case u: ScalaUDF if ScorerShapes.asScorer(u).isDefined =>
+          ScorerShapes.asScorer(u).get
+      })
+      val unrecognized = list.exists(_.exists {
+        case u: ScalaUDF =>
+          u.udfName.exists(SqlSurface.scorerNames.contains) &&
+            ScorerShapes.asScorer(u).isEmpty
+        case _ => false
+      })
+      val shapes = calls.distinct
+      if (shapes.size > 1)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "USER_RAISED_EXCEPTION",
+          messageParameters = Map("errorMessage" ->
+            ("Only one scorer function is allowed per inverted index. " +
+              "Use UNION to combine different score functions for the same " +
+              "inverted index")))
+      if (unrecognized || shapes.isEmpty) pj
+      else try claim(pj, list, child, shapes.head).getOrElse(pj)
+      catch {
+        case e: Exception =>
+          logWarning(s"scorer projection claim failed, leaving plan unchanged: $e")
+          pj
+      }
+  }
+
+  private def claim(pj: Project, list: Seq[NamedExpression], child: LogicalPlan,
+      shape: (AttributeReference, String, String, String, Seq[Any])): Option[LogicalPlan] = {
+    val (textAttr, scorer, query, dict, params) = shape
+    for {
+      (lr, root, _) <- ScorerShapes.candidateScan(child)
+      // scoring requires an index-driven match restriction on the scan (the
+      // LeftSemi legs ClaimTsMatch leaves behind) — a bare or plain-filtered
+      // scan keeps the reference's "unclaimable scorer fails loudly"
+      // behavior (scorers_topk.test's stub-error case)
+      if child.exists {
+        case Join(_, _, LeftSemi | LeftAnti, _, _) => true
+        case _ => false
+      }
+      if PlanShapes.isColumnOf(lr, textAttr, textAttr.name)
+      entry <- IndexCatalog.lookupText(root, textAttr.name, dict)
+      if entry.predicate.isEmpty
+      idAttr <- lr.output.collectFirst {
+        case a: AttributeReference if a.name == entry.idCol => a }
+    } yield {
+      val idx = IndexStore.load(spark, entry.segDir)
+      val scoredPlan = PlanShapes.freshRelationIds(
+        ScorerShapes.scoredQuery(idx, scorer, query, dict, params)
+          .select(col("doc_id"), col("_score").as("__graft_score"))
+          .queryExecution.optimizedPlan)
+      val docId = scoredPlan.output.find(_.name == "doc_id").get
+      val scoreAttr = scoredPlan.output.find(_.name == "__graft_score").get
+      val joined = Join(ScorerShapes.widenWithId(child, idAttr), scoredPlan,
+        org.apache.spark.sql.catalyst.plans.LeftOuter,
+        Some(EqualTo(idAttr, docId)), JoinHint.NONE)
+      val zero = Literal(0.0, org.apache.spark.sql.types.DoubleType)
+      val scoreVal = org.apache.spark.sql.catalyst.expressions.Coalesce(
+        Seq(scoreAttr, zero))
+      val newList = list.map { ne =>
+        ne.transform {
+          case u: ScalaUDF if ScorerShapes.asScorer(u).contains(shape) => scoreVal
+        }.asInstanceOf[NamedExpression]
+      }
+      Project(newList, joined): LogicalPlan
+    }
   }
 }

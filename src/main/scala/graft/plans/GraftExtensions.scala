@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => ClaimAnnRange(s))
     e.injectOptimizerRule(s => ClaimScoreTopK(s))
     e.injectOptimizerRule(s => ClaimScoreFilter(s))
+    // AFTER TopK/Filter in the batch: claims only the scorer aliases those
+    // two left behind (non-score ORDER BY — the reference's scan-order
+    // hint shape, score_alias_dedup.test)
+    e.injectOptimizerRule(s => ClaimScoreProject(s))
     e.injectOptimizerRule(s => ClaimPkLookup(s))
     e.injectOptimizerRule(s => ClaimAnnDistanceRewrite(s))
     e.injectOptimizerRule(s => EnumOrder(s))
