@@ -679,6 +679,9 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
     val mapped = aggExprs.map {
       case a: Attribute if a.semanticEquals(c.tokenAttr) =>
         Some(Alias(termA, a.name)(exprId = a.exprId))
+      // `tok AS term` — a renamed group key is still the postings term
+      case al @ Alias(a: Attribute, name) if a.semanticEquals(c.tokenAttr) =>
+        Some(Alias(termA, name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), name) =>
         Some(Alias(AggregateExpression(Sum(tfA), Complete, isDistinct = false), name)(
           exprId = al.exprId))
@@ -725,6 +728,9 @@ case class PushdownTsDictAggregate(spark: SparkSession) extends Rule[LogicalPlan
     val mapped = aggExprs.map {
       case a: Attribute if a.semanticEquals(c.tokenAttr) =>
         Some(Alias(termA, a.name)(exprId = a.exprId))
+      // `tok AS term` — a renamed group key is still the dictionary term
+      case al @ Alias(a: Attribute, name) if a.semanticEquals(c.tokenAttr) =>
+        Some(Alias(termA, name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, _, _), name) =>
         Some(Alias(ctfA, name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(Count(Seq(cc: Attribute)), _, true, _, _), name)

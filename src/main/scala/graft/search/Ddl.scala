@@ -151,6 +151,11 @@ object IndexCatalog {
   /** Every text index registered over `tableRoot` — lets the count-only
     * fast path (ClaimCountOnly) find ANY full index whose segment metadata
     * can answer `count(*)` over the bare table. */
+  /** Diagnostic: the registered (root, column, analyzer) text keys. */
+  def textKeys: Seq[(String, String, String)] = {
+    CatalogStore.ensureLoaded(); text.keys.toSeq.sorted
+  }
+
   def textEntriesFor(tableRoot: String): Seq[TextEntry] = {
     CatalogStore.ensureLoaded()
     text.collect { case ((r, _, _), e) if r == tableRoot => e }.toSeq

@@ -242,7 +242,14 @@ object SqlLogic {
             fails += Failure(name, line,
               s"result mismatch\n  expected: ${expected.mkString(" | ")}\n  got:      ${got.mkString(" | ")}")
           planExpect.foreach { needle =>
-            if (!planHaystack(df).contains(needle))
+            // `!substr` asserts ABSENCE — how claim rewrites are pinned when
+            // the claimed plan has no distinctive text of its own (e.g. the
+            // ts_dict pushdown is visible only as the tokenize DISAPPEARING)
+            if (needle.startsWith("!")) {
+              if (planHaystack(df).contains(needle.drop(1)))
+                fails += Failure(name, line,
+                  s"plan must NOT contain '${needle.drop(1)}'")
+            } else if (!planHaystack(df).contains(needle))
               fails += Failure(name, line, s"plan does not contain '$needle'")
           }
         } catch { case e: Exception =>
