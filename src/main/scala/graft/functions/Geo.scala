@@ -389,6 +389,60 @@ object Geo {
     array(parseGeoJsonPolygon(json).map { case (x, y) =>
       struct(lit(x).as("x"), lit(y).as("y")) }: _*)
 
+  /** Driver/row-side GeoJSON geometry parse: Left(point) or Right(outer
+    * ring). Point + Polygon are the kinds the reference's geo_search.test
+    * exercises over the geojson dictionary (geo_search.test:1-60). */
+  def parseGeoJsonGeom(json: String): Either[(Double, Double), Seq[(Double, Double)]] = {
+    val c = json.replaceAll("\\s+", "")
+    if (c.contains("\"type\":\"Point\"")) {
+      val m = java.util.regex.Pattern.compile(
+        "\"coordinates\"\\s*:\\s*\\[([^\\]]*)\\]").matcher(json)
+      require(m.find(), s"no coordinates in: $json")
+      val xy = m.group(1).split(",")
+      Left((xy(0).trim.toDouble, xy(1).trim.toDouble))
+    } else Right(parseGeoJsonPolygon(json))
+  }
+
+  /** Exact geometry intersection over parsed GeoJSON kinds — point/point,
+    * point-in-polygon (even-odd), polygon/polygon (shared area: any vertex
+    * containment either way, or any edge crossing). Row-eval kernel behind
+    * the st_intersects SQL predicate; the indexed fast path is the cell
+    * covering drive (geo_cell_search). */
+  def geomIntersects(aJson: String, bJson: String): Boolean = {
+    if (aJson == null || bJson == null) return false
+    (parseGeoJsonGeom(aJson), parseGeoJsonGeom(bJson)) match {
+      case (Left((ax, ay)), Left((bx, by))) => ax == bx && ay == by
+      case (Left((ax, ay)), Right(poly)) => pointInPolygon(poly, ax, ay)
+      case (Right(poly), Left((bx, by))) => pointInPolygon(poly, bx, by)
+      case (Right(pa), Right(pb)) =>
+        pa.exists { case (x, y) => pointInPolygon(pb, x, y) } ||
+        pb.exists { case (x, y) => pointInPolygon(pa, x, y) } ||
+        ringEdges(pa).exists { ea => ringEdges(pb).exists { eb =>
+          segsIntersect(ea._1, ea._2, eb._1, eb._2) } }
+    }
+  }
+
+  /** Exact geometry containment: container ⊇ contained. A polygon contains
+    * a point by even-odd test; contains a polygon when every vertex of the
+    * contained ring is inside and no edges cross. */
+  def geomContains(containerJson: String, containedJson: String): Boolean = {
+    if (containerJson == null || containedJson == null) return false
+    (parseGeoJsonGeom(containerJson), parseGeoJsonGeom(containedJson)) match {
+      case (Left((ax, ay)), Left((bx, by))) => ax == bx && ay == by
+      case (Left(_), Right(_)) => false
+      case (Right(poly), Left((bx, by))) => pointInPolygon(poly, bx, by)
+      case (Right(pa), Right(pb)) =>
+        pb.forall { case (x, y) => pointInPolygon(pa, x, y) } &&
+        !ringEdges(pa).exists { ea => ringEdges(pb).exists { eb =>
+          segsIntersect(ea._1, ea._2, eb._1, eb._2) } }
+    }
+  }
+
+  private def ringEdges(vs: Seq[(Double, Double)]): Seq[((Double, Double), (Double, Double))] = {
+    val closed = if (vs.nonEmpty && vs.head == vs.last) vs else vs :+ vs.head
+    closed.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+  }
+
   /** Driver-side GeoJSON Polygon outer-ring parse (no JSON library — the
     * grammar of `{"type":"Polygon","coordinates":[[[x,y],...],...]}` is
     * regular enough for a split parse; holes ignored like everywhere). */

@@ -351,10 +351,25 @@ object GeoGeom {
   /** Haversine km between two WKB geometries' centroids — the reference's
     * ST_Distance_Centroid scalar (search.h:124; claimable as a
     * GeoDistanceFilter when one side is an indexed column). */
-  def distanceCentroidKm(a: Array[Byte], b: Array[Byte]): Double = {
+  def distanceCentroidMeters(a: Array[Byte], b: Array[Byte]): Double = {
     val (x1, y1) = centroid(fromWkb(a))
     val (x2, y2) = centroid(fromWkb(b))
-    haversineKm(x1, y1, x2, y2)
+    haversineKm(x1, y1, x2, y2) * 1000.0
+  }
+
+  /** Runtime dispatch for the SQL expression: each side is WKB bytes or a
+    * GeoJSON string (UTF8String at runtime); centroids via the matching
+    * parser, metres out. */
+  def distanceCentroidAny(a: Any, b: Any): Double = {
+    def cen(x: Any): (Double, Double) = x match {
+      case bs: Array[Byte] => centroid(fromWkb(bs))
+      case s => graft.functions.Geo.parseGeoJsonGeom(s.toString) match {
+        case Left(p) => p
+        case Right(ring) => centroid(GPolygon(IndexedSeq(ring.toIndexedSeq)))
+      }
+    }
+    val (x1, y1) = cen(a); val (x2, y2) = cen(b)
+    haversineKm(x1, y1, x2, y2) * 1000.0
   }
 
   def haversineKm(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
@@ -462,23 +477,26 @@ case class GeomContainsExpr(first: Expression, second: Expression, third: Expres
     copy(first = f, second = s, third = t)
 }
 
-/** st_distance_centroid(wkbA, wkbB) → haversine km between centroids
-  * (search.h:124). */
+/** st_distance_centroid(geomA, geomB) → haversine METRES between
+  * centroids — the reference's unit (geo_search.test:238 "centroid-to-
+  * centroid geodesic distance in metres"; claim name search.h:124).
+  * Accepts WKB (BINARY) or GeoJSON (STRING) on either side. */
 case class GeomDistanceCentroidExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == BinaryType && right.dataType == BinaryType)
+    if (Seq(left, right).forall(e =>
+        e.dataType == BinaryType || e.dataType == StringType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"st_distance_centroid expects (BINARY, BINARY), got " +
+      s"st_distance_centroid expects WKB (BINARY) or GeoJSON (STRING) args, got " +
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   protected override def nullSafeEval(a: Any, b: Any): Any =
-    GeoGeom.distanceCentroidKm(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    GeoGeom.distanceCentroidAny(a, b)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.GeoGeom.distanceCentroidKm($a, $b);")
+      s"${ev.value} = graft.functions.GeoGeom.distanceCentroidAny($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

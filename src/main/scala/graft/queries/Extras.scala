@@ -237,9 +237,11 @@ object Extras {
   }
 
   /** ST_Distance_Between (search.cpp:222, kGeoInRange): customers whose
-    * haversine distance to the query centroid lies in [3000, 8000) km —
-    * the annulus predicate composes into plain range comparisons over
-    * st_distance_centroid, so Catalyst sees ordinary filters. */
+    * haversine distance to the query centroid lies in [3000, 8000) km
+    * (3e6-8e6 METRES — the reference's centroid-distance unit,
+    * geo_search.test:238) — the annulus predicate composes into plain
+    * range comparisons over st_distance_centroid, so Catalyst sees
+    * ordinary filters. */
   def geoDistanceBetween(s: SparkSession, dir: String): DataFrame = {
     val pts = Tables.customer(s, dir)
       .withColumn("lon", (col("c_custkey") % 360 - 180).cast("double") + 0.5)
@@ -247,7 +249,7 @@ object Extras {
     pts.filter(call_function("st_distance_between",
         call_function("st_aswkb", col("lon"), col("lat")),
         call_function("st_geomfromtext", lit("POINT(0 0)")),
-        lit(3000.0), lit(8000.0), lit(true), lit(false)))
+        lit(3.0e6), lit(8.0e6), lit(true), lit(false)))
       .select(col("c_custkey"))
   }
 
@@ -1012,7 +1014,8 @@ object Extras {
     "geo_distance_between" ->
       s"""WITH $lonLat
          |SELECT c_custkey FROM pts
-         |WHERE $haversine >= 3000.0 AND $haversine < 8000.0""".stripMargin,
+         |WHERE ($haversine) * 1000.0 >= 3000000.0
+         |  AND ($haversine) * 1000.0 < 8000000.0""".stripMargin,
     "ai_embed" -> {
       val comps = (0 until 8).map { k =>
         val nibs = (0 until 4).map { j =>

@@ -105,6 +105,14 @@ object SqlSurface {
     spark.udf.register("ts_lt", (b: String) => TsQueryCodec.cmp("lt", b))
     spark.udf.register("boost", (q: String, w: Double) => TsQueryCodec.boost(q, w))
     spark.udf.register("slop", (q: String, n: Int) => TsQueryCodec.slop(q, n))
+    // GeoJSON geometry predicates — the reference's geo-index SQL surface
+    // (geo_search.test: ST_Intersects(col, geojson), ST_Contains(geojson,
+    // col) over a geojson dictionary). Row-eval exact kernels; the indexed
+    // fast path is the cell-covering drive (geo_cell_search entries).
+    spark.udf.register("st_intersects",
+      (a: String, b: String) => graft.functions.Geo.geomIntersects(a, b))
+    spark.udf.register("st_contains",
+      (a: String, b: String) => graft.functions.Geo.geomContains(a, b))
     // TSQUERY combinators — the reference's `&&` / `||` / `!!` operators
     // over TSQUERY values (search.h:82-91)
     spark.udf.register("ts_or", (a: String, b: String) => TsQueryCodec.or(a, b))

@@ -71,14 +71,15 @@ class GeoGeomSpec extends AnyFunSuite {
          |  st_distance_centroid(st_geomfromtext('POINT(0 0)'),
          |                       st_geomfromtext('POINT(0 1)')) AS d,
          |  st_distance_between(st_geomfromtext('POINT(0 0)'),
-         |                      st_geomfromtext('POINT(0 1)'), 100.0, 120.0) AS btw,
+         |                      st_geomfromtext('POINT(0 1)'), 100000.0, 120000.0) AS btw,
          |  st_distance_between(st_geomfromtext('POINT(0 0)'),
-         |                      st_geomfromtext('POINT(0 1)'), 0.0, 50.0) AS btw2
+         |                      st_geomfromtext('POINT(0 1)'), 0.0, 50000.0) AS btw2
          |""".stripMargin).head()
     assert(parseWkt(r.getString(0)) == parseWkt(wkt))
     assert(r.getBoolean(1) && !r.getBoolean(2))
-    // one degree of latitude ≈ 111.19 km
-    assert(math.abs(r.getDouble(3) - 111.1951) < 0.01)
+    // one degree of latitude ≈ 111.19 km = 111195 m (the reference's
+    // metre unit, geo_search.test:238)
+    assert(math.abs(r.getDouble(3) - 111195.1) < 10)
     assert(r.getBoolean(4) && !r.getBoolean(5))
   }
 }
