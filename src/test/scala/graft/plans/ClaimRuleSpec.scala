@@ -915,11 +915,27 @@ class ClaimRuleSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val q = Tables.embeddings(spark, TestSpark.sfDir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
-    // delete the durable artifact out-of-band + forget the JVM cache
-    val ivfDir = graft.index.IvfIndex.dirFor(s"${TestSpark.sfDir}-embeddings")
-    val p = new org.apache.hadoop.fs.Path(ivfDir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    graft.index.IvfIndex.invalidate(ivfDir)
+    // delete the durable artifact out-of-band + forget the JVM cache.
+    // Other suites (CoveredIndexSpec) may have re-registered the (root,
+    // embedding, l2) entry with THEIR artifact key — a claim through any
+    // still-live artifact would be correct behavior and not the bail under
+    // test — so delete whatever artifact the CURRENT registration points
+    // to, plus this suite's own key.
+    val root = graft.plans.PlanShapes.scanRoot(
+      Tables.embeddings(spark, TestSpark.sfDir).queryExecution.optimizedPlan
+        .collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+        }.get).get
+    val registeredDirs = Seq("l2", "cosine", "ip").flatMap(m =>
+      graft.search.IndexCatalog.lookupAnn(root, "embedding", m))
+      .map(e => graft.index.IvfIndex.dirFor(e.cacheKey))
+    val ivfDirs = (registeredDirs :+
+      graft.index.IvfIndex.dirFor(s"${TestSpark.sfDir}-embeddings")).distinct
+    ivfDirs.foreach { ivfDir =>
+      val p = new org.apache.hadoop.fs.Path(ivfDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.index.IvfIndex.invalidate(ivfDir)
+    }
     try {
       val df = Tables.embeddings(spark, TestSpark.sfDir)
         .orderBy(call_udf("ann_l2", col("embedding"), typedlit(q)))
