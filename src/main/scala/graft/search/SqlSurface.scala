@@ -60,7 +60,10 @@ object SqlSurface {
         Headline.render(text, offsets, options))
     spark.udf.register("ts_match",
       (text: String, query: String, dict: String) =>
-        if (text == null) None else {
+        // NULL on either side matches nothing — the reference's NULL
+        // tsquery-parameter semantics (tsquery_params.test: EXECUTE
+        // tqp_match(NULL) returns zero rows)
+        if (text == null || query == null) None else {
           val a = AnalyzerRegistry.get(dict)
           // a TSQUERY-constructor value (ts_like/ts_phrase/boost/... —
           // TsQueryCodec) decodes to its leaf; plain text is websearch
@@ -75,7 +78,7 @@ object SqlSurface {
     // (ts_query.cpp to_tsquery vs websearch_to_tsquery)
     spark.udf.register("tsquery_match",
       (text: String, query: String, dict: String) =>
-        if (text == null) None else {
+        if (text == null || query == null) None else {
           val a = AnalyzerRegistry.get(dict)
           val q =
             if (TsQueryCodec.isEncoded(query)) TsQueryCodec.decode(query, a)
