@@ -25,7 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SQL surface (registered via GraftExtensions): `st_geomfromtext(wkt)` →
   * WKB, `st_astext(wkb)` → WKT, `st_contains_geom(wkb, lon, lat)` →
   * boolean, `st_distance_between(lon1,lat1,lon2,lat2)` /
-  * `st_distance_centroid(wkbA, wkbB)` → km (search.h:121-124 claim names).
+  * `st_distance_centroid(wkbA, wkbB)` → METRES (search.h:121-124 claim
+  * names; the reference's S2Earth distances are metres).
   * All are codegen'd static calls — no UDF in the scan path.
   */
 object GeoGeom {

@@ -120,7 +120,8 @@ object IndexStore {
     def build(): Unit = {
       val d = docs
       val idx = InvertedIndex.build(d, idCol, textCol, analyzerName, withPositions)
-      writeSegment(idx, dir, 0, Some(d.select(col(idCol).as("doc_id"))))
+      writeSegment(idx, dir, 0, Some(d.select(col(idCol).as("doc_id"),
+        xxhash64(col(textCol)).as("content_fp"))))
       writeStringAtomic(spark, s"$dir/_SEGMENTS", "seg=00000\n")
     }
     jvmCache.getOrElseUpdate(dir, {
@@ -203,8 +204,17 @@ object IndexStore {
     // docs don't look "new" on every run (segment-count drift, round-7
     // ADVICE). Callers without the source frame fall back to docstats ids
     // (status quo for streaming batches, which dedup by batch id instead).
-    w(docIds.getOrElse(idx.docStats).select(col("doc_id")).distinct())
-      .parquet(s"$seg/docids")
+    // A `content_fp` column (xxhash64 of the indexed text at build time)
+    // rides along when the caller supplies it: REFRESH diffs it against the
+    // source so UPDATEd docs re-index (tombstone + re-add) — without it an
+    // id-stable content change is invisible to the id anti-join and claimed
+    // postings would keep serving the PRE-update terms.
+    val manifest = docIds.getOrElse(idx.docStats)
+    val manOut =
+      if (manifest.columns.contains("content_fp"))
+        manifest.select(col("doc_id"), col("content_fp")).dropDuplicates("doc_id")
+      else manifest.select(col("doc_id")).distinct()
+    w(manOut).parquet(s"$seg/docids")
     // per-segment statistics persisted with the segment (the reference's
     // hyperloglog index option, inverted_index_hyperloglog_option.test):
     // postings row count + term NDV (termdict rows ARE the distinct terms)
@@ -246,7 +256,8 @@ object IndexStore {
               org.apache.spark.sql.functions.hash(col(idCol)),
               org.apache.spark.sql.functions.lit(waves)) === w)
           val idx = InvertedIndex.build(wave, idCol, textCol, analyzerName)
-          appendSegment(idx, dir, Some(wave.select(col(idCol).as("doc_id"))))
+          appendSegment(idx, dir, Some(wave.select(col(idCol).as("doc_id"),
+            xxhash64(col(textCol)).as("content_fp"))))
         }
         writeStringAtomic(spark, s"$dir/_BACKFILL_DONE", waves.toString)
       }
@@ -277,6 +288,40 @@ object IndexStore {
       if (exists(spark, p)) spark.read.parquet(p).select(col("doc_id"))
       else spark.read.parquet(s"$dir/$s/docstats").select(col("doc_id"))
     }.reduce(_ unionByName _).distinct()
+
+  /** `(doc_id, content_fp)` of every LIVE indexed doc: per-segment doc-id
+    * manifests with the generation-scoped tombstones applied (same
+    * semantics as [[load]]'s applyDeletes), the NEWEST segment's row
+    * winning for re-inserted ids. `content_fp` is null for segments
+    * written before the fingerprint existed (or by callers that don't
+    * supply one, e.g. streaming batches) — those docs reconcile by
+    * add/remove only, never by content diff. This is REFRESH's
+    * reconciliation base and compaction's manifest carry-forward. */
+  def liveDocFps(spark: SparkSession, dir: String): DataFrame = {
+    val perSeg = listSegments(spark, dir).map { s =>
+      val segNo = s.stripPrefix("seg=").toInt
+      val p = s"$dir/$s/docids"
+      val base =
+        if (exists(spark, p)) spark.read.parquet(p)
+        else spark.read.parquet(s"$dir/$s/docstats").select(col("doc_id"))
+      val withFp =
+        if (base.columns.contains("content_fp"))
+          base.select(col("doc_id"), col("content_fp").cast("long"))
+        else base.select(col("doc_id"), lit(null).cast("long").as("content_fp"))
+      withFp.withColumn("__seg", lit(segNo))
+    }.reduce(_ unionByName _)
+    val alive = deletesDf(spark, dir) match {
+      case None => perSeg
+      case Some(d) =>
+        val del = broadcast(d.select(col("doc_id").as("__del_id"),
+          col("max_seg").as("__del_seg")))
+        perSeg.join(del, perSeg("doc_id") === col("__del_id") &&
+          col("__seg") <= col("__del_seg"), "left_anti")
+    }
+    alive.groupBy(col("doc_id"))
+      .agg(max(struct(col("__seg"), col("content_fp"))).as("__m"))
+      .select(col("doc_id"), col("__m.content_fp").as("content_fp"))
+  }
 
   /** Streaming-ingest batch markers (see graft.streaming.StreamingIngest):
     * which foreachBatch ids have fully committed their segment. */
@@ -389,11 +434,41 @@ object IndexStore {
       .select(col("doc_id").cast("long").as("doc_id"),
         col("dlen").cast("long").as("dlen"),
         lit(maxSeg).cast("int").as("max_seg"))
+    writeTombstones(spark, dir, matched)
+  }
+
+  /** Tombstone an explicit id set (a one-column `doc_id` frame) — the
+    * REFRESH reconciliation leg (ids removed from or updated in the source
+    * view). Ids may include zero-token docs absent from docStats (dlen
+    * defaults 0) and ids never indexed (dropped by the live-manifest
+    * semi-join). Distributed end-to-end, like [[deleteWhere]]. */
+  def deleteIds(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val live = liveDocFps(spark, dir).select(col("doc_id"))
+    val targets = ids.select(col("doc_id")).distinct()
+      .join(live, Seq("doc_id"), "left_semi")
+    val current = load(spark, dir)
+    val maxSeg = listSegments(spark, dir)
+      .map(_.stripPrefix("seg=").toInt).foldLeft(-1)(math.max)
+    val matched = targets
+      .join(current.docStats.select(col("doc_id"), col("dlen")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        coalesce(col("dlen").cast("long"), lit(0L)).as("dlen"),
+        lit(maxSeg).cast("int").as("max_seg"))
+    writeTombstones(spark, dir, matched)
+  }
+
+  private def writeTombstones(spark: SparkSession, dir: String,
+      matched: DataFrame): Unit = {
     val fresh = deletesDf(spark, dir) match {
       case Some(prior) => matched.join(prior.select("doc_id", "max_seg"),
         Seq("doc_id", "max_seg"), "left_anti")
       case None => matched
     }
+    // a no-op delete writes NOTHING: the mere existence of a tombstone
+    // generation bails the metadata count fast paths, so an empty one
+    // would permanently degrade them for zero information
+    if (fresh.isEmpty) return
     // each delete lands in its own generation dir — the write target is
     // never a path the dedup anti-join is reading
     val next = deleteGens(spark, dir)
@@ -529,6 +604,13 @@ object IndexStore {
     * [[cleanup]] when no reader can still reference them. */
   def compact(spark: SparkSession, dir: String): Unit = Metrics.timed(dir, "consolidation") {
     val merged = load(spark, dir)
+    // the surviving doc-id manifest (with content fingerprints) must be
+    // captured BEFORE the manifest repoints — the merged segment's docids
+    // would otherwise fall back to docstats, losing zero-token docs and
+    // every fingerprint (REFRESH would then re-add the zero-token docs and
+    // lose update detection after any compaction). Checkpointed so the
+    // frame doesn't lazily re-read segment dirs cleanup may later remove.
+    val manifest = liveDocFps(spark, dir).localCheckpoint(true)
     val next = listSegments(spark, dir)
       .map(_.stripPrefix("seg=").toInt).foldLeft(-1)(math.max) + 1
     // merged postings/docstats come pre-bucketed/pre-merged from load();
@@ -538,7 +620,7 @@ object IndexStore {
       merged.termDict.drop("bucket"),
       merged.docStats,
       merged.numDocs, merged.sumDl)
-    writeSegment(rebuilt, dir, next)
+    writeSegment(rebuilt, dir, next, Some(manifest))
     writeStringAtomic(spark, s"$dir/_SEGMENTS", f"seg=$next%05d\n")
     // the merged segment was written deletes-applied; clear tombstones
     // AFTER the swap (a crash in between leaves deletes that now anti-join

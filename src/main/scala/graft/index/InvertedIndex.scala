@@ -230,14 +230,19 @@ final case class InvertedIndex(
     // kernel (Spark's 3-arg levenshtein, or the OSA expression when
     // transpositions are on — the reference DEFAULT, ts_common.hpp:242)
     // then early-exits rows that blow the band
-    val band = abs(length(term) - lit(t.length)) <= maxDist
+    // Spark's length() counts CODE POINTS, so the target length must too
+    // (t.length is UTF-16 units — a non-BMP char would skew the band and
+    // the similarity boost; the reference uses UTF-8 code-point lengths on
+    // both sides, levenshtein_filter.cpp Similarity)
+    val tLen = t.codePointCount(0, t.length)
+    val band = abs(length(term) - lit(tLen)) <= maxDist
     val dist =
       if (transpositions)
         graft.functions.TsDistances.osaDistance(term, lit(t), maxDist)
       else levenshtein(term, lit(t), maxDist)
     val expanded = base.filter(band && dist >= 0 && dist <= maxDist)
       .withColumn("w", lit(1.0) - dist.cast("double") /
-        greatest(least(length(term), lit(t.length)), lit(1)).cast("double"))
+        greatest(least(length(term), lit(tLen)), lit(1)).cast("double"))
     val capped =
       if (cap <= 0) expanded
       else expanded.orderBy(col("w").desc, col("term")).limit(cap)
@@ -487,7 +492,13 @@ final case class InvertedIndex(
       else matched.groupBy(col("doc_id"))
         .agg(aggregate(array_sort(collect_list(struct(col("term"), col("__c")))),
           lit(0.0), (acc, x) => acc + x.getField("__c")).as("_score"))
-    merged.filter(col("_score") > 0.0).select(col("doc_id"), col("_score"))
+    // The Max merge is the fuzzy path, whose similarity boost can be
+    // EXACTLY 0 (distance == min code-point length): the reference keeps
+    // matched docs at score 0 (levenshtein_filter.cpp Max merge), so only
+    // the Sum paths — where a match mathematically implies a positive
+    // bm25/tfidf contribution — drop the zero guard rows.
+    val out = merged.select(col("doc_id"), col("_score"))
+    if (mergeMax) out else out.filter(col("_score") > 0.0)
   }
 
   /** Scorer-name dispatch over the per-scorer term-bag kernels — one place

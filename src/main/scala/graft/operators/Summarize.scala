@@ -128,9 +128,19 @@ object Summarize {
       .select(col("cname"),
         ((col("vlo") + col("vhi")).cast("double") / 2.0d).as("q50_units"))
 
-    stats.join(median, Seq("cname"), "left")
+    val profile = stats.join(median, Seq("cname"), "left")
       .select(col("cname"), col("ctype"), col("cnt"), col("nulls"),
         col("ndist"), col("min_render"), col("max_render"),
         col("sum_units"), col("q50_units"))
+
+    // The profile is ONE ROW PER PROFILED COLUMN — metadata-sized — so it
+    // materializes eagerly here and the histogram cache is released at
+    // once: a lazy return would either leak the persisted RDD for the
+    // session's lifetime or force callers to know about it.
+    val spark = df.sparkSession
+    val rows = profile.collect().toSeq
+    hist.unpersist(blocking = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), profile.schema)
   }
 }

@@ -144,6 +144,47 @@ private[plans] object ScorerShapes {
     }
 
 
+  /** The reference's per-INDEX one-scorer rule, enforced over the WHOLE
+    * statement before any claim rule consumes a stub
+    * (inverted_index_score.test:311-321: mixing `BM25(...)` in the SELECT
+    * list with a `TFIDF(...) > 0` WHERE threshold on the same index errors;
+    * a per-Project check alone misses it because ClaimScoreFilter claims
+    * the WHERE stub on an earlier pass). Scope is the index SCAN — grouped
+    * by the text attribute's exprId + dict — so UNION branches stay
+    * independent scoring scopes and two scorers over two DIFFERENT indexed
+    * columns (two indexes) are allowed. Raised only when the column
+    * actually resolves to an index: an unclaimable stub keeps its own
+    * louder row-eval error. */
+  def enforceOneScorerPerScan(plan: LogicalPlan): Unit = {
+    val stubs = scala.collection.mutable.ArrayBuffer
+      .empty[((ExprId, String), (AttributeReference, (String, String, Seq[Any])))]
+    plan.foreach { node =>
+      val exprs: Seq[Expression] = node match {
+        case Project(list, _) => list
+        case Filter(cond, _) => Seq(cond)
+        case Sort(order, _, _, _) => order
+        case _ => Nil
+      }
+      exprs.foreach(_.foreach {
+        case u: ScalaUDF =>
+          asScorer(u).foreach { case (a, n, q, d, ps) =>
+            stubs += (((a.exprId, d), (a, (n, q, ps)))) }
+        case _ => ()
+      })
+    }
+    stubs.groupBy(_._1).foreach { case ((_, dict), group) =>
+      val shapes = group.map(_._2._2).distinct
+      if (shapes.size > 1 &&
+          indexedScanOf(plan, group.head._2._1, dict).isDefined)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "USER_RAISED_EXCEPTION",
+          messageParameters = Map("errorMessage" ->
+            ("Only one scorer function is allowed per inverted index. " +
+              "Use UNION to combine different score functions for the same " +
+              "inverted index")))
+    }
+  }
+
   /** The indexed scan producing `textAttr` (exprId provenance) + its
     * catalog entry and id attribute — the same resolution ClaimTsMatch
     * uses. */
@@ -189,13 +230,18 @@ private[plans] object ScorerShapes {
   * have to invent zero-score fill rows in arbitrary order. */
 case class ClaimScoreTopK(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // first rule of the scorer-claim batch to see the plan: the statement-
+    // wide per-index conflict check must run before ANY stub is consumed
+    ScorerShapes.enforceOneScorerPerScan(plan)
+    plan.transformUp {
     case gl @ GlobalLimit(Literal(k: Int, _), LocalLimit(_, inner)) =>
       try claim(gl, k, inner).getOrElse(gl) catch {
         case e: Exception =>
           logWarning(s"scorer top-k claim failed, leaving plan unchanged: $e")
           gl
       }
+    }
   }
 
   private def claim(gl: GlobalLimit, k: Int, inner: LogicalPlan): Option[LogicalPlan] = {
@@ -411,14 +457,17 @@ case class ClaimScoreFilter(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case fl @ Filter(cond, child)
-        if cond.exists(e => asThreshold(e).exists(t => ScorerShapes.asScorer(t._1).isDefined)) =>
-      try claim(fl, cond, child) catch {
-        case e: Exception =>
-          logWarning(s"scorer threshold claim failed, leaving plan unchanged: $e")
-          fl
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    ScorerShapes.enforceOneScorerPerScan(plan)
+    plan.transformUp {
+      case fl @ Filter(cond, child)
+          if cond.exists(e => asThreshold(e).exists(t => ScorerShapes.asScorer(t._1).isDefined)) =>
+        try claim(fl, cond, child) catch {
+          case e: Exception =>
+            logWarning(s"scorer threshold claim failed, leaving plan unchanged: $e")
+            fl
+        }
+    }
   }
 
   private def claim(fl: Filter, cond: Expression, child: LogicalPlan): LogicalPlan = {
@@ -471,15 +520,20 @@ case class ClaimScoreFilter(spark: SparkSession) extends Rule[LogicalPlan] {
   * surviving row keeps its score (0 for docs matching the filters but not
   * the scorer's query), and the enclosing Sort/Limit plan stays intact.
   *
-  * Reference restriction enforced here too: ONE scorer call shape per
-  * index scan (score_alias_dedup.test's "Only one scorer function is
+  * Reference restriction enforced statement-wide by
+  * [[ScorerShapes.enforceOneScorerPerScan]]: ONE scorer call shape per
+  * index SCAN (score_alias_dedup.test's "Only one scorer function is
   * allowed per inverted index") — duplicate ALIASES of the same call are
   * fine (they share the single score column), different scorers or
-  * different parameters are an error, with UNION as the documented
-  * workaround. */
+  * different parameters on the same index are an error with UNION as the
+  * documented workaround, while scorers over two DIFFERENT indexed columns
+  * are two indexes and claim independently (each gets its own LEFT OUTER
+  * score join). */
 case class ClaimScoreProject(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    ScorerShapes.enforceOneScorerPerScan(plan)
+    plan.transformUp {
     case pj @ Project(list, child)
         if list.exists(e => ScorerShapes.containsScorerStub(e)) =>
       // scorer calls may sit anywhere inside the projection expressions
@@ -496,60 +550,106 @@ case class ClaimScoreProject(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => false
       })
       val shapes = calls.distinct
-      if (shapes.size > 1)
-        throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "USER_RAISED_EXCEPTION",
-          messageParameters = Map("errorMessage" ->
-            ("Only one scorer function is allowed per inverted index. " +
-              "Use UNION to combine different score functions for the same " +
-              "inverted index")))
       if (unrecognized || shapes.isEmpty) pj
-      else try claim(pj, list, child, shapes.head).getOrElse(pj)
-      catch {
+      else try {
+        resolveAndJoin(child, shapes).map { case (joined, subs) =>
+          val newList = list.map { ne =>
+            ne.transform {
+              case u: ScalaUDF if ScorerShapes.asScorer(u).exists(subs.contains) =>
+                subs(ScorerShapes.asScorer(u).get)
+            }.asInstanceOf[NamedExpression]
+          }
+          Project(newList, joined): LogicalPlan
+        }.getOrElse(pj)
+      } catch {
         case e: Exception =>
           logWarning(s"scorer projection claim failed, leaving plan unchanged: $e")
           pj
       }
+
+    // scorer calls left in SORT KEYS — shapes ClaimScoreTopK declines (no
+    // limit, ASC, multi-key tiebreaks, or a projection DERIVING from the
+    // score like `bm25(..) > 0 AS has_score`, inverted_index_score.test's
+    // UNION branches). Same LeftOuter score join; the original output is
+    // re-projected so the Sort stays arity-stable for its parents.
+    case st @ Sort(orders, global, child, _)
+        if orders.exists(o => ScorerShapes.containsScorerStub(o.child)) =>
+      val calls = orders.flatMap(_.child.collect {
+        case u: ScalaUDF if ScorerShapes.asScorer(u).isDefined =>
+          ScorerShapes.asScorer(u).get
+      })
+      val shapes = calls.distinct
+      if (shapes.isEmpty) st
+      else try {
+        resolveAndJoin(child, shapes).map { case (joined, subs) =>
+          val newOrders = orders.map { o =>
+            o.copy(child = o.child.transform {
+              case u: ScalaUDF if ScorerShapes.asScorer(u).exists(subs.contains) =>
+                subs(ScorerShapes.asScorer(u).get)
+            })
+          }
+          Project(child.output.map(a => a: NamedExpression),
+            Sort(newOrders, global, joined)): LogicalPlan
+        }.getOrElse(st)
+      } catch {
+        case e: Exception =>
+          logWarning(s"scorer sort-key claim failed, leaving plan unchanged: $e")
+          st
+      }
+    }
   }
 
-  private def claim(pj: Project, list: Seq[NamedExpression], child: LogicalPlan,
-      shape: (AttributeReference, String, String, String, Seq[Any])): Option[LogicalPlan] = {
-    val (textAttr, scorer, query, dict, params) = shape
-    for {
-      (lr, root, _) <- ScorerShapes.candidateScan(child)
-      // scoring requires an index-driven match restriction on the scan (the
-      // LeftSemi legs ClaimTsMatch leaves behind) — a bare or plain-filtered
-      // scan keeps the reference's "unclaimable scorer fails loudly"
-      // behavior (scorers_topk.test's stub-error case)
-      if child.exists {
-        case Join(_, _, LeftSemi | LeftAnti, _, _) => true
-        case _ => false
-      }
-      if PlanShapes.isColumnOf(lr, textAttr, textAttr.name)
-      entry <- IndexCatalog.lookupText(root, textAttr.name, dict)
-      if entry.predicate.isEmpty
-      idAttr <- lr.output.collectFirst {
-        case a: AttributeReference if a.name == entry.idCol => a }
-    } yield {
-      val idx = IndexStore.load(spark, entry.segDir)
-      val scoredPlan = PlanShapes.freshRelationIds(
-        ScorerShapes.scoredQuery(idx, scorer, query, dict, params)
-          .select(col("doc_id"), col("_score").as("__graft_score"))
-          .queryExecution.optimizedPlan)
-      val docId = scoredPlan.output.find(_.name == "doc_id").get
-      val scoreAttr = scoredPlan.output.find(_.name == "__graft_score").get
-      val joined = Join(ScorerShapes.widenWithId(child, idAttr), scoredPlan,
-        org.apache.spark.sql.catalyst.plans.LeftOuter,
-        Some(EqualTo(idAttr, docId)), JoinHint.NONE)
-      val zero = Literal(0.0, org.apache.spark.sql.types.DoubleType)
-      val scoreVal = org.apache.spark.sql.catalyst.expressions.Coalesce(
-        Seq(scoreAttr, zero))
-      val newList = list.map { ne =>
-        ne.transform {
-          case u: ScalaUDF if ScorerShapes.asScorer(u).contains(shape) => scoreVal
-        }.asInstanceOf[NamedExpression]
-      }
-      Project(newList, joined): LogicalPlan
+  private type Shape = (AttributeReference, String, String, String, Seq[Any])
+
+  /** Claims EVERY shape or none: each resolves to ITS OWN indexed scan
+    * anywhere in the child tree (exprId provenance — distinct indexed
+    * columns are distinct indexes; the statement-wide conflict check
+    * already rejected same-index mixes, and an inner join of two indexed
+    * scans scores each side independently, the reference's multi-table
+    * shape in inverted_index_score.test:873-880 — join row duplication is
+    * fine because scores attach by doc id VALUE). The candidate rows join
+    * LEFT OUTER to each scored drive in turn and every stub subtree
+    * substitutes to its own `coalesce(_score, 0.0)`. A partial claim would
+    * leave a stub to throw at row-eval, so any unresolvable shape (or an id
+    * column not reachable in the output — widenWithId threads it through
+    * Project/Filter/semi-join chains but not across other joins) bails the
+    * whole Project. */
+  private def resolveAndJoin(child: LogicalPlan, shapes: Seq[Shape])
+      : Option[(LogicalPlan, Map[Shape, Expression])] = {
+    // scoring requires an index-driven match restriction below (the
+    // LeftSemi legs ClaimTsMatch leaves behind) — a bare or plain-filtered
+    // scan keeps the reference's "unclaimable scorer fails loudly"
+    // behavior (scorers_topk.test's stub-error case)
+    val restricted = child.exists {
+      case Join(_, _, LeftSemi | LeftAnti, _, _) => true
+      case _ => false
     }
+    val perShape = shapes.map { case shape @ (textAttr, _, _, dict, _) =>
+      ScorerShapes.indexedScanOf(child, textAttr, dict).map {
+        case (_, _, entry, idAttr) => (shape, entry, idAttr)
+      }
+    }
+    if (!restricted || perShape.exists(_.isEmpty)) return None
+    val resolved = perShape.flatten
+    val widened = resolved.map(_._3).distinct
+      .foldLeft(child)((acc, id) => ScorerShapes.widenWithId(acc, id))
+    if (!resolved.forall(r => widened.outputSet.contains(r._3))) return None
+    val zero = Literal(0.0, org.apache.spark.sql.types.DoubleType)
+    Some(resolved.foldLeft((widened, Map.empty[Shape, Expression])) {
+      case ((acc, m), (shape @ (_, scorer, query, dict, params), entry, idAttr)) =>
+        val idx = IndexStore.load(spark, entry.segDir)
+        val scoredPlan = PlanShapes.freshRelationIds(
+          ScorerShapes.scoredQuery(idx, scorer, query, dict, params)
+            .select(col("doc_id"), col("_score").as("__graft_score"))
+            .queryExecution.optimizedPlan)
+        val docId = scoredPlan.output.find(_.name == "doc_id").get
+        val scoreAttr = scoredPlan.output.find(_.name == "__graft_score").get
+        val j = Join(acc, scoredPlan,
+          org.apache.spark.sql.catalyst.plans.LeftOuter,
+          Some(EqualTo(idAttr, docId)), JoinHint.NONE)
+        val scoreVal = org.apache.spark.sql.catalyst.expressions.Coalesce(
+          Seq(scoreAttr, zero))
+        (j, m + (shape -> scoreVal))
+    })
   }
 }

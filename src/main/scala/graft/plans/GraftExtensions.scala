@@ -1369,9 +1369,14 @@ private[plans] object FieldDrives {
 
   /** doc_id join condition; the sidecar stores ids as long, a narrower
     * scan id gets a widening cast (exact for all integral types). */
-  def idEq(left: AttributeReference, rightId: Attribute): Expression =
+  /** Join-key equality with the NARROWER side upcast (never a lossy
+    * downcast): the stored columnstore widens ids to long while postings
+    * keep the table's native width, so covered drives join long↔int. */
+  def idEq(left: Attribute, rightId: Attribute): Expression =
     if (left.dataType == rightId.dataType) EqualTo(left, rightId)
-    else EqualTo(Cast(left, rightId.dataType), rightId)
+    else if (Cast.canUpCast(left.dataType, rightId.dataType))
+      EqualTo(Cast(left, rightId.dataType), rightId)
+    else EqualTo(left, Cast(rightId, left.dataType))
 }
 
 /** Covering-projection claim — the INCLUDE columnstore payoff
@@ -1476,12 +1481,15 @@ case class ClaimCoveredProjection(spark: SparkSession) extends Rule[LogicalPlan]
       val m = graft.search.TsQueryExec.matching(idx, parsed)
         .queryExecution.optimizedPlan
       val rightId = m.output.find(_.name == "doc_id").get
-      acc = Join(acc, m, LeftSemi, Some(EqualTo(sId, rightId)), JoinHint.NONE)
+      // idEq, not EqualTo: the stored columnstore's doc_id is long while
+      // postings keep the table's native id width (an INT-id table would
+      // otherwise produce an unresolved long=int join key)
+      acc = Join(acc, m, LeftSemi, Some(FieldDrives.idEq(sId, rightId)), JoinHint.NONE)
     }
     fieldClaims.foreach { case (field, mk) =>
       val m = FieldDrives.matchedIds(spark, entry, field, mk)
       val rightId = m.output.find(_.name == "doc_id").get
-      acc = Join(acc, m, LeftSemi, Some(EqualTo(sId, rightId)), JoinHint.NONE)
+      acc = Join(acc, m, LeftSemi, Some(FieldDrives.idEq(sId, rightId)), JoinHint.NONE)
     }
 
     // original covered attr → stored attr (cast when stored widened the id)

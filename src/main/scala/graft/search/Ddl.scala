@@ -848,10 +848,10 @@ object Ddl {
       }
     case refreshRe(name) =>
       // incremental re-sync with the source view (the reference's refresh
-      // maintenance task, maintenance.h:30-35): docs whose id is not yet in
-      // the index land as ONE appended segment — the shuffle/analyze cost is
-      // proportional to the NEW data, never the corpus. Removed rows are the
-      // DML path's job (IndexStore.deleteWhere / ts_deletes), not refresh's.
+      // maintenance task, maintenance.h:30-35): new docs land as ONE
+      // appended segment (analyze cost ∝ new data), removed/updated docs
+      // reconcile through generation-scoped tombstones — see the
+      // three-leg comment in the text branch below.
       catalog.get(name) match {
         case Some(e) if e.analyzer == "secondary" =>
           // zone-manifest resync: rebuild from the live file set (one
@@ -892,23 +892,51 @@ object Ddl {
             // composite spec "col fields(...) include(...)" → bare column
             case colName => (viewDf, colName.split("\\s+").head)
           }
-          // anti-join against the FULL per-segment doc-id manifest, not
-          // docStats: docStats carries only docs with ≥1 token, so a
-          // zero-token doc would count as "new" on every REFRESH, appending
-          // a segment each run and drifting bm25/idf/avgdl (round-7 ADVICE)
-          val existing = IndexStore.allDocIds(spark, e.dir)
-          val newDocs = source.join(existing,
-            source(idCol) === existing("doc_id"), "left_anti")
-          val added = newDocs.count()
+          // FULL re-sync with the source view, in three reconciliation
+          // legs over the per-segment doc-id manifest (not docStats:
+          // docStats carries only docs with ≥1 token, so a zero-token doc
+          // would count as "new" on every REFRESH, appending a segment
+          // each run and drifting bm25/idf/avgdl — round-7 ADVICE):
+          //   new ids      → build + append as ONE segment (cost ∝ delta);
+          //   removed ids  → generation-scoped tombstones, so postings-only
+          //                  answers (claimed counts, facets, scores) drop
+          //                  them — the reference's DELETE → VACUUM
+          //                  visibility (inverted_index_score.test:584-596);
+          //   changed docs → content fingerprint (xxhash64 of the indexed
+          //                  text, recorded in the manifest at build time)
+          //                  differs → tombstone + re-add, the reference's
+          //                  UPDATE → VACUUM re-index (its doc ids are MVCC
+          //                  rowids, so an UPDATE is a remove+add to its
+          //                  refresh; ours are stable user ids, so content
+          //                  must diff explicitly). Docs in pre-fingerprint
+          //                  segments (null fp) reconcile by id only.
+          import org.apache.spark.sql.functions.{col => fcol, xxhash64}
+          val existing = IndexStore.liveDocFps(spark, e.dir)
+          val sourceF = source.withColumn("__fp", xxhash64(fcol(keyCol)))
+          val newDocs = sourceF.join(existing,
+            sourceF(idCol) === existing("doc_id"), "left_anti")
+          val changed = sourceF.join(existing,
+            sourceF(idCol) === existing("doc_id") &&
+              existing("content_fp").isNotNull &&
+              existing("content_fp") =!= sourceF("__fp"), "left_semi")
+          val removed = existing.join(sourceF,
+            existing("doc_id") === sourceF(idCol), "left_anti")
+            .select(fcol("doc_id"))
+          // tombstones FIRST (they scope to the current newest segment),
+          // then the append lands the re-indexed content in a NEWER one
+          IndexStore.deleteIds(spark, e.dir,
+            removed.unionByName(changed.select(fcol(idCol).as("doc_id"))))
+          val toAdd = newDocs.unionByName(changed)
+          val added = toAdd.count()
           if (added > 0) {
-            val idx = graft.index.InvertedIndex.build(newDocs, idCol, keyCol, e.analyzer)
+            val idx = graft.index.InvertedIndex.build(toAdd, idCol, keyCol, e.analyzer)
             IndexStore.appendSegment(idx, e.dir,
-              Some(newDocs.select(
-                org.apache.spark.sql.functions.col(idCol).as("doc_id"))))
-            spark.catalog.refreshByPath(e.dir)
-            IndexStore.registerViews(spark, e.dir, name)
-            IndexStore.registerStatsTables(spark, e.dir, name)
+              Some(toAdd.select(fcol(idCol).as("doc_id"),
+                fcol("__fp").as("content_fp"))))
           }
+          spark.catalog.refreshByPath(e.dir)
+          IndexStore.registerViews(spark, e.dir, name)
+          IndexStore.registerStatsTables(spark, e.dir, name)
           // the composite sidecar is sorted COPIES, not merged segments:
           // refresh = one linear rebuild from the source (cheaper than an
           // incremental merge would be to maintain, and it folds source
