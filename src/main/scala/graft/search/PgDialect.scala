@@ -51,7 +51,7 @@ object PgDialect {
       castStructRe.findFirstIn(sql).isDefined ||
       atTimeZoneRe.findFirstIn(sql).isDefined ||
       castTsRe.findFirstIn(sql).isDefined ||
-      sql.contains("<->") || sql.contains("<=>") || sql.contains("<#>")
+      sql.contains("->") || sql.contains("<=>") || sql.contains("<#>")
   }
 
   def rewrite(sql: String): String = {
@@ -61,7 +61,8 @@ object PgDialect {
     val afterLists = rewriteBracketLists(afterCasts)
     val afterTz = rewriteAtTimeZone(afterLists)
     val afterOps = rewriteDistanceOps(afterTz)
-    afterOps.map(_.text).mkString
+    val afterJson = rewriteJsonArrows(afterOps)
+    afterJson.map(_.text).mkString
   }
 
   // ---- lexer ---------------------------------------------------------------
@@ -526,6 +527,62 @@ object PgDialect {
     * ported Spark SQL. The session flag opts back into Spark's meaning
     * (`SET spark.graft.pgDialectCosineEq=false`); `<->`/`<#>` have no Spark
     * meaning and always rewrite. */
+  /** pg JSON extraction operators (reference inverted_index_json.test,
+    * site_docs json_indexing.md):
+    *   `expr ->> 'k'` → `get_json_object(expr, '$.k')` — text extraction;
+    *   `expr ->  'k'` → the same call. DEVIATION: pg's `->` returns JSON
+    *     (a string leaf keeps its quotes); get_json_object unquotes string
+    *     leaves. Chaining into objects/arrays — what `->` exists for — is
+    *     identical, and `->>` (the leaf-text form) is exact.
+    * Only a STRING right operand rewrites: `-> <non-string>` stays Spark
+    * syntax untouched because `->` is ALSO Spark's lambda arrow
+    * (`transform(a, x -> x + 1)`); a lambda whose body is a bare string
+    * literal would be caught here, so the whole pass is gated by
+    * `spark.graft.pgDialectJsonArrow` (default on) like the `<=>` rewrite.
+    * Leftmost-first with a rescan so chains nest:
+    * `c->'a'->>'b'` → `get_json_object(get_json_object(c,'$.a'),'$.b')`. */
+  private def jsonArrowEnabled: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.pgDialectJsonArrow", "true") != "false"
+    catch { case _: Exception => true }
+
+  private def rewriteJsonArrows(toks0: Vector[Tok]): Vector[Tok] = {
+    if (!jsonArrowEnabled) return toks0
+    var toks = toks0
+    var from = 0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val idx = toks.indexWhere(
+        t => t.kind == OP && (t.text == "->" || t.text == "->>"), from)
+      if (idx < 0) return toks
+      val r = skipWsF(toks, idx + 1)
+      val lStart = operandStart(toks, idx - 1)
+      val left = toks.slice(lStart, skipWsB(toks, idx - 1) + 1)
+      // `->>` also accepts an INTEGER subscript (`content->'tags'->>0` —
+      // array element as text); safe because Spark has no `->>` at all,
+      // while `-> <num>` stays untouched (it parses as a lambda body)
+      val numSubscript = r < toks.length && toks(r).kind == NUM &&
+        toks(idx).text == "->>" && toks(r).text.matches("\\d+")
+      if (r < toks.length && (toks(r).kind == STR || numSubscript) &&
+          left.nonEmpty) {
+        val pathLit = if (numSubscript) "'$[" + toks(r).text + "]'" else {
+          val raw = toks(r).text
+          val key = raw.substring(1, raw.length - 1).replace("''", "'")
+          if (key.matches("[A-Za-z0-9_]+")) "'$." + key + "'"
+          // bracket path for keys with punctuation; embedded quotes double
+          // twice (once for the path grammar, once for the SQL literal)
+          else "'$[''" + key.replace("'", "''''") + "'']'"
+        }
+        val call = Vector(Tok(IDENT, "get_json_object"), Tok(LPAREN, "(")) ++
+          left ++ Vector(Tok(COMMA, ", "), Tok(STR, pathLit), Tok(RPAREN, ")"))
+        toks = toks.take(lStart) ++ call ++ toks.drop(r + 1)
+        from = 0 // rescan: the call we just built may be the next op's operand
+      } else from = idx + 1
+    }
+    toks
+  }
+
   private def cosineEqEnabled: Boolean =
     try org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.pgDialectCosineEq", "true") != "false"

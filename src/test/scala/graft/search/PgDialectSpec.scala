@@ -51,6 +51,35 @@ class PgDialectSpec extends AnyFunSuite {
     assert(rw(once) == once)
   }
 
+  test("pg JSON arrows become get_json_object calls") {
+    assert(rw("SELECT content->>'host' FROM t") ==
+      "SELECT get_json_object(content, '$.host') FROM t")
+    assert(rw("SELECT c->'a' FROM t") ==
+      "SELECT get_json_object(c, '$.a') FROM t")
+    // chains nest left-to-right
+    assert(rw("SELECT c->'a'->>'b' FROM t") ==
+      "SELECT get_json_object(get_json_object(c, '$.a'), '$.b') FROM t")
+    // inside a function call argument
+    assert(rw("SELECT ts_match(content->>'host', 'x', 'kw')") ==
+      "SELECT ts_match(get_json_object(content, '$.host'), 'x', 'kw')")
+    // expression-index DDL spelling
+    assert(rw("CREATE INDEX i ON t USING inverted(id, (content->>'host') d)") ==
+      "CREATE INDEX i ON t USING inverted(id, (get_json_object(content, '$.host')) d)")
+    // non-simple key takes the bracket path
+    assert(rw("SELECT c->>'a b' FROM t") ==
+      "SELECT get_json_object(c, '$[''a b'']') FROM t")
+    // lambda arrows (non-string right operand) are untouched
+    assert(rw("SELECT transform(a, x -> x + 1) FROM t") ==
+      "SELECT transform(a, x -> x + 1) FROM t")
+    assert(rw("SELECT filter(a, x -> 2) FROM t") ==
+      "SELECT filter(a, x -> 2) FROM t")
+    // strings keep their arrows
+    assert(rw("SELECT 'a->>b'") == "SELECT 'a->>b'")
+    // idempotent
+    val once = rw("SELECT c->'a'->>'b' FROM t")
+    assert(rw(once) == once)
+  }
+
   test("<=> keeps Spark's null-safe equality when the flag is off") {
     val spark = graft.TestSpark.spark
     spark.conf.set("spark.graft.pgDialectCosineEq", "false")
