@@ -556,6 +556,24 @@ object CatalogDdl {
         return (s"ARRAY<$el>", false, None)
       case _ => ()
     }
+    // DuckDB tagged UNION (simple/union.test; reference wraps it for
+    // clients, wrap_unsupported_types.cpp:40-45): encoded as a struct with
+    // a reserved `__utag` discriminator first field (SURVEY §1.2 "UNION →
+    // struct-with-tag"). The reserved name is the union marker everywhere:
+    // INSERT member coercion, union_value/extract/tag, and the top-level
+    // RenderUnions wrap that presents the active member as text.
+    if (t.startsWith("UNION(") || t.startsWith("UNION (")) {
+      val inner = pgType.trim.substring(pgType.trim.indexOf('(') + 1,
+        pgType.trim.lastIndexOf(')'))
+      val members = splitTop(inner).map { m =>
+        val p = m.trim.split("\\s+", 2)
+        if (p.length != 2) throw analysisErr(s"cannot parse union member: $m")
+        val (mt, _, _) = mapType(p(1))
+        s"`${p(0).toLowerCase(Locale.ROOT)}`: $mt"
+      }
+      return (s"STRUCT<`${UnionType.Tag}`: STRING, ${members.mkString(", ")}>",
+        false, None)
+    }
     val (st, serial) = t match {
       case "SERIAL" => ("INT", true)
       case "BIGSERIAL" | "SERIAL8" => ("BIGINT", true)
@@ -667,6 +685,95 @@ object CatalogDdl {
 
   private def sparkSchema(t: TableDef): StructType =
     StructType.fromDDL(ObjectCatalog.sparkSchemaDdl(t.columns))
+
+  /** The tagged-union struct behind a column declared `UNION(...)`, if
+    * any — identified by the reserved `__utag` first field. */
+  private def unionTargetOf(c: ColumnDef): Option[StructType] =
+    StructType.fromDDL(s"x ${c.sparkType}").head.dataType match {
+      case s: StructType if UnionType.isUnion(s) => Some(s)
+      case _ => None
+    }
+
+  /** Spark types a VALUES list up front, so rows mixing member types for a
+    * union column (`union_value(num := 1)` beside `'two'` beside `4` —
+    * simple/union.test) have no common type and fail analysis. DuckDB
+    * coerces per-value; this rewrites each union-position VALUE TEXT into
+    * the full tagged struct before analysis, which restores a single type.
+    * Member choice: an explicit union_value names it; otherwise the
+    * literal's shape (string / numeric / boolean), falling back to a
+    * one-row schema probe for arbitrary expressions. */
+  private def rewriteUnionValues(spark: SparkSession, t: TableDef,
+      colList: Option[String], text: String): String = {
+    if (!text.trim.toUpperCase(Locale.ROOT).startsWith("VALUES")) return text
+    val body = text.trim.substring("VALUES".length)
+    val rows = splitTop(body).map(_.trim)
+    if (rows.isEmpty || !rows.forall(r => r.startsWith("(") && r.endsWith(")")))
+      return text
+    val arity = splitTop(rows.head.drop(1).dropRight(1)).length
+    val target: Seq[Option[StructType]] = colList match {
+      case Some(cl) =>
+        splitTop(cl.trim.stripPrefix("(").stripSuffix(")")).map { cn =>
+          t.columns.find(_.name == cn.trim.stripPrefix("\"").stripSuffix("\"")
+            .toLowerCase(Locale.ROOT)).flatMap(unionTargetOf)
+        }
+      case None => t.columns.take(arity).map(unionTargetOf)
+    }
+    if (!target.exists(_.isDefined)) return text
+    val uvRe = """(?is)^\s*union_value\s*\((.*)\)\s*$""".r
+    def structText(member: Option[String], inner: Option[String],
+        st: StructType): String = {
+      val ms = UnionType.members(st)
+      val fields = ms.map { f =>
+        val v =
+          if (member.contains(f.name)) s"CAST((${inner.get}) AS ${f.dataType.sql})"
+          else s"CAST(NULL AS ${f.dataType.sql})"
+        s"'${f.name}', $v"
+      }
+      val tag = member.map(m => s"'$m'").getOrElse("CAST(NULL AS STRING)")
+      s"named_struct('${UnionType.Tag}', $tag, ${fields.mkString(", ")})"
+    }
+    def memberOfText(v: String, st: StructType): Option[String] = {
+      val ms = UnionType.members(st)
+      def first(p: org.apache.spark.sql.types.DataType => Boolean) =
+        ms.find(f => p(f.dataType)).map(_.name)
+      val s = v.trim
+      if (s.equalsIgnoreCase("NULL")) None
+      else if (s.startsWith("'")) first(_.isInstanceOf[StringType])
+      else if (s.matches("[+-]?\\d+(\\.\\d+)?"))
+        first(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      else if (s.equalsIgnoreCase("TRUE") || s.equalsIgnoreCase("FALSE"))
+        first(_.isInstanceOf[org.apache.spark.sql.types.BooleanType])
+      else {
+        // arbitrary expression: one driver-side schema probe
+        val dt = spark.sql(s"SELECT $s").schema.head.dataType
+        UnionType.memberFor(dt, st).map(_.name)
+      }
+    }
+    val newRows = rows.map { r =>
+      val items = splitTop(r.drop(1).dropRight(1))
+      val rewritten = items.zipWithIndex.map { case (v, i) =>
+        target.lift(i).flatten match {
+          case Some(st) => v.trim match {
+            case uvRe(args) =>
+              val parts = splitTop(args).map(_.trim)
+              val m = parts.head.stripPrefix("'").stripSuffix("'")
+                .toLowerCase(Locale.ROOT)
+              if (!UnionType.members(st).exists(_.name == m)) throw analysisErr(
+                s"""union has no member named "$m"""")
+              structText(Some(m), Some(parts.tail.mkString(", ")), st)
+            case other =>
+              memberOfText(other, st) match {
+                case Some(m) => structText(Some(m), Some(other), st)
+                case None => structText(None, None, st)
+              }
+          }
+          case None => v
+        }
+      }
+      rewritten.mkString("(", ", ", ")")
+    }
+    "VALUES " + newRows.mkString(", ")
+  }
 
   /** The balanced-paren prefix of a greedy `CHECK \((.*)\)` capture — cuts
     * where the opening paren's match closes, so trailing constraint text
@@ -1132,11 +1239,15 @@ object CatalogDdl {
 
     val src = ObjectCatalog.internal.withValue(true) {
       val s0 = sourceTxt.trim.stripSuffix(";").trim
-      val text =
+      val text0 =
         if (s0.toUpperCase(Locale.ROOT).startsWith("TABLE"))
           s"SELECT * FROM ${s0.drop(5).trim}"
         else if (s0.startsWith("(") && s0.endsWith(")")) s0.drop(1).dropRight(1)
         else s0
+      val text =
+        if (t.columns.exists(unionTargetOf(_).isDefined))
+          rewriteUnionValues(spark, t, Option(colList), text0)
+        else text0
       spark.sql(text)
     }
     val byName = byMode.exists(_.trim.toUpperCase(Locale.ROOT).startsWith("BY NAME"))
@@ -1186,7 +1297,15 @@ object CatalogDdl {
     t.columns.filter(_.generated.isDefined).foreach { c =>
       df = df.withColumn(c.name, expr(c.generated.get).cast(c.sparkType))
     }
-    df = df.select(t.columns.map(c => col(c.name).cast(c.sparkType).as(c.name)): _*)
+    df = df.select(t.columns.map { c =>
+      unionTargetOf(c) match {
+        // union member coercion: the source may carry the full struct, a
+        // union_value partial struct, or a bare member-typed value
+        case Some(st) =>
+          UnionType.coerce(col(c.name), df.schema(c.name).dataType, st).as(c.name)
+        case None => col(c.name).cast(c.sparkType).as(c.name)
+      }
+    }: _*)
 
     // NOT NULL and CHECK hold regardless of conflict handling
     t.columns.filter(_.notNull).foreach { c =>

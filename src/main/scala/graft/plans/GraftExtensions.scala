@@ -46,6 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectParser((_, delegate) => new graft.search.GraftSqlParser(delegate))
     graft.sources.ReadTvfs.functions.foreach(e.injectTableFunction)
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
+    graft.functions.UnionFunctions.functions.foreach(e.injectFunction)
     // ts_offsets: the dictionary resolves at ANALYSIS time on the driver,
     // pinning inside a REPEATABLE READ block (ts_offsets_isolation.test)
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("ts_offsets"),

@@ -278,7 +278,36 @@ object TextPipeline {
       .limit(20)
   }
 
+  /** Benchmark decontamination — the training-pipeline step that flags
+    * train docs overlapping a held-out evaluation set by shared n-grams
+    * (the published open-data recipe: a doc is contaminated when it shares
+    * at least one distinct n-gram with any benchmark doc; n = 5 here). The
+    * deterministic `doc_id % 97 = 0` slice stands in for the eval set.
+    *
+    * 100 TB shape: the benchmark n-gram set is EVAL-sized (thousands of
+    * docs, millions of grams at most), so it BROADCASTS; the train side is
+    * one linear tokenize+window pass semi-joined map-side against that set
+    * — the corpus never shuffles on content and no all-pairs stage exists.
+    * Top-100 worst offenders by distinct hit count, ties by doc_id. */
+  def taDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), tok(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))"))
+        .as("g"))
+      .distinct()
+    val bench = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(100)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_decontaminate" -> taDecontaminate,
     "ta_bigram_rarity" -> taBigramRarity,
     "ts_offsets" -> tsOffsets,
     "ts_positions" -> tsPositions,
@@ -381,6 +410,17 @@ object TextPipeline {
          |       ELSE 'es' END AS lang_pred
          |FROM hits""".stripMargin
     },
+    "ta_decontaminate" ->
+      s"""$toks,
+         |grams AS (SELECT DISTINCT doc_id, g FROM (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(ts[i:i+4], ' ') FOR i IN range(1, len(ts) - 3)]) AS g
+         |  FROM toks WHERE len(ts) >= 5)),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM grams JOIN bench USING (g)
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id ORDER BY n_hits DESC, doc_id LIMIT 100""".stripMargin,
     "ta_bigram_rarity" -> bigramRarityOracle,
     "ta_repetition" ->
       s"""$toks,

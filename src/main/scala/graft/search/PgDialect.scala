@@ -51,7 +51,8 @@ object PgDialect {
       castStructRe.findFirstIn(sql).isDefined ||
       atTimeZoneRe.findFirstIn(sql).isDefined ||
       castTsRe.findFirstIn(sql).isDefined ||
-      sql.contains("->") || sql.contains("<=>") || sql.contains("<#>")
+      sql.contains("->") || sql.contains("<=>") || sql.contains("<#>") ||
+      sql.contains(":=")
   }
 
   def rewrite(sql: String): String = {
@@ -62,7 +63,39 @@ object PgDialect {
     val afterTz = rewriteAtTimeZone(afterLists)
     val afterOps = rewriteDistanceOps(afterTz)
     val afterJson = rewriteJsonArrows(afterOps)
-    afterJson.map(_.text).mkString
+    val afterNamed = rewriteUnionValueArgs(afterJson)
+    afterNamed.map(_.text).mkString
+  }
+
+  /** DuckDB named-argument spelling inside union_value calls
+    * (simple/union.test): `union_value(num := 1)` →
+    * `union_value('num', 1)`. Scoped to union_value parens only — `:=`
+    * elsewhere passes through untouched. */
+  private def rewriteUnionValueArgs(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == IDENT && t.text.equalsIgnoreCase("union_value")) {
+        val open = skipWsF(toks, i + 1)
+        if (open < toks.length && toks(open).kind == LPAREN) {
+          val close = matchF(toks, open)
+          var j = open + 1
+          while (j < close) {
+            if (toks(j).kind == OP && toks(j).text == ":=") {
+              val nm = skipWsB(toks, j - 1)
+              if (nm >= 0 && toks(nm).kind == IDENT) {
+                toks = toks.patch(nm, Seq(Tok(STR, s"'${toks(nm).text}'")), 1)
+                  .patch(j, Seq(Tok(COMMA, ", ")), 1)
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    toks
   }
 
   // ---- lexer ---------------------------------------------------------------
@@ -84,7 +117,7 @@ object PgDialect {
   case object OP extends Kind       // everything else operator-ish
   final case class Tok(kind: Kind, text: String)
 
-  private val multiOps = Seq("<->", "<=>", "<#>", "::", "||", "<=", ">=",
+  private val multiOps = Seq("<->", "<=>", "<#>", "::", ":=", "||", "<=", ">=",
     "<>", "!=", "->>", "->", "**", "//")
 
   private def lex(s: String): Vector[Tok] = {

@@ -132,9 +132,27 @@ object SqlLogic {
     case other => other.toString
   }
 
-  private def rows(df: DataFrame): Seq[String] =
+  /** UNION-typed output columns present as the ACTIVE MEMBER's text at the
+    * client boundary — the reference's WrapUnsupportedTypes cast
+    * (wrap_unsupported_types.cpp:40-45) happens on its pg-wire edge, and
+    * this runner is ours. Internal plans (DML sources, CTAS bodies, stored
+    * data) keep the tagged struct untouched. */
+  private def presentUnions(df: DataFrame): DataFrame =
+    if (!df.schema.exists(f => graft.catalog.UnionType.isUnion(f.dataType))) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case s: org.apache.spark.sql.types.StructType
+            if graft.catalog.UnionType.isUnion(s) =>
+          graft.catalog.UnionType.renderCol(df.col(s"`${f.name}`"), s).as(f.name)
+        case _ => df.col(s"`${f.name}`")
+      }
+    }.toSeq: _*)
+
+  private def rows(df0: DataFrame): Seq[String] = {
+    val df = presentUnions(df0)
     df.columns.mkString("\t") +:
       df.collect().toSeq.map(_.toSeq.map(format).mkString("\t"))
+  }
 
   /** Top-level ';' split (quote-aware) — the pg simple-protocol
     * multi-statement form (`BEGIN; SELECT 1; COMMIT;`,
