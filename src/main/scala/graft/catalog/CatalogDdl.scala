@@ -76,8 +76,19 @@ object CatalogDdl {
     ("""(?is)^\s*UPDATE\s+(""" + qname + """)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""").r
   private val deleteRe =
     ("""(?is)^\s*DELETE\s+FROM\s+(""" + qname + """)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""").r
+  // full pg grammar (sql-truncate): TRUNCATE [TABLE] [ONLY] name [*][, ...]
+  //   [RESTART|CONTINUE IDENTITY] [CASCADE|RESTRICT]
+  // ONLY/* are no-ops (no inheritance), CASCADE/RESTRICT are no-ops (FKs
+  // not enforced), RESTART/CONTINUE IDENTITY are no-ops (no owned identity
+  // sequences) — every form parses and empties the named tables
+  // (simple/truncate.test:389-456)
   private val truncateRe =
-    ("""(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(""" + qname + """)\s*;?\s*$""").r
+    ("""(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?((?:ONLY\s+)?(?:""" + qname +
+      """)(?:\s*\*)?(?:\s*,\s*(?:ONLY\s+)?(?:""" + qname + """)(?:\s*\*)?)*)""" +
+      """(?:\s+(?:RESTART|CONTINUE)\s+IDENTITY)?(?:\s+(?:CASCADE|RESTRICT))?\s*;?\s*$""").r
+  private def truncateNames(list: String): Seq[String] =
+    splitTop(list).map(_.trim.replaceAll("(?is)^ONLY\\s+", "")
+      .replaceAll("\\s*\\*$", "").trim)
   private val alterAddCheckRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + qname + """)\s+ADD\s+(?:CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+)?CHECK\s*\((.*)\)\s*;?\s*$""").r
   private val alterAddKeyRe =
@@ -190,7 +201,7 @@ object CatalogDdl {
       case insertRe(_, n, _, _, _) => ObjectCatalog.table(n).isDefined
       case updateRe(n, _, _) => ObjectCatalog.table(n).isDefined
       case deleteRe(n, _) => ObjectCatalog.table(n).isDefined
-      case truncateRe(n) => ObjectCatalog.table(n).isDefined
+      case truncateRe(ns) => truncateNames(ns).forall(ObjectCatalog.table(_).isDefined)
       case alterAddCheckRe(n, _, _) => ObjectCatalog.table(n).isDefined
       case alterAddKeyRe(n, _, _) => ObjectCatalog.table(n).isDefined
       case alterAddColRe(n, _) => ObjectCatalog.table(n).isDefined
@@ -350,16 +361,19 @@ object CatalogDdl {
       insert(spark, name, colList, source, Option(mod), Option(byMode))
     case updateRe(name, sets, where) => update(spark, name, sets, Option(where))
     case deleteRe(name, where) => delete(spark, name, Option(where))
-    case truncateRe(name) =>
-      val t = tableOf(name)
+    case truncateRe(names) =>
+      val ts = truncateNames(names).map(tableOf)
       // pg: TRUNCATE needs only the TRUNCATE privilege, never SELECT
-      graft.search.Rbac.checkWrite(spark, s"${t.dir}/current", "truncate", t.qname)
+      ts.foreach(t => graft.search.Rbac.checkWrite(
+        spark, s"${t.dir}/current", "truncate", t.qname))
       ObjectCatalog.internal.withValue(true) {
-        Txn.touchTable(t.qname, t.dir)
-        TableStore.overwrite(spark, t.dir,
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sparkSchema(t)))
-        refresh(spark, t)
-        result(spark, s"truncated ${t.qname}")
+        ts.foreach { t =>
+          Txn.touchTable(t.qname, t.dir)
+          TableStore.overwrite(spark, t.dir,
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sparkSchema(t)))
+          refresh(spark, t)
+        }
+        result(spark, s"truncated ${ts.map(_.qname).mkString(", ")}")
       }
 
     case alterAddCheckRe(name, cname, checkExpr) =>
@@ -574,6 +588,20 @@ object CatalogDdl {
       return (s"STRUCT<`${UnionType.Tag}`: STRING, ${members.mkString(", ")}>",
         false, None)
     }
+    // DuckDB STRUCT(name TYPE, ...) column syntax → Spark STRUCT<name: T>
+    // with members mapped recursively (simple/unsigned_int.test nests
+    // unsigned ints inside structs)
+    if (t.startsWith("STRUCT(") || t.startsWith("STRUCT (")) {
+      val inner = pgType.trim.substring(pgType.trim.indexOf('(') + 1,
+        pgType.trim.lastIndexOf(')'))
+      val members = splitTop(inner).map { m =>
+        val p = m.trim.split("\\s+", 2)
+        if (p.length != 2) throw analysisErr(s"cannot parse struct member: $m")
+        val (mt, _, _) = mapType(p(1))
+        s"`${p(0).toLowerCase(Locale.ROOT)}`: $mt"
+      }
+      return (s"STRUCT<${members.mkString(", ")}>", false, None)
+    }
     val (st, serial) = t match {
       case "SERIAL" => ("INT", true)
       case "BIGSERIAL" | "SERIAL8" => ("BIGINT", true)
@@ -595,6 +623,12 @@ object CatalogDdl {
         (m.flatMap(x => Option(x.group(1))).map(p => s"DECIMAL$p")
           .getOrElse("DECIMAL(38,18)"), false)
       case "BYTEA" | "BINARY" => ("BINARY", false)
+      // unsigned ints → next-wider signed (SURVEY §1.2); UBIGINT's top
+      // half exceeds signed long, so it rides DECIMAL(20,0)
+      case "UTINYINT" => ("SMALLINT", false)
+      case "USMALLINT" => ("INT", false)
+      case "UINTEGER" | "UINT" => ("BIGINT", false)
+      case "UBIGINT" => ("DECIMAL(20,0)", false)
       case other => ObjectCatalog.enum(pgType.trim) match {
         // enum columns store the LABEL; declaration order rides the field
         // metadata into the EnumOrder optimizer rule

@@ -125,6 +125,15 @@ object ObjectCatalog {
   /** The catalog table whose data directory's `current/` is `path`
     * (scheme-insensitive) — how the snapshot-read rule maps a resolved
     * file scan back to its TableStore for REPEATABLE READ pinning. */
+  /** Every catalog table in a schema — the ES surface's _cat/indices
+    * enumeration base (tables in schema `es` ARE the ES indexes). */
+  def tablesInSchema(schema: String): Seq[TableDef] = {
+    ensureLoaded()
+    objects.values.collect {
+      case t: TableDef if t.schema == schema.toLowerCase(java.util.Locale.ROOT) => t
+    }.toSeq.sortBy(_.name)
+  }
+
   def tableByCurrentPath(path: String): Option[TableDef] = {
     ensureLoaded()
     val p = new org.apache.hadoop.fs.Path(path).toUri.getPath
@@ -279,6 +288,13 @@ object ObjectCatalog {
       objects.remove(dq).foreach {
         case t: TableDef =>
           internalSql(spark, s"DROP TABLE IF EXISTS $dq")
+          // pg semantics: a table's indexes drop WITH it — both spellings'
+          // registries — or a later same-named table resurrects stale
+          // specs at its first VACUUM
+          try {
+            graft.search.PgIndexDdl.onDropTable(spark, dq)
+            graft.search.Ddl.dropIndexesFor(spark, dq)
+          } catch { case scala.util.control.NonFatal(_) => () }
           retire(t)
         case _: ViewDef => internalSql(spark, s"DROP VIEW IF EXISTS $dq")
         case f: FunctionDef =>

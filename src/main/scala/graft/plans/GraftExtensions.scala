@@ -45,6 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(s => RbacCheck(s))
     e.injectParser((_, delegate) => new graft.search.GraftSqlParser(delegate))
     graft.sources.ReadTvfs.functions.foreach(e.injectTableFunction)
+    graft.search.EsSql.functions.foreach(e.injectTableFunction)
     graft.functions.NativeVectorExpressions.functions.foreach(e.injectFunction)
     graft.functions.UnionFunctions.functions.foreach(e.injectFunction)
     // ts_offsets: the dictionary resolves at ANALYSIS time on the driver,

@@ -270,15 +270,15 @@ object Ddl {
   // `USING inverted(id, body en, service, sev) INCLUDE (tag)` surface
   // (inverted_index_include_pushdown.test, indexed_vs_included.test)
   private val createRe =
-    """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*?)\)\s*(?:FIELDS\s*\(([^)]*)\)\s*)?(?:INCLUDE\s*\(([^)]*)\)\s*)?(?:WHERE\s+(.+?))?\s*""".r
+    """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+(?:\.\w+)?)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*?)\)\s*(?:FIELDS\s*\(([^)]*)\)\s*)?(?:INCLUDE\s*\(([^)]*)\)\s*)?(?:WHERE\s+(.+?))?\s*""".r
   private val createExprRe =
-    """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\(\s*(.+?)\s*\)\)\s*WITH\s*\((.*)\)\s*""".r
+    """(?is)\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+(?:\.\w+)?)\s*\(\(\s*(.+?)\s*\)\)\s*WITH\s*\((.*)\)\s*""".r
   // optional INCLUDE: the `ivf` opclass with store_values — covered kNN
   // (reference inverted_index_ann_include.test)
   private val createVecRe =
-    """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*?)\)\s*(?:INCLUDE\s*\(([^)]*)\)\s*)?""".r
+    """(?is)\s*CREATE\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+(?:\.\w+)?)\s*\(\s*(\w+)\s*\)\s*WITH\s*\((.*?)\)\s*(?:INCLUDE\s*\(([^)]*)\)\s*)?""".r
   private val createPkRe =
-    """(?is)\s*CREATE\s+SECONDARY\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)(?:\s*WITH\s*\((.*)\))?\s*""".r
+    """(?is)\s*CREATE\s+SECONDARY\s+INDEX\s+(\w+)\s+ON\s+(\w+(?:\.\w+)?)\s*\(\s*(\w+)\s*\)(?:\s*WITH\s*\((.*)\))?\s*""".r
   private val createDictRe =
     """(?is)\s*CREATE\s+TEXT\s+SEARCH\s+DICTIONARY\s+(\w+)\s*\((.*)\)\s*;?\s*""".r
   private val dropDictRe =
@@ -309,14 +309,14 @@ object Ddl {
   // visibility with `VACUUM (REFRESH_TABLE) t` — refreshes EVERY index
   // registered over that view (ts_dict.test:37, maintenance surface)
   private val vacuumRe =
-    """(?is)\s*VACUUM\s*\(\s*REFRESH_TABLE\s*\)\s+(\w+)\s*;?\s*""".r
+    """(?is)\s*VACUUM\s*\(\s*REFRESH_TABLE\s*\)\s+(\w+(?:\.\w+)?)\s*;?\s*""".r
   // the rest of the reference's VACUUM extension-option matrix
   // (vacuum_options.test): REFRESH_/COMPACT_ × INDEX/TABLE/ALL, plus
   // RECOMPUTE_STATS_TABLE (re-derives the covering-store column statistics
   // and re-registers the CBO table stats). Two extension options in one
   // VACUUM are a parser-level rejection, as in the reference.
   private val vacuumOptRe =
-    """(?is)\s*VACUUM\s*\(\s*(REFRESH_INDEX|COMPACT_INDEX|COMPACT_TABLE|RECOMPUTE_STATS_TABLE)\s*\)\s+(\w+)\s*;?\s*""".r
+    """(?is)\s*VACUUM\s*\(\s*(REFRESH_INDEX|COMPACT_INDEX|COMPACT_TABLE|RECOMPUTE_STATS_TABLE)\s*\)\s+(\w+(?:\.\w+)?)\s*;?\s*""".r
   private val vacuumAllRe =
     """(?is)\s*VACUUM\s*\(\s*(REFRESH_ALL|COMPACT_ALL)\s*\)\s*;?\s*""".r
   private val vacuumBadRe =
@@ -412,6 +412,29 @@ object Ddl {
     (stored, now) match {
       case (Some(a), Some(b)) => Seq("stale" -> (a != b).toString)
       case _ => Seq("stale" -> "unknown")
+    }
+  }
+
+  /** DROP TABLE cascade (pg semantics: a table's indexes drop with it).
+    * Removes every engine index registered over `view` — catalog rows,
+    * artifacts, claim registrations — so a LATER same-named table can never
+    * resurrect a stale spec at VACUUM (r15 regression: two corpus files
+    * reusing a fixture name). Any spelling of the same qualified name
+    * matches. */
+  def dropIndexesFor(spark: SparkSession, view: String): Unit = {
+    def q(n: String) =
+      try graft.catalog.ObjectCatalog.qualify(n)
+      catch { case _: Exception => n }
+    val target = q(view)
+    val victims = catalog.toSeq.filter { case (_, e) =>
+      e.view.equalsIgnoreCase(view) || q(e.view).equalsIgnoreCase(target) }
+    victims.foreach { case (n, e) =>
+      val verb =
+        if (e.annKey.nonEmpty) "VECTOR"
+        else if (e.analyzer == "secondary") "SECONDARY"
+        else "SEARCH"
+      try execute(spark, s"DROP $verb INDEX IF EXISTS $n")
+      catch { case _: Exception => () }
     }
   }
 

@@ -32,6 +32,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       org.apache.spark.sql.SparkSession.getActiveSession
         .foreach(graft.catalog.ObjectCatalog.ensureSession)
     if (Ddl.handles(sqlText)) Some(GraftDdlCommand(sqlText))
+    else if (EsSql.handles(sqlText)) Some(GraftEsCommand(sqlText))
     else if (PgIndexDdl.handles(sqlText)) Some(GraftPgIndexCommand(sqlText))
     else if (graft.catalog.CatalogDdl.handles(sqlText))
       Some(GraftCatalogCommand(sqlText))
@@ -94,6 +95,18 @@ case class GraftDdlCommand(sql: String) extends LeafRunnableCommand {
 /** pg-spelled index DDL (`CREATE INDEX ... USING inverted(...)` /
   * `DROP INDEX`) as an eager leaf command — same pattern as
   * [[GraftDdlCommand]]. */
+/** `CALL es_*` lifecycle statements — one string column whose name the
+  * verb fixes at parse time (acknowledged / mappings). */
+case class GraftEsCommand(sql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = {
+    val col =
+      if (sql.toLowerCase.contains("es_mapping")) "mappings" else "acknowledged"
+    Seq(AttributeReference(col, StringType, nullable = false)())
+  }
+  override def run(spark: SparkSession): Seq[Row] =
+    EsSql.execute(spark, sql).collect().toSeq
+}
+
 case class GraftPgIndexCommand(sql: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("result", StringType, nullable = false)())

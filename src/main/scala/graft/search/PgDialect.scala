@@ -43,7 +43,8 @@ object PgDialect {
 
   private val atTimeZoneRe = """(?is)\bAT\s+TIME\s+ZONE\b""".r
   private val castTsRe =
-    """(?is)::\s*(timestamptz?|text|int[248]|float[48]|bool)\b""".r
+    """(?is)::\s*(timestamptz?|text|int[248]|float[48]|bool|u(?:tiny|small|big)?int(?:eger)?)\b""".r
+  private val rowLitRe = """(?i)\brow\s*\(""".r
 
   def needed(sql: String): Boolean = {
     (sql.indexOf('[') >= 0 &&
@@ -52,7 +53,7 @@ object PgDialect {
       atTimeZoneRe.findFirstIn(sql).isDefined ||
       castTsRe.findFirstIn(sql).isDefined ||
       sql.contains("->") || sql.contains("<=>") || sql.contains("<#>") ||
-      sql.contains(":=")
+      sql.contains(":=") || rowLitRe.findFirstIn(sql).isDefined
   }
 
   def rewrite(sql: String): String = {
@@ -64,8 +65,21 @@ object PgDialect {
     val afterOps = rewriteDistanceOps(afterTz)
     val afterJson = rewriteJsonArrows(afterOps)
     val afterNamed = rewriteUnionValueArgs(afterJson)
-    afterNamed.map(_.text).mkString
+    val afterRow = rewriteRowLiterals(afterNamed)
+    afterRow.map(_.text).mkString
   }
+
+  /** DuckDB/pg `ROW(a, b, ...)` anonymous-struct literals → Spark
+    * `struct(a, b, ...)` (simple/unsigned_int.test). Only the call form
+    * rewrites (IDENT `row` immediately before `(`); the ROWS/ROW keywords
+    * of window frames are not followed by a paren. */
+  private def rewriteRowLiterals(toks: Vector[Tok]): Vector[Tok] =
+    toks.zipWithIndex.map { case (t, i) =>
+      if (t.kind == IDENT && t.text.equalsIgnoreCase("row") && {
+        val n = skipWsF(toks, i + 1); n < toks.length && toks(n).kind == LPAREN
+      }) Tok(IDENT, "struct")
+      else t
+    }
 
   /** DuckDB named-argument spelling inside union_value calls
     * (simple/union.test): `union_value(num := 1)` →
@@ -235,6 +249,10 @@ object PgDialect {
     case "BOOLEAN" | "BOOL" => "BOOLEAN"
     case "TIMESTAMP" => "TIMESTAMP_NTZ" // pg TIMESTAMP is naive
     case "TIMESTAMPTZ" => "TIMESTAMP"   // Spark TIMESTAMP is an instant
+    case "UTINYINT" => "SMALLINT"       // unsigned → next-wider signed
+    case "USMALLINT" => "INT"
+    case "UINTEGER" | "UINT" => "BIGINT"
+    case "UBIGINT" => "DECIMAL(20,0)"
     case other => other
   }
 
@@ -251,6 +269,12 @@ object PgDialect {
     case "BOOL" => "BOOLEAN"
     case "TIMESTAMP" => "TIMESTAMP_NTZ"
     case "TIMESTAMPTZ" => "TIMESTAMP"
+    // unsigned ints map to the next-wider SIGNED type (SURVEY §1.2; Spark
+    // has no unsigned family) — UBIGINT needs DECIMAL(20,0) for its top half
+    case "UTINYINT" => "SMALLINT"
+    case "USMALLINT" => "INT"
+    case "UINTEGER" | "UINT" => "BIGINT"
+    case "UBIGINT" => "DECIMAL(20,0)"
     case _ => null
   }
 

@@ -569,6 +569,24 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
   def hasSpecsFor(table: String): Boolean =
     registry.values.exists(_.table.equalsIgnoreCase(table))
 
+  /** DROP TABLE cascade (pg semantics): drop every pg-spelled index over
+    * the table so a later same-named table cannot resurrect stale specs at
+    * VACUUM. Any spelling of the same qualified name matches. */
+  def onDropTable(spark: SparkSession, table: String): Unit = {
+    def q(n: String) =
+      try graft.catalog.ObjectCatalog.qualify(n)
+      catch { case _: Exception => n }
+    val target = q(table)
+    def sameTable(t: String) =
+      t.equalsIgnoreCase(table) || q(t).equalsIgnoreCase(target)
+    (registry.toSeq.collect { case (n, s) if sameTable(s.table) => n } ++
+      secRegistry.toSeq.collect { case (n, s) if sameTable(s.table) => n })
+      .foreach { n =>
+        try execute(spark, s"DROP INDEX IF EXISTS $n")
+        catch { case _: Exception => () }
+      }
+  }
+
   /** Engine-index names created on behalf of pg-spelled indexes over this
     * table (so VACUUM refresh can target them). */
   def enginesFor(table: String): Seq[String] =
