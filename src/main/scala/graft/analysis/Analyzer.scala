@@ -132,11 +132,35 @@ final case class PipelineAnalyzer(stages: Seq[Analyzer]) extends Analyzer {
     stages.foldLeft(Seq(t))((toks, a) => toks.flatMap(a.apply))
 }
 
-/** Path hierarchy: /a/b/c → /a, /a/b, /a/b/c (`path_hierarchy`). */
-final case class PathHierarchyAnalyzer(delimiter: String = "/") extends Analyzer {
+/** Path hierarchy (`path_hierarchy`; tokenizers corpus
+  * path_hierarchy_tokenizer.test): prefix tokens at delimiter boundaries —
+  * /a/b/c → /a, /a/b, /a/b/c; an unanchored path keeps no leading
+  * delimiter (a/b/c → a, a/b, a/b/c). `replacement` swaps the delimiter in
+  * the OUTPUT, `reverse` emits suffixes (domain-style), `skip` drops
+  * leading parts (trailing when reversed) — skipped forward tokens keep a
+  * leading delimiter and skipped reverse tokens a trailing one, matching
+  * the reference's goldens. */
+final case class PathHierarchyAnalyzer(delimiter: String = "/",
+    replacement: Option[String] = None, reverse: Boolean = false,
+    skip: Int = 0) extends Analyzer {
+  private val d = if (delimiter.isEmpty) "/" else delimiter
+  private val rep = replacement.filter(_.nonEmpty).getOrElse(d)
   def apply(t: String): Seq[String] = {
-    val parts = t.split(java.util.regex.Pattern.quote(delimiter)).filter(_.nonEmpty)
-    (1 to parts.length).map(i => parts.take(i).mkString(delimiter, delimiter, ""))
+    val lead = t.startsWith(d)
+    val ps = t.split(java.util.regex.Pattern.quote(d)).filter(_.nonEmpty).toSeq
+    if (!reverse) {
+      val pre = if (lead || skip > 0) rep else ""
+      val base = (skip + 1 to ps.length).map(i => pre + ps.slice(skip, i).mkString(rep))
+      // a trailing delimiter is a real boundary: /a/b/ emits /a/b/ too
+      if (t.endsWith(d) && base.nonEmpty) base :+ (base.last + rep) else base
+    } else {
+      // suffixes of the kept parts; an anchored path ALSO emits the full
+      // delimiter-prefixed token ({/a/b/c, a/b/c, b/c, c})
+      val keep = ps.length - skip
+      val sufs = (0 until math.max(keep, 0)).map(i =>
+        ps.slice(i, keep).mkString(rep) + (if (skip > 0) rep else ""))
+      if (lead && sufs.nonEmpty) (rep + sufs.head) +: sufs else sufs
+    }
   }
 }
 
@@ -672,6 +696,17 @@ object AnalyzerRegistry {
     def requiredRules(tpl: String): String = options.getOrElse("rules",
       throw new IllegalArgumentException(
         s"""$tpl: required parameter "synonyms" was not found"""))
+    // option applicability (tokenizers corpus path_hierarchy_tokenizer
+    // .test error block): the path_hierarchy-only knobs error loudly on
+    // other templates instead of being silently ignored
+    if (template != "path_hierarchy") {
+      val pathOnly = Seq("replacement", "reverse", "skip", "buffersize") ++
+        (if (template == "delimiter" || template == "wildcard") Nil
+         else Seq("delimiter"))
+      pathOnly.find(options.contains).foreach(k =>
+        throw new IllegalArgumentException(
+          s"""option "$k" is not applicable in this context"""))
+    }
     val a: Analyzer = template match {
       case "keyword" => KeywordAnalyzer
       case "whitespace" => WhitespaceAnalyzer(opt("case", "none") == "lower")
@@ -682,7 +717,9 @@ object AnalyzerRegistry {
       case "edgengram" => EdgeNGramAnalyzer(opt("min", "1").toInt, opt("max", "10").toInt)
       case "delimiter" => DelimiterAnalyzer(opt("delimiter", " "))
       case "pattern" => PatternAnalyzer(opt("pattern", "\\W+"), opt("mode", "split"))
-      case "path_hierarchy" => PathHierarchyAnalyzer(opt("delimiter", "/"))
+      case "path_hierarchy" => PathHierarchyAnalyzer(
+        opt("delimiter", "/"), options.get("replacement"),
+        opt("reverse", "false") == "true", opt("skip", "0").toInt)
       case "minhash" => MinHashAnalyzer(
         WhitespaceAnalyzer(lowercase = true), opt("num_hashes", "64").toInt)
       case "collation" => CollationAnalyzer(opt("locale", "en"),
