@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // full (driver-shaped) runs start from scratch; filtered local probes
+    // reuse warm artifacts — see GateHygiene
+    if (args.isEmpty) GateHygiene.resetDurableState()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // shuffle partitions default to the thread count (right for sf0.1) but
     // are independently overridable: partition count must track DATA size,

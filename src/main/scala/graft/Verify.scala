@@ -11,6 +11,9 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     def keep(name: String): Boolean = only.forall(_.contains(name))
+    // full (driver-shaped) runs start from scratch; filtered local probes
+    // reuse warm artifacts — see GateHygiene
+    if (only.isEmpty) GateHygiene.resetDurableState()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
         SparkSession.builder()

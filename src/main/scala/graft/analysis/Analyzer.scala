@@ -143,24 +143,78 @@ final case class PipelineAnalyzer(stages: Seq[Analyzer]) extends Analyzer {
 final case class PathHierarchyAnalyzer(delimiter: String = "/",
     replacement: Option[String] = None, reverse: Boolean = false,
     skip: Int = 0) extends Analyzer {
-  private val d = if (delimiter.isEmpty) "/" else delimiter
+  require(delimiter.nonEmpty, "path_hierarchy: empty delimiter")
+  private val d = delimiter
   private val rep = replacement.filter(_.nonEmpty).getOrElse(d)
-  def apply(t: String): Seq[String] = {
-    val lead = t.startsWith(d)
-    val ps = t.split(java.util.regex.Pattern.quote(d)).filter(_.nonEmpty).toSeq
-    if (!reverse) {
-      val pre = if (lead || skip > 0) rep else ""
-      val base = (skip + 1 to ps.length).map(i => pre + ps.slice(skip, i).mkString(rep))
-      // a trailing delimiter is a real boundary: /a/b/ emits /a/b/ too
-      if (t.endsWith(d) && base.nonEmpty) base :+ (base.last + rep) else base
-    } else {
-      // suffixes of the kept parts; an anchored path ALSO emits the full
-      // delimiter-prefixed token ({/a/b/c, a/b/c, b/c, c})
-      val keep = ps.length - skip
-      val sufs = (0 until math.max(keep, 0)).map(i =>
-        ps.slice(i, keep).mkString(rep) + (if (skip > 0) rep else ""))
-      if (lead && sufs.nonEmpty) (rep + sufs.head) +: sufs else sufs
+
+  // The tokenizer walks DELIMITER POSITIONS in the raw string (as the
+  // reference does — split+filter(_.nonEmpty) collapsed consecutive
+  // delimiters, dropped the lone-"/" token and lost reverse-mode trailing
+  // delimiters; r15 ADVICE): every prefix (or suffix) boundary is a found
+  // delimiter index, with the final token running to the end (or the
+  // window start), so empty parts and boundary delimiters survive.
+  def apply(t: String): Seq[String] =
+    if (t.isEmpty) Nil else if (reverse) reverseTokens(t) else forwardTokens(t)
+
+  private def render(s: String): String = if (rep == d) s else s.replace(d, rep)
+
+  private def forwardTokens(t: String): Seq[String] = {
+    val ds = d.length
+    var prefixStart = 0
+    if (skip > 0) {
+      // a leading delimiter counts as one extra step (/a/b/c ≡ a/b/c)
+      val steps = skip + (if (t.startsWith(d)) 1 else 0)
+      var scanFrom = 0
+      var i = 0
+      while (i < steps) {
+        val p = t.indexOf(d, scanFrom)
+        if (p < 0) return Nil
+        prefixStart = p
+        scanFrom = p + ds
+        i += 1
+      }
     }
+    // bump past a delimiter AT the cursor so the first segment isn't empty
+    var cursor = prefixStart + (if (t.startsWith(d, prefixStart)) ds else 0)
+    val out = Seq.newBuilder[String]
+    var eof = false
+    while (!eof) {
+      val p = t.indexOf(d, cursor)
+      val end = if (p < 0) { eof = true; t.length } else { cursor = p + ds; p }
+      out += render(t.substring(prefixStart, end))
+    }
+    out.result()
+  }
+
+  private def reverseTokens(t: String): Seq[String] = {
+    val ds = d.length
+    // skip drops TRAILING segments; the window keeps its trailing delimiter
+    var windowEnd = t.length
+    var i = 0
+    while (i < skip) {
+      if (windowEnd <= ds) return Nil
+      val p = t.lastIndexOf(d, windowEnd - ds - 1)
+      if (p < 0) return Nil
+      windowEnd = p + ds
+      i += 1
+    }
+    val rendered = render(t.substring(0, windowEnd))
+    if (rendered.isEmpty) return Nil
+    val out = Seq.newBuilder[String]
+    var startIn = 0   // suffix left edge in the input
+    var startBuf = 0  // suffix left edge in the rendered window
+    var eof = false
+    while (!eof) {
+      out += rendered.substring(startBuf)
+      val p = t.indexOf(d, startIn)
+      if (p < 0 || p >= windowEnd) eof = true
+      else {
+        startBuf += (p - startIn) + rep.length
+        startIn = p + ds
+        if (startIn >= windowEnd) eof = true
+      }
+    }
+    out.result()
   }
 }
 
@@ -718,7 +772,11 @@ object AnalyzerRegistry {
       case "delimiter" => DelimiterAnalyzer(opt("delimiter", " "))
       case "pattern" => PatternAnalyzer(opt("pattern", "\\W+"), opt("mode", "split"))
       case "path_hierarchy" => PathHierarchyAnalyzer(
-        opt("delimiter", "/"), options.get("replacement"),
+        // the DDL layer coerces an empty delimiter to the default (the
+        // reference corpus: "empty delimiter -> /"); the tokenizer itself
+        // rejects empty (path_hierarchy_tokenizer.cpp Make)
+        Some(opt("delimiter", "/")).filter(_.nonEmpty).getOrElse("/"),
+        options.get("replacement"),
         opt("reverse", "false") == "true", opt("skip", "0").toInt)
       case "minhash" => MinHashAnalyzer(
         WhitespaceAnalyzer(lowercase = true), opt("num_hashes", "64").toInt)

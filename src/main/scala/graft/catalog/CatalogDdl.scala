@@ -773,7 +773,17 @@ object CatalogDdl {
       val s = v.trim
       if (s.equalsIgnoreCase("NULL")) None
       else if (s.startsWith("'")) first(_.isInstanceOf[StringType])
-      else if (s.matches("[+-]?\\d+(\\.\\d+)?"))
+      else if (s.matches("[+-]?\\d+\\.\\d+"))
+        // a FRACTIONAL literal prefers the first fractional-typed member
+        // (DuckDB picks the best-fitting member; routing 1.5 into an INT
+        // member would CAST-truncate it to 1 — r15 ADVICE)
+        first {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => true
+          case _: org.apache.spark.sql.types.DecimalType => true
+          case _ => false
+        }.orElse(first(_.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+      else if (s.matches("[+-]?\\d+"))
         first(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
       else if (s.equalsIgnoreCase("TRUE") || s.equalsIgnoreCase("FALSE"))
         first(_.isInstanceOf[org.apache.spark.sql.types.BooleanType])

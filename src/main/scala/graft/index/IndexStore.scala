@@ -46,8 +46,12 @@ object IndexStore {
 
   /** Bump when the on-disk layout changes; keyed into the directory name so
     * stale caches from older layouts are never mistaken for current ones.
-    * v3: termdict gained `max_tf` (WAND score upper bounds). */
-  val FormatVersion = 3
+    * v3: termdict gained `max_tf` (WAND score upper bounds).
+    * v4: docids manifest gained `content_fp` (REFRESH update detection) —
+    * the change shipped WITHOUT this bump and v3 dirs on disk were a mixed
+    * population; gates now also reset state (GateHygiene), this keeps any
+    * long-lived deployment's old dirs from being half-trusted. */
+  val FormatVersion = 4
 
   /** Stable term → bucket hash, computable on both driver (literal pruning)
     * and executors (write path). */

@@ -123,9 +123,19 @@ object EsSql {
     mappingOf(spark, name).toSeq.flatMap(_.collect { case (f, "text") => f })
 
   private def createIndex(spark: SparkSession, name: String, body: String): DataFrame = {
-    if (name.isEmpty || name != name.toLowerCase(Locale.ROOT) ||
-        !name.matches("[a-z0-9._+-]+"))
+    // reference ValidateIndexName (es.cpp:92-108): lowercase [a-z0-9._+-],
+    // ≤255, not "."/"..", not starting with '-'/'_'/'+'. DEVIATION: names
+    // containing '-', '+' or '.' are additionally rejected here — the name
+    // composes unquoted into CREATE TABLE/INDEX statements (and into the
+    // `es_<name>_text` index identifier, which the index-DDL grammar bounds
+    // to \w+), so accepting them would fail later with a parse error
+    // instead of a named one (r15 ADVICE).
+    if (name.isEmpty || name.length > 255 || name == "." || name == ".." ||
+        "-_+".contains(name.head) || !name.matches("[a-z0-9._+-]+"))
       throw err(s"invalid index name [$name]")
+    if (!name.matches("[a-z0-9_]+"))
+      throw err(s"invalid index name [$name]: '-', '+' and '.' are not " +
+        "supported in this engine's identifiers")
     if (ObjectCatalog.table(s"es.$name").isDefined)
       throw err(s"index [$name] already exists")
     val props: ListMap[String, String] =

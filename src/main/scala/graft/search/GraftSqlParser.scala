@@ -99,8 +99,13 @@ case class GraftDdlCommand(sql: String) extends LeafRunnableCommand {
   * verb fixes at parse time (acknowledged / mappings). */
 case class GraftEsCommand(sql: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = {
+    // match the CALL verb itself, not a substring of the whole statement —
+    // `CALL es_create_index('x_es_mapping', …)` is a legal index name and
+    // must still ack (r15 ADVICE)
     val col =
-      if (sql.toLowerCase.contains("es_mapping")) "mappings" else "acknowledged"
+      if ("""(?is)^\s*CALL\s+es_mapping\s*\(""".r.findFirstIn(sql).isDefined)
+        "mappings"
+      else "acknowledged"
     Seq(AttributeReference(col, StringType, nullable = false)())
   }
   override def run(spark: SparkSession): Seq[Row] =

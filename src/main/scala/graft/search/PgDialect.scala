@@ -593,9 +593,15 @@ object PgDialect {
     *     identical, and `->>` (the leaf-text form) is exact.
     * Only a STRING right operand rewrites: `-> <non-string>` stays Spark
     * syntax untouched because `->` is ALSO Spark's lambda arrow
-    * (`transform(a, x -> x + 1)`); a lambda whose body is a bare string
-    * literal would be caught here, so the whole pass is gated by
-    * `spark.graft.pgDialectJsonArrow` (default on) like the `<=>` rewrite.
+    * (`transform(a, x -> x + 1)`). A lambda whose body is a bare string
+    * literal (`transform(a, x -> 'tag')`) would still collide, so `->` is
+    * additionally skipped when its left side has lambda-parameter SHAPE in
+    * lambda-parameter POSITION: a bare identifier (or parenthesized
+    * identifier list) standing as a direct argument of one of Spark's
+    * higher-order builtins — the only place the lambda grammar is legal.
+    * `->>` has no Spark meaning and needs no such gate. The whole pass is
+    * also gated by `spark.graft.pgDialectJsonArrow` (default on) like the
+    * `<=>` rewrite.
     * Leftmost-first with a rescan so chains nest:
     * `c->'a'->>'b'` → `get_json_object(get_json_object(c,'$.a'),'$.b')`. */
   private def jsonArrowEnabled: Boolean =
@@ -621,8 +627,10 @@ object PgDialect {
       // while `-> <num>` stays untouched (it parses as a lambda body)
       val numSubscript = r < toks.length && toks(r).kind == NUM &&
         toks(idx).text == "->>" && toks(r).text.matches("\\d+")
+      val lambdaHazard = toks(idx).text == "->" &&
+        looksLikeLambdaParam(toks, lStart, left)
       if (r < toks.length && (toks(r).kind == STR || numSubscript) &&
-          left.nonEmpty) {
+          left.nonEmpty && !lambdaHazard) {
         val pathLit = if (numSubscript) "'$[" + toks(r).text + "]'" else {
           val raw = toks(r).text
           val key = raw.substring(1, raw.length - 1).replace("''", "'")
@@ -638,6 +646,45 @@ object PgDialect {
       } else from = idx + 1
     }
     toks
+  }
+
+  /** Spark's complete higher-order-builtin surface — lambdas are ONLY legal
+    * as direct arguments of these (there are no user-defined HOFs in Spark
+    * SQL), so the whitelist fully decides the `->` ambiguity. */
+  private val hofNames = Set("transform", "filter", "exists", "forall",
+    "aggregate", "reduce", "zip_with", "map_filter", "transform_keys",
+    "transform_values", "array_sort", "map_zip_with")
+
+  /** Whether the `->` at hand reads as a lambda: left side is a bare
+    * identifier or a parenthesized identifier list, AND it stands as a
+    * direct argument (first, or after a top-level comma) of a call whose
+    * callee is a higher-order builtin. `length(c -> 'k')` and
+    * `WHERE c -> 'k'` both fail the callee test and still rewrite. */
+  private def looksLikeLambdaParam(toks: Vector[Tok], lStart: Int,
+      left: Vector[Tok]): Boolean = {
+    val meat = left.filter(t => t.kind != WS && t.kind != COMMENT)
+    val bareIdent = meat.length == 1 && meat.head.kind == IDENT
+    val parenIdents = meat.length >= 3 &&
+      meat.head.kind == LPAREN && meat.last.kind == RPAREN &&
+      meat.drop(1).dropRight(1).forall(t => t.kind == IDENT || t.kind == COMMA)
+    if (!bareIdent && !parenIdents) return false
+    // walk back to the LPAREN that opens the argument list this operand
+    // sits in (skipping over any complete sibling-argument groups)
+    var i = skipWsB(toks, lStart - 1)
+    var depth = 0
+    while (i >= 0) {
+      toks(i).kind match {
+        case RPAREN | RBRACK => depth += 1
+        case LPAREN | LBRACK if depth > 0 => depth -= 1
+        case LPAREN =>
+          val callee = skipWsB(toks, i - 1)
+          return callee >= 0 && toks(callee).kind == IDENT &&
+            hofNames.contains(toks(callee).text.toLowerCase(java.util.Locale.ROOT))
+        case _ => ()
+      }
+      i -= 1
+    }
+    false
   }
 
   private def cosineEqEnabled: Boolean =

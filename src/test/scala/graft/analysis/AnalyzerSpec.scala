@@ -39,6 +39,36 @@ class AnalyzerSpec extends AnyFunSuite {
 
   test("path hierarchy emits each prefix path") {
     assert(PathHierarchyAnalyzer()("/a/b/c") == Seq("/a", "/a/b", "/a/b/c"))
+    assert(PathHierarchyAnalyzer()("a/b/c") == Seq("a", "a/b", "a/b/c"))
+  }
+
+  test("path hierarchy delimiter-position edges match the reference") {
+    // path_hierarchy_tokenizer_test.cpp goldens
+    val p = PathHierarchyAnalyzer()
+    assert(p("/") == Seq("/"))                       // test_only_delimiter
+    assert(p("//") == Seq("/", "//"))                // test_only_delimiters
+    assert(p("/a/b/") == Seq("/a", "/a/b", "/a/b/")) // trailing boundary
+    assert(p("") == Seq.empty)
+    val rev = PathHierarchyAnalyzer(reverse = true)
+    assert(rev("/a/b/c/") == Seq("/a/b/c/", "a/b/c/", "b/c/", "c/"))
+    assert(rev("a/b/c") == Seq("a/b/c", "b/c", "c"))
+    assert(rev("/") == Seq("/"))
+    assert(rev("//") == Seq("//", "/"))
+    val revSkip = PathHierarchyAnalyzer(reverse = true, skip = 1)
+    assert(revSkip("/a/b/c/") == Seq("/a/b/", "a/b/", "b/"))
+    assert(revSkip("/") == Seq.empty)
+    assert(revSkip("//") == Seq("/"))
+    val fwdSkip = PathHierarchyAnalyzer(skip = 1)
+    assert(fwdSkip("/a/b/c") == Seq("/b", "/b/c"))
+    assert(fwdSkip("a/b/c/") == Seq("/b", "/b/c", "/b/c/"))
+    assert(fwdSkip("/") == Seq.empty)
+    assert(fwdSkip("//") == Seq("/"))
+    // replacement applies to every delimiter in the OUTPUT
+    val repl = PathHierarchyAnalyzer(replacement = Some("//"))
+    assert(repl("/a/b/c") == Seq("//a", "//a//b", "//a//b//c"))
+    val revRepl = PathHierarchyAnalyzer(replacement = Some("-"),
+      reverse = true, skip = 2, delimiter = ".")
+    assert(revRepl("a.b.c.d.e") == Seq("a-b-c-", "b-c-", "c-"))
   }
 
   test("pattern split and match modes") {

@@ -73,6 +73,23 @@ class PgDialectSpec extends AnyFunSuite {
       "SELECT transform(a, x -> x + 1) FROM t")
     assert(rw("SELECT filter(a, x -> 2) FROM t") ==
       "SELECT filter(a, x -> 2) FROM t")
+    // lambda arrows with a STRING body: lambda-shaped left side in a
+    // higher-order-builtin argument slot stays a lambda
+    assert(rw("SELECT transform(a, x -> 'tag') FROM t") ==
+      "SELECT transform(a, x -> 'tag') FROM t")
+    assert(rw("SELECT map_zip_with(m1, m2, (k, v1, v2) -> 'a') FROM t") ==
+      "SELECT map_zip_with(m1, m2, (k, v1, v2) -> 'a') FROM t")
+    assert(rw("SELECT aggregate(a, '', (acc, x) -> 'y', acc -> 'z') FROM t") ==
+      "SELECT aggregate(a, '', (acc, x) -> 'y', acc -> 'z') FROM t")
+    // ... but a bare identifier under a NON-higher-order callee is pg JSON
+    assert(rw("SELECT length(c -> 'k') FROM t") ==
+      "SELECT length(get_json_object(c, '$.k')) FROM t")
+    // and a qualified column never reads as a lambda parameter
+    assert(rw("SELECT transform(a, t.c -> 'k') FROM t") ==
+      "SELECT transform(a, get_json_object(t.c, '$.k')) FROM t")
+    // `->>` has no lambda meaning, so it rewrites even in that slot
+    assert(rw("SELECT transform(a, x ->> 'k') FROM t") ==
+      "SELECT transform(a, get_json_object(x, '$.k')) FROM t")
     // strings keep their arrows
     assert(rw("SELECT 'a->>b'") == "SELECT 'a->>b'")
     // idempotent
