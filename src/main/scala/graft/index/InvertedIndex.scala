@@ -271,6 +271,21 @@ final case class InvertedIndex(
     docsForTerms(expandTerms(expr(s"$j >= $minJaccard")))
   }
 
+  /** ts_ngram over a GRAM-TOKENIZED field (TsQuery.GramSim; reference
+    * ngram_match.test): the postings' terms ARE grams, so matching is one
+    * bucket-pruned postings probe for the ≤|query| grams followed by a
+    * per-doc distinct count — never a dictionary scan, output-sensitive at
+    * any corpus size. A doc matches with ≥1 common gram whose matched
+    * fraction of distinct query grams reaches `minRatio`. */
+  def gramSimilarity(qGrams: Seq[String], minRatio: Double): DataFrame = {
+    val gs = qGrams.distinct
+    require(gs.nonEmpty, "ts_ngram: query produced no grams under this dictionary")
+    postingsForAny(gs)
+      .groupBy(col("doc_id")).agg(countDistinct(col("term")).as("__m"))
+      .filter(col("__m").cast("double") / lit(gs.size.toDouble) >= minRatio)
+      .select(col("doc_id"))
+  }
+
   /** Exact positional phrase via postings positions — ts_phrase with slop 0
     * (/root/reference/libs/iresearch/include/iresearch/search/phrase_filter.hpp).
     * Chains per-term postings joins on doc_id, intersecting shifted position

@@ -1301,7 +1301,8 @@ case class ClaimTsMatch(spark: SparkSession) extends Rule[LogicalPlan] {
         // anti joins are duplicate-insensitive, so no distinct needed)
         val matched = legs.map { case (segDir, dict, build) =>
           val idx = graft.index.IndexStore.load(spark, segDir)
-          val parsed = build(graft.analysis.AnalyzerRegistry.get(dict))
+          val a = graft.analysis.AnalyzerRegistry.get(dict)
+          val parsed = graft.search.TsQuery.bindDict(build(a), a)
           graft.search.TsQueryExec.matching(idx, parsed).select("doc_id")
         }.reduce(_ unionByName _)
         // optimizedPlan, NOT analyzed: the injected subtree skips the earlier
@@ -1479,7 +1480,8 @@ case class ClaimCoveredProjection(spark: SparkSession) extends Rule[LogicalPlan]
     var acc: LogicalPlan = storedPlan
     textClaims.foreach { case (segDir, dict, build) =>
       val idx = graft.index.IndexStore.load(spark, segDir)
-      val parsed = build(graft.analysis.AnalyzerRegistry.get(dict))
+      val a = graft.analysis.AnalyzerRegistry.get(dict)
+      val parsed = graft.search.TsQuery.bindDict(build(a), a)
       val m = graft.search.TsQueryExec.matching(idx, parsed)
         .queryExecution.optimizedPlan
       val rightId = m.output.find(_.name == "doc_id").get

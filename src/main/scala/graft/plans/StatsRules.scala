@@ -165,8 +165,9 @@ case class ClaimCountOnly(spark: SparkSession) extends Rule[LogicalPlan] {
             if indexFresh(spark, e2.segDir, rel)
           } yield {
             val idx = IndexStore.load(spark, e2.segDir)
+            val a = graft.analysis.AnalyzerRegistry.get(dict)
             graft.search.TsQueryExec
-              .matching(idx, build(graft.analysis.AnalyzerRegistry.get(dict)))
+              .matching(idx, graft.search.TsQuery.bindDict(build(a), a))
               .select("doc_id")
           }
         // each conjunct: a claimable leaf, or an OR whose every disjunct is

@@ -275,6 +275,21 @@ object Search {
       .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("term"))
   }
 
+  /** ts_ngram over a GRAM-TOKENIZED index (reference ngram_match.test /
+    * by_ngram_similarity): the index tokenizes docs into character 3-grams,
+    * the query tokenizes under the same dictionary, and a doc matches when
+    * it holds at least half of the query's distinct grams. One bucketed
+    * postings probe + per-doc distinct count (InvertedIndex.gramSimilarity)
+    * — never a dictionary or corpus scan. Restricted to a 2k-doc slice so
+    * the gram index build stays proportionate at bench scale. */
+  def tsGramMatch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 2000)
+    val idx = IndexStore.ensure(s, docs, s"$dir-documents-ng3", "doc_id",
+      "text", "ngram3")
+    val grams = AnalyzerRegistry.get("ngram3").tokens("vector")
+    idx.gramSimilarity(grams, 0.5).select(col("doc_id"))
+  }
+
   // ---- oracles -------------------------------------------------------------
 
   /** Shared tokenization CTE: identical to WhitespaceAnalyzer(lowercase). */
@@ -285,6 +300,7 @@ object Search {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_term" -> tsTerm,
+    "ts_gram_match" -> tsGramMatch,
     "ts_any_minmatch" -> tsAny,
     "ts_all" -> tsAll,
     "ts_prefix" -> tsPrefix,
@@ -396,6 +412,16 @@ object Search {
     "ts_term" ->
       s"""$toks
          |SELECT doc_id FROM toks WHERE list_contains(ts, 'vector')""".stripMargin,
+    // 3-grams of the raw text (the ngram3 dictionary's stream); 'vector'
+    // grams = vec/ect/cto/tor, threshold 0.5 of 4 distinct grams = 2
+    "ts_gram_match" ->
+      """WITH g AS (SELECT doc_id, substring(text, CAST(i AS INT), 3) AS gr
+        |           FROM (SELECT doc_id, text,
+        |                   unnest(range(1, CAST(length(text) AS BIGINT) - 1)) AS i
+        |                 FROM documents WHERE doc_id < 2000)),
+        |m AS (SELECT doc_id, count(DISTINCT gr) AS nm FROM g
+        |      WHERE gr IN ('vec', 'ect', 'cto', 'tor') GROUP BY doc_id)
+        |SELECT doc_id FROM m WHERE nm >= 2""".stripMargin,
     "ts_any_minmatch" ->
       s"""$toks
          |SELECT doc_id FROM toks

@@ -70,7 +70,7 @@ object SqlSurface {
           val q =
             if (TsQueryCodec.isEncoded(query)) TsQueryCodec.decode(query, a)
             else TsQueryParser.websearch(query, a)
-          Some(TsQueryExec.evalTokens(q, a.tokens(text)))
+          Some(TsQueryExec.evalTokens(TsQuery.bindDict(q, a), a.tokens(text)))
         })
     // the to_tsquery SYNTAX path (`&`/`|`/`!`, `<->`, `<N>`, `:*`,
     // `"..."~N` slop) as a SQL predicate — ts_match stays the websearch
@@ -83,7 +83,7 @@ object SqlSurface {
           val q =
             if (TsQueryCodec.isEncoded(query)) TsQueryCodec.decode(query, a)
             else TsQueryParser.toTsquery(query, a)
-          Some(TsQueryExec.evalTokens(q, a.tokens(text)))
+          Some(TsQueryExec.evalTokens(TsQuery.bindDict(q, a), a.tokens(text)))
         })
     // the reference's TSQUERY-constructor functions (search.h:42-71),
     // composable as `ts_match(col, <constructor>, dict)` — the `@@` form.
@@ -212,7 +212,8 @@ object SqlSurface {
       (text: String, q: String, minJaccard: Double, dict: String) =>
         if (text == null) None else {
           val a = AnalyzerRegistry.get(dict)
-          Some(TsQueryExec.evalTokens(TsQuery.NgramSim(q, minJaccard), a.tokens(text)))
+          Some(TsQueryExec.evalTokens(
+            TsQuery.bindDict(TsQuery.NgramSim(q, minJaccard), a), a.tokens(text)))
         })
   }
 

@@ -46,6 +46,16 @@ object TsQuery {
   /** Char-n-gram Jaccard leaf — `ts_ngram` (search.h:44;
     * ngram_similarity_filter.hpp). */
   final case class NgramSim(q: String, minJaccard: Double, n: Int = 3) extends TsQuery
+  /** `ts_ngram` bound to a GRAM-TOKENIZED dictionary (reference
+    * ngram_match.test over a `template = 'ngram'` index): the doc's TOKENS
+    * already ARE its grams, the query tokenizes with the same dictionary,
+    * and a doc matches when it holds ≥1 query gram and the matched
+    * fraction of DISTINCT query grams reaches `minRatio`. Never spelled in
+    * SQL — [[TsQuery.bindDict]] lowers NgramSim to this where the
+    * dictionary is known. (DEVIATION: the reference's by_ngram_similarity
+    * measures the longest common gram SEQUENCE; this uses set overlap —
+    * identical on the corpus goldens and order-insensitive.) */
+  final case class GramSim(grams: Seq[String], minRatio: Double) extends TsQuery
   final case class Phrase(terms: Seq[String]) extends TsQuery
   /** Phrase whose LAST slot matches any term with the given prefix — the ES
     * `match_phrase_prefix` clause (type-ahead). `init` may be empty (a bare
@@ -67,6 +77,32 @@ object TsQuery {
   final case class Not(q: TsQuery) extends TsQuery
   /** Scoring-only annotation; match semantics are the child's. */
   final case class Boost(q: TsQuery, weight: Double) extends TsQuery
+
+  /** Dictionary-aware lowering, applied wherever the query meets its
+    * dictionary (the ts_match row-eval UDFs and the claim rules): against a
+    * gram TOKENIZER (`template = 'ngram'` / `'edgengram'`, possibly as the
+    * last stage of a pipeline) an NgramSim leaf becomes [[GramSim]] over
+    * the query's OWN grams under that dictionary — per-token char-gram
+    * Jaccard would compare grams of grams and never match. Every other
+    * dictionary leaves the tree untouched. */
+  def bindDict(q: TsQuery, analyzer: graft.analysis.Analyzer): TsQuery = {
+    def isGram(a: graft.analysis.Analyzer): Boolean = a match {
+      case _: graft.analysis.NGramAnalyzer => true
+      case _: graft.analysis.EdgeNGramAnalyzer => true
+      case p: graft.analysis.PipelineAnalyzer => p.stages.lastOption.exists(isGram)
+      case _ => false
+    }
+    if (!isGram(analyzer)) return q
+    def walk(t: TsQuery): TsQuery = t match {
+      case NgramSim(s, j, _) => GramSim(analyzer.tokens(s).distinct, j)
+      case And(qs) => And(qs.map(walk))
+      case Or(qs) => Or(qs.map(walk))
+      case Not(inner) => Not(walk(inner))
+      case Boost(inner, w) => Boost(walk(inner), w)
+      case other => other
+    }
+    walk(q)
+  }
 }
 
 /** Compiles a [[TsQuery]] to doc_id sets over an [[InvertedIndex]] — the
@@ -90,6 +126,7 @@ object TsQueryExec {
     case TsQuery.TermRange(lo, hi, loInc, hiInc) => idx.range(lo, hi, loInc, hiInc)
     case TsQuery.Fuzzy(t, d, tr, p) => idx.fuzzy(t, d, transpositions = tr, prefix = p)
     case TsQuery.NgramSim(q, j, n) => idx.ngramSimilarity(q, j, n)
+    case TsQuery.GramSim(gs, r) => idx.gramSimilarity(gs, r)
     case TsQuery.Phrase(ts) if ts.size == 1 => idx.term(ts.head)
     case TsQuery.Phrase(ts) => idx.phrase(ts)
     case TsQuery.PhrasePrefix(init, p) => idx.phrasePrefix(init, p)
@@ -282,6 +319,10 @@ object TsQueryExec {
         val u = (tg ++ qg).size
         u > 0 && (tg & qg).size.toDouble / u >= j
       }
+    case TsQuery.GramSim(gs, r) =>
+      val qg = gs.distinct.toSet
+      val m = toks.distinct.count(qg)
+      m >= 1 && qg.nonEmpty && m.toDouble / qg.size >= r
     case TsQuery.Phrase(ps) => ps.size <= toks.size && toks.sliding(ps.size).contains(ps)
     case TsQuery.PhrasePrefix(init, p) =>
       if (init.isEmpty) toks.exists(_.startsWith(p))
