@@ -186,9 +186,21 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
         case ArrayType(StringType | BinaryType, _) => true
         case _ => false
       }
-      if (!ok) throw new IllegalArgumentException(
-        s"Column '$target' uses a tokenizer; must be VARCHAR, BLOB, or a " +
-          s"LIST/ARRAY of VARCHAR/BLOB (got ${pgTypeName(dt)})")
+      if (!ok) {
+        // a KEYWORD (null-tokenizer) dictionary accepts any scalar return
+        // type: the reference granular-encodes the value as one verbatim
+        // term (inverted_index_expressions.test: `(a + 1)` INTEGER,
+        // `(x > 0)` BOOLEAN). The Spark analogue is indexing its canonical
+        // string rendering. A TOKENIZER dictionary keeps the loud
+        // text-only error below, as in the reference.
+        val kw = graft.analysis.AnalyzerRegistry.get(dict) ==
+          graft.analysis.KeywordAnalyzer
+        if (kw && isExpr && !dt.isInstanceOf[ArrayType])
+          return Tokenized(s"CAST(($target) AS STRING)", isExpr = true, dict)
+        throw new IllegalArgumentException(
+          s"Column '$target' uses a tokenizer; must be VARCHAR, BLOB, or a " +
+            s"LIST/ARRAY of VARCHAR/BLOB (got ${pgTypeName(dt)})")
+      }
       Tokenized(target, isExpr, dict)
     }
     if (rest.isEmpty) {
