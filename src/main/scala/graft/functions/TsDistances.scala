@@ -60,6 +60,45 @@ object TsDistances {
   def osaDistance(term: Column, query: Column, max: Int): Column =
     org.apache.spark.sql.functions.call_function("osa_distance", term, query,
       org.apache.spark.sql.functions.lit(max))
+
+  /** Longest common subsequence length between the query's gram SEQUENCE
+    * and a doc's position-ordered gram sequence — the match count the
+    * reference's ngram-similarity filter measures
+    * (ngram_similarity_query.cpp SerialPositionsChecker::Match walks query
+    * grams in order, extending candidate chains only at strictly greater
+    * doc positions; the longest chain is exactly an in-order common
+    * subsequence). Classic two-row DP, O(|doc|·|query|); |query| is the
+    * handful of grams a search string yields, |doc| is only the doc's
+    * MATCHED positions on the indexed path, so per-doc work stays bounded.
+    * Note the reference's checker is a greedy approximation of this value
+    * (the class is literally `NGramApprox`) that can undercount on
+    * adversarial interleavings; exact LCS is the documented semantic
+    * ("longest common gram sequence") and agrees on all corpus goldens. */
+  def lcsLen(query: IndexedSeq[String], doc: Iterable[String]): Int = {
+    val k = query.length
+    if (k == 0) return 0
+    val dp = new Array[Int](k + 1)
+    doc.foreach { b =>
+      var prevDiag = 0
+      var j = 1
+      while (j <= k) {
+        val tmp = dp(j)
+        val ext = if (query(j - 1) == b) prevDiag + 1 else 0
+        dp(j) = math.max(math.max(dp(j), dp(j - 1)), ext)
+        prevDiag = tmp
+        j += 1
+      }
+    }
+    dp(k)
+  }
+
+  /** MinMatchCount (ngram_similarity_filter.cpp:34-39): ceil of threshold
+    * over the FULL gram sequence length (duplicates included), clamped to
+    * [1, n] — so threshold 0 still demands one common gram. */
+  def minMatchCount(termsCount: Int, threshold: Double): Int = {
+    val t = math.min(1.0, math.max(0.0, threshold))
+    math.max(1, math.min(termsCount, math.ceil(termsCount * t).toInt))
+  }
 }
 
 /** osa_distance(term, query, max) → int, -1 when above max — codegen'd

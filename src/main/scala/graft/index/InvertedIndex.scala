@@ -272,17 +272,33 @@ final case class InvertedIndex(
   }
 
   /** ts_ngram over a GRAM-TOKENIZED field (TsQuery.GramSim; reference
-    * ngram_match.test): the postings' terms ARE grams, so matching is one
-    * bucket-pruned postings probe for the ≤|query| grams followed by a
-    * per-doc distinct count — never a dictionary scan, output-sensitive at
-    * any corpus size. A doc matches with ≥1 common gram whose matched
-    * fraction of distinct query grams reaches `minRatio`. */
+    * ngram_match.test, ngram_similarity_query.cpp): the postings' terms ARE
+    * grams, so matching is one bucket-pruned postings probe for the distinct
+    * query grams followed by a per-doc longest-common-gram-SEQUENCE check —
+    * never a dictionary scan, output-sensitive at any corpus size. A doc
+    * matches when LCS(query gram sequence, doc's position-ordered matched
+    * grams) ≥ MinMatchCount(|full query sequence|, minRatio) — duplicates
+    * kept in the denominator and order respected, exactly the reference's
+    * threshold arithmetic (ngram_similarity_filter.cpp:34). A query with no
+    * grams matches nothing (the reference returns QueryBuilder::Empty),
+    * same as the row-eval path — never an error. */
   def gramSimilarity(qGrams: Seq[String], minRatio: Double): DataFrame = {
     val gs = qGrams.distinct
-    require(gs.nonEmpty, "ts_ngram: query produced no grams under this dictionary")
+    if (gs.isEmpty) return postings.select(col("doc_id")).filter(lit(false))
+    val minMatch = graft.functions.TsDistances.minMatchCount(qGrams.size, minRatio)
+    val qSeq = qGrams.toIndexedSeq
+    val lcs = udf((doc: Seq[String]) =>
+      graft.functions.TsDistances.lcsLen(qSeq, doc))
+    // sort_array on (pos, term) structs orders by position; a NULL positions
+    // array (index built without positions) explodes to zero rows, so such
+    // fields match nothing — the reference's kRequiredFeatures gate
+    // (ngram_similarity_filter.cpp:60-64) returns Empty there too.
     postingsForAny(gs)
-      .groupBy(col("doc_id")).agg(countDistinct(col("term")).as("__m"))
-      .filter(col("__m").cast("double") / lit(gs.size.toDouble) >= minRatio)
+      .select(col("doc_id"), explode(col("positions")).as("pos"), col("term"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, term))), x -> x.term)")
+        .as("__seq"))
+      .filter(lcs(col("__seq")) >= minMatch)
       .select(col("doc_id"))
   }
 

@@ -278,10 +278,11 @@ object Search {
   /** ts_ngram over a GRAM-TOKENIZED index (reference ngram_match.test /
     * by_ngram_similarity): the index tokenizes docs into character 3-grams,
     * the query tokenizes under the same dictionary, and a doc matches when
-    * it holds at least half of the query's distinct grams. One bucketed
-    * postings probe + per-doc distinct count (InvertedIndex.gramSimilarity)
-    * — never a dictionary or corpus scan. Restricted to a 2k-doc slice so
-    * the gram index build stays proportionate at bench scale. */
+    * the longest common gram SEQUENCE reaches MinMatchCount(grams, 0.5).
+    * One bucketed postings probe + per-doc LCS over the matched positions
+    * (InvertedIndex.gramSimilarity) — never a dictionary or corpus scan.
+    * Restricted to a 2k-doc slice so the gram index build stays
+    * proportionate at bench scale. */
   def tsGramMatch(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 2000)
     val idx = IndexStore.ensure(s, docs, s"$dir-documents-ng3", "doc_id",
@@ -414,14 +415,20 @@ object Search {
          |SELECT doc_id FROM toks WHERE list_contains(ts, 'vector')""".stripMargin,
     // 3-grams of the raw text (the ngram3 dictionary's stream); 'vector'
     // grams = vec/ect/cto/tor, threshold 0.5 of 4 distinct grams = 2
+    // LCS ≥ 2 over query grams (vec,ect,cto,tor in order) ⟺ some matched
+    // pair appears with strictly increasing text position AND query rank —
+    // the reference's longest-common-gram-sequence threshold at
+    // MinMatchCount(4, 0.5) = 2 (ngram_similarity_filter.cpp:34)
     "ts_gram_match" ->
-      """WITH g AS (SELECT doc_id, substring(text, CAST(i AS INT), 3) AS gr
+      """WITH g AS (SELECT doc_id, CAST(i AS INT) AS p,
+        |             substring(text, CAST(i AS INT), 3) AS gr
         |           FROM (SELECT doc_id, text,
         |                   unnest(range(1, CAST(length(text) AS BIGINT) - 1)) AS i
         |                 FROM documents WHERE doc_id < 2000)),
-        |m AS (SELECT doc_id, count(DISTINCT gr) AS nm FROM g
-        |      WHERE gr IN ('vec', 'ect', 'cto', 'tor') GROUP BY doc_id)
-        |SELECT doc_id FROM m WHERE nm >= 2""".stripMargin,
+        |q(gr, r) AS (VALUES ('vec', 1), ('ect', 2), ('cto', 3), ('tor', 4)),
+        |h AS (SELECT doc_id, p, r FROM g JOIN q USING (gr))
+        |SELECT DISTINCT a.doc_id FROM h a JOIN h b ON a.doc_id = b.doc_id
+        |WHERE a.p < b.p AND a.r < b.r""".stripMargin,
     "ts_any_minmatch" ->
       s"""$toks
          |SELECT doc_id FROM toks

@@ -64,10 +64,44 @@ object EsSql {
 
   private def unesc(s: String) = s.replace("''", "'")
 
+  /** Backing-table identifier for a reference-valid ES index name
+    * ([a-z0-9._+-], es.cpp:92-108). The reference keeps such names "safe
+    * inside double-quoted SQL identifiers" (es.cpp:89-91); Spark-side
+    * catalog plumbing composes identifiers unquoted, so the ES surface maps
+    * names at its boundary instead: a name that is already a plain
+    * identifier passes through verbatim (every pre-existing index keeps its
+    * table name), and a name with '-'/'+'/'.' spells them as '_' plus a
+    * short digest of the ORIGINAL name — injective in practice, and never
+    * colliding with a pass-through name by construction is guaranteed by
+    * the digest suffix. The original spelling persists as an `_ES_NAME`
+    * sidecar next to `_ES_MAPPING`, so es_cat_indices() and every CALL
+    * verb speak the user's name; only direct SQL on the backing table uses
+    * the mapped identifier. */
+  private def mangle(name: String): String =
+    if (name.matches("[a-z0-9_]+")) name
+    else name.map(c => if ("-+.".contains(c)) '_' else c) + "_" +
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(name).substring(0, 6)
+
+  /** Backing table identifier for an ES index name. */
+  private def tbl(name: String): String = s"es.${mangle(name)}"
+
+  /** User-facing name of a backing table: the `_ES_NAME` sidecar when the
+    * name needed mapping, the table name itself otherwise. */
+  private def displayName(spark: SparkSession, t: ObjectCatalog.TableDef): String = {
+    val p = s"${t.dir}/_ES_NAME"
+    if (graft.index.IndexStore.exists(spark, p))
+      graft.index.IndexStore.readString(spark, p)
+    else t.name
+  }
+
   /** name → alphabetical (field → es type); None when the table is not an
     * ES index (no sidecar). */
   private def mappingOf(spark: SparkSession, name: String): Option[ListMap[String, String]] =
-    ObjectCatalog.table(s"es.$name").flatMap { t =>
+    mappingOfId(spark, mangle(name))
+
+  /** Same, keyed by the backing table's (mangled) catalog name. */
+  private def mappingOfId(spark: SparkSession, id: String): Option[ListMap[String, String]] =
+    ObjectCatalog.table(s"es.$id").flatMap { t =>
       val p = s"${t.dir}/_ES_MAPPING"
       if (!graft.index.IndexStore.exists(spark, p)) None
       else {
@@ -105,15 +139,15 @@ object EsSql {
         case "es_drop_index" =>
           requireIndex(spark, name)
           if (m2v(spark, name).nonEmpty)
-            spark.sql(s"DROP INDEX IF EXISTS ${textIndexName(name)}")
-          spark.sql(s"DROP TABLE es.$name")
+            spark.sql(s"DROP INDEX IF EXISTS ${textIndexName(mangle(name))}")
+          spark.sql(s"DROP TABLE ${tbl(name)}")
           ack(spark)
         case "es_refresh" =>
           val targets =
             if (name.isEmpty) ObjectCatalog.tablesInSchema("es").map(_.name)
-              .filter(n => mappingOf(spark, n).isDefined)
-            else { requireIndex(spark, name); Seq(name) }
-          targets.foreach(n => spark.sql(s"VACUUM (REFRESH_TABLE) es.$n"))
+              .filter(id => mappingOfId(spark, id).isDefined)
+            else { requireIndex(spark, name); Seq(mangle(name)) }
+          targets.foreach(id => spark.sql(s"VACUUM (REFRESH_TABLE) es.$id"))
           ack(spark)
       }
   }
@@ -124,19 +158,14 @@ object EsSql {
 
   private def createIndex(spark: SparkSession, name: String, body: String): DataFrame = {
     // reference ValidateIndexName (es.cpp:92-108): lowercase [a-z0-9._+-],
-    // ≤255, not "."/"..", not starting with '-'/'_'/'+'. DEVIATION: names
-    // containing '-', '+' or '.' are additionally rejected here — the name
-    // composes unquoted into CREATE TABLE/INDEX statements (and into the
-    // `es_<name>_text` index identifier, which the index-DDL grammar bounds
-    // to \w+), so accepting them would fail later with a parse error
-    // instead of a named one (r15 ADVICE).
+    // ≤255, not "."/"..", not starting with '-'/'_'/'+'. Names with '-',
+    // '+' or '.' are valid and accepted; [[mangle]] maps them onto the
+    // engine's identifier alphabet at the SQL-composition boundary
+    // (r16 ADVICE — the r15 blanket rejection was a parity gap).
     if (name.isEmpty || name.length > 255 || name == "." || name == ".." ||
         "-_+".contains(name.head) || !name.matches("[a-z0-9._+-]+"))
       throw err(s"invalid index name [$name]")
-    if (!name.matches("[a-z0-9_]+"))
-      throw err(s"invalid index name [$name]: '-', '+' and '.' are not " +
-        "supported in this engine's identifiers")
-    if (ObjectCatalog.table(s"es.$name").isDefined)
+    if (ObjectCatalog.table(tbl(name)).isDefined)
       throw err(s"index [$name] already exists")
     val props: ListMap[String, String] =
       if (body.trim.isEmpty) ListMap.empty
@@ -160,9 +189,11 @@ object EsSql {
       }
     spark.sql("CREATE SCHEMA IF NOT EXISTS es")
     val cols = props.map { case (f, ty) => s"$f ${colType(ty, f)._1}" }
-    spark.sql(s"""CREATE TABLE es.$name (_id VARCHAR PRIMARY KEY${
+    spark.sql(s"""CREATE TABLE ${tbl(name)} (_id VARCHAR PRIMARY KEY${
       if (cols.isEmpty) "" else cols.mkString(", ", ", ", "")}, _source VARCHAR)""")
-    val t = ObjectCatalog.table(s"es.$name").get
+    val t = ObjectCatalog.table(tbl(name)).get
+    if (mangle(name) != name)
+      graft.index.IndexStore.writeStringAtomic(spark, s"${t.dir}/_ES_NAME", name)
     graft.index.IndexStore.writeStringAtomic(spark, s"${t.dir}/_ES_MAPPING",
       om.writeValueAsString {
         val n = om.createObjectNode()
@@ -175,7 +206,7 @@ object EsSql {
       spark.sql("""CREATE OR REPLACE TEXT SEARCH DICTIONARY es_standard(
         template = 'text', locale = 'en_US.UTF-8', case = 'lower',
         stemming = false, accent = false, frequency = true, position = true)""")
-      spark.sql(s"CREATE INDEX ${textIndexName(name)} ON es.$name USING " +
+      spark.sql(s"CREATE INDEX ${textIndexName(mangle(name))} ON ${tbl(name)} USING " +
         s"inverted(_id, ${textProps.map(f => s"$f es_standard").mkString(", ")})")
     }
     ack(spark)
@@ -300,8 +331,8 @@ object EsSql {
   private def esCatTvf(spark: SparkSession, args: Seq[Expression]): LogicalPlan = {
     require(args.isEmpty, "es_cat_indices()")
     val rows = ObjectCatalog.tablesInSchema("es")
-      .filter(t => mappingOf(spark, t.name).isDefined)
-      .map(t => Row(t.name, spark.table(s"es.${t.name}").count()))
+      .filter(t => mappingOfId(spark, t.name).isDefined)
+      .map(t => Row(displayName(spark, t), spark.table(s"es.${t.name}").count()))
     localPlan(spark, rows, StructType(Seq(
       StructField("index", StringType), StructField("docs_count", LongType))))
   }

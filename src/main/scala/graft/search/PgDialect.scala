@@ -659,7 +659,13 @@ object PgDialect {
     * identifier or a parenthesized identifier list, AND it stands as a
     * direct argument (first, or after a top-level comma) of a call whose
     * callee is a higher-order builtin. `length(c -> 'k')` and
-    * `WHERE c -> 'k'` both fail the callee test and still rewrite. */
+    * `WHERE c -> 'k'` both fail the callee test and still rewrite.
+    * "Direct argument" is enforced literally: the token immediately before
+    * the operand (ws-skipped) must be the argument list's LPAREN or an
+    * argument-separating COMMA — `exists` and `filter` are ALSO SQL
+    * keywords, so without this a bare identifier deep inside
+    * `WHERE EXISTS (SELECT ... c -> 'k')` or `agg FILTER (WHERE c -> 'k')`
+    * would wrongly read as a lambda and skip the JSON rewrite. */
   private def looksLikeLambdaParam(toks: Vector[Tok], lStart: Int,
       left: Vector[Tok]): Boolean = {
     val meat = left.filter(t => t.kind != WS && t.kind != COMMENT)
@@ -668,9 +674,14 @@ object PgDialect {
       meat.head.kind == LPAREN && meat.last.kind == RPAREN &&
       meat.drop(1).dropRight(1).forall(t => t.kind == IDENT || t.kind == COMMA)
     if (!bareIdent && !parenIdents) return false
+    // direct-argument gate: nothing but the opening paren or a separating
+    // comma may precede the operand
+    val prev = skipWsB(toks, lStart - 1)
+    if (prev < 0 ||
+        (toks(prev).kind != LPAREN && toks(prev).kind != COMMA)) return false
     // walk back to the LPAREN that opens the argument list this operand
     // sits in (skipping over any complete sibling-argument groups)
-    var i = skipWsB(toks, lStart - 1)
+    var i = prev
     var depth = 0
     while (i >= 0) {
       toks(i).kind match {

@@ -49,12 +49,14 @@ object TsQuery {
   /** `ts_ngram` bound to a GRAM-TOKENIZED dictionary (reference
     * ngram_match.test over a `template = 'ngram'` index): the doc's TOKENS
     * already ARE its grams, the query tokenizes with the same dictionary,
-    * and a doc matches when it holds ≥1 query gram and the matched
-    * fraction of DISTINCT query grams reaches `minRatio`. Never spelled in
-    * SQL — [[TsQuery.bindDict]] lowers NgramSim to this where the
-    * dictionary is known. (DEVIATION: the reference's by_ngram_similarity
-    * measures the longest common gram SEQUENCE; this uses set overlap —
-    * identical on the corpus goldens and order-insensitive.) */
+    * and a doc matches when the longest common gram SEQUENCE (in-order,
+    * strictly increasing doc positions — exact LCS; the reference's
+    * SerialPositionsChecker greedily approximates the same value) reaches
+    * MinMatchCount(|grams|, minRatio), duplicates kept in the count
+    * (ngram_similarity_filter.cpp:34, ngram_similarity_query.cpp). `grams`
+    * is the analyzer's FULL ordered output. Never spelled in SQL —
+    * [[TsQuery.bindDict]] lowers NgramSim to this where the dictionary is
+    * known; an empty gram list matches nothing (QueryBuilder::Empty). */
   final case class GramSim(grams: Seq[String], minRatio: Double) extends TsQuery
   final case class Phrase(terms: Seq[String]) extends TsQuery
   /** Phrase whose LAST slot matches any term with the given prefix — the ES
@@ -94,7 +96,10 @@ object TsQuery {
     }
     if (!isGram(analyzer)) return q
     def walk(t: TsQuery): TsQuery = t match {
-      case NgramSim(s, j, _) => GramSim(analyzer.tokens(s).distinct, j)
+      // full ordered token sequence, duplicates kept: MinMatchCount and the
+      // LCS both run over the sequence the analyzer actually produced
+      // (ngram_similarity_filter.cpp:44 terms_count = ngrams.size())
+      case NgramSim(s, j, _) => GramSim(analyzer.tokens(s), j)
       case And(qs) => And(qs.map(walk))
       case Or(qs) => Or(qs.map(walk))
       case Not(inner) => Not(walk(inner))
@@ -320,9 +325,11 @@ object TsQueryExec {
         u > 0 && (tg & qg).size.toDouble / u >= j
       }
     case TsQuery.GramSim(gs, r) =>
-      val qg = gs.distinct.toSet
-      val m = toks.distinct.count(qg)
-      m >= 1 && qg.nonEmpty && m.toDouble / qg.size >= r
+      // reference semantics (ngram_similarity_query.cpp): longest common
+      // gram SEQUENCE vs MinMatchCount over the FULL query gram list
+      // (duplicates included) — same kernel the indexed path uses
+      gs.nonEmpty && graft.functions.TsDistances.lcsLen(gs.toIndexedSeq, toks) >=
+        graft.functions.TsDistances.minMatchCount(gs.size, r)
     case TsQuery.Phrase(ps) => ps.size <= toks.size && toks.sliding(ps.size).contains(ps)
     case TsQuery.PhrasePrefix(init, p) =>
       if (init.isEmpty) toks.exists(_.startsWith(p))

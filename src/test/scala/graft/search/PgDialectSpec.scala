@@ -90,6 +90,20 @@ class PgDialectSpec extends AnyFunSuite {
     // `->>` has no lambda meaning, so it rewrites even in that slot
     assert(rw("SELECT transform(a, x ->> 'k') FROM t") ==
       "SELECT transform(a, get_json_object(x, '$.k')) FROM t")
+    // `exists`/`filter` are ALSO SQL keywords: a bare identifier deep inside
+    // EXISTS(SELECT ...) or agg FILTER(WHERE ...) is NOT a direct argument
+    // of a higher-order call and must still rewrite (r16 ADVICE item 2)
+    assert(rw("SELECT 1 FROM t WHERE EXISTS (SELECT 1 FROM u WHERE c -> 'k' = 'x')") ==
+      "SELECT 1 FROM t WHERE EXISTS (SELECT 1 FROM u WHERE get_json_object(c, '$.k') = 'x')")
+    assert(rw("SELECT count(*) FILTER (WHERE c -> 'k' = 'x') FROM t") ==
+      "SELECT count(*) FILTER (WHERE get_json_object(c, '$.k') = 'x') FROM t")
+    // a genuine lambda that is not the leading argument still holds
+    assert(rw("SELECT exists(a, x -> 'y') FROM t") ==
+      "SELECT exists(a, x -> 'y') FROM t")
+    // non-argument position inside a HOF call (operator operand, not a
+    // direct argument) rewrites
+    assert(rw("SELECT filter(a, x -> x = c -> 'k') FROM t") ==
+      "SELECT filter(a, x -> x = get_json_object(c, '$.k')) FROM t")
     // strings keep their arrows
     assert(rw("SELECT 'a->>b'") == "SELECT 'a->>b'")
     // idempotent

@@ -45,4 +45,53 @@ class TsQueryFuzzSpec extends AnyFunSuite {
       assert(got == want, s"fuzz #$i diverged for $q")
     }
   }
+
+  /** The r16 VERDICT's GramSim fidelity ask: the indexed LCS kernel and the
+    * row evaluator must agree on random gram sequences INCLUDING duplicate
+    * grams and order-scrambled docs — the shapes where the old set-overlap
+    * arithmetic diverged from the reference's longest-common-gram-sequence
+    * semantics (ngram_similarity_query.cpp). */
+  test("GramSim: indexed LCS kernel equals row evaluation, duplicates included") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val grams = Vector("ab", "bc", "cd", "de", "ef")
+    // docs whose TOKENS already are grams — a gram-tokenized field
+    val docs = (0L until 150L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(12))(grams(rnd.nextInt(grams.size))).mkString(" "))
+    }
+    val idx = InvertedIndex.build(docs.toDF("doc_id", "text"), "doc_id", "text",
+      "whitespace")
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    (1 to 20).foreach { i =>
+      // duplicates are likely at this vocabulary size — deliberately so
+      val q = GramSim(Seq.fill(1 + rnd.nextInt(6))(grams(rnd.nextInt(grams.size))),
+        rnd.nextInt(11) / 10.0)
+      val got = TsQueryExec.matching(idx, q).collect().map(_.getLong(0)).toSet
+      val want = toks.collect { case (id, ts) if TsQueryExec.evalTokens(q, ts) => id }.toSet
+      assert(got == want, s"gramsim fuzz #$i diverged for $q")
+    }
+  }
+
+  test("GramSim kernels: LCS order-sensitivity, duplicate denominator, empty query") {
+    import graft.functions.TsDistances._
+    // order matters: doc (tor ... vec) holds both grams but never in order
+    assert(lcsLen(IndexedSeq("vec", "ect"), Seq("ect", "xxx", "vec")) == 1)
+    assert(lcsLen(IndexedSeq("vec", "ect"), Seq("vec", "xxx", "ect")) == 2)
+    // duplicate query grams count individually against repeated doc grams
+    assert(lcsLen(IndexedSeq("ab", "ba", "ab"), Seq("ab", "ba", "ab", "ba")) == 3)
+    // MinMatchCount: FULL sequence length in the denominator, clamped ≥ 1
+    assert(minMatchCount(2, 0.0) == 1) // threshold 0 still needs one gram
+    assert(minMatchCount(4, 0.5) == 2)
+    assert(minMatchCount(3, 1.0) == 3)
+    assert(minMatchCount(2, 0.6) == 2) // ceil over duplicates-included count
+    // empty-gram query matches nothing on BOTH paths instead of erroring
+    // (the reference returns QueryBuilder::Empty; r16 ADVICE item 1)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val idx = InvertedIndex.build(
+      Seq((1L, "ab bc")).toDF("doc_id", "text"), "doc_id", "text", "whitespace")
+    assert(TsQueryExec.matching(idx, GramSim(Nil, 0.5)).count() == 0)
+    assert(!TsQueryExec.evalTokens(GramSim(Nil, 0.5), Seq("ab", "bc")))
+  }
 }
