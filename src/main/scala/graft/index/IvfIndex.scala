@@ -473,28 +473,42 @@ object IvfIndex {
       val f = fs(spark, dir)
       recover(spark, dir)
       val marker = new Path(s"$dir/_CENTROIDS")
-      val radiiFile = new Path(s"$dir/_RADII")
-      val sizesFile = new Path(s"$dir/_SIZES")
       if (!f.exists(marker)) {
         val idx = build(embs, k = k)
         idx.assignments.repartition(col("cluster"))
           .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/vectors")
         // atomic writes, _CENTROIDS (the availability marker) LAST: a crash
         // mid-build leaves no marker and the next ensure rebuilds over it
-        writeAtomic(spark, radiiFile.toString, idx.radii.mkString("\n"))
-        writeAtomic(spark, sizesFile.toString, idx.sizes.mkString("\n"))
+        writeAtomic(spark, s"$dir/_RADII", idx.radii.mkString("\n"))
+        writeAtomic(spark, s"$dir/_SIZES", idx.sizes.mkString("\n"))
         writeAtomic(spark, s"$dir/_TRAINED", idx.sizes.sum.toString)
         writeAtomic(spark, marker.toString, idx.centroids.map(_.mkString(",")).mkString("\n"))
       }
-      def readLines(p: Path): Array[String] = {
-        val in = f.open(p)
-        val txt = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-        txt.split("\n").filter(_.nonEmpty)
-      }
-      val centroids = readLines(marker).map(_.split(",").map(_.toDouble))
-      val radii = readLines(radiiFile).map(_.toDouble)
-      val sizes = readLines(sizesFile).map(_.toLong)
-      IvfIndex(spark.read.parquet(s"$dir/vectors"), centroids, radii, sizes)
+      readFrom(spark, dir)
     })
+  }
+
+  /** Load a BUILT index straight from its directory — REFRESH paths that
+    * know the dir but not the cacheKey/lists it was ensured under. Throws
+    * when no availability marker exists. */
+  def loadFrom(spark: SparkSession, dir: String): IvfIndex =
+    jvmCache.getOrElseUpdate(dir, {
+      recover(spark, dir)
+      require(fs(spark, dir).exists(new Path(s"$dir/_CENTROIDS")),
+        s"no IVF index at $dir")
+      readFrom(spark, dir)
+    })
+
+  private def readFrom(spark: SparkSession, dir: String): IvfIndex = {
+    val f = fs(spark, dir)
+    def readLines(p: Path): Array[String] = {
+      val in = f.open(p)
+      val txt = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      txt.split("\n").filter(_.nonEmpty)
+    }
+    val centroids = readLines(new Path(s"$dir/_CENTROIDS")).map(_.split(",").map(_.toDouble))
+    val radii = readLines(new Path(s"$dir/_RADII")).map(_.toDouble)
+    val sizes = readLines(new Path(s"$dir/_SIZES")).map(_.toLong)
+    IvfIndex(spark.read.parquet(s"$dir/vectors"), centroids, radii, sizes)
   }
 }

@@ -7,9 +7,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Quantized IVF storage — the Spark-native analogue of the reference's
-  * `quant = 'sq8' | 'pq'` inverted-index vector options
-  * (tests/sqllogic/sdb/pg/index/inverted_index_ivf_sq8.test,
-  * inverted_index_ivf_pq.test; faiss-backed codes in the postings .pay).
+  * `quant = 'sq8' | 'sq4' | 'pq' | 'rabitq'` inverted-index vector options
+  * (tests/sqllogic/sdb/pg/index/inverted_index_ivf_sq8.test, ivf_sq4.test,
+  * ivf_pq.test, ivf_rabitq.test; faiss-backed codes in the postings .pay).
   *
   * Why this exists at 100 TB: a raw FLOAT[768] corpus is ~3 KB/vector —
   * 100 TB of embeddings cannot be re-read per query. SQ8 stores ONE BYTE per
@@ -79,6 +79,44 @@ object Quantization {
     def deserialize(s: String): Sq8 = {
       val Array(m, sc) = s.split("\n")
       Sq8(m.split(",").map(_.toDouble), sc.split(",").map(_.toDouble))
+    }
+  }
+
+  /** SQ4 scalar quantizer (reference `quant = 'sq4'`,
+    * inverted_index_ivf_sq4.test; faiss QT_4bit): per-dimension affine
+    * [min, min+15·scale] grid, TWO codes per byte (code_size = ceil(d/2) —
+    * an 8× storage cut vs float32, 2× vs SQ8). Stats are trained once
+    * globally over the corpus (the reference stores "a single global
+    * [vmin, vdiff] ... not per cluster"), exactly like [[Sq8]] with 15
+    * levels instead of 255. */
+  final case class Sq4(mins: Array[Double], scales: Array[Double]) {
+    def dim: Int = mins.length
+
+    private def fl(a: Array[Double]): Column = typedlit(a.map(_.toFloat).toSeq)
+
+    def encode(emb: Column): Column =
+      call_function("sq4_encode", emb, fl(mins), fl(scales))
+
+    def adcL2(codes: Column, query: Seq[Float]): Column =
+      call_function("sq4_adc_l2", codes, typedlit(query), fl(mins), fl(scales))
+
+    def adcNegIp(codes: Column, query: Seq[Float]): Column =
+      call_function("sq4_adc_neg_ip", codes, typedlit(query), fl(mins), fl(scales))
+
+    def serialize: String =
+      mins.mkString(",") + "\n" + scales.mkString(",")
+  }
+
+  object Sq4 {
+    /** Same one-pass min/max training as SQ8, scale = range/15. */
+    def train(embs: DataFrame, embCol: String = "embedding"): Sq4 = {
+      val q8 = Sq8.train(embs, embCol)
+      Sq4(q8.mins, q8.scales.map(_ * 255.0 / 15.0))
+    }
+
+    def deserialize(s: String): Sq4 = {
+      val Array(m, sc) = s.split("\n")
+      Sq4(m.split(",").map(_.toDouble), sc.split(",").map(_.toDouble))
     }
   }
 
@@ -256,7 +294,8 @@ object Quantization {
   * 4 bytes-per-dim floats.
   */
 final case class QuantizedIvf(ivf: IvfIndex, codes: DataFrame,
-    sq8: Option[Quantization.Sq8], pq: Option[Quantization.Pq]) {
+    sq8: Option[Quantization.Sq8], pq: Option[Quantization.Pq],
+    sq4: Option[Quantization.Sq4] = None, rabitq: Boolean = false) {
 
   private def spark: SparkSession = ivf.assignments.sparkSession
 
@@ -276,14 +315,34 @@ final case class QuantizedIvf(ivf: IvfIndex, codes: DataFrame,
         }.take(nprobe)
       else { val (p1, p2) = ivf.ballProbes(query, k); (p1 ++ p2) }
     val pool = rerankFactor * k
-    val approxDist: Column = (sq8, pq) match {
-      case (Some(q), _) => q.adcL2(col("code"), query)
-      case (_, Some(q)) =>
+    val approxDist: Column = (sq8, sq4, pq) match {
+      case (Some(q), _, _) => q.adcL2(col("code"), query)
+      case (_, Some(q), _) => q.adcL2(col("code"), query)
+      case (_, _, Some(q)) =>
         val ss = spark
         import ss.implicits._
         val luts = probes.toSeq.map(i => (i, q.lut(query, ivf.centroids(i)).toSeq))
           .toDF("cluster", "lut")
         return knnPq(query, k, pool, probes.toSeq, luts, q)
+      case _ if rabitq =>
+        // per-probed-cluster query residual, broadcast like the PQ LUT —
+        // the RaBitQ code decodes against its own cluster's centroid
+        val ss = spark
+        import ss.implicits._
+        val qrs = probes.toSeq.map { i =>
+          val c = ivf.centroids(i)
+          (i, query.indices.map(j => (query(j) - c(j)).toFloat))
+        }.toDF("cluster", "qr")
+        val cand = codes
+          .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+          .join(broadcast(qrs), "cluster")
+          .withColumn("adist",
+            call_function("rabitq_adc_l2", col("code"), col("rnorm"), col("qr")))
+          .orderBy(col("adist"), col("vec_id"))
+          .limit(pool)
+          .select("vec_id")
+          .collect().map(_.getLong(0))
+        return rerank(query, k, probes.toSeq, cand)
       case _ => throw new IllegalStateException("no quantizer attached")
     }
     val cand = codes
@@ -316,17 +375,45 @@ final case class QuantizedIvf(ivf: IvfIndex, codes: DataFrame,
     * set = the exact dot-product ball bound; candidates by the negated-IP
     * ADC kernel; exact float rerank. */
   def knnIp(query: Seq[Float], k: Int, rerankFactor: Int = 5): DataFrame = {
-    val q = sq8.getOrElse(throw new IllegalStateException(
-      "knnIp requires an SQ8 quantizer (PQ ADC uses L2 residual tables)"))
     val probes = ivf.ipProbes(query, k)
     val pool = rerankFactor * k
+    val approxDist: Column = (sq8, sq4) match {
+      case (Some(q), _) => q.adcNegIp(col("code"), query)
+      case (_, Some(q)) => q.adcNegIp(col("code"), query)
+      case _ if rabitq =>
+        // est x ≈ c + (rnorm/√d)·sign(r); <q,c> is a per-cluster scalar
+        val ss = spark
+        import ss.implicits._
+        val qcs = probes.toSeq.map { i =>
+          val c = ivf.centroids(i)
+          (i, query.indices.map(j => query(j).toDouble * c(j)).sum)
+        }.toDF("cluster", "qdotc")
+        val cand0 = codes
+          .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+          .join(broadcast(qcs), "cluster")
+          .withColumn("adist", call_function("rabitq_adc_neg_ip",
+            col("code"), col("rnorm"), typedlit(query), col("qdotc")))
+          .orderBy(col("adist"), col("vec_id"))
+          .limit(pool)
+          .select("vec_id")
+          .collect().map(_.getLong(0))
+        return rerankIp(query, k, probes, cand0)
+      case _ => throw new IllegalStateException(
+        "knnIp requires a scalar or sign-bit quantizer (PQ ADC uses L2 residual tables)")
+    }
     val cand = codes
       .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
-      .withColumn("adist", q.adcNegIp(col("code"), query))
+      .withColumn("adist", approxDist)
       .orderBy(col("adist"), col("vec_id"))
       .limit(pool)
       .select("vec_id")
       .collect().map(_.getLong(0))
+    rerankIp(query, k, probes, cand)
+  }
+
+  /** Exact negated-IP rerank over raw floats for the pool ids only. */
+  private def rerankIp(query: Seq[Float], k: Int, probes: Seq[Int],
+      cand: Array[Long]): DataFrame =
     ivf.assignments
       .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
       .filter(col("vec_id").isin(cand.map(java.lang.Long.valueOf): _*))
@@ -335,7 +422,6 @@ final case class QuantizedIvf(ivf: IvfIndex, codes: DataFrame,
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("dist"))
-  }
 
   /** Exact-rerank stage: raw floats for the pool ids only. */
   private def rerank(query: Seq[Float], k: Int, probes: Seq[Int],
@@ -403,8 +489,94 @@ object QuantizedIvf {
       QuantizedIvf(ivf, spark.read.parquet(s"$ivfDir/pq"), None, Some(q))
     })
 
+  /** Build-or-load the SQ4 codes (4-bit packed, ceil(d/2) bytes/vector). */
+  def ensureSq4(spark: SparkSession, ivf: IvfIndex, ivfDir: String): QuantizedIvf =
+    jvmCache.getOrElseUpdate(s"$ivfDir/sq4", {
+      val meta = s"$ivfDir/_SQ4_META"
+      val f = fs(spark, ivfDir)
+      if (!f.exists(new Path(meta))) {
+        val q = Sq4.train(ivf.assignments)
+        ivf.assignments
+          .select(col("vec_id"), col("cluster"), q.encode(col("embedding")).as("code"))
+          .repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$ivfDir/sq4")
+        IvfIndex.writeAtomic(spark, meta, q.serialize)
+      }
+      val q = Sq4.deserialize(readText(spark, meta))
+      QuantizedIvf(ivf, spark.read.parquet(s"$ivfDir/sq4"), None, None, sq4 = Some(q))
+    })
+
+  /** Build-or-load the RaBitQ codes: 1 sign bit per dim of the centroid
+    * residual (d/8 bytes — a 32× storage cut) + the residual norm scalar
+    * per vector. No trained state at all: the "quantizer" is the cluster
+    * centroid set the IVF already carries, so a segment append never
+    * retrains (reference: the rotation seed is a constant,
+    * quantizer.cpp:85). */
+  def ensureRabitq(spark: SparkSession, ivf: IvfIndex, ivfDir: String): QuantizedIvf =
+    jvmCache.getOrElseUpdate(s"$ivfDir/rabitq", {
+      import spark.implicits._
+      val meta = s"$ivfDir/_RABITQ_META"
+      val f = fs(spark, ivfDir)
+      if (!f.exists(new Path(meta))) {
+        val cents = ivf.centroids.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "cvec")
+        ivf.assignments
+          .join(broadcast(cents), "cluster")
+          .select(col("vec_id"), col("cluster"),
+            call_function("rabitq_bits", col("embedding"), col("cvec")).as("code"),
+            sqrt(graft.functions.VectorFunctions.l2SqrDistance(col("embedding"),
+              col("cvec").cast("array<float>"))).cast("float").as("rnorm"))
+          .repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$ivfDir/rabitq")
+        IvfIndex.writeAtomic(spark, meta, "rabitq")
+      }
+      QuantizedIvf(ivf, spark.read.parquet(s"$ivfDir/rabitq"), None, None,
+        rabitq = true)
+    })
+
+  /** Build-or-load by kind name (the `quant=` DDL option values). PQ picks
+    * the largest subspace count ≤ 8 dividing the dimension. */
+  def ensureKind(spark: SparkSession, ivf: IvfIndex, ivfDir: String,
+      kind: String): QuantizedIvf = kind match {
+    case "sq8" => ensureSq8(spark, ivf, ivfDir)
+    case "sq4" => ensureSq4(spark, ivf, ivfDir)
+    case "rabitq" => ensureRabitq(spark, ivf, ivfDir)
+    case "pq" =>
+      val dim = ivf.centroids.head.length
+      ensurePq(spark, ivf, ivfDir,
+        m = (1 to math.min(8, dim)).filter(dim % _ == 0).max)
+    case other => throw new IllegalArgumentException(s"unknown quant '$other'")
+  }
+
   /** Invalidate cached loads under an index dir (DROP / REFRESH paths). */
   def invalidate(ivfDir: String): Unit = {
     jvmCache.remove(s"$ivfDir/sq8"); jvmCache.remove(s"$ivfDir/pq")
+    jvmCache.remove(s"$ivfDir/sq4"); jvmCache.remove(s"$ivfDir/rabitq")
+  }
+
+  /** Rebuild whichever code families exist under an IVF dir after its
+    * vectors changed (REFRESH append / recluster): codes must cover every
+    * vector or the probe silently misses the new ones. Rebuild is one
+    * encode pass over the assignments — the same cost the initial build
+    * paid — and only runs for families that were actually materialized. */
+  def refreshCodes(spark: SparkSession, ivf: IvfIndex, ivfDir: String): Unit = {
+    val f = fs(spark, ivfDir)
+    def drop(meta: String, sub: String): Boolean = {
+      val existed = f.exists(new Path(meta))
+      if (existed) { f.delete(new Path(meta), false)
+        f.delete(new Path(s"$ivfDir/$sub"), true) }
+      existed
+    }
+    invalidate(ivfDir)
+    if (drop(s"$ivfDir/_SQ8_META", "sq8")) ensureSq8(spark, ivf, ivfDir)
+    if (drop(s"$ivfDir/_SQ4_META", "sq4")) ensureSq4(spark, ivf, ivfDir)
+    if (drop(s"$ivfDir/_RABITQ_META", "rabitq")) ensureRabitq(spark, ivf, ivfDir)
+    val pqMeta = s"$ivfDir/_PQ_META"
+    if (f.exists(new Path(pqMeta))) {
+      val m = readText(spark, pqMeta).split("\n").head.split(",")(0).toInt
+      f.delete(new Path(pqMeta), false)
+      f.delete(new Path(s"$ivfDir/pq"), true)
+      ensurePq(spark, ivf, ivfDir, m = m)
+    }
   }
 }

@@ -756,8 +756,13 @@ private[plans] object AnnShapes {
   val Metrics: Map[String, String] =
     Map("ann_l2" -> "l2", "ann_cosine" -> "cosine", "ann_ip" -> "ip")
 
-  /** `ann_<metric>(col, <const vector>)` → (column, query, metric). */
+  /** `ann_<metric>(col, <const vector>)` → (column, query, metric). A
+    * `sqrt(ann_l2(...))` wrapper — the pg `<->` spelling, true Euclidean —
+    * is transparent here: sqrt is strictly monotone on the non-negative
+    * squared distance, so distance ORDER is identical. */
   def annUdf(e: Expression): Option[(AttributeReference, Seq[Float], String)] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Sqrt(inner) =>
+      annUdf(inner).filter(_._3 == "l2")
     case u: ScalaUDF =>
       Metrics.collectFirst {
         case (fn, metric) if u.udfName.contains(fn) => metric
@@ -849,10 +854,26 @@ case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
               if outAttrs.nonEmpty
             } yield {
               val idx = AnnShapes.ivfFor(spark, root, entry)
-              val ids = metric match {
-                case "ip" => idx.knnIp(q, k)
-                case "cosine" => idx.knn(AnnShapes.normalize(q), k)
-                case _ => idx.knn(q, k)
+              // a quant= declaration on the index is the user's opt-in to
+              // the quantized probe (reference: quantized QVectorIterator
+              // scoring with the exact raw reranker on the pool —
+              // inverted_index_ivf_{sq8,sq4,rabitq}.test); the probe set is
+              // still the exact ball bound, so the only approximation is
+              // pool escape, bounded by the generous rerank factor
+              val ids = entry.quant match {
+                case Some(qk) =>
+                  val qi = graft.index.QuantizedIvf.ensureKind(spark, idx,
+                    graft.index.IvfIndex.dirFor(entry.cacheKey), qk)
+                  metric match {
+                    case "ip" => qi.knnIp(q, k, rerankFactor = 10)
+                    case "cosine" => qi.knn(AnnShapes.normalize(q), k, rerankFactor = 10)
+                    case _ => qi.knn(q, k, rerankFactor = 10)
+                  }
+                case None => metric match {
+                  case "ip" => idx.knnIp(q, k)
+                  case "cosine" => idx.knn(AnnShapes.normalize(q), k)
+                  case _ => idx.knn(q, k)
+                }
               }
               import org.apache.spark.sql.functions.{col => f}
               // the probe emits rows in distance order; the join-back would
@@ -974,15 +995,20 @@ case class ClaimAnnRange(spark: SparkSession) extends Rule[LogicalPlan] {
     val parts = e match {
       // strict < only: the probe's exact row filter is strict, and claiming
       // <= would shift boundary rows — leave <= to row-eval
-      case LessThan(u: ScalaUDF, Literal(r, _)) => Some((u, r))
+      case LessThan(u: ScalaUDF, Literal(r, _)) => Some((u, r, false))
+      // the pg `<->` spelling: sqrt(ann_l2) < r ⟺ ann_l2 < r² (r > 0 —
+      // a non-positive radius matches nothing and stays row-eval)
+      case LessThan(org.apache.spark.sql.catalyst.expressions.Sqrt(u: ScalaUDF),
+          Literal(r, _)) => Some((u, r, true))
       case _ => None
     }
-    parts.flatMap { case (u, r) =>
+    parts.flatMap { case (u, r, sq) =>
       for {
         (a, q, metric) <- AnnShapes.annUdf(u)
         if metric == "l2"
         rv <- num(r)
-      } yield (a, q, rv)
+        if !sq || rv > 0
+      } yield (a, q, if (sq) rv * rv else rv)
     }
   }
 

@@ -165,6 +165,38 @@ object Vectors {
       .agg(count(lit(1)).cast("bigint").as("n_overlap"))
   }
 
+  /** SQ4-quantized IVF kNN (reference `quant = 'sq4'`,
+    * inverted_index_ivf_sq4.test; faiss QT_4bit): 4-bit codes packed two
+    * per byte — 8× less probe IO than float32, 2× less than SQ8, at twice
+    * the quantization error (15 levels), so the rerank pool is wider. The
+    * ball-bound probe keeps the set exact; with this data's separation the
+    * pool holds the true top-k, so the entry gets the REAL oracle. */
+  def ivfSq4(s: SparkSession, dir: String): DataFrame = {
+    val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ivf = IvfIndex.ensure(s, Tables.embeddings(s, dir), s"$dir-embeddings")
+    graft.index.QuantizedIvf.ensureSq4(s, ivf, IvfIndex.dirFor(s"$dir-embeddings"))
+      .knn(query, k = 10, rerankFactor = 15)
+      .select(col("vec_id"))
+  }
+
+  /** RaBitQ-quantized IVF kNN (reference `quant = 'rabitq'`,
+    * inverted_index_ivf_rabitq.test): ONE sign bit per dimension of the
+    * centroid residual + the residual-norm scalar — a 32× probe-IO cut,
+    * the lossiest quantizer here (direction known only to the orthant),
+    * so the gate is the recall form (n_overlap with exact top-10, pinned
+    * by the oracle at this sf — the vec_ivf_pq pattern). */
+  def ivfRabitq(s: SparkSession, dir: String): DataFrame = {
+    val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ivf = IvfIndex.ensure(s, Tables.embeddings(s, dir), s"$dir-embeddings")
+    graft.index.QuantizedIvf.ensureRabitq(s, ivf, IvfIndex.dirFor(s"$dir-embeddings"))
+      .knn(query, k = 10, rerankFactor = 30)
+      .select(col("vec_id"))
+      .join(knnExact(s, dir), "vec_id")
+      .agg(count(lit(1)).cast("bigint").as("n_overlap"))
+  }
+
   /** SQ8 codes under the INNER-PRODUCT metric (reference quant='sq8'
     * metric 'ip'; cosine = this path over normalized copies): dot-product
     * ball-bound probe, negated-IP ADC candidates, exact rerank. */
@@ -180,6 +212,8 @@ object Vectors {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_ivf_sq8" -> ivfSq8,
     "vec_ivf_sq8_ip" -> ivfSq8Ip,
+    "vec_ivf_sq4" -> ivfSq4,
+    "vec_ivf_rabitq" -> ivfRabitq,
     "vec_ivf_pq" -> ivfPq,
     "vec_fn_surface" -> fnSurface,
     "vec_knn_exact" -> knnExact,
@@ -233,6 +267,10 @@ object Vectors {
       s"""SELECT vec_id FROM embeddings
          |ORDER BY list_distance(embedding::DOUBLE[], $q::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
     "vec_ivf_pq" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
+    "vec_ivf_sq4" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY list_distance(embedding::DOUBLE[], $q::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
+    "vec_ivf_rabitq" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
     "vec_ivf_sq8_ip" ->
       s"""SELECT vec_id FROM embeddings
          |ORDER BY -list_inner_product(embedding::DOUBLE[], $q::DOUBLE[]), vec_id

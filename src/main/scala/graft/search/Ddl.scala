@@ -53,7 +53,8 @@ object IndexCatalog {
   /** ANN index: the IVF cache key (→ IvfIndex.ensure), source id/embedding
     * columns, and the metric the index was built for (`l2` raw vectors,
     * `cosine` = L2 over unit-normalized copies, `ip` = dot-bound probes). */
-  final case class AnnEntry(cacheKey: String, idCol: String, embCol: String, metric: String)
+  final case class AnnEntry(cacheKey: String, idCol: String, embCol: String,
+      metric: String, quant: Option[String] = None)
 
   /** Secondary (point-lookup) index: the PkIndex manifest dir. */
   final case class PkEntry(dir: String)
@@ -401,6 +402,32 @@ object Ddl {
     sourceFingerprint(spark, view).foreach(fp =>
       IndexStore.writeStringAtomic(spark, s"$dir/_SOURCE_FP", fp + "\n"))
 
+  /** VACUUM (COMPACT_TABLE) leg for a VECTOR index: physical removal of
+    * deleted/updated rows means rebuilding the artifact (and any quantized
+    * code families) from the live rows — the vector analogue of folding
+    * tombstones away (reference inverted_index_ivf_rabitq.test §3). */
+  private def compactVector(spark: SparkSession, e: Entry): Unit = {
+    val root = scanRootOf(spark, e.view).getOrElse(
+      throw new IllegalArgumentException(
+        s"COMPACT: view ${e.view} is not a bare parquet scan"))
+    val annEntry = e.annKey.flatMap(k =>
+      IndexCatalog.ann.values.find(_.cacheKey == k)).getOrElse(
+      throw new IllegalStateException(s"no ANN registration for ${e.dir}"))
+    val p = new org.apache.hadoop.fs.Path(e.dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    graft.index.IvfIndex.invalidate(e.dir)
+    graft.index.QuantizedIvf.invalidate(e.dir)
+    // lists tag round-trips through the dir name (dirFor's -ivf<k>|auto-)
+    val lists = "-ivf(\\d+)-".r.findFirstMatchIn(e.dir).map(_.group(1).toInt)
+      .getOrElse(0)
+    val ivf = graft.index.IvfIndex.ensure(spark,
+      IndexCatalog.annSource(spark, root, annEntry), annEntry.cacheKey, lists)
+    annEntry.quant.foreach(qv =>
+      graft.index.QuantizedIvf.ensureKind(spark, ivf, e.dir, qv))
+    spark.catalog.refreshByPath(e.dir)
+    writeSourceFp(spark, e.dir, e.view)
+  }
+
   /** `(stale, detail)` rows for DESCRIBE: "unknown" when either side of the
     * comparison is unavailable (non-parquet view, pre-fingerprint index). */
   private def stalenessRows(spark: SparkSession, dir: String, view: String): Seq[(String, String)] = {
@@ -737,11 +764,32 @@ object Ddl {
     case createVecRe(name, view, embCol, optsStr, includeRaw) =>
       val opts = optRe.findAllMatchIn(optsStr)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
-      checkOpts("CREATE VECTOR INDEX", opts, Set("id", "metric", "key", "lists"))
+      checkOpts("CREATE VECTOR INDEX", opts,
+        Set("id", "metric", "key", "lists", "quant", "rabitq_bits"))
       val idCol = opts.getOrElse("id",
         throw new IllegalArgumentException("CREATE VECTOR INDEX requires WITH (id = '...')"))
       val metric = opts.getOrElse("metric", "l2")
       require(Set("l2", "cosine", "ip").contains(metric), s"unsupported metric: $metric")
+      // quantized codes ride on top of the same IVF artifact
+      // (inverted_index_ivf_{sq8,sq4,pq,rabitq}.test); rabitq_bits is
+      // validated for DDL parity — the stored code is the 1-bit sign
+      // variant + norm scalar (the reference's default), with exactness
+      // coming from the raw rerank stage either way
+      val quantOpt = opts.get("quant")
+      quantOpt.foreach { qv =>
+        require(Set("sq8", "sq4", "pq", "rabitq").contains(qv),
+          s"unknown quant '$qv' (known: sq8, sq4, pq, rabitq)")
+        if (qv == "rabitq")
+          require(metric != "cosine",
+            "ivf rabitq quantization does not support metric 'cosine'")
+      }
+      opts.get("rabitq_bits").foreach { bv =>
+        require(quantOpt.contains("rabitq"),
+          "ivf option 'rabitq_bits' is only valid with quant 'rabitq'")
+        val b = try bv.toInt catch { case _: NumberFormatException => -1 }
+        require(b >= 1 && b <= 9,
+          s"ivf option 'rabitq_bits' ($bv) must be between 1 and 9")
+      }
       val cacheKey = opts.getOrElse("key", view)
       val effKey = if (metric == "l2") cacheKey else s"$cacheKey-$metric"
       val lists = opts.get("lists").map(_.toInt).getOrElse(0)
@@ -770,9 +818,11 @@ object Ddl {
       val root = scanRootOf(spark, view).getOrElse(
         throw new IllegalArgumentException(
           s"CREATE VECTOR INDEX: view $view is not a bare parquet scan"))
-      val entry = IndexCatalog.AnnEntry(effKey, idCol, embCol, metric)
-      graft.index.IvfIndex.ensure(spark,
+      val entry = IndexCatalog.AnnEntry(effKey, idCol, embCol, metric, quantOpt)
+      val builtIvf = graft.index.IvfIndex.ensure(spark,
         IndexCatalog.annSource(spark, root, entry), effKey, lists)
+      quantOpt.foreach(qv => graft.index.QuantizedIvf.ensureKind(spark,
+        builtIvf, graft.index.IvfIndex.dirFor(effKey, lists), qv))
       IndexCatalog.registerAnn(root, embCol, metric, entry)
       if (includeCols.nonEmpty) {
         graft.index.FieldStore.build(spark, spark.table(view), vecFieldsDir,
@@ -995,6 +1045,11 @@ object Ddl {
           val newVecs = source.join(existing, Seq("vec_id"), "left_anti")
           val (added, reclustered) = graft.index.IvfIndex.append(spark, e.dir, newVecs)
           spark.catalog.refreshByPath(e.dir)
+          // quantized code families (sq8/sq4/pq/rabitq) must cover the new
+          // vectors too — rebuild whichever exist under this dir
+          if (added > 0 || reclustered)
+            graft.index.QuantizedIvf.refreshCodes(spark,
+              graft.index.IvfIndex.loadFrom(spark, e.dir), e.dir)
           writeSourceFp(spark, e.dir, e.view)
           result(spark, s"refreshed $name (+$added vectors)" +
             (if (reclustered) " [reclustered]" else ""))
@@ -1129,10 +1184,16 @@ object Ddl {
           result(spark, s"vacuumed index $target (compacted)")
         case "COMPACT_TABLE" =>
           val names = textIndexesOn(target)
-          if (names.isEmpty) throw new IllegalArgumentException(
+          val vecs = catalog.toSeq.collect {
+            case (n, e) if e.view.equalsIgnoreCase(target) &&
+              e.analyzer.startsWith("vector:") => (n, e)
+          }.sortBy(_._1)
+          if (names.isEmpty && vecs.isEmpty) throw new IllegalArgumentException(
             s"VACUUM (COMPACT_TABLE): no compactable search index on $target")
           names.foreach(n => executeParsed(spark, s"COMPACT SEARCH INDEX $n"))
-          result(spark, s"vacuumed $target (${names.size} indexes compacted)")
+          vecs.foreach { case (_, e) => compactVector(spark, e) }
+          result(spark,
+            s"vacuumed $target (${names.size + vecs.size} indexes compacted)")
         case "RECOMPUTE_STATS_TABLE" =>
           // the reference's ANALYZE-the-backing-store leg: re-derive the
           // covering store's column statistics and re-register the CBO
@@ -1370,9 +1431,10 @@ object CatalogStore {
         "idCol" -> e.idCol) ++ e.predicate.map("predicate" -> _)): _*))
     }
     IndexCatalog.ann.foreach { case ((root, c, m), e) =>
-      add(s"ann|$root|$c|$m", row("kind" -> "ann", "root" -> root, "column" -> c,
-        "metric" -> m, "cacheKey" -> e.cacheKey, "idCol" -> e.idCol,
-        "embCol" -> e.embCol))
+      add(s"ann|$root|$c|$m", row(Seq("kind" -> "ann", "root" -> root,
+        "column" -> c, "metric" -> m, "cacheKey" -> e.cacheKey,
+        "idCol" -> e.idCol, "embCol" -> e.embCol) ++
+        e.quant.map("quant" -> _): _*))
     }
     ExprIndexes.reg.foreach { case ((root, sql, a), (segDir, idCol)) =>
       add(s"expr|$root|$sql|$a", row("kind" -> "expr", "root" -> root,
@@ -1451,7 +1513,7 @@ object CatalogStore {
           IndexCatalog.ann.putIfAbsent(
             (s("root").get, s("column").get, s("metric").get),
             IndexCatalog.AnnEntry(s("cacheKey").get, s("idCol").get,
-              s("embCol").get, s("metric").get))
+              s("embCol").get, s("metric").get, s("quant")))
         case Some("expr") =>
           ExprIndexes.reg.putIfAbsent(
             (s("root").get, s("exprSql").get, s("analyzer").get),

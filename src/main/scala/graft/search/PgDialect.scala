@@ -715,8 +715,16 @@ object PgDialect {
       // cannot parse — demote the token so the loop terminates; Spark will
       // report the original syntax error
       return toks.updated(opIdx, Tok(OP, toks(opIdx).text))
-    val call = Vector(Tok(IDENT, fn), Tok(LPAREN, "(")) ++ left ++
+    // `<->` is pgvector's EUCLIDEAN distance; ann_l2 scores in squared-L2
+    // units (monotone for ORDER BY, wrong for `<-> < r` radii and value
+    // projection), so the rewrite wraps the sqrt — the claim rules see
+    // through it (AnnShapes.annUdf / ClaimAnnRange square the threshold)
+    val inner = Vector(Tok(IDENT, fn), Tok(LPAREN, "(")) ++ left ++
       Vector(Tok(COMMA, ", ")) ++ right :+ Tok(RPAREN, ")")
+    val call =
+      if (fn == "ann_l2")
+        Vector(Tok(IDENT, "sqrt"), Tok(LPAREN, "(")) ++ inner :+ Tok(RPAREN, ")")
+      else inner
     toks.take(lStart) ++ call ++ toks.drop(rEnd)
   }
 }

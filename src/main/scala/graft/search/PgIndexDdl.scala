@@ -230,6 +230,35 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
                   s"Column '$target' must be ARRAY(FLOAT, N) to use the " +
                     s"'ivf' opclass, not ${pgTypeName(other)}")
               }
+              // quantization guard matrix (duckdb_physical_create_index.cpp;
+              // inverted_index_ivf_sq4.test §6, ivf_rabitq.test §8)
+              val quant = opts.get("quant")
+              val metric = opts.getOrElse("metric", "l2")
+              quant.foreach { qv =>
+                if (!Set("sq8", "sq4", "pq", "rabitq").contains(qv))
+                  throw new IllegalArgumentException(
+                    s"Column '$target': unknown ivf quant '$qv' " +
+                      "(known: sq8, sq4, pq, rabitq)")
+                if (!Set("l2", "ip", "cosine").contains(metric))
+                  throw new IllegalArgumentException(
+                    s"Column '$target': ivf quantization supports only " +
+                      "metric 'l2', 'ip', or 'cosine'")
+                if (qv == "rabitq" && metric == "cosine")
+                  throw new IllegalArgumentException(
+                    s"Column '$target': ivf rabitq quantization does not " +
+                      "support metric 'cosine'")
+              }
+              opts.get("rabitq_bits").foreach { bv =>
+                if (!quant.contains("rabitq"))
+                  throw new IllegalArgumentException(
+                    s"Column '$target': ivf option 'rabitq_bits' is only " +
+                      "valid with quant 'rabitq'")
+                val b = try bv.toInt catch { case _: NumberFormatException => -1 }
+                if (b < 1 || b > 9)
+                  throw new IllegalArgumentException(
+                    s"Column '$target': ivf option 'rabitq_bits' ($bv) " +
+                      "must be between 1 and 9")
+              }
               Vector(target, isExpr, opts)
             case "included" => Included(target, isExpr)
             case other => throw new IllegalArgumentException(
@@ -274,7 +303,7 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
     "compaction_floor_segment_bytes" -> "2097152")
   /** Structural options shape the indexed data: create-time only. */
   private val optCreateOnly = Set("row_group_size", "norm_row_group_size",
-    "store_pk")
+    "store_pk", "optimize_top_k")
   /** uint32-typed options reject > 2^32-1 on both paths. */
   private val optU32 = Set("row_group_size", "norm_row_group_size",
     "refresh_interval", "compaction_interval", "cleanup_interval_step",
@@ -285,7 +314,36 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
   private val optZeroOk = Set("refresh_interval", "compaction_interval",
     "segment_docs_max")
   /** Non-numeric (string) options. */
-  private val optString = Set("store_pk")
+  private val optString = Set("store_pk", "optimize_top_k")
+
+  /** The scorer surface `optimize_top_k` may name
+    * (scorer_options.cpp:190-198). */
+  private val scorerNames = Set("bm25", "tfidf", "lm_jm", "lm_dirichlet",
+    "indri_dirichlet", "dfi", "raw_boost", "raw_tf", "raw_dl")
+
+  /** Validate an `optimize_top_k = '<scorer-expr>'` value: a single scorer
+    * function call with constant numeric args — the reference's
+    * ParseScorerExpression contract (scorer_options.cpp:203-262), with its
+    * error spellings. The validated (name, args) pair persists in the
+    * option map; the engine's claimed DESC top-k drive is per-partition
+    * heaps + an O(k) merge over the bucket-pruned postings of the MATCHED
+    * terms only — already the batch analogue of the WAND collector — so
+    * the option gates nothing at run time here and exists for DDL parity
+    * (a WAND-declared and a plain index must return identical top-K, which
+    * inverted_index_wand.test pins). */
+  private def validateScorerExpr(input: String): Unit = {
+    val m = """^\s*(\w+)\s*\((.*)\)\s*$""".r.findFirstMatchIn(input)
+      .getOrElse(throw new IllegalArgumentException(
+        s"'optimize_top_k' expects a scorer function call, got '$input'"))
+    val name = m.group(1).toLowerCase
+    if (!scorerNames.contains(name))
+      throw new IllegalArgumentException(s"Unknown scorer '$name'")
+    val args = m.group(2).trim
+    if (args.nonEmpty && !args.split(",").forall(
+        _.trim.matches("""[-+]?\d+(\.\d+)?([eE][-+]?\d+)?""")))
+      throw new IllegalArgumentException(
+        s"'optimize_top_k' scorer args must be constants: '$input'")
+  }
 
   /** Parse `name = value, ...` items; validates names, literal-ness,
     * zero/range rules. Returns name -> value text. */
@@ -303,6 +361,7 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
         val sm = """^'([^']*)'$""".r.findFirstMatchIn(v).getOrElse(
           throw new IllegalArgumentException(
             s"""invalid value for parameter "$name": "$v""""))
+        if (name == "optimize_top_k") validateScorerExpr(sm.group(1))
         name -> sm.group(1)
       } else {
         val nm = """^(\d+)\s*(.*)$""".r.findFirstMatchIn(v).getOrElse(
@@ -384,9 +443,13 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
         val sub =
           if (tokenized.isEmpty && vectors.length == 1) spec.name
           else s"${spec.name}__v$i"
+        val quantTail = v.opts.get("quant")
+          .map(qv => s", quant = '${quote(qv)}'").getOrElse("") +
+          v.opts.get("rabitq_bits")
+            .map(b => s", rabitq_bits = '${quote(b)}'").getOrElse("")
         Seq(s"CREATE OR REPLACE VECTOR INDEX $sub ON ${spec.table} (${v.target}) " +
           s"WITH (id = '${spec.idCol}', metric = '${quote(metric)}', " +
-          s"key = 'pg-${spec.name}-v$i')")
+          s"key = 'pg-${spec.name}-v$i'$quantTail)")
       }
     }
     tokDdl ++ vecDdl

@@ -25,18 +25,21 @@ class PgDialectSpec extends AnyFunSuite {
     assert(rw("SELECT x::VARCHAR[3]") == "SELECT x::ARRAY<STRING>")
     // scalar casts untouched
     assert(rw("SELECT 1::DOUBLE <-> [1]::FLOAT[1]") ==
-      "SELECT ann_l2(1::DOUBLE, array(1)::ARRAY<FLOAT>)")
+      "SELECT sqrt(ann_l2(1::DOUBLE, array(1)::ARRAY<FLOAT>))")
   }
 
   test("distance operators become claimable calls") {
+    // `<->` is EUCLIDEAN distance (pgvector): sqrt over the squared-L2
+    // kernel; the ANN claims see through the monotone wrapper
     assert(rw("SELECT id FROM t ORDER BY emb <-> [1, 2, 3]::FLOAT[3] LIMIT 1") ==
-      "SELECT id FROM t ORDER BY ann_l2(emb, array(1, 2, 3)::ARRAY<FLOAT>) LIMIT 1")
+      "SELECT id FROM t ORDER BY sqrt(ann_l2(emb, array(1, 2, 3)::ARRAY<FLOAT>)) LIMIT 1")
     assert(rw("SELECT a <=> b FROM t") == "SELECT ann_cosine(a, b) FROM t")
     assert(rw("SELECT t.emb <#> q(1) FROM t") == "SELECT ann_ip(t.emb, q(1)) FROM t")
     assert(rw("SELECT array_value(x, y, z) <-> [1]::FLOAT[1] AS d") ==
-      "SELECT ann_l2(array_value(x, y, z), array(1)::ARRAY<FLOAT>) AS d")
-    // comparison after the call keeps its place
-    assert(rw("WHERE a <-> b < 0.5") == "WHERE ann_l2(a, b) < 0.5")
+      "SELECT sqrt(ann_l2(array_value(x, y, z), array(1)::ARRAY<FLOAT>)) AS d")
+    // comparison after the call keeps its place (ClaimAnnRange squares the
+    // radius back into the kernel's units)
+    assert(rw("WHERE a <-> b < 0.5") == "WHERE sqrt(ann_l2(a, b)) < 0.5")
   }
 
   test("strings and comments are never rewritten") {
@@ -123,7 +126,7 @@ class PgDialectSpec extends AnyFunSuite {
         .collect().map(_.getBoolean(0)).toSeq
       assert(rows == Seq(true, false))
       // the other two spellings still rewrite under the flag
-      assert(rw("SELECT a <-> b FROM t") == "SELECT ann_l2(a, b) FROM t")
+      assert(rw("SELECT a <-> b FROM t") == "SELECT sqrt(ann_l2(a, b)) FROM t")
     } finally {
       spark.conf.unset("spark.graft.pgDialectCosineEq")
       spark.catalog.dropTempView("pgd_nse")
