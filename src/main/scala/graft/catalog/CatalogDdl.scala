@@ -1090,7 +1090,15 @@ object CatalogDdl {
       splitTop(v.stripPrefix("(").stripSuffix(")")).map(_.trim.toLowerCase(Locale.ROOT)))
     val n = df.count()
     def writer(d: org.apache.spark.sql.DataFrameWriter[Row]) = fmt match {
-      case "csv" => d.option("header", header.toString).option("delimiter", delim)
+      case "csv" =>
+        var w = d.option("header", header.toString).option("delimiter", delim)
+        // csv dialect params (view_params corpus): custom quote char, null
+        // marker; gzip via COMPRESSION (read side auto-detects by extension)
+        o.get("quote").foreach(q => w = w.option("quote", q))
+        o.get("escape").foreach(e => w = w.option("escape", e))
+        o.get("nullstr").foreach(n => w = w.option("nullValue", n))
+        o.get("compression").foreach(c => w = w.option("compression", c))
+        w
       case _ => d
     }
     if (partitionBy.nonEmpty) {

@@ -296,7 +296,10 @@ object ObjectCatalog {
             graft.search.Ddl.dropIndexesFor(spark, dq)
           } catch { case scala.util.control.NonFatal(_) => () }
           retire(t)
-        case _: ViewDef => internalSql(spark, s"DROP VIEW IF EXISTS $dq")
+        case v: ViewDef =>
+          internalSql(spark, s"DROP VIEW IF EXISTS $dq")
+          // TVF-backed views register session-scoped under the bare name
+          internalSql(spark, s"DROP VIEW IF EXISTS ${v.name}")
         case f: FunctionDef =>
           internalSql(spark, s"DROP TEMPORARY FUNCTION IF EXISTS ${f.name}")
         case _: SequenceDef | _: EnumDef => () // counter file stays until vacuum
@@ -562,7 +565,18 @@ object ObjectCatalog {
           s"USING parquet LOCATION '${t.dir}/current'")
       internalSql(spark, s"REFRESH TABLE ${t.qname}")
     case v: ViewDef =>
-      internalSql(spark, s"CREATE OR REPLACE VIEW ${v.qname} AS ${v.sql}")
+      try internalSql(spark, s"CREATE OR REPLACE VIEW ${v.qname} AS ${v.sql}")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if String.valueOf(e.getMessage).contains("INVALID_TEMP_OBJ_REFERENCE") =>
+          // the body references session-injected TVFs (read_parquet & co.,
+          // which Spark registers as TEMPORARY functions) — a persistent
+          // view over them is refused, so such views register
+          // session-scoped under their bare name (each session re-registers
+          // via ensureSession; reference views over read_parquet are the
+          // demo0 Zero-ETL shape, inverted_index_view_pruning.test)
+          internalSql(spark, s"CREATE OR REPLACE TEMPORARY VIEW ${v.name} AS ${v.sql}")
+      }
     case f: FunctionDef =>
       internalSql(spark,
         s"CREATE OR REPLACE TEMPORARY FUNCTION ${f.name}() RETURNS ${f.returns} RETURN ${f.body}")

@@ -359,6 +359,38 @@ object Ddl {
     * the index would cover a subset of the table and a later claim against
     * the full scan would silently drop rows. Such views stay SQL-queryable
     * but unclaimed. */
+  /** The scan root an index may CLAIM against — stricter than
+    * [[scanRootOf]]: claims key the registry by (root, column, dict), so
+    * two different views over the same file would conflate unless the view
+    * is value- and row-set-PRESERVING over the scan (identity/rename
+    * projections and sorts only). A view that transforms the indexed
+    * column (upper(body) AS body), filters, or limits gets its index built
+    * and its relation surface — but no claim registration: a sibling
+    * view's ts_match over the same file must never be answered from a
+    * transformed row set (inverted_index_view_pruning.test cases 3/5). */
+  private def claimSafeRoot(spark: SparkSession, view: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    @annotation.tailrec
+    def walk(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case Project(list, c) if list.forall {
+          case _: AttributeReference => true
+          case Alias(_: AttributeReference, _) => true
+          case _ => false
+        } => walk(c)
+      case Sort(_, _, c, _) => walk(c)
+      case SubqueryAlias(_, c) => walk(c)
+      case v: View => walk(v.child)
+      case lr: LogicalRelation => Some(lr)
+      case _ => None
+    }
+    walk(spark.table(view).queryExecution.optimizedPlan).flatMap(_.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.headOption.map(_.toString.stripPrefix("file:"))
+      case _ => None
+    })
+  }
+
   private def scanRootOf(spark: SparkSession, view: String): Option[String] = {
     @annotation.tailrec
     def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
@@ -701,7 +733,7 @@ object Ddl {
         // vacates the slot and the persisted catalog carries no row for
         // it). Re-offer the registration; registerText's no-downgrade rule
         // still keeps a live full index in place.
-        scanRootOf(spark, view).foreach { root =>
+        claimSafeRoot(spark, view).foreach { root =>
           IndexCatalog.registerText(root, textCol, analyzer, fastDir, idCol, predicate)
           if (fieldsWanted)
             IndexCatalog.registerFields(root,
@@ -750,7 +782,7 @@ object Ddl {
       }
       // the claim-rule catalog: any ts_match / facet over (this scan root,
       // this column, this analyzer) now resolves to the segments just built
-      scanRootOf(spark, view).foreach { root =>
+      claimSafeRoot(spark, view).foreach { root =>
         IndexCatalog.registerText(root, textCol, analyzer, dir, idCol, predicate)
         if (fieldsWanted)
           IndexCatalog.registerFields(root,

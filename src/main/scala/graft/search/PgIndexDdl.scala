@@ -187,6 +187,13 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
         case _ => false
       }
       if (!ok) {
+        // VARIANT is rejected outright as an index KEY — the reference's
+        // indexed-column allow-list takes scalar primitives only
+        // (server/catalog/index.cpp; inverted_index_variant_expression.test)
+        // — while VARIANT INCLUDE columns ride the columnstore fine
+        if (dt.isInstanceOf[org.apache.spark.sql.types.VariantType])
+          throw new IllegalArgumentException(
+            s"Column '$target' has unsupported type VARIANT and can not be indexed")
         // a KEYWORD (null-tokenizer) dictionary accepts any scalar return
         // type: the reference granular-encodes the value as one verbatim
         // term (inverted_index_expressions.test: `(a + 1)` INTEGER,

@@ -86,6 +86,14 @@ object ReadTvfs {
       var r = spark.read.option("header", header.toString).option("delimiter", delim)
       r = if (bool(opts, "all_varchar")) r else r.option("inferSchema", "true")
       if (bool(opts, "hive_partitioning")) r = r.option("basePath", globBase(paths.head))
+      // dialect params the reference's read_csv forwards to its lookup TF
+      // (inverted_index_view_params.test): quote/escape chars, the null
+      // marker, a comment prefix; gzip rides on the file extension (Spark
+      // decompresses .gz transparently, like the reference's auto-detect)
+      opts.get("quote").foreach(q => r = r.option("quote", q))
+      opts.get("escape").foreach(e => r = r.option("escape", e))
+      opts.get("nullstr").foreach(n => r = r.option("nullValue", n))
+      opts.get("comment").foreach(c => r = r.option("comment", c))
       r.csv(p)
     }
     val files = paths.flatMap(listFiles(spark, _))
