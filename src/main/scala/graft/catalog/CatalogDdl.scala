@@ -588,6 +588,18 @@ object CatalogDdl {
       return (s"STRUCT<`${UnionType.Tag}`: STRING, ${members.mkString(", ")}>",
         false, None)
     }
+    // DuckDB MAP(K, V) column syntax → Spark MAP<K, V>, members mapped
+    // recursively (inverted_index_map_include.test rides MAPs through the
+    // INCLUDE columnstore)
+    if (t.startsWith("MAP(") || t.startsWith("MAP (")) {
+      val inner = pgType.trim.substring(pgType.trim.indexOf('(') + 1,
+        pgType.trim.lastIndexOf(')'))
+      val kv = splitTop(inner)
+      if (kv.length != 2) throw analysisErr(s"cannot parse map type: $pgType")
+      val (kt, _, _) = mapType(kv(0))
+      val (vt, _, _) = mapType(kv(1))
+      return (s"MAP<$kt, $vt>", false, None)
+    }
     // DuckDB STRUCT(name TYPE, ...) column syntax → Spark STRUCT<name: T>
     // with members mapped recursively (simple/unsigned_int.test nests
     // unsigned ints inside structs)

@@ -32,4 +32,13 @@ object TextExprs {
       transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
       .otherwise(array())
+
+  /** `Analyzers.minHashSignature` over a shingle-array column, codegen'd
+    * (`minhash_sig` native expression): at 100 TB the signature pass is
+    * the single biggest dedup stage, and the former Scala UDF broke
+    * whole-stage codegen exactly there (r16 VERDICT item 8). The kernel is
+    * byte-identical to the UDF's (same murmur base hashes, same (a·x+b)
+    * mod 2⁶¹−1 permutations) — DedupSpec pins UDF-vs-native parity. */
+  def minhashOf(shingles: Column, numHashes: Int): Column =
+    call_function("minhash_sig", shingles, lit(numHashes))
 }

@@ -52,15 +52,22 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
-  /** MinHash signatures over word shingles: (doc_id, sig ARRAY<LONG>). */
+  /** MinHash signatures over word shingles: (doc_id, sig ARRAY<LONG>).
+    * Runs the codegen'd `minhash_sig` native kernel over the native
+    * tokenize/shingle compositions — the signature pass is the biggest
+    * dedup stage at corpus scale, and the former Scala UDF broke
+    * whole-stage codegen exactly there (r16 VERDICT item 8; DedupSpec
+    * pins UDF-vs-native value parity). Tokens materialize as their own
+    * attribute first (the shinglesOf HOF contract — see TextExprs). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 128, shingleN: Int = 3): DataFrame = {
-    val shingle = ShingleAnalyzer(ws, shingleN)
-    val sigUdf = udf((s: String) =>
-      Analyzers.minHashSignature(shingle.tokens(s), numHashes))
-    docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
+      numHashes: Int = 128, shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextExprs.tokens(col(textCol)).as("ts"))
+      .select(col("doc_id"),
+        graft.functions.TextExprs.minhashOf(
+          graft.functions.TextExprs.shinglesOf(col("ts"), shingleN),
+          numHashes).as("sig"))
       .filter(size(col("sig")) > 0)
-  }
 
   /** Banded LSH candidate pairs: split the signature into `bands` bands of
     * size(sig)/bands rows; docs sharing any band token become a candidate.

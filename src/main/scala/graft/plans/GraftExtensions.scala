@@ -174,6 +174,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.OsaDistanceExpr(args(0), args(1), args(2))))
     graft.functions.QuantizationExpressions.functions.foreach(e.injectFunction)
+    graft.functions.MinHashExpr.functions.foreach(e.injectFunction)
     graft.functions.GeoWkb.functions.foreach(e.injectFunction)
     graft.functions.GeoGeom.functions.foreach(e.injectFunction)
     // DuckDB's array constructor spelling (the reference corpus writes

@@ -875,6 +875,22 @@ object Surface {
         |"aggs": {"by_stars": {"terms": {"field": "stars", "size": 5}}}}""".stripMargin)
   }
 
+  /** Bucket-nested `top_hits` — the "top N docs per terms bucket" shape
+    * real ES migrations hit in month one (handlers.cpp/dsl.cpp agg
+    * surface): one row_number window partitioned by the bucket key over
+    * the request's hits, flat-rendered as agg "<terms>.<top_hits>",
+    * key "<bucket>:<_id>", doc_count = rank. */
+  def esDslBucketTopHits(s: SparkSession, dir: String): DataFrame = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft-es-" + dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    EsTables.bulk(s, root, "reviews_bth", esDocs, overwrite = true)
+    EsTables.aggs(s, root, "reviews_bth",
+      """{"query": {"match_all": {}},
+        |"aggs": {"by_stars": {"terms": {"field": "stars", "size": 5},
+        |  "aggs": {"top": {"top_hits": {"size": 2,
+        |    "sort": [{"stars": "desc"}]}}}}}}""".stripMargin)
+  }
+
   private val esDatedDocs = Seq(
     """{"index": {"_id": "1"}}""",
     """{"text": "good fast engine", "stars": 5, "ts": "2024-01-01T10:00:00"}""",
@@ -1372,6 +1388,7 @@ object Surface {
     "es_dsl_range" -> esDslRange,
     "es_dsl_paging" -> esDslPaging,
     "es_dsl_aggs" -> esDslAggs,
+    "es_dsl_bucket_top_hits" -> esDslBucketTopHits,
     "es_dsl_terms_query" -> esDslTermsQuery,
     "es_dsl_date_metrics" -> esDslDateMetrics,
     "es_dsl_multi_match" -> esDslMultiMatch,
@@ -1651,6 +1668,18 @@ object Surface {
         |  AS t(agg, key, doc_count, value)""".stripMargin,
     "es_dsl_terms_query" ->
       """SELECT * FROM (VALUES ('1'), ('3'), ('4')) AS t(_id)""".stripMargin,
+    // stars: doc1=5, doc2=1, doc3=4, doc4=1 — bucket '1' holds docs 2 and
+    // 4 (tie on stars breaks by _id asc), the others one doc each
+    "es_dsl_bucket_top_hits" ->
+      """SELECT * FROM (VALUES
+        |  ('by_stars', '1', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('by_stars', '4', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('by_stars', '5', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('by_stars.top', '1:2', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('by_stars.top', '1:4', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('by_stars.top', '4:3', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)),
+        |  ('by_stars.top', '5:1', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)))
+        |  AS t(agg, key, doc_count, value)""".stripMargin,
     "es_dsl_date_metrics" ->
       """SELECT * FROM (VALUES
         |  ('by_day', '2024-01-01T00:00:00', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)),

@@ -362,29 +362,42 @@ object Ddl {
   /** The scan root an index may CLAIM against — stricter than
     * [[scanRootOf]]: claims key the registry by (root, column, dict), so
     * two different views over the same file would conflate unless the view
-    * is value- and row-set-PRESERVING over the scan (identity/rename
-    * projections and sorts only). A view that transforms the indexed
-    * column (upper(body) AS body), filters, or limits gets its index built
-    * and its relation surface — but no claim registration: a sibling
-    * view's ts_match over the same file must never be answered from a
-    * transformed row set (inverted_index_view_pruning.test cases 3/5). */
-  private def claimSafeRoot(spark: SparkSession, view: String): Option[String] = {
+    * is row-set-PRESERVING over the scan (no Filter/Limit — projections
+    * and sorts only) AND value-preserving for the columns the claim keys
+    * on (the indexed text column and the doc id; OTHER columns may be
+    * transformed freely — they never enter the registry key). A view that
+    * transforms the indexed column (upper(body) AS body), filters, or
+    * limits gets its index built and its relation surface — but no claim
+    * registration: a sibling view's ts_match over the same file must
+    * never be answered from a transformed row set
+    * (inverted_index_view_pruning.test cases 3/5). */
+  private def claimSafeRoot(spark: SparkSession, view: String,
+      keyCols: Seq[String]): Option[String] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     @annotation.tailrec
-    def walk(p: LogicalPlan): Option[LogicalRelation] = p match {
-      case Project(list, c) if list.forall {
-          case _: AttributeReference => true
-          case Alias(_: AttributeReference, _) => true
-          case _ => false
-        } => walk(c)
-      case Sort(_, _, c, _) => walk(c)
-      case SubqueryAlias(_, c) => walk(c)
-      case v: View => walk(v.child)
+    def walk(p: LogicalPlan, tracked: Set[String]): Option[LogicalRelation] = p match {
+      case Project(list, c) =>
+        // each tracked output name must be a bare attribute (or a rename
+        // of one); rewrite the tracked set to the SOURCE names underneath
+        val mapped = tracked.map { n =>
+          list.find(_.name.equalsIgnoreCase(n)) match {
+            case Some(a: AttributeReference) => Some(a.name)
+            case Some(Alias(a: AttributeReference, _)) => Some(a.name)
+            case Some(_) => None
+            case None => Some(n) // star-expanded pass-through
+          }
+        }
+        if (mapped.exists(_.isEmpty)) None
+        else walk(c, mapped.flatten)
+      case Sort(_, _, c, _) => walk(c, tracked)
+      case SubqueryAlias(_, c) => walk(c, tracked)
+      case v: View => walk(v.child, tracked)
       case lr: LogicalRelation => Some(lr)
       case _ => None
     }
-    walk(spark.table(view).queryExecution.optimizedPlan).flatMap(_.relation match {
+    walk(spark.table(view).queryExecution.optimizedPlan,
+      keyCols.filter(_.nonEmpty).toSet).flatMap(_.relation match {
       case h: HadoopFsRelation =>
         h.location.rootPaths.headOption.map(_.toString.stripPrefix("file:"))
       case _ => None
@@ -733,7 +746,7 @@ object Ddl {
         // vacates the slot and the persisted catalog carries no row for
         // it). Re-offer the registration; registerText's no-downgrade rule
         // still keeps a live full index in place.
-        claimSafeRoot(spark, view).foreach { root =>
+        claimSafeRoot(spark, view, Seq(textCol, idCol)).foreach { root =>
           IndexCatalog.registerText(root, textCol, analyzer, fastDir, idCol, predicate)
           if (fieldsWanted)
             IndexCatalog.registerFields(root,
@@ -782,7 +795,7 @@ object Ddl {
       }
       // the claim-rule catalog: any ts_match / facet over (this scan root,
       // this column, this analyzer) now resolves to the segments just built
-      claimSafeRoot(spark, view).foreach { root =>
+      claimSafeRoot(spark, view, Seq(textCol, idCol)).foreach { root =>
         IndexCatalog.registerText(root, textCol, analyzer, dir, idCol, predicate)
         if (fieldsWanted)
           IndexCatalog.registerFields(root,

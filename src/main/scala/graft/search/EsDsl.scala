@@ -42,7 +42,8 @@ object EsDsl {
     * histogram (fixed numeric interval), filters (named bucket per
     * sub-query), and top_hits (request-level: top docs by sort). */
   sealed trait Agg { def name: String }
-  final case class TermsAgg(name: String, field: String, size: Int) extends Agg
+  final case class TermsAgg(name: String, field: String, size: Int,
+      topHits: Option[TopHitsAgg] = None) extends Agg
   final case class DateHistogramAgg(name: String, field: String,
       interval: String) extends Agg
   final case class MetricAgg(name: String, kind: String, field: String) extends Agg
@@ -133,7 +134,25 @@ object EsDsl {
           body \ "filters", body \ "top_hits") match {
           case (t: JObject, _, _, _, _) =>
             val sz = (t \ "size") match { case JInt(n) => n.toInt; case _ => 10 }
-            TermsAgg(name, fieldOf(t, "terms"), sz)
+            // nested sub-aggregation: the common "top N docs per bucket"
+            // shape — {"terms": {...}, "aggs": {"<n>": {"top_hits": {...}}}}
+            val sub = (body \ "aggs") match {
+              case JObject(List((thName, thBody))) =>
+                (thBody \ "top_hits") match {
+                  case th: JObject =>
+                    val tsz = (th \ "size") match {
+                      case JInt(n) => n.toInt; case _ => 3 }
+                    Some(TopHitsAgg(thName, tsz, sortOf(th \ "sort")))
+                  case _ => throw new IllegalArgumentException(
+                    s"ES DSL: terms aggregation $name supports only a " +
+                      "top_hits sub-aggregation")
+                }
+              case JNothing => None
+              case _ => throw new IllegalArgumentException(
+                s"ES DSL: terms aggregation $name takes at most one " +
+                  "top_hits sub-aggregation")
+            }
+            TermsAgg(name, fieldOf(t, "terms"), sz, sub)
           case (_, dh: JObject, _, _, _) =>
             // calendar_interval minute/hour/day/week/month/quarter/year —
             // each maps 1:1 onto a Spark date_trunc unit
@@ -168,8 +187,8 @@ object EsDsl {
             require(buckets.nonEmpty, s"ES DSL: filters aggregation $name is empty")
             FiltersAgg(name, buckets)
           case (_, _, _, _, th: JObject) =>
-            // request-level top_hits (the reference has no sub-agg surface;
-            // nested-under-bucket top_hits is out of scope — DEVIATION)
+            // request-level top_hits; the bucket-nested form rides inside
+            // TermsAgg (terms + aggs.top_hits)
             val sz = (th \ "size") match { case JInt(n) => n.toInt; case _ => 3 }
             TopHitsAgg(name, sz, sortOf(th \ "sort"))
           case _ =>

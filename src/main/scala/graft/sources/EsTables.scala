@@ -180,14 +180,50 @@ object EsTables {
     val hits = hitsFor(spark, root, name, req.clause, field, dict)
     val withSource = hits.join(table(spark, root, name), "_id")
     val out = req.aggs.map {
-      case EsDsl.TermsAgg(aName, aField, aSize) =>
-        withSource
+      case EsDsl.TermsAgg(aName, aField, aSize, topHits) =>
+        val buckets = withSource
           .groupBy(get_json_object(col("_source"), s"$$.$aField").as("key"))
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("doc_count"))
           .orderBy(col("doc_count").desc, col("key"))
           .limit(aSize)
+        val bucketRows = buckets
           .select(lit(aName).as("agg"), col("key"), col("doc_count"),
             lit(null).cast("double").as("value"))
+        topHits match {
+          case None => bucketRows
+          case Some(EsDsl.TopHitsAgg(thName, sz, aSort)) =>
+            // bucket-nested top_hits — "top N docs per terms bucket"
+            // (handlers.cpp/dsl.cpp agg surface): ONE window pass,
+            // row_number partitioned by the bucket key over the request's
+            // already-reduced hits, kept only for surviving buckets (semi
+            // join on the top-size bucket frame). Flat-frame rendering:
+            // agg = "<terms>.<top_hits>", key = "<bucket>:<_id>",
+            // doc_count = 1-based rank within the bucket.
+            val types: Map[String, String] = mapping(spark, root, name)
+              .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+            val keys = aSort.map { case (f, asc) =>
+              val c =
+                if (f == "_id") col("_id")
+                else types.get(f) match {
+                  case Some(t) if t == "bigint" || t == "double" =>
+                    get_json_object(col("_source"), s"$$.$f").cast("double")
+                  case _ => get_json_object(col("_source"), s"$$.$f")
+                }
+              if (asc) c.asc else c.desc
+            } :+ col("_id").asc
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(col("bkey")).orderBy(keys: _*)
+            val hitRows = withSource
+              .withColumn("bkey", get_json_object(col("_source"), s"$$.$aField"))
+              .join(buckets.select(col("key").as("bkey")), Seq("bkey"), "left_semi")
+              .withColumn("rnk", row_number().over(w))
+              .filter(col("rnk") <= sz)
+              .select(lit(s"$aName.$thName").as("agg"),
+                concat(col("bkey"), lit(":"), col("_id")).as("key"),
+                col("rnk").cast("long").as("doc_count"),
+                lit(null).cast("double").as("value"))
+            bucketRows.unionByName(hitRows)
+        }
       case EsDsl.DateHistogramAgg(aName, aField, interval) =>
         // calendar_interval → date_trunc bucket; key rendered as the
         // bucket-start ISO second (ES key_as_string shape)
@@ -223,9 +259,8 @@ object EsTables {
         }.reduce(_ unionByName _)
       case EsDsl.TopHitsAgg(aName, sz, aSort) =>
         // request-level top_hits: the top `size` hit _ids in sort order
-        // (key = _id, doc_count = 1-based rank). The reference has no
-        // sub-aggregation surface, so bucket-nested top_hits is out of
-        // scope — DEVIATION documented in EsDsl.
+        // (key = _id, doc_count = 1-based rank); the bucket-nested form
+        // rides inside the TermsAgg branch above.
         val types: Map[String, String] = mapping(spark, root, name).collect()
           .map(r => r.getString(0) -> r.getString(1)).toMap
         val keys = aSort.map { case (f, asc) =>
