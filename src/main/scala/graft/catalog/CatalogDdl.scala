@@ -703,7 +703,13 @@ object CatalogDdl {
         val typeText = tokens.take(typeEnd).mkString(" ")
         val constraintText = tokens.drop(typeEnd).mkString(" ")
         val (sparkType, serial, enumQ) = mapType(typeText)
-        var c = ColumnDef(name, sparkType, serial = serial, enumType = enumQ)
+        // FLOAT[8]-style fixed-size hint: Spark arrays are unsized, so the
+        // declared dimension rides on the ColumnDef for index-validation
+        // time (pq_m divisibility on a still-empty table, ivf_pq.test §3)
+        val declaredDim = """\[\s*(\d+)\s*\]\s*$""".r
+          .findFirstMatchIn(typeText).map(_.group(1).toInt)
+        var c = ColumnDef(name, sparkType, serial = serial, enumType = enumQ,
+          dim = declaredDim)
         val up = constraintText.toUpperCase(Locale.ROOT)
         if (up.matches("(?s).*NOT\\s+NULL.*")) c = c.copy(notNull = true)
         if (up.matches("(?s).*PRIMARY\\s+KEY.*")) c = c.copy(primaryKey = true, notNull = true)

@@ -38,11 +38,17 @@ import org.apache.spark.sql.SparkSession
   */
 object ObjectCatalog {
 
+  /** `dim`: the declared fixed size of a pg `FLOAT[n]`-style array column —
+    * Spark arrays are unsized, so the hint is carried here for
+    * index-validation time (the reference enforces dimension at the type
+    * level, catalog/inverted_index.h:126; e.g. the `pq_m must divide the
+    * vector dimension` guard fires at CREATE INDEX on a still-empty table,
+    * inverted_index_ivf_pq.test §3). */
   final case class ColumnDef(name: String, sparkType: String,
       notNull: Boolean = false, primaryKey: Boolean = false,
       unique: Boolean = false, default: Option[String] = None,
       serial: Boolean = false, enumType: Option[String] = None,
-      generated: Option[String] = None)
+      generated: Option[String] = None, dim: Option[Int] = None)
 
   sealed trait ObjDef {
     def schema: String; def name: String; def kind: String
@@ -398,6 +404,7 @@ object ObjectCatalog {
           c.default.foreach(cn.put("default", _))
           c.enumType.foreach(cn.put("enumType", _))
           c.generated.foreach(cn.put("generated", _))
+          c.dim.foreach(d => cn.put("dim", d))
           cols.add(cn)
         }
         val chks = n.putArray("checks")
@@ -435,7 +442,8 @@ object ObjectCatalog {
             Option(c.get("default")).map(_.asText()),
             c.get("serial").asBoolean(),
             Option(c.get("enumType")).map(_.asText()),
-            Option(c.get("generated")).map(_.asText()))
+            Option(c.get("generated")).map(_.asText()),
+            Option(c.get("dim")).map(_.asInt()))
         }
         val checks = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         Option(n.get("checks")).foreach { a =>

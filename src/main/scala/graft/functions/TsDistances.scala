@@ -94,10 +94,18 @@ object TsDistances {
 
   /** MinMatchCount (ngram_similarity_filter.cpp:34-39): ceil of threshold
     * over the FULL gram sequence length (duplicates included), clamped to
-    * [1, n] — so threshold 0 still demands one common gram. */
+    * [1, n] — so threshold 0 still demands one common gram. The reference
+    * multiplies and ceils in float_t, not double: at exact-boundary
+    * thresholds the roundings differ (0.3f·50 rounds to a float just ABOVE
+    * 15 → ceil 16, while 0.3·50 in double rounds to exactly 15.0 → 15;
+    * 0.56f·25 rounds to exactly 14.0f → 14, while double gives
+    * 14.000000000000002 → 15), so the multiply must happen at FLOAT
+    * precision to match reference match sets (r17 ADVICE). A float→double
+    * conversion is exact, so ceil on the widened product equals ceilf. */
   def minMatchCount(termsCount: Int, threshold: Double): Int = {
-    val t = math.min(1.0, math.max(0.0, threshold))
-    math.max(1, math.min(termsCount, math.ceil(termsCount * t).toInt))
+    val t = math.min(1.0f, math.max(0.0f, threshold.toFloat))
+    val prod = termsCount.toFloat * t
+    math.max(1, math.min(termsCount, math.ceil(prod.toDouble).toInt))
   }
 }
 

@@ -276,7 +276,11 @@ object IvfIndex {
       k: Int = 0, seed: Long = 42L): IvfIndex = {
     val feat = embs.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
-    val kk = if (k > 0) k else autoK(feat.count())
+    val n = feat.count()
+    // KMeans cannot place more centers than points — Spark 4.1's block-mode
+    // aggregator AIOOBEs when init yields fewer centers than k (a 3-row
+    // table under autoK's floor of 4, ivf_rabitq.test §7) — clamp to n
+    val kk = math.max(1L, math.min(if (k > 0) k.toLong else autoK(n).toLong, n)).toInt
     val model = new KMeans().setK(kk).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").fit(feat)
     val assigned = model.transform(feat)

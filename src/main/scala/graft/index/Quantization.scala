@@ -184,6 +184,29 @@ object Quantization {
     def adc(codes: Column, lutCol: Column): Column =
       call_function("pq_adc", codes, lutCol)
 
+    /** Cluster-INDEPENDENT inner-product table: LUT[sub][j] =
+      * ⟨q_sub, codebook[sub][j]⟩. Codes decode to centroid residuals, so
+      * ⟨q,x⟩ ≈ ⟨q,c_list⟩ + Σ_sub LUT[sub][code[sub]] — ONE m×ksub table
+      * serves every probed list; the per-list part collapses to the scalar
+      * ⟨q,c⟩ (the reference's compute_inner_prod_table fast-scan LUT,
+      * quantizer.cpp:853-860). */
+    def lutIp(query: Seq[Float]): Array[Float] = {
+      val out = new Array[Float](m * ksub)
+      var sub = 0
+      while (sub < m) {
+        var j = 0
+        while (j < ksub) {
+          var s = 0.0; var d = 0
+          while (d < dsub) {
+            s += query(sub * dsub + d).toDouble * codebook(sub)(j)(d); d += 1
+          }
+          out(sub * ksub + j) = s.toFloat; j += 1
+        }
+        sub += 1
+      }
+      out
+    }
+
     def serialize: String =
       s"$m,$ksub,$dsub\n" +
         codebook.map(_.map(_.mkString(" ")).mkString(";")).mkString("\n")
@@ -299,6 +322,15 @@ final case class QuantizedIvf(ivf: IvfIndex, codes: DataFrame,
 
   private def spark: SparkSession = ivf.assignments.sparkSession
 
+  /** vec_id is whatever integral type the table's id column has (INTEGER
+    * pks are the corpus norm) — `getLong` on an IntegerType row threw a
+    * ClassCastException inside the claim rule, which silently fell back to
+    * the exact sort on EVERY quantized SQL query (latent until r18). */
+  private def longId(r: org.apache.spark.sql.Row): Long = r.get(0) match {
+    case n: java.lang.Number => n.longValue()
+    case other => throw new IllegalStateException(s"non-integral vec_id: $other")
+  }
+
   /** Approximate-then-rerank kNN by L2. `nprobe = 0` uses the exact
     * ball-bound probe set (can't miss a list holding a true neighbor, so
     * the only approximation left is pool-escape: a true top-k vector whose
@@ -341,7 +373,7 @@ final case class QuantizedIvf(ivf: IvfIndex, codes: DataFrame,
           .orderBy(col("adist"), col("vec_id"))
           .limit(pool)
           .select("vec_id")
-          .collect().map(_.getLong(0))
+          .collect().map(longId)
         return rerank(query, k, probes.toSeq, cand)
       case _ => throw new IllegalStateException("no quantizer attached")
     }
@@ -351,7 +383,7 @@ final case class QuantizedIvf(ivf: IvfIndex, codes: DataFrame,
       .orderBy(col("adist"), col("vec_id"))
       .limit(pool)
       .select("vec_id")
-      .collect().map(_.getLong(0)) // ≤ pool ids of driver state
+      .collect().map(longId) // ≤ pool ids of driver state
     rerank(query, k, probes.toSeq, cand)
   }
 
@@ -364,7 +396,7 @@ final case class QuantizedIvf(ivf: IvfIndex, codes: DataFrame,
       .orderBy(col("adist"), col("vec_id"))
       .limit(pool)
       .select("vec_id")
-      .collect().map(_.getLong(0))
+      .collect().map(longId)
     rerank(query, k, probes, cand)
   }
 
@@ -396,10 +428,33 @@ final case class QuantizedIvf(ivf: IvfIndex, codes: DataFrame,
           .orderBy(col("adist"), col("vec_id"))
           .limit(pool)
           .select("vec_id")
-          .collect().map(_.getLong(0))
+          .collect().map(longId)
         return rerankIp(query, k, probes, cand0)
-      case _ => throw new IllegalStateException(
-        "knnIp requires a scalar or sign-bit quantizer (PQ ADC uses L2 residual tables)")
+      case _ if pq.isDefined =>
+        // PQ codes decode to centroid residuals: ⟨q,x⟩ ≈ ⟨q,c⟩ +
+        // Σ_sub ipLUT[sub][code[sub]] — one cluster-independent IP LUT
+        // (literal, not joined) plus a broadcast per-cluster ⟨q,c⟩ scalar
+        // (reference metric='ip' PQ indexes, inverted_index_ivf_pq.test §2;
+        // compute_inner_prod_table, quantizer.cpp:853-860)
+        val q = pq.get
+        val ss = spark
+        import ss.implicits._
+        val ipLut = q.lutIp(query).toSeq
+        val qcs = probes.toSeq.map { i =>
+          val c = ivf.centroids(i)
+          (i, query.indices.map(j => query(j).toDouble * c(j)).sum)
+        }.toDF("cluster", "qdotc")
+        val cand0 = codes
+          .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+          .join(broadcast(qcs), "cluster")
+          .withColumn("adist",
+            -(col("qdotc") + q.adc(col("code"), typedlit(ipLut))))
+          .orderBy(col("adist"), col("vec_id"))
+          .limit(pool)
+          .select("vec_id")
+          .collect().map(longId)
+        return rerankIp(query, k, probes, cand0)
+      case _ => throw new IllegalStateException("no quantizer attached")
     }
     val cand = codes
       .filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
@@ -407,7 +462,7 @@ final case class QuantizedIvf(ivf: IvfIndex, codes: DataFrame,
       .orderBy(col("adist"), col("vec_id"))
       .limit(pool)
       .select("vec_id")
-      .collect().map(_.getLong(0))
+      .collect().map(longId)
     rerankIp(query, k, probes, cand)
   }
 
@@ -534,17 +589,34 @@ object QuantizedIvf {
         rabitq = true)
     })
 
-  /** Build-or-load by kind name (the `quant=` DDL option values). PQ picks
-    * the largest subspace count ≤ 8 dividing the dimension. */
+  /** Whether a quantized code family is loadable WITHOUT a build — in the
+    * JVM cache or durable on disk (the `_<KIND>_META` marker is written
+    * LAST by every build, so its presence implies complete codes). Claim
+    * rules check this before [[ensureKind]]: planning must never run a
+    * train+encode job inside `transformUp` (r17 ADVICE — e.g. a
+    * registration restored from the persisted catalog on a fresh cluster
+    * whose code artifact is gone); a missing family fails the quantized
+    * probe and the claim falls back to the raw IVF path. */
+  def availableKind(spark: SparkSession, ivfDir: String, kind: String): Boolean =
+    jvmCache.contains(s"$ivfDir/$kind") ||
+      fs(spark, ivfDir).exists(new Path(s"$ivfDir/_${kind.toUpperCase}_META"))
+
+  /** Build-or-load by kind name (the `quant=` DDL option values). PQ uses
+    * the DDL's `pq_m` when given; the unset default mirrors the reference
+    * (catalog/index.cpp:367-384): the divisor of the dimension whose
+    * subspace width dim/m lands closest to kTargetDsub = 2, ties to the
+    * SMALLER m (the reference's ascending scan replaces only on a strictly
+    * smaller diff). A persisted family loads with its OWN trained m from
+    * `_PQ_META` regardless. */
   def ensureKind(spark: SparkSession, ivf: IvfIndex, ivfDir: String,
-      kind: String): QuantizedIvf = kind match {
+      kind: String, pqM: Option[Int] = None): QuantizedIvf = kind match {
     case "sq8" => ensureSq8(spark, ivf, ivfDir)
     case "sq4" => ensureSq4(spark, ivf, ivfDir)
     case "rabitq" => ensureRabitq(spark, ivf, ivfDir)
     case "pq" =>
       val dim = ivf.centroids.head.length
-      ensurePq(spark, ivf, ivfDir,
-        m = (1 to math.min(8, dim)).filter(dim % _ == 0).max)
+      ensurePq(spark, ivf, ivfDir, m = pqM.getOrElse(
+        (1 to dim).filter(dim % _ == 0).minBy(m => math.abs(dim / m - 2))))
     case other => throw new IllegalArgumentException(s"unknown quant '$other'")
   }
 

@@ -801,13 +801,16 @@ private[plans] object AnnShapes {
     * KMeans job inside the optimizer — plan time must never run jobs. */
   def ivfFor(spark: SparkSession, root: String,
       e: IndexCatalog.AnnEntry): graft.index.IvfIndex = {
-    if (!graft.index.IvfIndex.available(spark, e.cacheKey))
+    // e.lists is part of the artifact directory name (dirFor's
+    // `-ivf<k>|auto-` tag) — resolving without it sent every lists>0 index
+    // to the wrong path on a fresh JVM (r17 ADVICE)
+    if (!graft.index.IvfIndex.available(spark, e.cacheKey, e.lists))
       throw new IllegalStateException(
         s"vector index ${e.cacheKey} is registered but its on-disk artifact " +
           "is gone — failing the claim (exact sort keeps the query correct); " +
           "re-run CREATE VECTOR INDEX to rebuild")
     graft.index.IvfIndex.ensure(spark,
-      IndexCatalog.annSource(spark, root, e), e.cacheKey)
+      IndexCatalog.annSource(spark, root, e), e.cacheKey, e.lists)
   }
 }
 
@@ -858,13 +861,21 @@ case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
               // a quant= declaration on the index is the user's opt-in to
               // the quantized probe (reference: quantized QVectorIterator
               // scoring with the exact raw reranker on the pool —
-              // inverted_index_ivf_{sq8,sq4,rabitq}.test); the probe set is
-              // still the exact ball bound, so the only approximation is
-              // pool escape, bounded by the generous rerank factor
-              val ids = entry.quant match {
+              // inverted_index_ivf_{sq8,sq4,pq,rabitq}.test); the probe set
+              // is still the exact ball bound, so the only approximation is
+              // pool escape, bounded by the generous rerank factor. The
+              // code family must be LOADABLE here — never built: planning
+              // must not run train+encode jobs inside transformUp (r17
+              // ADVICE; e.g. a registration restored from the persisted
+              // catalog on a fresh cluster) — a missing family falls back
+              // to the raw IVF probe below, which ivfFor already verified.
+              val quantDir = graft.index.IvfIndex.dirFor(entry.cacheKey, entry.lists)
+              val liveQuant = entry.quant.filter(qk =>
+                graft.index.QuantizedIvf.availableKind(spark, quantDir, qk))
+              val ids = liveQuant match {
                 case Some(qk) =>
                   val qi = graft.index.QuantizedIvf.ensureKind(spark, idx,
-                    graft.index.IvfIndex.dirFor(entry.cacheKey), qk)
+                    quantDir, qk, entry.pqM)
                   metric match {
                     case "ip" => qi.knnIp(q, k, rerankFactor = 10)
                     case "cosine" => qi.knn(AnnShapes.normalize(q), k, rerankFactor = 10)

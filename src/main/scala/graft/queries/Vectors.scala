@@ -209,9 +209,32 @@ object Vectors {
       .select(col("vec_id"))
   }
 
+  /** PQ codes under the INNER-PRODUCT metric (reference quant='pq'
+    * metric 'ip', inverted_index_ivf_pq.test §2; cosine = this path over
+    * normalized copies): ⟨q,x⟩ ≈ ⟨q,c⟩ + Σ_sub ipLUT[sub][code[sub]] — one
+    * cluster-independent IP LUT + a broadcast per-cluster ⟨q,c⟩ scalar,
+    * exact raw rerank on the pool. PQ is the lossiest quantizer, so the
+    * gate is the recall form against the exact-IP top-10. */
+  def ivfPqIp(s: SparkSession, dir: String): DataFrame = {
+    val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ivf = IvfIndex.ensure(s, Tables.embeddings(s, dir), s"$dir-embeddings")
+    val exactIp = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.innerProduct(col("embedding"),
+          typedlit(query)).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id")).limit(10).select("vec_id")
+    graft.index.QuantizedIvf.ensurePq(s, ivf, IvfIndex.dirFor(s"$dir-embeddings"), m = 8)
+      .knnIp(query, k = 10, rerankFactor = 30)
+      .select(col("vec_id"))
+      .join(exactIp, "vec_id")
+      .agg(count(lit(1)).cast("bigint").as("n_overlap"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_ivf_sq8" -> ivfSq8,
     "vec_ivf_sq8_ip" -> ivfSq8Ip,
+    "vec_ivf_pq_ip" -> ivfPqIp,
     "vec_ivf_sq4" -> ivfSq4,
     "vec_ivf_rabitq" -> ivfRabitq,
     "vec_ivf_pq" -> ivfPq,
@@ -267,6 +290,7 @@ object Vectors {
       s"""SELECT vec_id FROM embeddings
          |ORDER BY list_distance(embedding::DOUBLE[], $q::DOUBLE[]), vec_id LIMIT 10""".stripMargin,
     "vec_ivf_pq" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
+    "vec_ivf_pq_ip" -> "SELECT CAST(10 AS BIGINT) AS n_overlap",
     "vec_ivf_sq4" ->
       s"""SELECT vec_id FROM embeddings
          |ORDER BY list_distance(embedding::DOUBLE[], $q::DOUBLE[]), vec_id LIMIT 10""".stripMargin,

@@ -52,9 +52,15 @@ object IndexCatalog {
 
   /** ANN index: the IVF cache key (→ IvfIndex.ensure), source id/embedding
     * columns, and the metric the index was built for (`l2` raw vectors,
-    * `cosine` = L2 over unit-normalized copies, `ip` = dot-bound probes). */
+    * `cosine` = L2 over unit-normalized copies, `ip` = dot-bound probes).
+    * `lists` is the DDL's list count — part of the artifact DIRECTORY name
+    * (IvfIndex.dirFor's `-ivf<k>|auto-` tag), so it must persist with the
+    * registration or a fresh JVM resolves a lists>0 index at the wrong path
+    * and every claim fails availability (r17 ADVICE). `pqM` likewise
+    * round-trips the pq subspace count for code-family rebuilds. */
   final case class AnnEntry(cacheKey: String, idCol: String, embCol: String,
-      metric: String, quant: Option[String] = None)
+      metric: String, quant: Option[String] = None, lists: Int = 0,
+      pqM: Option[Int] = None)
 
   /** Secondary (point-lookup) index: the PkIndex manifest dir. */
   final case class PkEntry(dir: String)
@@ -467,8 +473,8 @@ object Ddl {
       .getOrElse(0)
     val ivf = graft.index.IvfIndex.ensure(spark,
       IndexCatalog.annSource(spark, root, annEntry), annEntry.cacheKey, lists)
-    annEntry.quant.foreach(qv =>
-      graft.index.QuantizedIvf.ensureKind(spark, ivf, e.dir, qv))
+    annEntry.quant.foreach(qv => if (ivf.centroids.nonEmpty)
+      graft.index.QuantizedIvf.ensureKind(spark, ivf, e.dir, qv, annEntry.pqM))
     spark.catalog.refreshByPath(e.dir)
     writeSourceFp(spark, e.dir, e.view)
   }
@@ -810,7 +816,7 @@ object Ddl {
       val opts = optRe.findAllMatchIn(optsStr)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
       checkOpts("CREATE VECTOR INDEX", opts,
-        Set("id", "metric", "key", "lists", "quant", "rabitq_bits"))
+        Set("id", "metric", "key", "lists", "quant", "rabitq_bits", "pq_m"))
       val idCol = opts.getOrElse("id",
         throw new IllegalArgumentException("CREATE VECTOR INDEX requires WITH (id = '...')"))
       val metric = opts.getOrElse("metric", "l2")
@@ -834,6 +840,13 @@ object Ddl {
         val b = try bv.toInt catch { case _: NumberFormatException => -1 }
         require(b >= 1 && b <= 9,
           s"ivf option 'rabitq_bits' ($bv) must be between 1 and 9")
+      }
+      val pqM = opts.get("pq_m").map { mv =>
+        require(quantOpt.contains("pq"),
+          "ivf option 'pq_m' is only valid with quant 'pq'")
+        val m = try mv.toInt catch { case _: NumberFormatException => 0 }
+        require(m >= 1, s"ivf option 'pq_m' ($mv) must be a positive integer")
+        m
       }
       val cacheKey = opts.getOrElse("key", view)
       val effKey = if (metric == "l2") cacheKey else s"$cacheKey-$metric"
@@ -863,11 +876,26 @@ object Ddl {
       val root = scanRootOf(spark, view).getOrElse(
         throw new IllegalArgumentException(
           s"CREATE VECTOR INDEX: view $view is not a bare parquet scan"))
-      val entry = IndexCatalog.AnnEntry(effKey, idCol, embCol, metric, quantOpt)
+      val entry = IndexCatalog.AnnEntry(effKey, idCol, embCol, metric,
+        quantOpt, lists, pqM)
       val builtIvf = graft.index.IvfIndex.ensure(spark,
         IndexCatalog.annSource(spark, root, entry), effKey, lists)
-      quantOpt.foreach(qv => graft.index.QuantizedIvf.ensureKind(spark,
-        builtIvf, graft.index.IvfIndex.dirFor(effKey, lists), qv))
+      quantOpt.foreach { qv =>
+        // an empty table has nothing to train codes on — the reference flow
+        // is CREATE INDEX, INSERT, VACUUM (REFRESH_TABLE) (ivf_pq.test §1),
+        // and the VACUUM leg (compactVector) builds the code family then;
+        // until it exists the quantized claim fails availability and the
+        // probe uses the raw IVF path
+        if (builtIvf.centroids.nonEmpty) {
+          if (qv == "pq") {
+            val d = builtIvf.centroids.head.length
+            pqM.foreach(m => require(d % m == 0,
+              s"ivf option 'pq_m' ($m) must divide the vector dimension $d"))
+          }
+          graft.index.QuantizedIvf.ensureKind(spark,
+            builtIvf, graft.index.IvfIndex.dirFor(effKey, lists), qv, pqM)
+        }
+      }
       IndexCatalog.registerAnn(root, embCol, metric, entry)
       if (includeCols.nonEmpty) {
         graft.index.FieldStore.build(spark, spark.table(view), vecFieldsDir,
@@ -1081,23 +1109,62 @@ object Ddl {
           // this verb rejected vector indexes and forced a full rebuild).
           // A drift past 1.5× the trained size re-clusters automatically.
           val metric = e.analyzer.stripPrefix("vector:")
-          val entry = IndexCatalog.AnnEntry(e.annKey.get, e.idCol, e.keySpec, metric)
+          // prefer the registered entry (carries embCol/quant/lists/pqM
+          // exactly as created — e.keySpec may include an INCLUDE tail)
+          val entry = IndexCatalog.ann.values.find(_.cacheKey == e.annKey.get)
+            .getOrElse(
+              IndexCatalog.AnnEntry(e.annKey.get, e.idCol, e.keySpec, metric))
           val root = scanRootOf(spark, e.view).getOrElse(
             throw new IllegalArgumentException(
               s"REFRESH: view ${e.view} is not a bare parquet scan"))
           val source = IndexCatalog.annSource(spark, root, entry)
-          val existing = spark.read.parquet(s"${e.dir}/vectors").select("vec_id")
-          val newVecs = source.join(existing, Seq("vec_id"), "left_anti")
-          val (added, reclustered) = graft.index.IvfIndex.append(spark, e.dir, newVecs)
-          spark.catalog.refreshByPath(e.dir)
-          // quantized code families (sq8/sq4/pq/rabitq) must cover the new
-          // vectors too — rebuild whichever exist under this dir
-          if (added > 0 || reclustered)
-            graft.index.QuantizedIvf.refreshCodes(spark,
-              graft.index.IvfIndex.loadFrom(spark, e.dir), e.dir)
-          writeSourceFp(spark, e.dir, e.view)
-          result(spark, s"refreshed $name (+$added vectors)" +
-            (if (reclustered) " [reclustered]" else ""))
+          import org.apache.spark.sql.functions.{col, count, when}
+          val existing = spark.read.parquet(s"${e.dir}/vectors")
+            .select(col("vec_id"), col("embedding").as("_old"))
+          // one full-outer pass classifies the delta: appended rows fold in
+          // cheaply, but DELETEd or UPDATEd vectors cannot be folded into an
+          // append-only artifact — the reference folds tombstones away by
+          // rebuilding at VACUUM time (ivf_rabitq.test / ivf_sq4.test DML
+          // sections: post-DELETE/UPDATE kNN must not see dead vectors).
+          // Latent until r18: the quantized claim always threw before
+          // probing, so stale artifacts were masked by the exact fallback.
+          val delta = source.join(existing, Seq("vec_id"), "full_outer")
+            .select(
+              count(when(col("embedding").isNull, 1)).as("removed"),
+              count(when(col("embedding").isNotNull && col("_old").isNotNull &&
+                !(col("embedding") <=> col("_old")), 1)).as("changed"))
+            .head()
+          val (removed, changed) = (delta.getLong(0), delta.getLong(1))
+          if (removed > 0 || changed > 0) {
+            val p = new org.apache.hadoop.fs.Path(e.dir)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+            graft.index.IvfIndex.invalidate(e.dir)
+            graft.index.QuantizedIvf.invalidate(e.dir)
+            val lists = "-ivf(\\d+)-".r.findFirstMatchIn(e.dir)
+              .map(_.group(1).toInt).getOrElse(0)
+            val ivf = graft.index.IvfIndex.ensure(spark, source,
+              entry.cacheKey, lists)
+            entry.quant.foreach(qv => if (ivf.centroids.nonEmpty)
+              graft.index.QuantizedIvf.ensureKind(spark, ivf, e.dir, qv,
+                entry.pqM))
+            spark.catalog.refreshByPath(e.dir)
+            writeSourceFp(spark, e.dir, e.view)
+            result(spark, s"refreshed $name (rebuilt: -$removed vectors, " +
+              s"~$changed updated)")
+          } else {
+            val newVecs = source.join(existing.select("vec_id"),
+              Seq("vec_id"), "left_anti")
+            val (added, reclustered) = graft.index.IvfIndex.append(spark, e.dir, newVecs)
+            spark.catalog.refreshByPath(e.dir)
+            // quantized code families (sq8/sq4/pq/rabitq) must cover the new
+            // vectors too — rebuild whichever exist under this dir
+            if (added > 0 || reclustered)
+              graft.index.QuantizedIvf.refreshCodes(spark,
+                graft.index.IvfIndex.loadFrom(spark, e.dir), e.dir)
+            writeSourceFp(spark, e.dir, e.view)
+            result(spark, s"refreshed $name (+$added vectors)" +
+              (if (reclustered) " [reclustered]" else ""))
+          }
         case None =>
           throw new IllegalArgumentException(s"no such search index: $name")
       }
@@ -1479,7 +1546,9 @@ object CatalogStore {
       add(s"ann|$root|$c|$m", row(Seq("kind" -> "ann", "root" -> root,
         "column" -> c, "metric" -> m, "cacheKey" -> e.cacheKey,
         "idCol" -> e.idCol, "embCol" -> e.embCol) ++
-        e.quant.map("quant" -> _): _*))
+        e.quant.map("quant" -> _) ++
+        (if (e.lists != 0) Seq("lists" -> e.lists.toString) else Nil) ++
+        e.pqM.map("pqM" -> _.toString): _*))
     }
     ExprIndexes.reg.foreach { case ((root, sql, a), (segDir, idCol)) =>
       add(s"expr|$root|$sql|$a", row("kind" -> "expr", "root" -> root,
@@ -1558,7 +1627,8 @@ object CatalogStore {
           IndexCatalog.ann.putIfAbsent(
             (s("root").get, s("column").get, s("metric").get),
             IndexCatalog.AnnEntry(s("cacheKey").get, s("idCol").get,
-              s("embCol").get, s("metric").get, s("quant")))
+              s("embCol").get, s("metric").get, s("quant"),
+              s("lists").map(_.toInt).getOrElse(0), s("pqM").map(_.toInt)))
         case Some("expr") =>
           ExprIndexes.reg.putIfAbsent(
             (s("root").get, s("exprSql").get, s("analyzer").get),

@@ -71,12 +71,16 @@ object EsSql {
     * names at its boundary instead: a name that is already a plain
     * identifier passes through verbatim (every pre-existing index keeps its
     * table name), and a name with '-'/'+'/'.' spells them as '_' plus a
-    * short digest of the ORIGINAL name — injective in practice, and never
-    * colliding with a pass-through name by construction is guaranteed by
-    * the digest suffix. The original spelling persists as an `_ES_NAME`
-    * sidecar next to `_ES_MAPPING`, so es_cat_indices() and every CALL
-    * verb speak the user's name; only direct SQL on the backing table uses
-    * the mapped identifier. */
+    * short digest of the ORIGINAL name. The mangled output is itself in the
+    * pass-through alphabet, so the mapping alone is NOT collision-proof (a
+    * user index literally named like another name's mangled spelling, or a
+    * 6-hex digest-prefix clash); every lookup therefore re-verifies the
+    * `_ES_NAME` sidecar against the requested spelling ([[nameMatches]]) —
+    * a clash surfaces as "no such index" / an explicit collision error,
+    * never as an operation addressing the wrong backing table. The original
+    * spelling persists as an `_ES_NAME` sidecar next to `_ES_MAPPING`, so
+    * es_cat_indices() and every CALL verb speak the user's name; only
+    * direct SQL on the backing table uses the mapped identifier. */
   private def mangle(name: String): String =
     if (name.matches("[a-z0-9_]+")) name
     else name.map(c => if ("-+.".contains(c)) '_' else c) + "_" +
@@ -84,6 +88,20 @@ object EsSql {
 
   /** Backing table identifier for an ES index name. */
   private def tbl(name: String): String = s"es.${mangle(name)}"
+
+  /** Whether the backing table at `t` really is the index the user named:
+    * a mapped table's `_ES_NAME` sidecar must spell exactly the requested
+    * name, and a sidecar-less (pass-through) table only answers to a name
+    * that needed no mapping. Guards every name-addressed lookup against
+    * mangle collisions (digest-prefix clash, or a literal pass-through name
+    * equal to another name's mangled spelling). */
+  private def nameMatches(spark: SparkSession, t: ObjectCatalog.TableDef,
+      name: String): Boolean = {
+    val p = s"${t.dir}/_ES_NAME"
+    if (graft.index.IndexStore.exists(spark, p))
+      graft.index.IndexStore.readString(spark, p) == name
+    else mangle(name) == name
+  }
 
   /** User-facing name of a backing table: the `_ES_NAME` sidecar when the
     * name needed mapping, the table name itself otherwise. */
@@ -97,7 +115,10 @@ object EsSql {
   /** name → alphabetical (field → es type); None when the table is not an
     * ES index (no sidecar). */
   private def mappingOf(spark: SparkSession, name: String): Option[ListMap[String, String]] =
-    mappingOfId(spark, mangle(name))
+    ObjectCatalog.table(tbl(name)) match {
+      case Some(t) if !nameMatches(spark, t, name) => None // mangle collision
+      case _ => mappingOfId(spark, mangle(name))
+    }
 
   /** Same, keyed by the backing table's (mangled) catalog name. */
   private def mappingOfId(spark: SparkSession, id: String): Option[ListMap[String, String]] =
@@ -165,8 +186,16 @@ object EsSql {
     if (name.isEmpty || name.length > 255 || name == "." || name == ".." ||
         "-_+".contains(name.head) || !name.matches("[a-z0-9._+-]+"))
       throw err(s"invalid index name [$name]")
-    if (ObjectCatalog.table(tbl(name)).isDefined)
-      throw err(s"index [$name] already exists")
+    ObjectCatalog.table(tbl(name)).foreach { t =>
+      if (nameMatches(spark, t, name))
+        throw err(s"index [$name] already exists")
+      else
+        // digest-prefix clash or a pass-through name equal to another
+        // name's mangled spelling — refuse rather than share a backing
+        // table between two distinct index names
+        throw err(s"index name [$name] collides with the internal " +
+          s"identifier of existing index [${displayName(spark, t)}]")
+    }
     val props: ListMap[String, String] =
       if (body.trim.isEmpty) ListMap.empty
       else {

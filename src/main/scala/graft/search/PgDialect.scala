@@ -53,8 +53,13 @@ object PgDialect {
       atTimeZoneRe.findFirstIn(sql).isDefined ||
       castTsRe.findFirstIn(sql).isDefined ||
       sql.contains("->") || sql.contains("<=>") || sql.contains("<#>") ||
-      sql.contains(":=") || rowLitRe.findFirstIn(sql).isDefined
+      sql.contains(":=") || rowLitRe.findFirstIn(sql).isDefined ||
+      srfAliasRe.findFirstIn(sql).isDefined
   }
+
+  /** A FROM/JOIN-position generate_series with a possible bare alias —
+    * cheap gate for [[rewriteSrfAlias]]. */
+  private val srfAliasRe = """(?i)\b(from|join)\s+generate_series\s*\(""".r
 
   def rewrite(sql: String): String = {
     if (!needed(sql)) return sql
@@ -66,7 +71,64 @@ object PgDialect {
     val afterJson = rewriteJsonArrows(afterOps)
     val afterNamed = rewriteUnionValueArgs(afterJson)
     val afterRow = rewriteRowLiterals(afterNamed)
-    afterRow.map(_.text).mkString
+    val afterSrf = rewriteSrfAlias(afterRow)
+    afterSrf.map(_.text).mkString
+  }
+
+  /** pg scalar-SRF alias semantics (ivf_pq.test filler INSERTs): in
+    * `FROM generate_series(...) g` the bare alias names the single output
+    * COLUMN too — Spark's table alias would leave the column named
+    * `generate_series`, so the alias re-renders as `AS g(g)`. An explicit
+    * column list (`AS t(i)`) passes through untouched, and only FROM/JOIN
+    * position rewrites (a scalar call keeps its shape). */
+  private val srfStopKw = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+    "UNION", "EXCEPT", "INTERSECT", "ON", "JOIN", "INNER", "LEFT", "RIGHT",
+    "FULL", "CROSS", "NATURAL", "USING", "QUALIFY", "WINDOW", "OFFSET",
+    "FETCH", "RETURNING", "SELECT", "VALUES", "SET")
+  private def rewriteSrfAlias(toks0: Vector[Tok]): Vector[Tok] = {
+    var toks = toks0
+    var i = 0
+    var prevMeaning: Option[Tok] = None
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == IDENT && t.text.equalsIgnoreCase("generate_series") &&
+          prevMeaning.exists(p => p.kind == COMMA || (p.kind == IDENT &&
+            Set("FROM", "JOIN").contains(p.text.toUpperCase)))) {
+        val lp = skipWsF(toks, i + 1)
+        if (lp < toks.length && toks(lp).kind == LPAREN) {
+          var depth = 0; var j = lp; var end = -1
+          while (j < toks.length && end < 0) {
+            toks(j).kind match {
+              case LPAREN => depth += 1
+              case RPAREN => depth -= 1; if (depth == 0) end = j
+              case _ => ()
+            }
+            j += 1
+          }
+          if (end > 0) {
+            var a = skipWsF(toks, end + 1)
+            if (a < toks.length && toks(a).kind == IDENT &&
+                toks(a).text.equalsIgnoreCase("as"))
+              a = skipWsF(toks, a + 1)
+            if (a < toks.length && toks(a).kind == IDENT &&
+                !srfStopKw.contains(toks(a).text.toUpperCase)) {
+              val hasColList = {
+                val nxt = skipWsF(toks, a + 1)
+                nxt < toks.length && toks(nxt).kind == LPAREN
+              }
+              if (!hasColList) {
+                val alias = toks(a).text
+                toks = toks.patch(a, Seq(Tok(IDENT, alias), Tok(LPAREN, "("),
+                  Tok(IDENT, alias), Tok(RPAREN, ")")), 1)
+              }
+            }
+          }
+        }
+      }
+      prevMeaning = t.kind match { case WS | COMMENT => prevMeaning; case _ => Some(t) }
+      i += 1
+    }
+    toks
   }
 
   /** DuckDB/pg `ROW(a, b, ...)` anonymous-struct literals → Spark
@@ -393,6 +455,16 @@ object PgDialect {
     val stack = ArrayBuffer.empty[Boolean] // true = literal bracket
     toks.foreach { t =>
       t.kind match {
+        case LBRACK if prev.exists(p =>
+            p.kind == IDENT && p.text.equalsIgnoreCase("array")) =>
+          // pg's explicit ARRAY[...] constructor (ivf_pq.test filler
+          // INSERTs): the keyword itself becomes the array( call — drop the
+          // ARRAY ident already emitted, keep any whitespace after it
+          val idx = out.lastIndexWhere(t0 =>
+            t0.kind == IDENT && t0.text.equalsIgnoreCase("array"))
+          out.remove(idx)
+          stack += true
+          out += Tok(IDENT, "array"); out += Tok(LPAREN, "(")
         case LBRACK if isLiteralContext(prev) =>
           stack += true
           out += Tok(IDENT, "array"); out += Tok(LPAREN, "(")

@@ -266,6 +266,34 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
                     s"Column '$target': ivf option 'rabitq_bits' ($bv) " +
                       "must be between 1 and 9")
               }
+              opts.get("pq_m").foreach { mv =>
+                // reference guard matrix (catalog/index.cpp:385-397): pq_m
+                // only with quant 'pq'; must divide the vector dimension —
+                // which the reference knows from the column TYPE (FLOAT[8])
+                // and checks at CREATE INDEX even on an empty table
+                // (ivf_pq.test §3). The declared dim rides on the catalog
+                // ColumnDef; expression targets carry none, so for those
+                // the guard re-fires at build time over real vectors.
+                if (!quant.contains("pq"))
+                  throw new IllegalArgumentException(
+                    s"Column '$target': ivf option 'pq_m' is only valid " +
+                      "with quant 'pq'")
+                val m = try mv.toInt catch { case _: NumberFormatException => 0 }
+                if (m < 1)
+                  throw new IllegalArgumentException(
+                    s"Column '$target': ivf option 'pq_m' ($mv) must be a " +
+                      "positive integer")
+                if (!isExpr)
+                  graft.catalog.ObjectCatalog.table(table)
+                    .flatMap(_.columns.find(_.name ==
+                      target.toLowerCase(java.util.Locale.ROOT)).flatMap(_.dim))
+                    .foreach { d =>
+                      if (d % m != 0)
+                        throw new IllegalArgumentException(
+                          s"Column '$target': ivf option 'pq_m' ($mv) must " +
+                            s"divide the vector dimension $d")
+                    }
+              }
               Vector(target, isExpr, opts)
             case "included" => Included(target, isExpr)
             case other => throw new IllegalArgumentException(
@@ -453,7 +481,9 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
         val quantTail = v.opts.get("quant")
           .map(qv => s", quant = '${quote(qv)}'").getOrElse("") +
           v.opts.get("rabitq_bits")
-            .map(b => s", rabitq_bits = '${quote(b)}'").getOrElse("")
+            .map(b => s", rabitq_bits = '${quote(b)}'").getOrElse("") +
+          v.opts.get("pq_m")
+            .map(m => s", pq_m = '${quote(m)}'").getOrElse("")
         Seq(s"CREATE OR REPLACE VECTOR INDEX $sub ON ${spec.table} (${v.target}) " +
           s"WITH (id = '${spec.idCol}', metric = '${quote(metric)}', " +
           s"key = 'pg-${spec.name}-v$i'$quantTail)")

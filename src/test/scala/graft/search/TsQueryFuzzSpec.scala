@@ -85,6 +85,12 @@ class TsQueryFuzzSpec extends AnyFunSuite {
     assert(minMatchCount(4, 0.5) == 2)
     assert(minMatchCount(3, 1.0) == 3)
     assert(minMatchCount(2, 0.6) == 2) // ceil over duplicates-included count
+    // float_t arithmetic parity (r17 ADVICE): the reference multiplies and
+    // ceils at FLOAT precision — boundary thresholds round differently than
+    // double (0.3f·50 lands just above 15 → 16; 0.56f·25 lands exactly on
+    // 14.0f → 14, where double gives 15)
+    assert(minMatchCount(50, 0.3) == 16)
+    assert(minMatchCount(25, 0.56) == 14)
     // empty-gram query matches nothing on BOTH paths instead of erroring
     // (the reference returns QueryBuilder::Empty; r16 ADVICE item 1)
     val spark = TestSpark.spark
