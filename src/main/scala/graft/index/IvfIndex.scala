@@ -276,11 +276,37 @@ object IvfIndex {
       k: Int = 0, seed: Long = 42L): IvfIndex = {
     val feat = embs.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
-    val n = feat.count()
-    // KMeans cannot place more centers than points — Spark 4.1's block-mode
-    // aggregator AIOOBEs when init yields fewer centers than k (a 3-row
-    // table under autoK's floor of 4, ivf_rabitq.test §7) — clamp to n
-    val kk = math.max(1L, math.min(if (k > 0) k.toLong else autoK(n).toLong, n)).toInt
+    // KMeans cannot place more centers than DISTINCT points — Spark 4.1's
+    // block-mode aggregator AIOOBEs when init yields fewer centers than k
+    // (a 3-row table under autoK's floor of 4, ivf_rabitq.test §7; 1000
+    // duplicate rows, ivf_duplicate_vectors.test). One agg pass bounds k:
+    // exact row count + HLL distinct of the vector hash (near-exact at the
+    // small cardinalities where the bound can bite, and the 4096 cap makes
+    // a few-% HLL error irrelevant at large ones).
+    val statsRow = feat.agg(
+      count(lit(1)), approx_count_distinct(xxhash64(col("embedding")))).head()
+    val n = statsRow.getLong(0)
+    val nDistinct = math.max(1L, statsRow.getLong(1))
+    val kk = math.max(1L, math.min(
+      if (k > 0) k.toLong else autoK(n).toLong, math.min(n, nDistinct))).toInt
+    if (kk <= 1) {
+      // Spark KMeans rejects k=1 outright — an all-duplicates (or
+      // single-vector) corpus trains NOTHING and gets one cluster with the
+      // per-dimension mean as its centroid (the reference's no-progress
+      // split guard "slices the group ... without training",
+      // ivf_duplicate_vectors.test). Probe pruning is vacuous at one list;
+      // search is exhaustive over the segment, hence exact.
+      val assigned = feat
+        .select(col("vec_id"), col("embedding"), lit(0).as("cluster"))
+      val dimMeans = feat
+        .select(posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("d").agg(avg(col("x").cast("double")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val centroid = Array.tabulate(
+        if (dimMeans.isEmpty) 0 else dimMeans.keys.max + 1)(i => dimMeans(i))
+      val (radii, sizes) = clusterMeta(assigned, Array(centroid))
+      return IvfIndex(assigned, Array(centroid), radii, sizes)
+    }
     val model = new KMeans().setK(kk).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").fit(feat)
     val assigned = model.transform(feat)

@@ -59,15 +59,31 @@ object Dedup {
     * whole-stage codegen exactly there (r16 VERDICT item 8; DedupSpec
     * pins UDF-vs-native value parity). Tokens materialize as their own
     * attribute first (the shinglesOf HOF contract — see TextExprs). */
+  /** Legacy UDF form of the signature kernel — kept ONLY as the A/B arm
+    * for benchmarking the native expression against it on a quiet machine
+    * (r17 VERDICT: "dedup_minhash_lsh stays weak until a quiet-machine
+    * UDF-vs-native A/B on the r17 tree lands"). Same arithmetic, same
+    * values (DedupSpec pins parity); the difference is codegen. */
+  private lazy val minhashUdf =
+    org.apache.spark.sql.functions.udf(
+      (sh: scala.collection.immutable.Seq[String], n: Int) =>
+        graft.analysis.Analyzers.minHashSignature(sh, n))
+
+  private def kernelIsUdf: Boolean =
+    sys.env.get("GRAFT_MINHASH_KERNEL").orElse(
+      sys.props.get("graft.minhash.kernel")).contains("udf")
+
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 128, shingleN: Int = 3): DataFrame =
+      numHashes: Int = 128, shingleN: Int = 3): DataFrame = {
+    val shingles = graft.functions.TextExprs.shinglesOf(col("ts"), shingleN)
+    val sig =
+      if (kernelIsUdf) minhashUdf(shingles, lit(numHashes))
+      else graft.functions.TextExprs.minhashOf(shingles, numHashes)
     docs.select(col(idCol).as("doc_id"),
         graft.functions.TextExprs.tokens(col(textCol)).as("ts"))
-      .select(col("doc_id"),
-        graft.functions.TextExprs.minhashOf(
-          graft.functions.TextExprs.shinglesOf(col("ts"), shingleN),
-          numHashes).as("sig"))
+      .select(col("doc_id"), sig.as("sig"))
       .filter(size(col("sig")) > 0)
+  }
 
   /** Banded LSH candidate pairs: split the signature into `bands` bands of
     * size(sig)/bands rows; docs sharing any band token become a candidate.

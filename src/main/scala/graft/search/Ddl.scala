@@ -203,6 +203,11 @@ object IndexCatalog {
     import org.apache.spark.sql.functions._
     val base = spark.read.parquet(tableRoot)
       .select(col(entry.idCol).as("vec_id"), col(entry.embCol).as("embedding"))
+      // NULL embeddings are never indexed (the reference's cs child stores
+      // a zero-filled slot but the IVF build skips the row,
+      // inverted_index_ivf_nulls.test) — otherwise they surface in top-k
+      // whenever k ≥ the non-NULL count, or crash KMeans' featurizer
+      .filter(col("embedding").isNotNull)
     if (entry.metric != "cosine") base
     else base
       .withColumn("_n", graft.functions.VectorFunctions.l2Norm(col("embedding")))
@@ -826,14 +831,17 @@ object Ddl {
       // validated for DDL parity — the stored code is the 1-bit sign
       // variant + norm scalar (the reference's default), with exactness
       // coming from the raw rerank stage either way
-      val quantOpt = opts.get("quant")
-      quantOpt.foreach { qv =>
-        require(Set("sq8", "sq4", "pq", "rabitq").contains(qv),
-          s"unknown quant '$qv' (known: sq8, sq4, pq, rabitq)")
+      // quant = 'none' is the reference's explicit opt-out spelling
+      // (inverted_index_ivf_duplicate_vectors.test) — validated, then
+      // normalized to no-quantization
+      val quantOpt = opts.get("quant").map { qv =>
+        require(Set("none", "sq8", "sq4", "pq", "rabitq").contains(qv),
+          s"unknown quant '$qv' (known: none, sq8, sq4, pq, rabitq)")
         if (qv == "rabitq")
           require(metric != "cosine",
             "ivf rabitq quantization does not support metric 'cosine'")
-      }
+        qv
+      }.filter(_ != "none")
       opts.get("rabitq_bits").foreach { bv =>
         require(quantOpt.contains("rabitq"),
           "ivf option 'rabitq_bits' is only valid with quant 'rabitq'")

@@ -242,10 +242,10 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
               val quant = opts.get("quant")
               val metric = opts.getOrElse("metric", "l2")
               quant.foreach { qv =>
-                if (!Set("sq8", "sq4", "pq", "rabitq").contains(qv))
+                if (!Set("none", "sq8", "sq4", "pq", "rabitq").contains(qv))
                   throw new IllegalArgumentException(
                     s"Column '$target': unknown ivf quant '$qv' " +
-                      "(known: sq8, sq4, pq, rabitq)")
+                      "(known: none, sq8, sq4, pq, rabitq)")
                 if (!Set("l2", "ip", "cosine").contains(metric))
                   throw new IllegalArgumentException(
                     s"Column '$target': ivf quantization supports only " +

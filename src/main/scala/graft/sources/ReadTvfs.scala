@@ -186,6 +186,10 @@ object ReadTvfs {
     }
   }
 
+  // NOTE: DuckDB's `range([start,] stop)` TVF needs no injection — Spark's
+  // built-in end-exclusive `range` matches its semantics, and the corpus
+  // always aliases the column explicitly (`range(1000) t(i)`).
+
   private def planTvf(name: String, f: Seq[Expression] => LogicalPlan)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier(name),
