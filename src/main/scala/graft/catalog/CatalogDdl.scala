@@ -1373,6 +1373,13 @@ object CatalogDdl {
         // union_value partial struct, or a bare member-typed value
         case Some(st) =>
           UnionType.coerce(col(c.name), df.schema(c.name).dataType, st).as(c.name)
+        // pg coerces an array-literal STRING by the declared column type
+        // (`INSERT ... VALUES ('r0', '{1,0,0,0}')` into FLOAT[4],
+        // vector_search_score_filter.test) — Spark's cast can't cross
+        // string→array, so route through the pg/duck list-text parser
+        case None if df.schema(c.name).dataType == org.apache.spark.sql.types.StringType &&
+            c.sparkType.toUpperCase(Locale.ROOT).startsWith("ARRAY") =>
+          call_function("from_pg_text", col(c.name), lit(c.sparkType)).as(c.name)
         case None => col(c.name).cast(c.sparkType).as(c.name)
       }
     }: _*)

@@ -69,6 +69,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else graft.analysis.AnalyzerRegistry.get(dict)
         graft.functions.TsOffsetsExpr(args(0), args(1), analyzer, dict)
       }))
+    // DuckDB list-dialect spellings used verbatim across the reference
+    // corpus (ivf_panorama/table_rerank/shared_groups...): list_transform =
+    // Spark's transform; scalar range([a,] b [, step]) = an END-EXCLUSIVE
+    // integer list (sequence minus the endpoint). The scalar `range` lives
+    // in the scalar registry and does not shadow the FROM-position range
+    // TVF (separate table-function registry).
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("list_transform"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.ArrayTransform].getName,
+        "list_transform"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.ArrayTransform(args(0), args(1))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("array_value"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.CreateArray].getName,
+        "array_value"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.CreateArray(args)))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("range"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.Sequence].getName, "range"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Literal => L, Subtract, Add, Sequence => Sq}
+        args.length match {
+          case 1 => Sq(L(0), Subtract(args(0), L(1)), None)
+          case 2 => Sq(args(0), Subtract(args(1), L(1)), None)
+          case 3 => args(2) match {
+            case L(s: Number, _) if s.longValue() < 0 =>
+              Sq(args(0), Add(args(1), L(1)), Some(args(2)))
+            case _ => Sq(args(0), Subtract(args(1), L(1)), Some(args(2)))
+          }
+          case n => throw new IllegalArgumentException(
+            s"range([start,] stop[, step]) takes 1 to 3 arguments, got $n")
+        }
+      }))
     // pg `expr AT TIME ZONE 'z'` (PgDialect emits the call) and duck
     // strptime — result types depend on operand/format typing
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("at_time_zone"),
@@ -849,7 +884,7 @@ case class ClaimAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
               // would be discarded by the probe rewrite — leave those exact
               (lr, root) <- PlanShapes.bareScan(grand)
               if PlanShapes.isColumnOf(lr, embAttr, embAttr.name)
-              entry <- IndexCatalog.lookupAnn(root, embAttr.name, metric)
+              entry <- IndexCatalog.lookupAnn(root, embAttr.name, metric, Some(spark))
               // every projected column must be the scan's own (id column →
               // direct probe output; others → PK-lookup join-back)
               outAttrs <- Some(projList.collect {
@@ -1040,7 +1075,7 @@ case class ClaimAnnRange(spark: SparkSession) extends Rule[LogicalPlan] {
               case l: LogicalRelation if PlanShapes.isColumnOf(l, embAttr, embAttr.name) => l
             }
             root <- PlanShapes.scanRoot(lr)
-            entry <- IndexCatalog.lookupAnn(root, embAttr.name, "l2")
+            entry <- IndexCatalog.lookupAnn(root, embAttr.name, "l2", Some(spark))
             idAttr <- lr.output.collectFirst {
               case a: AttributeReference if a.name == entry.idCol => a }
             if child.outputSet.contains(idAttr)

@@ -79,7 +79,12 @@ object IndexCatalog {
   /** Registered (root, column, analyzer) keys — diagnostics only. */
   def debugTextKeys: Seq[String] =
     text.keysIterator.map { case (r, c, a) => s"$r | $c | $a" }.toSeq
-  private[search] val ann = TrieMap.empty[(String, String, String), AnnEntry]
+  // keyed (root, column, metric, cacheKey): several indexes may cover one
+  // (column, metric) — e.g. a plain AND a quantized IVF over the same
+  // column (inverted_index_multi_vector_ivf.test) — and a 3-tuple key let
+  // the later registration silently evict the earlier one (its REFRESH /
+  // COMPACT then failed with "no ANN registration")
+  private[search] val ann = TrieMap.empty[(String, String, String, String), AnnEntry]
   private[search] val pk = TrieMap.empty[(String, String), PkEntry]
   private[search] val fieldSide = TrieMap.empty[String, FieldsEntry]
 
@@ -129,7 +134,7 @@ object IndexCatalog {
             }
           (root, cols) })
       .orElse(ann.collectFirst {
-        case ((root, _, _), e)
+        case ((root, _, _, _), e)
             if owns(graft.index.IvfIndex.dirFor(e.cacheKey)) ||
               path.contains("/" + e.cacheKey.replaceAll("[^A-Za-z0-9._-]+", "_") + "-ivf") =>
           (root, Set(e.embCol, e.idCol)) })
@@ -173,11 +178,25 @@ object IndexCatalog {
 
   def registerAnn(tableRoot: String, column: String, metric: String,
       entry: AnnEntry): Unit =
-    ann.put((tableRoot, column, metric), entry)
+    ann.put((tableRoot, column, metric, entry.cacheKey), entry)
 
-  def lookupAnn(tableRoot: String, column: String, metric: String): Option[AnnEntry] = {
+  /** Any registered index over (root, column, metric) can serve a claim
+    * (all are exact through the raw rerank). Preference order: an entry
+    * whose on-disk artifact is AVAILABLE first (several registrations can
+    * coexist and one may have lost its artifact — picking it would bail a
+    * claim a sibling could serve; availability is driver metadata IO, the
+    * same check ivfFor repeats), then unquantized before quantized, then
+    * lexical cacheKey — deterministic plans. */
+  def lookupAnn(tableRoot: String, column: String, metric: String,
+      spark: Option[SparkSession] = None): Option[AnnEntry] = {
     CatalogStore.ensureLoaded()
-    ann.get((tableRoot, column, metric))
+    val candidates = ann.collect {
+      case ((r, c, m, _), e) if r == tableRoot && c == column && m == metric => e
+    }.toSeq
+    def unavailable(e: AnnEntry): Boolean = spark.exists(s =>
+      !graft.index.IvfIndex.available(s, e.cacheKey, e.lists))
+    candidates.sortBy(e => (unavailable(e), e.quant.isDefined, e.cacheKey))
+      .headOption
   }
 
   def unregisterAnn(cacheKey: String): Unit =
@@ -825,7 +844,11 @@ object Ddl {
       val idCol = opts.getOrElse("id",
         throw new IllegalArgumentException("CREATE VECTOR INDEX requires WITH (id = '...')"))
       val metric = opts.getOrElse("metric", "l2")
-      require(Set("l2", "cosine", "ip").contains(metric), s"unsupported metric: $metric")
+      // l1 is DDL-valid (reference legacy layout: no rotation preserves
+      // Manhattan, ivf_panorama.test §l1) but never claimed — `<+>` queries
+      // run the exact row-eval path; quantization rejects it above
+      require(Set("l2", "cosine", "ip", "l1").contains(metric),
+        s"unsupported metric: $metric")
       // quantized codes ride on top of the same IVF artifact
       // (inverted_index_ivf_{sq8,sq4,pq,rabitq}.test); rabitq_bits is
       // validated for DDL parity — the stored code is the 1-bit sign
@@ -1550,8 +1573,8 @@ object CatalogStore {
         "column" -> c, "analyzer" -> a, "segDir" -> e.segDir,
         "idCol" -> e.idCol) ++ e.predicate.map("predicate" -> _)): _*))
     }
-    IndexCatalog.ann.foreach { case ((root, c, m), e) =>
-      add(s"ann|$root|$c|$m", row(Seq("kind" -> "ann", "root" -> root,
+    IndexCatalog.ann.foreach { case ((root, c, m, _), e) =>
+      add(s"ann|$root|$c|$m|${e.cacheKey}", row(Seq("kind" -> "ann", "root" -> root,
         "column" -> c, "metric" -> m, "cacheKey" -> e.cacheKey,
         "idCol" -> e.idCol, "embCol" -> e.embCol) ++
         e.quant.map("quant" -> _) ++
@@ -1633,7 +1656,7 @@ object CatalogStore {
               s("predicate")))
         case Some("ann") =>
           IndexCatalog.ann.putIfAbsent(
-            (s("root").get, s("column").get, s("metric").get),
+            (s("root").get, s("column").get, s("metric").get, s("cacheKey").get),
             IndexCatalog.AnnEntry(s("cacheKey").get, s("idCol").get,
               s("embCol").get, s("metric").get, s("quant"),
               s("lists").map(_.toInt).getOrElse(0), s("pqM").map(_.toInt)))

@@ -53,6 +53,7 @@ object PgDialect {
       atTimeZoneRe.findFirstIn(sql).isDefined ||
       castTsRe.findFirstIn(sql).isDefined ||
       sql.contains("->") || sql.contains("<=>") || sql.contains("<#>") ||
+      sql.contains("<+>") ||
       sql.contains(":=") || rowLitRe.findFirstIn(sql).isDefined ||
       srfAliasRe.findFirstIn(sql).isDefined
   }
@@ -189,11 +190,11 @@ object PgDialect {
   case object RBRACK extends Kind
   case object COMMA extends Kind
   case object DCOLON extends Kind   // ::
-  case object DIST extends Kind     // <-> <=> <#>
+  case object DIST extends Kind     // <-> <=> <#> <+>
   case object OP extends Kind       // everything else operator-ish
   final case class Tok(kind: Kind, text: String)
 
-  private val multiOps = Seq("<->", "<=>", "<#>", "::", ":=", "||", "<=", ">=",
+  private val multiOps = Seq("<->", "<=>", "<#>", "<+>", "::", ":=", "||", "<=", ">=",
     "<>", "!=", "->>", "->", "**", "//")
 
   private def lex(s: String): Vector[Tok] = {
@@ -250,7 +251,7 @@ object PgDialect {
       } else multiOps.find(op => s.startsWith(op, i)) match {
         case Some(op) =>
           val kind = op match {
-            case "<->" | "<=>" | "<#>" => DIST
+            case "<->" | "<=>" | "<#>" | "<+>" => DIST
             case "::" => DCOLON
             case _ => OP
           }
@@ -524,6 +525,7 @@ object PgDialect {
   private def distFn(op: String): String = op match {
     case "<->" => "ann_l2"
     case "<=>" => "ann_cosine"
+    case "<+>" => "ann_l1" // pgvector Manhattan (ivf_panorama.test l1 leg)
     case _ => "ann_ip"
   }
 

@@ -246,7 +246,11 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
                   throw new IllegalArgumentException(
                     s"Column '$target': unknown ivf quant '$qv' " +
                       "(known: none, sq8, sq4, pq, rabitq)")
-                if (!Set("l2", "ip", "cosine").contains(metric))
+                // quant='none' is the explicit opt-out — the metric matrix
+                // only constrains REAL quantizers (reference index.cpp:
+                // 348-357 fires for quant != None; l1 + none is the
+                // legacy-layout leg of ivf_panorama.test)
+                if (qv != "none" && !Set("l2", "ip", "cosine").contains(metric))
                   throw new IllegalArgumentException(
                     s"Column '$target': ivf quantization supports only " +
                       "metric 'l2', 'ip', or 'cosine'")
@@ -484,9 +488,18 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
             .map(b => s", rabitq_bits = '${quote(b)}'").getOrElse("") +
           v.opts.get("pq_m")
             .map(m => s", pq_m = '${quote(m)}'").getOrElse("")
+        // INCLUDE sidecars normally ride on the first TOKENIZED column; a
+        // vector-only index has none, so the FIRST vector index carries
+        // them — otherwise covered kNN (inverted_index_ann_include.test:
+        // all-INCLUDE projections served from the columnstore, never the
+        // base table) silently degrades to the base join
+        val vecInclude =
+          if (tokenized.isEmpty && i == 0 && includeCols.nonEmpty)
+            s" INCLUDE (${includeCols.mkString(", ")})"
+          else ""
         Seq(s"CREATE OR REPLACE VECTOR INDEX $sub ON ${spec.table} (${v.target}) " +
           s"WITH (id = '${spec.idCol}', metric = '${quote(metric)}', " +
-          s"key = 'pg-${spec.name}-v$i'$quantTail)")
+          s"key = 'pg-${spec.name}-v$i'$quantTail)" + vecInclude)
       }
     }
     tokDdl ++ vecDdl

@@ -154,6 +154,14 @@ object SqlSurface {
       while (i < a.length) { s -= a(i).toDouble * b(i); i += 1 }
       s
     })
+    // Manhattan — pgvector `<+>`; row-eval only (no rotation preserves L1,
+    // so the reference keeps l1 on its legacy layout and this engine keeps
+    // it on the exact path: no claim rule maps ann_l1)
+    spark.udf.register("ann_l1", (a: Seq[Float], b: Seq[Float]) => {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += math.abs(a(i).toDouble - b(i)); i += 1 }
+      s
+    })
     // Relevance-scorer STUBS — the reference's flagship SQL surface
     // (`SELECT ... ORDER BY bm25(...) DESC LIMIT k`, examples/demo0/
     // demo.sql:39-48). A scorer needs corpus statistics (idf, avgdl, ctf)

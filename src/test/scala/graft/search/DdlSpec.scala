@@ -498,6 +498,42 @@ class DdlSpec extends AnyFunSuite {
     spark.sql("DROP SEARCH INDEX zstd_idx")
   }
 
+  test("AnnEntry persists lists and pq_m through the catalog round-trip") {
+    // r17 ADVICE: `lists` is part of the artifact DIRECTORY name — a
+    // registration restored without it resolves a lists>0 index at the
+    // wrong path on a fresh JVM and every claim fails availability. Two
+    // entries over ONE (column, metric) must also both survive (the
+    // 4-tuple registry key, multi_vector_ivf.test).
+    val tmpCat = java.nio.file.Files.createTempDirectory("graft-cat-ann").toString
+    CatalogStore.baseDirOverride = Some(tmpCat)
+    try {
+      CatalogStore.reset()
+      IndexCatalog.registerAnn("/tmp/ann-rt", "emb", "l2",
+        IndexCatalog.AnnEntry("k-plain", "id", "emb", "l2"))
+      IndexCatalog.registerAnn("/tmp/ann-rt", "emb", "l2",
+        IndexCatalog.AnnEntry("k-quant", "id", "emb", "l2",
+          Some("pq"), lists = 7, pqM = Some(4)))
+      CatalogStore.persist(spark)
+      CatalogStore.reset() // fresh JVM: registries empty, lazy re-load
+      CatalogStore.ensureLoaded()
+      val all = IndexCatalog.ann.collect {
+        case ((r, _, _, _), e) if r == "/tmp/ann-rt" => e
+      }.toSeq
+      assert(all.size == 2, s"both registrations must survive: $all")
+      val q = all.find(_.cacheKey == "k-quant").get
+      assert(q.lists == 7 && q.pqM.contains(4) && q.quant.contains("pq"),
+        s"lists/pqM/quant must round-trip: $q")
+      // the claim lookup prefers the unquantized sibling deterministically
+      assert(IndexCatalog.lookupAnn("/tmp/ann-rt", "emb", "l2")
+        .exists(_.cacheKey == "k-plain"))
+      IndexCatalog.unregisterAnn("k-plain")
+      IndexCatalog.unregisterAnn("k-quant")
+    } finally {
+      CatalogStore.baseDirOverride = None
+      CatalogStore.reset()
+    }
+  }
+
   test("malformed statements fail loudly") {
     intercept[IllegalArgumentException](
       Ddl.execute(spark, "CREATE SEARCH INDEX x ON v (c) WITH (analyzer = 'a')"))
