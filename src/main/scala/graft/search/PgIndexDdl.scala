@@ -154,7 +154,22 @@ object PgIndexDdl extends org.apache.spark.internal.Logging {
   }
 
   private def typeOf(spark: SparkSession, table: String, expr: String): DataType =
-    spark.table(table).selectExpr(expr).schema.head.dataType
+    try spark.table(table).selectExpr(expr).schema.head.dataType
+    catch {
+      case e: Exception =>
+        // a cast to a catalog ENUM (user-defined type) inside an indexed
+        // expression: Spark reports an opaque unknown-type error — surface
+        // the reference's contract instead (the inverted sink can't slice
+        // arbitrary user-type values, index_expr_user_refs_rejected.test;
+        // user FUNCTIONS in expressions ARE supported,
+        // inverted_index_expressions.test)
+        """(?is)(?:::|\bAS\s+)\s*"?([A-Za-z_]\w*)"?""".r
+          .findAllMatchIn(expr).map(_.group(1))
+          .find(n => graft.catalog.ObjectCatalog.enum(n).isDefined)
+          .foreach(n => throw new IllegalArgumentException(
+            s"unsupported type '$n': user-defined types can not be indexed"))
+        throw e
+    }
 
   private val builtins = Set("ivf", "included")
 
