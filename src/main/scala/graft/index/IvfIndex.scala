@@ -286,9 +286,30 @@ object IvfIndex {
     val statsRow = feat.agg(
       count(lit(1)), approx_count_distinct(xxhash64(col("embedding")))).head()
     val n = statsRow.getLong(0)
-    val nDistinct = math.max(1L, statsRow.getLong(1))
-    val kk = math.max(1L, math.min(
-      if (k > 0) k.toLong else autoK(n).toLong, math.min(n, nDistinct))).toInt
+    val kBound = if (k > 0) k.toLong else autoK(n).toLong
+    val nDistinctHll = math.max(1L, statsRow.getLong(1))
+    // HLL (default 5% rsd) can OVERestimate, so a clamp taken from it can
+    // still exceed the true distinct count when the two are close (e.g.
+    // 980 distinct, HLL says 1010, autoK=1000 → k=1000 > 980 — the same
+    // AIOOBE again; r18 ADVICE #3). When the estimate is near enough to
+    // the bound that its error could matter, pay one exact distinct count
+    // — cheap precisely in that low-cardinality regime. Counting DISTINCT
+    // HASHES can only undercount true distinct vectors, which keeps the
+    // clamp on the safe side.
+    val nDistinct =
+      if (nDistinctHll > kBound * 6 / 5) nDistinctHll
+      else feat.select(
+        countDistinct(xxhash64(col("embedding")))).head().getLong(0)
+    val kk = math.max(1L, math.min(kBound, math.min(n, nDistinct))).toInt
+    if (n == 0) {
+      // EMPTY input: the persisted form round-trips through readFrom as
+      // zero centroids (the empty-line filter), so the in-memory index must
+      // agree — Array(zero-length centroid) passed centroids.nonEmpty
+      // guards and crashed later in Pq.train / ensureKind (r18 ADVICE #4)
+      return IvfIndex(
+        feat.select(col("vec_id"), col("embedding"), lit(0).as("cluster")),
+        Array.empty, Array.empty, Array.empty)
+    }
     if (kk <= 1) {
       // Spark KMeans rejects k=1 outright — an all-duplicates (or
       // single-vector) corpus trains NOTHING and gets one cluster with the
@@ -411,6 +432,14 @@ object IvfIndex {
     assigned.select(col("vec_id"), col("embedding"), col("cluster"))
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(s"$dir/vectors")
+    // keep the fingerprint manifest covering the delta (vectors first, fps
+    // second: a crash in between leaves the manifest short, which the next
+    // syncedFps detects by count and re-derives — never a wrong CLASSIFY,
+    // at worst a one-time linear re-derive)
+    if (f.exists(new Path(s"$dir/fps/_SUCCESS")))
+      assigned.select(col("vec_id"), xxhash64(col("embedding")).as("fp"))
+        .write.mode("append").parquet(s"$dir/fps")
+    else writeFps(spark, dir)
     assigned.unpersist()
     val total = sizes.sum + added
     if (total > trainedOn * (1.0 + driftRatio)) {
@@ -437,6 +466,28 @@ object IvfIndex {
       invalidate(dir)
       (added, false)
     }
+  }
+
+  /** (Re)derive the fingerprint manifest `(vec_id, fp=xxhash64(embedding))`
+    * from the stored vectors — one linear, shuffle-free pass. The manifest
+    * is metadata-scale (16 bytes/vector) beside the embedding corpus; it is
+    * what REFRESH reads instead of the stored embeddings. */
+  def writeFps(spark: SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), xxhash64(col("embedding")).as("fp"))
+      .write.mode("overwrite").parquet(s"$dir/fps")
+
+  /** The fingerprint manifest, self-healing: absent (pre-r19 artifact) or
+    * row-count out of sync with the vector store (crash between a vectors
+    * append and its fps append) → re-derive. The counts are narrow
+    * single-column scans, metadata-scale beside a corpus read. */
+  def syncedFps(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    val inSync = f.exists(new Path(s"$dir/fps/_SUCCESS")) &&
+      spark.read.parquet(s"$dir/fps").count() ==
+        spark.read.parquet(s"$dir/vectors").select("vec_id").count()
+    if (!inSync) writeFps(spark, dir)
+    spark.read.parquet(s"$dir/fps")
   }
 
   private[index] def writeAtomic(spark: SparkSession, path: String, s: String): Unit = {
@@ -507,6 +558,12 @@ object IvfIndex {
         val idx = build(embs, k = k)
         idx.assignments.repartition(col("cluster"))
           .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/vectors")
+        // fingerprint manifest (ids + one xxhash64 per vector — the text
+        // path's r15 MANIFEST shape): REFRESH classifies removed/changed
+        // vectors by fp-diff against this instead of re-reading the stored
+        // embedding corpus. Written before the availability marker so a
+        // crash mid-build rebuilds both together.
+        writeFps(spark, dir)
         // atomic writes, _CENTROIDS (the availability marker) LAST: a crash
         // mid-build leaves no marker and the next ensure rebuilds over it
         writeAtomic(spark, s"$dir/_RADII", idx.radii.mkString("\n"))

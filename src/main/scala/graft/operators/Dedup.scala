@@ -70,8 +70,12 @@ object Dedup {
         graft.analysis.Analyzers.minHashSignature(sh, n))
 
   private def kernelIsUdf: Boolean =
-    sys.env.get("GRAFT_MINHASH_KERNEL").orElse(
-      sys.props.get("graft.minhash.kernel")).contains("udf")
+    // the SYSPROP first: it is the per-run switch MinhashAb flips per A/B
+    // arm inside one JVM — env-var precedence would silently pin both arms
+    // to the same kernel whenever the var is set in the environment
+    // (r18 ADVICE #5); the env var remains the out-of-band override
+    sys.props.get("graft.minhash.kernel").orElse(
+      sys.env.get("GRAFT_MINHASH_KERNEL")).contains("udf")
 
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, shingleN: Int = 3): DataFrame = {

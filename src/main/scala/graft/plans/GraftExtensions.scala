@@ -91,15 +91,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.Sequence].getName, "range"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        import org.apache.spark.sql.catalyst.expressions.{Literal => L, Subtract, Add, Sequence => Sq}
+        import org.apache.spark.sql.catalyst.expressions.{Literal => L,
+          Subtract, Add, Sequence => Sq, If, Or, And, GreaterThan,
+          GreaterThanOrEqual, LessThan, LessThanOrEqual}
+        import org.apache.spark.sql.types.{ArrayType, IntegerType}
+        // DuckDB returns [] for every empty range; Spark's Sequence is
+        // end-INCLUSIVE with an inferred step, so the bare mapping gave
+        // range(0) -> [0,-1] and threw 'illegal sequence boundaries' for
+        // explicit-step empties (r18 ADVICE #1). Guard each shape with a
+        // runtime emptiness predicate; the If coercion keeps the element
+        // type identical to the unguarded Sequence's, so non-empty results
+        // (what every declared query exercises) are bit-identical.
+        val emptyArr = L.create(Array.empty[Int],
+          ArrayType(IntegerType, containsNull = false))
         args.length match {
-          case 1 => Sq(L(0), Subtract(args(0), L(1)), None)
-          case 2 => Sq(args(0), Subtract(args(1), L(1)), None)
-          case 3 => args(2) match {
-            case L(s: Number, _) if s.longValue() < 0 =>
-              Sq(args(0), Add(args(1), L(1)), Some(args(2)))
-            case _ => Sq(args(0), Subtract(args(1), L(1)), Some(args(2)))
-          }
+          case 1 => If(LessThanOrEqual(args(0), L(0)), emptyArr,
+            Sq(L(0), Subtract(args(0), L(1)), None))
+          case 2 => If(GreaterThanOrEqual(args(0), args(1)), emptyArr,
+            Sq(args(0), Subtract(args(1), L(1)), None))
+          case 3 =>
+            // runtime sign handling covers non-literal steps too (the old
+            // literal match computed wrong bounds for them)
+            val step = args(2)
+            val empty = Or(
+              And(GreaterThan(step, L(0)), GreaterThanOrEqual(args(0), args(1))),
+              And(LessThan(step, L(0)), LessThanOrEqual(args(0), args(1))))
+            val endAdj = If(GreaterThan(step, L(0)),
+              Subtract(args(1), L(1)), Add(args(1), L(1)))
+            If(empty, emptyArr, Sq(args(0), endAdj, Some(step)))
           case n => throw new IllegalArgumentException(
             s"range([start,] stop[, step]) takes 1 to 3 arguments, got $n")
         }

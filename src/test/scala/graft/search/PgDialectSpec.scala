@@ -49,6 +49,23 @@ class PgDialectSpec extends AnyFunSuite {
     assert(rw("SELECT '[1,2]'") == "SELECT '[1,2]'")
   }
 
+  test("SELECT-list generate_series is not lateral position (r18 ADVICE #2)") {
+    // the `<=>` independently trips needed(); the comma before
+    // generate_series is SELECT-list position, so the bare alias must NOT
+    // be rewritten to g(g) (an analysis error)
+    assert(rw("SELECT a <=> b, generate_series(1,3) g FROM t") ==
+      "SELECT ann_cosine(a, b), generate_series(1,3) g FROM t")
+    // a FROM-position lateral comma still rewrites
+    assert(rw("SELECT a <=> b FROM t, generate_series(1,3) g") ==
+      "SELECT ann_cosine(a, b) FROM t, generate_series(1,3) g(g)")
+    // GROUP BY commas do not count as FROM position either
+    assert(rw("SELECT a <=> b FROM t GROUP BY x, generate_series(1,3)") ==
+      "SELECT ann_cosine(a, b) FROM t GROUP BY x, generate_series(1,3)")
+    // a subquery closing paren restores the outer FROM context
+    assert(rw("SELECT a <=> b FROM (SELECT 1) s, generate_series(1,3) g") ==
+      "SELECT ann_cosine(a, b) FROM (SELECT 1) s, generate_series(1,3) g(g)")
+  }
+
   test("rewrite is idempotent") {
     val once = rw("SELECT emb <-> [1, 2]::FLOAT[2] FROM t")
     assert(rw(once) == once)
