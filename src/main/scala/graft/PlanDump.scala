@@ -33,6 +33,8 @@ object PlanDump {
     names.foreach { n =>
       val df =
         if (n == "vec_refresh_classifier") refreshClassifier(spark, sfDir)
+        else if (n == "vec_refresh_classifier_old")
+          refreshClassifierOld(spark, sfDir)
         else SparkEntry.queries(n)(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
@@ -41,6 +43,30 @@ object PlanDump {
       println(s"wrote $outDir/${n}_$tag.txt")
     }
     spark.stop()
+  }
+
+  /** The PRE-r19 classifier shape, reconstructed for the before-plan file:
+    * live source full-outer-joined against the STORED EMBEDDINGS comparing
+    * raw float arrays (the exact frame Ddl built before the fingerprint
+    * manifest). */
+  private def refreshClassifierOld(spark: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, when}
+    SparkEntry.queries("vec_refresh_append")(spark, dir)
+      .write.mode("overwrite").format("noop").save()
+    val entry = graft.search.IndexCatalog.AnnEntry(
+      s"$dir-emb-refresh", "vec_id", "embedding", "l2")
+    val root = sys.props("java.io.tmpdir") + "/graft-vecrefresh-" +
+      dir.replaceAll("[^A-Za-z0-9._-]+", "_")
+    val source = graft.search.IndexCatalog.annSource(spark, root, entry)
+    val ivfDir = graft.index.IvfIndex.dirFor(entry.cacheKey)
+    val existing = spark.read.parquet(s"$ivfDir/vectors")
+      .select(col("vec_id"), col("embedding").as("_old"))
+    source.join(existing, Seq("vec_id"), "full_outer")
+      .select(
+        count(when(col("embedding").isNull, 1)).as("removed"),
+        count(when(col("embedding").isNotNull && col("_old").isNotNull &&
+          !(col("embedding") <=> col("_old")), 1)).as("changed"))
   }
 
   /** The r19 fingerprint-manifest classifier frame, over the
@@ -65,6 +91,7 @@ object PlanDump {
       .select(
         count(when(col("_sfp").isNull, 1)).as("removed"),
         count(when(col("_sfp").isNotNull && col("fp").isNotNull &&
-          col("_sfp") =!= col("fp"), 1)).as("changed"))
+          col("_sfp") =!= col("fp"), 1)).as("changed"),
+        count(when(col("fp").isNull, 1)).as("new"))
   }
 }

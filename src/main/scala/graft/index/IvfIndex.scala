@@ -433,13 +433,24 @@ object IvfIndex {
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(s"$dir/vectors")
     // keep the fingerprint manifest covering the delta (vectors first, fps
-    // second: a crash in between leaves the manifest short, which the next
-    // syncedFps detects by count and re-derives — never a wrong CLASSIFY,
-    // at worst a one-time linear re-derive)
-    if (f.exists(new Path(s"$dir/fps/_SUCCESS")))
+    // second: a crash in between leaves `_FPS_N` behind the `_SIZES` total,
+    // which the next syncedFps detects and re-derives — never a wrong
+    // CLASSIFY, at worst a one-time linear re-derive)
+    if (f.exists(new Path(s"$dir/fps/_SUCCESS"))) {
       assigned.select(col("vec_id"), xxhash64(col("embedding")).as("fp"))
         .write.mode("append").parquet(s"$dir/fps")
-    else writeFps(spark, dir)
+      val prevN = {
+        val p = new Path(s"$dir/_FPS_N")
+        if (!f.exists(p)) -1L // pre-_FPS_N manifest: leave absent → re-derive
+        else {
+          val in = f.open(p)
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      }
+      if (prevN >= 0)
+        writeAtomic(spark, s"$dir/_FPS_N", (prevN + added).toString)
+    } else writeFps(spark, dir)
     assigned.unpersist()
     val total = sizes.sum + added
     if (total > trainedOn * (1.0 + driftRatio)) {
@@ -471,21 +482,38 @@ object IvfIndex {
   /** (Re)derive the fingerprint manifest `(vec_id, fp=xxhash64(embedding))`
     * from the stored vectors — one linear, shuffle-free pass. The manifest
     * is metadata-scale (16 bytes/vector) beside the embedding corpus; it is
-    * what REFRESH reads instead of the stored embeddings. */
-  def writeFps(spark: SparkSession, dir: String): Unit =
+    * what REFRESH reads instead of the stored embeddings. `_FPS_N` records
+    * its row count so the sync check stays a driver file read, not a job. */
+  def writeFps(spark: SparkSession, dir: String): Unit = {
     spark.read.parquet(s"$dir/vectors")
       .select(col("vec_id"), xxhash64(col("embedding")).as("fp"))
       .write.mode("overwrite").parquet(s"$dir/fps")
+    writeAtomic(spark, s"$dir/_FPS_N",
+      spark.read.parquet(s"$dir/fps").count().toString)
+  }
 
   /** The fingerprint manifest, self-healing: absent (pre-r19 artifact) or
-    * row-count out of sync with the vector store (crash between a vectors
-    * append and its fps append) → re-derive. The counts are narrow
-    * single-column scans, metadata-scale beside a corpus read. */
+    * out of sync with the vector store (crash between a vectors append and
+    * its fps append) → re-derive. The check compares two DRIVER-side
+    * counters — `_FPS_N` (bumped with every fps write) against the `_SIZES`
+    * total (bumped with every vectors write) — zero Spark jobs on the
+    * steady path. */
   def syncedFps(spark: SparkSession, dir: String): DataFrame = {
     val f = fs(spark, dir)
+    def readAll(name: String): Option[String] = {
+      val p = new Path(s"$dir/$name")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+        finally in.close()
+      }
+    }
+    val storedN = readAll("_SIZES")
+      .map(_.split("\n").filter(_.nonEmpty).map(_.toLong).sum)
+    val fpsN = readAll("_FPS_N").flatMap(_.trim.toLongOption)
     val inSync = f.exists(new Path(s"$dir/fps/_SUCCESS")) &&
-      spark.read.parquet(s"$dir/fps").count() ==
-        spark.read.parquet(s"$dir/vectors").select("vec_id").count()
+      storedN.nonEmpty && fpsN == storedN
     if (!inSync) writeFps(spark, dir)
     spark.read.parquet(s"$dir/fps")
   }

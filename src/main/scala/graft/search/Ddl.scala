@@ -1165,13 +1165,18 @@ object Ddl {
           val existing = graft.index.IvfIndex.syncedFps(spark, e.dir)
           val sourceFp = source
             .select(col("vec_id"), xxhash64(col("embedding")).as("_sfp"))
+          // removed / changed / NEW in one aggregate: a no-change REFRESH
+          // (the steady state of a refresh loop) finishes after this single
+          // job — no anti-join, no append machinery
           val delta = sourceFp.join(existing, Seq("vec_id"), "full_outer")
             .select(
               count(when(col("_sfp").isNull, 1)).as("removed"),
               count(when(col("_sfp").isNotNull && col("fp").isNotNull &&
-                col("_sfp") =!= col("fp"), 1)).as("changed"))
+                col("_sfp") =!= col("fp"), 1)).as("changed"),
+              count(when(col("fp").isNull, 1)).as("new"))
             .head()
-          val (removed, changed) = (delta.getLong(0), delta.getLong(1))
+          val (removed, changed, newN) =
+            (delta.getLong(0), delta.getLong(1), delta.getLong(2))
           if (removed > 0 || changed > 0) {
             val p = new org.apache.hadoop.fs.Path(e.dir)
             p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -1188,6 +1193,11 @@ object Ddl {
             writeSourceFp(spark, e.dir, e.view)
             result(spark, s"refreshed $name (rebuilt: -$removed vectors, " +
               s"~$changed updated)")
+          } else if (newN == 0) {
+            // nothing to reconcile: the classifier job IS the whole refresh
+            spark.catalog.refreshByPath(e.dir)
+            writeSourceFp(spark, e.dir, e.view)
+            result(spark, s"refreshed $name (+0 vectors)")
           } else {
             val newVecs = source.join(existing.select("vec_id"),
               Seq("vec_id"), "left_anti")
