@@ -1087,30 +1087,53 @@ object Ddl {
           //                  refresh; ours are stable user ids, so content
           //                  must diff explicitly). Docs in pre-fingerprint
           //                  segments (null fp) reconcile by id only.
-          import org.apache.spark.sql.functions.{col => fcol, xxhash64}
+          import org.apache.spark.sql.functions.{col => fcol, xxhash64,
+            count => fcount, when => fwhen}
           val existing = IndexStore.liveDocFps(spark, e.dir)
           val sourceF = source.withColumn("__fp", xxhash64(fcol(keyCol)))
-          val newDocs = sourceF.join(existing,
-            sourceF(idCol) === existing("doc_id"), "left_anti")
-          val changed = sourceF.join(existing,
-            sourceF(idCol) === existing("doc_id") &&
-              existing("content_fp").isNotNull &&
-              existing("content_fp") =!= sourceF("__fp"), "left_semi")
-          val removed = existing.join(sourceF,
-            existing("doc_id") === sourceF(idCol), "left_anti")
-            .select(fcol("doc_id"))
-          // tombstones FIRST (they scope to the current newest segment),
-          // then the append lands the re-indexed content in a NEWER one
-          IndexStore.deleteIds(spark, e.dir,
-            removed.unionByName(changed.select(fcol(idCol).as("doc_id"))))
-          val toAdd = newDocs.unionByName(changed)
-          val added = toAdd.count()
-          if (added > 0) {
-            val idx = graft.index.InvertedIndex.build(toAdd, idCol, keyCol, e.analyzer)
-            IndexStore.appendSegment(idx, e.dir,
-              Some(toAdd.select(fcol(idCol).as("doc_id"),
-                fcol("__fp").as("content_fp"))))
-          }
+          // ONE narrow classify job first (r19, mirroring the vector
+          // REFRESH): ids + fingerprints through a full-outer join — never
+          // the document text — decide whether there is anything to
+          // reconcile at all. A no-change REFRESH (the steady state of a
+          // refresh loop) finishes here; previously it still paid the
+          // three reconciliation joins plus the toAdd count, each
+          // re-scanning the fingerprinted source.
+          val srcNarrow = sourceF.select(fcol(idCol).as("__sid"), fcol("__fp"))
+          val d = srcNarrow.join(existing,
+              srcNarrow("__sid") === existing("doc_id"), "full_outer")
+            .select(
+              fcount(fwhen(fcol("doc_id").isNull, 1)).as("new"),
+              fcount(fwhen(fcol("__sid").isNull, 1)).as("removed"),
+              fcount(fwhen(fcol("__sid").isNotNull &&
+                fcol("content_fp").isNotNull &&
+                fcol("content_fp") =!= fcol("__fp"), 1)).as("changed"))
+            .head()
+          val added =
+            if (d.getLong(0) == 0 && d.getLong(1) == 0 && d.getLong(2) == 0) 0L
+            else {
+              val newDocs = sourceF.join(existing,
+                sourceF(idCol) === existing("doc_id"), "left_anti")
+              val changed = sourceF.join(existing,
+                sourceF(idCol) === existing("doc_id") &&
+                  existing("content_fp").isNotNull &&
+                  existing("content_fp") =!= sourceF("__fp"), "left_semi")
+              val removed = existing.join(sourceF,
+                existing("doc_id") === sourceF(idCol), "left_anti")
+                .select(fcol("doc_id"))
+              // tombstones FIRST (they scope to the current newest segment),
+              // then the append lands the re-indexed content in a NEWER one
+              IndexStore.deleteIds(spark, e.dir,
+                removed.unionByName(changed.select(fcol(idCol).as("doc_id"))))
+              val toAdd = newDocs.unionByName(changed)
+              val n = toAdd.count()
+              if (n > 0) {
+                val idx = graft.index.InvertedIndex.build(toAdd, idCol, keyCol, e.analyzer)
+                IndexStore.appendSegment(idx, e.dir,
+                  Some(toAdd.select(fcol(idCol).as("doc_id"),
+                    fcol("__fp").as("content_fp"))))
+              }
+              n
+            }
           spark.catalog.refreshByPath(e.dir)
           IndexStore.registerViews(spark, e.dir, name)
           IndexStore.registerStatsTables(spark, e.dir, name)
