@@ -204,6 +204,14 @@ object Bench {
     // Search-Benchmark-Game block (BASELINE.md row 1): COUNT/TOP_10/100/1000
     // per query class against the claimed index drive
     val sbg = graft.queries.SearchBench.block(spark, sfDir)
+    // BENCH_RESULT.json (VERDICT r19 #2): the machine-consumable artifact —
+    // the metric object with the FULL per-entry map (stdout's `queries`
+    // carries only the headline subset because of the driver's 2000-char
+    // tail window). One deterministic file; PERF per-query comparison and
+    // the core-scaling block read this instead of scraping stdout.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_RESULT.json"),
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_entries":${results.size},"artifact_build":$builds$tpchJson$sf1Spot,"queries":${allQs.mkString("{", ",", "}")}}""")
     // Two stdout lines. The driver captures only the LAST 2000 chars of
     // stdout and parses a JSON line out of that window (BENCH_r13: the
     // single detail line grew past 2000 chars, its head got clipped, and

@@ -36,6 +36,13 @@ object PlanDump {
         else if (n == "vec_refresh_classifier_old")
           refreshClassifierOld(spark, sfDir)
         else SparkEntry.queries(n)(spark, sfDir)
+      // SPARK_GRAFT_PLAN_FINAL=1: execute the query FIRST (collect through
+      // the Dataset's own QueryExecution — a noop write would plan a
+      // separate execution) so the dump shows the FINAL adaptive plan:
+      // AQE's runtime exchange/stage reuse (ReusedExchange, coalesced
+      // reads, runtime join strategy changes) is invisible in the initial
+      // `isFinalPlan=false` plan the r19 audit files captured.
+      if (sys.env.get("SPARK_GRAFT_PLAN_FINAL").contains("1")) df.collect()
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.writeString(

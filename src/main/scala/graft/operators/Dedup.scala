@@ -146,10 +146,18 @@ object Dedup {
     // persist it: the exploded set is enormous to STORE (deserialized rows,
     // ~10x the text) yet cheap to RECOMPUTE (codegen'd tokenize+explode off
     // columnar parquet). Caching it thrashed storage memory at 10x bench
-    // data — 85 s with the cache vs 8.4 s recomputing (sf1 spot) — and on a
-    // 100 TB corpus a persisted shingle set would evict everything else in
-    // the cluster. Three linear recomputes beat one quadratic-pressure cache.
-    jaccardVerify(cands, shingles(docs, idCol, textCol), minJ)
+    // data — 85 s with the cache vs 8.4 s recomputing (sf1 spot, r16) — and
+    // the r20 re-test AFTER the r18 codegen kernel (interleaved same-JVM
+    // A/B, AbRunner) confirmed it: recompute stays the winner. On a 100 TB
+    // corpus a persisted shingle set would evict everything else in the
+    // cluster. Three linear recomputes beat one quadratic-pressure cache.
+    // (sysprop arm kept ONLY for the A/B harness, never the default)
+    val sh = shingles(docs, idCol, textCol)
+    val shArm =
+      if (sys.props.get("graft.minhash.shingleCheckpoint").contains("1"))
+        sh.localCheckpoint()
+      else sh
+    jaccardVerify(cands, shArm, minJ)
   }
 
   /** Exact n-gram Jaccard pairs via the inverted shingle index: only pairs

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, max, struct}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, max, struct}
 import graft.Tables
 import graft.operators.Dedup
 
@@ -33,8 +33,14 @@ object DedupQueries {
     * cluster entries resolve through a per-(dir, threshold) memo (the
     * IvfIndex.ensure pattern): the iterative CC job runs once per JVM and
     * its localCheckpoint is shared. */
+  /** The memo carries the artifact's ROW COUNT beside the frame (r19
+    * VERDICT #7): a localCheckpointed frame has no catalyst stats (its
+    * sizeInBytes is the default huge estimate), so the planner can never
+    * prove the cluster map broadcastable on its own — the count, taken once
+    * at build over the already-checkpointed blocks, is what lets consumers
+    * pick the join strategy from the artifact's true size. */
   private val ccCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, Double), (DataFrame, Long)]
 
   /** Wall seconds spent BUILDING each memoized artifact (key = artifact
     * name), so the bench can report the one-time build cost next to the
@@ -43,20 +49,35 @@ object DedupQueries {
   val artifactBuildSeconds =
     scala.collection.concurrent.TrieMap.empty[String, Double]
 
-  private def clustersFor(s: SparkSession, dir: String, minJ: Double): DataFrame =
+  private def clustersFor(s: SparkSession, dir: String, minJ: Double): (DataFrame, Long) =
     ccCache.getOrElseUpdate((dir, minJ), {
       val t0 = System.nanoTime()
       val built = Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", minJ))
         .localCheckpoint()
+      val n = built.count()
       artifactBuildSeconds.put(s"cluster_cc:$minJ", (System.nanoTime() - t0) / 1e9)
-      built
+      (built, n)
     })
+
+  /** Whether a cluster-map frame of `n` (bigint, bigint) rows provably fits
+    * the session's broadcast budget. ~32 bytes covers the unsafe-row pair
+    * plus hash-relation overhead; the threshold is the SESSION's broadcast
+    * knob (64 MB here, the same value a cluster deployment tunes), so the
+    * decision scales with configuration, not with this harness. CC output
+    * is output-sensitive — potentially corpus-order on a pathological
+    * corpus — which is why the r18/r19 audits kept the sort-merge join;
+    * this makes the choice size-PROVEN either way instead of assumed. */
+  private def fitsBroadcast(s: SparkSession, n: Long): Boolean = {
+    val thresh = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString))
+    thresh > 0 && n * 32L <= thresh
+  }
 
   /** Pairwise near-dups collapsed into components: A~B, B~C → one cluster
     * with one canonical keeper — the decision a pipeline actually applies. */
   def dedupClusterCc(s: SparkSession, dir: String): DataFrame =
-    clustersFor(s, dir, 0.5)
+    clustersFor(s, dir, 0.5)._1
       .withColumn("canonical", col("doc_id") === col("cluster_id"))
 
   /** The pipeline's final pruning decision: clusters → ONE quality-chosen
@@ -67,13 +88,21 @@ object DedupQueries {
     * its keep/drop verdict, i.e. exactly what a curation job would write. */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-    val cc = clustersFor(s, dir, 0.5)
+    val (cc0, ccN) = clustersFor(s, dir, 0.5)
+    // size-adaptive join strategy (r19 VERDICT #7, guide §3.1): the cluster
+    // map joins three times below; when its MEASURED row count provably
+    // fits the broadcast budget, hint it (and the keeper map, which has ≤
+    // one row per cluster) broadcast — the corpus side is then never
+    // shuffled. A corpus-order cluster map keeps the sort-merge plan.
+    val small = fitsBroadcast(s, ccN)
+    val cc = if (small) broadcast(cc0) else cc0
     val keepers = cc.join(docs, "doc_id")
       .groupBy(col("cluster_id"))
       .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
       .select(col("cluster_id"), (-col("best.neg_id")).as("keeper_id"))
+    val keepersHinted = if (small) broadcast(keepers) else keepers
     docs.join(cc, Seq("doc_id"), "left")
-      .join(keepers, Seq("cluster_id"), "left")
+      .join(keepersHinted, Seq("cluster_id"), "left")
       .select(col("doc_id"),
         coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"),
         (col("doc_id") === coalesce(col("keeper_id"), col("doc_id"))).as("kept"),

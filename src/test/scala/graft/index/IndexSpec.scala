@@ -9,6 +9,7 @@ import graft.analysis.WhitespaceAnalyzer
   * demo6 re-runs its search query without postings, examples/demo6/demo.sql)
   * plus segment append/compact invariance (SURVEY §7.4: BM25 stats must not
   * drift under incremental ingest). */
+@graft.SlowTest
 class IndexSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
   private def docs = Tables.documents(spark, TestSpark.sfDir)

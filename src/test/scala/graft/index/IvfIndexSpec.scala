@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.{Tables, TestSpark}
 
+@graft.SlowTest
 class IvfIndexSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
   private def embs = Tables.embeddings(spark, TestSpark.sfDir)
@@ -107,6 +108,25 @@ class IvfIndexSpec extends AnyFunSuite {
     // between the vectors append and the fps append) re-derives in full
     f.delete(new org.apache.hadoop.fs.Path(s"$dir/fps"), true)
     assert(IvfIndex.syncedFps(spark, dir).count() == embs.count())
+    // _SIZES drift heal (r19 ADVICE #1): append() writes _SIZES before the
+    // vectors parquet append, so a crash + retried REFRESH can leave the
+    // _SIZES total permanently above the true row count — the heal must
+    // reconcile _SIZES from the store so ONE re-derive restores the
+    // zero-job steady path instead of re-deriving forever
+    def readMeta(name: String): String = {
+      val in = f.open(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val trueSizes = readMeta("_SIZES").split("\n").filter(_.nonEmpty).map(_.toLong)
+    IvfIndex.writeAtomic(spark, s"$dir/_SIZES",
+      trueSizes.updated(0, trueSizes(0) + 7).mkString("\n")) // simulate drift
+    assert(IvfIndex.syncedFps(spark, dir).count() == embs.count())
+    val healed = readMeta("_SIZES").split("\n").filter(_.nonEmpty).map(_.toLong)
+    assert(healed.toSeq == trueSizes.toSeq,
+      "heal must rewrite _SIZES from actual per-cluster counts")
+    assert(readMeta("_FPS_N").trim.toLong == healed.sum,
+      "after one heal the sync counters must agree (steady path restored)")
     f.delete(new org.apache.hadoop.fs.Path(dir), true)
     IvfIndex.invalidate(dir)
   }

@@ -8,6 +8,7 @@ import graft.TestSpark
   * ⟨q,x⟩ ≈ ⟨q,c⟩ + Σ_sub ipLUT[sub][code[sub]] with an exact raw rerank on
   * the pool. The oracle entry pins overlap-with-exact at 10; this spec is
   * the fast local gate for the same invariant. */
+@graft.SlowTest
 class PqIpSpec extends AnyFunSuite {
   test("PQ knnIp recall: full overlap with exact-IP top-10 at test sf") {
     val n = graft.queries.Vectors.ivfPqIp(TestSpark.spark, TestSpark.sfDir)

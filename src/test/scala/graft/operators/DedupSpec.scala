@@ -135,4 +135,19 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("dedup_canonical broadcasts a provably-small cluster map (r20)") {
+    // the r19 audit left the cluster-map joins as SortMergeJoin because the
+    // localCheckpointed CC frame has no stats; r20 keys the strategy off the
+    // artifact's MEASURED row count — at test scale it provably fits the
+    // broadcast budget, so the three cluster-map joins must all be
+    // broadcast-hash (a corpus-order map would keep sort-merge)
+    val out = graft.queries.DedupQueries.dedupCanonical(spark, TestSpark.sfDir)
+    out.collect() // finalize the adaptive plan before asserting strategy
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("SortMergeJoin"),
+      phys.linesIterator.take(12).mkString("\n"))
+    assert(phys.contains("BroadcastHashJoin"),
+      phys.linesIterator.take(12).mkString("\n"))
+  }
 }

@@ -11,6 +11,7 @@ import graft.search.{TsQueryExec, TsQueryParser, SqlSurface}
 /** The search-claim rule must (a) change the PLAN — ts_match leaves the
   * filter and becomes an index semi-join — and (b) not change the RESULT
   * vs row evaluation. */
+@graft.SlowTest
 class ClaimRuleSpec extends AnyFunSuite {
 
   /** All ScalaUDFs named `name` anywhere in the plan tree — `plan.expressions`

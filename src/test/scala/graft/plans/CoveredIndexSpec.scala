@@ -14,6 +14,7 @@ import graft.search.SqlSurface
   * inverted_index_indexed_vs_included.test). Asserts the three contracts:
   * covered projections never read the base parquet, field point predicates
   * drive the field dataset, and results are identical to brute force. */
+@graft.SlowTest
 class CoveredIndexSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
   private val key = TestSpark.sfDir + "-documents-coverspec"

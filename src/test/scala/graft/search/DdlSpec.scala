@@ -6,6 +6,7 @@ import graft.{Tables, TestSpark}
 /** DDL statement semantics: create registers queryable index relations,
   * show lists the catalog, drop removes the segments, malformed input
   * fails loudly. */
+@graft.SlowTest
 class DdlSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark

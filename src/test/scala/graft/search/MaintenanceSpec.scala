@@ -11,6 +11,7 @@ import graft.index.IndexStore
   * `compaction_interval`). The contract proven here: an append to the source
   * becomes SEARCH-VISIBLE with no manual REFRESH, and continuous ingest's
   * segment fan-in is bounded by the compaction tick. */
+@graft.SlowTest
 class MaintenanceSpec extends AnyFunSuite with Eventually {
 
   private lazy val spark = TestSpark.spark

@@ -11,6 +11,7 @@ import graft.{Tables, TestSpark}
   * indexes only predicate-matching rows, a query carrying the predicate
   * claims into the index, and a query WITHOUT it must keep row evaluation
   * (a partial semi-join would silently drop rows). */
+@graft.SlowTest
 class PartialIndexSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
 

@@ -12,6 +12,7 @@ import graft.index.IndexStore
   * over pre-compaction segments must stay executable and CORRECT after
   * COMPACT runs, because compaction retains retired segments for one full
   * compaction generation before deleting them. */
+@graft.SlowTest
 class SnapshotIsolationSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark

@@ -9,6 +9,7 @@ import TsQuery._
   * equality" — the null-semantics-fuzz analogue): random query trees over a
   * small vocabulary evaluated two ways, through the index join plans and
   * through the row-level evaluator, must agree on every corpus. */
+@graft.SlowTest
 class TsQueryFuzzSpec extends AnyFunSuite {
 
   private val vocab = Vector("a", "b", "c", "d", "e", "f")

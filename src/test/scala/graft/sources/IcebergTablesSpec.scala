@@ -9,6 +9,7 @@ import graft.{Tables, TestSpark}
 /** Iceberg table semantics: snapshot isolation under append, time travel,
   * schema enforcement on commit, and spec-shaped metadata (v2 format,
   * manifest-list field names, record counts). */
+@graft.SlowTest
 class IcebergTablesSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark

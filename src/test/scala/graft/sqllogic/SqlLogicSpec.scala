@@ -11,6 +11,7 @@ import graft.TestSpark
 /** Runs every `.test` file in src/test/resources/sqllogic through the
   * SqlLogic runner — the reference's primary conformance format
   * (sqllogictest) executed against the SparkSession surface. */
+@graft.SlowTest
 class SqlLogicSpec extends AnyFunSuite {
   private val dir = Paths.get("src/test/resources/sqllogic")
 

@@ -13,6 +13,7 @@ case class Doc(doc_id: Long, text: String)
   * and the incrementally-built index must answer identically to a one-shot
   * build (the SURVEY §7.4 BM25-drift risk, under real streaming machinery
   * with checkpointing). */
+@graft.SlowTest
 class StreamingIngestSpec extends AnyFunSuite {
 
   test("two-leg streaming ingest matches one-shot index build") {
